@@ -1,0 +1,50 @@
+package graft.codec
+
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+
+/** Oracle DATE (7-byte) and TIMESTAMP (7/11-byte) wire-format codec.
+  *
+  * Public excess encoding: [century+100, year%100+100, month, day,
+  * hour+1, minute+1, second+1] (+ optional 4-byte big-endian nanoseconds
+  * for TIMESTAMP). Mirrors the decode behavior of the reference's
+  * `GenericDecoders.java:355-375` (SURVEY.md §2.4 F3), re-implemented
+  * from the public format.
+  *
+  * All conversions are UTC; Spark TimestampType carries micros since epoch.
+  */
+object OraDateTime {
+
+  /** Decode 7- or 11-byte Oracle DATE/TIMESTAMP to epoch micros (UTC). */
+  def decodeToMicros(b: Array[Byte]): Long = {
+    require(b != null && (b.length == 7 || b.length == 11), s"bad DATE len ${if (b == null) -1 else b.length}")
+    val year = ((b(0) & 0xff) - 100) * 100 + ((b(1) & 0xff) - 100)
+    val ldt = LocalDateTime.of(year, b(2) & 0xff, b(3) & 0xff,
+      (b(4) & 0xff) - 1, (b(5) & 0xff) - 1, (b(6) & 0xff) - 1)
+    val nanos =
+      if (b.length == 11)
+        ((b(7) & 0xff) << 24) | ((b(8) & 0xff) << 16) | ((b(9) & 0xff) << 8) | (b(10) & 0xff)
+      else 0
+    val epochSec = ldt.toEpochSecond(ZoneOffset.UTC)
+    epochSec * 1000000L + nanos / 1000L
+  }
+
+  /** Encode epoch micros (UTC) to 7-byte DATE (truncates sub-second). */
+  def encodeDate(micros: Long): Array[Byte] = {
+    val ldt = LocalDateTime.ofInstant(
+      Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L)), ZoneOffset.UTC)
+    Array(
+      (ldt.getYear / 100 + 100).toByte, (ldt.getYear % 100 + 100).toByte,
+      ldt.getMonthValue.toByte, ldt.getDayOfMonth.toByte,
+      (ldt.getHour + 1).toByte, (ldt.getMinute + 1).toByte,
+      (ldt.getSecond + 1).toByte)
+  }
+
+  /** Encode epoch micros (UTC) to 11-byte TIMESTAMP (micro precision). */
+  def encodeTimestamp(micros: Long): Array[Byte] = {
+    val date = encodeDate(micros)
+    val nanos = (Math.floorMod(micros, 1000000L) * 1000L).toInt
+    date ++ Array(
+      ((nanos >>> 24) & 0xff).toByte, ((nanos >>> 16) & 0xff).toByte,
+      ((nanos >>> 8) & 0xff).toByte, (nanos & 0xff).toByte)
+  }
+}

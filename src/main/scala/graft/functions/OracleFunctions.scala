@@ -1,0 +1,214 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions for the Oracle wire-format codecs (SURVEY.md §2.4
+  * F1–F7). Native `Expression`s with whole-stage codegen on the hot
+  * NUMBER/DATE paths — each generated call is a single static invoke into
+  * `graft.codec.*` (Scala objects expose static forwarders), so decode
+  * stays inside the WholeStageCodegen span instead of falling back to an
+  * interpreted UDF. At 100 TB the decode sits on every row of the change
+  * stream; this is the difference between codegen'd tight loops and
+  * boxing through ScalaUDF.
+  */
+object OracleFunctions {
+
+  private def c(e: Expression): Column = GraftSqlBridge.column(e)
+  private def e(col: Column): Expression = GraftSqlBridge.expression(col)
+
+  // ---- NUMBER (F1) ----
+
+  case class OraNumberToDecimal(child: Expression, precision: Int, scale: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = DecimalType(precision, scale)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      Decimal(graft.codec.OraNumber.decodeToScaled(v.asInstanceOf[Array[Byte]], scale))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b =>
+        s"${ev.value} = org.apache.spark.sql.types.Decimal.apply(" +
+          s"graft.codec.OraNumber.decodeToScaled($b, $scale));")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class OraNumberToLong(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraNumber.decodeToLong(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.codec.OraNumber.decodeToLong($b)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class OraNumberToDouble(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraNumber.decodeToDouble(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.codec.OraNumber.decodeToDouble($b)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class OraNumberFromDecimal(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(DecimalType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraNumber.encode(v.asInstanceOf[Decimal].toJavaBigDecimal)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, d => s"graft.codec.OraNumber.encode($d.toJavaBigDecimal())")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class OraNumberFromLong(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(LongType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraNumber.encodeLong(v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, v => s"graft.codec.OraNumber.encodeLong($v)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  // ---- DATE / TIMESTAMP (F3) ----
+
+  case class OraDateToTimestamp(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    // NTZ: the 7/11-byte Oracle form has no zone; matches parquet TIMESTAMP
+    override def dataType: DataType = TimestampNTZType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraDateTime.decodeToMicros(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.codec.OraDateTime.decodeToMicros($b)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class OraTimestampFromMicros(child: Expression)
+      extends UnaryExpression {
+    // accepts TimestampType or TimestampNTZType — both are epoch micros
+    override def checkInputDataTypes() =
+      if (child.dataType == TimestampType || child.dataType == TimestampNTZType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expected timestamp, got ${child.dataType}")
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraDateTime.encodeTimestamp(v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, v => s"graft.codec.OraDateTime.encodeTimestamp($v)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  // ---- ROWID (F7) ----
+
+  case class OraRowIdEncode(first: Expression, second: Expression,
+      third: Expression, fourth: Expression)
+      extends QuaternaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(LongType, IntegerType, LongType, IntegerType)
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(o: Any, f: Any, b: Any, r: Any): Any =
+      UTF8String.fromString(graft.codec.OraRowId.encode(
+        o.asInstanceOf[Long], f.asInstanceOf[Int], b.asInstanceOf[Long], r.asInstanceOf[Int]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (o, f, b, r) =>
+        s"UTF8String.fromString(graft.codec.OraRowId.encode($o, $f, $b, $r))")
+    override protected def withNewChildrenInternal(c1: Expression,
+        c2: Expression, c3: Expression, c4: Expression): Expression =
+      copy(c1, c2, c3, c4)
+  }
+
+  case class OraRowIdPart(child: Expression, part: Int)
+      extends UnaryExpression with ExpectsInputTypes
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val r = graft.codec.OraRowId.decode(v.toString)
+      part match {
+        case 0 => r.dataObj
+        case 1 => r.fileNo.toLong
+        case 2 => r.blockNo
+        case 3 => r.rowNo.toLong
+      }
+    }
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  // ---- INTERVALS (F5) ----
+
+  case class OraIntervalYMToMonths(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraInterval.decodeYMToMonths(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.codec.OraInterval.decodeYMToMonths($b)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class OraIntervalDSToMicros(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraInterval.decodeDSToMicros(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.codec.OraInterval.decodeDSToMicros($b)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  // ---- Column API ----
+
+  def oranumber_to_decimal(col: Column, precision: Int, scale: Int): Column =
+    c(OraNumberToDecimal(e(col), precision, scale))
+  def oranumber_to_long(col: Column): Column = c(OraNumberToLong(e(col)))
+  def oranumber_to_double(col: Column): Column = c(OraNumberToDouble(e(col)))
+  def oranumber_from_decimal(col: Column): Column = c(OraNumberFromDecimal(e(col)))
+  def oranumber_from_long(col: Column): Column = c(OraNumberFromLong(e(col)))
+  def oradate_to_timestamp(col: Column): Column = c(OraDateToTimestamp(e(col)))
+  def oratimestamp_from_micros(col: Column): Column = c(OraTimestampFromMicros(e(col)))
+  def orarowid(dataObj: Column, fileNo: Column, blockNo: Column, rowNo: Column): Column =
+    c(OraRowIdEncode(e(dataObj), e(fileNo), e(blockNo), e(rowNo)))
+  def orarowid_dataobj(col: Column): Column = c(OraRowIdPart(e(col), 0))
+  def orarowid_fileno(col: Column): Column = c(OraRowIdPart(e(col), 1))
+  def orarowid_blockno(col: Column): Column = c(OraRowIdPart(e(col), 2))
+  def orarowid_rowno(col: Column): Column = c(OraRowIdPart(e(col), 3))
+  def orainterval_ym_months(col: Column): Column = c(OraIntervalYMToMonths(e(col)))
+  def orainterval_ds_micros(col: Column): Column = c(OraIntervalDSToMicros(e(col)))
+
+  /** SQL registration so the codecs are usable from spark.sql(...). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("oranumber_to_long",
+      es => OraNumberToLong(es.head), "builtin")
+    reg.createOrReplaceTempFunction("oranumber_to_double",
+      es => OraNumberToDouble(es.head), "builtin")
+    reg.createOrReplaceTempFunction("oradate_to_timestamp",
+      es => OraDateToTimestamp(es.head), "builtin")
+    reg.createOrReplaceTempFunction("oranumber_from_long",
+      es => OraNumberFromLong(es.head), "builtin")
+  }
+}

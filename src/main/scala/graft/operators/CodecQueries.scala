@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
+import graft.Tables._
+import graft.functions.OracleFunctions._
+
+/** Correctness-gate queries for the Oracle wire-format codec expressions
+  * (SURVEY.md §2.4 F1/F3/F7). Each query encodes real table values into
+  * the Oracle binary format and decodes them back inside one Catalyst
+  * plan; the DuckDB oracle is the identity projection — so a hash match
+  * proves encode∘decode = id over the whole column domain in the data,
+  * executed distributed (no driver loop), inside WholeStageCodegen.
+  */
+object CodecQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1: NUMBER ⇄ DECIMAL roundtrip over every distinct price in lineitem
+    "f1_oranumber_decimal" -> ((s, dir) => {
+      lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("p"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          oranumber_to_decimal(oranumber_from_decimal(col("p")), 18, 2).as("price_rt"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    // F1: NUMBER ⇄ BIGINT roundtrip (integral path, codegen'd static calls)
+    "f1_oranumber_long" -> ((s, dir) => {
+      orders(s, dir)
+        .select(col("o_orderkey"),
+          oranumber_to_long(oranumber_from_long(col("o_custkey"))).as("custkey_rt"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // F3: 11-byte Oracle TIMESTAMP ⇄ TimestampType roundtrip
+    "f3_oradate_timestamp" -> ((s, dir) => {
+      orders(s, dir)
+        .select(col("o_orderkey"),
+          oradate_to_timestamp(oratimestamp_from_micros(col("o_orderdate"))).as("odate_rt"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // F7: ROWID 18-char form built from row coordinates, then split back
+    "f7_rowid" -> ((s, dir) => {
+      val r = lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        orarowid(col("l_partkey"),
+          col("l_linenumber").cast(IntegerType),
+          col("l_suppkey"),
+          (col("l_orderkey") % 1024).cast(IntegerType)).as("rid"))
+      r.select(col("l_orderkey"), col("l_linenumber"),
+          length(col("rid")).as("rid_len"),
+          orarowid_dataobj(col("rid")).as("obj_rt"),
+          orarowid_fileno(col("rid")).as("fno_rt"),
+          orarowid_blockno(col("rid")).as("blk_rt"),
+          orarowid_rowno(col("rid")).as("row_rt"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "f1_oranumber_decimal" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_extendedprice AS DECIMAL(18,2)) AS price_rt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f1_oranumber_long" ->
+      "SELECT o_orderkey, o_custkey AS custkey_rt FROM orders ORDER BY o_orderkey",
+    "f3_oradate_timestamp" ->
+      "SELECT o_orderkey, o_orderdate AS odate_rt FROM orders ORDER BY o_orderkey",
+    "f7_rowid" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(18 AS INTEGER) AS rid_len,
+        |       l_partkey AS obj_rt,
+        |       CAST(l_linenumber AS BIGINT) AS fno_rt,
+        |       l_suppkey AS blk_rt,
+        |       l_orderkey % 1024 AS row_rt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}

@@ -1,0 +1,129 @@
+package graft.codec
+
+import java.math.{BigDecimal => JBD}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Codec unit tests. The known-value fixtures are the publicly documented
+  * Oracle DUMP() encodings (same provenance as the reference's
+  * OraNumberTest/OraDumpDecoderTest corpus — SURVEY.md §5.3).
+  */
+class CodecSpec extends AnyFunSuite {
+
+  /** deterministic property loop (seeded) — scalacheck-style coverage
+    * without extra deps */
+  private def forSeeded(n: Int)(f: scala.util.Random => Unit): Unit = {
+    val rnd = new scala.util.Random(42)
+    (1 to n).foreach(_ => f(rnd))
+  }
+
+  private def hex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // ---- NUMBER known encodings (public DUMP() examples) ----
+  test("NUMBER zero is 0x80") {
+    assert(OraNumber.encode(JBD.ZERO).toSeq == Seq(0x80.toByte))
+    assert(OraNumber.decode(Array(0x80.toByte)).compareTo(JBD.ZERO) == 0)
+  }
+  test("NUMBER 1 = C1 02") {
+    assert(OraNumber.encode(JBD.ONE).toSeq == hex("c102").toSeq)
+    assert(OraNumber.decode(hex("c102")).compareTo(JBD.ONE) == 0)
+  }
+  test("NUMBER 100 = C2 02") {
+    assert(OraNumber.encode(new JBD(100)).toSeq == hex("c202").toSeq)
+  }
+  test("NUMBER 123 = C2 02 18") {
+    assert(OraNumber.encode(new JBD(123)).toSeq == hex("c20218").toSeq)
+    assert(OraNumber.decodeToLong(hex("c20218")) == 123L)
+  }
+  test("NUMBER 0.5 = C0 33") {
+    assert(OraNumber.encode(new JBD("0.5")).toSeq == hex("c033").toSeq)
+  }
+  test("NUMBER -1 = 3E 64 66") {
+    assert(OraNumber.encode(new JBD(-1)).toSeq == hex("3e6466").toSeq)
+    assert(OraNumber.decodeToLong(hex("3e6466")) == -1L)
+  }
+  test("NUMBER -123 = 3D 64 4E 66") {
+    // -123: exp=1 → b0=62-1=0x3D, digits 1,23 → 100,78=0x64,0x4E
+    assert(OraNumber.encode(new JBD(-123)).toSeq == hex("3d644e66").toSeq)
+    assert(OraNumber.decodeToLong(hex("3d644e66")) == -123L)
+  }
+
+  test("NUMBER roundtrip property (long)") {
+    forSeeded(500) { rnd =>
+      val v = rnd.nextLong()
+      assert(OraNumber.decodeToLong(OraNumber.encodeLong(v)) == v)
+    }
+  }
+  test("NUMBER roundtrip property (scaled decimal)") {
+    forSeeded(500) { rnd =>
+      val unscaled = rnd.nextLong() % 1000000000000L
+      val scale = rnd.nextInt(7)
+      val v = new JBD(java.math.BigInteger.valueOf(unscaled), scale)
+      assert(OraNumber.decode(OraNumber.encode(v)).compareTo(v) == 0)
+    }
+  }
+  test("NUMBER decode is order-preserving on sign") {
+    assert(OraNumber.decodeToDouble(OraNumber.encodeDouble(-0.25)) == -0.25)
+    assert(OraNumber.decodeToDouble(OraNumber.encodeDouble(1e-30)) == 1e-30)
+    assert(OraNumber.decodeToDouble(OraNumber.encodeDouble(9.9e30)) == 9.9e30)
+  }
+
+  // ---- DATE / TIMESTAMP ----
+  test("DATE 2014-07-01 12:34:56 encodes with excess-100 bytes") {
+    val micros = java.time.LocalDateTime.of(2014, 7, 1, 12, 34, 56)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val b = OraDateTime.encodeDate(micros)
+    assert(b.toSeq == Seq(120, 114, 7, 1, 13, 35, 57).map(_.toByte))
+    assert(OraDateTime.decodeToMicros(b) == micros)
+  }
+  test("TIMESTAMP roundtrip with micros") {
+    forSeeded(500) { rnd =>
+      val us = 946684800000000L + (rnd.nextLong() % 1000000000000000L).abs
+      assert(OraDateTime.decodeToMicros(OraDateTime.encodeTimestamp(us)) == us)
+    }
+  }
+
+  // ---- ROWID ----
+  test("ROWID AAASdBAAMAAAADbAAA decodes and re-encodes") {
+    // fixture ROWID from the reference's public test surface (Op11_5_Test)
+    val s = "AAASdBAAMAAAADbAAA"
+    val r = OraRowId.decode(s)
+    assert(OraRowId.encode(r.dataObj, r.fileNo, r.blockNo, r.rowNo) == s)
+    assert(r.rowNo == 0)
+    assert(r.dataObj == (('S' - 'A') * 64 + ('d' - 'a' + 26)) * 64 + ('B' - 'A'))
+  }
+  test("ROWID roundtrip property") {
+    forSeeded(500) { rnd =>
+      val obj = rnd.nextLong() & 0xffffffffL
+      val fno = rnd.nextInt(1024)
+      val blk = rnd.nextLong() & 0x3fffffffL
+      val row = rnd.nextInt(65536)
+      val r = OraRowId.decode(OraRowId.encode(obj, fno, blk, row))
+      assert((r.dataObj, r.fileNo, r.blockNo, r.rowNo) == ((obj, fno, blk, row)))
+    }
+  }
+
+  // ---- INTERVALS ----
+  test("INTERVALYM roundtrip") {
+    forSeeded(500) { rnd =>
+      val months = rnd.nextInt(24001) - 12000
+      assert(OraInterval.decodeYMToMonths(OraInterval.encodeYM(months)) == months)
+    }
+  }
+  test("INTERVALDS roundtrip") {
+    forSeeded(500) { rnd =>
+      val us = rnd.nextLong() % (86400000000L * 3650)
+      assert(OraInterval.decodeDSToMicros(OraInterval.encodeDS(us)) == us)
+    }
+  }
+  test("interval strings") {
+    assert(OraInterval.ymToString(27) == "P2Y3M")
+    assert(OraInterval.dsToString(93784000005L) == "P1DT2H3M4.000005S")
+  }
+
+  // ---- charsets ----
+  test("charset decode fixtures") {
+    assert(OraCharset.decode(hex("7468616e6b73"), "US7ASCII") == "thanks")
+    assert(OraCharset.decode(hex("e8ac9de8ac9de595a6"), "AL32UTF8") == "謝謝啦")
+  }
+}
