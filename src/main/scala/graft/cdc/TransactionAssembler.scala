@@ -1,0 +1,124 @@
+package graft.cdc
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Per-transaction assembly state machine (SURVEY.md §2.2 T1–T6).
+  *
+  * Reproduces the reference's transaction semantics — buffer every change
+  * until COMMIT, discard on ROLLBACK, cancel partial-rollback pairs,
+  * expand multi-row ops, optionally drop no-op updates and prune DELETE
+  * columns — as a pure function over one transaction's records. Pure
+  * Scala: unit-testable without Spark, and the same core drives both the
+  * batch `flatMapGroups` and the streaming `flatMapGroupsWithState`
+  * wrappers in graft.streaming.
+  *
+  * Reference behaviors re-expressed (not ported):
+  *  - deferred emission at commit: `OraCdcLogMinerWorkerThread.java:347-393`
+  *  - partial-rollback pairing processed in reverse:
+  *    `OraCdcTransaction.java:351-423` (checkForRollback)
+  *  - multi-row QMI/QMD expansion: `OraCdcTransaction.emitMultiRowChange:987`
+  *  - no-op UPDATE elimination (P3): `doc/parameters.adoc:302-303`
+  *  - DELETE column pruning (P4): `OraCdcLogMinerTable.java:252-313`
+  *
+  * Scale note: state is bounded by the open transaction's size, never by
+  * table size; at 100 TB the Spark state store (RocksDB) spills it.
+  */
+object TransactionAssembler {
+
+  case class Options(
+      /** false → drop UPDATEs whose after-image equals the before-image (P3) */
+      emitAllUpdates: Boolean = true,
+      /** false → DELETE carries only `keyCols` of the before-image (P4) */
+      allColsOnDelete: Boolean = true,
+      /** key columns for P4/P5 */
+      keyCols: Seq[String] = Nil,
+      /** true → skip DELETE on keyless tables instead of failing (P5) */
+      skipKeylessDelete: Boolean = false)
+
+  val DefaultOptions: Options = Options()
+
+  /** Assemble ONE transaction. `records` must be in (scn, ssn) order and
+    * all share the same xid. Returns the committed changes in statement
+    * order, stamped with the commit SCN — or Nil when the transaction
+    * rolled back or never committed (caller keeps state in that case).
+    */
+  def assemble(records: Seq[RedoRecord],
+      opts: Options = DefaultOptions): Seq[EmittedChange] = {
+    var commitScn = -1L
+    var rolledBack = false
+    val buf = new ArrayBuffer[RedoRecord]()
+
+    records.foreach { r =>
+      r.op match {
+        case Ops.Commit => commitScn = r.scn
+        case Ops.Rollback => rolledBack = true
+        case _ => buf += r
+      }
+    }
+    if (rolledBack || commitScn < 0) return Nil
+
+    // partial-rollback cancellation: walk entries; a rollback-flagged entry
+    // cancels the nearest PRIOR non-cancelled change with the same rowId
+    // (the reference pairs on RBA/rowid coordinates in reverse order).
+    val cancelled = new Array[Boolean](buf.length)
+    var i = 0
+    while (i < buf.length) {
+      if (buf(i).rollback) {
+        cancelled(i) = true // rollback entries themselves never emit
+        var j = i - 1
+        var found = false
+        while (j >= 0 && !found) {
+          if (!cancelled(j) && !buf(j).rollback && buf(j).rowId == buf(i).rowId) {
+            cancelled(j) = true
+            found = true
+          }
+          j -= 1
+        }
+        // unmatched rollback → "suspicious" in the reference; dropped here
+      }
+      i += 1
+    }
+
+    val out = new ArrayBuffer[EmittedChange]()
+    i = 0
+    while (i < buf.length) {
+      if (!cancelled(i)) {
+        val r = buf(i)
+        r.op match {
+          case Ops.MultiInsert | Ops.MultiDelete =>
+            // T6: expand to N single-row changes, ssn increments per row
+            val op = if (r.op == Ops.MultiInsert) Ops.Insert else Ops.Delete
+            r.multiRows.zipWithIndex.foreach { case (row, k) =>
+              val (b, a) = if (op == Ops.Insert) (Map.empty[String, String], row)
+                           else (row, Map.empty[String, String])
+              out += EmittedChange(r.xid, commitScn, r.scn, r.ssn + k,
+                r.table, op, r.rowId, r.tsMicros, b, a)
+            }
+          case Ops.Update
+              if !opts.emitAllUpdates && updateIsNoop(r) => // P3: drop
+          case Ops.Delete if opts.skipKeylessDelete && opts.keyCols.isEmpty =>
+            // P5: keyless DELETE skipped
+          case Ops.Delete if !opts.allColsOnDelete && opts.keyCols.nonEmpty =>
+            // P4: prune before-image to key columns
+            out += EmittedChange(r.xid, commitScn, r.scn, r.ssn, r.table,
+              r.op, r.rowId, r.tsMicros,
+              r.before.view.filterKeys(opts.keyCols.contains).toMap, r.after)
+          case _ =>
+            out += EmittedChange(r.xid, commitScn, r.scn, r.ssn, r.table,
+              r.op, r.rowId, r.tsMicros, r.before, r.after)
+        }
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** P3: an UPDATE whose SET list changes nothing (e.g. `set C=C`). Only
+    * columns present in both images are compared — absent columns are
+    * "not in redo", not NULL (wrapped-schema semantics, SURVEY §1.2).
+    */
+  private def updateIsNoop(r: RedoRecord): Boolean =
+    r.after.nonEmpty && r.after.forall { case (k, v) =>
+      r.before.get(k).contains(v)
+    }
+}

@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, TimestampType}
+import graft.Tables._
+import graft.cdc._
+import graft.functions.Transforms
+import graft.streaming.{ChangeStreams, Envelopes}
+
+/** CDC correctness-gate queries (SURVEY.md §2.2 T1–T6, §2.3 P3/P4/P7,
+  * §2.6 M3–M5).
+  *
+  * The `events` table is given a deterministic change-stream reading so
+  * the REAL transaction assembler runs distributed under the gate and a
+  * DuckDB oracle can state the expected emission in SQL:
+  *
+  *  - xid := user_id (one transaction per user); scn := event_id
+  *  - op: signup→INSERT, view→DELETE, click/purchase→UPDATE,
+  *    error→partial-rollback entry targeting the user's previous change
+  *    (rowId := LAG(event_id)); data-change rowId := own event_id
+  *  - every transaction gets a synthesized control record at
+  *    scn = max(event_id)+1: ROLLBACK when user_id % 10 == 0, else COMMIT
+  *
+  * So the oracle is: drop rolled-back users, drop error entries, drop
+  * changes whose event_id is the LAG-target of an error — exactly the
+  * reference's commit/rollback/partial-rollback semantics
+  * (`OraCdcTransaction.java:351-423`).
+  */
+object CdcQueries {
+
+  /** events → redo records (changes + per-transaction control records). */
+  def redoRecords(s: SparkSession, dir: String): Dataset[RedoRecord] = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val emptyMap = map().cast("map<string,string>")
+    val changes = ev
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("v5", col("event_id") % 5)
+      .withColumn("prev_v5", coalesce(lag(col("v5"), 1).over(w), lit(-1L)))
+      .select(
+        col("event_id").as("scn"),
+        lit(0).as("ssn"),
+        col("user_id").cast("string").as("xid"),
+        when(col("event_type") === "signup", lit(Ops.Insert))
+          .when(col("event_type") === "view", lit(Ops.Delete))
+          .otherwise(lit(Ops.Update)).as("op"),
+        lit("GRAFT.EVENTS").as("table"),
+        when(col("event_type") === "error",
+          coalesce(col("prev_id").cast("string"), lit("none")))
+          .otherwise(col("event_id").cast("string")).as("rowId"),
+        (col("event_type") === "error").as("rollback"),
+        // ts is long nanos (nanosAsLong) → integer-divide to micros
+        expr("ts div 1000").as("tsMicros"),
+        // UPDATE before-image: value unchanged (models `set value=value`),
+        // v5 from the previous change → no-op iff v5 == prev_v5 (P3)
+        when(col("event_type") === "view",
+          map(lit("user_id"), col("user_id").cast("string"),
+              lit("v5"), col("v5").cast("string")))
+          .when(col("event_type").isin("click", "purchase"),
+            map(lit("value"), col("value").cast("string"),
+                lit("v5"), col("prev_v5").cast("string")))
+          .otherwise(emptyMap).as("before"),
+        when(col("event_type").isin("signup", "click", "purchase"),
+          map(lit("value"), col("value").cast("string"),
+              lit("v5"), col("v5").cast("string")))
+          .otherwise(emptyMap).as("after"),
+        typedLit(Seq.empty[Map[String, String]]).as("multiRows"))
+    val controls = ev.groupBy(col("user_id"))
+      .agg(max(col("event_id")).as("max_id"))
+      .select(
+        (col("max_id") + 1).as("scn"),
+        lit(0).as("ssn"),
+        col("user_id").cast("string").as("xid"),
+        when(col("user_id") % 10 === 0, lit(Ops.Rollback))
+          .otherwise(lit(Ops.Commit)).as("op"),
+        lit("GRAFT.EVENTS").as("table"),
+        lit("").as("rowId"),
+        lit(false).as("rollback"),
+        lit(0L).as("tsMicros"),
+        emptyMap.as("before"),
+        emptyMap.as("after"),
+        typedLit(Seq.empty[Map[String, String]]).as("multiRows"))
+    changes.unionByName(controls).as[RedoRecord]
+  }
+
+  /** Shared oracle CTE prefix mirroring the change-stream reading. */
+  private val baseCte =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |         epoch_ms(ts) AS ts_ms,
+      |         event_id % 5 AS v5,
+      |         COALESCE(LAG(event_id % 5)
+      |           OVER (PARTITION BY user_id ORDER BY event_id), -1) AS prev_v5,
+      |         LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id,
+      |         MAX(event_id) OVER (PARTITION BY user_id) + 1 AS commit_scn
+      |  FROM events),
+      |victims AS (
+      |  SELECT prev_id FROM base
+      |  WHERE event_type = 'error' AND prev_id IS NOT NULL),
+      |emitted AS (
+      |  SELECT *,
+      |    CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2 ELSE 3 END AS op
+      |  FROM base
+      |  WHERE event_type <> 'error'
+      |    AND user_id % 10 <> 0
+      |    AND event_id NOT IN (SELECT prev_id FROM victims))
+      |""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T1+T2+T4: XID grouping, commit/rollback resolution, partial-rollback
+    // cancellation — the REAL assembler running as flatMapGroups.
+    "t1_txn_assembly" -> ((s, dir) => {
+      ChangeStreams.assembleBatch(redoRecords(s, dir))
+        .select(col("xid"), col("commitScn").as("commit_scn"), col("scn"),
+          col("op"), col("rowId").as("row_id"),
+          element_at(col("after"), "value").cast("double").as("val"))
+        .orderBy(col("scn"))
+    }),
+
+    // P3: no-op UPDATE elimination via assembler options.
+    "p3_noop_update_elim" -> ((s, dir) => {
+      ChangeStreams.assembleBatch(redoRecords(s, dir),
+          TransactionAssembler.Options(emitAllUpdates = false))
+        .filter(col("op") === Ops.Update)
+        .select(col("xid"), col("scn"),
+          element_at(col("after"), "v5").cast("long").as("v5"))
+        .orderBy(col("scn"))
+    }),
+
+    // P4: DELETE column pruning to key columns via assembler options.
+    "p4_delete_pk_projection" -> ((s, dir) => {
+      ChangeStreams.assembleBatch(redoRecords(s, dir),
+          TransactionAssembler.Options(allColsOnDelete = false,
+            keyCols = Seq("user_id")))
+        .filter(col("op") === Ops.Delete)
+        .select(col("xid"), col("scn"),
+          concat_ws(",", array_sort(map_keys(col("before")))).as("before_cols"),
+          element_at(col("before"), "user_id").cast("long").as("uid"))
+        .orderBy(col("scn"))
+    }),
+
+    // T6: multi-row op expansion (QMI analogue) through the assembler.
+    "t6_multirow_expansion" -> ((s, dir) => {
+      import s.implicits._
+      val purchases = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("value"),
+          (get_json_object(col("props"), "$.k").cast("int") % 3 + 1).as("n"))
+        .as[(Long, Double, Int)]
+      val records = purchases.flatMap { case (id, v, n) =>
+        val rows = (1 to n).map(i => Map("seq" -> i.toString, "value" -> v.toString))
+        Seq(
+          RedoRecord(id, 0, s"p$id", Ops.MultiInsert, "GRAFT.EVENTS",
+            id.toString, rollback = false, 0L, Map.empty, Map.empty, rows),
+          RedoRecord(id, 0, s"p$id", Ops.Commit, "GRAFT.EVENTS", "",
+            rollback = false, 0L, Map.empty, Map.empty, Nil))
+      }
+      ChangeStreams.assembleBatch(records)
+        .select(col("scn"), col("ssn"),
+          element_at(col("after"), "seq").cast("int").as("seq"),
+          element_at(col("after"), "value").cast("double").as("val"))
+        .orderBy(col("scn"), col("ssn"))
+    }),
+
+    // K2 upsert semantics: committed stream applied latest-wins per key.
+    "k2_upsert_apply" -> ((s, dir) => {
+      val assembled = ChangeStreams.assembleBatch(redoRecords(s, dir))
+      val w = Window.partitionBy(col("xid"))
+        .orderBy(col("commitScn").desc, col("scn").desc)
+      assembled
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= Ops.Delete)
+        .select(col("xid"), col("scn").as("last_scn"),
+          element_at(col("after"), "value").cast("double").as("val"))
+        .orderBy(col("xid"))
+    }),
+
+    // P6/P7: debezium envelope + pseudo-columns, flattened for compare.
+    "p7_debezium_envelope" -> ((s, dir) => {
+      Envelopes.debezium(ChangeStreams.assembleBatch(redoRecords(s, dir)), "graft")
+        .select(col("source.scn").as("scn"), col("source.commit_scn").as("commit_scn"),
+          col("source.xid").as("xid"), col("source.row_id").as("row_id"),
+          col("op"), col("ts_ms"))
+        .orderBy(col("scn"))
+    }),
+
+    // M3+M4+M5: lowercase-names, key-to-value, header-to-field SMTs.
+    "m3_m4_m5_smt_chain" -> ((s, dir) => {
+      val df = customer(s, dir).select(
+        struct(col("c_custkey")).as("key"),
+        struct(col("c_name"), col("c_acctbal")).as("value"),
+        col("c_nationkey").as("hdr_nation"))
+      val chained = Transforms.toLowerCaseNames(
+        Transforms.toUpperCaseNames(
+          Transforms.keyToValue(
+            Transforms.headersToFields(df, Seq("hdr_nation")))))
+      chained.select(col("value.*")).toDF("c_name", "c_acctbal", "hdr_nation", "c_custkey")
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "t1_txn_assembly" -> (baseCte +
+      """SELECT CAST(user_id AS VARCHAR) AS xid, commit_scn, event_id AS scn,
+        |       op, CAST(event_id AS VARCHAR) AS row_id,
+        |       CASE WHEN op = 2 THEN NULL ELSE value END AS val
+        |FROM emitted ORDER BY scn""".stripMargin),
+    "p3_noop_update_elim" -> (baseCte +
+      """SELECT CAST(user_id AS VARCHAR) AS xid, event_id AS scn, v5
+        |FROM emitted
+        |WHERE op = 3 AND v5 <> prev_v5
+        |ORDER BY scn""".stripMargin),
+    "p4_delete_pk_projection" -> (baseCte +
+      """SELECT CAST(user_id AS VARCHAR) AS xid, event_id AS scn,
+        |       'user_id' AS before_cols, user_id AS uid
+        |FROM emitted WHERE op = 2 ORDER BY scn""".stripMargin),
+    "t6_multirow_expansion" ->
+      """SELECT e.event_id AS scn, CAST(t.i - 1 AS INT) AS ssn,
+        |       CAST(t.i AS INT) AS seq, e.value AS val
+        |FROM events e
+        |CROSS JOIN UNNEST(range(1, (CAST(e.props::JSON->>'k' AS INT) % 3) + 2)) AS t(i)
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY scn, ssn""".stripMargin,
+    "k2_upsert_apply" -> (baseCte +
+      """SELECT xid, last_scn, val FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS xid, event_id AS last_scn,
+        |         value AS val, op,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM emitted)
+        |WHERE rn = 1 AND op <> 2 ORDER BY xid""".stripMargin),
+    "p7_debezium_envelope" -> (baseCte +
+      """SELECT event_id AS scn, commit_scn, CAST(user_id AS VARCHAR) AS xid,
+        |       CAST(event_id AS VARCHAR) AS row_id,
+        |       CASE op WHEN 1 THEN 'c' WHEN 2 THEN 'd' ELSE 'u' END AS op,
+        |       ts_ms
+        |FROM emitted ORDER BY scn""".stripMargin),
+    "m3_m4_m5_smt_chain" ->
+      """SELECT c_name, c_acctbal, c_nationkey AS hdr_nation, c_custkey
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.cdc._
+
+/** Spark wrappers around the pure transaction assembler (SURVEY.md §2.2
+  * T1/T2: XID grouping + commit/rollback resolution).
+  *
+  * Batch: `groupByKey(xid).flatMapGroups` — one shuffle on xid, then each
+  * transaction assembles independently. At 100 TB the shuffle is keyed by
+  * transaction id, so parallelism scales with concurrent transactions
+  * (millions), never with table size, and no single task sees more than
+  * one transaction's statements.
+  *
+  * Streaming: `flatMapGroupsWithState` — state per open XID holds the
+  * statement buffer (reference: off-heap MMF queues, T10 — here the state
+  * store gives spill + checkpoint for free). Changes are emitted only
+  * when the COMMIT control record arrives; ROLLBACK clears state with no
+  * emission, so uncommitted data is never decoded downstream — the same
+  * "deferred work until commit" optimization the reference hand-built.
+  */
+object ChangeStreams {
+
+  /** Batch assembly of a bounded change set. */
+  def assembleBatch(records: Dataset[RedoRecord],
+      opts: TransactionAssembler.Options = TransactionAssembler.DefaultOptions)
+      : Dataset[EmittedChange] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.groupByKey(_.xid).flatMapGroups { (_, it) =>
+      TransactionAssembler.assemble(
+        it.toSeq.sortBy(r => (r.scn, r.ssn)), opts).iterator
+    }
+  }
+
+  /** Streaming assembly: buffers per open transaction, emits at commit.
+    * Use with OutputMode.Append. State lives until COMMIT/ROLLBACK or the
+    * idle timeout (abandoned transactions are dropped like the
+    * reference's restart bookkeeping would skip them).
+    */
+  def assembleStream(records: Dataset[RedoRecord],
+      opts: TransactionAssembler.Options = TransactionAssembler.DefaultOptions,
+      idleTimeoutMs: Long = 0L): Dataset[EmittedChange] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.groupByKey(_.xid)
+      .flatMapGroupsWithState[Seq[RedoRecord], EmittedChange](
+        OutputMode.Append,
+        if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (xid: String, it: Iterator[RedoRecord], state: GroupState[Seq[RedoRecord]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val buffered = state.getOption.getOrElse(Seq.empty) ++ it
+            val terminal = buffered.exists(r =>
+              r.op == Ops.Commit || r.op == Ops.Rollback)
+            if (terminal) {
+              state.remove()
+              TransactionAssembler.assemble(
+                buffered.sortBy(r => (r.scn, r.ssn)), opts).iterator
+            } else {
+              state.update(buffered)
+              if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+              Iterator.empty
+            }
+          }
+      }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.cdc.{EmittedChange, Ops}
+
+/** Change-event envelope shapers (SURVEY.md §2.3 P6/P7; reference:
+  * `KafkaStructDataBinder.java:131-204` and the kafka/single/debezium
+  * binders). Pure column projections — Catalyst prunes unused fields and
+  * the whole shaping stays inside codegen.
+  */
+object Envelopes {
+
+  private def opLetter(op: Column): Column =
+    when(op === Ops.Insert, lit("c"))
+      .when(op === Ops.Delete, lit("d"))
+      .when(op === Ops.Update, lit("u"))
+      .otherwise(lit("?"))
+
+  private def opName(op: Column): Column =
+    when(op === Ops.Insert, lit("INSERT"))
+      .when(op === Ops.Delete, lit("DELETE"))
+      .when(op === Ops.Update, lit("UPDATE"))
+      .when(op === Ops.Ddl, lit("DDL"))
+      .otherwise(lit("UNKNOWN"))
+
+  /** Debezium-style envelope: before/after/source/op/ts_ms. */
+  def debezium(changes: Dataset[EmittedChange], instance: String): DataFrame =
+    changes.select(
+      col("before"),
+      col("after"),
+      struct(
+        lit(instance).as("instance"),
+        col("table").as("table"),
+        col("scn").as("scn"),
+        col("commitScn").as("commit_scn"),
+        col("xid").as("xid"),
+        col("rowId").as("row_id")).as("source"),
+      opLetter(col("op")).as("op"),
+      (col("tsMicros") / 1000L).cast("long").as("ts_ms"))
+
+  /** Kafka-connector-style envelope: key struct + value struct. */
+  def kafkaKeyValue(changes: Dataset[EmittedChange], keyCols: Seq[String]): DataFrame = {
+    val img = when(col("op") === Ops.Delete, col("before")).otherwise(col("after"))
+    changes.select(
+      col("table"),
+      map_filter(img, (k, _) => k.isin(keyCols.map(lit): _*)).as("key"),
+      img.as("value"),
+      opName(col("op")).as("operation"))
+  }
+
+  /** Pseudo-columns (P7): audit/meta fields appended to the value image. */
+  def withPseudoColumns(changes: Dataset[EmittedChange]): DataFrame =
+    changes.select(
+      col("xid").as("ORA_XID"),
+      col("scn").as("ORA_SCN"),
+      col("commitScn").as("ORA_COMMIT_SCN"),
+      col("rowId").as("ORA_ROW_ID"),
+      opName(col("op")).as("ORA_OPERATION"),
+      (col("tsMicros") / 1000L).cast("long").as("ORA_TS_MS"),
+      col("table"),
+      col("before"),
+      col("after"))
+}

@@ -1,0 +1,121 @@
+package graft.cdc
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc.TransactionAssembler.{assemble, Options}
+
+/** Transaction-assembly semantics (SURVEY.md §2.2 T1–T6, §2.3 P3–P5).
+  * Scenario structure mirrors the reference's rollback/binding test
+  * intent (PartialRollback_Test, OraCdcRollbackZeroRows) on our model.
+  */
+class AssemblerSpec extends AnyFunSuite {
+
+  private def chg(scn: Long, op: Int, rowId: String,
+      before: Map[String, String] = Map.empty,
+      after: Map[String, String] = Map.empty,
+      rollback: Boolean = false, xid: String = "tx1") =
+    RedoRecord(scn, 0, xid, op, "T", rowId, rollback, scn * 1000, before, after)
+
+  private def commit(scn: Long, xid: String = "tx1") =
+    RedoRecord(scn, 0, xid, Ops.Commit, "", "", rollback = false, 0, Map.empty, Map.empty)
+
+  private def rollbackTxn(scn: Long, xid: String = "tx1") =
+    RedoRecord(scn, 0, xid, Ops.Rollback, "", "", rollback = false, 0, Map.empty, Map.empty)
+
+  test("emission is deferred to commit; commitScn stamped") {
+    val recs = Seq(
+      chg(10, Ops.Insert, "r1", after = Map("c" -> "1")),
+      chg(11, Ops.Update, "r2", after = Map("c" -> "2")),
+      commit(20))
+    val out = assemble(recs)
+    assert(out.map(_.scn) == Seq(10, 11))
+    assert(out.forall(_.commitScn == 20))
+  }
+
+  test("uncommitted transaction emits nothing") {
+    assert(assemble(Seq(chg(10, Ops.Insert, "r1"))) == Nil)
+  }
+
+  test("rolled-back transaction emits nothing (zero-rows)") {
+    val recs = Seq(
+      chg(10, Ops.Insert, "r1"), chg(11, Ops.Delete, "r2"), rollbackTxn(12))
+    assert(assemble(recs) == Nil)
+  }
+
+  test("partial rollback cancels nearest prior change with same rowId") {
+    val recs = Seq(
+      chg(10, Ops.Insert, "r1", after = Map("c" -> "1")),
+      chg(11, Ops.Insert, "r2", after = Map("c" -> "2")),
+      chg(12, Ops.Delete, "r2", rollback = true), // cancels scn=11
+      commit(20))
+    val out = assemble(recs)
+    assert(out.map(_.scn) == Seq(10))
+  }
+
+  test("chained partial rollbacks pair in reverse (stack order)") {
+    val recs = Seq(
+      chg(10, Ops.Update, "rA", after = Map("c" -> "1")),
+      chg(11, Ops.Update, "rA", after = Map("c" -> "2")),
+      chg(12, Ops.Update, "rA", rollback = true), // cancels scn=11
+      chg(13, Ops.Update, "rA", rollback = true), // cancels scn=10
+      commit(20))
+    assert(assemble(recs).isEmpty)
+  }
+
+  test("unmatched partial rollback is dropped, rest emits") {
+    val recs = Seq(
+      chg(10, Ops.Insert, "r1", after = Map("c" -> "1")),
+      chg(12, Ops.Update, "rX", rollback = true), // no pair
+      commit(20))
+    assert(assemble(recs).map(_.scn) == Seq(10))
+  }
+
+  test("multi-row insert expands with incrementing ssn (T6)") {
+    val rows = Seq(Map("c" -> "1"), Map("c" -> "2"), Map("c" -> "3"))
+    val recs = Seq(
+      RedoRecord(10, 5, "tx1", Ops.MultiInsert, "T", "r", rollback = false,
+        0, Map.empty, Map.empty, rows),
+      commit(20))
+    val out = assemble(recs)
+    assert(out.map(_.ssn) == Seq(5, 6, 7))
+    assert(out.forall(_.op == Ops.Insert))
+    assert(out.map(_.after("c")) == Seq("1", "2", "3"))
+  }
+
+  test("multi-row delete expands to before-images (T6)") {
+    val rows = Seq(Map("c" -> "1"), Map("c" -> "2"))
+    val recs = Seq(
+      RedoRecord(10, 0, "tx1", Ops.MultiDelete, "T", "r", rollback = false,
+        0, Map.empty, Map.empty, rows),
+      commit(20))
+    val out = assemble(recs)
+    assert(out.forall(_.op == Ops.Delete))
+    assert(out.map(_.before("c")) == Seq("1", "2"))
+  }
+
+  test("no-op update dropped only when emitAllUpdates=false (P3)") {
+    val noop = chg(10, Ops.Update, "r1",
+      before = Map("c" -> "1"), after = Map("c" -> "1"))
+    val real = chg(11, Ops.Update, "r2",
+      before = Map("c" -> "1"), after = Map("c" -> "2"))
+    val recs = Seq(noop, real, commit(20))
+    assert(assemble(recs).map(_.scn) == Seq(10, 11))
+    assert(assemble(recs, Options(emitAllUpdates = false)).map(_.scn) == Seq(11))
+  }
+
+  test("delete pruned to key columns when allColsOnDelete=false (P4)") {
+    val recs = Seq(
+      chg(10, Ops.Delete, "r1", before = Map("id" -> "7", "c" -> "x")),
+      commit(20))
+    val out = assemble(recs, Options(allColsOnDelete = false, keyCols = Seq("id")))
+    assert(out.head.before == Map("id" -> "7"))
+  }
+
+  test("keyless delete skipped when skipKeylessDelete=true (P5)") {
+    val recs = Seq(
+      chg(10, Ops.Delete, "r1", before = Map("c" -> "x")),
+      chg(11, Ops.Insert, "r2", after = Map("c" -> "y")),
+      commit(20))
+    val out = assemble(recs, Options(skipKeylessDelete = true))
+    assert(out.map(_.op) == Seq(Ops.Insert))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc._
+
+/** End-to-end Structured Streaming test: MemoryStream of redo records →
+  * flatMapGroupsWithState assembly → memory sink (SURVEY.md §5 test plan
+  * item c). Proves commit-deferred emission works across micro-batches —
+  * changes arriving in batch 1 emit only when the COMMIT arrives in a
+  * later batch, and ROLLBACK discards buffered state silently.
+  */
+class StreamingAssemblySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def rec(scn: Long, xid: String, op: Int, rowId: String = "",
+      after: Map[String, String] = Map.empty) =
+    RedoRecord(scn, 0, xid, op, "T", rowId, rollback = false, 0, Map.empty, after)
+
+  test("commit in a later micro-batch releases buffered changes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RedoRecord]
+    val q = ChangeStreams.assembleStream(input.toDS())
+      .writeStream.format("memory").queryName("assembled")
+      .outputMode("append").start()
+    try {
+      // batch 1: two open transactions, no commits → nothing emitted
+      input.addData(
+        rec(10, "tx1", Ops.Insert, "r1", Map("c" -> "1")),
+        rec(11, "tx2", Ops.Insert, "r2", Map("c" -> "2")))
+      q.processAllAvailable()
+      assert(spark.table("assembled").count() == 0)
+
+      // batch 2: tx1 commits, tx2 still open
+      input.addData(rec(20, "tx1", Ops.Commit))
+      q.processAllAvailable()
+      val afterCommit = spark.table("assembled").as[EmittedChange].collect()
+      assert(afterCommit.map(c => (c.xid, c.scn, c.commitScn)).toSeq ==
+        Seq(("tx1", 10L, 20L)))
+
+      // batch 3: tx2 adds another change then rolls back → still only tx1
+      input.addData(
+        rec(12, "tx2", Ops.Update, "r2", Map("c" -> "3")),
+        rec(21, "tx2", Ops.Rollback))
+      q.processAllAvailable()
+      assert(spark.table("assembled").count() == 1)
+    } finally q.stop()
+  }
+
+  test("partial rollback resolved at commit across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RedoRecord]
+    val q = ChangeStreams.assembleStream(input.toDS())
+      .writeStream.format("memory").queryName("assembled2")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        rec(10, "tx1", Ops.Insert, "rA", Map("c" -> "1")),
+        rec(11, "tx1", Ops.Insert, "rB", Map("c" -> "2")))
+      q.processAllAvailable()
+      input.addData(
+        RedoRecord(12, 0, "tx1", Ops.Delete, "T", "rB", rollback = true,
+          0, Map.empty, Map.empty),
+        rec(20, "tx1", Ops.Commit))
+      q.processAllAvailable()
+      val out = spark.table("assembled2").as[EmittedChange].collect()
+      assert(out.map(_.rowId).toSeq == Seq("rA"))
+    } finally q.stop()
+  }
+}
