@@ -1,0 +1,117 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** foreachBatch JDBC upsert writer (SURVEY.md §2.5 K2/K4; reference
+  * semantics: `JdbcSinkTable.putData:426` / `execUpsert:574` /
+  * `duplicatedKeyInBatch:829`).
+  *
+  * Per micro-batch:
+  *  1. dedup within the batch — keep only the LAST change per key (by the
+  *     given ordering columns) so per-key ordering survives batched
+  *     execution, like the reference's duplicated-key barrier;
+  *  2. partition the batch into upserts (INSERT/UPDATE) and deletes;
+  *  3. each PARTITION opens its own connection and executes batched
+  *     prepared statements — so sink throughput scales with executors,
+  *     no driver-side row loop (100 TB rule).
+  *
+  * Usage:
+  * {{{
+  * changes.writeStream.foreachBatch { (df, id) =>
+  *   JdbcUpsertSink(url, "t", keyCols = Seq("id"), dialect = PostgresDialect)
+  *     .writeBatch(df)
+  * }.start()
+  * }}}
+  */
+case class JdbcUpsertSink(
+    url: String,
+    table: String,
+    keyCols: Seq[String],
+    dialect: SinkDialect,
+    opCol: String = "op",
+    orderCols: Seq[String] = Seq("commitScn", "scn"),
+    user: String = "",
+    password: String = "",
+    batchSize: Int = 1000,
+    autoCreate: Boolean = true) extends Serializable {
+
+  private def connect(): Connection =
+    if (user.isEmpty) DriverManager.getConnection(url)
+    else DriverManager.getConnection(url, user, password)
+
+  /** Dedup within batch: latest change per key wins (K2 barrier). */
+  def dedupBatch(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  def writeBatch(df: DataFrame): Unit = {
+    val dataCols = df.columns.filterNot(c =>
+      c == opCol || orderCols.contains(c)).toSeq
+    val deduped = dedupBatch(df)
+
+    if (autoCreate) {
+      val schema = org.apache.spark.sql.types.StructType(
+        df.schema.fields.filter(f => dataCols.contains(f.name)))
+      val ddl = dialect.createTableSql(table, schema, keyCols)
+      val conn = connect()
+      try { val st = conn.createStatement(); st.execute(ddl); st.close() }
+      catch { case _: java.sql.SQLException => /* exists */ }
+      finally conn.close()
+    }
+
+    val upsertSqlText = dialect.upsertSql(table, dataCols, keyCols)
+    val deleteSqlText = dialect.deleteSql(table, keyCols)
+    val bindCols = dialect.upsertParams(dataCols, keyCols)
+      .map(c => dataCols.indexOf(c))
+    val bs = batchSize
+
+    // deletes second so an upsert+delete pair within one batch lands as
+    // absent, matching apply-in-order semantics after key-dedup.
+    val plan = deduped.select(
+      (dataCols.map(col) :+ col(opCol)): _*)
+
+    plan.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = connect()
+        conn.setAutoCommit(false)
+        val up = conn.prepareStatement(upsertSqlText)
+        val del = conn.prepareStatement(deleteSqlText)
+        var nUp = 0
+        var nDel = 0
+        try {
+          rows.foreach { r =>
+            val isDelete = r.get(dataCols.length) match {
+              case i: Int => i == graft.cdc.Ops.Delete
+              case s: String => s == "DELETE" || s == "d"
+              case _ => false
+            }
+            if (isDelete) {
+              keyCols.zipWithIndex.foreach { case (k, i) =>
+                del.setObject(i + 1, r.get(dataCols.indexOf(k)))
+              }
+              del.addBatch(); nDel += 1
+              if (nDel % bs == 0) del.executeBatch()
+            } else {
+              bindCols.zipWithIndex.foreach { case (srcIdx, i) =>
+                up.setObject(i + 1, r.get(srcIdx))
+              }
+              up.addBatch(); nUp += 1
+              if (nUp % bs == 0) up.executeBatch()
+            }
+          }
+          up.executeBatch()
+          del.executeBatch()
+          conn.commit()
+        } finally {
+          up.close(); del.close(); conn.close()
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sinks
+
+import java.sql.DriverManager
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end sink integration test against embedded Derby (the JDBC
+  * driver that ships with Spark): upsert + delete + within-batch dedup,
+  * executed from executor partitions like a real foreachBatch.
+  */
+class JdbcUpsertSinkSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("foreachBatch-style upsert/delete into Derby with batch dedup") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:sinktest;create=true"
+
+    // batch: id=1 inserted then updated (dedup keeps the update),
+    //        id=2 inserted, id=3 inserted then deleted (net: absent)
+    val batch = Seq(
+      (1L, "a-v1", 3, 100L, 10L),
+      (1L, "a-v2", 3, 100L, 11L),
+      (2L, "b", 3, 100L, 12L),
+      (3L, "c", 3, 100L, 13L),
+      (3L, "c", 2, 101L, 14L)
+    ).toDF("id", "name", "op", "commitScn", "scn")
+
+    val sink = JdbcUpsertSink(url, "target_t", keyCols = Seq("id"),
+      dialect = DerbyDialect)
+    sink.writeBatch(batch)
+
+    val conn = DriverManager.getConnection(url)
+    val rs = conn.createStatement()
+      .executeQuery("SELECT id, name FROM target_t ORDER BY id")
+    val rows = Iterator.continually(rs)
+      .takeWhile(_.next()).map(r => (r.getLong(1), r.getString(2))).toList
+    conn.close()
+    assert(rows == List((1L, "a-v2"), (2L, "b")))
+
+    // second batch on existing table: update id=2, resurrect id=3
+    val batch2 = Seq(
+      (2L, "b-v2", 3, 200L, 20L),
+      (3L, "c-v2", 1, 200L, 21L)
+    ).toDF("id", "name", "op", "commitScn", "scn")
+    sink.writeBatch(batch2)
+
+    val conn2 = DriverManager.getConnection(url)
+    val rs2 = conn2.createStatement()
+      .executeQuery("SELECT id, name FROM target_t ORDER BY id")
+    val rows2 = Iterator.continually(rs2)
+      .takeWhile(_.next()).map(r => (r.getLong(1), r.getString(2))).toList
+    conn2.close()
+    assert(rows2 == List((1L, "a-v2"), (2L, "b-v2"), (3L, "c-v2")))
+  }
+}
