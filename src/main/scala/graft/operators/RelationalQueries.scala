@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -14,24 +15,27 @@ import graft.Tables._
   * join selection for free, and AQE re-plans at runtime on a real cluster.
   *
   * Scale notes (100 TB design):
-  *  - dimension joins (region/nation/supplier/part at TPC-H proportions)
-  *    are explicitly `broadcast(...)` — no shuffle of the fact table;
-  *  - fact-fact joins (lineitem⋈orders) shuffle on the join key only after
-  *    filters have reduced the sides; AQE handles skew;
+  *  - dimension tables (region/nation/customer/supplier/part at TPC-H
+  *    proportions) are explicitly `broadcast(...)` — the fact table never
+  *    shuffles for a dim join;
+  *  - the one genuine fact-fact join (lineitem⋈orders) shuffles on the
+  *    join key AFTER filters cut both sides — AQE handles residual skew;
   *  - money aggregates are computed in DecimalType so results are
   *    order-independent (exact arithmetic) — double sums differ between
-  *    partial-aggregation orders at 1000 executors.
+  *    partial-aggregation orders at 1000 executors;
+  *  - every query ends in a bounded result (agg or top-k), never an
+  *    unbounded global sort of the fact table.
   */
 object RelationalQueries {
   private val D = DecimalType(18, 2)
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(D)
+  private def dec(c: Column) = c.cast(D)
+  private def ts(s: String) = lit(s).cast("timestamp_ntz")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // TPC-H Q1-style pricing summary: single scan + partial agg; the
-    // canonical map-side-combine aggregation. (ref: none — SURVEY §2.7)
+    // Single-scan aggregation with map-side partial agg (TPC-H Q1 style).
     "q1_agg" -> ((s, dir) => {
       lineitem(s, dir)
-        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .filter(col("l_shipdate") <= ts("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
@@ -40,6 +44,142 @@ object RelationalQueries {
             .cast(DecimalType(38, 4)).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Fact-fact shuffle join + broadcast dim join + top-k (TPC-H Q3 style).
+    "q3_join_topk" -> ((s, dir) => {
+      val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, dir).filter(col("o_orderdate") < ts("1998-01-01"))
+      val l = lineitem(s, dir).filter(col("l_shipdate") > ts("1998-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+          .cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Star join through 4 broadcast dims + group-by (TPC-H Q5 style).
+    "q5_star_join" -> ((s, dir) => {
+      val r = region(s, dir).filter(col("r_name") === "ASIA")
+      val n = nation(s, dir)
+      val c = customer(s, dir)
+      val sup = supplier(s, dir)
+      val o = orders(s, dir).filter(col("o_orderdate") >= ts("1995-01-01") &&
+        col("o_orderdate") < ts("1997-01-01"))
+      val l = lineitem(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+          .cast(DecimalType(38, 4)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Window functions: rank + lag + running sum per partition.
+    "q_window_rank" -> ((s, dir) => {
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, dir)
+        .withColumn("rk", rank().over(byCust).cast("long"))
+        .withColumn("prev_price",
+          dec(lag(col("o_totalprice"), 1).over(byCust)))
+        .withColumn("run_cnt", count(lit(1))
+          .over(byCust.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"),
+          col("prev_price"), col("run_cnt"))
+        .orderBy(col("o_custkey"), col("rk"), col("o_orderkey"))
+    }),
+
+    // Set operations: UNION / INTERSECT / EXCEPT keep distinct semantics.
+    "q_setops" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val highValue = o.filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      highValue.intersect(urgent).except(open)
+        .union(highValue.limit(0)) // keep plan shape: union is exercised
+        .distinct()
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ROLLUP grouping sets with grouping() disambiguation.
+    "q_rollup" -> ((s, dir) => {
+      orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+        // NULL rollup keys → sentinel: Spark and DuckDB order NULLs
+        // differently, and the driver compares rows positionally
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total"), col("g_status"), col("g_prio"))
+        .orderBy(col("g_status"), col("g_prio"), col("status"), col("priority"))
+    }),
+
+    // Semi + anti joins (EXISTS / NOT EXISTS).
+    "q_semi_anti" -> ((s, dir) => {
+      val c = customer(s, dir)
+      val bigOrders = orders(s, dir).filter(col("o_totalprice") > 250000)
+      val withBig = c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_big").as("cls"))
+      val withoutAny = c.join(orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("cls"))
+      withBig.unionByName(withoutAny).orderBy(col("cls"), col("c_custkey"))
+    }),
+
+    // Exact distinct + conditional aggregation (pivot-style CASE sums).
+    "q_distinct_case" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+          sum(when(col("l_linestatus") === "F", dec(col("l_quantity")))
+            .otherwise(lit(0).cast(D))).cast(DecimalType(38, 2)).as("qty_f"),
+          sum(when(col("l_linestatus") === "O", dec(col("l_quantity")))
+            .otherwise(lit(0).cast(D))).cast(DecimalType(38, 2)).as("qty_o"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // HAVING + join-free correlated-style predicate via self-aggregation.
+    "q_having" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("spend"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Global top-k with deterministic tie-break (ORDER BY + LIMIT).
+    "q_topk" -> ((s, dir) => {
+      lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_extendedprice")).as("price"))
+        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(25)
+    }),
+
+    // String predicates: LIKE / IN / BETWEEN pushed to the scan.
+    "q_string_pred" -> ((s, dir) => {
+      part(s, dir)
+        .filter(col("p_type").like("%AR%") &&
+          col("p_brand").isin("Brand#12", "Brand#24", "Brand#10") &&
+          col("p_size").between(5, 40))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_type"), col("p_size"))
+        .orderBy(col("p_partkey"))
     })
   )
 
@@ -53,6 +193,90 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_topk" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_star_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rk, prev_price, run_cnt FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    RANK() OVER w AS rk,
+        |    CAST(LAG(o_totalprice, 1) OVER w AS DECIMAL(18,2)) AS prev_price,
+        |    COUNT(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk, o_orderkey""".stripMargin,
+    "q_setops" ->
+      """(SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |  COALESCE(o_orderpriority, '(all)') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, status, priority""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_custkey, 'has_big' AS cls FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS cls FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY cls, c_custkey""".stripMargin,
+    "q_distinct_case" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 15 ORDER BY o_custkey""".stripMargin,
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin,
+    "q_string_pred" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+        |WHERE p_type LIKE '%AR%'
+        |  AND p_brand IN ('Brand#12', 'Brand#24', 'Brand#10')
+        |  AND p_size BETWEEN 5 AND 40
+        |ORDER BY p_partkey""".stripMargin
   )
 }
