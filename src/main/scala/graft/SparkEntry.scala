@@ -9,10 +9,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ CodecQueries.queries ++ CdcQueries.queries
+    RelationalQueries.queries ++ CodecQueries.queries ++ CdcQueries.queries ++
+      TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ CodecQueries.oracleSql ++ CdcQueries.oracleSql
+    RelationalQueries.oracleSql ++ CodecQueries.oracleSql ++ CdcQueries.oracleSql ++
+      TextQueries.oracleSql ++ DedupQueries.oracleSql ++
+      SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql
 }

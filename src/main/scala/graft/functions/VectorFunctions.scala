@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector similarity primitives over `Array[Float]` embedding columns
+  * (BASELINE.json mandate; the reference's VECTOR type F10 feeds these).
+  *
+  * Cross-engine determinism design: floats are quantized to 1e-6 integer
+  * units (exact in double arithmetic because float mantissas are 24-bit),
+  * so dot products and norms are EXACT 64-bit integers — order-independent
+  * and identical in any engine. Cosine is then a single IEEE division of
+  * exact operands. This also makes results invariant to partitioning —
+  * critical when verifying a 1000-executor run against a single-node
+  * oracle.
+  */
+object VectorFunctions {
+
+  /** Float vector → exact integer vector (units of 1e-6). */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000000d).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Squared L2 norm of a quantized vector (exact). */
+  def normQ2(a: Column): Column = dotQ(a, a)
+
+  /** Cosine similarity from exact integer dot/norms (one IEEE division). */
+  def cosineFromQ(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = {
+    val qa = quantize(a)
+    val qb = quantize(b)
+    cosineFromQ(dotQ(qa, qb), normQ2(qa), normQ2(qb))
+  }
+
+  /** Random-hyperplane LSH bucket (16-bit signature). Plane p component i
+    * is the deterministic pseudo-random integer ((p·131 + i·7919 + 17)
+    * mod 1000) − 500, so executors and oracles regenerate identical
+    * planes with no broadcast of randomness.
+    */
+  def lshBucket(qvec: Column, planes: Int = 16): Column =
+    (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(qvec, sequence(lit(0), size(qvec) - 1),
+          (x, i) => x * (((lit(p) * 131 + i * 7919 + 17) % 1000) - 500)),
+        lit(0L), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

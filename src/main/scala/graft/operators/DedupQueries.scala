@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operator family over `documents` / `embeddings`
+  * (BASELINE.json LLM-pipeline mandate): exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup: hash-groupBy on a digest — one shuffle keyed by digest;
+  *  - MinHash+LSH: per-doc signatures are a map-only pass; the candidate
+  *    join shuffles on (band, signature) so cost scales with collisions,
+  *    never with |docs|²;
+  *  - n-gram Jaccard: shuffle join keyed by shingle (at production scale
+  *    drop ultra-frequent shingles first — they only add join fan-out);
+  *  - cosine near-dup: blocked by `label` (in production: by LSH bucket,
+  *    see SimilarityQueries) so the pair space is per-block, not global;
+  *  - every hash is an explicit arithmetic fold — reproducible across
+  *    engines and partitionings, unlike engine-private hash functions.
+  */
+object DedupQueries {
+
+  /** doc_id + distinct word-bigram shingles. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"),
+      array_distinct(wordShingles(tokens(col("text")), 2)).as("sh"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup by content digest (hash-groupBy).
+    "dedup_exact" -> ((s, dir) => {
+      documents(s, dir)
+        .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("digest"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("digest"))
+    }),
+
+    // MinHash (8 hashes) + LSH (4 bands × 2) candidate pairs.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val hashes = docShingles(s, dir).select(col("doc_id"),
+        transform(col("sh"), x => stringHash(x)).as("hs"))
+      val sigs = hashes.select(
+        (col("doc_id") +: (0 until 8).map(j =>
+          minHash(col("hs"), j).as(s"s$j"))): _*)
+      val bands = (0 until 4).map { b =>
+        sigs.select(col("doc_id"),
+          lit(b).as("band"), col(s"s${2 * b}").as("h1"), col(s"s${2 * b + 1}").as("h2"))
+      }.reduce(_ unionByName _)
+      val a = bands.toDF("ia", "band", "h1", "h2")
+      val b = bands.toDF("ib", "band", "h1", "h2")
+      a.join(b, Seq("band", "h1", "h2"))
+        .filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib")).distinct()
+        .orderBy(col("ia"), col("ib"))
+    }),
+
+    // Exact n-gram Jaccard via shingle-keyed shuffle join.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val exploded = docShingles(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+      val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = exploded.toDF("ia", "s")
+        .join(exploded.toDF("ib", "s"), Seq("s"))
+        .filter(col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("m"))
+      inter
+        .join(sizes.toDF("ia", "na"), "ia")
+        .join(sizes.toDF("ib", "nb"), "ib")
+        .withColumn("jac", col("m").cast("double") /
+          (col("na") + col("nb") - col("m")).cast("double"))
+        .filter(col("jac") >= 0.10)
+        .select(col("ia"), col("ib"), col("m"), col("jac"))
+        .orderBy(col("ia"), col("ib"))
+    }),
+
+    // Per-document 16-bit SimHash (near-dup docs collide).
+    "dedup_simhash" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"),
+          simHash16(transform(tokens(col("text")), t => stringHash(t))).as("sh16"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Embedding-cosine near-dup within label blocks (exact quantized dot).
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id"), col("label"),
+        quantize(col("embedding")).as("q"))
+        .withColumn("n2", normQ2(col("q")))
+      val a = e.select(col("vec_id").as("ia"), col("label"),
+        col("q").as("qa"), col("n2").as("na"))
+      val b = e.select(col("vec_id").as("ib"), col("label"),
+        col("q").as("qb"), col("n2").as("nb"))
+      a.join(b, Seq("label")).filter(col("ia") < col("ib"))
+        .withColumn("dot", dotQ(col("qa"), col("qb")))
+        .withColumn("cos", cosineFromQ(col("dot"), col("na"), col("nb")))
+        .filter(col("cos") > 0.35)
+        .select(col("label"), col("ia"), col("ib"), col("dot"), col("cos"))
+        .orderBy(col("ia"), col("ib"))
+    })
+  )
+
+  private val shinglesCte =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         UNNEST(list_distinct(list_transform(range(1, len(tk)),
+      |                i -> tk[i] || ' ' || tk[i+1]))) AS s
+      |  FROM toks),
+      |h AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT)),
+      |                     (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |  FROM sh)
+      |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id,
+        |       COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    "dedup_minhash_lsh" -> (shinglesCte +
+      """, sig AS (
+        |  SELECT doc_id,
+        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
+        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
+        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
+        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
+        |  FROM h GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM sig UNION ALL
+        |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, s6, s7 FROM sig)
+        |SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+        |     AND a.doc_id < b.doc_id
+        |ORDER BY ia, ib""".stripMargin),
+    "dedup_ngram_jaccard" -> (shinglesCte +
+      """, sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS m
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia, ib, m,
+        |       CAST(m AS DOUBLE) / CAST(na.n + nb.n - m AS DOUBLE) AS jac
+        |FROM inter
+        |JOIN sizes na ON na.doc_id = ia
+        |JOIN sizes nb ON nb.doc_id = ib
+        |WHERE CAST(m AS DOUBLE) / CAST(na.n + nb.n - m AS DOUBLE) >= 0.10
+        |ORDER BY ia, ib""".stripMargin),
+    "dedup_simhash" -> (
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)),
+        |                     (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM (SELECT doc_id, UNNEST(tk) AS t FROM toks)),
+        |votes AS (
+        |  SELECT doc_id,
+        |""".stripMargin +
+      (0 until 16).map(j =>
+        s"    SUM(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(",\n") +
+      "\n  FROM th GROUP BY doc_id)\nSELECT doc_id,\n" +
+      (0 until 16).map(j =>
+        s"  (CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" +\n") +
+      " AS sh16\nFROM votes ORDER BY doc_id"),
+    "dedup_embedding_cosine" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, q,
+        |             CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM v)
+        |SELECT label, ia, ib, dot, cos FROM (
+        |  SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
+        |         CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+        |         CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+        |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos > 0.35
+        |ORDER BY ia, ib""".stripMargin
+  )
+}

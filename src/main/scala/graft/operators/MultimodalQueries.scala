@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Multimodal
+
+/** Multimodal gate queries: binary payload columns + typed metadata,
+  * decoded batched on executors (stub codec — see graft.functions
+  * .Multimodal). The payload here is the document text's UTF-8 bytes
+  * standing in for image/video bytes, so DuckDB can state the expected
+  * stub features independently.
+  */
+object MultimodalQueries {
+
+  /** documents as a media table: (doc_id, payload binary, meta struct). */
+  private def mediaTable(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      to_binary(col("text"), lit("utf-8")).as("payload"),
+      struct(col("lang"), col("source"), lit("image/fake").as("mime")).as("meta"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // binary → per-partition batched decode → fixed-schema features
+    "mm_decode_stub" -> ((s, dir) => {
+      Multimodal.decodeBatch(mediaTable(s, dir))
+        .toDF().orderBy(col("doc_id"))
+    }),
+
+    // "video" frame sampling: every 4th 16-byte frame fingerprinted
+    "mm_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(mediaTable(s, dir))
+        .toDF().orderBy(col("doc_id"), col("frame_idx"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "mm_decode_stub" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |       CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+        |       substr(md5(text), 1, 8) AS sig
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(j AS INTEGER) AS frame_idx,
+        |       substr(md5(substr(text, CAST(j * 16 + 1 AS INTEGER), 16)), 1, 8) AS frame_sig
+        |FROM (SELECT doc_id, text,
+        |             UNNEST(range(0, octet_length(encode(text)) // 16, 4)) AS j
+        |      FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (BASELINE.json mandate).
+  *
+  *  - `ann_bruteforce_topk`: exact top-k — the small-query-set baseline.
+  *    Queries are broadcast, so the fact side streams once with no
+  *    shuffle; cost is |Q|·|N| dot products, embarrassingly parallel.
+  *  - `ann_lsh_bucket`: the 100 TB path — random-hyperplane LSH buckets
+  *    computed map-only, then top-1 neighbor within bucket. The pairwise
+  *    space is per-bucket, so the shuffle is keyed by bucket and total
+  *    cost scales with Σ|bucket|², tunable by plane count.
+  */
+object SimilarityQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", normQ2(col("q")))
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot", dotQ(col("qq"), col("q")))
+        .withColumn("cos", cosineFromQ(col("dot"), col("qn2"), col("n2")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("vec_id"), col("dot"), col("cos"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    "ann_lsh_bucket" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", normQ2(col("q")))
+        .withColumn("bucket", lshBucket(col("q"), planes = 6))
+      val a = e.select(col("bucket"), col("vec_id").as("ia"),
+        col("q").as("qa"), col("n2").as("na"))
+      val b = e.select(col("bucket"), col("vec_id").as("ib"),
+        col("q").as("qb"), col("n2").as("nb"))
+      val w = Window.partitionBy(col("ia"))
+        .orderBy(col("cos").desc, col("ib"))
+      a.join(b, Seq("bucket")).filter(col("ia") =!= col("ib"))
+        .withColumn("cos",
+          cosineFromQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("ia"), col("bucket"), col("ib").as("nn"), col("cos"))
+        .orderBy(col("ia"))
+    })
+  )
+
+  private val quantCte =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q,
+      |             CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM v)
+      |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "ann_bruteforce_topk" -> (quantCte +
+      """SELECT qid, rn, vec_id, dot, cos FROM (
+        |  SELECT qid, vec_id,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn,
+        |         dot, cos
+        |  FROM (SELECT a.vec_id AS qid, b.vec_id,
+        |               CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+        |               CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+        |                 / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+        |        FROM n a JOIN n b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id))
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+    "ann_lsh_bucket" -> (quantCte +
+      """, dots AS (
+        |  SELECT vec_id, p,
+        |         SUM(x * (((p * 131 + (i - 1) * 7919 + 17) % 1000) - 500)) AS dp
+        |  FROM (SELECT vec_id, UNNEST(q) AS x,
+        |               generate_subscripts(q, 1) AS i FROM v)
+        |  CROSS JOIN (SELECT UNNEST(range(0, 6)) AS p)
+        |  GROUP BY vec_id, p),
+        |buckets AS (
+        |  SELECT n.vec_id, n.q, n.n2,
+        |         (SELECT SUM(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END)
+        |          FROM dots d WHERE d.vec_id = n.vec_id) AS bucket
+        |  FROM n)
+        |SELECT ia, bucket, nn, cos FROM (
+        |  SELECT a.vec_id AS ia, a.bucket, b.vec_id AS nn,
+        |         CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+        |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos,
+        |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |           ORDER BY CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+        |             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) DESC,
+        |             b.vec_id) AS rn
+        |  FROM buckets a JOIN buckets b
+        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        |WHERE rn = 1 ORDER BY ia""".stripMargin)
+  )
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions._
+
+/** Text-analysis gate queries over the `documents` table (BASELINE.json
+  * LLM-pipeline mandate: token counting, quality scoring, language-ID,
+  * fingerprinting). All single-scan, shuffle-free projections — at
+  * 100 TB these run as pure map tasks at parquet-read speed.
+  */
+object TextQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tok"),
+          length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_quality_score" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tok"),
+          qualityScore(col("text")).as("q"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_lang_id" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), langId(tokens(col("text"))).as("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"),
+          docFingerprint(tokens(col("text"))).as("fp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val toksCte =
+    """WITH toks AS (
+      |  SELECT doc_id, text,
+      |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      |  FROM documents)
+      |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "text_token_count" -> (toksCte +
+      """SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tok,
+        |       CAST(length(text) AS INTEGER) AS text_len
+        |FROM toks ORDER BY doc_id""".stripMargin),
+    "text_quality_score" -> (toksCte +
+      """SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tok,
+        |  (((CAST(length(text) AS DOUBLE) - CAST(len(tk) AS DOUBLE)) + 1.0)
+        |     / CAST(len(tk) AS DOUBLE)) * 0.5
+        |  + (CAST(len(list_filter(tk, t -> t IN ('the','a','of','and'))) AS DOUBLE)
+        |     / CAST(len(tk) AS DOUBLE)) * 2.0
+        |  + (CASE WHEN len(tk) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) AS q
+        |FROM toks ORDER BY doc_id""".stripMargin),
+    "text_lang_id" -> (toksCte +
+      """SELECT doc_id,
+        |  CASE GREATEST(s_en, s_fr, s_es, s_de, s_zh)
+        |    WHEN s_en THEN 'en' WHEN s_fr THEN 'fr' WHEN s_es THEN 'es'
+        |    WHEN s_de THEN 'de' ELSE 'zh' END AS pred
+        |FROM (SELECT doc_id,
+        |  len(list_filter(tk, t -> t IN ('the','a','data','fast'))) AS s_en,
+        |  len(list_filter(tk, t -> t IN ('table','row','line'))) AS s_fr,
+        |  len(list_filter(tk, t -> t IN ('value','part','batch'))) AS s_es,
+        |  len(list_filter(tk, t -> t IN ('window','group','merge'))) AS s_de,
+        |  len(list_filter(tk, t -> t IN ('spark','scan','hash'))) AS s_zh
+        |  FROM toks)
+        |ORDER BY doc_id""".stripMargin),
+    "text_fingerprint" -> (toksCte +
+      """SELECT doc_id,
+        |  SUM(i * list_reduce(list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)),
+        |                      (a, b) -> (a * 31 + b) % 1000000007))
+        |    % 1000000007 AS fp
+        |FROM (SELECT doc_id, UNNEST(tk) AS t,
+        |             generate_subscripts(tk, 1) AS i FROM toks)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+}
