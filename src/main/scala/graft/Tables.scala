@@ -12,14 +12,41 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Read with input parallelism normalized to the cluster's core count.
+    *
+    * The driver testdata is one parquet row group per table, so a plain
+    * scan yields ONE input partition and every map-side stage above it
+    * (shingle hashing, codec decode, vector math) runs single-threaded.
+    * On a real 100 TB lakehouse the file/row-group count dwarfs the core
+    * count and this helper is a no-op — the repartition is applied ONLY
+    * when the scan's own parallelism is below the session default, so big
+    * inputs never pay an extra shuffle.
+    */
+  def tablePar(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = table(spark, sfDir, name)
+    val target = spark.sparkContext.defaultParallelism
+    // a local-path size probe is enough: the scan yields ~size/maxPartitionBytes
+    // partitions, so small inputs (few row groups) get an explicit spread
+    val f = new java.io.File(s"$sfDir/$name.parquet")
+    val maxPart = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+      .stripSuffix("b").toLong
+    val scanParts = math.max(1L, f.length() / maxPart)
+    if (f.exists() && scanParts < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
+
+  // compute-heavy tables: normalized parallelism (map-side work above
+  // them — shingle hashing, vector math — dominates the scan itself)
+  def documents(s: SparkSession, d: String): DataFrame = tablePar(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = tablePar(s, d, "embeddings")
+  // relational tables: plain scans — their queries shuffle on their own
+  // keys anyway, and an input repartition would be recomputed per branch
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

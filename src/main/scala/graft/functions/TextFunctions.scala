@@ -27,11 +27,10 @@ object TextFunctions {
 
   /** Deterministic polynomial string hash: fold(c → a*31 + ord(c) mod P).
     * Equivalent SQL: list_reduce(list_transform(string_split(s,''),
-    * c -> ord(c)), (a,b) -> (a*31+b) % P).
+    * c -> ord(c)), (a,b) -> (a*31+b) % P). Native codegen expression —
+    * the HOF formulation allocated a UTF8String per character.
     */
-  def stringHash(s: Column): Column =
-    aggregate(split(s, ""), lit(0L),
-      (acc, c) => (acc * 31 + ascii(c)) % P)
+  def stringHash(s: Column): Column = TextHashExpressions.poly_hash(s)
 
   /** Word n-gram shingles (space-joined token windows). Guarded for docs
     * shorter than n tokens — `sequence(1, 0)` would count DOWN in Spark,
@@ -45,29 +44,25 @@ object TextFunctions {
   /** MinHash signature value j over a set of shingle hashes:
     * min((a_j·h + b_j) mod P) with fixed a_j = 2j+1, b_j = 13j+7.
     */
-  def minHash(shingleHashes: Column, j: Int): Column = {
-    val a = 2L * j + 1
-    val b = 13L * j + 7
-    array_min(transform(shingleHashes, h => (h * a + b) % P))
-  }
+  def minHash(shingleHashes: Column, j: Int): Column =
+    TextHashExpressions.poly_minhash(shingleHashes, 2L * j + 1, 13L * j + 7)
 
-  /** 16-bit SimHash from token hashes (+1/−1 vote per bit, >0 → bit set). */
+  /** 16-bit SimHash from token hashes (+1/−1 vote per bit, >0 → bit set);
+    * one native pass instead of 16 interpreted folds.
+    */
   def simHash16(tokenHashes: Column): Column =
-    (0 until 16).map { j =>
-      val vote = aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    TextHashExpressions.simhash16(tokenHashes)
 
   /** Order-sensitive document fingerprint: Σ position·tokenHash mod P. */
   def docFingerprint(toks: Column): Column =
-    aggregate(
-      zip_with(toks, sequence(lit(1), size(toks)),
-        (t, i) => struct(t.as("t"), i.as("i"))),
-      lit(0L),
-      (acc, s) => (acc + s.getField("i") *
-        aggregate(split(s.getField("t"), ""), lit(0L),
-          (a, c) => (a * 31 + ascii(c)) % P)) % P)
+    TextHashExpressions.fingerprint(toks)
+
+  /** Hashes of word n-gram shingles straight from the token array —
+    * equivalent to `transform(wordShingles(toks,n), stringHash)` with no
+    * intermediate shingle strings.
+    */
+  def shingleHashes(toks: Column, n: Int): Column =
+    TextHashExpressions.shingle_hashes(toks, n)
 
   /** Language-ID by marker-token voting; deterministic argmax with a
     * fixed tie-break order. Markers are configurable; defaults exercise

@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop implementations behind the text-hash Catalyst expressions
+  * (static forwarders — called from generated code, one invoke per row).
+  *
+  * All hashes are the same explicit polynomial fold the DuckDB oracles
+  * compute — `fold(cp → a*31 + cp mod P)` over Unicode code points — so
+  * results are cross-engine reproducible and partitioning-invariant.
+  * Reference provenance: the reference keeps its analytics-free dataflow
+  * deterministic the same way (commit-SCN order, no engine-private
+  * hashing); see SURVEY.md §2.7 for why the dedup family is ours to design.
+  */
+object TextHash {
+
+  /** Modulus shared with TextFunctions.P and every oracle query. */
+  val P: Long = 1000000007L
+
+  /** Polynomial hash over the code points of `s` (matches DuckDB
+    * `list_reduce(list_transform(string_split(s,''), c->ord(c)),
+    * (a,b)->(a*31+b)%P)`). UTF-8 is decoded inline — no String allocation.
+    */
+  def polyHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var acc = 0L
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      var cp = 0
+      if (b < 0x80) { cp = b; i += 1 }
+      else if ((b & 0xe0) == 0xc0) {
+        cp = ((b & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
+      } else if ((b & 0xf0) == 0xe0) {
+        cp = ((b & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+          (bytes(i + 2) & 0x3f); i += 3
+      } else {
+        cp = ((b & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); i += 4
+      }
+      acc = (acc * 31 + cp) % P
+    }
+    acc
+  }
+
+  /** min((h*a + b) mod P) over an array of hashes; MAX_VALUE for empty. */
+  def minHash(hs: ArrayData, a: Long, b: Long): Long = {
+    val n = hs.numElements()
+    var min = Long.MaxValue
+    var i = 0
+    while (i < n) {
+      val v = (hs.getLong(i) * a + b) % P
+      if (v < min) min = v
+      i += 1
+    }
+    min
+  }
+
+  /** 16-bit SimHash: per-bit +1/−1 votes over token hashes, one pass. */
+  def simHash16(hs: ArrayData): Long = {
+    val votes = new Array[Int](16)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 16) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 16) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** Order-sensitive fingerprint: Σ position·polyHash(token) mod P,
+    * positions 1-based (matches TextFunctions.docFingerprint contract).
+    */
+  def fingerprint(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = (acc + (i + 1).toLong * polyHash(toks.getUTF8String(i))) % P
+      i += 1
+    }
+    acc
+  }
+
+  /** Hashes of word n-gram shingles (space-joined token windows), computed
+    * by carrying the polynomial fold across tokens — no shingle string is
+    * ever materialized. Equivalent to polyHash(tok_i ⧺ " " ⧺ … ⧺ tok_{i+n-1})
+    * for each window. Empty result for docs shorter than n tokens.
+    */
+  def shingleHashes(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      var acc = 0L
+      var k = 0
+      while (k < n) {
+        if (k > 0) acc = (acc * 31 + 32) % P // the joining space, ord=32
+        acc = foldToken(acc, toks.getUTF8String(i + k))
+        k += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def foldToken(acc0: Long, s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var acc = acc0
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      var cp = 0
+      if (b < 0x80) { cp = b; i += 1 }
+      else if ((b & 0xe0) == 0xc0) {
+        cp = ((b & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
+      } else if ((b & 0xf0) == 0xe0) {
+        cp = ((b & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+          (bytes(i + 2) & 0x3f); i += 3
+      } else {
+        cp = ((b & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); i += 4
+      }
+      acc = (acc * 31 + cp) % P
+    }
+    acc
+  }
+
+  /** Distinct values of a long array, first-occurrence order. */
+  def distinctLongs(hs: ArrayData): ArrayData = {
+    val n = hs.numElements()
+    val seen = new java.util.HashSet[Long](n * 2)
+    val out = new Array[Long](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val v = hs.getLong(i)
+      if (seen.add(v)) { out(k) = v; k += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+}

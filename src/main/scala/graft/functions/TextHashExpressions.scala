@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd Catalyst expressions for the text-hash hot path.
+  *
+  * The HOF formulations (`aggregate(split(s,""), …)`) evaluate an
+  * interpreted lambda and allocate a UTF8String PER CHARACTER — at 100 TB
+  * that is billions of allocations inside the dedup scan. Each expression
+  * here compiles to a single static call into [[TextHash]] inside
+  * WholeStageCodegen, with identical semantics to the HOF versions (and to
+  * the DuckDB oracles).
+  */
+object TextHashExpressions {
+
+  private def c(e: Expression): Column = GraftSqlBridge.column(e)
+  private def e(col: Column): Expression = GraftSqlBridge.expression(col)
+
+  /** polyHash(string) → long. */
+  case class PolyStringHash(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextHash.polyHash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, s => s"graft.functions.TextHash.polyHash($s)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  /** min((h*a+b) mod P) over array<long>. */
+  case class PolyMinHash(child: Expression, a: Long, b: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextHash.minHash(v.asInstanceOf[ArrayData], a, b)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, h => s"graft.functions.TextHash.minHash($h, ${a}L, ${b}L)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  /** One-pass 16-bit SimHash over array<long> token hashes. */
+  case class SimHash16Expr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextHash.simHash16(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, h => s"graft.functions.TextHash.simHash16($h)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  /** Σ position·polyHash(token) mod P over array<string>. */
+  case class FingerprintExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextHash.fingerprint(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.TextHash.fingerprint($t)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  /** Word n-gram shingle hashes from array<string> tokens; no shingle
+    * strings materialized.
+    */
+  case class ShingleHashesExpr(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextHash.shingleHashes(v.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.TextHash.shingleHashes($t, $n)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  /** Distinct over array<long> (first-occurrence order). */
+  case class DistinctLongsExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextHash.distinctLongs(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, h => s"graft.functions.TextHash.distinctLongs($h)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  // ---- Column API ----
+  def poly_hash(col: Column): Column = c(PolyStringHash(e(col)))
+  def poly_minhash(col: Column, a: Long, b: Long): Column = c(PolyMinHash(e(col), a, b))
+  def simhash16(col: Column): Column = c(SimHash16Expr(e(col)))
+  def fingerprint(col: Column): Column = c(FingerprintExpr(e(col)))
+  def shingle_hashes(col: Column, n: Int): Column = c(ShingleHashesExpr(e(col), n))
+  def distinct_longs(col: Column): Column = c(DistinctLongsExpr(e(col)))
+}

@@ -16,13 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Float vector → exact integer vector (units of 1e-6). */
-  def quantize(vec: Column): Column =
-    transform(vec, x => floor(x.cast("double") * 1000000d).cast("long"))
+  /** Float vector → exact integer vector (units of 1e-6); native codegen
+    * pass (the HOF version allocated per element).
+    */
+  def quantize(vec: Column): Column = VectorNative.quantize_native(vec)
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized vectors (native). */
+  def dotQ(a: Column, b: Column): Column = VectorNative.dotq_native(a, b)
 
   /** Squared L2 norm of a quantized vector (exact). */
   def normQ2(a: Column): Column = dotQ(a, a)
@@ -43,11 +43,5 @@ object VectorFunctions {
     * planes with no broadcast of randomness.
     */
   def lshBucket(qvec: Column, planes: Int = 16): Column =
-    (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(qvec, sequence(lit(0), size(qvec) - 1),
-          (x, i) => x * (((lit(p) * 131 + i * 7919 + 17) % 1000) - 500)),
-        lit(0L), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    VectorNative.lsh_bucket_native(qvec, planes)
 }

