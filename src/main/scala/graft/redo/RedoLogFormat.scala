@@ -1,0 +1,394 @@
+package graft.redo
+
+import java.io.{BufferedOutputStream, DataOutputStream, EOFException, FileOutputStream, File, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+import graft.cdc.{Ops, RedoRecord}
+
+/** GRL1 — graft redo log: the on-disk binary change-log format behind the
+  * `graft-redo` Spark source.
+  *
+  * Re-expresses the STRUCTURE of Oracle redo the reference mines — without
+  * reading Oracle's proprietary layout: fixed-size blocks (512/1024/4096,
+  * ref `OraCdcRedoLog.java:785-817`), per-block XOR checksum validation,
+  * records that span block boundaries and must be reassembled (ref
+  * multi-block record handling, `OraCdcRedoLog.java:58-780`), RBA
+  * addressing (block number + offset of first record starting in the
+  * block), and per-record layered change vectors — a 5.1 undo vector
+  * carrying the before-image, an 11.x row-op vector carrying the
+  * after-image, a 5.4 commit/rollback control vector (ref op catalogue
+  * `OraCdcChange.java:59-196`). One log file per writer "thread" mirrors
+  * the RAC one-task-per-THREAD# partitioning.
+  *
+  * Layout (all little-endian):
+  *
+  * Block 0 (file header): magic "GRL1" u32 | blockSize u32 | seq u32 |
+  *   thread u32 | firstScn u64 | nextScn u64.
+  * Block n>0: header = magic u32 | blockNo u32 | seq u32 | checksum u16 |
+  *   firstRecOffset u16 (0xFFFF: no record starts here) | payload.
+  *   checksum = XOR of every u16 in the block with the checksum field
+  *   zeroed (Oracle-style block checksum).
+  * Record stream (chunked into block payloads): recLen u32 | scn u64 |
+  *   ssn u16 | tsMicros i64 | xid str | nVectors u16 | vectors.
+  * Vector: layer u8 | opcode u8 | flags u8 (bit0 = partial-rollback) |
+  *   table str | rowId str | nRows u16 | per row: nCols u16 |
+  *   cols {name str, value str-or-null}.
+  * str: u16 length + UTF-8 bytes; value null marker = length 0xFFFF.
+  */
+object RedoLogFormat {
+  val Magic: Int = 0x47524C31 // "GRL1"
+  val HeaderBytes: Int = 16
+  val NoRecord: Int = 0xFFFF
+  val LegalBlockSizes: Set[Int] = Set(512, 1024, 4096)
+
+  // change-vector layer/opcode catalogue (semantic mirror of the
+  // reference's layer 5 / layer 11 families)
+  val LayerTxn: Int = 5
+  val LayerRow: Int = 11
+  val OpUndo: Int = 1      // 5.1: before-image
+  val OpCommitCtl: Int = 4 // 5.4: commit (flag bit1=0) / rollback (bit1=1)
+  val OpInsert: Int = 2    // 11.2 IRP
+  val OpDelete: Int = 3    // 11.3 DRP
+  val OpUpdate: Int = 5    // 11.5 URP
+  val OpMultiInsert: Int = 11 // 11.11 QMI
+  val OpMultiDelete: Int = 12 // 11.12 QMD
+  val FlagRollback: Int = 0x01
+  val FlagTxnRollback: Int = 0x02
+
+  def checksum(block: Array[Byte], checksumOffset: Int): Int = {
+    var acc = 0
+    var i = 0
+    while (i < block.length - 1) {
+      if (i != checksumOffset) // skip the checksum u16 itself
+        acc ^= ((block(i) & 0xff) | ((block(i + 1) & 0xff) << 8))
+      i += 2
+    }
+    acc & 0xffff
+  }
+}
+
+/** Serializes [[RedoRecord]]s into one GRL1 log file. Not thread-safe —
+  * one writer per log "thread", like the reference's one worker per redo
+  * THREAD#.
+  */
+class RedoLogWriter(file: File, blockSize: Int = 1024, seq: Int = 1,
+    thread: Int = 0) {
+  require(RedoLogFormat.LegalBlockSizes(blockSize), s"bad block size $blockSize")
+
+  private val out = new ArrayBuffer[Byte](1 << 16)
+  private var firstScn = Long.MaxValue
+  private var nextScn = 0L
+
+  private def putU16(b: ArrayBuffer[Byte], v: Int): Unit = {
+    b += (v & 0xff).toByte; b += ((v >> 8) & 0xff).toByte
+  }
+  private def putU32(b: ArrayBuffer[Byte], v: Int): Unit = {
+    putU16(b, v & 0xffff); putU16(b, (v >>> 16) & 0xffff)
+  }
+  private def putU64(b: ArrayBuffer[Byte], v: Long): Unit = {
+    putU32(b, (v & 0xffffffffL).toInt); putU32(b, (v >>> 32).toInt)
+  }
+  private def putStr(b: ArrayBuffer[Byte], s: String): Unit = {
+    val bytes = s.getBytes("UTF-8")
+    require(bytes.length < RedoLogFormat.NoRecord, "string too long")
+    putU16(b, bytes.length); b ++= bytes
+  }
+  private def putVal(b: ArrayBuffer[Byte], v: Option[String]): Unit = v match {
+    case None => putU16(b, RedoLogFormat.NoRecord)
+    case Some(s) => putStr(b, s)
+  }
+
+  /** Record start offsets in the logical stream (for firstRecOffset). */
+  private val recordStarts = new ArrayBuffer[Long]()
+
+  def append(r: RedoRecord): Unit = {
+    recordStarts += out.length.toLong
+    if (r.scn < firstScn) firstScn = r.scn
+    if (r.scn + 1 > nextScn) nextScn = r.scn + 1
+
+    val body = new ArrayBuffer[Byte](256)
+    putU64(body, r.scn)
+    putU16(body, r.ssn)
+    putU64(body, r.tsMicros)
+    putStr(body, r.xid)
+
+    def rowCols(b: ArrayBuffer[Byte], m: Map[String, String]): Unit = {
+      putU16(b, m.size)
+      m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        putStr(b, k); putVal(b, Option(v))
+      }
+    }
+    def vector(layer: Int, opcode: Int, flags: Int,
+        rows: Seq[Map[String, String]]): ArrayBuffer[Byte] = {
+      val b = new ArrayBuffer[Byte](64)
+      b += layer.toByte; b += opcode.toByte; b += flags.toByte
+      putStr(b, r.table); putStr(b, r.rowId)
+      putU16(b, rows.size)
+      rows.foreach(rowCols(b, _))
+      b
+    }
+
+    import RedoLogFormat._
+    val rollbackFlag = if (r.rollback) FlagRollback else 0
+    val vectors: Seq[ArrayBuffer[Byte]] = r.op match {
+      case Ops.Insert =>
+        Seq(vector(LayerTxn, OpUndo, rollbackFlag, Seq(r.before)),
+          vector(LayerRow, OpInsert, rollbackFlag, Seq(r.after)))
+      case Ops.Delete =>
+        Seq(vector(LayerTxn, OpUndo, rollbackFlag, Seq(r.before)),
+          vector(LayerRow, OpDelete, rollbackFlag, Seq(r.after)))
+      case Ops.Update =>
+        Seq(vector(LayerTxn, OpUndo, rollbackFlag, Seq(r.before)),
+          vector(LayerRow, OpUpdate, rollbackFlag, Seq(r.after)))
+      case Ops.MultiInsert =>
+        Seq(vector(LayerRow, OpMultiInsert, rollbackFlag, r.multiRows))
+      case Ops.MultiDelete =>
+        Seq(vector(LayerRow, OpMultiDelete, rollbackFlag, r.multiRows))
+      case Ops.Commit =>
+        Seq(vector(LayerTxn, OpCommitCtl, 0, Nil))
+      case Ops.Rollback =>
+        Seq(vector(LayerTxn, OpCommitCtl, FlagTxnRollback, Nil))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported op $other")
+    }
+
+    val rec = new ArrayBuffer[Byte](body.length + 64)
+    putU16(rec, vectors.length)
+    vectors.foreach(rec ++= _)
+
+    putU32(out, 4 + body.length + rec.length) // recLen counts itself
+    out ++= body
+    out ++= rec
+  }
+
+  /** Flush the record stream into checksummed blocks and write the file. */
+  def close(): Unit = {
+    import RedoLogFormat._
+    val payloadPerBlock = blockSize - HeaderBytes
+    val nBlocks = math.max(1, (out.length + payloadPerBlock - 1) / payloadPerBlock)
+
+    val f = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(file)))
+    try {
+      // file header block
+      val hdr = ByteBuffer.allocate(blockSize).order(ByteOrder.LITTLE_ENDIAN)
+      hdr.putInt(Magic); hdr.putInt(blockSize); hdr.putInt(seq); hdr.putInt(thread)
+      hdr.putLong(if (firstScn == Long.MaxValue) 0L else firstScn)
+      hdr.putLong(nextScn)
+      f.write(hdr.array())
+
+      var blockNo = 1
+      var pos = 0
+      var nextRecIdx = 0
+      while (blockNo <= nBlocks) {
+        val block = ByteBuffer.allocate(blockSize).order(ByteOrder.LITTLE_ENDIAN)
+        val take = math.min(payloadPerBlock, out.length - pos)
+        // first record that STARTS inside this block's payload range
+        while (nextRecIdx < recordStarts.length &&
+          recordStarts(nextRecIdx) < pos) nextRecIdx += 1
+        val firstRec =
+          if (nextRecIdx < recordStarts.length &&
+            recordStarts(nextRecIdx) < pos + take)
+            (recordStarts(nextRecIdx) - pos).toInt
+          else NoRecord
+        block.putInt(Magic); block.putInt(blockNo); block.putInt(seq)
+        block.putShort(0) // checksum placeholder at offset 12
+        block.putShort(firstRec.toShort)
+        var i = 0
+        while (i < take) { block.put(out(pos + i)); i += 1 }
+        val arr = block.array()
+        val ck = checksum(arr, 12)
+        arr(12) = (ck & 0xff).toByte
+        arr(13) = ((ck >> 8) & 0xff).toByte
+        f.write(arr)
+        pos += take
+        blockNo += 1
+      }
+    } finally f.close()
+  }
+}
+
+/** Reads a GRL1 log file: block scan with checksum validation, multi-block
+  * record reassembly, optional start-RBA positioning.
+  */
+object RedoLogReader {
+
+  case class FileHeader(blockSize: Int, seq: Int, thread: Int,
+      firstScn: Long, nextScn: Long)
+
+  def readHeader(file: File): FileHeader = {
+    val raf = new RandomAccessFile(file, "r")
+    try {
+      val buf = new Array[Byte](32)
+      raf.readFully(buf)
+      val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+      val magic = bb.getInt
+      require(magic == RedoLogFormat.Magic, s"bad magic in $file")
+      FileHeader(bb.getInt, bb.getInt, bb.getInt, bb.getLong, bb.getLong)
+    } finally raf.close()
+  }
+
+  /** All records in the file, in log order. */
+  def records(file: File): Iterator[RedoRecord] = recordsFrom(file, 1, 0)
+
+  /** Records from a start RBA (blockNo, offsetInPayload) — the restart
+    * path: positions into the middle of the log without replaying it.
+    */
+  def recordsFrom(file: File, startBlock: Int, startOffset: Int): Iterator[RedoRecord] = {
+    import RedoLogFormat._
+    val header = readHeader(file)
+    val blockSize = header.blockSize
+    val payloadPerBlock = blockSize - HeaderBytes
+    val raf = new RandomAccessFile(file, "r")
+    val totalBlocks = (raf.length() / blockSize).toInt // incl. header block
+
+    // stitch payload stream from startBlock, validating checksums
+    val stream = new ArrayBuffer[Byte]()
+    var bn = math.max(1, startBlock)
+    var effStartOffset = startOffset
+    if (bn > 1 && startOffset == 0) {
+      // caller gave only a block: begin at the first record starting there
+      val arr = readBlock(raf, blockSize, bn)
+      val firstRec = ((arr(14) & 0xff) | ((arr(15) & 0xff) << 8))
+      require(firstRec != NoRecord, s"no record starts in block $bn")
+      effStartOffset = firstRec
+    }
+    while (bn < totalBlocks) {
+      val arr = readBlock(raf, blockSize, bn)
+      val stored = ((arr(12) & 0xff) | ((arr(13) & 0xff) << 8))
+      val computed = {
+        val tmp = arr.clone(); tmp(12) = 0; tmp(13) = 0
+        checksum(tmp, 12)
+      }
+      if (stored != computed)
+        throw new java.io.IOException(
+          s"checksum mismatch in $file block $bn: stored=$stored computed=$computed")
+      val bb = ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
+      require(bb.getInt == Magic, s"bad block magic in $file block $bn")
+      stream ++= arr.slice(HeaderBytes, blockSize)
+      bn += 1
+    }
+    raf.close()
+
+    val bytes = stream.drop(effStartOffset).toArray
+    parseStream(bytes)
+  }
+
+  private def readBlock(raf: RandomAccessFile, blockSize: Int, blockNo: Int): Array[Byte] = {
+    val arr = new Array[Byte](blockSize)
+    raf.seek(blockNo.toLong * blockSize)
+    raf.readFully(arr)
+    arr
+  }
+
+  private[redo] def parseStream(bytes: Array[Byte]): Iterator[RedoRecord] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    new Iterator[RedoRecord] {
+      private var nextRec: RedoRecord = _
+      private var done = false
+      advance()
+
+      private def getStr(): String = {
+        val len = bb.getShort & 0xffff
+        val arr = new Array[Byte](len)
+        bb.get(arr)
+        new String(arr, "UTF-8")
+      }
+      private def getVal(): Option[String] = {
+        val len = bb.getShort & 0xffff
+        if (len == RedoLogFormat.NoRecord) None
+        else {
+          val arr = new Array[Byte](len)
+          bb.get(arr)
+          Some(new String(arr, "UTF-8"))
+        }
+      }
+      private def getCols(): Map[String, String] = {
+        val n = bb.getShort & 0xffff
+        (0 until n).map(_ => getStr() -> getVal().orNull).toMap
+      }
+
+      private def advance(): Unit = {
+        import RedoLogFormat._
+        if (bb.remaining() < 4) { done = true; return }
+        val start = bb.position()
+        val recLen = bb.getInt
+        if (recLen <= 0 || bb.remaining() < recLen - 4) { done = true; return }
+        val scn = bb.getLong
+        val ssn = bb.getShort & 0xffff
+        val ts = bb.getLong
+        val xid = getStr()
+        val nVec = bb.getShort & 0xffff
+        var op = -1
+        var table = ""
+        var rowId = ""
+        var rollback = false
+        var before = Map.empty[String, String]
+        var after = Map.empty[String, String]
+        var multi: Seq[Map[String, String]] = Nil
+        (0 until nVec).foreach { _ =>
+          val layer = bb.get() & 0xff
+          val opcode = bb.get() & 0xff
+          val flags = bb.get() & 0xff
+          val tbl = getStr()
+          val rid = getStr()
+          val nRows = bb.getShort & 0xffff
+          val rows = (0 until nRows).map(_ => getCols())
+          if (tbl.nonEmpty) table = tbl
+          if (rid.nonEmpty) rowId = rid
+          if ((flags & FlagRollback) != 0) rollback = true
+          (layer, opcode) match {
+            case (LayerTxn, OpUndo) =>
+              before = rows.headOption.getOrElse(Map.empty)
+            case (LayerTxn, OpCommitCtl) =>
+              op = if ((flags & FlagTxnRollback) != 0) Ops.Rollback else Ops.Commit
+            case (LayerRow, OpInsert) =>
+              op = Ops.Insert; after = rows.headOption.getOrElse(Map.empty)
+            case (LayerRow, OpDelete) =>
+              op = Ops.Delete; after = rows.headOption.getOrElse(Map.empty)
+            case (LayerRow, OpUpdate) =>
+              op = Ops.Update; after = rows.headOption.getOrElse(Map.empty)
+            case (LayerRow, OpMultiInsert) =>
+              op = Ops.MultiInsert; multi = rows
+            case (LayerRow, OpMultiDelete) =>
+              op = Ops.MultiDelete; multi = rows
+            case other =>
+              throw new java.io.IOException(s"unknown change vector $other")
+          }
+        }
+        bb.position(start + recLen)
+        nextRec = RedoRecord(scn, ssn, xid, op, table, rowId, rollback, ts,
+          before, after, multi)
+      }
+
+      override def hasNext: Boolean = !done
+      override def next(): RedoRecord = {
+        if (done) throw new EOFException()
+        val r = nextRec
+        advance()
+        r
+      }
+    }
+  }
+
+  /** Log-topology listing (S5 analogue): *.grl files ordered by sequence
+    * number from their headers; throws on a sequence gap per thread, like
+    * the reference's archived-log gap detection.
+    */
+  def listLogs(dir: File): Seq[(File, FileHeader)] = {
+    val files = Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.endsWith(".grl"))
+      .toSeq
+    val withHeaders = files.map(f => f -> readHeader(f))
+      .sortBy { case (_, h) => (h.thread, h.seq) }
+    withHeaders.groupBy(_._2.thread).foreach { case (t, logs) =>
+      logs.map(_._2.seq).sliding(2).foreach {
+        case Seq(a, b) if b != a + 1 =>
+          throw new IllegalStateException(
+            s"redo sequence gap for thread $t: $a -> $b")
+        case _ =>
+      }
+    }
+    withHeaders.sortBy { case (_, h) => (h.seq, h.thread) }
+  }
+}

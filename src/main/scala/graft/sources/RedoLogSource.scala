@@ -1,0 +1,214 @@
+package graft.sources
+
+import java.io.File
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.cdc.RedoRecord
+import graft.redo.RedoLogReader
+
+/** `graft-redo` — DataSource V2 over GRL1 redo logs (SURVEY.md §7.1-4).
+  *
+  * The Spark-first re-expression of the reference's source stack: the
+  * driver lists the log topology in sequence order with gap detection
+  * (S5, ref `OraCdcV$ArchivedLogImpl.java:189`), each log file becomes one
+  * `InputPartition` (the per-redo-THREAD# task partitioning, ref
+  * `KafkaSourceConnectorBase.taskConfigs:262`), and executors block-scan,
+  * checksum-validate and parse their file into uniform change rows
+  * (S1/S2). Table/operation scope pruning (P1/P2) happens IN the source
+  * via options, before any downstream operator sees a row — mirroring the
+  * reference's pushdown of `OPERATION_CODE in (...)` and its dictionary
+  * skip-set.
+  *
+  * Batch:     spark.read.format("graft-redo").load(dir)
+  * Streaming: spark.readStream.format("graft-redo")
+  *              .option("maxFilesPerTrigger", n).load(dir)
+  *            — offsets are "files consumed" in (seq, thread) order, so a
+  *            restart resumes at the next unread log exactly like the
+  *            reference's offset bookkeeping resumes at the next redo log.
+  *
+  * Options: `path`, `tables` (comma list, `%`/`*` wildcards — P1),
+  * `ops` (comma list of op codes — P2), `maxFilesPerTrigger`.
+  */
+class RedoLogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-redo"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RedoLogSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RedoLogTable(new CaseInsensitiveStringMap(properties))
+}
+
+object RedoLogSource {
+  /** Uniform change-record schema (matches graft.cdc.RedoRecord, so
+    * `.as[RedoRecord]` feeds the transaction assembler directly).
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("scn", LongType, nullable = false),
+    StructField("ssn", IntegerType, nullable = false),
+    StructField("xid", StringType, nullable = false),
+    StructField("op", IntegerType, nullable = false),
+    StructField("table", StringType, nullable = false),
+    StructField("rowId", StringType, nullable = false),
+    StructField("rollback", BooleanType, nullable = false),
+    StructField("tsMicros", LongType, nullable = false),
+    StructField("before", MapType(StringType, StringType), nullable = false),
+    StructField("after", MapType(StringType, StringType), nullable = false),
+    StructField("multiRows", ArrayType(MapType(StringType, StringType)),
+      nullable = false)))
+
+  /** `%`/`*` wildcard table matcher (P1: a2.include-style scope). */
+  private[sources] def tableMatcher(patterns: Seq[String]): String => Boolean = {
+    if (patterns.isEmpty) _ => true
+    else {
+      val regexes = patterns.map { p =>
+        val sb = new StringBuilder("(?i)^")
+        p.foreach {
+          case '%' | '*' => sb.append(".*")
+          case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+        }
+        sb.append("$").result().r
+      }
+      t => regexes.exists(_.findFirstIn(t).isDefined)
+    }
+  }
+
+  private[sources] def toRow(r: RedoRecord): InternalRow = {
+    def mapData(m: Map[String, String]) = new ArrayBasedMapData(
+      new GenericArrayData(m.keys.map(UTF8String.fromString).toArray[Any]),
+      new GenericArrayData(m.values.map(v =>
+        if (v == null) null else UTF8String.fromString(v)).toArray[Any]))
+    val multi: ArrayData = new GenericArrayData(
+      r.multiRows.map(mapData).toArray[Any])
+    InternalRow(r.scn, r.ssn, UTF8String.fromString(r.xid), r.op,
+      UTF8String.fromString(r.table), UTF8String.fromString(r.rowId),
+      r.rollback, r.tsMicros, mapData(r.before), mapData(r.after), multi)
+  }
+}
+
+class RedoLogTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-redo(${options.get("path")})"
+  override def schema(): StructType = RedoLogSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new util.HashMap[String, String](options)
+    merged.putAll(opts)
+    new RedoLogScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+class RedoLogScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder {
+  override def build(): Scan = new RedoLogScan(options)
+}
+
+class RedoLogScan(options: CaseInsensitiveStringMap) extends Scan {
+  private val path = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("graft-redo requires a path"))
+  private val tables: Seq[String] = Option(options.get("tables"))
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  private val ops: Seq[Int] = Option(options.get("ops"))
+    .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)
+  private val maxFilesPerTrigger: Int =
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue)
+
+  private def listSorted(): Seq[String] =
+    RedoLogReader.listLogs(new File(path)).map(_._1.getAbsolutePath)
+
+  override def readSchema(): StructType = RedoLogSource.schema
+  override def description(): String = s"graft-redo $path"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      listSorted().map(f => RedoFilePartition(f, tables, ops): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new RedoReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RedoMicroBatchStream(listSorted _, tables, ops, maxFilesPerTrigger)
+}
+
+/** Offset = count of log files fully consumed, in (seq, thread) order. */
+case class RedoFileOffset(filesConsumed: Int) extends Offset {
+  override def json(): String = s"""{"filesConsumed":$filesConsumed}"""
+}
+
+class RedoMicroBatchStream(list: () => Seq[String], tables: Seq[String],
+    ops: Seq[Int], maxFilesPerTrigger: Int) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+  override def initialOffset(): Offset = RedoFileOffset(0)
+  override def latestOffset(): Offset = RedoFileOffset(list().size)
+  // admission control: a micro-batch admits at most maxFilesPerTrigger
+  // files — the cap must move the OFFSET, not silently drop partitions,
+  // and must NOT apply when the engine probes with allAvailable() (e.g.
+  // Trigger.AvailableNow computing its end target)
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger == Int.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(maxFilesPerTrigger)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start match {
+      case r: RedoFileOffset => r.filesConsumed
+      case o => deserializeOffset(o.json()).asInstanceOf[RedoFileOffset].filesConsumed
+    }
+    val total = list().size
+    limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        RedoFileOffset(math.min(total.toLong, s.toLong + mf.maxFiles()).toInt)
+      case _ => RedoFileOffset(total)
+    }
+  }
+  override def reportLatestOffset(): Offset = RedoFileOffset(list().size)
+  override def deserializeOffset(json: String): Offset = {
+    val n = """\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0)
+    RedoFileOffset(n)
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RedoFileOffset].filesConsumed
+    val e = end.asInstanceOf[RedoFileOffset].filesConsumed
+    list().slice(s, e)
+      .map(f => RedoFilePartition(f, tables, ops): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new RedoReaderFactory
+}
+
+case class RedoFilePartition(file: String, tables: Seq[String], ops: Seq[Int])
+    extends InputPartition
+
+class RedoReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RedoFilePartition]
+    new PartitionReader[InternalRow] {
+      private val matches = RedoLogSource.tableMatcher(p.tables)
+      private val opSet = p.ops.toSet
+      private val it = RedoLogReader.records(new File(p.file)).filter { r =>
+        // P1/P2 pruning at the scan: control records (COMMIT/ROLLBACK,
+        // empty table) always pass so transactions still terminate
+        (r.table.isEmpty || matches(r.table)) &&
+          (opSet.isEmpty || opSet.contains(r.op) ||
+            r.op == graft.cdc.Ops.Commit || r.op == graft.cdc.Ops.Rollback)
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = RedoLogSource.toRow(it.next()); true }
+        else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,188 @@
+package graft.redo
+
+import java.io.File
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+import graft.cdc.{Ops, RedoRecord}
+
+class RedoLogSpec extends AnyFunSuite {
+
+  private def rec(scn: Long, xid: String, op: Int,
+      after: Map[String, String] = Map.empty,
+      before: Map[String, String] = Map.empty,
+      rollback: Boolean = false,
+      multi: Seq[Map[String, String]] = Nil): RedoRecord =
+    RedoRecord(scn, 0, xid, op, if (op == Ops.Commit || op == Ops.Rollback) ""
+      else "T.TAB", scn.toString, rollback, scn * 1000, before, after, multi)
+
+  private def tmpDir(): File = Files.createTempDirectory("grl").toFile
+
+  test("writer/reader round-trip preserves every field") {
+    val dir = tmpDir()
+    val f = new File(dir, "log_1.grl")
+    val records = Seq(
+      rec(1, "tx1", Ops.Insert, after = Map("a" -> "1", "b" -> "x")),
+      rec(2, "tx1", Ops.Update, after = Map("a" -> "2"), before = Map("a" -> "1")),
+      rec(3, "tx1", Ops.Delete, before = Map("a" -> "2", "n" -> null)),
+      rec(4, "tx1", Ops.MultiInsert,
+        multi = Seq(Map("r" -> "1"), Map("r" -> "2"), Map("r" -> "3"))),
+      rec(5, "tx2", Ops.Update, after = Map("z" -> "9"), rollback = true),
+      rec(6, "tx1", Ops.Commit),
+      rec(7, "tx2", Ops.Rollback))
+    val w = new RedoLogWriter(f, blockSize = 512, seq = 1, thread = 0)
+    records.foreach(w.append)
+    w.close()
+
+    val got = RedoLogReader.records(f).toSeq
+    assert(got === records)
+    val hdr = RedoLogReader.readHeader(f)
+    assert(hdr.blockSize === 512 && hdr.seq === 1)
+    assert(hdr.firstScn === 1 && hdr.nextScn === 8)
+  }
+
+  test("records spanning many blocks reassemble (payload >> blockSize)") {
+    val dir = tmpDir()
+    val f = new File(dir, "log_1.grl")
+    val big = (1 to 200).map(i => s"col_$i" -> ("v" * 50 + i)).toMap // ~11 KB
+    val records = Seq(
+      rec(1, "tx", Ops.Insert, after = big),
+      rec(2, "tx", Ops.Insert, after = Map("small" -> "1")),
+      rec(3, "tx", Ops.Commit))
+    val w = new RedoLogWriter(f, blockSize = 512)
+    records.foreach(w.append)
+    w.close()
+    assert(f.length() > 20 * 512) // really multi-block
+    assert(RedoLogReader.records(f).toSeq === records)
+  }
+
+  test("checksum corruption is detected") {
+    val dir = tmpDir()
+    val f = new File(dir, "log_1.grl")
+    val w = new RedoLogWriter(f, blockSize = 512)
+    (1 to 50).foreach(i => w.append(rec(i, "tx", Ops.Insert,
+      after = Map("k" -> ("payload" * 10 + i)))))
+    w.close()
+    // flip one payload byte in block 2
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    raf.seek(2 * 512 + 100)
+    val b = raf.read()
+    raf.seek(2 * 512 + 100)
+    raf.write(b ^ 0x5a)
+    raf.close()
+    val ex = intercept[java.io.IOException] {
+      RedoLogReader.records(f).toSeq
+    }
+    assert(ex.getMessage.contains("checksum"))
+  }
+
+  test("RBA positioning starts at the first record of a later block") {
+    val dir = tmpDir()
+    val f = new File(dir, "log_1.grl")
+    val records = (1 to 100).map(i => rec(i, "tx", Ops.Insert,
+      after = Map("k" -> ("x" * 40 + i))))
+    val w = new RedoLogWriter(f, blockSize = 512)
+    records.foreach(w.append)
+    w.close()
+    val fromBlock5 = RedoLogReader.recordsFrom(f, 5, 0).toSeq
+    assert(fromBlock5.nonEmpty && fromBlock5.size < records.size)
+    // a suffix of the full sequence, with no torn first record
+    assert(records.endsWith(fromBlock5))
+  }
+
+  test("log topology listing orders by seq and detects gaps") {
+    val dir = tmpDir()
+    Seq(1, 2, 3).foreach { s =>
+      val w = new RedoLogWriter(new File(dir, s"log_$s.grl"), 512, seq = s)
+      w.append(rec(s * 10, "tx", Ops.Insert, after = Map("a" -> "1")))
+      w.close()
+    }
+    val logs = RedoLogReader.listLogs(dir)
+    assert(logs.map(_._2.seq) === Seq(1, 2, 3))
+
+    new File(dir, "log_2.grl").delete()
+    val ex = intercept[IllegalStateException] { RedoLogReader.listLogs(dir) }
+    assert(ex.getMessage.contains("gap"))
+  }
+}
+
+class RedoSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", false)
+    .appName("redo-source-spec").getOrCreate()
+
+  private def writeLogs(dir: File): Seq[RedoRecord] = {
+    def rr(scn: Long, xid: String, op: Int, table: String,
+        after: Map[String, String]): RedoRecord =
+      RedoRecord(scn, 0, xid, op, table, scn.toString, rollback = false,
+        scn, Map.empty, after)
+    val f1 = Seq(
+      rr(1, "a", Ops.Insert, "S.T1", Map("v" -> "1")),
+      rr(2, "a", Ops.Update, "S.T2", Map("v" -> "2")),
+      rr(3, "a", Ops.Commit, "", Map.empty))
+    val f2 = Seq(
+      rr(4, "b", Ops.Insert, "S.T1", Map("v" -> "3")),
+      rr(5, "b", Ops.Delete, "S.T1", Map.empty),
+      rr(6, "b", Ops.Commit, "", Map.empty))
+    Seq((1, f1), (2, f2)).foreach { case (seq, recs) =>
+      val w = new RedoLogWriter(new File(dir, s"log_$seq.grl"), 1024, seq = seq)
+      recs.foreach(w.append)
+      w.close()
+    }
+    f1 ++ f2
+  }
+
+  test("batch read returns all records across log files in order") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("grlsrc").toFile
+    val expected = writeLogs(dir)
+    val got = spark.read.format("graft-redo").load(dir.getAbsolutePath)
+      .as[RedoRecord].collect().sortBy(_.scn).toSeq
+    assert(got === expected)
+  }
+
+  test("table wildcard (P1) and op (P2) pruning happen in the scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("grlsrc").toFile
+    writeLogs(dir)
+    val t1 = spark.read.format("graft-redo")
+      .option("tables", "s.t1").load(dir.getAbsolutePath).as[RedoRecord].collect()
+    // 3 T1 changes + 2 control records pass
+    assert(t1.count(_.table == "S.T1") === 3)
+    assert(t1.forall(r => r.table == "S.T1" || r.table.isEmpty))
+
+    val wild = spark.read.format("graft-redo")
+      .option("tables", "s.%").load(dir.getAbsolutePath).as[RedoRecord].collect()
+    assert(wild.count(_.table.nonEmpty) === 4)
+
+    val insertsOnly = spark.read.format("graft-redo")
+      .option("ops", Ops.Insert.toString).load(dir.getAbsolutePath)
+      .as[RedoRecord].collect()
+    assert(insertsOnly.forall(r =>
+      r.op == Ops.Insert || r.op == Ops.Commit || r.op == Ops.Rollback))
+    assert(insertsOnly.count(_.op == Ops.Insert) === 2)
+  }
+
+  test("micro-batch stream consumes logs file-by-file with offsets") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("grlsrc").toFile
+    val expected = writeLogs(dir)
+    val q = spark.readStream.format("graft-redo")
+      .option("maxFilesPerTrigger", 1)
+      .load(dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("redo_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("redo_stream").as[RedoRecord]
+      .collect().sortBy(_.scn).toSeq
+    assert(got === expected)
+    assert(q.recentProgress.map(_.numInputRows).sum === expected.size)
+  }
+}
