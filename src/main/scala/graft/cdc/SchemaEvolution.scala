@@ -1,0 +1,172 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+
+/** DDL apply / schema evolution (SURVEY.md §2.2 T9).
+  *
+  * Re-expresses the reference's ALTER TABLE pre-processing and dictionary
+  * update (`utils/OraSqlUtils.java:47-50,143-228`; apply
+  * `OraCdcTableBase.processDdl:404-616`): supported operations are add /
+  * modify / drop / rename / set-unused column; each successful apply bumps
+  * the value-schema version (key schema stays v1 — ref
+  * `doc/LogMinerConnector.adoc:127-131`). Spark streaming can't swap a
+  * query's schema mid-flight, so the registry is the foreachBatch-side
+  * authority: a version bump signals restart-on-DDL (documented
+  * limitation, SURVEY §7.4-4).
+  */
+object SchemaEvolution {
+
+  sealed trait DdlOp
+  case class AddColumn(name: String, dataType: DataType, nullable: Boolean) extends DdlOp
+  case class ModifyColumn(name: String, dataType: DataType) extends DdlOp
+  case class DropColumn(name: String) extends DdlOp
+  case class RenameColumn(from: String, to: String) extends DdlOp
+  case class SetUnused(name: String) extends DdlOp
+
+  case class TableVersion(schema: StructType, version: Int)
+
+  /** Oracle type text → Spark type (subset of the §1.2 mapping). */
+  def oraType(t: String): DataType = {
+    val up = t.trim.toUpperCase
+    val numArgs = """\((\s*\d+\s*(,\s*-?\d+\s*)?)\)""".r
+    val args: Seq[Int] = numArgs.findFirstMatchIn(up)
+      .map(_.group(1).split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)
+    up.takeWhile(c => c != '(').trim match {
+      case "NUMBER" => args match {
+        case Seq(p, s) if s > 0 => DecimalType(p, s)
+        case Seq(p) if p < 3 => ByteType
+        case Seq(p) if p < 5 => ShortType
+        case Seq(p) if p < 10 => IntegerType
+        case Seq(p) if p < 19 => LongType
+        case Seq(p) => DecimalType(p, 0)
+        case _ => DoubleType // scale-less NUMBER
+      }
+      case "BINARY_FLOAT" => FloatType
+      case "BINARY_DOUBLE" => DoubleType
+      case "DATE" | "TIMESTAMP" => TimestampNTZType
+      case "VARCHAR2" | "NVARCHAR2" | "CHAR" | "NCHAR" | "CLOB" | "NCLOB" |
+           "LONG" | "XMLTYPE" | "JSON" => StringType
+      case "RAW" | "BLOB" => BinaryType
+      case "BOOLEAN" => BooleanType
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+  }
+
+  /** Pre-process one ALTER TABLE into its column operations (the
+    * reference's alterTablePreProcessor analogue). Handles single and
+    * parenthesized multi-column forms.
+    */
+  def parseAlter(ddl: String): Seq[DdlOp] = {
+    val s = ddl.trim.stripSuffix(";").replaceAll("\\s+", " ")
+    val lower = s.toLowerCase
+    require(lower.startsWith("alter table "), s"not an ALTER TABLE: ${s.take(30)}")
+    val rest = s.substring("alter table ".length)
+    // skip the table name (quoted or bare, possibly owner-qualified)
+    val afterName = rest.replaceFirst("^\\S+ ", "")
+    val verb = afterName.toLowerCase
+
+    def splitCols(body: String): Seq[String] = {
+      // split a parenthesized list on top-level commas
+      val out = collection.mutable.ArrayBuffer[String]()
+      var depth = 0
+      val cur = new StringBuilder
+      body.foreach {
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+        case c => cur += c
+      }
+      if (cur.nonEmpty) out += cur.result().trim
+      out.toSeq
+    }
+    def colDef(d: String, withNull: Boolean): (String, DataType, Boolean) = {
+      val parts = d.trim.split(" ", 2)
+      require(parts.length == 2, s"bad column definition: $d")
+      val nullable = !parts(1).toLowerCase.contains("not null")
+      (clean(parts(0)), oraType(parts(1).replaceAll("(?i)(not )?null", "")),
+        if (withNull) nullable else true)
+    }
+    def clean(id: String): String = id.stripPrefix("\"").stripSuffix("\"")
+
+    def body(prefix: String): String = {
+      val b = afterName.substring(prefix.length).trim
+      if (b.startsWith("(")) b.stripPrefix("(").stripSuffix(")") else b
+    }
+
+    if (verb.startsWith("add ")) {
+      splitCols(body("add ")).map { d =>
+        val (n, t, nu) = colDef(d, withNull = true); AddColumn(n, t, nu)
+      }
+    } else if (verb.startsWith("modify ")) {
+      splitCols(body("modify ")).map { d =>
+        val (n, t, _) = colDef(d, withNull = false); ModifyColumn(n, t)
+      }
+    } else if (verb.startsWith("drop column ")) {
+      Seq(DropColumn(clean(body("drop column "))))
+    } else if (verb.startsWith("drop (")) {
+      splitCols(body("drop ")).map(c => DropColumn(clean(c)))
+    } else if (verb.startsWith("rename column ")) {
+      val b = body("rename column ")
+      val m = "(?i)^(\\S+) to (\\S+)$".r.findFirstMatchIn(b)
+        .getOrElse(throw new IllegalArgumentException(s"bad rename: $b"))
+      Seq(RenameColumn(clean(m.group(1)), clean(m.group(2))))
+    } else if (verb.startsWith("set unused column ")) {
+      Seq(SetUnused(clean(body("set unused column "))))
+    } else if (verb.startsWith("set unused (")) {
+      splitCols(body("set unused ")).map(c => SetUnused(clean(c)))
+    } else throw new IllegalArgumentException(s"unsupported DDL verb: $verb")
+  }
+
+  /** Apply one DDL statement; bumps version iff the schema changed.
+    * Unknown columns in drop/set-unused are ignored (the reference guards
+    * re-applied DDL on restart the same way); rename/modify of a missing
+    * column is an error.
+    */
+  def applyDdl(tv: TableVersion, ddl: String): TableVersion = {
+    var fields = tv.schema.fields.toVector
+    parseAlter(ddl).foreach {
+      case AddColumn(n, t, nu) =>
+        require(!fields.exists(_.name.equalsIgnoreCase(n)), s"duplicate column $n")
+        fields = fields :+ StructField(n, t, nu)
+      case ModifyColumn(n, t) =>
+        val i = indexOf(fields, n)
+        fields = fields.updated(i, fields(i).copy(dataType = t))
+      case DropColumn(n) =>
+        fields = fields.filterNot(_.name.equalsIgnoreCase(n))
+      case SetUnused(n) => // semantically a drop from the capture's view
+        fields = fields.filterNot(_.name.equalsIgnoreCase(n))
+      case RenameColumn(from, to) =>
+        val i = indexOf(fields, from)
+        fields = fields.updated(i, fields(i).copy(name = to))
+    }
+    val next = StructType(fields)
+    if (next == tv.schema) tv else TableVersion(next, tv.version + 1)
+  }
+
+  private def indexOf(fields: Vector[StructField], n: String): Int = {
+    val i = fields.indexWhere(_.name.equalsIgnoreCase(n))
+    require(i >= 0, s"no such column $n")
+    i
+  }
+}
+
+/** Per-table schema registry driven by DDL records in the change stream —
+  * the foreachBatch-side authority for value-schema versions.
+  */
+class SchemaRegistry {
+  private val tables = collection.mutable.Map[String, SchemaEvolution.TableVersion]()
+
+  def register(table: String, schema: StructType): Unit =
+    tables(table) = SchemaEvolution.TableVersion(schema, 1)
+
+  def get(table: String): Option[SchemaEvolution.TableVersion] = tables.get(table)
+
+  /** Returns the new version; bumps only on effective change. */
+  def applyDdl(table: String, ddl: String): Int = {
+    val cur = tables.getOrElse(table,
+      throw new NoSuchElementException(s"unknown table $table"))
+    val next = SchemaEvolution.applyDdl(cur, ddl)
+    tables(table) = next
+    next.version
+  }
+}

@@ -1,0 +1,78 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.SchemaEvolution._
+
+class SchemaEvolutionSpec extends AnyFunSuite {
+
+  private val base = TableVersion(StructType(Seq(
+    StructField("ID", LongType, nullable = false),
+    StructField("NAME", StringType),
+    StructField("AMT", DecimalType(12, 2)))), 1)
+
+  test("oracle type mapping follows the NUMBER precision split") {
+    assert(oraType("NUMBER(2)") === ByteType)
+    assert(oraType("NUMBER(4)") === ShortType)
+    assert(oraType("NUMBER(9)") === IntegerType)
+    assert(oraType("NUMBER(18)") === LongType)
+    assert(oraType("NUMBER(25)") === DecimalType(25, 0))
+    assert(oraType("NUMBER(12,2)") === DecimalType(12, 2))
+    assert(oraType("NUMBER") === DoubleType)
+    assert(oraType("VARCHAR2(100)") === StringType)
+    assert(oraType("TIMESTAMP(6)") === TimestampNTZType)
+    assert(oraType("RAW(2000)") === BinaryType)
+    assert(oraType("BINARY_DOUBLE") === DoubleType)
+  }
+
+  test("add single and multi column bump the version") {
+    val v2 = applyDdl(base, """ALTER TABLE S.T ADD C1 NUMBER(9) NOT NULL""")
+    assert(v2.version === 2)
+    assert(v2.schema.fields.last === StructField("C1", IntegerType, nullable = false))
+    val v3 = applyDdl(v2, """alter table S.T add (C2 varchar2(10), C3 date)""")
+    assert(v3.version === 3)
+    assert(v3.schema.fieldNames.takeRight(2) === Array("C2", "C3"))
+  }
+
+  test("modify, rename, drop, set unused") {
+    val m = applyDdl(base, "ALTER TABLE S.T MODIFY NAME VARCHAR2(200)")
+    assert(m.version === 1) // length change maps to the same Spark type → no bump
+    val m2 = applyDdl(base, "ALTER TABLE S.T MODIFY AMT NUMBER(18)")
+    assert(m2.version === 2 && m2.schema("AMT").dataType === LongType)
+    val r = applyDdl(base, """ALTER TABLE S.T RENAME COLUMN NAME TO FULL_NAME""")
+    assert(r.version === 2 && r.schema.fieldNames.toSeq === Seq("ID", "FULL_NAME", "AMT"))
+    val d = applyDdl(base, "ALTER TABLE S.T DROP COLUMN AMT")
+    assert(d.version === 2 && d.schema.fieldNames.toSeq === Seq("ID", "NAME"))
+    val d2 = applyDdl(base, "ALTER TABLE S.T DROP (NAME, AMT)")
+    assert(d2.schema.fieldNames.toSeq === Seq("ID"))
+    val u = applyDdl(base, "ALTER TABLE S.T SET UNUSED COLUMN NAME")
+    assert(u.schema.fieldNames.toSeq === Seq("ID", "AMT"))
+  }
+
+  test("idempotent-safe guards") {
+    // dropping a column that's already gone: no bump, no error (restart replay)
+    val d = applyDdl(base, "ALTER TABLE S.T DROP COLUMN NOPE")
+    assert(d.version === 1)
+    intercept[IllegalArgumentException] {
+      applyDdl(base, "ALTER TABLE S.T RENAME COLUMN NOPE TO X")
+    }
+    intercept[IllegalArgumentException] {
+      applyDdl(base, "ALTER TABLE S.T ADD ID NUMBER(9)")
+    }
+  }
+
+  test("registry tracks per-table versions") {
+    val reg = new SchemaRegistry
+    reg.register("S.T", base.schema)
+    assert(reg.applyDdl("S.T", "ALTER TABLE S.T ADD C9 NUMBER(4)") === 2)
+    assert(reg.applyDdl("S.T", "ALTER TABLE S.T DROP COLUMN C9") === 3)
+    assert(reg.get("S.T").get.version === 3)
+    intercept[NoSuchElementException] { reg.applyDdl("S.X", "ALTER TABLE S.X ADD A DATE") }
+  }
+
+  test("modify without effective change does not bump") {
+    val m = applyDdl(base, "ALTER TABLE S.T MODIFY NAME VARCHAR2(4000)")
+    assert(m.version === 1)
+  }
+}
