@@ -180,6 +180,154 @@ object OracleFunctions {
     override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
   }
 
+  // ---- BINARY_FLOAT / BINARY_DOUBLE (F2) ----
+
+  case class OraBinaryDoubleEncode(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(DoubleType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraBinaryFp.encodeDouble(v.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, d => s"graft.codec.OraBinaryFp.encodeDouble($d)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class OraBinaryDoubleDecode(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraBinaryFp.decodeDouble(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.codec.OraBinaryFp.decodeDouble($b)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class OraBinaryFloatEncode(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(FloatType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraBinaryFp.encodeFloat(v.asInstanceOf[Float])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, f => s"graft.codec.OraBinaryFp.encodeFloat($f)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class OraBinaryFloatDecode(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = FloatType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraBinaryFp.decodeFloat(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.codec.OraBinaryFp.decodeFloat($b)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  // ---- VECTOR (F10) ----
+
+  case class OraVectorEncodeFloats(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(FloatType))
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      CodecBridge.vectorEncodeFloats(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.CodecBridge.vectorEncodeFloats($a)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class OraVectorDecodeFloats(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      CodecBridge.vectorDecodeFloats(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.functions.CodecBridge.vectorDecodeFloats($b)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  // ---- LOB locator (F12) ----
+
+  case class LobLocatorInline(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      CodecBridge.lobInline(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.functions.CodecBridge.lobInline($b)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class LobLocatorOutOfRow(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(LongType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      CodecBridge.lobOutOfRow(v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, id => s"graft.functions.CodecBridge.lobOutOfRow($id)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class LobLocatorIsInline(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = BooleanType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.LobLocator.isInline(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.codec.LobLocator.isInline($b)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class LobLocatorInlineData(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true // out-of-row locator → null
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.LobLocator.inlineData(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b =>
+        s"""${ev.value} = graft.codec.LobLocator.inlineData($b);
+           |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class LobLocatorId(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true // inline locator → null id
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val id = graft.codec.LobLocator.lobId(v.asInstanceOf[Array[Byte]])
+      if (id == null) null else id.longValue()
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b =>
+        s"""java.lang.Long gLobId = graft.codec.LobLocator.lobId($b);
+           |if (gLobId == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = gLobId.longValue(); }""".stripMargin)
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
   // ---- Column API ----
 
   def oranumber_to_decimal(col: Column, precision: Int, scale: Int): Column =
@@ -198,6 +346,17 @@ object OracleFunctions {
   def orarowid_rowno(col: Column): Column = c(OraRowIdPart(e(col), 3))
   def orainterval_ym_months(col: Column): Column = c(OraIntervalYMToMonths(e(col)))
   def orainterval_ds_micros(col: Column): Column = c(OraIntervalDSToMicros(e(col)))
+  def orabinarydouble_encode(col: Column): Column = c(OraBinaryDoubleEncode(e(col)))
+  def orabinarydouble_decode(col: Column): Column = c(OraBinaryDoubleDecode(e(col)))
+  def orabinaryfloat_encode(col: Column): Column = c(OraBinaryFloatEncode(e(col)))
+  def orabinaryfloat_decode(col: Column): Column = c(OraBinaryFloatDecode(e(col)))
+  def oravector_encode(col: Column): Column = c(OraVectorEncodeFloats(e(col)))
+  def oravector_decode(col: Column): Column = c(OraVectorDecodeFloats(e(col)))
+  def lob_inline(col: Column): Column = c(LobLocatorInline(e(col)))
+  def lob_out_of_row(col: Column): Column = c(LobLocatorOutOfRow(e(col)))
+  def lob_is_inline(col: Column): Column = c(LobLocatorIsInline(e(col)))
+  def lob_inline_data(col: Column): Column = c(LobLocatorInlineData(e(col)))
+  def lob_id(col: Column): Column = c(LobLocatorId(e(col)))
 
   /** SQL registration so the codecs are usable from spark.sql(...). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

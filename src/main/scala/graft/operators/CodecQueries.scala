@@ -54,6 +54,37 @@ object CodecQueries {
           orarowid_blockno(col("rid")).as("blk_rt"),
           orarowid_rowno(col("rid")).as("row_rt"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    // F2: BINARY_DOUBLE ⇄ double roundtrip (sign-bit-flip IEEE form)
+    "f2_binary_double" -> ((s, dir) => {
+      lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          orabinarydouble_decode(orabinarydouble_encode(col("l_extendedprice")))
+            .as("price_rt"),
+          orabinaryfloat_decode(orabinaryfloat_encode(
+            col("l_discount").cast("float"))).as("disc_rt"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    // F10: VECTOR wire format ⇄ array<float> roundtrip over embeddings
+    "f10_vector_roundtrip" -> ((s, dir) => {
+      embeddings(s, dir)
+        .select(col("vec_id"),
+          oravector_decode(oravector_encode(col("embedding"))).as("emb_rt"),
+          length(oravector_encode(col("embedding"))).as("wire_len"))
+        .orderBy(col("vec_id"))
+    }),
+    // F12: LOB locator — inline payload round-trips; every 10th doc is
+    // out-of-row (locator carries only the LobId, data resolves to NULL
+    // until the T8 assembler supplies it)
+    "f12_lob_locator" -> ((s, dir) => {
+      val d = documents(s, dir).withColumn("loc",
+        when(col("doc_id") % 10 === 0, lob_out_of_row(col("doc_id")))
+          .otherwise(lob_inline(to_binary(col("text"), lit("utf-8")))))
+      d.select(col("doc_id"),
+          lob_is_inline(col("loc")).as("is_inline"),
+          lob_inline_data(col("loc")).cast("string").as("text_rt"),
+          lob_id(col("loc")).as("lob_id"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -73,6 +104,21 @@ object CodecQueries {
         |       CAST(l_linenumber AS BIGINT) AS fno_rt,
         |       l_suppkey AS blk_rt,
         |       l_orderkey % 1024 AS row_rt
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f2_binary_double" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice AS price_rt,
+        |       CAST(l_discount AS FLOAT) AS disc_rt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f10_vector_roundtrip" ->
+      """SELECT vec_id, embedding AS emb_rt,
+        |       6 + 4 * len(embedding) AS wire_len
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "f12_lob_locator" ->
+      """SELECT doc_id,
+        |       doc_id % 10 <> 0 AS is_inline,
+        |       CASE WHEN doc_id % 10 = 0 THEN NULL ELSE text END AS text_rt,
+        |       CASE WHEN doc_id % 10 = 0 THEN doc_id ELSE NULL END AS lob_id
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
