@@ -19,6 +19,8 @@ object Ops {
   val MultiInsert = 11
   /** multi-row delete (redo 11.12 QMD analogue) */
   val MultiDelete = 12
+  /** LOB chunk write (redo 26.x analogue); `after` carries lobId/seq/data */
+  val LobChunk = 26
   val Rollback = 36
 
   def name(op: Int): String = op match {
@@ -29,6 +31,7 @@ object Ops {
     case Commit => "COMMIT"
     case MultiInsert => "MULTI_INSERT"
     case MultiDelete => "MULTI_DELETE"
+    case LobChunk => "LOB_CHUNK"
     case Rollback => "ROLLBACK"
     case _ => s"OP_$op"
   }

@@ -7,7 +7,7 @@ import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.orders
+import graft.Tables.{documents, orders}
 import graft.cdc.RedoRecord
 import graft.logminer.SqlRedoParser
 import graft.redo.RedoLogWriter
@@ -25,13 +25,14 @@ import graft.streaming.ChangeStreams
   */
 object SourceQueries {
 
-  /** Serialize the sf-dir's deterministic change stream as GRL logs. */
-  private def writeRedoLogs(s: SparkSession, dir: String, nThreads: Int): String = {
+  /** Serialize a change stream as GRL logs, one per partition. */
+  private def writeRedoLogs(records: org.apache.spark.sql.Dataset[RedoRecord],
+      nThreads: Int): String = {
     val out = new File(Files.createTempDirectory("graft_redo_gate").toFile,
       "logs")
     out.mkdirs()
     val path = out.getAbsolutePath
-    CdcQueries.redoRecords(s, dir)
+    records
       .repartition(nThreads, col("xid"))
       .foreachPartition { (it: Iterator[RedoRecord]) =>
         val pid = TaskContext.getPartitionId()
@@ -45,13 +46,46 @@ object SourceQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_redo_source_assembly" -> ((s, dir) => {
       import s.implicits._
-      val logDir = writeRedoLogs(s, dir, nThreads = 8)
+      val logDir = writeRedoLogs(CdcQueries.redoRecords(s, dir), nThreads = 8)
       val records = s.read.format("graft-redo").load(logDir).as[RedoRecord]
       ChangeStreams.assembleBatch(records)
         .select(col("xid"), col("commitScn").as("commit_scn"), col("scn"),
           col("op"), col("rowId").as("row_id"),
           element_at(col("after"), "value").cast("double").as("val"))
         .orderBy(col("scn"))
+    }),
+
+    // T8: out-of-row LOB chunk assembly through the full binary path —
+    // every document body is split into ~3 LOB chunk records plus an
+    // INSERT whose column holds only the locator marker; after GRL
+    // write → source scan → assembly, the reconstructed body must equal
+    // the original text.
+    "t8_lob_chunk_assembly" -> ((s, dir) => {
+      import s.implicits._
+      val records = documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val xid = s"d$id"
+          val chunkLen = math.max(1, (text.length + 2) / 3)
+          val chunks = if (text.isEmpty) Seq("") else text.grouped(chunkLen).toSeq
+          chunks.zipWithIndex.map { case (c, i) =>
+            RedoRecord(id * 10 + i, i, xid, graft.cdc.Ops.LobChunk, "G.DOCS",
+              "", rollback = false, 0L, Map.empty,
+              Map("lobId" -> id.toString, "seq" -> i.toString, "data" -> c))
+          } ++ Seq(
+            RedoRecord(id * 10 + 8, 0, xid, graft.cdc.Ops.Insert, "G.DOCS",
+              id.toString, rollback = false, 0L, Map.empty,
+              Map("doc_id" -> id.toString,
+                "body" -> (graft.cdc.TransactionAssembler.LobRef + id))),
+            RedoRecord(id * 10 + 9, 0, xid, graft.cdc.Ops.Commit, "", "",
+              rollback = false, 0L, Map.empty, Map.empty))
+        }
+      val logDir = writeRedoLogs(records, nThreads = 8)
+      val back = s.read.format("graft-redo").load(logDir).as[RedoRecord]
+      ChangeStreams.assembleBatch(back)
+        .select(element_at(col("after"), "doc_id").cast("long").as("doc_id"),
+          element_at(col("after"), "body").as("body"))
+        .orderBy(col("doc_id"))
     }),
 
     // S4: LogMiner SQL_REDO text parse — redo SQL is SYNTHESIZED from
@@ -106,6 +140,8 @@ object SourceQueries {
     */
   def oracleSql: Map[String, String] = Map(
     "s1_redo_source_assembly" -> CdcQueries.oracleSql("t1_txn_assembly"),
+    "t8_lob_chunk_assembly" ->
+      "SELECT doc_id, text AS body FROM documents ORDER BY doc_id",
     "s4_sqlredo_parse" ->
       """SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1
         |            WHEN o_orderkey % 3 = 1 THEN 3 ELSE 2 END AS op,

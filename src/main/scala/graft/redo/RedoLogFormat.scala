@@ -46,6 +46,7 @@ object RedoLogFormat {
   // reference's layer 5 / layer 11 families)
   val LayerTxn: Int = 5
   val LayerRow: Int = 11
+  val LayerLob: Int = 26
   val OpUndo: Int = 1      // 5.1: before-image
   val OpCommitCtl: Int = 4 // 5.4: commit (flag bit1=0) / rollback (bit1=1)
   val OpInsert: Int = 2    // 11.2 IRP
@@ -53,6 +54,7 @@ object RedoLogFormat {
   val OpUpdate: Int = 5    // 11.5 URP
   val OpMultiInsert: Int = 11 // 11.11 QMI
   val OpMultiDelete: Int = 12 // 11.12 QMD
+  val OpLobWrite: Int = 1     // 26.1 LOB chunk
   val FlagRollback: Int = 0x01
   val FlagTxnRollback: Int = 0x02
 
@@ -145,6 +147,8 @@ class RedoLogWriter(file: File, blockSize: Int = 1024, seq: Int = 1,
         Seq(vector(LayerRow, OpMultiInsert, rollbackFlag, r.multiRows))
       case Ops.MultiDelete =>
         Seq(vector(LayerRow, OpMultiDelete, rollbackFlag, r.multiRows))
+      case Ops.LobChunk =>
+        Seq(vector(LayerLob, OpLobWrite, rollbackFlag, Seq(r.after)))
       case Ops.Commit =>
         Seq(vector(LayerTxn, OpCommitCtl, 0, Nil))
       case Ops.Rollback =>
@@ -352,6 +356,8 @@ object RedoLogReader {
               op = Ops.MultiInsert; multi = rows
             case (LayerRow, OpMultiDelete) =>
               op = Ops.MultiDelete; multi = rows
+            case (LayerLob, OpLobWrite) =>
+              op = Ops.LobChunk; after = rows.headOption.getOrElse(Map.empty)
             case other =>
               throw new java.io.IOException(s"unknown change vector $other")
           }

@@ -1,0 +1,79 @@
+package graft.sinks
+
+/** Topic / table name mapping + identifier sanitation (SURVEY.md §2.5 K1,
+  * K5; §2.3 P8).
+  *
+  * Re-expresses the reference's three topic mappers
+  * (`KafkaDefaultTopicNameMapper.java:43`, `KafkaSingleTopicNameMapper
+  * .java:35`, `KafkaFlexibleTopicNameMapper.java:40`), the RAC
+  * partition rule (partition = THREAD#−1, `doc/parameters.adoc:77-81`),
+  * the sink-side table-name mappers (`DefaultTableNameMapper.java:86`,
+  * `NameFromSchemaTableNameMapper.java:105`), and Avro-legal name fixing
+  * (`OraCdcColumn.java:153-167`; `utils/KafkaUtils.java:36`).
+  */
+object NameMappers {
+
+  /** P8: sanitize to an Avro/Protobuf-legal identifier — first char
+    * [A-Za-z_] (else a '_' is prepended), the rest [A-Za-z0-9_] with
+    * every illegal char replaced by '_'.
+    */
+  def sanitize(name: String): String = {
+    require(name.nonEmpty, "empty identifier")
+    val sb = new StringBuilder(name.length + 1)
+    val c0 = name.charAt(0)
+    if (!(c0.isLetter && c0 < 128) && c0 != '_') sb += '_'
+    name.foreach { c =>
+      if ((c.isLetterOrDigit && c < 128) || c == '_') sb += c else sb += '_'
+    }
+    sb.result()
+  }
+
+  /** K1 default mapper: [prefix ⧺ delimiter] ⧺ sanitize(owner_table).
+    * `table` is the dotted "OWNER.TABLE" (or "PDB.OWNER.TABLE") form.
+    */
+  def defaultTopic(table: String, prefix: String = "",
+      delimiter: String = "_"): String = {
+    val base = table.split("\\.").map(sanitize).mkString(delimiter)
+    if (prefix.isEmpty) base else s"${sanitize(prefix)}$delimiter$base"
+  }
+
+  /** K1 single-topic mapper: everything to one topic. */
+  def singleTopic(topic: String): String = topic
+
+  /** K1 flexible mapper: explicit topic → table-pattern list (with
+    * `%`/`*` wildcards); first match wins, else the default mapping.
+    */
+  def flexibleTopic(mapping: Seq[(String, Seq[String])],
+      table: String, prefix: String = "", delimiter: String = "_"): String =
+    mapping.collectFirst {
+      case (topic, patterns) if patterns.exists(matches(_, table)) => topic
+    }.getOrElse(defaultTopic(table, prefix, delimiter))
+
+  /** RAC: Kafka partition = redo THREAD# − 1. */
+  def racPartition(thread: Int): Int = {
+    require(thread >= 1, s"redo threads are 1-based, got $thread")
+    thread - 1
+  }
+
+  /** K5 default sink mapper: topic → table by stripping the prefix. */
+  def tableFromTopic(topic: String, prefix: String = ""): String =
+    if (prefix.nonEmpty && topic.startsWith(prefix))
+      topic.substring(prefix.length).dropWhile(c => c == '_' || c == '.')
+    else topic
+
+  /** K5 from-schema mapper: last dotted component of the value-schema
+    * name ("com.example.SCOTT.DEPT" → "DEPT").
+    */
+  def tableFromSchemaName(schemaName: String): String =
+    schemaName.substring(schemaName.lastIndexOf('.') + 1)
+
+  private def matches(pattern: String, table: String): Boolean = {
+    val sb = new StringBuilder("(?i)^")
+    pattern.foreach {
+      case '%' | '*' => sb.append(".*")
+      case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    sb.append("$")
+    sb.result().r.findFirstIn(table).isDefined
+  }
+}

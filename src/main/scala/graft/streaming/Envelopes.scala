@@ -49,6 +49,19 @@ object Envelopes {
       opName(col("op")).as("operation"))
   }
 
+  /** Wrapped-schema envelope (SURVEY §1.2 regime 3; reference
+    * `KafkaWrappedSchemas.java:60-94`): every present column is wrapped in
+    * a single-field struct V, so "column absent from redo" (no map entry)
+    * stays distinguishable from "column is NULL" (entry with V = null) —
+    * the contract partial-update sinks (K4) rely on.
+    */
+  def wrapped(changes: Dataset[EmittedChange]): DataFrame =
+    changes.select(
+      col("table"), col("xid"), col("scn"), col("commitScn").as("commit_scn"),
+      opLetter(col("op")).as("op"),
+      transform_values(col("before"), (_, v) => struct(v.as("V"))).as("before_w"),
+      transform_values(col("after"), (_, v) => struct(v.as("V"))).as("after_w"))
+
   /** Pseudo-columns (P7): audit/meta fields appended to the value image. */
   def withPseudoColumns(changes: Dataset[EmittedChange]): DataFrame =
     changes.select(
