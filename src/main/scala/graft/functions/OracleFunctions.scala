@@ -180,6 +180,30 @@ object OracleFunctions {
     override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
   }
 
+  case class OraIntervalYMFromMonths(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(IntegerType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraInterval.encodeYM(v.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, m => s"graft.codec.OraInterval.encodeYM($m)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class OraIntervalDSFromMicros(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(LongType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraInterval.encodeDS(v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, u => s"graft.codec.OraInterval.encodeDS($u)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
   // ---- BINARY_FLOAT / BINARY_DOUBLE (F2) ----
 
   case class OraBinaryDoubleEncode(child: Expression)
@@ -346,6 +370,8 @@ object OracleFunctions {
   def orarowid_rowno(col: Column): Column = c(OraRowIdPart(e(col), 3))
   def orainterval_ym_months(col: Column): Column = c(OraIntervalYMToMonths(e(col)))
   def orainterval_ds_micros(col: Column): Column = c(OraIntervalDSToMicros(e(col)))
+  def orainterval_from_months(col: Column): Column = c(OraIntervalYMFromMonths(e(col)))
+  def orainterval_from_micros(col: Column): Column = c(OraIntervalDSFromMicros(e(col)))
   def orabinarydouble_encode(col: Column): Column = c(OraBinaryDoubleEncode(e(col)))
   def orabinarydouble_decode(col: Column): Column = c(OraBinaryDoubleDecode(e(col)))
   def orabinaryfloat_encode(col: Column): Column = c(OraBinaryFloatEncode(e(col)))

@@ -49,6 +49,57 @@ object Transforms {
     if (cleaned.isEmpty || cleaned.head.isDigit) "_" + cleaned else cleaned
   }
 
+  private def fieldMatcher(patterns: Seq[String]): String => Boolean = {
+    val regexes = patterns.map { p =>
+      val sb = new StringBuilder("(?i)^")
+      p.foreach {
+        case '%' | '*' => sb.append(".*")
+        case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+      }
+      sb.append("$").result().r
+    }
+    n => regexes.exists(_.findFirstIn(n).isDefined)
+  }
+
+  /** M1 `OraNumberConverter`: every BinaryType column whose name matches
+    * one of the `%`-patterns is decoded from Oracle NUMBER bytes to the
+    * target type ("decimal(p,s)" / "long" / "double") — the
+    * field-pattern SMT (`kafka/transforms/OraNumberConverter.java:72-495`)
+    * as a schema projection.
+    */
+  def convertOraNumberFields(df: DataFrame, patterns: Seq[String],
+      target: String): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    val m = fieldMatcher(patterns)
+    val dec = """decimal\((\d+),(\d+)\)""".r
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType == BinaryType && m(f.name)) (target.toLowerCase match {
+        case dec(p, s) => OracleFunctions.oranumber_to_decimal(col(f.name), p.toInt, s.toInt)
+        case "long" => OracleFunctions.oranumber_to_long(col(f.name))
+        case "double" => OracleFunctions.oranumber_to_double(col(f.name))
+        case other => throw new IllegalArgumentException(s"bad target $other")
+      }).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+  }
+
+  /** M2 `OraIntervalConverter`: matching BinaryType columns decode from
+    * Oracle INTERVAL bytes — "ym" → months (int), "ds" → micros (long).
+    */
+  def convertOraIntervalFields(df: DataFrame, patterns: Seq[String],
+      kind: String): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    val m = fieldMatcher(patterns)
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType == BinaryType && m(f.name)) (kind.toLowerCase match {
+        case "ym" => OracleFunctions.orainterval_ym_months(col(f.name))
+        case "ds" => OracleFunctions.orainterval_ds_micros(col(f.name))
+        case other => throw new IllegalArgumentException(s"bad kind $other")
+      }).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+  }
+
   /** K1 topic-name mappers (reference: Kafka{Default,Single,Flexible}
     * TopicNameMapper) as column expressions for `writeStream.format
     * ("kafka")`'s `topic` column.

@@ -73,6 +73,26 @@ object CodecQueries {
           length(oravector_encode(col("embedding"))).as("wire_len"))
         .orderBy(col("vec_id"))
     }),
+    // M1+M2: pattern-based SMT field converters — NUMBER / INTERVAL
+    // byte columns matching %-patterns decode to typed columns, other
+    // columns pass through untouched.
+    "m1_m2_field_convert" -> ((s, dir) => {
+      val encoded = lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        oranumber_from_decimal(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .as("num_price"),
+        orainterval_from_micros((col("l_quantity") * 60000000L).cast("long"))
+          .as("iv_ship"),
+        orainterval_from_months((col("l_linenumber") * 7).cast("int"))
+          .as("iv_age_ym"))
+      val converted = graft.functions.Transforms.convertOraIntervalFields(
+        graft.functions.Transforms.convertOraIntervalFields(
+          graft.functions.Transforms.convertOraNumberFields(
+            encoded, Seq("num_%"), "decimal(18,2)"),
+          Seq("%_ym"), "ym"),
+        Seq("iv_ship"), "ds")
+      converted.orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     // F12: LOB locator — inline payload round-trips; every 10th doc is
     // out-of-row (locator carries only the LobId, data resolves to NULL
     // until the T8 assembler supplies it)
@@ -114,6 +134,12 @@ object CodecQueries {
       """SELECT vec_id, embedding AS emb_rt,
         |       6 + 4 * len(embedding) AS wire_len
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "m1_m2_field_convert" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_extendedprice AS DECIMAL(18,2)) AS num_price,
+        |       CAST(l_quantity * 60000000 AS BIGINT) AS iv_ship,
+        |       CAST(l_linenumber * 7 AS INT) AS iv_age_ym
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "f12_lob_locator" ->
       """SELECT doc_id,
         |       doc_id % 10 <> 0 AS is_inline,
