@@ -15,10 +15,15 @@ import graft.functions.OracleFunctions._
   */
 object CodecQueries {
 
+  // codec gates are map-only per-row decode work — normalize input
+  // parallelism so the decode runs on every core, not one row group
+  private def li(s: SparkSession, d: String) = tablePar(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = tablePar(s, d, "orders")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1: NUMBER ⇄ DECIMAL roundtrip over every distinct price in lineitem
     "f1_oranumber_decimal" -> ((s, dir) => {
-      lineitem(s, dir)
+      li(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice").cast(DecimalType(18, 2)).as("p"))
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -27,21 +32,21 @@ object CodecQueries {
     }),
     // F1: NUMBER ⇄ BIGINT roundtrip (integral path, codegen'd static calls)
     "f1_oranumber_long" -> ((s, dir) => {
-      orders(s, dir)
+      ord(s, dir)
         .select(col("o_orderkey"),
           oranumber_to_long(oranumber_from_long(col("o_custkey"))).as("custkey_rt"))
         .orderBy(col("o_orderkey"))
     }),
     // F3: 11-byte Oracle TIMESTAMP ⇄ TimestampType roundtrip
     "f3_oradate_timestamp" -> ((s, dir) => {
-      orders(s, dir)
+      ord(s, dir)
         .select(col("o_orderkey"),
           oradate_to_timestamp(oratimestamp_from_micros(col("o_orderdate"))).as("odate_rt"))
         .orderBy(col("o_orderkey"))
     }),
     // F7: ROWID 18-char form built from row coordinates, then split back
     "f7_rowid" -> ((s, dir) => {
-      val r = lineitem(s, dir).select(
+      val r = li(s, dir).select(
         col("l_orderkey"), col("l_linenumber"),
         orarowid(col("l_partkey"),
           col("l_linenumber").cast(IntegerType),
@@ -57,7 +62,7 @@ object CodecQueries {
     }),
     // F2: BINARY_DOUBLE ⇄ double roundtrip (sign-bit-flip IEEE form)
     "f2_binary_double" -> ((s, dir) => {
-      lineitem(s, dir)
+      li(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
           orabinarydouble_decode(orabinarydouble_encode(col("l_extendedprice")))
             .as("price_rt"),
@@ -77,7 +82,7 @@ object CodecQueries {
     // byte columns matching %-patterns decode to typed columns, other
     // columns pass through untouched.
     "m1_m2_field_convert" -> ((s, dir) => {
-      val encoded = lineitem(s, dir).select(
+      val encoded = li(s, dir).select(
         col("l_orderkey"), col("l_linenumber"),
         oranumber_from_decimal(col("l_extendedprice").cast(DecimalType(18, 2)))
           .as("num_price"),

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.Files
+import java.sql.DriverManager
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{Ops, RedoRecord}
+import graft.redo.RedoLogWriter
+import graft.sinks.{DerbyDialect, JdbcUpsertSink}
+
+/** The reference's whole pipeline, Spark-first: binary redo logs →
+  * `graft-redo` micro-batch source → flatMapGroupsWithState transaction
+  * assembly (RocksDB state store, T10) → foreachBatch JDBC upsert sink
+  * (K2) into Derby. Transactions deliberately SPAN micro-batches (one log
+  * file per trigger) so commit resolution must come from streaming state,
+  * not from within a batch.
+  */
+class EndToEndPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", false)
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    .appName("e2e-pipeline-spec").getOrCreate()
+
+  private def rr(scn: Long, xid: String, op: Int, rowId: String,
+      after: Map[String, String] = Map.empty): RedoRecord =
+    RedoRecord(scn, 0, xid, op, if (op == Ops.Commit || op == Ops.Rollback) ""
+      else "G.ACCTS", rowId, rollback = false, scn, Map.empty, after)
+
+  test("redo logs → streaming assembly → Derby upsert, txns span batches") {
+    val dir = Files.createTempDirectory("e2e_grl").toFile
+    // log 1: txA inserts k=1,k=2 (NO commit yet), txB inserts k=3 + commits
+    val f1 = Seq(
+      rr(1, "A", Ops.Insert, "r1", Map("k" -> "1", "v" -> "a1")),
+      rr(2, "B", Ops.Insert, "r3", Map("k" -> "3", "v" -> "b1")),
+      rr(3, "A", Ops.Insert, "r2", Map("k" -> "2", "v" -> "a2")),
+      rr(4, "B", Ops.Commit, ""))
+    // log 2: txA updates k=1 then commits; txC inserts k=4 then ROLLS BACK
+    val f2 = Seq(
+      rr(5, "A", Ops.Update, "r1", Map("k" -> "1", "v" -> "a1v2")),
+      rr(6, "C", Ops.Insert, "r4", Map("k" -> "4", "v" -> "c1")),
+      rr(7, "A", Ops.Commit, ""),
+      rr(8, "C", Ops.Rollback, ""))
+    Seq((1, f1), (2, f2)).foreach { case (seq, recs) =>
+      val w = new RedoLogWriter(new File(dir, s"log_$seq.grl"), 1024, seq = seq)
+      recs.foreach(w.append)
+      w.close()
+    }
+
+    val url = "jdbc:derby:memory:e2e;create=true"
+    DriverManager.getConnection(url).close() // materialize the db
+
+    import spark.implicits._
+    val records = spark.readStream.format("graft-redo")
+      .option("maxFilesPerTrigger", 1)
+      .load(dir.getAbsolutePath)
+      .as[RedoRecord]
+    val sink = JdbcUpsertSink(url, "ACCTS", keyCols = Seq("K"),
+      dialect = DerbyDialect, opCol = "op",
+      orderCols = Seq("commitScn", "scn"))
+    val q = ChangeStreams.assembleStream(records)
+      .toDF()
+      .select(element_at(col("after"), "k").cast("int").as("K"),
+        element_at(col("after"), "v").as("V"),
+        col("op"), col("commitScn"), col("scn"))
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("e2e_ckpt").toFile.getAbsolutePath)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.writeBatch(df)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val conn = DriverManager.getConnection(url)
+    val rs = conn.createStatement()
+      .executeQuery("SELECT K, V FROM ACCTS ORDER BY K")
+    val got = Iterator.continually(rs)
+      .takeWhile(_.next()).map(r => (r.getInt(1), r.getString(2))).toList
+    conn.close()
+
+    // txB committed (k=3); txA committed in batch 2 with the UPDATE
+    // applied AFTER the insert (k=1 → a1v2, k=2 → a2); txC rolled back.
+    assert(got === List((1, "a1v2"), (2, "a2"), (3, "b1")))
+  }
+}
