@@ -1,0 +1,175 @@
+package graft.sources
+
+import java.sql.{DriverManager, ResultSet}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-jdbc-poll` — SCN-windowed JDBC polling source (SURVEY.md §2.1
+  * S3, the LogMiner-shaped path).
+  *
+  * The reference's LogMiner worker mines `V$LOGMNR_CONTENTS` in SCN
+  * windows with the row filter pushed into the database
+  * (`OraDictSqlTexts.java:516-597`); restart coordinates are the last
+  * fully consumed SCN. Same shape here on any JDBC store: each
+  * micro-batch covers one window `(startWm, endWm]` of a monotonically
+  * increasing numeric watermark column (the SCN analogue), the window
+  * predicate executes IN the database (scan-level pushdown — Spark never
+  * sees out-of-window rows), the window splits into `numPartitions` value
+  * ranges read concurrently, and the committed offset is the window's
+  * upper bound.
+  *
+  * Options: `url`, `table` ("SCHEMA.TABLE"), `wmColumn` (numeric,
+  * monotonic), `numPartitions` (default 1), `startWm` (default 0),
+  * `fetchSize` (default 1000 — the reference's a2.fetch.size analogue).
+  * Schema comes from the S9 dictionary reader on first touch.
+  */
+class JdbcPollSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-jdbc-poll"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JdbcPollSource.schemaFor(options)
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new JdbcPollTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object JdbcPollSource {
+  def schemaFor(options: CaseInsensitiveStringMap): StructType = {
+    val url = require(options, "url")
+    val Array(schema, table) = require(options, "table").split("\\.", 2)
+    val conn = DriverManager.getConnection(url)
+    try DictionaryReader.readTable(conn, schema, table).valueSchema
+    finally conn.close()
+  }
+
+  private[sources] def require(o: CaseInsensitiveStringMap, k: String): String =
+    Option(o.get(k)).getOrElse(
+      throw new IllegalArgumentException(s"graft-jdbc-poll requires option '$k'"))
+
+  /** ResultSet column → Catalyst value (null-safe). */
+  private[sources] def readValue(rs: ResultSet, i: Int, dt: DataType): Any = {
+    val v: Any = dt match {
+      case ByteType => rs.getByte(i)
+      case ShortType => rs.getShort(i)
+      case IntegerType => rs.getInt(i)
+      case LongType => rs.getLong(i)
+      case FloatType => rs.getFloat(i)
+      case DoubleType => rs.getDouble(i)
+      case BooleanType => rs.getBoolean(i)
+      case StringType => UTF8String.fromString(rs.getString(i))
+      case _: DecimalType => org.apache.spark.sql.types.Decimal(rs.getBigDecimal(i))
+      case BinaryType => rs.getBytes(i)
+      case TimestampNTZType | TimestampType =>
+        val t = rs.getTimestamp(i)
+        if (t == null) null else t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+    if (rs.wasNull()) null else v
+  }
+}
+
+class JdbcPollTable(schema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-jdbc-poll(${options.get("table")})"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new util.HashMap[String, String](options)
+    merged.putAll(opts)
+    val all = new CaseInsensitiveStringMap(merged)
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def toMicroBatchStream(loc: String): MicroBatchStream =
+          new JdbcPollStream(schema, all)
+      }
+    }
+  }
+}
+
+case class WmOffset(wm: Long) extends Offset {
+  override def json(): String = s"""{"wm":$wm}"""
+}
+
+class JdbcPollStream(schema: StructType, options: CaseInsensitiveStringMap)
+    extends MicroBatchStream {
+  import JdbcPollSource.require
+
+  private val url = require(options, "url")
+  private val table = require(options, "table")
+  private val wmColumn = require(options, "wmColumn")
+  private val numPartitions = Option(options.get("numPartitions")).map(_.toInt).getOrElse(1)
+  private val startWm = Option(options.get("startWm")).map(_.toLong).getOrElse(0L)
+  private val fetchSize = Option(options.get("fetchSize")).map(_.toInt).getOrElse(1000)
+
+  override def initialOffset(): Offset = WmOffset(startWm)
+  override def latestOffset(): Offset = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT MAX($wmColumn) FROM $table")
+      rs.next()
+      val max = rs.getLong(1)
+      WmOffset(if (rs.wasNull()) startWm else math.max(max, startWm))
+    } finally conn.close()
+  }
+  override def deserializeOffset(json: String): Offset =
+    WmOffset("""-?\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(startWm))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WmOffset].wm
+    val e = end.asInstanceOf[WmOffset].wm
+    if (e <= s) Array.empty
+    else {
+      // split the (s, e] watermark window into value ranges — the
+      // per-partition predicates execute in the database
+      val n = math.min(numPartitions.toLong, e - s).toInt
+      val step = (e - s) / n
+      (0 until n).map { i =>
+        val lo = s + i * step
+        val hi = if (i == n - 1) e else s + (i + 1) * step
+        JdbcPollPartition(url, table, wmColumn, lo, hi, fetchSize): InputPartition
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JdbcPollReaderFactory(schema)
+}
+
+case class JdbcPollPartition(url: String, table: String, wmColumn: String,
+    lo: Long, hi: Long, fetchSize: Int) extends InputPartition
+
+class JdbcPollReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[JdbcPollPartition]
+    new PartitionReader[InternalRow] {
+      private val conn = DriverManager.getConnection(p.url)
+      private val st = conn.prepareStatement(
+        s"SELECT * FROM ${p.table} WHERE ${p.wmColumn} > ? AND ${p.wmColumn} <= ? " +
+          s"ORDER BY ${p.wmColumn}")
+      st.setLong(1, p.lo)
+      st.setLong(2, p.hi)
+      st.setFetchSize(p.fetchSize)
+      private val rs = st.executeQuery()
+
+      override def next(): Boolean = rs.next()
+      override def get(): InternalRow =
+        InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+          JdbcPollSource.readValue(rs, i + 1, f.dataType)
+        }.toSeq)
+      override def close(): Unit = { rs.close(); st.close(); conn.close() }
+    }
+  }
+}
