@@ -1,0 +1,103 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** foreachBatch partial-update JDBC writer (SURVEY.md §2.5 K4; reference
+  * semantics: `WrappedDataTable.java:72-715` with its UpdateStatement
+  * cache keyed by present-column set at `:616-713`).
+  *
+  * Consumes wrapped-envelope rows — key columns plus a `vals`
+  * map<string,string> holding ONLY the columns present in the redo — and
+  * applies them as partial updates: UPDATE sets exactly the present
+  * columns; a zero-row UPDATE falls back to INSERT of the present
+  * columns; DELETE uses the key. Prepared statements are cached per
+  * distinct present-column set, so a workload with k distinct update
+  * shapes compiles k statements, not one per row.
+  */
+case class PartialUpsertSink(
+    url: String,
+    table: String,
+    keyCols: Seq[String],
+    opCol: String = "op",
+    valsCol: String = "vals",
+    user: String = "",
+    password: String = "") extends Serializable {
+
+  private def connect(): Connection =
+    if (user.isEmpty) DriverManager.getConnection(url)
+    else DriverManager.getConnection(url, user, password)
+
+  def writeBatch(df: DataFrame): Unit = {
+    val kCols = keyCols
+    val t = table
+    val opIdx = df.columns.indexOf(opCol)
+    val valsIdx = df.columns.indexOf(valsCol)
+    val keyIdx = kCols.map(df.columns.indexOf(_))
+    require(opIdx >= 0 && valsIdx >= 0 && keyIdx.forall(_ >= 0),
+      s"sink needs columns $kCols + $opCol + $valsCol")
+    val connectFn = () => connect()
+
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = connectFn()
+        conn.setAutoCommit(false)
+        // the reference's UpdateStatement cache: present-column set → stmt
+        val updCache = collection.mutable.Map[Seq[String], PreparedStatement]()
+        val insCache = collection.mutable.Map[Seq[String], PreparedStatement]()
+        val del = conn.prepareStatement(
+          s"DELETE FROM $t WHERE ${kCols.map(k => s"$k = ?").mkString(" AND ")}")
+        try {
+          rows.foreach { r =>
+            val keyVals = keyIdx.map(r.get)
+            val isDelete = r.get(opIdx) match {
+              case i: Int => i == graft.cdc.Ops.Delete
+              case s: String => s == "d" || s == "DELETE"
+              case _ => false
+            }
+            if (isDelete) {
+              keyVals.zipWithIndex.foreach { case (v, i) => del.setObject(i + 1, v) }
+              del.executeUpdate()
+            } else {
+              val vals = r.getMap[String, String](valsIdx)
+              val present = vals.keys.toSeq.sorted
+              val upd = updCache.getOrElseUpdate(present, conn.prepareStatement(
+                s"UPDATE $t SET ${present.map(c => s"$c = ?").mkString(", ")} " +
+                  s"WHERE ${kCols.map(k => s"$k = ?").mkString(" AND ")}"))
+              present.zipWithIndex.foreach { case (c, i) =>
+                upd.setString(i + 1, vals(c))
+              }
+              keyVals.zipWithIndex.foreach { case (v, i) =>
+                upd.setObject(present.size + i + 1, v)
+              }
+              if (upd.executeUpdate() == 0) {
+                val ins = insCache.getOrElseUpdate(present, conn.prepareStatement(
+                  s"INSERT INTO $t (${(kCols ++ present).mkString(", ")}) " +
+                    s"VALUES (${(kCols ++ present).map(_ => "?").mkString(", ")})"))
+                keyVals.zipWithIndex.foreach { case (v, i) => ins.setObject(i + 1, v) }
+                present.zipWithIndex.foreach { case (c, i) =>
+                  ins.setString(kCols.size + i + 1, vals(c))
+                }
+                ins.executeUpdate()
+              }
+            }
+          }
+          conn.commit()
+          PartialUpsertSink.lastStatementCacheSize = updCache.size
+        } finally {
+          (updCache.values ++ insCache.values).foreach(_.close())
+          del.close()
+          conn.close()
+        }
+      }
+    }
+  }
+}
+
+object PartialUpsertSink {
+  /** Update-statement cache size of the last completed partition — a
+    * local-mode test observability hook (executors share the JVM there).
+    */
+  @volatile var lastStatementCacheSize: Int = 0
+}
