@@ -1,12 +1,13 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions._
-import graft.functions.TextHashExpressions._
+import graft.Tables._
+import graft.functions.VectorFunctions._
 
-/** Ad-hoc stage profiler for the hot dedup path (not part of the driver
-  * contract; used to attribute time inside dedup_ngram_jaccard).
+/** Ad-hoc stage profiler (not part of the driver contract). Currently
+  * instrumented for ann_bruteforce_topk stage attribution.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -24,33 +25,28 @@ object Profile {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
     }
 
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    docs.count()
+    spark.read.parquet(s"$dir/embeddings.parquet").count()
 
-    val exploded = docs.select(col("doc_id"),
-      explode(distinct_longs(shingleHashes(tokens(col("text")), 2))).as("s"))
-
-    t("explode+count")(exploded.count())
-    t("explode noop")(exploded.write.format("noop").mode("overwrite").save())
-
-    val joined = exploded.toDF("ia", "s").join(exploded.toDF("ib", "s"), Seq("s"))
-      .filter(col("ia") < col("ib"))
-    t("join count")(joined.count())
-
-    val inter = joined
-      .select((shiftleft(col("ia"), 32) bitwiseOR col("ib")).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("m"))
-    t("join+agg noop")(inter.write.format("noop").mode("overwrite").save())
-
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-    t("join+agg advisory8m")(inter.write.format("noop").mode("overwrite").save())
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
-
-    val repart = joined
-      .select((shiftleft(col("ia"), 32) bitwiseOR col("ib")).as("pair"))
-      .repartition(64, col("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("m"))
-    t("join+repart64+agg noop")(repart.write.format("noop").mode("overwrite").save())
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", normQ2(col("q")))
+    t("e count")(e.count())
+    val qs = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+    t("qs count")(qs.count())
+    val joined = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", dotQ(col("qq"), col("q")))
+      .withColumn("cos", cosineFromQ(col("dot"), col("qn2"), col("n2")))
+    t("cross+dot count")(joined.count())
+    t("cross+dot noop")(joined.write.format("noop").mode("overwrite").save())
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val ranked = joined.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("vec_id"), col("dot"), col("cos"))
+    t("window noop")(ranked.write.format("noop").mode("overwrite").save())
+    t("window+sort noop")(ranked.orderBy(col("qid"), col("rn"))
+      .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
