@@ -1,13 +1,21 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables._
-import graft.functions.VectorFunctions._
 
-/** Ad-hoc stage profiler (not part of the driver contract). Currently
-  * instrumented for ann_bruteforce_topk stage attribution.
+/** Ad-hoc stage profiler (not part of the driver contract): times one or
+  * more named SparkEntry queries through the noop sink, twice each (cold
+  * + warm), for hot-spot attribution between bench runs.
+  *
+  * Usage: tools/run.sh Profile <query> [query ...]
+  *
+  * Findings log (kept so future rounds don't re-try dead ends):
+  *  - dedup_ngram_jaccard: broadcast-join + packed-long-pair hash agg
+  *    beats per-shingle collect_list + native pair generation ~4×
+  *    (5.4 s vs 20-23 s at sf0.1) — Generate over huge arrays and the
+  *    931-group skew dominate; keep the join formulation.
+  *  - parquet testdata is one row group per table → single-partition
+  *    scans; Tables.tablePar normalizes (no-op on real inputs).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -18,35 +26,15 @@ object Profile {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    def t(name: String)(f: => Any): Unit = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
+    val names = if (args.nonEmpty) args.toSeq else Seq("dedup_ngram_jaccard")
+    names.foreach { name =>
+      (1 to 2).foreach { pass =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"$name pass$pass ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
     }
-
-    spark.read.parquet(s"$dir/embeddings.parquet").count()
-
-    val e = embeddings(spark, dir)
-      .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .withColumn("n2", normQ2(col("q")))
-    t("e count")(e.count())
-    val qs = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
-    t("qs count")(qs.count())
-    val joined = e.crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot", dotQ(col("qq"), col("q")))
-      .withColumn("cos", cosineFromQ(col("dot"), col("qn2"), col("n2")))
-    t("cross+dot count")(joined.count())
-    t("cross+dot noop")(joined.write.format("noop").mode("overwrite").save())
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    val ranked = joined.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 5)
-      .select(col("qid"), col("rn"), col("vec_id"), col("dot"), col("cos"))
-    t("window noop")(ranked.write.format("noop").mode("overwrite").save())
-    t("window+sort noop")(ranked.orderBy(col("qid"), col("rn"))
-      .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
