@@ -126,6 +126,62 @@ object RelationalQueries {
         .orderBy(col("g_status"), col("g_prio"), col("status"), col("priority"))
     }),
 
+    // Full CUBE over two keys (all four grouping combinations).
+    "q_cube" -> ((s, dir) => {
+      orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total"), col("g_status"), col("g_prio"))
+        .orderBy(col("g_status"), col("g_prio"), col("status"), col("priority"))
+    }),
+
+    // Explicit GROUPING SETS (disjoint key sets, not a rollup prefix).
+    "q_grouping_sets" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.createOrReplaceTempView("ev_gs")
+      ev.sparkSession.sql(
+        """SELECT COALESCE(event_type, '(all)') AS etype,
+          |       COALESCE(CAST(user_id % 7 AS BIGINT), -1) AS ubucket,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+          |FROM ev_gs
+          |GROUP BY GROUPING SETS ((event_type), (user_id % 7), ())
+          |ORDER BY etype, ubucket""".stripMargin)
+    }),
+
+    // PIVOT: status × priority matrix via groupBy().pivot().
+    "q_pivot" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .pivot(col("o_orderpriority"),
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .toDF("status", "p1", "p2", "p3", "p4", "p5")
+        .na.fill(0L, Seq("p1", "p2", "p3", "p4", "p5"))
+        .orderBy(col("status"))
+    }),
+
+    // HLL approximate distinct at 5% rsd vs exact (the 100 TB cardinality
+    // path): the estimate must land within the documented error envelope,
+    // asserted INSIDE the query so the oracle stays exact and
+    // engine-independent.
+    "q_approx_distinct" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.05).as("approx"),
+          countDistinct(col("l_orderkey")).as("exact"))
+        .select(col("l_returnflag"),
+          (abs(col("approx") - col("exact")).cast("double") /
+            col("exact").cast("double") <= 0.15).as("within_3rsd"),
+          col("exact"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Semi + anti joins (EXISTS / NOT EXISTS).
     "q_semi_anti" -> ((s, dir) => {
       val c = customer(s, dir)
@@ -247,6 +303,36 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY g_status, g_prio, status, priority""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |  COALESCE(o_orderpriority, '(all)') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, status, priority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(event_type, '(all)') AS etype,
+        |  COALESCE(CAST(user_id % 7 AS BIGINT), -1) AS ubucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 7), ())
+        |ORDER BY etype, ubucket""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus AS status,
+        |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, TRUE AS within_3rsd,
+        |       COUNT(DISTINCT l_orderkey) AS exact
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_semi_anti" ->
       """SELECT c_custkey, 'has_big' AS cls FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
