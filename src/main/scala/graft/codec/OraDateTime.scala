@@ -47,4 +47,37 @@ object OraDateTime {
       ((nanos >>> 24) & 0xff).toByte, ((nanos >>> 16) & 0xff).toByte,
       ((nanos >>> 8) & 0xff).toByte, (nanos & 0xff).toByte)
   }
+
+  // ---- TIMESTAMP WITH TIME ZONE (13-byte; SURVEY.md §2.4 F4) ----
+  //
+  // Bytes 0-10 carry the instant's UTC datetime in the TIMESTAMP layout;
+  // bytes 11-12 carry the zone as offset-hours+20 / offset-minutes+60
+  // (the public fixed-offset form). The instant is zone-independent; the
+  // offset rides along so clients can render local time.
+
+  /** Encode (epoch micros UTC, zone offset minutes) to 13-byte TSTZ. */
+  def encodeTsTz(micros: Long, offsetMinutes: Int): Array[Byte] = {
+    require(offsetMinutes >= -18 * 60 && offsetMinutes <= 18 * 60,
+      s"bad zone offset $offsetMinutes")
+    val sign = if (offsetMinutes < 0) -1 else 1
+    val abs = math.abs(offsetMinutes)
+    encodeTimestamp(micros) ++ Array(
+      (sign * (abs / 60) + 20).toByte,
+      (sign * (abs % 60) + 60).toByte)
+  }
+
+  /** Decode 13-byte TSTZ → (epoch micros UTC, zone offset minutes). */
+  def decodeTsTz(b: Array[Byte]): (Long, Int) =
+    (decodeTsTzMicros(b), decodeTsTzOffset(b))
+
+  /** Primitive accessors (single static calls for generated code). */
+  def decodeTsTzMicros(b: Array[Byte]): Long = {
+    require(b != null && b.length == 13, s"bad TSTZ len ${if (b == null) -1 else b.length}")
+    decodeToMicros(b.take(11))
+  }
+
+  def decodeTsTzOffset(b: Array[Byte]): Int = {
+    require(b != null && b.length == 13, s"bad TSTZ len ${if (b == null) -1 else b.length}")
+    ((b(11) & 0xff) - 20) * 60 + ((b(12) & 0xff) - 60)
+  }
 }

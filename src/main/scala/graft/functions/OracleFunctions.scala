@@ -117,6 +117,45 @@ object OracleFunctions {
     override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
   }
 
+  // ---- TIMESTAMP WITH TIME ZONE (F4) ----
+
+  case class OraTsTzEncode(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(LongType, IntegerType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(m: Any, o: Any): Any =
+      graft.codec.OraDateTime.encodeTsTz(m.asInstanceOf[Long], o.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (m, o) => s"graft.codec.OraDateTime.encodeTsTz($m, $o)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  case class OraTsTzMicros(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraDateTime.decodeTsTzMicros(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.codec.OraDateTime.decodeTsTzMicros($b)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class OraTsTzOffsetMinutes(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraDateTime.decodeTsTzOffset(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.codec.OraDateTime.decodeTsTzOffset($b)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
   // ---- ROWID (F7) ----
 
   case class OraRowIdEncode(first: Expression, second: Expression,
@@ -372,6 +411,10 @@ object OracleFunctions {
   def orainterval_ds_micros(col: Column): Column = c(OraIntervalDSToMicros(e(col)))
   def orainterval_from_months(col: Column): Column = c(OraIntervalYMFromMonths(e(col)))
   def orainterval_from_micros(col: Column): Column = c(OraIntervalDSFromMicros(e(col)))
+  def oratstz_encode(micros: Column, offsetMin: Column): Column =
+    c(OraTsTzEncode(e(micros), e(offsetMin)))
+  def oratstz_micros(col: Column): Column = c(OraTsTzMicros(e(col)))
+  def oratstz_offset_minutes(col: Column): Column = c(OraTsTzOffsetMinutes(e(col)))
   def orabinarydouble_encode(col: Column): Column = c(OraBinaryDoubleEncode(e(col)))
   def orabinarydouble_decode(col: Column): Column = c(OraBinaryDoubleDecode(e(col)))
   def orabinaryfloat_encode(col: Column): Column = c(OraBinaryFloatEncode(e(col)))

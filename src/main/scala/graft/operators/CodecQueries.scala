@@ -98,6 +98,19 @@ object CodecQueries {
         Seq("iv_ship"), "ds")
       converted.orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    // F4: TIMESTAMP WITH TIME ZONE — 13-byte wire form roundtrips the
+    // UTC instant and a per-row fixed zone offset independently.
+    "f4_tstz_roundtrip" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"),
+        expr("ts div 1000").as("micros"),
+        ((col("user_id") % 25 - 12) * 60).cast("int").as("off"))
+        .withColumn("wire", oratstz_encode(col("micros"), col("off")))
+      e.select(col("event_id"),
+          oratstz_micros(col("wire")).as("micros_rt"),
+          oratstz_offset_minutes(col("wire")).as("off_rt"),
+          length(col("wire")).as("wire_len"))
+        .orderBy(col("event_id"))
+    }),
     // F12: LOB locator — inline payload round-trips; every 10th doc is
     // out-of-row (locator carries only the LobId, data resolves to NULL
     // until the T8 assembler supplies it)
@@ -145,6 +158,12 @@ object CodecQueries {
         |       CAST(l_quantity * 60000000 AS BIGINT) AS iv_ship,
         |       CAST(l_linenumber * 7 AS INT) AS iv_age_ym
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f4_tstz_roundtrip" ->
+      """SELECT event_id,
+        |       epoch_ns(ts) // 1000 AS micros_rt,
+        |       CAST((user_id % 25 - 12) * 60 AS INT) AS off_rt,
+        |       13 AS wire_len
+        |FROM events ORDER BY event_id""".stripMargin,
     "f12_lob_locator" ->
       """SELECT doc_id,
         |       doc_id % 10 <> 0 AS is_inline,

@@ -154,6 +154,20 @@ object RelationalQueries {
           |ORDER BY etype, ubucket""".stripMargin)
     }),
 
+    // Event-time window aggregation — the batch shape of the streaming
+    // `withWatermark + window()` path (identical grouping semantics; in
+    // streaming the watermark only bounds state retention).
+    "q_time_window" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast(DecimalType(38, 2)).as("total"))
+        .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy(col("wstart"), col("event_type"))
+    }),
+
     // PIVOT: status × priority matrix via groupBy().pivot().
     "q_pivot" -> ((s, dir) => {
       orders(s, dir)
@@ -321,6 +335,14 @@ object RelationalQueries {
         |FROM events
         |GROUP BY GROUPING SETS ((event_type), (user_id % 7), ())
         |ORDER BY etype, ubucket""".stripMargin,
+    "q_time_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,
+        |  CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS wend,
+        |  event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM events
+        |GROUP BY 1, 2, 3 ORDER BY wstart, event_type""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderstatus AS status,
         |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
