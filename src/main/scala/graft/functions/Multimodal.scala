@@ -48,6 +48,50 @@ object Multimodal {
       }
   }
 
+  /** Resized "image": fixed target resolution by strided byte sampling. */
+  case class Resized(doc_id: Long, out_len: Int, pixels: Seq[Int])
+
+  /** STUB resize — stands in for bilinear downsampling: `target` samples
+    * taken at stride len/target. The Spark contract (binary in, fixed-dim
+    * output, partition-batched) matches a real resizer.
+    */
+  def resize(df: DataFrame, target: Int = 32): Dataset[Resized] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.selectExpr("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val len = payload.length
+          if (len == 0) Resized(id, 0, Nil)
+          else {
+            val stride = math.max(1, len / target)
+            val px = (0 until math.min(target, len)).map(i =>
+              payload(math.min(i * stride, len - 1)) & 0xff)
+            Resized(id, px.length, px)
+          }
+        }
+      }
+  }
+
+  /** Fixed-dimension features: 16-bin byte-value histogram (b >>> 4). */
+  case class Features(doc_id: Long, hist: Seq[Int])
+
+  /** STUB feature extraction — stands in for an embedding model forward
+    * pass; deterministic integer histogram so any engine can verify it.
+    */
+  def extractFeatures(df: DataFrame): Dataset[Features] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.selectExpr("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val hist = new Array[Int](16)
+          payload.foreach(b => hist((b & 0xff) >>> 4) += 1)
+          Features(id, hist.toSeq)
+        }
+      }
+  }
+
   /** STUB video frame sampling: fixed-size 16-byte "frames", every
     * `step`-th frame fingerprinted (stands in for keyframe extraction).
     */

@@ -31,6 +31,18 @@ object MultimodalQueries {
     "mm_frame_sample" -> ((s, dir) => {
       Multimodal.sampleFrames(mediaTable(s, dir))
         .toDF().orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // strided resize to a fixed 32-sample "resolution"
+    "mm_resize" -> ((s, dir) => {
+      Multimodal.resize(mediaTable(s, dir))
+        .toDF().orderBy(col("doc_id"))
+    }),
+
+    // fixed-dim feature extraction: 16-bin byte-value histogram
+    "mm_feature_extract" -> ((s, dir) => {
+      Multimodal.extractFeatures(mediaTable(s, dir))
+        .toDF().orderBy(col("doc_id"))
     })
   )
 
@@ -48,6 +60,21 @@ object MultimodalQueries {
         |FROM (SELECT doc_id, text,
         |             UNNEST(range(0, octet_length(encode(text)) // 16, 4)) AS j
         |      FROM documents)
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id,
+        |       CAST(least(32, octet_length(encode(text))) AS INTEGER) AS out_len,
+        |       list_transform(range(0, least(32, octet_length(encode(text)))),
+        |         i -> CAST(ord(substr(text,
+        |                CAST(least(i * greatest(1, octet_length(encode(text)) // 32),
+        |                           octet_length(encode(text)) - 1) + 1 AS INTEGER),
+        |                1)) AS INTEGER)) AS pixels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_feature_extract" ->
+      """SELECT doc_id,
+        |       list_transform(range(0, 16), k ->
+        |         CAST(len(list_filter(string_split(text, ''),
+        |                c -> ord(c) // 16 = k)) AS INTEGER)) AS hist
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
