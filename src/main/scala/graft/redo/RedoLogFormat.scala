@@ -242,39 +242,44 @@ object RedoLogReader {
     import RedoLogFormat._
     val header = readHeader(file)
     val blockSize = header.blockSize
-    val payloadPerBlock = blockSize - HeaderBytes
     val raf = new RandomAccessFile(file, "r")
-    val totalBlocks = (raf.length() / blockSize).toInt // incl. header block
-
-    // stitch payload stream from startBlock, validating checksums
-    val stream = new ArrayBuffer[Byte]()
-    var bn = math.max(1, startBlock)
-    var effStartOffset = startOffset
-    if (bn > 1 && startOffset == 0) {
-      // caller gave only a block: begin at the first record starting there
-      val arr = readBlock(raf, blockSize, bn)
-      val firstRec = ((arr(14) & 0xff) | ((arr(15) & 0xff) << 8))
-      require(firstRec != NoRecord, s"no record starts in block $bn")
-      effStartOffset = firstRec
-    }
-    while (bn < totalBlocks) {
-      val arr = readBlock(raf, blockSize, bn)
-      val stored = ((arr(12) & 0xff) | ((arr(13) & 0xff) << 8))
-      val computed = {
-        val tmp = arr.clone(); tmp(12) = 0; tmp(13) = 0
-        checksum(tmp, 12)
-      }
-      if (stored != computed)
-        throw new java.io.IOException(
-          s"checksum mismatch in $file block $bn: stored=$stored computed=$computed")
-      val bb = ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
-      require(bb.getInt == Magic, s"bad block magic in $file block $bn")
-      stream ++= arr.slice(HeaderBytes, blockSize)
-      bn += 1
-    }
-    raf.close()
-
-    val bytes = stream.drop(effStartOffset).toArray
+    val bytes =
+      try {
+        val totalBlocks = (raf.length() / blockSize).toInt // incl. header block
+        val payloadPer = blockSize - HeaderBytes
+        var bn = math.max(1, startBlock)
+        var effStartOffset = startOffset
+        if (bn > 1 && startOffset == 0) {
+          // caller gave only a block: begin at the first record starting there
+          val arr = readBlock(raf, blockSize, bn)
+          val firstRec = ((arr(14) & 0xff) | ((arr(15) & 0xff) << 8))
+          require(firstRec != NoRecord, s"no record starts in block $bn")
+          effStartOffset = firstRec
+        }
+        // stitch payloads into ONE preallocated buffer (no per-block slice
+        // copies, no second drop().toArray pass)
+        val nBlocks = math.max(0, totalBlocks - bn)
+        val out = new Array[Byte](nBlocks * payloadPer)
+        var filled = 0
+        while (bn < totalBlocks) {
+          val arr = readBlock(raf, blockSize, bn)
+          val stored = ((arr(12) & 0xff) | ((arr(13) & 0xff) << 8))
+          val computed = {
+            val tmp = arr.clone(); tmp(12) = 0; tmp(13) = 0
+            checksum(tmp, 12)
+          }
+          if (stored != computed)
+            throw new java.io.IOException(
+              s"checksum mismatch in $file block $bn: stored=$stored computed=$computed")
+          val bb = ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
+          require(bb.getInt == Magic, s"bad block magic in $file block $bn")
+          System.arraycopy(arr, HeaderBytes, out, filled, payloadPer)
+          filled += payloadPer
+          bn += 1
+        }
+        if (effStartOffset == 0) out
+        else java.util.Arrays.copyOfRange(out, effStartOffset, out.length)
+      } finally raf.close()
     parseStream(bytes)
   }
 

@@ -54,12 +54,14 @@ object DictionaryReader {
     case Types.REAL => FloatType
     case Types.FLOAT | Types.DOUBLE => DoubleType
     case Types.DECIMAL | Types.NUMERIC =>
-      if (c.scale == 0 && c.precision > 0 && c.precision < 3) ByteType
+      // precision 0 = unconstrained NUMERIC → the scale-less fallback;
+      // the integral split only applies to a REPORTED precision
+      if (c.precision <= 0) DoubleType
+      else if (c.scale == 0 && c.precision < 3) ByteType
       else if (c.scale == 0 && c.precision < 5) ShortType
       else if (c.scale == 0 && c.precision < 10) IntegerType
       else if (c.scale == 0 && c.precision < 19) LongType
-      else if (c.precision > 0) DecimalType(c.precision, math.max(0, c.scale))
-      else DoubleType
+      else DecimalType(c.precision, math.max(0, c.scale))
     case Types.CHAR | Types.VARCHAR | Types.LONGVARCHAR | Types.NCHAR |
          Types.NVARCHAR | Types.LONGNVARCHAR | Types.CLOB | Types.NCLOB |
          Types.SQLXML => StringType
@@ -71,8 +73,12 @@ object DictionaryReader {
     case other => throw new IllegalArgumentException(s"unsupported jdbc type $other")
   }
 
+  /** `rowIdPseudoKey = false` is the NOKEY override
+    * (`a2.key.override=NOKEY`): tables without a usable key become
+    * keyless instead of falling back to the ROWID pseudo-key.
+    */
   def readTable(conn: Connection, schema: String, table: String,
-      keyMode: KeyMode = WellDefined): TableDef = {
+      keyMode: KeyMode = WellDefined, rowIdPseudoKey: Boolean = true): TableDef = {
     val md = conn.getMetaData
 
     val cols = {
@@ -125,7 +131,8 @@ object DictionaryReader {
           case AnyUnique => notNullUnique.orElse(anyUnique)
         }) match {
           case Some(ix) => (ix, "UNIQUE")
-          case None => (Nil, "ROWID") // pseudo-key fallback
+          case None if rowIdPseudoKey => (Nil, "ROWID") // pseudo-key fallback
+          case None => (Nil, "NONE") // keyless (NOKEY override)
         }
       }
 

@@ -67,7 +67,14 @@ object JdbcPollSource {
       case StringType => UTF8String.fromString(rs.getString(i))
       case _: DecimalType => org.apache.spark.sql.types.Decimal(rs.getBigDecimal(i))
       case BinaryType => rs.getBytes(i)
-      case TimestampNTZType | TimestampType =>
+      case TimestampNTZType =>
+        // NTZ carries the LOCAL datetime as-if-UTC — getTime would shift
+        // by the JVM zone offset
+        val t = rs.getTimestamp(i)
+        if (t == null) null
+        else t.toLocalDateTime.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          t.getNanos / 1000
+      case TimestampType =>
         val t = rs.getTimestamp(i)
         if (t == null) null else t.getTime * 1000L + (t.getNanos / 1000) % 1000
       case other => throw new IllegalArgumentException(s"unsupported type $other")
@@ -156,20 +163,30 @@ class JdbcPollReaderFactory(schema: StructType) extends PartitionReaderFactory {
     val p = partition.asInstanceOf[JdbcPollPartition]
     new PartitionReader[InternalRow] {
       private val conn = DriverManager.getConnection(p.url)
-      private val st = conn.prepareStatement(
-        s"SELECT * FROM ${p.table} WHERE ${p.wmColumn} > ? AND ${p.wmColumn} <= ? " +
-          s"ORDER BY ${p.wmColumn}")
-      st.setLong(1, p.lo)
-      st.setLong(2, p.hi)
-      st.setFetchSize(p.fetchSize)
-      private val rs = st.executeQuery()
+      private val rs =
+        try {
+          val st = conn.prepareStatement(
+            s"SELECT * FROM ${p.table} WHERE ${p.wmColumn} > ? AND ${p.wmColumn} <= ? " +
+              s"ORDER BY ${p.wmColumn}")
+          st.setLong(1, p.lo)
+          st.setLong(2, p.hi)
+          st.setFetchSize(p.fetchSize)
+          st.executeQuery()
+        } catch {
+          case e: Throwable => conn.close(); throw e // no reader → no close()
+        }
 
       override def next(): Boolean = rs.next()
       override def get(): InternalRow =
         InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
           JdbcPollSource.readValue(rs, i + 1, f.dataType)
         }.toSeq)
-      override def close(): Unit = { rs.close(); st.close(); conn.close() }
+      override def close(): Unit = {
+        val st = rs.getStatement
+        rs.close()
+        if (st != null) st.close()
+        conn.close()
+      }
     }
   }
 }

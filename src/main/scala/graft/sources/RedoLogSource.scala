@@ -123,35 +123,64 @@ class RedoLogScan(options: CaseInsensitiveStringMap) extends Scan {
   private val maxFilesPerTrigger: Int =
     Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue)
 
-  private def listSorted(): Seq[String] =
-    RedoLogReader.listLogs(new File(path)).map(_._1.getAbsolutePath)
+  private def listWithCoords(): Seq[(String, Int, Int)] =
+    RedoLogReader.listLogs(new File(path)).map { case (f, h) =>
+      (f.getAbsolutePath, h.thread, h.seq)
+    }
 
   override def readSchema(): StructType = RedoLogSource.schema
   override def description(): String = s"graft-redo $path"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      listSorted().map(f => RedoFilePartition(f, tables, ops): InputPartition).toArray
+      listWithCoords().map { case (f, _, _) =>
+        RedoFilePartition(f, tables, ops): InputPartition
+      }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new RedoReaderFactory
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new RedoMicroBatchStream(listSorted _, tables, ops, maxFilesPerTrigger)
+    new RedoMicroBatchStream(listWithCoords _, tables, ops, maxFilesPerTrigger)
 }
 
-/** Offset = count of log files fully consumed, in (seq, thread) order. */
-case class RedoFileOffset(filesConsumed: Int) extends Offset {
-  override def json(): String = s"""{"filesConsumed":$filesConsumed}"""
+/** Offset = per-thread high-watermark of fully consumed log sequence
+  * numbers — the reference's "last processed sequence per redo THREAD#".
+  * Identifying files by (thread, seq) coordinates (never by list
+  * position) makes the offset stable when a slow thread's log lands late
+  * or consumed logs are archived away.
+  */
+case class RedoFileOffset(threadSeqs: Map[Int, Int]) extends Offset {
+  override def json(): String =
+    threadSeqs.toSeq.sorted.map { case (t, s) => s""""$t":$s""" }
+      .mkString("{", ",", "}")
+  def seqFor(thread: Int): Int = threadSeqs.getOrElse(thread, 0)
 }
 
-class RedoMicroBatchStream(list: () => Seq[String], tables: Seq[String],
-    ops: Seq[Int], maxFilesPerTrigger: Int) extends MicroBatchStream
+object RedoFileOffset {
+  val empty: RedoFileOffset = RedoFileOffset(Map.empty)
+  def parse(json: String): RedoFileOffset = RedoFileOffset(
+    """"(-?\d+)"\s*:\s*(-?\d+)""".r.findAllMatchIn(json)
+      .map(m => m.group(1).toInt -> m.group(2).toInt).toMap)
+}
+
+class RedoMicroBatchStream(list: () => Seq[(String, Int, Int)],
+    tables: Seq[String], ops: Seq[Int], maxFilesPerTrigger: Int)
+    extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
-  override def initialOffset(): Offset = RedoFileOffset(0)
-  override def latestOffset(): Offset = RedoFileOffset(list().size)
+  private def toOffset(o: Offset): RedoFileOffset = o match {
+    case r: RedoFileOffset => r
+    case other => RedoFileOffset.parse(other.json())
+  }
+  private def watermarks(files: Seq[(String, Int, Int)]): RedoFileOffset =
+    RedoFileOffset(files.groupBy(_._2).map { case (t, fs) =>
+      t -> fs.map(_._3).max
+    })
+
+  override def initialOffset(): Offset = RedoFileOffset.empty
+  override def latestOffset(): Offset = watermarks(list())
   // admission control: a micro-batch admits at most maxFilesPerTrigger
   // files — the cap must move the OFFSET, not silently drop partitions,
   // and must NOT apply when the engine probes with allAvailable() (e.g.
@@ -160,29 +189,27 @@ class RedoMicroBatchStream(list: () => Seq[String], tables: Seq[String],
     if (maxFilesPerTrigger == Int.MaxValue) ReadLimit.allAvailable()
     else ReadLimit.maxFiles(maxFilesPerTrigger)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start match {
-      case r: RedoFileOffset => r.filesConsumed
-      case o => deserializeOffset(o.json()).asInstanceOf[RedoFileOffset].filesConsumed
-    }
-    val total = list().size
-    limit match {
+    val s = toOffset(start)
+    val unread = list().filter { case (_, t, seq) => seq > s.seqFor(t) }
+      .sortBy { case (_, t, seq) => (seq, t) }
+    val admitted = limit match {
       case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
-        RedoFileOffset(math.min(total.toLong, s.toLong + mf.maxFiles()).toInt)
-      case _ => RedoFileOffset(total)
+        unread.take(mf.maxFiles())
+      case _ => unread
     }
+    // a (seq, thread)-ordered prefix keeps each thread's sequence gapless
+    RedoFileOffset(s.threadSeqs ++ watermarks(admitted).threadSeqs)
   }
-  override def reportLatestOffset(): Offset = RedoFileOffset(list().size)
-  override def deserializeOffset(json: String): Offset = {
-    val n = """\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0)
-    RedoFileOffset(n)
-  }
+  override def reportLatestOffset(): Offset = watermarks(list())
+  override def deserializeOffset(json: String): Offset = RedoFileOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[RedoFileOffset].filesConsumed
-    val e = end.asInstanceOf[RedoFileOffset].filesConsumed
-    list().slice(s, e)
-      .map(f => RedoFilePartition(f, tables, ops): InputPartition).toArray
+    val s = toOffset(start)
+    val e = toOffset(end)
+    list().filter { case (_, t, seq) => seq > s.seqFor(t) && seq <= e.seqFor(t) }
+      .map { case (f, _, _) => RedoFilePartition(f, tables, ops): InputPartition }
+      .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = new RedoReaderFactory
 }

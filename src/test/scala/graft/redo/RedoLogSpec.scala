@@ -108,6 +108,47 @@ class RedoLogSpec extends AnyFunSuite {
   }
 }
 
+class RedoOffsetSpec extends AnyFunSuite {
+  import graft.sources.{RedoFileOffset, RedoFilePartition, RedoMicroBatchStream}
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+  // (path, thread, seq)
+  private val files = Seq(("a", 1, 3), ("b", 2, 3), ("c", 1, 4))
+  private def stream(fs: Seq[(String, Int, Int)], maxFiles: Int = Int.MaxValue) =
+    new RedoMicroBatchStream(() => fs, Nil, Nil, maxFiles)
+
+  test("offsets are per-thread seq watermarks, not list positions") {
+    val s = stream(files)
+    assert(s.latestOffset() === RedoFileOffset(Map(1 -> 4, 2 -> 3)))
+    // thread 2's log arrives LATE, after thread 1's seq 4 was consumed:
+    // a position-count offset would skip it; coordinates must not
+    val consumed = RedoFileOffset(Map(1 -> 4))
+    val planned = s.planInputPartitions(consumed, s.latestOffset())
+      .map(_.asInstanceOf[RedoFilePartition].file).toSeq
+    assert(planned === Seq("b"))
+  }
+
+  test("offset JSON roundtrips") {
+    val o = RedoFileOffset(Map(1 -> 4, 2 -> 3))
+    assert(RedoFileOffset.parse(o.json()) === o)
+    assert(RedoFileOffset.parse("{}") === RedoFileOffset.empty)
+  }
+
+  test("maxFiles admission advances watermarks in (seq, thread) order") {
+    val s = stream(files, maxFiles = 1)
+    val o1 = s.latestOffset(RedoFileOffset.empty, ReadLimit.maxFiles(1))
+      .asInstanceOf[RedoFileOffset]
+    assert(o1 === RedoFileOffset(Map(1 -> 3)))
+    val o2 = s.latestOffset(o1, ReadLimit.maxFiles(1)).asInstanceOf[RedoFileOffset]
+    assert(o2 === RedoFileOffset(Map(1 -> 3, 2 -> 3)))
+    val o3 = s.latestOffset(o2, ReadLimit.maxFiles(1)).asInstanceOf[RedoFileOffset]
+    assert(o3 === RedoFileOffset(Map(1 -> 4, 2 -> 3)))
+    // allAvailable probe ignores the cap
+    assert(s.latestOffset(RedoFileOffset.empty, ReadLimit.allAvailable())
+      === RedoFileOffset(Map(1 -> 4, 2 -> 3)))
+  }
+}
+
 class RedoSourceSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()

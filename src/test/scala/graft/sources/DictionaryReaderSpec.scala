@@ -59,10 +59,20 @@ class DictionaryReaderSpec extends AnyFunSuite {
     }
   }
 
+  test("unconstrained NUMERIC (precision 0) maps to the scale-less fallback") {
+    assert(sparkType(ColumnDef("X", java.sql.Types.NUMERIC, 0, 0, nullable = true))
+      === DoubleType)
+    assert(sparkType(ColumnDef("X", java.sql.Types.DECIMAL, 0, 0, nullable = true))
+      === DoubleType)
+  }
+
   test("keyless table falls back to ROWID pseudo-key; cache loads once") {
     withDb { conn =>
       val st = conn.createStatement()
       st.execute("CREATE TABLE APP.KL (X INT, Y VARCHAR(5))")
+      // NOKEY override: no pseudo-key, genuinely keyless
+      val none = readTable(conn, "APP", "KL", WellDefined, rowIdPseudoKey = false)
+      assert(none.keyType === "NONE" && none.keySchema.fields.isEmpty)
       val cache = new Cache(conn)
       val td = cache.get("APP", "KL")
       assert(td.keyType === "ROWID")
