@@ -34,11 +34,10 @@ object SchemaEvolution {
     up.takeWhile(c => c != '(').trim match {
       case "NUMBER" => args match {
         case Seq(p, s) if s > 0 => DecimalType(p, s)
-        case Seq(p) if p < 3 => ByteType
-        case Seq(p) if p < 5 => ShortType
-        case Seq(p) if p < 10 => IntegerType
-        case Seq(p) if p < 19 => LongType
-        case Seq(p) => DecimalType(p, 0)
+        // NUMBER(p) and NUMBER(p,0) are the same integral split; a
+        // negative scale widens the magnitude by |s| decimal digits
+        case Seq(p) => integralNumber(p)
+        case Seq(p, s) => integralNumber(p - s)
         case _ => DoubleType // scale-less NUMBER
       }
       case "BINARY_FLOAT" => FloatType
@@ -51,6 +50,13 @@ object SchemaEvolution {
       case other => throw new IllegalArgumentException(s"unsupported type $other")
     }
   }
+
+  private def integralNumber(effPrecision: Int): DataType =
+    if (effPrecision < 3) ByteType
+    else if (effPrecision < 5) ShortType
+    else if (effPrecision < 10) IntegerType
+    else if (effPrecision < 19) LongType
+    else DecimalType(math.min(38, effPrecision), 0)
 
   /** Pre-process one ALTER TABLE into its column operations (the
     * reference's alterTablePreProcessor analogue). Handles single and
@@ -83,8 +89,12 @@ object SchemaEvolution {
       val parts = d.trim.split(" ", 2)
       require(parts.length == 2, s"bad column definition: $d")
       val nullable = !parts(1).toLowerCase.contains("not null")
-      (clean(parts(0)), oraType(parts(1).replaceAll("(?i)(not )?null", "")),
-        if (withNull) nullable else true)
+      // strip DEFAULT <expr> and NULL/NOT NULL before the type mapping —
+      // "D DATE DEFAULT SYSDATE NOT NULL" must map as "DATE"
+      val typeText = parts(1)
+        .replaceAll("(?i)\\bdefault\\b.*$", "")
+        .replaceAll("(?i)\\b(not\\s+)?null\\b", "")
+      (clean(parts(0)), oraType(typeText), if (withNull) nullable else true)
     }
     def clean(id: String): String = id.stripPrefix("\"").stripSuffix("\"")
 

@@ -32,7 +32,10 @@ case class JdbcUpsertSink(
     keyCols: Seq[String],
     dialect: SinkDialect,
     opCol: String = "op",
-    orderCols: Seq[String] = Seq("commitScn", "scn"),
+    // ssn breaks ties for multi-statement operations at one SCN (e.g. a
+    // key update logged as DELETE+INSERT with identical scn) — without it
+    // row_number picks a nondeterministic batch winner
+    orderCols: Seq[String] = Seq("commitScn", "scn", "ssn"),
     user: String = "",
     password: String = "",
     batchSize: Int = 1000,
@@ -42,10 +45,16 @@ case class JdbcUpsertSink(
     if (user.isEmpty) DriverManager.getConnection(url)
     else DriverManager.getConnection(url, user, password)
 
+  /** Order columns present in this batch's frame (callers may omit e.g.
+    * ssn; ordering degrades gracefully to the columns supplied).
+    */
+  private def presentOrderCols(df: DataFrame): Seq[String] =
+    orderCols.filter(df.columns.contains)
+
   /** Dedup within batch: latest change per key wins (K2 barrier). */
   def dedupBatch(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(orderCols.map(c => col(c).desc): _*)
+      .orderBy(presentOrderCols(df).map(c => col(c).desc): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -55,14 +64,22 @@ case class JdbcUpsertSink(
       c == opCol || orderCols.contains(c)).toSeq
     val deduped = dedupBatch(df)
 
-    if (autoCreate) {
+    if (autoCreate && !JdbcUpsertSink.ensured.contains((url, table))) {
       val schema = org.apache.spark.sql.types.StructType(
         df.schema.fields.filter(f => dataCols.contains(f.name)))
       val ddl = dialect.createTableSql(table, schema, keyCols)
       val conn = connect()
-      try { val st = conn.createStatement(); st.execute(ddl); st.close() }
-      catch { case _: java.sql.SQLException => /* exists */ }
-      finally conn.close()
+      try {
+        val st = conn.createStatement()
+        // existence probe instead of create-and-swallow: a failing CREATE
+        // (permissions, bad DDL) must surface, not masquerade as "exists"
+        val exists =
+          try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+          catch { case _: java.sql.SQLException => false }
+        if (!exists) st.execute(ddl)
+        st.close()
+        JdbcUpsertSink.ensured.add((url, table))
+      } finally conn.close()
     }
 
     val upsertSqlText = dialect.upsertSql(table, dataCols, keyCols)
@@ -114,4 +131,12 @@ case class JdbcUpsertSink(
       }
     }
   }
+}
+
+object JdbcUpsertSink {
+  /** (url, table) pairs whose existence has been ensured this JVM — the
+    * probe/create runs once per sink target, not once per micro-batch.
+    */
+  private val ensured =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 }

@@ -19,7 +19,16 @@ class LastProcessedNotifier(path: String) extends StreamingQueryListener {
     val line =
       s"""{"queryId":"${p.id}","batchId":${p.batchId},"timestamp":"${p.timestamp}",""" +
         s""""numInputRows":${p.numInputRows}}"""
-    Files.write(Paths.get(path), (line + "\n").getBytes(StandardCharsets.UTF_8),
+    // atomic replace: external pollers must never observe a torn write
+    val target = Paths.get(path)
+    val tmp = Paths.get(path + s".tmp.${p.id}")
+    Files.write(tmp, (line + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 }

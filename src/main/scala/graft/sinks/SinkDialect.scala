@@ -164,6 +164,9 @@ case object OracleDialect extends SinkDialect {
     // Oracle has no IF NOT EXISTS before 23ai; the writer probes first
     super.createTableSql(table, schema, keyCols)
       .replace("CREATE TABLE IF NOT EXISTS", "CREATE TABLE")
+  override def addColumnSql(table: String, field: StructField): String =
+    // ORA-01735: Oracle's form is ADD (col type), no COLUMN keyword
+    s"ALTER TABLE ${q(table)} ADD (${q(field.name)} ${typeName(field.dataType)})"
   override def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
     val nonKey = cols.filterNot(keyCols.contains)
     val src = cols.map(c => s"? AS $c").mkString(", ")
@@ -188,6 +191,9 @@ case object SqlServerDialect extends SinkDialect {
     case TimestampType | TimestampNTZType => "DATETIME2"
     case other => super.typeName(other)
   }
+  override def addColumnSql(table: String, field: StructField): String =
+    // SQL Server rejects the COLUMN keyword: ALTER TABLE t ADD col type
+    s"ALTER TABLE ${q(table)} ADD ${q(field.name)} ${typeName(field.dataType)}"
   override def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
     val nonKey = cols.filterNot(keyCols.contains)
     val src = cols.map(c => s"? AS $c").mkString(", ")

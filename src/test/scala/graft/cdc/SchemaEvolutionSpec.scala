@@ -20,6 +20,12 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(oraType("NUMBER(25)") === DecimalType(25, 0))
     assert(oraType("NUMBER(12,2)") === DecimalType(12, 2))
     assert(oraType("NUMBER") === DoubleType)
+    // explicit zero scale is the SAME integral split as NUMBER(p) — a
+    // NUMBER(19,0) surrogate key must never become a lossy double
+    assert(oraType("NUMBER(9,0)") === IntegerType)
+    assert(oraType("NUMBER(19,0)") === DecimalType(19, 0))
+    // negative scale widens magnitude: NUMBER(5,-2) holds up to 10^7
+    assert(oraType("NUMBER(5,-2)") === IntegerType)
     assert(oraType("VARCHAR2(100)") === StringType)
     assert(oraType("TIMESTAMP(6)") === TimestampNTZType)
     assert(oraType("RAW(2000)") === BinaryType)
@@ -48,6 +54,13 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(d2.schema.fieldNames.toSeq === Seq("ID"))
     val u = applyDdl(base, "ALTER TABLE S.T SET UNUSED COLUMN NAME")
     assert(u.schema.fieldNames.toSeq === Seq("ID", "AMT"))
+  }
+
+  test("DEFAULT clauses parse: the type maps without the default text") {
+    val v = applyDdl(base, "ALTER TABLE S.T ADD (D DATE DEFAULT SYSDATE, " +
+      "N NUMBER(9) DEFAULT 0 NOT NULL)")
+    assert(v.schema("D").dataType === TimestampNTZType)
+    assert(v.schema("N") === StructField("N", IntegerType, nullable = false))
   }
 
   test("idempotent-safe guards") {

@@ -85,6 +85,14 @@ class SinkDialectSpec extends AnyFunSuite {
     assert(PostgresDialect.addColumnSql("dept",
       StructField("hq", BooleanType)) ==
       "ALTER TABLE dept ADD COLUMN hq BOOLEAN")
+    // Oracle: parenthesized form, no COLUMN keyword (ORA-01735 otherwise)
+    assert(OracleDialect.addColumnSql("dept",
+      StructField("hq", IntegerType)) ==
+      "ALTER TABLE dept ADD (hq NUMBER(10))")
+    // SQL Server: bare ADD, COLUMN keyword is a syntax error
+    assert(SqlServerDialect.addColumnSql("dept",
+      StructField("hq", BooleanType)) ==
+      "ALTER TABLE dept ADD hq BIT")
   }
 
   test("dialect lookup by name") {
