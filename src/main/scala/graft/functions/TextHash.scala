@@ -22,28 +22,7 @@ object TextHash {
     * `list_reduce(list_transform(string_split(s,''), c->ord(c)),
     * (a,b)->(a*31+b)%P)`). UTF-8 is decoded inline — no String allocation.
     */
-  def polyHash(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    var acc = 0L
-    var i = 0
-    val n = bytes.length
-    while (i < n) {
-      val b = bytes(i) & 0xff
-      var cp = 0
-      if (b < 0x80) { cp = b; i += 1 }
-      else if ((b & 0xe0) == 0xc0) {
-        cp = ((b & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
-      } else if ((b & 0xf0) == 0xe0) {
-        cp = ((b & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
-          (bytes(i + 2) & 0x3f); i += 3
-      } else {
-        cp = ((b & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
-          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); i += 4
-      }
-      acc = (acc * 31 + cp) % P
-    }
-    acc
-  }
+  def polyHash(s: UTF8String): Long = foldToken(0L, s)
 
   /** min((h*a + b) mod P) over an array of hashes; MAX_VALUE for empty. */
   def minHash(hs: ArrayData, a: Long, b: Long): Long = {

@@ -30,7 +30,9 @@ object VectorNative {
   }
 
   def dotQ(a: ArrayData, b: ArrayData): Long = {
-    val n = a.numElements()
+    // min-length bound: a malformed shorter vector must not read past
+    // its buffer (UnsafeArrayData would return garbage, not throw)
+    val n = math.min(a.numElements(), b.numElements())
     var acc = 0L
     var i = 0
     while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }

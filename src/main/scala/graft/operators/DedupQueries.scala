@@ -72,13 +72,15 @@ object DedupQueries {
       val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       // the join fans out to Σ df(s)² rows; aggregate them on ONE packed
       // long key (ia<<32|ib) — the primitive-key fast path in Spark's
-      // hash aggregate — instead of a two-column row key
+      // hash aggregate — instead of a two-column row key. The packing
+      // assumes doc_id < 2^32 (unsigned unpack); for a corpus beyond that
+      // fall back to the two-column groupBy — same plan, slower agg.
       val inter = exploded.toDF("ia", "s")
         .join(exploded.toDF("ib", "s"), Seq("s"))
         .filter(col("ia") < col("ib"))
         .select((shiftleft(col("ia"), 32) bitwiseOR col("ib")).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("m"))
-        .select(shiftright(col("pair"), 32).as("ia"),
+        .select(shiftrightunsigned(col("pair"), 32).as("ia"),
           (col("pair") bitwiseAND lit(0xffffffffL)).as("ib"), col("m"))
       inter
         .join(sizes.toDF("ia", "na"), "ia")

@@ -10,6 +10,11 @@ import graft.functions.Multimodal
   * .Multimodal). The payload here is the document text's UTF-8 bytes
   * standing in for image/video bytes, so DuckDB can state the expected
   * stub features independently.
+  *
+  * Oracle caveat: the DuckDB oracles index by CHARACTER (substr/ord)
+  * while the engine operates on payload BYTES — equivalent only because
+  * the driver corpus is pure ASCII (verified: zero non-ASCII docs at
+  * every SF). The Spark side is the byte-correct behavior.
   */
 object MultimodalQueries {
 

@@ -25,11 +25,19 @@ import graft.streaming.ChangeStreams
   */
 object SourceQueries {
 
-  /** Serialize a change stream as GRL logs, one per partition. */
+  /** Serialize a change stream as GRL logs, one per partition.
+    *
+    * The log directory must be visible to driver AND executors: local
+    * tmp suffices in local mode (the test/bench environment); on a real
+    * cluster set `spark.graft.redo.gateDir` to a shared-filesystem path.
+    */
   private def writeRedoLogs(records: org.apache.spark.sql.Dataset[RedoRecord],
       nThreads: Int): String = {
-    val out = new File(Files.createTempDirectory("graft_redo_gate").toFile,
-      "logs")
+    val base = records.sparkSession.conf
+      .getOption("spark.graft.redo.gateDir")
+      .map { d => val f = new File(d); f.mkdirs(); Files.createTempDirectory(f.toPath, "gate").toFile }
+      .getOrElse(Files.createTempDirectory("graft_redo_gate").toFile)
+    val out = new File(base, "logs")
     out.mkdirs()
     val path = out.getAbsolutePath
     records

@@ -38,6 +38,18 @@ object ChangeStreams {
     * Use with OutputMode.Append. State lives until COMMIT/ROLLBACK or the
     * idle timeout (abandoned transactions are dropped like the
     * reference's restart bookkeeping would skip them).
+    *
+    * PRODUCTION: set `idleTimeoutMs` (e.g. 30 min) so transactions whose
+    * terminal record is lost don't pin state forever. The default is 0
+    * (no timeout) because a registered processing-time timeout makes the
+    * engine run continuous no-data micro-batches to evaluate it — the
+    * right setting is workload-specific, not a library default.
+    *
+    * XIDs are REUSED across transactions (Oracle recycles undo slots), so
+    * one micro-batch may carry records past a COMMIT: each terminal
+    * record closes exactly the records up to it, and the remainder stays
+    * buffered as the next transaction — a later ROLLBACK must never
+    * retroactively discard an earlier committed transaction.
     */
   def assembleStream(records: Dataset[RedoRecord],
       opts: TransactionAssembler.Options = TransactionAssembler.DefaultOptions,
@@ -54,18 +66,26 @@ object ChangeStreams {
             state.remove()
             Iterator.empty
           } else {
-            val buffered = state.getOption.getOrElse(Seq.empty) ++ it
-            val terminal = buffered.exists(r =>
+            val buffered = (state.getOption.getOrElse(Seq.empty) ++ it)
+              .sortBy(r => (r.scn, r.ssn))
+            // emit one assembled transaction per terminal record, in order
+            val out = collection.mutable.ArrayBuffer[EmittedChange]()
+            var rest = buffered
+            var terminalIdx = rest.indexWhere(r =>
               r.op == Ops.Commit || r.op == Ops.Rollback)
-            if (terminal) {
-              state.remove()
-              TransactionAssembler.assemble(
-                buffered.sortBy(r => (r.scn, r.ssn)), opts).iterator
-            } else {
-              state.update(buffered)
-              if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
-              Iterator.empty
+            while (terminalIdx >= 0) {
+              val (txn, tail) = rest.splitAt(terminalIdx + 1)
+              out ++= TransactionAssembler.assemble(txn, opts)
+              rest = tail
+              terminalIdx = rest.indexWhere(r =>
+                r.op == Ops.Commit || r.op == Ops.Rollback)
             }
+            if (rest.isEmpty) state.remove()
+            else {
+              state.update(rest)
+              if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            }
+            out.iterator
           }
       }
   }

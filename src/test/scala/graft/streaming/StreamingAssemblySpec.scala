@@ -55,6 +55,39 @@ class StreamingAssemblySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("xid reuse: records past a COMMIT start a NEW transaction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RedoRecord]
+    val q = ChangeStreams.assembleStream(input.toDS())
+      .writeStream.format("memory").queryName("assembled3")
+      .outputMode("append").start()
+    try {
+      // ONE micro-batch: txn A commits at scn 11; the same xid is then
+      // reused (scn 20) and ROLLED BACK at scn 21. The committed change
+      // must emit; the reused-xid change must not; the rollback must not
+      // retroactively discard the committed transaction.
+      input.addData(
+        rec(10, "tx1", Ops.Insert, "r1", Map("c" -> "1")),
+        rec(11, "tx1", Ops.Commit),
+        rec(20, "tx1", Ops.Insert, "r2", Map("c" -> "2")),
+        rec(21, "tx1", Ops.Rollback))
+      q.processAllAvailable()
+      val out = spark.table("assembled3").as[EmittedChange].collect()
+      assert(out.map(c => (c.rowId, c.commitScn)).toSeq === Seq(("r1", 11L)))
+
+      // reuse again, with the new transaction spanning into a later batch
+      input.addData(rec(30, "tx1", Ops.Insert, "r3", Map("c" -> "3")))
+      q.processAllAvailable()
+      assert(spark.table("assembled3").count() === 1) // still open
+      input.addData(rec(31, "tx1", Ops.Commit))
+      q.processAllAvailable()
+      val out2 = spark.table("assembled3").as[EmittedChange].collect()
+      assert(out2.map(c => (c.rowId, c.commitScn)).toSet ===
+        Set(("r1", 11L), ("r3", 31L)))
+    } finally q.stop()
+  }
+
   test("partial rollback resolved at commit across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
