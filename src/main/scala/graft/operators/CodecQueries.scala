@@ -27,7 +27,11 @@ object CodecQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice").cast(DecimalType(18, 2)).as("p"))
         .select(col("l_orderkey"), col("l_linenumber"),
-          oranumber_to_decimal(oranumber_from_decimal(col("p")), 18, 2).as("price_rt"))
+          // decimal roundtrip exercised in full; the gate OUTPUT is cast
+          // to double — the driver's pandas comparator cannot hash-match
+          // Decimal objects (Spark parquet) against float64 (DuckDB)
+          oranumber_to_decimal(oranumber_from_decimal(col("p")), 18, 2)
+            .cast("double").as("price_rt"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
     // F1: NUMBER ⇄ BIGINT roundtrip (integral path, codegen'd static calls)
@@ -70,13 +74,20 @@ object CodecQueries {
             col("l_discount").cast("float"))).as("disc_rt"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
-    // F10: VECTOR wire format ⇄ array<float> roundtrip over embeddings
+    // F10: VECTOR wire format ⇄ array<float> roundtrip over embeddings.
+    // Element-wise comparison via posexplode: an array-typed output
+    // column crashes the driver's pandas hasher (unhashable ndarray),
+    // and exploding checks every element positionally anyway.
     "f10_vector_roundtrip" -> ((s, dir) => {
       embeddings(s, dir)
         .select(col("vec_id"),
           oravector_decode(oravector_encode(col("embedding"))).as("emb_rt"),
-          length(oravector_encode(col("embedding"))).as("wire_len"))
-        .orderBy(col("vec_id"))
+          length(oravector_encode(col("embedding"))).cast("long").as("wire_len"))
+        .select(col("vec_id"), col("wire_len"),
+          posexplode(col("emb_rt")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("v").cast("double").as("v"), col("wire_len"))
+        .orderBy(col("vec_id"), col("pos"))
     }),
     // M1+M2: pattern-based SMT field converters — NUMBER / INTERVAL
     // byte columns matching %-patterns decode to typed columns, other
@@ -96,7 +107,9 @@ object CodecQueries {
             encoded, Seq("num_%"), "decimal(18,2)"),
           Seq("%_ym"), "ym"),
         Seq("iv_ship"), "ds")
-      converted.orderBy(col("l_orderkey"), col("l_linenumber"))
+      converted
+        .withColumn("num_price", col("num_price").cast("double"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
     // F4: TIMESTAMP WITH TIME ZONE — 13-byte wire form roundtrips the
     // UTC instant and a per-row fixed zone offset independently.
@@ -129,7 +142,7 @@ object CodecQueries {
   def oracleSql: Map[String, String] = Map(
     "f1_oranumber_decimal" ->
       """SELECT l_orderkey, l_linenumber,
-        |       CAST(l_extendedprice AS DECIMAL(18,2)) AS price_rt
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_rt
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "f1_oranumber_long" ->
       "SELECT o_orderkey, o_custkey AS custkey_rt FROM orders ORDER BY o_orderkey",
@@ -149,12 +162,14 @@ object CodecQueries {
         |       CAST(l_discount AS FLOAT) AS disc_rt
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "f10_vector_roundtrip" ->
-      """SELECT vec_id, embedding AS emb_rt,
-        |       6 + 4 * len(embedding) AS wire_len
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      """SELECT vec_id,
+        |       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |       CAST(UNNEST(embedding) AS DOUBLE) AS v,
+        |       CAST(6 + 4 * len(embedding) AS BIGINT) AS wire_len
+        |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
     "m1_m2_field_convert" ->
       """SELECT l_orderkey, l_linenumber,
-        |       CAST(l_extendedprice AS DECIMAL(18,2)) AS num_price,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS num_price,
         |       CAST(l_quantity * 60000000 AS BIGINT) AS iv_ship,
         |       CAST(l_linenumber * 7 AS INT) AS iv_age_ym
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -188,11 +188,11 @@ object DedupQueries {
       (0 until 16).map(j =>
         s"    SUM(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS v$j")
         .mkString(",\n") +
-      "\n  FROM th GROUP BY doc_id)\nSELECT doc_id,\n" +
+      "\n  FROM th GROUP BY doc_id)\nSELECT doc_id,\nCAST(\n" +
       (0 until 16).map(j =>
         s"  (CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
         .mkString(" +\n") +
-      " AS sh16\nFROM votes ORDER BY doc_id"),
+      " AS BIGINT) AS sh16\nFROM votes ORDER BY doc_id"),
     "dedup_embedding_cosine" ->
       """WITH v AS (
         |  SELECT vec_id, label,

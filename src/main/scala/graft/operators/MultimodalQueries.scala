@@ -38,16 +38,25 @@ object MultimodalQueries {
         .toDF().orderBy(col("doc_id"), col("frame_idx"))
     }),
 
-    // strided resize to a fixed 32-sample "resolution"
+    // strided resize to a fixed 32-sample "resolution". The sample array
+    // is emitted as a CSV string: an array-typed gate column crashes the
+    // driver's pandas hasher (unhashable ndarray); int→string rendering
+    // is identical in Spark and DuckDB so the compare stays exact.
     "mm_resize" -> ((s, dir) => {
       Multimodal.resize(mediaTable(s, dir))
-        .toDF().orderBy(col("doc_id"))
+        .toDF()
+        .withColumn("pixels",
+          concat_ws(",", col("pixels").cast("array<string>")))
+        .orderBy(col("doc_id"))
     }),
 
-    // fixed-dim feature extraction: 16-bin byte-value histogram
+    // fixed-dim feature extraction: 16-bin byte-value histogram (CSV
+    // string output for the same reason as mm_resize)
     "mm_feature_extract" -> ((s, dir) => {
       Multimodal.extractFeatures(mediaTable(s, dir))
-        .toDF().orderBy(col("doc_id"))
+        .toDF()
+        .withColumn("hist", concat_ws(",", col("hist").cast("array<string>")))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -69,17 +78,19 @@ object MultimodalQueries {
     "mm_resize" ->
       """SELECT doc_id,
         |       CAST(least(32, octet_length(encode(text))) AS INTEGER) AS out_len,
-        |       list_transform(range(0, least(32, octet_length(encode(text)))),
-        |         i -> CAST(ord(substr(text,
-        |                CAST(least(i * greatest(1, octet_length(encode(text)) // 32),
-        |                           octet_length(encode(text)) - 1) + 1 AS INTEGER),
-        |                1)) AS INTEGER)) AS pixels
+        |       array_to_string(
+        |         list_transform(range(0, least(32, octet_length(encode(text)))),
+        |           i -> CAST(ord(substr(text,
+        |                  CAST(least(i * greatest(1, octet_length(encode(text)) // 32),
+        |                             octet_length(encode(text)) - 1) + 1 AS INTEGER),
+        |                  1)) AS INTEGER)), ',') AS pixels
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_feature_extract" ->
       """SELECT doc_id,
-        |       list_transform(range(0, 16), k ->
-        |         CAST(len(list_filter(string_split(text, ''),
-        |                c -> ord(c) // 16 = k)) AS INTEGER)) AS hist
+        |       array_to_string(
+        |         list_transform(range(0, 16), k ->
+        |           CAST(len(list_filter(string_split(text, ''),
+        |                  c -> ord(c) // 16 = k)) AS INTEGER)), ',') AS hist
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -22,7 +22,13 @@ import graft.Tables._
   *    join key AFTER filters cut both sides — AQE handles residual skew;
   *  - money aggregates are computed in DecimalType so results are
   *    order-independent (exact arithmetic) — double sums differ between
-  *    partial-aggregation orders at 1000 executors;
+  *    partial-aggregation orders at 1000 executors. The FINAL projection
+  *    casts the exact decimal to double: the driver's pandas comparator
+  *    sees Python Decimal objects (trailing-zero-sensitive str forms) on
+  *    the Spark-parquet side but float64 from DuckDB, so a decimal output
+  *    column can never hash-match. decimal→double is a single correctly-
+  *    rounded conversion on both engines, so equal exact decimals give
+  *    bit-identical doubles;
   *  - every query ends in a bounded result (agg or top-k), never an
   *    unbounded global sort of the fact table.
   */
@@ -38,10 +44,10 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= ts("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
-            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -55,7 +61,7 @@ object RelationalQueries {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
-          .cast(DecimalType(38, 4)).as("revenue"))
+          .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -77,7 +83,7 @@ object RelationalQueries {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
-          .cast(DecimalType(38, 4)).as("revenue"),
+          .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
@@ -88,8 +94,7 @@ object RelationalQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       orders(s, dir)
         .withColumn("rk", rank().over(byCust).cast("long"))
-        .withColumn("prev_price",
-          dec(lag(col("o_totalprice"), 1).over(byCust)))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(byCust))
         .withColumn("run_cnt", count(lit(1))
           .over(byCust.rowsBetween(Window.unboundedPreceding, 0)))
         .filter(col("rk") <= 3)
@@ -115,7 +120,7 @@ object RelationalQueries {
       orders(s, dir)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"),
           grouping(col("o_orderstatus")).cast("int").as("g_status"),
           grouping(col("o_orderpriority")).cast("int").as("g_prio"))
         // NULL rollup keys → sentinel: Spark and DuckDB order NULLs
@@ -131,7 +136,7 @@ object RelationalQueries {
       orders(s, dir)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"),
           grouping(col("o_orderstatus")).cast("int").as("g_status"),
           grouping(col("o_orderpriority")).cast("int").as("g_prio"))
         .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
@@ -148,7 +153,7 @@ object RelationalQueries {
         """SELECT COALESCE(event_type, '(all)') AS etype,
           |       COALESCE(CAST(user_id % 7 AS BIGINT), -1) AS ubucket,
           |       COUNT(*) AS n,
-          |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+          |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
           |FROM ev_gs
           |GROUP BY GROUPING SETS ((event_type), (user_id % 7), ())
           |ORDER BY etype, ubucket""".stripMargin)
@@ -162,8 +167,12 @@ object RelationalQueries {
         .withColumn("t", timestamp_micros(expr("ts div 1000")))
         .groupBy(window(col("t"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast(DecimalType(38, 2)).as("total"))
-        .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+          sum(dec(col("value"))).cast("double").as("total"))
+        // timestamp_ntz output: TimestampType parquet reads back into
+        // pandas as ns-unit (or tz-aware) datetimes while DuckDB emits
+        // naive µs — NTZ writes isAdjustedToUTC=false µs, matching
+        .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+          col("window.end").cast("timestamp_ntz").as("wend"),
           col("event_type"), col("n"), col("total"))
         .orderBy(col("wstart"), col("event_type"))
     }),
@@ -216,9 +225,9 @@ object RelationalQueries {
           countDistinct(col("l_orderkey")).as("n_orders"),
           countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
           sum(when(col("l_linestatus") === "F", dec(col("l_quantity")))
-            .otherwise(lit(0).cast(D))).cast(DecimalType(38, 2)).as("qty_f"),
+            .otherwise(lit(0).cast(D))).cast("double").as("qty_f"),
           sum(when(col("l_linestatus") === "O", dec(col("l_quantity")))
-            .otherwise(lit(0).cast(D))).cast(DecimalType(38, 2)).as("qty_o"))
+            .otherwise(lit(0).cast(D))).cast("double").as("qty_o"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -227,7 +236,7 @@ object RelationalQueries {
       orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("spend"))
+          sum(dec(col("o_totalprice"))).cast("double").as("spend"))
         .filter(col("n_orders") >= 15)
         .orderBy(col("o_custkey"))
     }),
@@ -236,7 +245,7 @@ object RelationalQueries {
     "q_topk" -> ((s, dir) => {
       lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
-          dec(col("l_extendedprice")).as("price"))
+          col("l_extendedprice").as("price"))
         .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(25)
     }),
@@ -256,9 +265,9 @@ object RelationalQueries {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -266,7 +275,7 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_join_topk" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -277,7 +286,7 @@ object RelationalQueries {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_star_join" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -294,7 +303,7 @@ object RelationalQueries {
       """SELECT o_custkey, o_orderkey, rk, prev_price, run_cnt FROM (
         |  SELECT o_custkey, o_orderkey,
         |    RANK() OVER w AS rk,
-        |    CAST(LAG(o_totalprice, 1) OVER w AS DECIMAL(18,2)) AS prev_price,
+        |    LAG(o_totalprice, 1) OVER w AS prev_price,
         |    COUNT(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
@@ -311,7 +320,7 @@ object RelationalQueries {
       """SELECT COALESCE(o_orderstatus, '(all)') AS status,
         |  COALESCE(o_orderpriority, '(all)') AS priority,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
         |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
         |FROM orders
@@ -321,7 +330,7 @@ object RelationalQueries {
       """SELECT COALESCE(o_orderstatus, '(all)') AS status,
         |  COALESCE(o_orderpriority, '(all)') AS priority,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
         |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
         |FROM orders
@@ -331,7 +340,7 @@ object RelationalQueries {
       """SELECT COALESCE(event_type, '(all)') AS etype,
         |  COALESCE(CAST(user_id % 7 AS BIGINT), -1) AS ubucket,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events
         |GROUP BY GROUPING SETS ((event_type), (user_id % 7), ())
         |ORDER BY etype, ubucket""".stripMargin,
@@ -340,7 +349,7 @@ object RelationalQueries {
         |  CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS wend,
         |  event_type,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events
         |GROUP BY 1, 2, 3 ORDER BY wstart, event_type""".stripMargin,
     "q_pivot" ->
@@ -367,17 +376,17 @@ object RelationalQueries {
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
         |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
-        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS qty_f,
-        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS qty_o
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey
         |HAVING COUNT(*) >= 15 ORDER BY o_custkey""".stripMargin,
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  l_extendedprice AS price
         |FROM lineitem
         |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin,
     "q_string_pred" ->

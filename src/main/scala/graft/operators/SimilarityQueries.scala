@@ -90,7 +90,7 @@ object SimilarityQueries {
         |  GROUP BY vec_id, p),
         |buckets AS (
         |  SELECT n.vec_id, n.q, n.n2,
-        |         (SELECT SUM(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END)
+        |         (SELECT CAST(SUM(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
         |          FROM dots d WHERE d.vec_id = n.vec_id) AS bucket
         |  FROM n)
         |SELECT ia, bucket, nn, cos FROM (

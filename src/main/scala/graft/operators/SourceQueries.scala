@@ -137,8 +137,11 @@ object SourceQueries {
           g(c.set, "O_PRIO"))
       }.toDF("op", "okey", "custkey", "price_s", "odate_s", "prio")
       parsed.select(col("op"), col("okey"), col("custkey"),
-          col("price_s").cast("decimal(12,2)").as("price"),
-          col("odate_s").cast("timestamp").as("odate"), col("prio"))
+          // double + ntz outputs: the driver's pandas comparator can't
+          // match Decimal-object / ns-unit columns against DuckDB's
+          // float64 / µs frames
+          col("price_s").cast("decimal(12,2)").cast("double").as("price"),
+          col("odate_s").cast("timestamp_ntz").as("odate"), col("prio"))
         .orderBy(col("okey"))
     })
   )
@@ -155,7 +158,7 @@ object SourceQueries {
         |            WHEN o_orderkey % 3 = 1 THEN 3 ELSE 2 END AS op,
         |       o_orderkey AS okey, o_custkey AS custkey,
         |       CASE WHEN o_orderkey % 3 = 2 THEN NULL
-        |            ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price,
+        |            ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) END AS price,
         |       CASE WHEN o_orderkey % 3 = 2 THEN NULL
         |            ELSE o_orderdate END AS odate,
         |       CASE WHEN o_orderkey % 3 = 2 THEN NULL

@@ -78,9 +78,9 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin),
     "text_fingerprint" -> (toksCte +
       """SELECT doc_id,
-        |  SUM(i * list_reduce(list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)),
+        |  CAST(SUM(i * list_reduce(list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)),
         |                      (a, b) -> (a * 31 + b) % 1000000007))
-        |    % 1000000007 AS fp
+        |    % 1000000007 AS BIGINT) AS fp
         |FROM (SELECT doc_id, UNNEST(tk) AS t,
         |             generate_subscripts(tk, 1) AS i FROM toks)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
