@@ -31,7 +31,9 @@ object SchemaEvolution {
     val numArgs = """\((\s*\d+\s*(,\s*-?\d+\s*)?)\)""".r
     val args: Seq[Int] = numArgs.findFirstMatchIn(up)
       .map(_.group(1).split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)
-    up.takeWhile(c => c != '(').trim match {
+    // strip only the precision args, keeping any trailing qualifier:
+    // "TIMESTAMP(6) WITH TIME ZONE" must not collapse to "TIMESTAMP"
+    numArgs.replaceAllIn(up, "").replaceAll("\\s+", " ").trim match {
       case "NUMBER" => args match {
         case Seq(p, s) if s > 0 => DecimalType(p, s)
         // NUMBER(p) and NUMBER(p,0) are the same integral split; a
@@ -43,6 +45,10 @@ object SchemaEvolution {
       case "BINARY_FLOAT" => FloatType
       case "BINARY_DOUBLE" => DoubleType
       case "DATE" | "TIMESTAMP" => TimestampNTZType
+      // session-zone semantics → instant-typed, matching DictionaryReader's
+      // TIMESTAMP_WITH_TIMEZONE mapping
+      case "TIMESTAMP WITH TIME ZONE" |
+           "TIMESTAMP WITH LOCAL TIME ZONE" => TimestampType
       case "VARCHAR2" | "NVARCHAR2" | "CHAR" | "NCHAR" | "CLOB" | "NCLOB" |
            "LONG" | "XMLTYPE" | "JSON" => StringType
       case "RAW" | "BLOB" => BinaryType

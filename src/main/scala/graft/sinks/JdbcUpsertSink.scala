@@ -53,8 +53,12 @@ case class JdbcUpsertSink(
 
   /** Dedup within batch: latest change per key wins (K2 barrier). */
   def dedupBatch(df: DataFrame): DataFrame = {
+    val present = presentOrderCols(df)
+    require(present.nonEmpty,
+      s"dedupBatch needs at least one ordering column of ${orderCols.mkString(",")} " +
+        s"in the batch frame (got columns: ${df.columns.mkString(",")})")
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(presentOrderCols(df).map(c => col(c).desc): _*)
+      .orderBy(present.map(c => col(c).desc): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

@@ -136,11 +136,13 @@ case object MySqlDialect extends SinkDialect {
   override protected def q(ident: String): String =
     if (ident.contains(".")) ident else s"`$ident`"
   override def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
+    // row-alias form: VALUES(col) in ON DUPLICATE KEY UPDATE is
+    // deprecated since MySQL 8.0.20 and slated for removal
     val nonKey = cols.filterNot(keyCols.contains)
     val updates =
       if (nonKey.isEmpty) keyCols.map(c => s"${q(c)} = ${q(c)}").mkString(", ")
-      else nonKey.map(c => s"${q(c)} = VALUES(${q(c)})").mkString(", ")
-    insertSql(table, cols) + s" ON DUPLICATE KEY UPDATE $updates"
+      else nonKey.map(c => s"${q(c)} = nv.${q(c)}").mkString(", ")
+    insertSql(table, cols) + s" AS nv ON DUPLICATE KEY UPDATE $updates"
   }
 }
 

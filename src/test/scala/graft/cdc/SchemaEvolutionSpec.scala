@@ -28,6 +28,10 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(oraType("NUMBER(5,-2)") === IntegerType)
     assert(oraType("VARCHAR2(100)") === StringType)
     assert(oraType("TIMESTAMP(6)") === TimestampNTZType)
+    // the zone qualifier survives the precision-arg strip: zoned types
+    // are instant-typed, never silently NTZ
+    assert(oraType("TIMESTAMP(6) WITH TIME ZONE") === TimestampType)
+    assert(oraType("TIMESTAMP WITH LOCAL TIME ZONE") === TimestampType)
     assert(oraType("RAW(2000)") === BinaryType)
     assert(oraType("BINARY_DOUBLE") === DoubleType)
   }

@@ -24,11 +24,12 @@ class SinkDialectSpec extends AnyFunSuite {
         "loc = EXCLUDED.loc, budget = EXCLUDED.budget")
   }
 
-  test("mysql upsert = ON DUPLICATE KEY UPDATE with backticks") {
+  test("mysql upsert = row-alias ON DUPLICATE KEY UPDATE with backticks") {
+    // row-alias form: VALUES() is deprecated since MySQL 8.0.20
     assert(MySqlDialect.upsertSql("dept", cols, keys) ==
       "INSERT INTO `dept` (`deptno`, `dname`, `loc`, `budget`) VALUES (?, ?, ?, ?) " +
-        "ON DUPLICATE KEY UPDATE `dname` = VALUES(`dname`), " +
-        "`loc` = VALUES(`loc`), `budget` = VALUES(`budget`)")
+        "AS nv ON DUPLICATE KEY UPDATE `dname` = nv.`dname`, " +
+        "`loc` = nv.`loc`, `budget` = nv.`budget`")
   }
 
   test("oracle upsert = MERGE INTO ... DUAL") {
