@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.cdc._
 
 /** Spark wrappers around the pure transaction assembler (SURVEY.md §2.2
@@ -13,37 +14,51 @@ import graft.cdc._
   * (millions), never with table size, and no single task sees more than
   * one transaction's statements.
   *
-  * Streaming: `flatMapGroupsWithState` — state per open XID holds the
-  * statement buffer (reference: off-heap MMF queues, T10 — here the state
-  * store gives spill + checkpoint for free). Changes are emitted only
-  * when the COMMIT control record arrives; ROLLBACK clears state with no
+  * Streaming: `transformWithState` with an append-only ListState per open
+  * XID (reference: off-heap MMF queues, T10 — here the RocksDB state
+  * store gives spill + checkpoint for free). A micro-batch WITHOUT a
+  * terminal record appends its statements to the list in O(batch) state
+  * IO — the buffered prefix is neither deserialized nor rewritten, so a
+  * multi-GiB batch transaction (the reference's `OffHeapMmf` nightmare
+  * case) costs each micro-batch only its own increment. The one full
+  * materialize + sort happens at COMMIT/ROLLBACK, once per transaction.
+  * Changes are emitted only at commit; rollback clears state with no
   * emission, so uncommitted data is never decoded downstream — the same
   * "deferred work until commit" optimization the reference hand-built.
   */
 object ChangeStreams {
 
-  /** Batch assembly of a bounded change set. */
+  /** Batch assembly of a bounded change set.
+    *
+    * The per-group buffer is bounded by the largest single transaction
+    * (not the table): acceptable for the bounded gates and batch
+    * backfills this entry point serves. An unbounded stream with
+    * multi-GiB transactions belongs on [[assembleStream]], whose list
+    * state spills through RocksDB instead of the task heap.
+    */
   def assembleBatch(records: Dataset[RedoRecord],
       opts: TransactionAssembler.Options = TransactionAssembler.DefaultOptions)
       : Dataset[EmittedChange] = {
     val spark = records.sparkSession
     import spark.implicits._
     records.groupByKey(_.xid).flatMapGroups { (_, it) =>
-      TransactionAssembler.assemble(
-        it.toSeq.sortBy(r => (r.scn, r.ssn)), opts).iterator
+      val buf = collection.mutable.ArrayBuffer.empty[RedoRecord]
+      it.foreach(buf += _)
+      buf.sortInPlaceBy(r => (r.scn, r.ssn))
+      TransactionAssembler.assemble(buf.toSeq, opts).iterator
     }
   }
 
   /** Streaming assembly: buffers per open transaction, emits at commit.
-    * Use with OutputMode.Append. State lives until COMMIT/ROLLBACK or the
-    * idle timeout (abandoned transactions are dropped like the
-    * reference's restart bookkeeping would skip them).
+    * Use with OutputMode.Append and the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`), which `transformWithState`
+    * requires and which large transactions need for spill anyway.
     *
     * PRODUCTION: set `idleTimeoutMs` (e.g. 30 min) so transactions whose
     * terminal record is lost don't pin state forever. The default is 0
-    * (no timeout) because a registered processing-time timeout makes the
-    * engine run continuous no-data micro-batches to evaluate it — the
-    * right setting is workload-specific, not a library default.
+    * (no timers) because the right horizon is workload-specific, not a
+    * library default.
     *
     * XIDs are REUSED across transactions (Oracle recycles undo slots), so
     * one micro-batch may carry records past a COMMIT: each terminal
@@ -57,36 +72,86 @@ object ChangeStreams {
     val spark = records.sparkSession
     import spark.implicits._
     records.groupByKey(_.xid)
-      .flatMapGroupsWithState[Seq[RedoRecord], EmittedChange](
-        OutputMode.Append,
-        if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
-        else GroupStateTimeout.NoTimeout) {
-        (xid: String, it: Iterator[RedoRecord], state: GroupState[Seq[RedoRecord]]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val buffered = (state.getOption.getOrElse(Seq.empty) ++ it)
-              .sortBy(r => (r.scn, r.ssn))
-            // emit one assembled transaction per terminal record, in order
-            val out = collection.mutable.ArrayBuffer[EmittedChange]()
-            var rest = buffered
-            var terminalIdx = rest.indexWhere(r =>
-              r.op == Ops.Commit || r.op == Ops.Rollback)
-            while (terminalIdx >= 0) {
-              val (txn, tail) = rest.splitAt(terminalIdx + 1)
-              out ++= TransactionAssembler.assemble(txn, opts)
-              rest = tail
-              terminalIdx = rest.indexWhere(r =>
-                r.op == Ops.Commit || r.op == Ops.Rollback)
-            }
-            if (rest.isEmpty) state.remove()
-            else {
-              state.update(rest)
-              if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
-            }
-            out.iterator
-          }
+      .transformWithState(
+        new TxnAssemblyProcessor(opts, idleTimeoutMs),
+        if (idleTimeoutMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+}
+
+/** Per-XID stateful processor: append-only statement log + idle timer.
+  *
+  * State layout:
+  *  - `log` (ListState[RedoRecord]): statements of the currently-open
+  *    transaction, in arrival order. Append-only between terminals —
+  *    never rewritten, never sorted per batch.
+  *  - `deadline` (ValueState[Long]): the registered idle-timer instant,
+  *    so the previous timer can be deleted when activity arrives.
+  *
+  * On a terminal-bearing batch the whole log is read ONCE, sorted by
+  * (scn, ssn), split at each terminal (xid reuse), assembled, and the
+  * open remainder re-written — i.e. sorting cost is paid per transaction,
+  * not per micro-batch, and state IO for a transaction of n statements
+  * arriving over b batches is O(n + b·increment), not O(n·b).
+  */
+private[streaming] class TxnAssemblyProcessor(
+    opts: TransactionAssembler.Options,
+    idleTimeoutMs: Long)
+  extends StatefulProcessor[String, RedoRecord, EmittedChange] {
+
+  @transient private var log: ListState[RedoRecord] = _
+  @transient private var deadline: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    log = getHandle.getListState("log", Encoders.product[RedoRecord], TTLConfig.NONE)
+    if (idleTimeoutMs > 0)
+      deadline = getHandle.getValueState("deadline",
+        Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def isTerminal(r: RedoRecord): Boolean =
+    r.op == Ops.Commit || r.op == Ops.Rollback
+
+  override def handleInputRows(xid: String, rows: Iterator[RedoRecord],
+      timerValues: TimerValues): Iterator[EmittedChange] = {
+    val incoming = rows.toArray
+    if (idleTimeoutMs > 0) {
+      // slide the idle timer: drop the previous deadline, arm a new one
+      if (deadline.exists()) getHandle.deleteTimer(deadline.get())
+      val at = timerValues.getCurrentProcessingTimeInMs() + idleTimeoutMs
+      getHandle.registerTimer(at)
+      deadline.update(at)
+    }
+    if (!incoming.exists(isTerminal)) {
+      // fast path: pure append, buffered prefix untouched
+      if (incoming.nonEmpty) log.appendList(incoming)
+      Iterator.empty
+    } else {
+      val all = (log.get() ++ incoming.iterator).toArray
+      java.util.Arrays.sort(all, Ordering.by((r: RedoRecord) => (r.scn, r.ssn)))
+      log.clear()
+      val out = collection.mutable.ArrayBuffer[EmittedChange]()
+      var segStart = 0
+      var i = 0
+      while (i < all.length) {
+        if (isTerminal(all(i))) {
+          out ++= TransactionAssembler.assemble(
+            all.slice(segStart, i + 1).toSeq, opts)
+          segStart = i + 1
+        }
+        i += 1
       }
+      if (segStart < all.length) log.appendList(all.drop(segStart))
+      out.iterator
+    }
+  }
+
+  override def handleExpiredTimer(xid: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[EmittedChange] = {
+    // abandoned transaction: terminal record lost — drop buffered state,
+    // matching the reference's restart bookkeeping skipping stale XIDs
+    log.clear()
+    deadline.clear()
+    Iterator.empty
   }
 }

@@ -13,12 +13,19 @@ import graft.cdc._
   */
 class StreamingAssemblySpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    // transformWithState (list-state assembler) requires RocksDB; set on
+    // the session conf because getOrCreate may reuse a suite-shared session
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
 
   private def rec(scn: Long, xid: String, op: Int, rowId: String = "",
       after: Map[String, String] = Map.empty) =
@@ -107,6 +114,42 @@ class StreamingAssemblySpec extends AnyFunSuite {
       q.processAllAvailable()
       val out = spark.table("assembled2").as[EmittedChange].collect()
       assert(out.map(_.rowId).toSeq == Seq("rA"))
+    } finally q.stop()
+  }
+
+  test("one large transaction accumulated over many micro-batches") {
+    // the append-only state path: 40 batches × 25 statements buffer
+    // without a terminal, then a single COMMIT releases all 1000 changes
+    // in (scn, ssn) order with the commit SCN stamped
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RedoRecord]
+    val q = ChangeStreams.assembleStream(input.toDS())
+      .writeStream.format("memory").queryName("assembled_big")
+      .outputMode("append").start()
+    try {
+      (0 until 40).foreach { b =>
+        // descending scn within each batch: assembly must sort, not
+        // trust arrival order
+        input.addData((24 to 0 by -1).map { i =>
+          val n = b * 25 + i
+          rec(1000L + n, "big", Ops.Insert, s"r$n", Map("c" -> n.toString))
+        }: _*)
+        q.processAllAvailable()
+        assert(spark.table("assembled_big").count() == 0)
+      }
+      input.addData(rec(5000, "big", Ops.Commit))
+      q.processAllAvailable()
+      val out = spark.table("assembled_big").as[EmittedChange].collect()
+      assert(out.length == 1000)
+      assert(out.forall(_.commitScn == 5000L))
+      assert(out.map(_.scn).sorted.toSeq == (0 until 1000).map(1000L + _))
+      // a second transaction on the reused xid still works after the big one
+      input.addData(
+        rec(6000, "big", Ops.Insert, "rx", Map("c" -> "x")),
+        rec(6001, "big", Ops.Commit))
+      q.processAllAvailable()
+      assert(spark.table("assembled_big").count() == 1001)
     } finally q.stop()
   }
 }
