@@ -391,6 +391,34 @@ object OracleFunctions {
     override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
   }
 
+  // ---- OSON binary JSON (F9) ----
+
+  case class OsonEncodeText(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.Oson.encodeText(v.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, s => s"graft.codec.Oson.encodeText($s.toString())")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class OsonDecodeText(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(graft.codec.Oson.decodeText(v.asInstanceOf[Array[Byte]]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b =>
+        s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.codec.Oson.decodeText($b))")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
   // ---- Column API ----
 
   def oranumber_to_decimal(col: Column, precision: Int, scale: Int): Column =
@@ -426,6 +454,8 @@ object OracleFunctions {
   def lob_is_inline(col: Column): Column = c(LobLocatorIsInline(e(col)))
   def lob_inline_data(col: Column): Column = c(LobLocatorInlineData(e(col)))
   def lob_id(col: Column): Column = c(LobLocatorId(e(col)))
+  def oson_encode(col: Column): Column = c(OsonEncodeText(e(col)))
+  def oson_decode(col: Column): Column = c(OsonDecodeText(e(col)))
 
   /** SQL registration so the codecs are usable from spark.sql(...). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -124,6 +124,28 @@ object CodecQueries {
           length(col("wire")).as("wire_len"))
         .orderBy(col("event_id"))
     }),
+    // F9: OSON binary JSON — per-document JSON text (nested object +
+    // array + string/number scalars) encodes to an OSON image and
+    // decodes back to the identical text. Keys are written in OSON's
+    // canonical (fieldHash, name) dictionary order — lang < meta <
+    // words < id and n < src — so decode∘encode is the identity on the
+    // text and DuckDB can state the expected value directly.
+    "f9_oson" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      val json = concat(
+        lit("{\"lang\":\""), col("lang"),
+        lit("\",\"meta\":{\"n\":"), col("n_chars").cast("string"),
+        lit(",\"src\":\""), col("source"),
+        lit("\"},\"words\":[\""), element_at(w, 1),
+        lit("\",\""), element_at(w, 2),
+        lit("\",\""), element_at(w, 3),
+        lit("\"],\"id\":"), col("doc_id").cast("string"), lit("}"))
+      documents(s, dir)
+        .select(col("doc_id"), json.as("j"))
+        .select(col("doc_id"),
+          oson_decode(oson_encode(col("j"))).as("json_rt"))
+        .orderBy(col("doc_id"))
+    }),
     // F12: LOB locator — inline payload round-trips; every 10th doc is
     // out-of-row (locator carries only the LobId, data resolves to NULL
     // until the T8 assembler supplies it)
@@ -179,6 +201,16 @@ object CodecQueries {
         |       CAST((user_id % 25 - 12) * 60 AS INT) AS off_rt,
         |       13 AS wire_len
         |FROM events ORDER BY event_id""".stripMargin,
+    "f9_oson" ->
+      """SELECT doc_id,
+        |       '{"lang":"' || lang ||
+        |       '","meta":{"n":' || CAST(n_chars AS VARCHAR) ||
+        |       ',"src":"' || source ||
+        |       '"},"words":["' || string_split(text, ' ')[1] ||
+        |       '","' || string_split(text, ' ')[2] ||
+        |       '","' || string_split(text, ' ')[3] ||
+        |       '"],"id":' || CAST(doc_id AS VARCHAR) || '}' AS json_rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "f12_lob_locator" ->
       """SELECT doc_id,
         |       doc_id % 10 <> 0 AS is_inline,
