@@ -63,34 +63,11 @@ object DedupQueries {
         .orderBy(col("ia"), col("ib"))
     }),
 
-    // Exact n-gram Jaccard via shingle-hash-keyed shuffle join (inverted
-    // index on an 8-byte key — the shuffle carries longs, not strings).
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      val exploded = docShingleHashes(s, dir)
-        .select(col("doc_id"),
-          explode(graft.functions.TextHashExpressions.distinct_longs(col("hs"))).as("s"))
-      val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // the join fans out to Σ df(s)² rows; aggregate them on ONE packed
-      // long key (ia<<32|ib) — the primitive-key fast path in Spark's
-      // hash aggregate — instead of a two-column row key. The packing
-      // assumes doc_id < 2^32 (unsigned unpack); for a corpus beyond that
-      // fall back to the two-column groupBy — same plan, slower agg.
-      val inter = exploded.toDF("ia", "s")
-        .join(exploded.toDF("ib", "s"), Seq("s"))
-        .filter(col("ia") < col("ib"))
-        .select((shiftleft(col("ia"), 32) bitwiseOR col("ib")).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("m"))
-        .select(shiftrightunsigned(col("pair"), 32).as("ia"),
-          (col("pair") bitwiseAND lit(0xffffffffL)).as("ib"), col("m"))
-      inter
-        .join(sizes.toDF("ia", "na"), "ia")
-        .join(sizes.toDF("ib", "nb"), "ib")
-        .withColumn("jac", col("m").cast("double") /
-          (col("na") + col("nb") - col("m")).cast("double"))
-        .filter(col("jac") >= 0.10)
-        .select(col("ia"), col("ib"), col("m"), col("jac"))
-        .orderBy(col("ia"), col("ib"))
-    }),
+    // n-gram Jaccard with the production stop-shingle cap (df ≤ 8% of
+    // the corpus). Shuffle join keyed by shingle hash; the cap bounds
+    // the per-shingle join fan-out.
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      ngramJaccard(s, dir, maxDfFrac = Some(0.08))),
 
     // Per-document 16-bit SimHash (near-dup docs collide).
     "dedup_simhash" -> ((s, dir) => {
@@ -117,6 +94,63 @@ object DedupQueries {
         .orderBy(col("ia"), col("ib"))
     })
   )
+
+  /** n-gram Jaccard similarity pairs via a shingle-hash-keyed shuffle
+    * join (inverted index on an 8-byte key — the shuffle carries longs,
+    * not strings).
+    *
+    * `maxDfFrac = Some(α)` drops stop-shingles appearing in more than
+    * ⌈α·N⌉ documents before the self-join — the knob a 100 TB corpus
+    * needs: without it the join fans out to Σ df(s)², which grows
+    * quadratically on natural-language shingle skew ("of the" appears
+    * in every document). The stop list is tiny by construction (at most
+    * totalShingleOccurrences/(α·N) entries), so it broadcasts, and the
+    * filter is a map-side anti-join BEFORE the shuffle. Document sizes
+    * are computed on the capped shingle sets, so the Jaccard stays
+    * internally consistent (similarity over informative shingles only —
+    * same convention as df-based stopword removal in IR).
+    * `maxDfFrac = None` is the exact variant.
+    */
+  def ngramJaccard(s: SparkSession, dir: String,
+      maxDfFrac: Option[Double] = None, threshold: Double = 0.10): DataFrame = {
+    val exploded0 = docShingleHashes(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextHashExpressions.distinct_longs(col("hs"))).as("s"))
+    val exploded = maxDfFrac match {
+      case Some(alpha) =>
+        val nDocs = documents(s, dir).agg(count(lit(1)).as("n_docs"))
+        val stop = exploded0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") > ceil(col("n_docs") * alpha))
+          .select(col("s"))
+        exploded0.join(broadcast(stop), Seq("s"), "left_anti")
+          // the USING join moves `s` first; restore (doc_id, s) order for
+          // the positional toDF renames below
+          .select(col("doc_id"), col("s"))
+      case None => exploded0
+    }
+    val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // the join fans out to Σ df(s)² rows; aggregate them on ONE packed
+    // long key (ia<<32|ib) — the primitive-key fast path in Spark's
+    // hash aggregate — instead of a two-column row key. The packing
+    // assumes doc_id < 2^32 (unsigned unpack); for a corpus beyond that
+    // fall back to the two-column groupBy — same plan, slower agg.
+    val inter = exploded.toDF("ia", "s")
+      .join(exploded.toDF("ib", "s"), Seq("s"))
+      .filter(col("ia") < col("ib"))
+      .select((shiftleft(col("ia"), 32) bitwiseOR col("ib")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("m"))
+      .select(shiftrightunsigned(col("pair"), 32).as("ia"),
+        (col("pair") bitwiseAND lit(0xffffffffL)).as("ib"), col("m"))
+    inter
+      .join(sizes.toDF("ia", "na"), "ia")
+      .join(sizes.toDF("ib", "nb"), "ib")
+      .withColumn("jac", col("m").cast("double") /
+        (col("na") + col("nb") - col("m")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("ia"), col("ib"), col("m"), col("jac"))
+      .orderBy(col("ia"), col("ib"))
+  }
 
   private val shinglesCte =
     """WITH toks AS (
@@ -159,7 +193,11 @@ object DedupQueries {
         |     AND a.doc_id < b.doc_id
         |ORDER BY ia, ib""".stripMargin),
     "dedup_ngram_jaccard" -> (shinglesCte +
-      """, hd AS (SELECT DISTINCT doc_id, h FROM h),
+      """, hd0 AS (SELECT DISTINCT doc_id, h FROM h),
+        |stop AS (
+        |  SELECT h FROM hd0 GROUP BY h
+        |  HAVING COUNT(*) > CEIL(0.08 * (SELECT COUNT(*) FROM documents))),
+        |hd AS (SELECT * FROM hd0 WHERE h NOT IN (SELECT h FROM stop)),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS m
