@@ -77,20 +77,27 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Embedding-cosine near-dup within label blocks (exact quantized dot).
+    // Embedding-cosine near-dup blocked by random-hyperplane LSH bucket
+    // (exact quantized dot within block). The block key is the LSH
+    // bucket — near-identical vectors land in the same bucket by
+    // construction, and block sizes are tuned by plane count, so the
+    // per-block pair space stays bounded as the corpus grows (a label/
+    // category key would grow blocks linearly with data and the pair
+    // space quadratically).
     "dedup_embedding_cosine" -> ((s, dir) => {
-      val e = embeddings(s, dir).select(col("vec_id"), col("label"),
+      val e = embeddings(s, dir).select(col("vec_id"),
         quantize(col("embedding")).as("q"))
         .withColumn("n2", normQ2(col("q")))
-      val a = e.select(col("vec_id").as("ia"), col("label"),
+        .withColumn("bucket", lshBucket(col("q"), planes = 6))
+      val a = e.select(col("vec_id").as("ia"), col("bucket"),
         col("q").as("qa"), col("n2").as("na"))
-      val b = e.select(col("vec_id").as("ib"), col("label"),
+      val b = e.select(col("vec_id").as("ib"), col("bucket"),
         col("q").as("qb"), col("n2").as("nb"))
-      a.join(b, Seq("label")).filter(col("ia") < col("ib"))
+      a.join(b, Seq("bucket")).filter(col("ia") < col("ib"))
         .withColumn("dot", dotQ(col("qa"), col("qb")))
         .withColumn("cos", cosineFromQ(col("dot"), col("na"), col("nb")))
         .filter(col("cos") > 0.35)
-        .select(col("label"), col("ia"), col("ib"), col("dot"), col("cos"))
+        .select(col("bucket"), col("ia"), col("ib"), col("dot"), col("cos"))
         .orderBy(col("ia"), col("ib"))
     })
   )
@@ -233,18 +240,31 @@ object DedupQueries {
       " AS BIGINT) AS sh16\nFROM votes ORDER BY doc_id"),
     "dedup_embedding_cosine" ->
       """WITH v AS (
-        |  SELECT vec_id, label,
+        |  SELECT vec_id,
         |         list_transform(embedding,
         |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
         |  FROM embeddings),
-        |n AS (SELECT vec_id, label, q,
-        |             CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM v)
-        |SELECT label, ia, ib, dot, cos FROM (
-        |  SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
+        |n AS (SELECT vec_id, q,
+        |             CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM v),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |         SUM(x * (((p * 131 + (i - 1) * 7919 + 17) % 1000) - 500)) AS dp
+        |  FROM (SELECT vec_id, UNNEST(q) AS x,
+        |               generate_subscripts(q, 1) AS i FROM v)
+        |  CROSS JOIN (SELECT UNNEST(range(0, 6)) AS p)
+        |  GROUP BY vec_id, p),
+        |buckets AS (
+        |  SELECT n.vec_id, n.q, n.n2,
+        |         (SELECT CAST(SUM(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+        |          FROM dots d WHERE d.vec_id = n.vec_id) AS bucket
+        |  FROM n)
+        |SELECT bucket, ia, ib, dot, cos FROM (
+        |  SELECT a.bucket, a.vec_id AS ia, b.vec_id AS ib,
         |         CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
         |         CAST(list_dot_product(a.q, b.q) AS DOUBLE)
         |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
-        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |  FROM buckets a JOIN buckets b
+        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |WHERE cos > 0.35
         |ORDER BY ia, ib""".stripMargin
   )
