@@ -391,6 +391,27 @@ object OracleFunctions {
     override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
   }
 
+  // ---- XMLTYPE text envelope (F8) ----
+
+  case class OraXmlDecode(child: Expression, clobCarrier: Boolean)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      UTF8String.fromString(
+        if (clobCarrier) graft.codec.OraXml.decodeClob(b)
+        else graft.codec.OraXml.decodeBlob(b))
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b =>
+        s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          (if (clobCarrier) s"graft.codec.OraXml.decodeClob($b))"
+           else s"graft.codec.OraXml.decodeBlob($b))"))
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
   // ---- OSON binary JSON (F9) ----
 
   case class OsonEncodeText(child: Expression)
@@ -456,6 +477,8 @@ object OracleFunctions {
   def lob_id(col: Column): Column = c(LobLocatorId(e(col)))
   def oson_encode(col: Column): Column = c(OsonEncodeText(e(col)))
   def oson_decode(col: Column): Column = c(OsonDecodeText(e(col)))
+  def oraxml_clob_decode(col: Column): Column = c(OraXmlDecode(e(col), clobCarrier = true))
+  def oraxml_blob_decode(col: Column): Column = c(OraXmlDecode(e(col), clobCarrier = false))
 
   /** SQL registration so the codecs are usable from spark.sql(...). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -146,6 +146,25 @@ object CodecQueries {
           oson_decode(oson_encode(col("j"))).as("json_rt"))
         .orderBy(col("doc_id"))
     }),
+    // F8: XMLTYPE text envelope — one XML document per row, decoded
+    // from the three wire carriers the codec distinguishes: CLOB
+    // (UTF-16 with BOM), BLOB UTF-8, and BOM-less UTF-16LE (detected
+    // by the Appendix-F '<?' byte pattern). All three must decode to
+    // the identical text.
+    "f8_xml" -> ((s, dir) => {
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><doc id=\""), col("doc_id").cast("string"),
+        lit("\" lang=\""), col("lang"),
+        lit("\"><src>"), col("source"),
+        lit("</src><w>"), element_at(split(col("text"), " "), 1),
+        lit("</w></doc>"))
+      documents(s, dir).select(col("doc_id"), xml.as("x"))
+        .select(col("doc_id"),
+          oraxml_clob_decode(encode(col("x"), "UTF-16")).as("xml_clob"),
+          oraxml_blob_decode(encode(col("x"), "UTF-8")).as("xml_utf8"),
+          oraxml_blob_decode(encode(col("x"), "UTF-16LE")).as("xml_u16le"))
+        .orderBy(col("doc_id"))
+    }),
     // F12: LOB locator — inline payload round-trips; every 10th doc is
     // out-of-row (locator carries only the LobId, data resolves to NULL
     // until the T8 assembler supplies it)
@@ -201,6 +220,15 @@ object CodecQueries {
         |       CAST((user_id % 25 - 12) * 60 AS INT) AS off_rt,
         |       13 AS wire_len
         |FROM events ORDER BY event_id""".stripMargin,
+    "f8_xml" ->
+      """SELECT doc_id, x AS xml_clob, x AS xml_utf8, x AS xml_u16le FROM (
+        |  SELECT doc_id,
+        |         '<?xml version="1.0"?><doc id="' || CAST(doc_id AS VARCHAR) ||
+        |         '" lang="' || lang || '"><src>' || source ||
+        |         '</src><w>' || string_split(text, ' ')[1] ||
+        |         '</w></doc>' AS x
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "f9_oson" ->
       """SELECT doc_id,
         |       '{"lang":"' || lang ||
