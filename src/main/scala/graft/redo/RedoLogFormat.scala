@@ -221,15 +221,20 @@ object RedoLogReader {
       firstScn: Long, nextScn: Long)
 
   def readHeader(file: File): FileHeader = {
-    val raf = new RandomAccessFile(file, "r")
-    try {
-      val buf = new Array[Byte](32)
-      raf.readFully(buf)
-      val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
-      val magic = bb.getInt
-      require(magic == RedoLogFormat.Magic, s"bad magic in $file")
-      FileHeader(bb.getInt, bb.getInt, bb.getInt, bb.getLong, bb.getLong)
-    } finally raf.close()
+    val src = LocalRedoProvider.open(file.getPath)
+    try readHeader(src, file.getPath) finally src.close()
+  }
+
+  /** Transport-independent header read (S6): works over any
+    * [[RedoByteSource]] — local file, in-memory, HTTP range.
+    */
+  def readHeader(src: RedoByteSource, name: String): FileHeader = {
+    val buf = new Array[Byte](32)
+    src.readFully(0, buf)
+    val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    require(magic == RedoLogFormat.Magic, s"bad magic in $name")
+    FileHeader(bb.getInt, bb.getInt, bb.getInt, bb.getLong, bb.getLong)
   }
 
   /** All records in the file, in log order. */
@@ -239,54 +244,61 @@ object RedoLogReader {
     * path: positions into the middle of the log without replaying it.
     */
   def recordsFrom(file: File, startBlock: Int, startOffset: Int): Iterator[RedoRecord] = {
+    val src = LocalRedoProvider.open(file.getPath)
+    try recordsFrom(src, file.getPath, startBlock, startOffset)
+    finally src.close()
+  }
+
+  /** Transport-independent scan (S6): consumes the whole byte source
+    * eagerly (redo logs are bounded archived segments), so the source
+    * can be closed as soon as this returns.
+    */
+  def recordsFrom(src: RedoByteSource, name: String,
+      startBlock: Int, startOffset: Int): Iterator[RedoRecord] = {
     import RedoLogFormat._
-    val header = readHeader(file)
+    val header = readHeader(src, name)
     val blockSize = header.blockSize
-    val raf = new RandomAccessFile(file, "r")
+    val totalBlocks = (src.length / blockSize).toInt // incl. header block
+    val payloadPer = blockSize - HeaderBytes
+    var bn = math.max(1, startBlock)
+    var effStartOffset = startOffset
+    if (bn > 1 && startOffset == 0) {
+      // caller gave only a block: begin at the first record starting there
+      val arr = readBlock(src, blockSize, bn)
+      val firstRec = ((arr(14) & 0xff) | ((arr(15) & 0xff) << 8))
+      require(firstRec != NoRecord, s"no record starts in block $bn")
+      effStartOffset = firstRec
+    }
+    // stitch payloads into ONE preallocated buffer (no per-block slice
+    // copies, no second drop().toArray pass)
+    val nBlocks = math.max(0, totalBlocks - bn)
+    val out = new Array[Byte](nBlocks * payloadPer)
+    var filled = 0
+    while (bn < totalBlocks) {
+      val arr = readBlock(src, blockSize, bn)
+      val stored = ((arr(12) & 0xff) | ((arr(13) & 0xff) << 8))
+      val computed = {
+        val tmp = arr.clone(); tmp(12) = 0; tmp(13) = 0
+        checksum(tmp, 12)
+      }
+      if (stored != computed)
+        throw new java.io.IOException(
+          s"checksum mismatch in $name block $bn: stored=$stored computed=$computed")
+      val bb = ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
+      require(bb.getInt == Magic, s"bad block magic in $name block $bn")
+      System.arraycopy(arr, HeaderBytes, out, filled, payloadPer)
+      filled += payloadPer
+      bn += 1
+    }
     val bytes =
-      try {
-        val totalBlocks = (raf.length() / blockSize).toInt // incl. header block
-        val payloadPer = blockSize - HeaderBytes
-        var bn = math.max(1, startBlock)
-        var effStartOffset = startOffset
-        if (bn > 1 && startOffset == 0) {
-          // caller gave only a block: begin at the first record starting there
-          val arr = readBlock(raf, blockSize, bn)
-          val firstRec = ((arr(14) & 0xff) | ((arr(15) & 0xff) << 8))
-          require(firstRec != NoRecord, s"no record starts in block $bn")
-          effStartOffset = firstRec
-        }
-        // stitch payloads into ONE preallocated buffer (no per-block slice
-        // copies, no second drop().toArray pass)
-        val nBlocks = math.max(0, totalBlocks - bn)
-        val out = new Array[Byte](nBlocks * payloadPer)
-        var filled = 0
-        while (bn < totalBlocks) {
-          val arr = readBlock(raf, blockSize, bn)
-          val stored = ((arr(12) & 0xff) | ((arr(13) & 0xff) << 8))
-          val computed = {
-            val tmp = arr.clone(); tmp(12) = 0; tmp(13) = 0
-            checksum(tmp, 12)
-          }
-          if (stored != computed)
-            throw new java.io.IOException(
-              s"checksum mismatch in $file block $bn: stored=$stored computed=$computed")
-          val bb = ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
-          require(bb.getInt == Magic, s"bad block magic in $file block $bn")
-          System.arraycopy(arr, HeaderBytes, out, filled, payloadPer)
-          filled += payloadPer
-          bn += 1
-        }
-        if (effStartOffset == 0) out
-        else java.util.Arrays.copyOfRange(out, effStartOffset, out.length)
-      } finally raf.close()
+      if (effStartOffset == 0) out
+      else java.util.Arrays.copyOfRange(out, effStartOffset, out.length)
     parseStream(bytes)
   }
 
-  private def readBlock(raf: RandomAccessFile, blockSize: Int, blockNo: Int): Array[Byte] = {
+  private def readBlock(src: RedoByteSource, blockSize: Int, blockNo: Int): Array[Byte] = {
     val arr = new Array[Byte](blockSize)
-    raf.seek(blockNo.toLong * blockSize)
-    raf.readFully(arr)
+    src.readFully(blockNo.toLong * blockSize, arr)
     arr
   }
 
@@ -386,12 +398,20 @@ object RedoLogReader {
     * number from their headers; throws on a sequence gap per thread, like
     * the reference's archived-log gap detection.
     */
-  def listLogs(dir: File): Seq[(File, FileHeader)] = {
-    val files = Option(dir.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isFile && f.getName.endsWith(".grl"))
-      .toSeq
-    val withHeaders = files.map(f => f -> readHeader(f))
-      .sortBy { case (_, h) => (h.thread, h.seq) }
+  def listLogs(dir: File): Seq[(File, FileHeader)] =
+    listLogs(LocalRedoProvider, dir.getPath)
+      .map { case (path, h) => new File(path) -> h }
+
+  /** Transport-independent topology scan (S6): list + header-read each
+    * log through the provider, enforce per-thread sequence continuity.
+    */
+  def listLogs(provider: RedoStorageProvider, dir: String): Seq[(String, FileHeader)] = {
+    val base = dir.stripSuffix("/")
+    val withHeaders = provider.list(dir).map { name =>
+      val path = s"$base/$name"
+      val src = provider.open(path)
+      try path -> readHeader(src, path) finally src.close()
+    }.sortBy { case (_, h) => (h.thread, h.seq) }
     withHeaders.groupBy(_._2.thread).foreach { case (t, logs) =>
       logs.map(_._2.seq).sliding(2).foreach {
         case Seq(a, b) if b != a + 1 =>

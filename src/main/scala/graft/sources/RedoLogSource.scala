@@ -15,7 +15,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.cdc.RedoRecord
-import graft.redo.RedoLogReader
+import graft.redo.{LocalRedoProvider, RedoLogReader, RedoStorageProvider}
 
 /** `graft-redo` — DataSource V2 over GRL1 redo logs (SURVEY.md §7.1-4).
   *
@@ -123,10 +123,16 @@ class RedoLogScan(options: CaseInsensitiveStringMap) extends Scan {
   private val maxFilesPerTrigger: Int =
     Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue)
 
-  private def listWithCoords(): Seq[(String, Int, Int)] =
-    RedoLogReader.listLogs(new File(path)).map { case (f, h) =>
-      (f.getAbsolutePath, h.thread, h.seq)
+  // S6: the path picks the transport — local directory or http(s)://
+  // base URL; every executor opens its own byte source per partition
+  private def listWithCoords(): Seq[(String, Int, Int)] = {
+    val provider = RedoStorageProvider.forPath(path)
+    val base =
+      if (provider eq LocalRedoProvider) new File(path).getAbsolutePath else path
+    RedoLogReader.listLogs(provider, base).map { case (p, h) =>
+      (p, h.thread, h.seq)
     }
+  }
 
   override def readSchema(): StructType = RedoLogSource.schema
   override def description(): String = s"graft-redo $path"
@@ -223,7 +229,12 @@ class RedoReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val matches = RedoLogSource.tableMatcher(p.tables)
       private val opSet = p.ops.toSet
-      private val it = RedoLogReader.records(new File(p.file)).filter { r =>
+      private val it = {
+        // recordsFrom drains the source before returning the iterator
+        // (archived segments are bounded), so close eagerly
+        val src = RedoStorageProvider.forPath(p.file).open(p.file)
+        try RedoLogReader.recordsFrom(src, p.file, 1, 0) finally src.close()
+      }.filter { r =>
         // P1/P2 pruning at the scan: control records (COMMIT/ROLLBACK,
         // empty table) always pass so transactions still terminate
         (r.table.isEmpty || matches(r.table)) &&
