@@ -391,6 +391,40 @@ object OracleFunctions {
     override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
   }
 
+  // ---- TDE column encryption (F11) ----
+
+  case class TdeDecrypt(child: Expression, dataKey: Array[Byte],
+      encAlg: Int, intAlg: Int, salted: Boolean)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.Tde.decrypt(v.asInstanceOf[Array[Byte]], dataKey, encAlg, intAlg, salted)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val key = ctx.addReferenceObj("tdeKey", dataKey, "byte[]")
+      defineCodeGen(ctx, ev, b =>
+        s"graft.codec.Tde.decrypt($b, $key, $encAlg, $intAlg, $salted)")
+    }
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class TdeEncrypt(child: Expression, dataKey: Array[Byte],
+      encAlg: Int, intAlg: Int, salted: Boolean)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.Tde.encrypt(v.asInstanceOf[Array[Byte]], dataKey, encAlg, intAlg, salted)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val key = ctx.addReferenceObj("tdeKey", dataKey, "byte[]")
+      defineCodeGen(ctx, ev, b =>
+        s"graft.codec.Tde.encrypt($b, $key, $encAlg, $intAlg, $salted)")
+    }
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
   // ---- XMLTYPE text envelope (F8) ----
 
   case class OraXmlDecode(child: Expression, clobCarrier: Boolean)
@@ -479,6 +513,12 @@ object OracleFunctions {
   def oson_decode(col: Column): Column = c(OsonDecodeText(e(col)))
   def oraxml_clob_decode(col: Column): Column = c(OraXmlDecode(e(col), clobCarrier = true))
   def oraxml_blob_decode(col: Column): Column = c(OraXmlDecode(e(col), clobCarrier = false))
+  def tde_encrypt(col: Column, dataKey: Array[Byte], encAlg: Int,
+      intAlg: Int, salted: Boolean): Column =
+    c(TdeEncrypt(e(col), dataKey, encAlg, intAlg, salted))
+  def tde_decrypt(col: Column, dataKey: Array[Byte], encAlg: Int,
+      intAlg: Int, salted: Boolean): Column =
+    c(TdeDecrypt(e(col), dataKey, encAlg, intAlg, salted))
 
   /** SQL registration so the codecs are usable from spark.sql(...). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

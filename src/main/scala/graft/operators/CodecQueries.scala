@@ -165,6 +165,21 @@ object CodecQueries {
           oraxml_blob_decode(encode(col("x"), "UTF-16LE")).as("xml_u16le"))
         .orderBy(col("doc_id"))
     }),
+    // F11: TDE column encryption — every document text encrypted and
+    // decrypted inside one plan under a synthetic data key, across the
+    // two main regimes: AES-256 + SHA-1 MAC + salt (the common column
+    // config) and AES-128, no MAC, zero IV. Identity on the full text
+    // domain proves layout, padding, MAC framing and IV recovery.
+    "f11_tde" -> ((s, dir) => {
+      val key = Array.tabulate[Byte](0x10 + 32)(i => (i * 7 + 3).toByte)
+      val txt = to_binary(col("text"), lit("utf-8"))
+      documents(s, dir).select(col("doc_id"),
+          tde_decrypt(tde_encrypt(txt, key, 4, 1, salted = true),
+            key, 4, 1, salted = true).cast("string").as("aes256_rt"),
+          tde_decrypt(tde_encrypt(txt, key, 2, 2, salted = false),
+            key, 2, 2, salted = false).cast("string").as("aes128_rt"))
+        .orderBy(col("doc_id"))
+    }),
     // F12: LOB locator — inline payload round-trips; every 10th doc is
     // out-of-row (locator carries only the LobId, data resolves to NULL
     // until the T8 assembler supplies it)
@@ -238,6 +253,9 @@ object CodecQueries {
         |       '","' || string_split(text, ' ')[2] ||
         |       '","' || string_split(text, ' ')[3] ||
         |       '"],"id":' || CAST(doc_id AS VARCHAR) || '}' AS json_rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f11_tde" ->
+      """SELECT doc_id, text AS aes256_rt, text AS aes128_rt
         |FROM documents ORDER BY doc_id""".stripMargin,
     "f12_lob_locator" ->
       """SELECT doc_id,
