@@ -19,6 +19,12 @@ object Ops {
   val MultiInsert = 11
   /** multi-row delete (redo 11.12 QMD analogue) */
   val MultiDelete = 12
+  /** direct-path-loaded block (redo 19.1 COLB analogue); `multiRows`
+    * carries the block's row images, `rowId` the block address (dba) —
+    * per-row ids are synthesized at expansion like the reference's
+    * `RowId(obj, dba, row)`
+    */
+  val DirectLoad = 19
   /** LOB chunk write (redo 26.x analogue); `after` carries lobId/seq/data */
   val LobChunk = 26
   val Rollback = 36
@@ -30,6 +36,7 @@ object Ops {
     case Ddl => "DDL"
     case Commit => "COMMIT"
     case MultiInsert => "MULTI_INSERT"
+    case DirectLoad => "DIRECT_LOAD"
     case MultiDelete => "MULTI_DELETE"
     case LobChunk => "LOB_CHUNK"
     case Rollback => "ROLLBACK"

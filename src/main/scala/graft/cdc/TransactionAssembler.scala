@@ -118,6 +118,17 @@ object TransactionAssembler {
               out += EmittedChange(r.xid, commitScn, r.scn, r.ssn + k,
                 r.table, op, r.rowId, r.tsMicros, b, a)
             }
+          case Ops.DirectLoad =>
+            // T7: a direct-loaded block expands to N INSERTs; unlike
+            // QMI there is no undo and no per-row rowid in redo — ids
+            // are synthesized from (block address, row ordinal), the
+            // reference's `RowId(obj, dba, row)`
+            // (`OraCdcTransaction.emitDirectBlockChange:1074-1121`)
+            r.multiRows.zipWithIndex.foreach { case (row, k) =>
+              out += EmittedChange(r.xid, commitScn, r.scn, r.ssn + k,
+                r.table, Ops.Insert, s"${r.rowId}.$k", r.tsMicros,
+                Map.empty[String, String], row)
+            }
           case Ops.Update
               if !opts.emitAllUpdates && updateIsNoop(r) => // P3: drop
           case Ops.Delete if opts.skipKeylessDelete && opts.keyCols.isEmpty =>

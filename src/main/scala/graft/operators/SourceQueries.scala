@@ -63,6 +63,40 @@ object SourceQueries {
         .orderBy(col("scn"))
     }),
 
+    // T7: direct-load 19.1 — orders rows arrive as whole direct-loaded
+    // blocks (8 rows per block, one COLB-analogue vector each, no undo),
+    // one transaction per block. Assembly must expand each block into
+    // per-row INSERTs with rowIds synthesized from (block address, row
+    // ordinal) — the reference's RowId(obj, dba, row) — and stamp the
+    // block transaction's commit SCN.
+    "t7_direct_load" -> ((s, dir) => {
+      import s.implicits._
+      val records = orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey")).as[(Long, Long)]
+        .groupByKey(_._1 / 8)
+        .flatMapGroups { (dba, it) =>
+          val rows = it.toSeq.sortBy(_._1).map { case (ok, ck) =>
+            Map("o_orderkey" -> ok.toString, "o_custkey" -> ck.toString)
+          }
+          val xid = s"b$dba"
+          Seq(
+            RedoRecord(dba * 2 + 1, 0, xid, graft.cdc.Ops.DirectLoad,
+              "G.ORDERS", dba.toString, rollback = false, 0L,
+              Map.empty, Map.empty, rows),
+            RedoRecord(dba * 2 + 2, 0, xid, graft.cdc.Ops.Commit, "", "",
+              rollback = false, 0L, Map.empty, Map.empty))
+        }
+      val logDir = writeRedoLogs(records, nThreads = 8)
+      val back = s.read.format("graft-redo").load(logDir).as[RedoRecord]
+      ChangeStreams.assembleBatch(back)
+        .select(
+          element_at(col("after"), "o_orderkey").cast("long").as("o_orderkey"),
+          element_at(col("after"), "o_custkey").cast("long").as("custkey"),
+          col("op"), col("rowId").as("row_id"),
+          col("commitScn").as("commit_scn"), col("ssn"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // T8: out-of-row LOB chunk assembly through the full binary path —
     // every document body is split into ~3 LOB chunk records plus an
     // INSERT whose column holds only the locator marker; after GRL
@@ -151,6 +185,17 @@ object SourceQueries {
     */
   def oracleSql: Map[String, String] = Map(
     "s1_redo_source_assembly" -> CdcQueries.oracleSql("t1_txn_assembly"),
+    "t7_direct_load" ->
+      """SELECT o_orderkey,
+        |       o_custkey AS custkey,
+        |       1 AS op,
+        |       CAST(o_orderkey // 8 AS VARCHAR) || '.' ||
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderkey // 8
+        |                                 ORDER BY o_orderkey) - 1 AS VARCHAR) AS row_id,
+        |       (o_orderkey // 8) * 2 + 2 AS commit_scn,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY o_orderkey // 8
+        |                               ORDER BY o_orderkey) - 1 AS INT) AS ssn
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "t8_lob_chunk_assembly" ->
       "SELECT doc_id, text AS body FROM documents ORDER BY doc_id",
     "s4_sqlredo_parse" ->

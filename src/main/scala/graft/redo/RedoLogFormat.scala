@@ -46,6 +46,7 @@ object RedoLogFormat {
   // reference's layer 5 / layer 11 families)
   val LayerTxn: Int = 5
   val LayerRow: Int = 11
+  val LayerDirect: Int = 19
   val LayerLob: Int = 26
   val OpUndo: Int = 1      // 5.1: before-image
   val OpCommitCtl: Int = 4 // 5.4: commit (flag bit1=0) / rollback (bit1=1)
@@ -55,6 +56,7 @@ object RedoLogFormat {
   val OpMultiInsert: Int = 11 // 11.11 QMI
   val OpMultiDelete: Int = 12 // 11.12 QMD
   val OpLobWrite: Int = 1     // 26.1 LOB chunk
+  val OpDirectBlock: Int = 1  // 19.1 COLB direct-loaded block
   val FlagRollback: Int = 0x01
   val FlagTxnRollback: Int = 0x02
 
@@ -147,6 +149,11 @@ class RedoLogWriter(file: File, blockSize: Int = 1024, seq: Int = 1,
         Seq(vector(LayerRow, OpMultiInsert, rollbackFlag, r.multiRows))
       case Ops.MultiDelete =>
         Seq(vector(LayerRow, OpMultiDelete, rollbackFlag, r.multiRows))
+      case Ops.DirectLoad =>
+        // T7: one vector carries the whole direct-loaded block — row
+        // directory + images, NO 5.1 undo companion (the defining trait
+        // of direct-path load; ref `OraCdcChangeColb`/19.1)
+        Seq(vector(LayerDirect, OpDirectBlock, rollbackFlag, r.multiRows))
       case Ops.LobChunk =>
         Seq(vector(LayerLob, OpLobWrite, rollbackFlag, Seq(r.after)))
       case Ops.Commit =>
@@ -373,6 +380,8 @@ object RedoLogReader {
               op = Ops.MultiInsert; multi = rows
             case (LayerRow, OpMultiDelete) =>
               op = Ops.MultiDelete; multi = rows
+            case (LayerDirect, OpDirectBlock) =>
+              op = Ops.DirectLoad; multi = rows
             case (LayerLob, OpLobWrite) =>
               op = Ops.LobChunk; after = rows.headOption.getOrElse(Map.empty)
             case other =>

@@ -81,6 +81,29 @@ class AssemblerSpec extends AnyFunSuite {
     assert(out.map(_.after("c")) == Seq("1", "2", "3"))
   }
 
+  test("direct-loaded block expands to INSERTs with synthesized rowIds (T7)") {
+    val rows = Seq(Map("c" -> "1"), Map("c" -> "2"), Map("c" -> "3"))
+    val recs = Seq(
+      RedoRecord(10, 2, "tx1", Ops.DirectLoad, "T", "4711", rollback = false,
+        0, Map.empty, Map.empty, rows),
+      commit(20))
+    val out = assemble(recs)
+    assert(out.forall(_.op == Ops.Insert))
+    assert(out.map(_.rowId) == Seq("4711.0", "4711.1", "4711.2"))
+    assert(out.map(_.ssn) == Seq(2, 3, 4))
+    assert(out.map(_.after("c")) == Seq("1", "2", "3"))
+    assert(out.forall(_.before.isEmpty)) // no undo on direct path
+    assert(out.forall(_.commitScn == 20))
+  }
+
+  test("rolled-back direct load emits nothing (T7)") {
+    val recs = Seq(
+      RedoRecord(10, 0, "tx1", Ops.DirectLoad, "T", "1", rollback = false,
+        0, Map.empty, Map.empty, Seq(Map("c" -> "1"))),
+      rollbackTxn(20))
+    assert(assemble(recs) == Nil)
+  }
+
   test("multi-row delete expands to before-images (T6)") {
     val rows = Seq(Map("c" -> "1"), Map("c" -> "2"))
     val recs = Seq(
