@@ -165,6 +165,34 @@ object CdcQueries {
         .orderBy(col("scn"), col("ssn"))
     }),
 
+    // T9: DDL apply / schema evolution — per nation, a deterministic
+    // ALTER TABLE sequence (add NOT-NULL decimal, rename-or-noop-modify,
+    // conditional drop) folds through SchemaEvolution.applyDdl on
+    // executors; version must bump exactly on effective changes (the
+    // noop MODIFY VARCHAR2→CLOB maps to the same Spark type and must
+    // NOT bump).
+    "t9_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      nation(s, dir).select(col("n_nationkey").cast("long")).as[Long]
+        .map { k =>
+          import graft.cdc.SchemaEvolution._
+          import org.apache.spark.sql.types._
+          var tv = TableVersion(StructType(Seq(
+            StructField("ID", LongType, nullable = false),
+            StructField("NAME", StringType))), 0)
+          tv = applyDdl(tv, "ALTER TABLE G.T ADD (EXTRA NUMBER(10,2) NOT NULL)")
+          tv = applyDdl(tv,
+            if (k % 2 == 0) "ALTER TABLE G.T RENAME COLUMN NAME TO NM"
+            else "ALTER TABLE G.T MODIFY (NAME CLOB)")
+          if (k % 3 == 0) tv = applyDdl(tv, "ALTER TABLE G.T DROP COLUMN EXTRA")
+          (k, tv.version,
+            tv.schema.fields.map(f => s"${f.name} ${f.dataType.simpleString}")
+              .mkString(","))
+        }
+        .toDF("n_nationkey", "version", "schema_ddl")
+        .orderBy(col("n_nationkey"))
+    }),
+
     // K2 upsert semantics: committed stream applied latest-wins per key.
     "k2_upsert_apply" -> ((s, dir) => {
       val assembled = ChangeStreams.assembleBatch(redoRecords(s, dir))
@@ -224,6 +252,15 @@ object CdcQueries {
         |CROSS JOIN UNNEST(range(1, (CAST(e.props::JSON->>'k' AS INT) % 3) + 2)) AS t(i)
         |WHERE e.event_type = 'purchase'
         |ORDER BY scn, ssn""".stripMargin,
+    "t9_schema_evolution" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |       CAST(1 + CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END
+        |              + CASE WHEN n_nationkey % 3 = 0 THEN 1 ELSE 0 END AS INT) AS version,
+        |       'ID bigint,' ||
+        |       CASE WHEN n_nationkey % 2 = 0 THEN 'NM string' ELSE 'NAME string' END ||
+        |       CASE WHEN n_nationkey % 3 = 0 THEN '' ELSE ',EXTRA decimal(10,2)' END
+        |         AS schema_ddl
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "k2_upsert_apply" -> (baseCte +
       """SELECT xid, last_scn, val FROM (
         |  SELECT CAST(user_id AS VARCHAR) AS xid, event_id AS last_scn,

@@ -37,6 +37,48 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // IVF: coarse-quantizer cells + bounded probing — the other 100 TB
+    // ANN shape. Centroids are a deterministic sample (every 25th
+    // vector), small enough to BROADCAST; cell assignment is map-only
+    // (one pass over the facts against the broadcast centroids); the
+    // candidate join shuffles on cell id, so per-query cost is
+    // Σ|probed cells| instead of |N|, tuned by nprobe and centroid
+    // count. Exactness within probed cells — recall is the knob.
+    "ann_ivf" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", normQ2(col("q")))
+      val cents = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+      def nearestCells(src: DataFrame, idCol: String, keep: Int): DataFrame = {
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("ccos").desc, col("cid"))
+        src.crossJoin(broadcast(cents))
+          .withColumn("ccos",
+            cosineFromQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
+          .withColumn("crn", row_number().over(w))
+          .filter(col("crn") <= keep)
+      }
+      val assigned = nearestCells(e, "vec_id", keep = 1)
+        .select(col("vec_id"), col("cid").as("cell"), col("q"), col("n2"))
+      val probes = nearestCells(
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("q"), col("n2")),
+        "qid", keep = 2)
+        .select(col("qid"), col("cid").as("cell"),
+          col("q").as("qq"), col("n2").as("qn2"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      probes.join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     "ann_lsh_bucket" -> ((s, dir) => {
       val e = embeddings(s, dir)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
@@ -79,6 +121,38 @@ object SimilarityQueries {
         |               CAST(list_dot_product(a.q, b.q) AS DOUBLE)
         |                 / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
         |        FROM n a JOIN n b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id))
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+    "ann_ivf" -> (quantCte +
+      """, cents AS (
+        |  SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 25 = 0),
+        |assigned AS (
+        |  SELECT vec_id, cell, q, n2 FROM (
+        |    SELECT n.vec_id, c.cid AS cell, n.q, n.n2,
+        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |             ORDER BY CAST(list_dot_product(n.q, c.cq) AS DOUBLE)
+        |               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+        |               c.cid) AS crn
+        |    FROM n CROSS JOIN cents c)
+        |  WHERE crn = 1),
+        |probes AS (
+        |  SELECT qid, cell, qq, qn2 FROM (
+        |    SELECT n.vec_id AS qid, c.cid AS cell, n.q AS qq, n.n2 AS qn2,
+        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |             ORDER BY CAST(list_dot_product(n.q, c.cq) AS DOUBLE)
+        |               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+        |               c.cid) AS crn
+        |    FROM n CROSS JOIN cents c
+        |    WHERE n.vec_id % 50 = 0)
+        |  WHERE crn <= 2)
+        |SELECT qid, rn, vec_id, cos FROM (
+        |  SELECT p.qid, a.vec_id,
+        |         CAST(list_dot_product(p.qq, a.q) AS DOUBLE)
+        |           / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cos,
+        |         ROW_NUMBER() OVER (PARTITION BY p.qid
+        |           ORDER BY CAST(list_dot_product(p.qq, a.q) AS DOUBLE)
+        |             / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) DESC,
+        |             a.vec_id) AS rn
+        |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid)
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
     "ann_lsh_bucket" -> (quantCte +
       """, dots AS (
