@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -108,7 +108,7 @@ case class WmOffset(wm: Long) extends Offset {
 }
 
 class JdbcPollStream(schema: StructType, options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   import JdbcPollSource.require
 
   private val url = require(options, "url")
@@ -119,7 +119,8 @@ class JdbcPollStream(schema: StructType, options: CaseInsensitiveStringMap)
   private val fetchSize = Option(options.get("fetchSize")).map(_.toInt).getOrElse(1000)
 
   override def initialOffset(): Offset = WmOffset(startWm)
-  override def latestOffset(): Offset = {
+
+  private def pollMaxWm(): WmOffset = {
     val conn = DriverManager.getConnection(url)
     try {
       val rs = conn.createStatement().executeQuery(
@@ -129,6 +130,20 @@ class JdbcPollStream(schema: StructType, options: CaseInsensitiveStringMap)
       WmOffset(if (rs.wasNull()) startWm else math.max(max, startWm))
     } finally conn.close()
   }
+
+  // Trigger.AvailableNow: pin the watermark once at query start so the
+  // run drains exactly the rows that existed then and terminates, even
+  // while writers keep appending
+  @volatile private var pinnedWm: Option[WmOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit = pinnedWm = Some(pollMaxWm())
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    pinnedWm.getOrElse(pollMaxWm())
+  override def reportLatestOffset(): Offset = pollMaxWm()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
   override def deserializeOffset(json: String): Offset =
     WmOffset("""-?\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(startWm))
   override def commit(end: Offset): Unit = ()
