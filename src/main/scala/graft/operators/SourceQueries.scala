@@ -7,7 +7,7 @@ import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{documents, orders}
+import graft.Tables.{documents, events, orders}
 import graft.cdc.RedoRecord
 import graft.logminer.SqlRedoParser
 import graft.redo.RedoLogWriter
@@ -61,6 +61,48 @@ object SourceQueries {
           col("op"), col("rowId").as("row_id"),
           element_at(col("after"), "value").cast("double").as("val"))
         .orderBy(col("scn"))
+    }),
+
+    // P1+P2: include/exclude wildcards + operation filter applied AT THE
+    // SCAN (the DSv2 reader prunes before rows reach Spark). Events are
+    // spread over three tables G.T0/1/2 with a mixed op profile; the
+    // scan keeps tables G.T0 + %T2 and ops INSERT/UPDATE only. Control
+    // records (COMMIT) must always pass so transactions still terminate.
+    "p1_p2_scan_filters" -> ((s, dir) => {
+      import s.implicits._
+      val emptyMap = map().cast("map<string,string>")
+      val noMulti = array().cast("array<map<string,string>>")
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val changes = ev.select(
+        col("event_id").as("scn"), lit(0).as("ssn"),
+        col("user_id").cast("string").as("xid"),
+        when(col("event_type") === "signup", lit(graft.cdc.Ops.Insert))
+          .when(col("event_type") === "view", lit(graft.cdc.Ops.Delete))
+          .otherwise(lit(graft.cdc.Ops.Update)).as("op"),
+        concat(lit("G.T"), (col("user_id") % 3).cast("string")).as("table"),
+        col("event_id").cast("string").as("rowId"),
+        lit(false).as("rollback"), lit(0L).as("tsMicros"),
+        emptyMap.as("before"),
+        map(lit("v"), col("event_id").cast("string")).as("after"),
+        noMulti.as("multiRows")).as[RedoRecord]
+      val ctl = ev.groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("m"))
+        .select((col("m") + 1).as("scn"), lit(0).as("ssn"),
+          col("user_id").cast("string").as("xid"),
+          lit(graft.cdc.Ops.Commit).as("op"),
+          lit("").as("table"), lit("").as("rowId"),
+          lit(false).as("rollback"), lit(0L).as("tsMicros"),
+          emptyMap.as("before"), emptyMap.as("after"),
+          noMulti.as("multiRows")).as[RedoRecord]
+      val logDir = writeRedoLogs(
+        changes.toDF().unionByName(ctl.toDF()).as[RedoRecord], nThreads = 8)
+      s.read.format("graft-redo")
+        .option("tables", "G.T0,%T2")
+        .option("ops", s"${graft.cdc.Ops.Insert},${graft.cdc.Ops.Update}")
+        .load(logDir)
+        .select(col("scn"), col("xid"), col("op"), col("table").as("tab"))
+        .orderBy(col("scn"), col("xid"))
     }),
 
     // T7: direct-load 19.1 — orders rows arrive as whole direct-loaded
@@ -185,6 +227,25 @@ object SourceQueries {
     */
   def oracleSql: Map[String, String] = Map(
     "s1_redo_source_assembly" -> CdcQueries.oracleSql("t1_txn_assembly"),
+    "p1_p2_scan_filters" ->
+      """WITH ch AS (
+        |  SELECT event_id AS scn, CAST(user_id AS VARCHAR) AS xid,
+        |         CASE WHEN event_type = 'signup' THEN 1
+        |              WHEN event_type = 'view' THEN 2
+        |              ELSE 3 END AS op,
+        |         'G.T' || CAST(user_id % 3 AS VARCHAR) AS tab,
+        |         user_id
+        |  FROM events),
+        |ctl AS (
+        |  SELECT MAX(event_id) + 1 AS scn, CAST(user_id AS VARCHAR) AS xid,
+        |         7 AS op, '' AS tab
+        |  FROM events GROUP BY user_id)
+        |SELECT scn, xid, op, tab FROM (
+        |  SELECT scn, xid, op, tab FROM ch
+        |  WHERE user_id % 3 <> 1 AND op IN (1, 3)
+        |  UNION ALL
+        |  SELECT scn, xid, op, tab FROM ctl)
+        |ORDER BY scn, xid""".stripMargin,
     "t7_direct_load" ->
       """SELECT o_orderkey,
         |       o_custkey AS custkey,
