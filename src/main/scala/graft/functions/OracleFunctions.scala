@@ -391,6 +391,63 @@ object OracleFunctions {
     override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
   }
 
+  // ---- Oracle charset names (F6) + GZIP util (F14) ----
+
+  case class OraCharsetEncode(child: Expression, oracleCharset: String)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.OraCharset.encode(v.asInstanceOf[UTF8String].toString, oracleCharset)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cs = ctx.addReferenceObj("charset", oracleCharset, "java.lang.String")
+      defineCodeGen(ctx, ev, s => s"graft.codec.OraCharset.encode($s.toString(), $cs)")
+    }
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class OraCharsetDecode(child: Expression, oracleCharset: String)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(
+        graft.codec.OraCharset.decode(v.asInstanceOf[Array[Byte]], oracleCharset))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cs = ctx.addReferenceObj("charset", oracleCharset, "java.lang.String")
+      defineCodeGen(ctx, ev, b =>
+        s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.codec.OraCharset.decode($b, $cs))")
+    }
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class GzipCompress(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.GzipUtil.compress(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.codec.GzipUtil.compress($b)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class GzipDecompress(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.codec.GzipUtil.decompress(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.codec.GzipUtil.decompress($b)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
   // ---- TDE column encryption (F11) ----
 
   case class TdeDecrypt(child: Expression, dataKey: Array[Byte],
@@ -519,6 +576,12 @@ object OracleFunctions {
   def tde_decrypt(col: Column, dataKey: Array[Byte], encAlg: Int,
       intAlg: Int, salted: Boolean): Column =
     c(TdeDecrypt(e(col), dataKey, encAlg, intAlg, salted))
+  def oracharset_encode(col: Column, oracleCharset: String): Column =
+    c(OraCharsetEncode(e(col), oracleCharset))
+  def oracharset_decode(col: Column, oracleCharset: String): Column =
+    c(OraCharsetDecode(e(col), oracleCharset))
+  def gzip_compress(col: Column): Column = c(GzipCompress(e(col)))
+  def gzip_decompress(col: Column): Column = c(GzipDecompress(e(col)))
 
   /** SQL registration so the codecs are usable from spark.sql(...). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -180,6 +180,20 @@ object CodecQueries {
             key, 2, 2, salted = false).cast("string").as("aes128_rt"))
         .orderBy(col("doc_id"))
     }),
+    // F6+F14: Oracle charset-name codec + GZIP LOB utility — text
+    // roundtrips through a single-byte Oracle charset (WE8ISO8859P1)
+    // and through gzip-compressed AL32UTF8 bytes inside one plan.
+    "f6_f14_charset_gzip" -> ((s, dir) => {
+      documents(s, dir).select(col("doc_id"),
+          oracharset_decode(
+            oracharset_encode(col("text"), "WE8ISO8859P1"),
+            "WE8ISO8859P1").as("latin_rt"),
+          oracharset_decode(
+            gzip_decompress(gzip_compress(
+              oracharset_encode(col("text"), "AL32UTF8"))),
+            "AL32UTF8").as("gz_rt"))
+        .orderBy(col("doc_id"))
+    }),
     // F12: LOB locator — inline payload round-trips; every 10th doc is
     // out-of-row (locator carries only the LobId, data resolves to NULL
     // until the T8 assembler supplies it)
@@ -235,6 +249,9 @@ object CodecQueries {
         |       CAST((user_id % 25 - 12) * 60 AS INT) AS off_rt,
         |       13 AS wire_len
         |FROM events ORDER BY event_id""".stripMargin,
+    "f6_f14_charset_gzip" ->
+      """SELECT doc_id, text AS latin_rt, text AS gz_rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "f8_xml" ->
       """SELECT doc_id, x AS xml_clob, x AS xml_utf8, x AS xml_u16le FROM (
         |  SELECT doc_id,
