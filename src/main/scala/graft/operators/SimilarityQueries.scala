@@ -25,15 +25,21 @@ object SimilarityQueries {
         .withColumn("n2", normQ2(col("q")))
       val qs = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vec_id"))
+      // top-k via the bounded-heap aggregate, NOT a row_number window: the
+      // heap participates in map-side partial aggregation, so the shuffle
+      // carries ≤ k entries per (partition, query) instead of every
+      // candidate pair — the only formulation that survives |N| → 100 TB
       e.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("dot", dotQ(col("qq"), col("q")))
         .withColumn("cos", cosineFromQ(col("dot"), col("qn2"), col("n2")))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
-        .select(col("qid"), col("rn"), col("vec_id"), col("dot"), col("cos"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKFunctions
+          .topk_by_score(5, col("cos"), col("vec_id"), col("dot")).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
+          col("e.id").as("vec_id"), col("e.payload").as("dot"),
+          col("e.score").as("cos"))
         .orderBy(col("qid"), col("rn"))
     }),
 
