@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.VectorFunctions._
@@ -56,15 +55,20 @@ object SimilarityQueries {
         .withColumn("n2", normQ2(col("q")))
       val cents = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
-      def nearestCells(src: DataFrame, idCol: String, keep: Int): DataFrame = {
-        val w = Window.partitionBy(col(idCol))
-          .orderBy(col("ccos").desc, col("cid"))
+      // nearest cells via the bounded-heap aggregate: the crossJoin with
+      // the broadcast centroids keeps each vector's candidates in one
+      // partition, so partial aggregation collapses |N|·|C| rows to |N|·k
+      // BEFORE any shuffle (a row_number window would shuffle them all)
+      def nearestCells(src: DataFrame, idCol: String, keep: Int): DataFrame =
         src.crossJoin(broadcast(cents))
           .withColumn("ccos",
             cosineFromQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
-          .withColumn("crn", row_number().over(w))
-          .filter(col("crn") <= keep)
-      }
+          .groupBy(col(idCol), col("q"), col("n2"))
+          .agg(graft.functions.TopKFunctions
+            .topk_by_score(keep, col("ccos"), col("cid"), lit(0L)).as("top"))
+          .select(col(idCol), col("q"), col("n2"),
+            explode(col("top")).as("e"))
+          .select(col(idCol), col("q"), col("n2"), col("e.id").as("cid"))
       val assigned = nearestCells(e, "vec_id", keep = 1)
         .select(col("vec_id"), col("cid").as("cell"), col("q"), col("n2"))
       val probes = nearestCells(
@@ -73,15 +77,16 @@ object SimilarityQueries {
         "qid", keep = 2)
         .select(col("qid"), col("cid").as("cell"),
           col("q").as("qq"), col("n2").as("qn2"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vec_id"))
       probes.join(assigned, Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("cos",
           cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
-        .select(col("qid"), col("rn"), col("vec_id"), col("cos"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKFunctions
+          .topk_by_score(5, col("cos"), col("vec_id"), lit(0L)).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
+          col("e.id").as("vec_id"), col("e.score").as("cos"))
         .orderBy(col("qid"), col("rn"))
     }),
 
@@ -94,14 +99,19 @@ object SimilarityQueries {
         col("q").as("qa"), col("n2").as("na"))
       val b = e.select(col("bucket"), col("vec_id").as("ib"),
         col("q").as("qb"), col("n2").as("nb"))
-      val w = Window.partitionBy(col("ia"))
-        .orderBy(col("cos").desc, col("ib"))
+      // top-1 neighbor via the bounded-heap aggregate: the bucket join
+      // co-locates each ia's candidates, so the partial aggregate
+      // collapses them in place instead of shuffling every pair through
+      // a row_number window
       a.join(b, Seq("bucket")).filter(col("ia") =!= col("ib"))
         .withColumn("cos",
           cosineFromQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("ia"), col("bucket"), col("ib").as("nn"), col("cos"))
+        .groupBy(col("ia"), col("bucket"))
+        .agg(graft.functions.TopKFunctions
+          .topk_by_score(1, col("cos"), col("ib"), lit(0L)).as("top"))
+        .select(col("ia"), col("bucket"),
+          col("top").getItem(0).getField("id").as("nn"),
+          col("top").getItem(0).getField("score").as("cos"))
         .orderBy(col("ia"))
     })
   )
