@@ -586,13 +586,31 @@ object OracleFunctions {
   /** SQL registration so the codecs are usable from spark.sql(...). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("oranumber_to_long",
-      es => OraNumberToLong(es.head), "builtin")
-    reg.createOrReplaceTempFunction("oranumber_to_double",
-      es => OraNumberToDouble(es.head), "builtin")
-    reg.createOrReplaceTempFunction("oradate_to_timestamp",
-      es => OraDateToTimestamp(es.head), "builtin")
-    reg.createOrReplaceTempFunction("oranumber_from_long",
-      es => OraNumberFromLong(es.head), "builtin")
+    def unary(name: String, f: Expression => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => f(es.head), "built-in")
+    unary("oranumber_to_long", OraNumberToLong)
+    unary("oranumber_to_double", OraNumberToDouble)
+    unary("oradate_to_timestamp", OraDateToTimestamp)
+    unary("oranumber_from_long", OraNumberFromLong)
+    unary("oranumber_from_decimal", OraNumberFromDecimal)
+    unary("oratimestamp_from_micros", OraTimestampFromMicros)
+    unary("orainterval_ym_months", OraIntervalYMToMonths)
+    unary("orainterval_ds_micros", OraIntervalDSToMicros)
+    unary("orabinarydouble_encode", OraBinaryDoubleEncode)
+    unary("orabinarydouble_decode", OraBinaryDoubleDecode)
+    unary("orabinaryfloat_encode", OraBinaryFloatEncode)
+    unary("orabinaryfloat_decode", OraBinaryFloatDecode)
+    unary("oravector_encode", OraVectorEncodeFloats)
+    unary("oravector_decode", OraVectorDecodeFloats)
+    unary("lob_inline", LobLocatorInline)
+    unary("lob_is_inline", LobLocatorIsInline)
+    unary("lob_inline_data", LobLocatorInlineData)
+    unary("lob_id", LobLocatorId)
+    unary("oson_encode", OsonEncodeText)
+    unary("oson_decode", OsonDecodeText)
+    unary("oraxml_clob_decode", OraXmlDecode(_, clobCarrier = true))
+    unary("oraxml_blob_decode", OraXmlDecode(_, clobCarrier = false))
+    unary("gzip_compress", GzipCompress)
+    unary("gzip_decompress", GzipDecompress)
   }
 }
