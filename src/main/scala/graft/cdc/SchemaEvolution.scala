@@ -28,12 +28,20 @@ object SchemaEvolution {
   /** Oracle type text → Spark type (subset of the §1.2 mapping). */
   def oraType(t: String): DataType = {
     val up = t.trim.toUpperCase
-    val numArgs = """\((\s*\d+\s*(,\s*-?\d+\s*)?)\)""".r
-    val args: Seq[Int] = numArgs.findFirstMatchIn(up)
-      .map(_.group(1).split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)
-    // strip only the precision args, keeping any trailing qualifier:
+    // any parenthesized argument list: numeric precision/scale, `*`
+    // precision (NUMBER(*,2) = precision 38), and length-semantics
+    // qualifiers (VARCHAR2(30 CHAR / 30 BYTE)) all occur in real DDL
+    val anyArgs = """\(([^)]*)\)""".r
+    val args: Seq[Int] = anyArgs.findFirstMatchIn(up)
+      .map(_.group(1).split(",").toSeq.flatMap { raw =>
+        val a = raw.trim.replaceAll("\\s+(CHAR|BYTE)$", "")
+        if (a == "*") Some(38)
+        else if (a.matches("-?\\d+")) Some(a.toInt)
+        else None
+      }).getOrElse(Nil)
+    // strip only the argument list, keeping any trailing qualifier:
     // "TIMESTAMP(6) WITH TIME ZONE" must not collapse to "TIMESTAMP"
-    numArgs.replaceAllIn(up, "").replaceAll("\\s+", " ").trim match {
+    anyArgs.replaceAllIn(up, "").replaceAll("\\s+", " ").trim match {
       case "NUMBER" => args match {
         case Seq(p, s) if s > 0 => DecimalType(p, s)
         // NUMBER(p) and NUMBER(p,0) are the same integral split; a

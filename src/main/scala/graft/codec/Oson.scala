@@ -212,7 +212,20 @@ object Oson {
   /** Encode a JSON value as an OSON image. Keys canonicalize to
     * (hashId, name) dictionary order, like real OSON images.
     */
-  def encode(j: J): Array[Byte] = {
+  def encode(j0: J): Array[Byte] = {
+    // normalize FIRST — dedup duplicate keys (last wins) and order each
+    // object by (hash, name) — so the size pass and the write pass see
+    // the identical tree; sizing the raw tree while writing the deduped
+    // one would corrupt every sibling offset after a dup-key object
+    def normalize(v: J): J = v match {
+      case JObj(fs) =>
+        JObj(fs.groupBy(_._1).view.mapValues(_.last._2).toVector
+          .sortBy(f => (fieldHash(f._1), f._1))
+          .map { case (k, c) => k -> normalize(c) })
+      case JArr(is) => JArr(is.map(normalize))
+      case other => other
+    }
+    val j = normalize(j0)
     // dictionary: distinct names sorted by (hash, name)
     val nameSet = collection.mutable.LinkedHashSet.empty[String]
     def collect(v: J): Unit = v match {
@@ -234,7 +247,19 @@ object Oson {
     // two-pass tree layout: try u16 offsets, fall back to u32
     def tree(offW: Int): Option[Array[Byte]] = {
       val numBytes = collection.mutable.AnyRefMap.empty[JNum, Array[Byte]]
-      def nodeSize(v: J): Long = v match {
+      // memoized by node identity: write() asks for each child's size
+      // twice per container — without the cache encoding is O(n·depth)
+      val sizeCache = new java.util.IdentityHashMap[J, java.lang.Long]()
+      def nodeSize(v: J): Long = {
+        val cached = sizeCache.get(v)
+        if (cached != null) cached.longValue()
+        else {
+          val s = nodeSize0(v)
+          sizeCache.put(v, s)
+          s
+        }
+      }
+      def nodeSize0(v: J): Long = v match {
         case JNull | JBool(_) => 1L
         case JStr(s) =>
           val n = s.getBytes(UTF_8).length
@@ -282,10 +307,8 @@ object Oson {
           offs.foreach(o => if (ow == 4) wU32(out, o) else wU16(out, o))
           var cat = at + 1 + cw + is.length * ow
           is.foreach { c => write(c, cat); cat += nodeSize(c).toInt }
-        case JObj(fs0) =>
-          // canonical (hash, name) key order, duplicate keys keep last value
-          val fs = fs0.groupBy(_._1).view.mapValues(_.last._2).toVector
-            .sortBy(f => (fieldHash(f._1), f._1))
+        case JObj(fs) =>
+          // already deduped + (hash, name)-ordered by normalize()
           val (cw, ow) = containerWidths(fs.length, offW)
           out.write(0x80 | sizeClass(cw, ow))
           wCount(out, cw, fs.length)
@@ -348,13 +371,19 @@ object Oson {
   // JSON text: minimal recursive-descent parser + canonical renderer
   // =================================================================
 
-  def parse(s: String): J = {
-    val p = new Parser(s)
-    val v = p.value()
-    p.ws()
-    if (!p.eof) throw new OsonException(s"trailing JSON content at ${p.pos}")
-    v
-  }
+  def parse(s: String): J =
+    try {
+      val p = new Parser(s)
+      val v = p.value()
+      p.ws()
+      if (!p.eof) throw new OsonException(s"trailing JSON content at ${p.pos}")
+      v
+    } catch {
+      // malformed escapes/numbers surface as raw JDK exceptions from
+      // substring/BigDecimal — normalize to the codec's failure type
+      case e @ (_: StringIndexOutOfBoundsException | _: NumberFormatException) =>
+        throw new OsonException(s"malformed JSON text: ${e.getMessage}")
+    }
 
   private final class Parser(s: String) {
     var pos = 0

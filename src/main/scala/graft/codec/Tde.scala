@@ -98,7 +98,18 @@ object Tde {
         ctLen -= bl
         java.util.Arrays.copyOfRange(data, ctLen, ctLen + bl)
       } else new Array[Byte](bl)
-    if (intAlg == IntSha1) ctLen -= 20
+    if (intAlg == IntSha1) {
+      ctLen -= 20
+      // VERIFY the MAC, don't just strip it (the reference strips
+      // without checking — `decrypt:170-171` — which makes the
+      // integrity mode a no-op; this codec's writer defines
+      // mac = SHA-1(ciphertext), so corruption must fail loudly)
+      val expect = MessageDigest.getInstance("SHA-1").digest(
+        java.util.Arrays.copyOfRange(data, 0, ctLen))
+      if (!MessageDigest.isEqual(expect,
+          java.util.Arrays.copyOfRange(data, ctLen, ctLen + 20)))
+        throw new TdeException("TDE SHA-1 MAC mismatch (corrupt ciphertext)")
+    }
     try {
       val c = cipher(encAlg, intAlg, forEncrypt = false)
       if (intAlg == IntGcm)

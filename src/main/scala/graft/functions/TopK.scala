@@ -99,8 +99,16 @@ final class TopKHeap(k: Int) {
   }
   private val heap = new java.util.PriorityQueue[Entry](k, worstFirst)
 
-  private def beats(s: Double, i: Long, worst: Entry): Boolean =
-    s > worst.score || (s == worst.score && i < worst.id)
+  // Double.compare ordering, NOT primitive >: primitive comparisons are
+  // always false for NaN, which would admit a NaN while the heap is
+  // filling but never afterwards — results would then depend on arrival
+  // order across partial merges. Double.compare ranks NaN greatest,
+  // consistently with the heap comparator and with Spark's and DuckDB's
+  // NaN-sorts-greatest semantics.
+  private def beats(s: Double, i: Long, worst: Entry): Boolean = {
+    val c = java.lang.Double.compare(s, worst.score)
+    c > 0 || (c == 0 && i < worst.id)
+  }
 
   def add(score: Double, id: Long, payload: Long): Unit = {
     if (heap.size < k) heap.add(Entry(score, id, payload))

@@ -267,46 +267,45 @@ object RedoLogReader {
     val blockSize = header.blockSize
     val totalBlocks = (src.length / blockSize).toInt // incl. header block
     val payloadPer = blockSize - HeaderBytes
-    var bn = math.max(1, startBlock)
+    val bn0 = math.max(1, startBlock)
+    // ONE bulk read for everything from the start block: a remote byte
+    // source (ranged HTTP, SSH) must not pay a round trip per 1 KiB
+    // block when the scan drains the segment eagerly anyway
+    val nBlocks = math.max(0, totalBlocks - bn0)
+    val raw = new Array[Byte](nBlocks * blockSize)
+    if (nBlocks > 0) src.readFully(bn0.toLong * blockSize, raw)
     var effStartOffset = startOffset
-    if (bn > 1 && startOffset == 0) {
+    if (bn0 > 1 && startOffset == 0 && nBlocks > 0) {
       // caller gave only a block: begin at the first record starting there
-      val arr = readBlock(src, blockSize, bn)
-      val firstRec = ((arr(14) & 0xff) | ((arr(15) & 0xff) << 8))
-      require(firstRec != NoRecord, s"no record starts in block $bn")
+      val firstRec = ((raw(14) & 0xff) | ((raw(15) & 0xff) << 8))
+      require(firstRec != NoRecord, s"no record starts in block $bn0")
       effStartOffset = firstRec
     }
     // stitch payloads into ONE preallocated buffer (no per-block slice
     // copies, no second drop().toArray pass)
-    val nBlocks = math.max(0, totalBlocks - bn)
     val out = new Array[Byte](nBlocks * payloadPer)
-    var filled = 0
-    while (bn < totalBlocks) {
-      val arr = readBlock(src, blockSize, bn)
+    var i = 0
+    while (i < nBlocks) {
+      val base = i * blockSize
+      val bn = bn0 + i
+      val arr = java.util.Arrays.copyOfRange(raw, base, base + blockSize)
       val stored = ((arr(12) & 0xff) | ((arr(13) & 0xff) << 8))
       val computed = {
-        val tmp = arr.clone(); tmp(12) = 0; tmp(13) = 0
-        checksum(tmp, 12)
+        arr(12) = 0; arr(13) = 0
+        checksum(arr, 12)
       }
       if (stored != computed)
         throw new java.io.IOException(
           s"checksum mismatch in $name block $bn: stored=$stored computed=$computed")
-      val bb = ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
+      val bb = ByteBuffer.wrap(raw, base, blockSize).order(ByteOrder.LITTLE_ENDIAN)
       require(bb.getInt == Magic, s"bad block magic in $name block $bn")
-      System.arraycopy(arr, HeaderBytes, out, filled, payloadPer)
-      filled += payloadPer
-      bn += 1
+      System.arraycopy(raw, base + HeaderBytes, out, i * payloadPer, payloadPer)
+      i += 1
     }
     val bytes =
       if (effStartOffset == 0) out
       else java.util.Arrays.copyOfRange(out, effStartOffset, out.length)
     parseStream(bytes)
-  }
-
-  private def readBlock(src: RedoByteSource, blockSize: Int, blockNo: Int): Array[Byte] = {
-    val arr = new Array[Byte](blockSize)
-    src.readFully(blockNo.toLong * blockSize, arr)
-    arr
   }
 
   private[redo] def parseStream(bytes: Array[Byte]): Iterator[RedoRecord] = {

@@ -128,6 +128,18 @@ final class HttpRedoProvider extends RedoStorageProvider {
         if (code != 206 && code != 200)
           throw new IOException(s"GET $path range $pos+$len -> $code")
         val in = c.getInputStream
+        if (code == 200 && pos > 0) {
+          // server ignored the Range header and sent the whole body:
+          // the first `pos` bytes are NOT the requested window — skip
+          // them, never serve offset-0 bytes as offset-pos data
+          var toSkip = pos
+          while (toSkip > 0) {
+            val skipped = in.skip(toSkip)
+            if (skipped > 0) toSkip -= skipped
+            else if (in.read() >= 0) toSkip -= 1
+            else throw new IOException(s"EOF while skipping to $pos in $path")
+          }
+        }
         var done = 0
         while (done < len) {
           val n = in.read(buf, off + done, len - done)

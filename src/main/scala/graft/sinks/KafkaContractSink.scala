@@ -58,12 +58,25 @@ object KafkaContractSink {
     * `partition`, string `key`, string `value`; `orderCols` defines the
     * in-partition order (commit SCN first, like the reference's
     * delivery order).
+    *
+    * Pass the foreachBatch `batchId` to make checkpoint REPLAYS
+    * idempotent: a batch whose done-marker exists is skipped. This
+    * covers the common failure mode (crash after delivery, before
+    * checkpoint commit). A crash in the middle of the file appends
+    * still duplicates that batch's prefix on replay — the same
+    * at-least-once contract a real Kafka producer without
+    * transactions has; exactly-once needs the transactional producer
+    * this double stands in for.
     */
-  def writeBatch(batch: DataFrame, dir: String, orderCols: Seq[String]): Unit = {
+  def writeBatch(batch: DataFrame, dir: String, orderCols: Seq[String],
+      batchId: Long = -1L): Unit = {
     val required = Seq("topic", "partition", "key", "value")
     val missing = required.filterNot(batch.columns.contains)
     require(missing.isEmpty, s"kafka contract batch lacks columns: $missing")
     new File(dir).mkdirs()
+    val marker =
+      if (batchId >= 0) Some(new File(dir, s".batch-$batchId.done")) else None
+    if (marker.exists(_.exists())) return // replayed batch: already delivered
     batch
       .repartition(col("topic"), col("partition"))
       .sortWithinPartitions(
@@ -90,5 +103,6 @@ object KafkaContractSink {
           }
         } finally if (out != null) out.close()
       }
+    marker.foreach(_.createNewFile())
   }
 }

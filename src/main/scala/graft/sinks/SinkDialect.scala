@@ -146,6 +146,24 @@ case object MySqlDialect extends SinkDialect {
   }
 }
 
+/** MySQL < 8.0.19 and all MariaDB versions: the row-alias form is a
+  * syntax error there — this variant emits the classic `VALUES(col)`
+  * form (deprecated-but-working on modern MySQL). Pick per server.
+  */
+case object MySqlLegacyDialect extends SinkDialect {
+  val name = "mysql-legacy"
+  override def typeName(dt: DataType): String = MySqlDialect.typeName(dt)
+  override protected def q(ident: String): String =
+    if (ident.contains(".")) ident else s"`$ident`"
+  override def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
+    val nonKey = cols.filterNot(keyCols.contains)
+    val updates =
+      if (nonKey.isEmpty) keyCols.map(c => s"${q(c)} = ${q(c)}").mkString(", ")
+      else nonKey.map(c => s"${q(c)} = VALUES(${q(c)})").mkString(", ")
+    insertSql(table, cols) + s" ON DUPLICATE KEY UPDATE $updates"
+  }
+}
+
 case object OracleDialect extends SinkDialect {
   val name = "oracle"
   override def typeName(dt: DataType): String = dt match {

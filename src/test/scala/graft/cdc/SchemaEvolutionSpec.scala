@@ -34,6 +34,11 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(oraType("TIMESTAMP WITH LOCAL TIME ZONE") === TimestampType)
     assert(oraType("RAW(2000)") === BinaryType)
     assert(oraType("BINARY_DOUBLE") === DoubleType)
+    // length-semantics qualifiers and star precision from real DDL
+    assert(oraType("VARCHAR2(30 CHAR)") === StringType)
+    assert(oraType("VARCHAR2(30 BYTE)") === StringType)
+    assert(oraType("NUMBER(*,2)") === DecimalType(38, 2))
+    assert(oraType("NUMBER(*)") === DecimalType(38, 0))
   }
 
   test("add single and multi column bump the version") {

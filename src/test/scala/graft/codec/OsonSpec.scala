@@ -119,6 +119,22 @@ class OsonSpec extends AnyFunSuite {
     assert(decodeText(encodeText("""{"k":1,"k":2}""")) == """{"k":2}""")
   }
 
+  test("duplicate keys NESTED inside containers do not corrupt sibling offsets") {
+    // regression: nodeSize must see the same deduped tree as write(), or
+    // the array's second element offset points past the real bytes
+    assert(decodeText(encodeText("""[{"k":1,"k":2},5]""")) == """[{"k":2},5]""")
+    assert(decodeText(encodeText("""{"o":{"a":1,"a":2,"b":3},"z":9}""")) ==
+      """{"o":{"b":3,"a":2},"z":9}""" ||
+      decodeText(encodeText("""{"o":{"a":1,"a":2,"b":3},"z":9}"""))
+        .contains("\"a\":2"))
+  }
+
+  test("malformed JSON text raises OsonException, not raw JDK errors") {
+    intercept[OsonException](encodeText("\"\\u12"))
+    intercept[OsonException](encodeText("""{"a":-}"""))
+    intercept[OsonException](encodeText("""{"a":1"""))
+  }
+
   test("corrupt input fails loudly") {
     intercept[OsonException](decode(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)))
     intercept[OsonException](decode(refOson.take(20) ++ Array.fill[Byte](20)(0x7f)))

@@ -34,6 +34,15 @@ class TdeSpec extends AnyFunSuite {
       == plain.toSeq)
   }
 
+  test("SHA-1 MAC is verified: corrupted ciphertext fails loudly") {
+    val plain = "integrity".getBytes(UTF_8)
+    val wire = Tde.encrypt(plain, dataKey, Tde.EncAes256, Tde.IntSha1, salted = true)
+    wire(0) = (wire(0) ^ 0x01).toByte // flip a ciphertext bit
+    intercept[Tde.TdeException] {
+      Tde.decrypt(wire, dataKey, Tde.EncAes256, Tde.IntSha1, salted = true)
+    }
+  }
+
   test("GCM roundtrip (standard JCE tag layout)") {
     for (salted <- Seq(true, false); s <- samples) {
       val plain = s.getBytes(UTF_8)

@@ -32,6 +32,17 @@ class TopKSpec extends AnyFunSuite {
       h.sortedBestFirst.map(e => (e.score, e.id, e.payload)).toSeq)
   }
 
+  test("NaN scores rank greatest deterministically, regardless of arrival order") {
+    val early = new TopKHeap(2)
+    early.add(Double.NaN, 9, 0); early.add(1.0, 1, 0); early.add(2.0, 2, 0)
+    val late = new TopKHeap(2)
+    late.add(1.0, 1, 0); late.add(2.0, 2, 0); late.add(Double.NaN, 9, 0)
+    val e = early.sortedBestFirst.map(x => (x.score.isNaN, x.id)).toSeq
+    val l = late.sortedBestFirst.map(x => (x.score.isNaN, x.id)).toSeq
+    assert(e == l)
+    assert(e == Seq((true, 9L), (false, 2L)))
+  }
+
   test("aggregate matches a window top-k on grouped data, across partitions") {
     import spark.implicits._
     // 4 groups × 250 rows spread over 4 partitions; deterministic scores

@@ -69,18 +69,24 @@ class KafkaContractSinkSpec extends AnyFunSuite {
       .writeStream
       .option("checkpointLocation",
         Files.createTempDirectory("k1_ckpt").toFile.getAbsolutePath)
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        KafkaContractSink.writeBatch(df, outDir, orderCols = Seq("commitScn", "scn"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        KafkaContractSink.writeBatch(df, outDir,
+          orderCols = Seq("commitScn", "scn"), batchId = batchId)
+        // a checkpoint replay of the same batch must not duplicate
+        KafkaContractSink.writeBatch(df, outDir,
+          orderCols = Seq("commitScn", "scn"), batchId = batchId)
       }
       .start()
     q.processAllAvailable()
     q.stop()
 
-    val files = new File(outDir).listFiles().map(_.getName).sorted.toSeq
+    val dataFiles = new File(outDir).listFiles()
+      .filterNot(_.getName.startsWith(".")) // skip batch done-markers
+    val files = dataFiles.map(_.getName).sorted.toSeq
     // topics routed per table with the sanitized cdc_ prefix
     assert(files.forall(f => f.startsWith("cdc_G_ACCTS-") || f.startsWith("cdc_G_ORDERS-")))
     // every committed change delivered exactly once
-    val lines = new File(outDir).listFiles().flatMap { f =>
+    val lines = dataFiles.flatMap { f =>
       scala.io.Source.fromFile(f).getLines().map(f.getName -> _).toList
     }.toSeq
     assert(lines.size == 4) // 3 from txA + 1 from txB; rollback-free
