@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the scale properties the operators claim must
+  * be visible in the executed plan, not just in comments — broadcast
+  * joins for dimensions, filter pushdown into the parquet scan,
+  * whole-stage codegen around the codec kernels, partial aggregation
+  * for the bounded-heap top-k. A regression in any of these silently
+  * turns a 100 TB-shaped plan into a shuffle storm long before any
+  * correctness gate notices.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", false)
+    .appName("plan-audit-spec").getOrCreate()
+
+  private def plan(name: String): String = {
+    val q = graft.SparkEntry.queries(name)
+    q(spark, dir).queryExecution.executedPlan.toString
+  }
+
+  test("dimension joins broadcast (q3, q5)") {
+    assert(plan("q3_join_topk").contains("BroadcastHashJoin"))
+    val p5 = plan("q5_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p5).size >= 2,
+      "star join should broadcast its dimension tables")
+  }
+
+  test("string predicate pushes down to the parquet scan") {
+    val p = plan("q_string_pred")
+    assert(p.contains("PushedFilters: ["))
+    assert(!p.replaceAll("PushedFilters: \\[\\]", "").contains("PushedFilters: []")
+      || p.contains("PushedFilters: [Is"), "scan should carry pushed filters")
+  }
+
+  test("codec kernels stay inside WholeStageCodegen") {
+    // AQE only shows codegen spans in the FINAL plan — execute first
+    def finalPlan(name: String): String = {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect() // finalize the adaptive plan for THIS query
+      df.queryExecution.executedPlan.toString
+    }
+    // the final adaptive plan marks codegen stages with the `*(n)` star
+    val p1 = finalPlan("f1_oranumber_long")
+    assert(p1.contains("*(") &&
+      """\*\(\d+\) Project \[.*oranumbertolong""".r.findFirstIn(p1).isDefined,
+      s"codec projection must sit inside a codegen stage:\n$p1")
+    assert(finalPlan("f2_binary_double").contains("*("))
+  }
+
+  test("minhash bands come from ONE explode, not a union of branches") {
+    val p = plan("dedup_minhash_lsh")
+    assert("Generate explode".r.findAllIn(p).size <= 2, // one per join side
+      "banding must be a single explode per side, not unioned branches")
+    assert(!p.contains("Union"))
+  }
+
+  test("jaccard stop-shingle list broadcasts into an anti-join before the self-join") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+  }
+
+  test("brute-force top-k uses two-phase object hash aggregation, queries broadcast") {
+    val p = plan("ann_bruteforce_topk")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "partial + final aggregation phases expected")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("IVF centroids broadcast; candidate join shuffles on the cell key") {
+    val p = plan("ann_ivf")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2)
+    assert(p.contains("hashpartitioning(cell"))
+  }
+}
