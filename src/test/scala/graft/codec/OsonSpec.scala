@@ -105,14 +105,22 @@ class OsonSpec extends AnyFunSuite {
         BigInt(rnd.nextLong() % 1000000000L).bigInteger, rnd.nextInt(6)))
       case 3 | 4 => JStr(rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
       case 5 => JArr(Vector.fill(rnd.nextInt(5))(gen(depth + 1)))
-      case 6 => JObj(Vector.tabulate(rnd.nextInt(5))(i =>
-        s"f${rnd.nextInt(20)}_$i" -> gen(depth + 1)))
+      case 6 =>
+        // ~1 in 4 objects gets DUPLICATE keys (no _$i suffix) so nested
+        // dedup exercises the size/offset agreement in every position
+        val dedupSafe = rnd.nextInt(4) != 0
+        JObj(Vector.tabulate(rnd.nextInt(5))(i =>
+          (if (dedupSafe) s"f${rnd.nextInt(20)}_$i" else s"f${rnd.nextInt(3)}")
+            -> gen(depth + 1)))
     }
     for (_ <- 1 to 300) {
       val v = gen(0)
       val txt = decodeText(encode(v))
       assert(decodeText(encodeText(txt)) == txt)
     }
+    // deep nesting exercises the memoized size pass
+    val deep = (1 to 40).foldLeft("1")((acc, _) => s"""{"a":[$acc]}""")
+    assert(decodeText(encodeText(deep)) == deep)
   }
 
   test("duplicate keys keep the last value, like JSON semantics") {
