@@ -152,4 +152,34 @@ class StreamingAssemblySpec extends AnyFunSuite {
       assert(spark.table("assembled_big").count() == 1001)
     } finally q.stop()
   }
+
+  test("idle timer drops an abandoned transaction; later commit finds nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RedoRecord]
+    // NOTE: with ProcessingTime timers the engine runs continuous
+    // micro-batches, so processAllAvailable would never return — this
+    // test polls the memory sink with a sentinel transaction instead
+    val q = ChangeStreams.assembleStream(input.toDS(), idleTimeoutMs = 800L)
+      .writeStream.format("memory").queryName("assembled_idle")
+      .outputMode("append").start()
+    try {
+      // an open transaction whose terminal record is "lost"
+      input.addData(rec(10, "txLost", Ops.Insert, "r1", Map("c" -> "1")))
+      Thread.sleep(3000) // batch runs + the idle deadline passes + timer fires
+      // the stale commit arrives AFTER expiry, followed by a sentinel txn
+      input.addData(
+        rec(40, "txLost", Ops.Commit),
+        rec(50, "txSent", Ops.Insert, "r2", Map("c" -> "2")),
+        rec(51, "txSent", Ops.Commit))
+      val deadline = System.currentTimeMillis() + 60000
+      def rows() = spark.table("assembled_idle").as[EmittedChange].collect()
+      while (!rows().exists(_.xid == "txSent") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val got = rows()
+      assert(got.exists(_.xid == "txSent"), "sentinel transaction must emit")
+      assert(!got.exists(_.xid == "txLost"),
+        s"expired transaction must not emit, got ${got.toSeq}")
+    } finally q.stop()
+  }
 }
