@@ -67,7 +67,9 @@ class CdcStreamMetrics(name: String)
     val trigger = Option(p.durationMs.get("triggerExecution"))
       .map(_.longValue()).getOrElse(0L)
     procMs.add(trigger)
-    if (trigger > 0) inputSecs.add(trigger / 1000.0)
+    // floor at 1 ms: sub-millisecond batches must still grow the
+    // denominator, or fast streams read as rate 0 / inflated
+    inputSecs.add(math.max(trigger, 1L) / 1000.0)
   }
 
   override def getTotalRecordsCount: Long = totalRows.sum()

@@ -60,12 +60,18 @@ object RedoLogFormat {
   val FlagRollback: Int = 0x01
   val FlagTxnRollback: Int = 0x02
 
-  def checksum(block: Array[Byte], checksumOffset: Int): Int = {
+  def checksum(block: Array[Byte], checksumOffset: Int): Int =
+    checksum(block, 0, block.length, checksumOffset)
+
+  /** Offset-aware form so callers can verify a block in place inside a
+    * larger buffer without slicing a copy per block.
+    */
+  def checksum(buf: Array[Byte], base: Int, len: Int, checksumOffset: Int): Int = {
     var acc = 0
     var i = 0
-    while (i < block.length - 1) {
+    while (i < len - 1) {
       if (i != checksumOffset) // skip the checksum u16 itself
-        acc ^= ((block(i) & 0xff) | ((block(i + 1) & 0xff) << 8))
+        acc ^= ((buf(base + i) & 0xff) | ((buf(base + i + 1) & 0xff) << 8))
       i += 2
     }
     acc & 0xffff
@@ -268,39 +274,43 @@ object RedoLogReader {
     val totalBlocks = (src.length / blockSize).toInt // incl. header block
     val payloadPer = blockSize - HeaderBytes
     val bn0 = math.max(1, startBlock)
-    // ONE bulk read for everything from the start block: a remote byte
-    // source (ranged HTTP, SSH) must not pay a round trip per 1 KiB
-    // block when the scan drains the segment eagerly anyway
     val nBlocks = math.max(0, totalBlocks - bn0)
-    val raw = new Array[Byte](nBlocks * blockSize)
-    if (nBlocks > 0) src.readFully(bn0.toLong * blockSize, raw)
-    var effStartOffset = startOffset
-    if (bn0 > 1 && startOffset == 0 && nBlocks > 0) {
-      // caller gave only a block: begin at the first record starting there
-      val firstRec = ((raw(14) & 0xff) | ((raw(15) & 0xff) << 8))
-      require(firstRec != NoRecord, s"no record starts in block $bn0")
-      effStartOffset = firstRec
-    }
-    // stitch payloads into ONE preallocated buffer (no per-block slice
-    // copies, no second drop().toArray pass)
+    // the stitched payload must fit one array (parseStream's contract —
+    // GRL segments are bounded archived logs, like the reference's)
+    require(nBlocks.toLong * payloadPer <= Int.MaxValue - 64,
+      s"redo segment too large to materialize: $name")
     val out = new Array[Byte](nBlocks * payloadPer)
+    // bulk CHUNKED reads: a remote byte source (ranged HTTP, SSH) must
+    // not pay a round trip per 1 KiB block, and a multi-GiB segment
+    // must not be resident twice — 8 MiB chunks bound the extra memory
+    val chunkBlocks = math.max(1, (8 << 20) / blockSize)
+    val chunk = new Array[Byte](chunkBlocks * blockSize)
+    var effStartOffset = startOffset
     var i = 0
     while (i < nBlocks) {
-      val base = i * blockSize
-      val bn = bn0 + i
-      val arr = java.util.Arrays.copyOfRange(raw, base, base + blockSize)
-      val stored = ((arr(12) & 0xff) | ((arr(13) & 0xff) << 8))
-      val computed = {
-        arr(12) = 0; arr(13) = 0
-        checksum(arr, 12)
+      val n = math.min(chunkBlocks, nBlocks - i)
+      src.readFully((bn0 + i).toLong * blockSize, chunk, 0, n * blockSize)
+      var j = 0
+      while (j < n) {
+        val base = j * blockSize
+        val bn = bn0 + i + j
+        if (bn == bn0 && bn0 > 1 && startOffset == 0) {
+          // caller gave only a block: begin at its first record start
+          val firstRec = ((chunk(base + 14) & 0xff) | ((chunk(base + 15) & 0xff) << 8))
+          require(firstRec != NoRecord, s"no record starts in block $bn0")
+          effStartOffset = firstRec
+        }
+        val stored = ((chunk(base + 12) & 0xff) | ((chunk(base + 13) & 0xff) << 8))
+        val computed = checksum(chunk, base, blockSize, 12)
+        if (stored != computed)
+          throw new java.io.IOException(
+            s"checksum mismatch in $name block $bn: stored=$stored computed=$computed")
+        val bb = ByteBuffer.wrap(chunk, base, blockSize).order(ByteOrder.LITTLE_ENDIAN)
+        require(bb.getInt == Magic, s"bad block magic in $name block $bn")
+        System.arraycopy(chunk, base + HeaderBytes, out, (i + j) * payloadPer, payloadPer)
+        j += 1
       }
-      if (stored != computed)
-        throw new java.io.IOException(
-          s"checksum mismatch in $name block $bn: stored=$stored computed=$computed")
-      val bb = ByteBuffer.wrap(raw, base, blockSize).order(ByteOrder.LITTLE_ENDIAN)
-      require(bb.getInt == Magic, s"bad block magic in $name block $bn")
-      System.arraycopy(raw, base + HeaderBytes, out, i * payloadPer, payloadPer)
-      i += 1
+      i += n
     }
     val bytes =
       if (effStartOffset == 0) out

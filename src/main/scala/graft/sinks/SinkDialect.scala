@@ -70,7 +70,10 @@ sealed trait SinkDialect {
 object SinkDialect {
   def forName(name: String): SinkDialect = name.toLowerCase match {
     case "postgresql" | "postgres" => PostgresDialect
-    case "mysql" | "mariadb" => MySqlDialect
+    case "mysql" => MySqlDialect
+    // MariaDB (any version) and MySQL < 8.0.19 reject the row-alias
+    // upsert form — route them to the VALUES() variant
+    case "mariadb" | "mysql-legacy" => MySqlLegacyDialect
     case "oracle" => OracleDialect
     case "sqlserver" | "mssql" => SqlServerDialect
     case "clickhouse" => ClickHouseDialect
@@ -78,8 +81,8 @@ object SinkDialect {
     case other => throw new IllegalArgumentException(s"unknown dialect $other")
   }
   val all: Seq[SinkDialect] =
-    Seq(PostgresDialect, MySqlDialect, OracleDialect, SqlServerDialect,
-      ClickHouseDialect, DerbyDialect)
+    Seq(PostgresDialect, MySqlDialect, MySqlLegacyDialect, OracleDialect,
+      SqlServerDialect, ClickHouseDialect, DerbyDialect)
 }
 
 /** Apache Derby (embedded) — standard-SQL MERGE via SYSIBM.SYSDUMMY1.
@@ -135,14 +138,21 @@ case object MySqlDialect extends SinkDialect {
   }
   override protected def q(ident: String): String =
     if (ident.contains(".")) ident else s"`$ident`"
-  override def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
-    // row-alias form: VALUES(col) in ON DUPLICATE KEY UPDATE is
-    // deprecated since MySQL 8.0.20 and slated for removal
+  // row-alias form: VALUES(col) in ON DUPLICATE KEY UPDATE is
+  // deprecated since MySQL 8.0.20 and slated for removal
+  override def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String =
+    onDuplicateUpsert(table, cols, keyCols, " AS nv", c => s"nv.${q(c)}")
+
+  /** Shared ON DUPLICATE KEY UPDATE scaffold; `ref` renders the
+    * new-value reference (row alias vs legacy VALUES()).
+    */
+  private[sinks] def onDuplicateUpsert(table: String, cols: Seq[String],
+      keyCols: Seq[String], insertSuffix: String, ref: String => String): String = {
     val nonKey = cols.filterNot(keyCols.contains)
     val updates =
       if (nonKey.isEmpty) keyCols.map(c => s"${q(c)} = ${q(c)}").mkString(", ")
-      else nonKey.map(c => s"${q(c)} = nv.${q(c)}").mkString(", ")
-    insertSql(table, cols) + s" AS nv ON DUPLICATE KEY UPDATE $updates"
+      else nonKey.map(c => s"${q(c)} = ${ref(c)}").mkString(", ")
+    insertSql(table, cols) + s"$insertSuffix ON DUPLICATE KEY UPDATE $updates"
   }
 }
 
@@ -155,13 +165,9 @@ case object MySqlLegacyDialect extends SinkDialect {
   override def typeName(dt: DataType): String = MySqlDialect.typeName(dt)
   override protected def q(ident: String): String =
     if (ident.contains(".")) ident else s"`$ident`"
-  override def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
-    val nonKey = cols.filterNot(keyCols.contains)
-    val updates =
-      if (nonKey.isEmpty) keyCols.map(c => s"${q(c)} = ${q(c)}").mkString(", ")
-      else nonKey.map(c => s"${q(c)} = VALUES(${q(c)})").mkString(", ")
-    insertSql(table, cols) + s" ON DUPLICATE KEY UPDATE $updates"
-  }
+  override def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String =
+    MySqlDialect.onDuplicateUpsert(table, cols, keyCols, "",
+      c => s"VALUES(${q(c)})")
 }
 
 case object OracleDialect extends SinkDialect {

@@ -35,10 +35,15 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("string predicate pushes down to the parquet scan") {
-    val p = plan("q_string_pred")
-    assert(p.contains("PushedFilters: ["))
-    assert(!p.replaceAll("PushedFilters: \\[\\]", "").contains("PushedFilters: []")
-      || p.contains("PushedFilters: [Is"), "scan should carry pushed filters")
+    // read the scan node's metadata directly — plan toString truncates it
+    val qe = graft.SparkEntry.queries("q_string_pred")(spark, dir).queryExecution
+    val pushed = qe.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "[]")
+    }
+    assert(pushed.nonEmpty, "no parquet scan in plan")
+    assert(pushed.exists(f => f != "[]" && f.nonEmpty),
+      s"scans carry no pushed filters: $pushed")
   }
 
   test("codec kernels stay inside WholeStageCodegen") {

@@ -166,7 +166,10 @@ class StreamingAssemblySpec extends AnyFunSuite {
     try {
       // an open transaction whose terminal record is "lost"
       input.addData(rec(10, "txLost", Ops.Insert, "r1", Map("c" -> "1")))
-      Thread.sleep(3000) // batch runs + the idle deadline passes + timer fires
+      // generous margin over the 800 ms deadline: batch scheduling on a
+      // loaded host must not outlive the sleep or the commit below races
+      // the timer (expiry is not externally observable to poll on)
+      Thread.sleep(8000)
       // the stale commit arrives AFTER expiry, followed by a sentinel txn
       input.addData(
         rec(40, "txLost", Ops.Commit),
