@@ -69,6 +69,36 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccard(s, dir, maxDfFrac = Some(0.08))),
 
+    // Candidate pairs → duplicate CLUSTERS via min-label propagation
+    // (connected components over the MinHash+LSH candidate graph), then
+    // each document mapped to its cluster representative — the step a
+    // real dedup pipeline runs after any candidate generator. Iterative
+    // Pregel-style propagation: each round is one distributed
+    // join+groupBy keyed on the vertex id, and the round count is the
+    // graph diameter (tiny for near-dup clusters), NOT the data size —
+    // the standard scalable CC formulation. Singletons keep themselves.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = {
+        // same candidate generation as dedup_minhash_lsh
+        val hashes = docShingleHashes(s, dir).filter(size(col("hs")) > 0)
+        val sigs = hashes.select(
+          (col("doc_id") +: (0 until 8).map(j =>
+            minHash(col("hs"), j).as(s"s$j"))): _*)
+        val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"), col(s"s${2 * b}").as("h1"),
+              col(s"s${2 * b + 1}").as("h2"))): _*)).as("bh"))
+          .select(col("doc_id"), col("bh.band").as("band"),
+            col("bh.h1").as("h1"), col("bh.h2").as("h2"))
+        bands.toDF("ia", "band", "h1", "h2")
+          .join(bands.toDF("ib", "band", "h1", "h2"), Seq("band", "h1", "h2"))
+          .filter(col("ia") < col("ib"))
+          .select(col("ia"), col("ib")).distinct()
+      }
+      val vertices = documents(s, dir).select(col("doc_id"))
+      connectedComponents(vertices, pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-document 16-bit SimHash (near-dup docs collide).
     "dedup_simhash" -> ((s, dir) => {
       documents(s, dir)
@@ -101,6 +131,53 @@ object DedupQueries {
         .orderBy(col("ia"), col("ib"))
     })
   )
+
+  /** Min-label propagation connected components: every vertex starts as
+    * its own label; each round every vertex takes the min of its own and
+    * its neighbors' labels, until a fixpoint. The driver loop runs
+    * O(diameter) rounds (bounded, graph-structural); every round's work
+    * is one shuffle join keyed by vertex — no per-row driver work, no
+    * global state. Persist + count per round doubles as the convergence
+    * check. Output: (doc_id, cluster) with cluster = min doc_id of the
+    * component — the canonical-representative convention.
+    */
+  private[operators] def connectedComponents(vertices: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    // materialize the edge list ONCE: without the persist every round's
+    // join would recompute the entire candidate-generation subtree
+    // (shingle → signature → band self-join), and the stacked lineage
+    // eventually OOMs the driver. Edges are the small side by
+    // construction (near-dup pairs, not the corpus).
+    val und = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+      .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+      .persist()
+    und.count()
+    // localCheckpoint (not persist): each round's frame derives from the
+    // previous round's, so the LOGICAL plan doubles per iteration and
+    // blows up the analyzer within ~8 rounds — checkpointing truncates
+    // the lineage to the materialized result, the standard pattern for
+    // iterative algorithms on DataFrames
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 64) {
+      val nbrMin = und.join(labels, und("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter(col("cluster") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
 
   /** n-gram Jaccard similarity pairs via a shingle-hash-keyed shuffle
     * join (inverted index on an 8-byte key — the shuffle carries longs,
@@ -217,6 +294,33 @@ object DedupQueries {
         |JOIN sizes nb ON nb.doc_id = ib
         |WHERE CAST(m AS DOUBLE) / CAST(na.n + nb.n - m AS DOUBLE) >= 0.10
         |ORDER BY ia, ib""".stripMargin),
+    "dedup_clusters" -> ("WITH RECURSIVE " + shinglesCte.stripPrefix("WITH ") +
+      """, sig AS (
+        |  SELECT doc_id,
+        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
+        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
+        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
+        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
+        |  FROM h GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM sig UNION ALL
+        |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, s6, s7 FROM sig),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+        |       AND a.doc_id < b.doc_id),
+        |und AS (
+        |  SELECT ia AS src, ib AS dst FROM pairs
+        |  UNION ALL SELECT ib, ia FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS node, doc_id AS via FROM documents
+        |  UNION
+        |  SELECT r.node, u.dst FROM reach r JOIN und u ON r.via = u.src)
+        |SELECT node AS doc_id, MIN(via) AS cluster
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
     "dedup_simhash" -> (
       """WITH toks AS (
         |  SELECT doc_id,
