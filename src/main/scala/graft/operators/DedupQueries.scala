@@ -159,20 +159,31 @@ object DedupQueries {
     // iterative algorithms on DataFrames
     var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint(true)
+    // delta iteration: a label can only improve when a NEIGHBOR'S label
+    // improved last round, so each round propagates from the changed
+    // frontier only — the frontier shrinks geometrically while the full
+    // label table is touched once per round via one left join
+    var frontier = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 64) {
-      val nbrMin = und.join(labels, und("dst") === labels("doc_id"))
+      val nbrMin = und.join(frontier, und("dst") === frontier("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-        .filter(col("cluster") =!= col("prev")).count()
+      val delta = next
+        .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter(col("cluster") =!= col("prev"))
+        .select(col("doc_id"), col("cluster"))
+        .localCheckpoint(true)
+      changed = delta.count()
       labels.unpersist()
+      frontier.unpersist()
       labels = next
+      frontier = delta
       iter += 1
     }
     und.unpersist()
