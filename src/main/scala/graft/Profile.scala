@@ -28,6 +28,8 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq else Seq("dedup_ngram_jaccard")
     names.foreach { name =>
+      if (sys.env.contains("PROFILE_EXPLAIN"))
+        SparkEntry.queries(name)(spark, dir).explain("formatted")
       (1 to 2).foreach { pass =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)

@@ -224,14 +224,21 @@ object DedupQueries {
           .select(col("doc_id"), col("s"))
       case None => exploded0
     }
-    val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // the postings list feeds three consumers (per-doc sizes + both self-
+    // join sides); localCheckpoint materializes the tokenize→shingle→
+    // stop-filter pipeline ONCE instead of re-running it per consumer.
+    // No broadcast hints: the postings list and the sizes table both grow
+    // with the corpus, so forcing broadcast would OOM at scale — AQE
+    // picks the join strategy from the checkpointed sizes.
+    val kept = exploded.localCheckpoint(true)
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // the join fans out to Σ df(s)² rows; aggregate them on ONE packed
     // long key (ia<<32|ib) — the primitive-key fast path in Spark's
     // hash aggregate — instead of a two-column row key. The packing
     // assumes doc_id < 2^32 (unsigned unpack); for a corpus beyond that
     // fall back to the two-column groupBy — same plan, slower agg.
-    val inter = exploded.toDF("ia", "s")
-      .join(exploded.toDF("ib", "s"), Seq("s"))
+    val inter = kept.toDF("ia", "s")
+      .join(kept.toDF("ib", "s"), Seq("s"))
       .filter(col("ia") < col("ib"))
       .select((shiftleft(col("ia"), 32) bitwiseOR col("ib")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("m"))
