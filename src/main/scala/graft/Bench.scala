@@ -33,11 +33,15 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a broken query must be visible in the bench output (-1 marker),
       // never recorded as a suspiciously fast wall time
-      try {
+      val res = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         name -> (System.nanoTime() - t0) / 1e9
       } catch {
@@ -45,6 +49,13 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           name -> -1.0
       }
+      // per-query isolation: reclaim blocks a query materialized and did
+      // not unpersist (iterative checkpoints, shared-subtree persists) so
+      // storage-memory pressure never bleeds into later queries' timings
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      res
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
