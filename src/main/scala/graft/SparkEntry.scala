@@ -12,7 +12,8 @@ object SparkEntry {
     RelationalQueries.queries ++ CodecQueries.queries ++ CdcQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      SourceQueries.queries ++ LoadQueries.queries ++ JdbcGateQueries.queries
+      SourceQueries.queries ++ LoadQueries.queries ++ JdbcGateQueries.queries ++
+      TemporalQueries.queries ++ SamplingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -20,5 +21,6 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ CodecQueries.oracleSql ++ CdcQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      SourceQueries.oracleSql ++ LoadQueries.oracleSql ++ JdbcGateQueries.oracleSql
+      SourceQueries.oracleSql ++ LoadQueries.oracleSql ++ JdbcGateQueries.oracleSql ++
+      TemporalQueries.oracleSql ++ SamplingQueries.oracleSql
 }

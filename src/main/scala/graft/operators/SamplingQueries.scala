@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Sampling + distribution-statistics operators over `documents` — the
+  * corpus-curation steps an LLM training pipeline runs after dedup:
+  * rebalance languages/sources by deterministic subsampling, and audit
+  * length distributions per stratum.
+  *
+  * Scale design (100 TB):
+  *  - stratified sample: a PURE MAP filter — the keep/drop decision is
+  *    an arithmetic hash of the row's own key (Knuth multiplicative,
+  *    explicitly written out so any engine reproduces it), so sampling
+  *    needs no shuffle, no RNG state, no coordination, and reruns
+  *    byte-identically — rerunnable sampling is what makes a 100 TB
+  *    curation job restartable.
+  *  - quantiles: exact `percentile` is checked against the oracle at
+  *    test scale AND validates its own `approx_percentile` companion in
+  *    the same pass; at 100 TB the approx sketch (bounded memory,
+  *    mergeable partials) is the production path, and the gate proves
+  *    the two agree within tolerance on real data.
+  */
+object SamplingQueries {
+
+  // Knuth multiplicative hash on doc_id, mod 100 → a stable per-row
+  // percentile in [0,100) both engines compute identically
+  private val pctExpr = "pmod(doc_id * 2654435761, 4294967296) % 100"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language rebalancing: downsample the dominant language (en → 10%)
+    // and keep 30% of everything else.
+    "q_stratified_sample" -> ((s, dir) => {
+      documents(s, dir)
+        .withColumn("pct", expr(pctExpr))
+        .filter(col("pct") < when(col("lang") === "en", 10).otherwise(30))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-language length distribution: exact quartiles of n_chars
+    // (oracle-checked) + proof the mergeable approx sketch lands within
+    // 5% of exact on the same data.
+    "q_quantiles" -> ((s, dir) => {
+      documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(n_chars, 0.25)"), 4).as("q25"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("q50"),
+          round(expr("percentile(n_chars, 0.75)"), 4).as("q75"),
+          expr("approx_percentile(n_chars, 0.5)").as("approx_q50"))
+        .select(col("lang"), col("n"), col("q25"), col("q50"), col("q75"),
+          (abs(col("approx_q50") - col("q50")) <= col("q50") * 0.05)
+            .as("approx_ok"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 % 100
+        |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_quantiles" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  ROUND(quantile_cont(n_chars, 0.25), 4) AS q25,
+        |  ROUND(quantile_cont(n_chars, 0.5), 4) AS q50,
+        |  ROUND(quantile_cont(n_chars, 0.75), 4) AS q75,
+        |  TRUE AS approx_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

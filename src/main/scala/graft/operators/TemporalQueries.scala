@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Temporal join/segmentation operators over the `events` stream table —
+  * the time-series staples a CDC-fed lakehouse runs downstream of the
+  * change stream (the reference delivers ordered change events;
+  * consumers then align them in time: doc/RedoMinerConnector.adoc's
+  * commit-SCN ordering is exactly what makes these joins well-defined).
+  *
+  * Scale design (100 TB):
+  *  - as-of join: the union+window formulation — both sides tagged and
+  *    unioned, ONE shuffle on the join key, `last(ignoreNulls)` over a
+  *    running frame. No join fan-out at all: cost is a sort within key
+  *    partitions, the plan every dedicated as-of engine lowers to.
+  *  - range join: bucketized — the interval side explodes into the ≤2
+  *    fixed-width buckets it covers (bucket width = window width), the
+  *    point side computes its single bucket, and the join is an
+  *    EQUI-join on (key, bucket) + residual filter. Catalyst gets a
+  *    shuffled hash join instead of a cartesian-per-key nested loop;
+  *    fan-out is bounded at 2× the interval side regardless of data.
+  *  - sessionization: lag + running sum over (key ORDER BY time) — one
+  *    shuffle, no self-join; the streaming twin is session_window /
+  *    transformWithState (see streaming/ChangeStreams).
+  *
+  * events.ts is parquet TIMESTAMP(NANOS) read as long nanos
+  * (spark.sql.legacy.parquet.nanosAsLong); all time math is done in
+  * explicit µs longs so Spark and the DuckDB oracle agree bit-for-bit.
+  */
+object TemporalQueries {
+  private val D = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)
+  private def dec(c: Column) = c.cast(D)
+
+  private val HOUR_US = 3600L * 1000000L
+
+  /** Generic as-of join: every `left` row picks up `payload` from the
+    * latest `right` row with right.time ≤ left.time within the same
+    * `key` (inclusive — DuckDB ASOF `>=` semantics); null when no such
+    * row. Tagged-union + `last(ignoreNulls)` running window: ONE
+    * shuffle on `key`, zero join fan-out.
+    *
+    * Precondition: `right` is unique per (key, time) — collapse ties
+    * first (e.g. max of the payload) or the matched payload at a tied
+    * timestamp is engine-dependent. `left` must not already carry a
+    * column named `out`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      time: String, payload: String, out: String): DataFrame = {
+    val l = left.withColumn("__tag", lit(1))
+    val r = right.select(col(key), col(time), col(payload).as(out))
+      .withColumn("__tag", lit(0))
+    val w = Window.partitionBy(key).orderBy(time, "__tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(out, last(col(out), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .drop("__tag")
+  }
+
+  /** Generic sessionization: adds a `sess` column numbering each key's
+    * sessions (1-based, in time order), splitting on a gap > `gapUs`.
+    * One shuffle on `key`; ties broken on `tieBreak` so numbering is
+    * total and reproducible.
+    */
+  def sessionize(df: DataFrame, key: String, time: String,
+      tieBreak: String, gapUs: Long): DataFrame = {
+    val wo = Window.partitionBy(key).orderBy(time, tieBreak)
+    val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(col(time), 1).over(wo))
+      .withColumn("__ns",
+        (col("__prev").isNull || (col(time) - col("__prev") > gapUs))
+          .cast("long"))
+      .withColumn("sess", sum(col("__ns")).over(wr))
+      .drop("__prev", "__ns")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of join: every event picks up the most recent error event of
+    // the same user at-or-before its own timestamp (the "attach the
+    // last marker" shape: last checkpoint, last config change, last
+    // login). Markers sort before events at equal t (tag 0 < 1) so the
+    // match is inclusive, exactly DuckDB's ASOF JOIN `>=` semantics.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("t"))
+      // right side unique per (user, t): ties collapse to max event_id
+      // so both engines pick the same marker deterministically
+      val mk = events(s, dir).filter(col("event_type") === "error")
+        .groupBy(col("user_id"), expr("ts div 1000").as("t"))
+        .agg(max(col("event_id")).as("mk_id"))
+      asofJoin(ev, mk, "user_id", "t", "mk_id", "last_error_id")
+        .select(col("event_id"), col("user_id"), col("last_error_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Banded range join: for each error event, aggregate all events of
+    // the same user inside the following 6-hour window. Bucket width =
+    // window width ⇒ every interval covers at most 2 buckets; events
+    // carry exactly one bucket so no dedup pass is needed after the
+    // equi-join.
+    "q_range_join" -> ((s, dir) => {
+      val B = 6L * HOUR_US
+      val ev = events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("t"), col("value"))
+        .withColumn("b", expr(s"t div $B"))
+      val anchors = events(s, dir).filter(col("event_type") === "error")
+        .select(col("event_id").as("anchor_id"), col("user_id"),
+          expr("ts div 1000").as("t0"))
+        .withColumn("t1", col("t0") + lit(B))
+        .withColumn("b", explode(array_distinct(
+          array(expr(s"t0 div $B"), expr(s"t1 div $B")))))
+      anchors.join(ev, Seq("user_id", "b"))
+        .filter(col("t") >= col("t0") && col("t") < col("t1"))
+        .groupBy(col("anchor_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("total"))
+        .orderBy(col("anchor_id"))
+    }),
+
+    // Sessionization: per-user sessions split on a >3h inactivity gap
+    // (lag + running sum of session-start flags), then per-session
+    // rollup. Ties broken on event_id so the window order — and hence
+    // session numbering — is total on both engines.
+    "q_sessionize" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("t"), col("value"))
+      sessionize(ev, "user_id", "t", "event_id", 3L * HOUR_US)
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("t")).as("start_us"), max(col("t")).as("end_us"),
+          sum(dec(col("value"))).cast("double").as("total"))
+        .orderBy(col("user_id"), col("sess"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // independent formulation: DuckDB's native ASOF JOIN operator
+    "q_asof_join" ->
+      """WITH mk AS (SELECT user_id, ts AS t, MAX(event_id) AS mk_id
+        |            FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, mk.mk_id AS last_error_id
+        |FROM events e ASOF LEFT JOIN mk
+        |  ON e.user_id = mk.user_id AND e.ts >= mk.t
+        |ORDER BY e.event_id""".stripMargin,
+    // independent formulation: plain inequality join
+    "q_range_join" ->
+      """SELECT a.event_id AS anchor_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events a JOIN events e ON e.user_id = a.user_id
+        |  AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 6 HOUR
+        |WHERE a.event_type = 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
+        |           FROM events),
+        |f AS (SELECT *, COALESCE(
+        |        t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |          > 10800000000, TRUE) AS ns FROM e),
+        |g AS (SELECT *, SUM(CASE WHEN ns THEN 1 ELSE 0 END) OVER (
+        |        PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |      FROM f)
+        |SELECT user_id, CAST(sess AS BIGINT) AS sess, COUNT(*) AS n_events,
+        |  MIN(t) AS start_us, MAX(t) AS end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, sess""".stripMargin
+  )
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the temporal operators (as-of join, banded range join,
+  * sessionization) and the sampling/quantile operators — edge cases on
+  * hand-built frames plus invariants on the driver testdata.
+  */
+class TemporalSamplingSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", false)
+    .appName("temporal-sampling-spec").getOrCreate()
+
+  test("asofJoin: inclusive match, no-prior null, key isolation") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 5L, "a"),   // before any marker → null
+      (1L, 10L, "b"),  // exactly at marker t=10 → inclusive match 100
+      (1L, 17L, "c"),  // between 10 and 20 → 100
+      (1L, 20L, "d"),  // at second marker → 200
+      (2L, 50L, "e")   // other key: only key-2 markers visible
+    ).toDF("k", "t", "name")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 7L, 700L))
+      .toDF("k", "t", "v")
+    val out = TemporalQueries.asofJoin(left, right, "k", "t", "v", "m")
+      .select("name", "m").collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map("a" -> -1L, "b" -> 100L, "c" -> 100L,
+      "d" -> 200L, "e" -> 700L))
+  }
+
+  test("sessionize: splits on gap, numbers sessions per key in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 50L, 2L), (1L, 200L, 3L),   // gap>100 at 200
+      (1L, 250L, 4L), (2L, 0L, 5L)
+    ).toDF("k", "t", "id")
+    val out = TemporalQueries.sessionize(df, "k", "t", "id", 100L)
+      .select("id", "sess").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("q_asof_join: marker is the latest error at-or-before, same user") {
+    val rows = SparkEntry_q("q_asof_join").collect()
+    assert(rows.nonEmpty)
+    // error events must map to themselves (self is at-or-before, ties
+    // collapse to max event_id ≥ self... equality when unique ts)
+    val errors = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val matched = rows.filter(r => errors.contains(r.getLong(0)))
+    assert(matched.nonEmpty)
+    assert(matched.forall(r => !r.isNullAt(2)),
+      "an error event always has a marker (itself)")
+  }
+
+  test("q_range_join: every anchor window contains at least itself") {
+    val rows = SparkEntry_q("q_range_join").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) >= 1L),
+      "anchor event lies inside its own window")
+  }
+
+  test("q_sessionize: session bounds ordered, counts positive") {
+    val rows = SparkEntry_q("q_sessionize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L)                  // n_events
+      assert(r.getLong(3) <= r.getLong(4))        // start_us <= end_us
+    }
+  }
+
+  test("q_stratified_sample: en downsampled harder than the rest") {
+    val df = SparkEntry_q("q_stratified_sample")
+    val total = graft.Tables.documents(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = df.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = kept.getOrElse("en", 0L).toDouble / total("en")
+    val restKept = (kept - "en").values.sum.toDouble
+    val restTotal = (total - "en").values.sum.toDouble
+    assert(enRate < restKept / restTotal,
+      s"en rate $enRate should be below the rest")
+  }
+
+  test("q_quantiles: quartiles monotone and approx within bound") {
+    val rows = SparkEntry_q("q_quantiles").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q25, q50, q75) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(q25 <= q50 && q50 <= q75)
+      assert(r.getBoolean(5), s"approx_percentile off for ${r.getString(0)}")
+    }
+  }
+
+  private def SparkEntry_q(name: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+}
