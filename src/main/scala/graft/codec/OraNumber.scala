@@ -88,6 +88,96 @@ object OraNumber {
     }
   }
 
+  /** Fast path: encode an unscaled-long decimal (precision ≤ 18 —
+    * Spark's compact Decimal representation) with pure long arithmetic:
+    * no BigDecimal/BigInteger, no toString. Falls back to the general
+    * encoder for the rare shapes long math can't express.
+    */
+  def encodeUnscaled(unscaled0: Long, scale0: Int): Array[Byte] = {
+    if (unscaled0 == 0) return Zero
+    if (unscaled0 == Long.MinValue || scale0 < 0)
+      return encode(JBigDecimal.valueOf(unscaled0, scale0))
+    val positive = unscaled0 > 0
+    var unscaled = Math.abs(unscaled0)
+    var scale = scale0
+    // canonical form (stripTrailingZeros equivalent)
+    while (scale > 0 && unscaled % 10 == 0) { unscaled /= 10; scale -= 1 }
+    if ((scale & 1) != 0) {
+      if (unscaled > Long.MaxValue / 10)
+        return encode(JBigDecimal.valueOf(unscaled0, scale0))
+      unscaled *= 10; scale += 1
+    }
+    // base-100 digits, least significant first
+    val tmp = new Array[Int](10)
+    var n = 0
+    var v = unscaled
+    while (v != 0) { tmp(n) = (v % 100).toInt; v /= 100; n += 1 }
+    var lo = 0
+    while (tmp(lo) == 0) lo += 1 // strip trailing zero base-100 digits
+    val m = n - lo
+    val exp = (n - 1) - scale / 2
+    if (positive) {
+      val out = new Array[Byte](1 + m)
+      out(0) = (193 + exp).toByte
+      var i = 0
+      while (i < m) { out(i + 1) = (tmp(n - 1 - i) + 1).toByte; i += 1 }
+      out
+    } else {
+      val out = new Array[Byte](2 + m) // m ≤ 10 < 20 ⇒ always terminated
+      out(0) = (62 - exp).toByte
+      var i = 0
+      while (i < m) { out(i + 1) = (101 - tmp(n - 1 - i)).toByte; i += 1 }
+      out(out.length - 1) = 102.toByte
+      out
+    }
+  }
+
+  /** Fast path: decode to the unscaled long of a decimal at `scale`.
+    * Throws ArithmeticException when the value needs rounding, has more
+    * than 9 base-100 digits, or overflows a long — callers fall back to
+    * [[decodeToScaled]].
+    */
+  def decodeToUnscaledLong(b: Array[Byte], scale: Int): Long = {
+    require(b != null && b.length > 0, "empty NUMBER")
+    val b0 = b(0) & 0xff
+    if (b.length == 1 && b0 == 0x80) return 0L
+    if (b0 == 0xff || b0 == 0x00)
+      throw new ArithmeticException("infinite NUMBER")
+    val positive = (b0 & 0x80) != 0
+    var acc = 0L
+    var nd = 0
+    var i = 1
+    if (positive) {
+      while (i < b.length) {
+        val d = (b(i) & 0xff) - 1
+        if (d < 0 || d > 99 || nd >= 9) throw new ArithmeticException("wide")
+        acc = acc * 100 + d; nd += 1; i += 1
+      }
+    } else {
+      while (i < b.length && (b(i) & 0xff) != 102) {
+        val d = 101 - (b(i) & 0xff)
+        if (d < 0 || d > 99 || nd >= 9) throw new ArithmeticException("wide")
+        acc = acc * 100 + d; nd += 1; i += 1
+      }
+    }
+    val exp = if (positive) b0 - 193 else (~b0 & 0xff) - 193
+    val pow10 = 2 * (exp - (nd - 1)) + scale
+    if (pow10 < -18 || pow10 > 18) throw new ArithmeticException("rescale")
+    var r = acc
+    if (pow10 >= 0) {
+      var k = pow10
+      while (k > 0) { r = Math.multiplyExact(r, 10L); k -= 1 }
+    } else {
+      // negative power: exact division or the value needs rounding
+      var k = -pow10
+      while (k > 0) {
+        if (r % 10 != 0) throw new ArithmeticException("inexact")
+        r /= 10; k -= 1
+      }
+    }
+    if (positive) r else -r
+  }
+
   /** Hot-path decodes used from generated code (static forwarders). */
   def decodeToLong(b: Array[Byte]): Long = decode(b).longValueExact()
   def decodeToInt(b: Array[Byte]): Int = decode(b).intValueExact()
@@ -95,6 +185,6 @@ object OraNumber {
   def decodeToScaled(b: Array[Byte], scale: Int): JBigDecimal =
     decode(b).setScale(scale, RoundingMode.HALF_UP)
 
-  def encodeLong(v: Long): Array[Byte] = encode(JBigDecimal.valueOf(v))
+  def encodeLong(v: Long): Array[Byte] = encodeUnscaled(v, 0)
   def encodeDouble(v: Double): Array[Byte] = encode(new JBigDecimal(v.toString))
 }

@@ -16,6 +16,42 @@ import org.apache.spark.unsafe.types.UTF8String
   * stream; this is the difference between codegen'd tight loops and
   * boxing through ScalaUDF.
   */
+/** Runtime bridge between Spark's Decimal and the NUMBER codec: tries
+  * the compact unscaled-long path (precision ≤ 18 decimals are
+  * long-backed — no BigDecimal, no BigInteger, no string) and falls
+  * back to the general BigDecimal codec when the value doesn't fit.
+  * Lives outside the pure codec so `graft.codec` keeps zero Spark deps.
+  */
+object OraNumberRt {
+  import graft.codec.OraNumber
+
+  def toDecimal(b: Array[Byte], precision: Int, scale: Int): Decimal =
+    if (precision <= 18) {
+      try {
+        val u = OraNumber.decodeToUnscaledLong(b, scale)
+        // compact Decimal requires the value to FIT the declared
+        // precision; out-of-range falls back to the checked constructor
+        if (u > -OraNumberRt.POW10(precision) && u < OraNumberRt.POW10(precision))
+          Decimal.createUnsafe(u, precision, scale)
+        else Decimal(OraNumber.decodeToScaled(b, scale))
+      } catch {
+        case _: ArithmeticException => Decimal(OraNumber.decodeToScaled(b, scale))
+      }
+    } else Decimal(OraNumber.decodeToScaled(b, scale))
+
+  def fromDecimal(d: Decimal): Array[Byte] =
+    if (d.precision <= 18) OraNumber.encodeUnscaled(d.toUnscaledLong, d.scale)
+    else OraNumber.encode(d.toJavaBigDecimal)
+
+  private val POW10: Array[Long] = {
+    val a = new Array[Long](19)
+    a(0) = 1L
+    var i = 1
+    while (i < 19) { a(i) = a(i - 1) * 10; i += 1 }
+    a
+  }
+}
+
 object OracleFunctions {
 
   private def c(e: Expression): Column = GraftSqlBridge.column(e)
@@ -29,11 +65,10 @@ object OracleFunctions {
     override def dataType: DataType = DecimalType(precision, scale)
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(v: Any): Any =
-      Decimal(graft.codec.OraNumber.decodeToScaled(v.asInstanceOf[Array[Byte]], scale))
+      OraNumberRt.toDecimal(v.asInstanceOf[Array[Byte]], precision, scale)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, b =>
-        s"${ev.value} = org.apache.spark.sql.types.Decimal.apply(" +
-          s"graft.codec.OraNumber.decodeToScaled($b, $scale));")
+        s"${ev.value} = graft.functions.OraNumberRt.toDecimal($b, $precision, $scale);")
     override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
   }
 
@@ -67,9 +102,9 @@ object OracleFunctions {
     override def dataType: DataType = BinaryType
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(v: Any): Any =
-      graft.codec.OraNumber.encode(v.asInstanceOf[Decimal].toJavaBigDecimal)
+      OraNumberRt.fromDecimal(v.asInstanceOf[Decimal])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, d => s"graft.codec.OraNumber.encode($d.toJavaBigDecimal())")
+      defineCodeGen(ctx, ev, d => s"graft.functions.OraNumberRt.fromDecimal($d)")
     override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
   }
 

@@ -62,6 +62,43 @@ class CodecSpec extends AnyFunSuite {
       assert(OraNumber.decode(OraNumber.encode(v)).compareTo(v) == 0)
     }
   }
+  test("NUMBER fast unscaled-long encode matches the BigDecimal encoder") {
+    forSeeded(2000) { rnd =>
+      val unscaled = rnd.nextLong() % 1000000000000000000L // ≤ 18 digits
+      val scale = rnd.nextInt(10)
+      val viaBig = OraNumber.encode(
+        new JBD(java.math.BigInteger.valueOf(unscaled), scale))
+      val viaLong = OraNumber.encodeUnscaled(unscaled, scale)
+      assert(viaLong.toSeq == viaBig.toSeq,
+        s"unscaled=$unscaled scale=$scale")
+    }
+    // fallback shapes: odd scale at the top of the long range, MinValue
+    assert(OraNumber.encodeUnscaled(Long.MaxValue, 3).toSeq ==
+      OraNumber.encode(JBD.valueOf(Long.MaxValue, 3)).toSeq)
+    assert(OraNumber.encodeUnscaled(Long.MinValue, 2).toSeq ==
+      OraNumber.encode(JBD.valueOf(Long.MinValue, 2)).toSeq)
+  }
+
+  test("NUMBER fast unscaled-long decode matches decodeToScaled") {
+    forSeeded(2000) { rnd =>
+      val unscaled = rnd.nextLong() % 100000000000000L
+      val scale = rnd.nextInt(6)
+      val bytes = OraNumber.encodeUnscaled(unscaled, scale)
+      val viaBig = OraNumber.decodeToScaled(bytes, scale).unscaledValue()
+      val viaLong = OraNumber.decodeToUnscaledLong(bytes, scale)
+      assert(java.math.BigInteger.valueOf(viaLong) == viaBig,
+        s"unscaled=$unscaled scale=$scale")
+    }
+    // needs-rounding and too-wide shapes must throw (callers fall back)
+    intercept[ArithmeticException] {
+      OraNumber.decodeToUnscaledLong(OraNumber.encode(new JBD("0.001")), 2)
+    }
+    intercept[ArithmeticException] {
+      OraNumber.decodeToUnscaledLong(
+        OraNumber.encode(new JBD("12345678901234567890123456")), 0)
+    }
+  }
+
   test("NUMBER decode is order-preserving on sign") {
     assert(OraNumber.decodeToDouble(OraNumber.encodeDouble(-0.25)) == -0.25)
     assert(OraNumber.decodeToDouble(OraNumber.encodeDouble(1e-30)) == 1e-30)
