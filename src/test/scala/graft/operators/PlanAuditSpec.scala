@@ -85,4 +85,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastExchange".r.findAllIn(p).size >= 2)
     assert(p.contains("hashpartitioning(cell"))
   }
+
+  test("as-of join is union+window: no join operator, one key shuffle") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), s"as-of must not materialize a join:\n$p")
+    assert(p.contains("Window"), "as-of runs through a running window")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1,
+      "window shuffles on the as-of key")
+  }
+
+  test("range join is an equi-join on (key, bucket), not a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banded range join must stay an equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
+  test("sessionize windows shuffle once on the session key") {
+    val p = plan("q_sessionize")
+    assert(p.contains("Window"))
+    // lag + running-sum + rollup reuse ONE user_id partitioning: a single
+    // exchange below the window stack (plus the final presentation sort)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
+      s"session windows must share one key shuffle:\n$p")
+  }
+
+  test("stratified sample is map-only: no exchange at all") {
+    val p = plan("q_stratified_sample")
+    // presentation orderBy adds a rangepartitioning; the FILTER itself
+    // must not introduce a hash shuffle
+    assert(!p.contains("hashpartitioning"),
+      s"deterministic sampling must not shuffle:\n$p")
+  }
 }
