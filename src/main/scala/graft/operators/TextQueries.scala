@@ -40,6 +40,37 @@ object TextQueries {
         .select(col("doc_id"),
           docFingerprint(tokens(col("text"))).as("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // PII scrubbing: mask emails and long digit runs before a corpus
+    // ships to training. The testdata is synthetic word-soup with no
+    // real PII, so the gate deterministically appends an email + phone
+    // per document (both engines build the identical string) and then
+    // proves the masking removed them. Map-only: regex scrub at scan
+    // speed, no shuffle.
+    "text_pii_scrub" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val num = "\\b\\d{7,}\\b"
+      documents(s, dir)
+        .withColumn("raw", concat(col("text"), lit(" contact user"),
+          col("doc_id"), lit("@example.com tel "),
+          lpad(col("doc_id").cast("string"), 9, "0")))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
+            num, "<NUM>").as("scrubbed"),
+          regexp_count(col("raw"), lit(email)).as("n_emails"),
+          regexp_count(col("raw"), lit(num)).as("n_nums"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Normalization: lowercase + whitespace collapse + trim — the
+    // canonical pre-tokenization cleanup pass. Map-only.
+    "text_normalize" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+        .withColumn("norm_len", length(col("norm")))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -83,6 +114,28 @@ object TextQueries {
         |    % 1000000007 AS BIGINT) AS fp
         |FROM (SELECT doc_id, UNNEST(tk) AS t,
         |             generate_subscripts(tk, 1) AS i FROM toks)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // NB DuckDB regexp_replace is first-match-only without the 'g' flag
+    "text_pii_scrub" ->
+      """WITH raw AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com tel '
+        |         || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                   '<EMAIL>', 'g'),
+        |    '\b\d{7,}\b', '<NUM>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '\b\d{7,}\b')) AS INTEGER) AS n_nums
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+        |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |       AS INTEGER) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
