@@ -50,11 +50,15 @@ object DedupQueries {
           minHash(col("hs"), j).as(s"s$j"))): _*)
       // bands via one explode, NOT a 4-way union: each union branch would
       // recompute the whole scan+signature subtree (8× with the self-join)
+      // persist: BOTH self-join sides read the banded signatures, and
+      // without materialization each side recomputes the whole
+      // scan → shingle → minhash subtree (lazy, lineage-recoverable)
       val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), col(s"s${2 * b}").as("h1"),
             col(s"s${2 * b + 1}").as("h2"))): _*)).as("bh"))
         .select(col("doc_id"), col("bh.band").as("band"),
           col("bh.h1").as("h1"), col("bh.h2").as("h2"))
+        .persist()
       val a = bands.toDF("ia", "band", "h1", "h2")
       val b = bands.toDF("ib", "band", "h1", "h2")
       a.join(b, Seq("band", "h1", "h2"))
@@ -84,11 +88,13 @@ object DedupQueries {
         val sigs = hashes.select(
           (col("doc_id") +: (0 until 8).map(j =>
             minHash(col("hs"), j).as(s"s$j"))): _*)
+        // persist — both self-join sides, same rationale as minhash_lsh
         val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map(b =>
             struct(lit(b).as("band"), col(s"s${2 * b}").as("h1"),
               col(s"s${2 * b + 1}").as("h2"))): _*)).as("bh"))
           .select(col("doc_id"), col("bh.band").as("band"),
             col("bh.h1").as("h1"), col("bh.h2").as("h2"))
+          .persist()
         bands.toDF("ia", "band", "h1", "h2")
           .join(bands.toDF("ib", "band", "h1", "h2"), Seq("band", "h1", "h2"))
           .filter(col("ia") < col("ib"))
