@@ -15,6 +15,9 @@ object Verify {
       // events.parquet stores ts as TIMESTAMP(NANOS) — read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // graft optimizer rules (row_number≤k → bounded-heap top-k): the
+      // gates run THROUGH the rewrites, so the DuckDB oracle checks them
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -103,6 +103,22 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("rk"), col("o_orderkey"))
     }),
 
+    // Top-n per group written the NAIVE way — row_number window + filter.
+    // With GraftExtensions installed (Verify/Bench do), TopKRewrite
+    // replaces the full per-group shuffle+sort with the bounded-heap
+    // aggregate; this gate proves the rewritten plan still matches the
+    // oracle's window semantics exactly (ties broken by the full ORDER BY).
+    "q_topn_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("long").as("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
     // Set operations: UNION / INTERSECT / EXCEPT keep distinct semantics.
     "q_setops" -> ((s, dir) => {
       val o = orders(s, dir)
@@ -299,6 +315,14 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, rk, prev_price, run_cnt FROM (
         |  SELECT o_custkey, o_orderkey,

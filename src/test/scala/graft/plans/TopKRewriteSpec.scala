@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The row_number()≤k → bounded-heap rewrite: fires on the naive
+  * window pattern, leaves everything else alone, and returns exactly
+  * the window's rows.
+  */
+class TopKRewriteSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", false)
+      .appName("topk-rewrite-spec").getOrCreate()
+    // suites share one JVM: if another suite created the session first,
+    // the static extensions conf was ignored — install the rule via the
+    // session-mutable hook too (idempotent: the rewrite matches nothing
+    // on its own output)
+    if (!s.experimental.extraOptimizations.contains(TopKRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ TopKRewrite
+    s
+  }
+
+  import org.apache.spark.sql.DataFrame
+
+  private def df: DataFrame = {
+    import spark.implicits._
+    // 3 groups × 100 rows, scores with ties, one null score per group
+    (0 until 300).map { i =>
+      val g = i % 3
+      val score: java.lang.Double =
+        if (i < 3) null else ((i / 3) % 10).toDouble
+      (g, i.toLong, score)
+    }.toDF("g", "id", "score")
+  }
+
+  private def naive(k: Int): DataFrame = {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  test("rewrite fires: no Window exec, ObjectHashAggregate present") {
+    val p = naive(5).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"window must be rewritten away:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"heap aggregate expected:\n$p")
+  }
+
+  test("rewritten results equal the window semantics (ties, desc, nulls last)") {
+    val got = naive(7).select("g", "id", "score", "rn")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(2)), r.getInt(3))).toSet
+    // independent expectation: same ranking computed in Scala
+    val expected = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2))))
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, rows) =>
+        rows.sortBy { case (_, id, s) =>
+          // desc on score, nulls LAST (Spark desc default), then id asc
+          (s.isEmpty, s.map(v => -v.asInstanceOf[Double]).getOrElse(0.0), id)
+        }.take(7).zipWithIndex.map { case ((g, id, s), i) => (g, id, s, i + 1) }
+      }.toSet
+    assert(got === expected)
+  }
+
+  test("rn === 1 (latest-per-key) rewrites and keeps only rank 1") {
+    val w = Window.partitionBy("g").orderBy(col("id").desc)
+    val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"))
+    val got = q.select("g", "id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got === Set((0, 297L), (1, 298L), (2, 299L)))
+  }
+
+  test("residual predicates survive above the rewrite") {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val q = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5 && col("id") % 2 === 0)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"))
+    val got = q.select("id").collect().map(_.getLong(0))
+    assert(got.nonEmpty && got.forall(_ % 2 == 0))
+    // residual applies AFTER ranking: identical to window-then-filter
+    val wGot = naive(5).filter(col("id") % 2 === 0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.toSet === wGot)
+  }
+
+  test("asc with nulls first matches window semantics") {
+    val w = Window.partitionBy("g").orderBy(col("score").asc_nulls_first, col("id"))
+    val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    assert(!q.queryExecution.executedPlan.toString.contains("Window"))
+    val got = q.select("g", "id", "rn").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    // rank 1+2 per group: the null-score row first (ids 0,1,2), then the
+    // smallest non-null score (0.0 at i/3%10==0) with smallest id → 30,31,32
+    assert(got === Set((0, 0L, 1), (1, 1L, 1), (2, 2L, 1),
+      (0, 30L, 2), (1, 31L, 2), (2, 32L, 2)))
+  }
+
+  test("rank() and multi-window-expression plans are NOT rewritten") {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val rk = df.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+    assert(rk.queryExecution.executedPlan.toString.contains("Window"))
+    val multi = df.withColumn("rn", row_number().over(w))
+      .withColumn("lg", lag(col("score"), 1).over(w))
+      .filter(col("rn") <= 3)
+    assert(multi.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("global top-k (empty partitionSpec) rewrites correctly") {
+    val w = Window.orderBy(col("score").desc, col("id"))
+    val q = df.filter(col("score").isNotNull)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+    assert(!q.queryExecution.executedPlan.toString.contains("Window"))
+    val got = q.select("id", "rn").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // best score 9.0 at i/3%10==9 → smallest ids: 27,28,29, then 57
+    assert(got === Set((27L, 1), (28L, 2), (29L, 3), (57L, 4)))
+  }
+}
