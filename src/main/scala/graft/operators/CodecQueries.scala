@@ -32,21 +32,18 @@ object CodecQueries {
           // Decimal objects (Spark parquet) against float64 (DuckDB)
           oranumber_to_decimal(oranumber_from_decimal(col("p")), 18, 2)
             .cast("double").as("price_rt"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
     // F1: NUMBER ⇄ BIGINT roundtrip (integral path, codegen'd static calls)
     "f1_oranumber_long" -> ((s, dir) => {
       ord(s, dir)
         .select(col("o_orderkey"),
           oranumber_to_long(oranumber_from_long(col("o_custkey"))).as("custkey_rt"))
-        .orderBy(col("o_orderkey"))
     }),
     // F3: 11-byte Oracle TIMESTAMP ⇄ TimestampType roundtrip
     "f3_oradate_timestamp" -> ((s, dir) => {
       ord(s, dir)
         .select(col("o_orderkey"),
           oradate_to_timestamp(oratimestamp_from_micros(col("o_orderdate"))).as("odate_rt"))
-        .orderBy(col("o_orderkey"))
     }),
     // F7: ROWID 18-char form built from row coordinates, then split back
     "f7_rowid" -> ((s, dir) => {
@@ -62,7 +59,6 @@ object CodecQueries {
           orarowid_fileno(col("rid")).as("fno_rt"),
           orarowid_blockno(col("rid")).as("blk_rt"),
           orarowid_rowno(col("rid")).as("row_rt"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
     // F2: BINARY_DOUBLE ⇄ double roundtrip (sign-bit-flip IEEE form)
     "f2_binary_double" -> ((s, dir) => {
@@ -72,7 +68,6 @@ object CodecQueries {
             .as("price_rt"),
           orabinaryfloat_decode(orabinaryfloat_encode(
             col("l_discount").cast("float"))).as("disc_rt"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
     // F10: VECTOR wire format ⇄ array<float> roundtrip over embeddings.
     // Element-wise comparison via posexplode: an array-typed output
@@ -87,7 +82,6 @@ object CodecQueries {
           posexplode(col("emb_rt")).as(Seq("pos", "v")))
         .select(col("vec_id"), col("pos").cast("long").as("pos"),
           col("v").cast("double").as("v"), col("wire_len"))
-        .orderBy(col("vec_id"), col("pos"))
     }),
     // M1+M2: pattern-based SMT field converters — NUMBER / INTERVAL
     // byte columns matching %-patterns decode to typed columns, other
@@ -109,7 +103,6 @@ object CodecQueries {
         Seq("iv_ship"), "ds")
       converted
         .withColumn("num_price", col("num_price").cast("double"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
     // F4: TIMESTAMP WITH TIME ZONE — 13-byte wire form roundtrips the
     // UTC instant and a per-row fixed zone offset independently.
@@ -122,7 +115,6 @@ object CodecQueries {
           oratstz_micros(col("wire")).as("micros_rt"),
           oratstz_offset_minutes(col("wire")).as("off_rt"),
           length(col("wire")).as("wire_len"))
-        .orderBy(col("event_id"))
     }),
     // F9: OSON binary JSON — per-document JSON text (nested object +
     // array + string/number scalars) encodes to an OSON image and
@@ -144,7 +136,6 @@ object CodecQueries {
         .select(col("doc_id"), json.as("j"))
         .select(col("doc_id"),
           oson_decode(oson_encode(col("j"))).as("json_rt"))
-        .orderBy(col("doc_id"))
     }),
     // F8: XMLTYPE text envelope — one XML document per row, decoded
     // from the three wire carriers the codec distinguishes: CLOB
@@ -163,7 +154,6 @@ object CodecQueries {
           oraxml_clob_decode(encode(col("x"), "UTF-16")).as("xml_clob"),
           oraxml_blob_decode(encode(col("x"), "UTF-8")).as("xml_utf8"),
           oraxml_blob_decode(encode(col("x"), "UTF-16LE")).as("xml_u16le"))
-        .orderBy(col("doc_id"))
     }),
     // F11: TDE column encryption — every document text encrypted and
     // decrypted inside one plan under a synthetic data key, across the
@@ -178,7 +168,6 @@ object CodecQueries {
             key, 4, 1, salted = true).cast("string").as("aes256_rt"),
           tde_decrypt(tde_encrypt(txt, key, 2, 2, salted = false),
             key, 2, 2, salted = false).cast("string").as("aes128_rt"))
-        .orderBy(col("doc_id"))
     }),
     // F6+F14: Oracle charset-name codec + GZIP LOB utility — text
     // roundtrips through a single-byte Oracle charset (WE8ISO8859P1)
@@ -192,7 +181,6 @@ object CodecQueries {
             gzip_decompress(gzip_compress(
               oracharset_encode(col("text"), "AL32UTF8"))),
             "AL32UTF8").as("gz_rt"))
-        .orderBy(col("doc_id"))
     }),
     // F12: LOB locator — inline payload round-trips; every 10th doc is
     // out-of-row (locator carries only the LobId, data resolves to NULL
@@ -205,7 +193,6 @@ object CodecQueries {
           lob_is_inline(col("loc")).as("is_inline"),
           lob_inline_data(col("loc")).cast("string").as("text_rt"),
           lob_id(col("loc")).as("lob_id"))
-        .orderBy(col("doc_id"))
     })
   )
 
