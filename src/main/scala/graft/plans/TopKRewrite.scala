@@ -19,15 +19,19 @@ import graft.functions.RowTopK
   *       Generate(posexplode(topk),
   *         Aggregate(p, row_topk(k, s, struct(child.*)) AS topk, child))) }}}
   *
-  * Why: the window plan shuffles EVERY row of every group and fully
-  * sorts each partition just to throw away all but k rows. The
-  * aggregate plan's heap participates in map-side partial aggregation
-  * (ObjectHashAggregate), so each map partition forwards ≤ k rows per
-  * group and nothing is globally sorted — shuffle volume drops from
-  * |rows| to |partitions|·|groups|·k. At 100 TB this is the difference
-  * between a top-3-per-customer query reading the whole fact table
-  * through a sort and one that never materializes more than k rows per
-  * group anywhere.
+  * Why: Spark's InferWindowGroupLimit already bounds the SHUFFLE for
+  * this pattern (it inserts a map-side per-group limit below the
+  * exchange), but the window machinery it keeps still SORTS twice —
+  * a full sort of every map partition before the group limit
+  * (O(n log n) over all rows) and a re-sort after the shuffle — and
+  * still shuffles k rows per group per partition. The heap aggregate
+  * sorts nothing anywhere: admission is O(log k) per row against the
+  * heap root, partial aggregation forwards ONE array row per group per
+  * partition, and the final order falls out of the k-element heap.
+  * At 100 TB the map-side full sort of the fact table is the cost that
+  * matters; `TopKRewriteSpec` asserts the rewritten plan contains no
+  * Sort operator at all and shuffles fewer records than the
+  * group-limited window plan.
   *
   * Semantics preserved exactly: the heap orders by the window's FULL
   * ORDER BY (all keys, direction and null ordering); row_number ties

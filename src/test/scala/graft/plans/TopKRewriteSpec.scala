@@ -106,6 +106,44 @@ class TopKRewriteSpec extends AnyFunSuite {
       (0, 30L, 2), (1, 31L, 2), (2, 32L, 2)))
   }
 
+  test("rewrite shuffles at most k rows per partition-group, window shuffles all") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffledRecords(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      def sum(p: SparkPlan): Long = p match {
+        // AQE wraps materialized exchanges in leaf query-stage nodes
+        case a: AdaptiveSparkPlanExec => sum(a.executedPlan)
+        case qs: QueryStageExec => sum(qs.plan)
+        case s: ShuffleExchangeLike =>
+          s.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L) +
+            s.children.map(sum).sum
+        case other => other.children.map(sum).sum
+      }
+      sum(q.queryExecution.executedPlan)
+    }
+    // Spark's own InferWindowGroupLimit already pushes a map-side
+    // group-limit below the window shuffle (k rows per group per
+    // partition), so the honest baseline is NOT |rows|. The heap path
+    // still wins on volume — ONE array row per group per partition
+    // instead of k rows — and, more importantly, on work: no map-side
+    // full sort and no reduce-side sort at all (asserted below).
+    val heap = shuffledRecords(naive(5))
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val rankQ = df.withColumn("rk", rank().over(w)).filter(col("rk") <= 5)
+    val windowed = shuffledRecords(rankQ)
+    assert(heap < windowed,
+      s"heap path ($heap) must shuffle fewer records than window ($windowed)")
+    val heapPlan = naive(5).queryExecution.executedPlan.toString
+    val windowPlan = rankQ.queryExecution.executedPlan.toString
+    assert(!heapPlan.contains("Sort"),
+      s"heap plan must contain NO sort operator:\n$heapPlan")
+    assert(windowPlan.contains("Sort"),
+      "window path sorts every partition (before the group limit) and " +
+        "re-sorts after the shuffle")
+  }
+
   test("rank() and multi-window-expression plans are NOT rewritten") {
     val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
     val rk = df.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
