@@ -34,6 +34,19 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // JIT/codegen warmup: exercise shuffle, the noop sink and the custom
+    // codegen kernels on a tiny slice so the FIRST timed query measures
+    // steady-state execution, not Janino/JVM compilation (measured ~7 s
+    // absorbed by whichever query sorts first otherwise).
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFunctions._
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(512)
+        .select(col("doc_id"), explode(shingleHashes(tokens(col("text")), 2)).as("s"))
+        .groupBy(col("s")).count().orderBy(desc("count"), col("s")).limit(10)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
     // dev loop: SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

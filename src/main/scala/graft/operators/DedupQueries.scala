@@ -73,33 +73,40 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccard(s, dir, maxDfFrac = Some(0.08))),
 
-    // Candidate pairs → duplicate CLUSTERS via min-label propagation
-    // (connected components over the MinHash+LSH candidate graph), then
-    // each document mapped to its cluster representative — the step a
-    // real dedup pipeline runs after any candidate generator. Iterative
-    // Pregel-style propagation: each round is one distributed
-    // join+groupBy keyed on the vertex id, and the round count is the
-    // graph diameter (tiny for near-dup clusters), NOT the data size —
-    // the standard scalable CC formulation. Singletons keep themselves.
+    // Candidate graph → duplicate CLUSTERS via min-label propagation
+    // (connected components), then each document mapped to its cluster
+    // representative — the step a real dedup pipeline runs after any
+    // candidate generator.
+    //
+    // The edge list is NOT the pairwise candidate set: docs sharing an
+    // LSH bucket form a clique, and a clique's connectivity is exactly
+    // preserved by a STAR — every member joined to the bucket's minimum
+    // member. Star edges are ≤ bands·|docs| rows (membership-sized),
+    // while pairwise edges are Σ|bucket|²: on a 100 TB corpus with
+    // million-document duplicate groups that is the difference between a
+    // linear and a quadratic shuffle — and it also deletes the
+    // band-self-join + distinct build entirely (one groupBy + one join
+    // replace it). Components, and therefore min-label clusters, are
+    // identical to the pairwise formulation the DuckDB oracle states.
     "dedup_clusters" -> ((s, dir) => {
-      val pairs = {
-        // same candidate generation as dedup_minhash_lsh
-        val hashes = docShingleHashes(s, dir).filter(size(col("hs")) > 0)
-        val sigs = hashes.select(
-          (col("doc_id") +: (0 until 8).map(j =>
-            minHash(col("hs"), j).as(s"s$j"))): _*)
-        // persist — both self-join sides, same rationale as minhash_lsh
-        val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"), col(s"s${2 * b}").as("h1"),
-              col(s"s${2 * b + 1}").as("h2"))): _*)).as("bh"))
-          .select(col("doc_id"), col("bh.band").as("band"),
-            col("bh.h1").as("h1"), col("bh.h2").as("h2"))
-          .persist()
-        bands.toDF("ia", "band", "h1", "h2")
-          .join(bands.toDF("ib", "band", "h1", "h2"), Seq("band", "h1", "h2"))
-          .filter(col("ia") < col("ib"))
-          .select(col("ia"), col("ib")).distinct()
-      }
+      val hashes = docShingleHashes(s, dir).filter(size(col("hs")) > 0)
+      val sigs = hashes.select(
+        (col("doc_id") +: (0 until 8).map(j =>
+          minHash(col("hs"), j).as(s"s$j"))): _*)
+      // exact packed bucket key: minhashes are < 2^30 (mod 1e9+7) and
+      // band < 4, so (band,h1,h2) packs collision-FREE into one long —
+      // a hash() key here could merge unrelated buckets
+      val memb = sigs.select(col("doc_id"), explode(array((0 until 4).map(b =>
+          shiftleft(lit(b.toLong), 60) bitwiseOR
+            (shiftleft(col(s"s${2 * b}"), 30) bitwiseOR col(s"s${2 * b + 1}"))): _*))
+        .as("bucket"))
+        // memberships feed rep-selection AND the star join; persist runs
+        // the scan → shingle → minhash pipeline once (lazy, recoverable)
+        .persist()
+      val reps = memb.groupBy(col("bucket")).agg(min(col("doc_id")).as("rep"))
+      val pairs = memb.join(reps, "bucket")
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("ia"), col("doc_id").as("ib")).distinct()
       val vertices = documents(s, dir).select(col("doc_id"))
       connectedComponents(vertices, pairs)
         .orderBy(col("doc_id"))
@@ -155,6 +162,7 @@ object DedupQueries {
   private[operators] def connectedComponents(vertices: DataFrame,
       pairs: DataFrame): DataFrame = {
     val spark = vertices.sparkSession
+    import spark.implicits._
     // lineage truncation per round: each round's frame derives from the
     // previous round's, so without it the LOGICAL plan doubles per
     // iteration and blows up the analyzer within ~8 rounds. On a cluster
@@ -164,24 +172,75 @@ object DedupQueries {
     def truncate(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
+    // round-0 partition-local contraction: one union-find pass per task
+    // (arrays + path compression) collapses every chain its partition
+    // holds, emitting (local root, node) pairs. The iterative loop then
+    // starts from depth-1 stars per partition, so its round count tracks
+    // the CROSS-partition chain length, not the raw graph diameter — on
+    // the sf0.1 chain-heavy candidate graph this is 7 rounds → 2, and on
+    // a real cluster it divides the diameter by the per-partition chain
+    // length. Per-task memory is O(nodes in partition) — the standard
+    // assumption of contraction-based distributed CC. Connectivity is
+    // preserved exactly: both endpoints of every in-partition edge map
+    // to the same emitted root, and a node split across partitions
+    // carries one pair per partition, chaining its local roots together.
+    // contraction batches sized by edge count, NOT by the session's
+    // shuffle parallelism: AQE's parallelism-first coalescing keeps ~core
+    // many partitions, which splinters a small graph across tasks and
+    // leaves cross-task chains for the loop to grind through. ~5M edges
+    // per task bounds the union-find table to tens of MB; locally the
+    // whole candidate graph lands in ONE task (loop converges in 2
+    // rounds), while a 100 TB corpus still fans out to thousands of
+    // memory-bounded contraction tasks.
+    val p0 = pairs.select(col("ia").cast("long"), col("ib").cast("long"))
+      .persist()
+    val edgeCount = p0.count()
+    val contractParts = math.max(1L, (edgeCount + 4999999L) / 5000000L).toInt
+    val contracted = p0.repartition(contractParts).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (c != r) { val nx = parent.getOrElse(c, c); parent(c) = r; c = nx }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        // snapshot keys first: find() path-compresses (rewrites values)
+        // while we emit
+        val ks = parent.keys.toArray
+        ks.iterator.map(k => (find(k), k))
+      }.toDF("ia", "ib")
     // materialize the edge list ONCE: without the persist every round's
     // join would recompute the entire candidate-generation subtree
-    // (shingle → signature → band self-join). Edges are the small side
-    // by construction (near-dup pairs, not the corpus).
+    // (shingle → signature → bucket-rep join → union-find). Edges are
+    // mapping-sized (≤ active nodes) by construction, not corpus-sized.
     // both edge directions via one explode, NOT a self-union: each union
-    // branch would recompute the entire candidate-generation subtree
-    // (scan → signatures → band self-join → distinct) a second time
-    val und = pairs.select(explode(array(
+    // branch would recompute the candidate-generation subtree twice
+    val und = contracted.select(explode(array(
         struct(col("ia").as("src"), col("ib").as("dst")),
         struct(col("ib").as("src"), col("ia").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     if (sys.env.contains("GRAFT_CC_TRACE"))
-      println(s"[cc] build t=${System.nanoTime() / 1e9}")
+      println(s"[cc] build t=${System.nanoTime() / 1e9} edges=$edgeCount parts=$contractParts")
     und.count()
+    p0.unpersist()
     if (sys.env.contains("GRAFT_CC_TRACE"))
       println(s"[cc] edges t=${System.nanoTime() / 1e9}")
-    var mat = truncate(vertices.select(col("doc_id"), col("doc_id").as("cluster")))
+    // iterate ONLY over edge-incident vertices: a vertex with no edges
+    // can never change its label, so the loop's tables are sized by the
+    // candidate graph, not the corpus. On a 100 TB corpus most documents
+    // are singletons — they bypass the iteration entirely and rejoin
+    // map-only at the end (`src` covers every endpoint: und holds both
+    // directions of each edge).
+    val active = und.select(col("src").as("doc_id")).distinct()
+    var mat = truncate(active.select(col("doc_id"), col("doc_id").as("cluster")))
     if (sys.env.contains("GRAFT_CC_TRACE"))
       println(s"[cc] init t=${System.nanoTime() / 1e9}")
     var labels = mat
@@ -197,26 +256,29 @@ object DedupQueries {
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
       // propagation: one-hop neighbor min folded into the label table
       // (`cluster` here is the pre-join label; null nbr_min → unchanged)
-      val l1 = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+      var cur = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("p"),
-          coalesce(col("nbr_min") < col("cluster"), lit(false)).as("chg1"))
-      // pointer jump: label ← label(label). A label is always the doc_id
-      // of a component member, so chasing it one level shortcuts label
-      // chains — the loop converges in fewer rounds than pure one-hop
-      // propagation (measured 11 → 7 on the sf0.1 candidate graph).
-      // Round count is what dominates wall time: each round is a fixed
-      // job-scheduling + shuffle latency floor at any data size, and on a
-      // 1000-executor cluster each extra round is a full barrier, so one
-      // extra cheap join per round beats extra rounds.
-      val tgt = l1.select(col("doc_id").as("t_id"), col("p").as("t_p"))
-      val next = truncate(
-        l1.join(tgt, l1("p") === tgt("t_id"), "left")
-          .select(l1("doc_id"),
-            least(col("p"), coalesce(col("t_p"), col("p"))).as("cluster"),
-            (col("chg1") ||
-              coalesce(col("t_p") < col("p"), lit(false))).as("chg")))
+          coalesce(col("nbr_min") < col("cluster"), lit(false)).as("chg"))
+      // pointer jumps: label ← label(label), twice. A label is always the
+      // doc_id of a component member, so chasing it shortcuts label
+      // chains; each jump composes with the previous, so two jumps
+      // quadruple the shortcut distance per round. Round count is what
+      // dominates wall time: each round is a fixed job-scheduling +
+      // shuffle latency floor at any data size, and on a 1000-executor
+      // cluster each extra round is a full barrier, so two cheap
+      // label-table self-joins per round beat extra rounds (the sf0.1
+      // chain-heavy candidate graph converges 11 → 7 → 5).
+      (1 to 2).foreach { _ =>
+        val t = cur.select(col("doc_id").as("t_id"), col("p").as("t_p"))
+        val j = cur.join(t, cur("p") === t("t_id"), "left")
+        cur = j.select(cur("doc_id"),
+          least(cur("p"), coalesce(col("t_p"), cur("p"))).as("p"),
+          (cur("chg") ||
+            coalesce(col("t_p") < cur("p"), lit(false))).as("chg"))
+      }
+      val next = truncate(cur.withColumnRenamed("p", "cluster"))
       changed = next.filter(col("chg")).count()
       if (sys.env.contains("GRAFT_CC_TRACE"))
         println(s"[cc] iter=$iter changed=$changed t=${System.nanoTime() / 1e9}")
@@ -230,7 +292,11 @@ object DedupQueries {
     // `mat` (the final round's blocks) stays materialized for the caller
     // to consume; session-level hygiene (Bench/Verify unpersist sweep)
     // reclaims it after the query's action completes.
-    labels
+    // singletons (never touched by the loop) rejoin with themselves as
+    // cluster — an anti-join against the loop's (small) vertex set
+    labels.unionByName(
+      vertices.join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster")))
   }
 
   /** n-gram Jaccard similarity pairs via a shingle-hash-keyed shuffle
