@@ -13,7 +13,8 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       SourceQueries.queries ++ LoadQueries.queries ++ JdbcGateQueries.queries ++
-      TemporalQueries.queries ++ SamplingQueries.queries ++ SkewJoin.queries
+      TemporalQueries.queries ++ SamplingQueries.queries ++ SkewJoin.queries ++
+      SnapshotDiff.queries ++ BloomJoin.queries ++ ZOrderLayout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -22,5 +23,6 @@ object SparkEntry {
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       SourceQueries.oracleSql ++ LoadQueries.oracleSql ++ JdbcGateQueries.oracleSql ++
-      TemporalQueries.oracleSql ++ SamplingQueries.oracleSql ++ SkewJoin.oracleSql
+      TemporalQueries.oracleSql ++ SamplingQueries.oracleSql ++ SkewJoin.oracleSql ++
+      SnapshotDiff.oracleSql ++ BloomJoin.oracleSql ++ ZOrderLayout.oracleSql
 }
