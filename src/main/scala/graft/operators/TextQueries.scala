@@ -71,6 +71,21 @@ object TextQueries {
           trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
         .withColumn("norm_len", length(col("norm")))
         .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-wide frequent terms via the Misra–Gries sketch (bounded
+    // state per partial, OR-of-counters merge): exact here because the
+    // 1024-counter capacity dominates the vocabulary, approximate with
+    // proven bounds when it doesn't — the only way "top tokens over
+    // 100 TB" fits in memory at all. See FreqSketchAgg.
+    "text_top_terms" -> ((s, dir) => {
+      documents(s, dir)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .agg(graft.functions.FreqSketchOps.freqSketch(col("tok"), 1024).as("fs"))
+        .select(explode(col("fs")).as("e"))
+        .select(col("e.token").as("token"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(10)
     })
   )
 
@@ -136,6 +151,12 @@ object TextQueries {
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
         |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |       AS INTEGER) AS norm_len
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact regime: capacity (1024) >> vocabulary, so the sketch holds
+    // every counter and the top-10 equals the exact GROUP BY
+    "text_top_terms" -> (toksCte +
+      """SELECT t AS token, COUNT(*) AS cnt
+        |FROM (SELECT UNNEST(tk) AS t FROM toks)
+        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 10""".stripMargin)
   )
 }
