@@ -65,18 +65,34 @@ object Bench {
       }
       // per-query isolation: reclaim blocks a query materialized and did
       // not unpersist (iterative checkpoints, shared-subtree persists) so
-      // storage-memory pressure never bleeds into later queries' timings
+      // storage-memory pressure never bleeds into later queries' timings.
+      // blocking=true + an untimed GC: non-blocking unpersist lets block
+      // removal and the previous query's garbage land inside the NEXT
+      // query's timed window (r03 showed 3-4x inflation vs isolated runs)
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
       res
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ONE compact JSON line: the driver keeps only the last 2000 chars of
+    // output and parses the metric line out of that tail — full-precision
+    // doubles over ~70 queries blow past it (r01/r03 both "parsed": null).
+    // 2-decimal values + basename sf + errors-only-when-failing keep the
+    // line (plus sbt's trailing "[success]" line) inside the window.
+    def fmt(v: Double): String = "%.2f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val errs =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    val sfName = new java.io.File(sfDir).getName
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfName"}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING metric line ${line.length} chars — may overflow the driver's 2000-char tail")
+    println(line)
     spark.stop()
   }
 }

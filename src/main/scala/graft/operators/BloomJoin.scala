@@ -19,13 +19,25 @@ import graft.functions.BloomFilterOps._
   */
 object BloomJoin {
 
-  /** Fact rows surviving the bloom probe of `dim`'s key set. */
+  /** Fact rows surviving the bloom probe of `dim`'s key set.
+    *
+    * The filter is bound as a SCALAR SUBQUERY — the same shape Spark's
+    * internal runtime-filter injection lowers to: the build aggregate
+    * runs once, and its bitset enters the probe stage as a per-task
+    * constant (a codegen reference object). The first cut of this
+    * operator attached the bitset as a broadcast-joined COLUMN instead;
+    * each probed row's `getBinary` then defensively copied the 1 MiB
+    * array — ~600 GB of memcpy over sf0.1 lineitem, 125 s for a query
+    * whose join work is < 2 s.
+    */
   def bloomPrefilter(fact: DataFrame, factKey: Column,
       dim: DataFrame, dimKey: Column, numBits: Int = 1 << 23): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
     val bf = dim.agg(bloomAgg(dimKey, numBits).as("__bf"))
-    fact.join(broadcast(bf))
-      .filter(bloomMightContain(col("__bf"), factKey))
-      .drop("__bf")
+    fact.filter(GraftSqlBridge.column(
+      graft.functions.BloomMightContain(
+        GraftSqlBridge.scalarSubquery(bf),
+        GraftSqlBridge.expression(factKey), hashes = 5)))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

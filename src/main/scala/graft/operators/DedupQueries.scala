@@ -239,8 +239,19 @@ object DedupQueries {
     // are singletons — they bypass the iteration entirely and rejoin
     // map-only at the end (`src` covers every endpoint: und holds both
     // directions of each edge).
-    val active = und.select(col("src").as("doc_id")).distinct()
-    var mat = truncate(active.select(col("doc_id"), col("doc_id").as("cluster")))
+    // labels start from the contraction's own answer — label(node) =
+    // its (minimum, across partitions) local root, label(root) = root —
+    // not from identity labels: starting at identity burns the first
+    // propagation round re-deriving exactly what union-find already
+    // computed. When the graph fits one contraction task the loop's
+    // first round is already a fixpoint check (1 round, not 2); at
+    // scale the loop starts from per-partition components instead of
+    // singletons.
+    val init = contracted.select(col("ib").as("doc_id"), col("ia").as("cluster"))
+      .unionByName(contracted.select(col("ia").as("doc_id"),
+        col("ia").as("cluster")))
+      .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+    var mat = truncate(init)
     if (sys.env.contains("GRAFT_CC_TRACE"))
       println(s"[cc] init t=${System.nanoTime() / 1e9}")
     var labels = mat

@@ -61,15 +61,31 @@ object TopKRewrite extends Rule[LogicalPlan] {
         else {
           // keep every conjunct that is not a pure droppable bound
           val residual = conjuncts.filter(c => !upperBoundExact(rn, c))
-          val payloadType = StructType(child.output.map(a =>
+          // When this rule runs AFTER Spark's InferWindowGroupLimit
+          // (e.g. injected via experimental.extraOptimizations, a late
+          // optimizer batch), the Window's child is already wrapped in a
+          // WindowGroupLimit for the same spec. The heap aggregate needs
+          // no sorted pre-limit — keeping the node would re-introduce the
+          // per-partition Sort the rewrite exists to delete — so strip it
+          // when it provably keeps at least the k rows we retain.
+          val aggChild = child match {
+            case WindowGroupLimit(ps2, os2, _: RowNumber, limit, gc)
+                if limit >= k && ps2.length == ps.length &&
+                  ps2.zip(ps).forall { case (a, b) => a.semanticEquals(b) } &&
+                  os2.length == os.length &&
+                  os2.zip(os).forall { case (a, b) => a.semanticEquals(b) } =>
+              gc
+            case _ => child
+          }
+          val payloadType = StructType(aggChild.output.map(a =>
             org.apache.spark.sql.types.StructField(a.name, a.dataType,
               a.nullable, a.metadata)))
-          val payload = CreateStruct(child.output)
+          val payload = CreateStruct(aggChild.output)
           val agg = RowTopK(k, os.map(_.child),
             os.map(_.direction == Ascending),
             os.map(_.nullOrdering == NullsFirst), payload)
           val aggAlias = Alias(agg.toAggregateExpression(), "__topk")()
-          val aggNode = Aggregate(ps, Seq(aggAlias), child)
+          val aggNode = Aggregate(ps, Seq(aggAlias), aggChild)
           val posAttr = AttributeReference("__pos", IntegerType,
             nullable = false)()
           val rowAttr = AttributeReference("__row", payloadType,
@@ -78,7 +94,7 @@ object TopKRewrite extends Rule[LogicalPlan] {
             unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
             generatorOutput = Seq(posAttr, rowAttr), child = aggNode)
           // restore the original attributes (same exprIds) + the rank
-          val restored = child.output.zipWithIndex.map { case (a, i) =>
+          val restored = aggChild.output.zipWithIndex.map { case (a, i) =>
             Alias(GetStructField(rowAttr, i, Some(a.name)), a.name)(
               exprId = a.exprId, qualifier = a.qualifier)
           }
