@@ -81,18 +81,31 @@ object Bench {
     // 2-decimal values + basename sf + errors-only-when-failing keep the
     // line (plus sbt's trailing "[success]" line) inside the window.
     def fmt(v: Double): String = "%.2f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+      .stripSuffix("0").stripSuffix("0").stripSuffix(".")
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfName"}"""
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING metric line ${line.length} chars — may overflow the driver's 2000-char tail")
-    println(line)
+    def render(es: Seq[(String, Double)], omitted: Int): String = {
+      val qs = es.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs$om,"sf":"$sfName"}"""
+    }
+    // self-limiting breakdown: if the line would overflow the budget,
+    // drop the FASTEST queries (they sit at the per-query overhead
+    // floor and carry no signal) and record how many were omitted
+    var entries = results.sortBy(_._1)
+    var omitted = 0
+    while (render(entries, omitted).length > 1900 && entries.nonEmpty) {
+      val drop = entries.filter(_._2 >= 0).minByOption(_._2)
+        .getOrElse(entries.head)._1
+      entries = entries.filterNot(_._1 == drop)
+      omitted += 1
+    }
+    println(render(entries, omitted))
     spark.stop()
   }
 }

@@ -14,7 +14,8 @@ object SparkEntry {
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       SourceQueries.queries ++ LoadQueries.queries ++ JdbcGateQueries.queries ++
       TemporalQueries.queries ++ SamplingQueries.queries ++ SkewJoin.queries ++
-      SnapshotDiff.queries ++ BloomJoin.queries ++ ZOrderLayout.queries
+      SnapshotDiff.queries ++ BloomJoin.queries ++ ZOrderLayout.queries ++
+      IncrementalAgg.queries ++ SubqueryQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       SourceQueries.oracleSql ++ LoadQueries.oracleSql ++ JdbcGateQueries.oracleSql ++
       TemporalQueries.oracleSql ++ SamplingQueries.oracleSql ++ SkewJoin.oracleSql ++
-      SnapshotDiff.oracleSql ++ BloomJoin.oracleSql ++ ZOrderLayout.oracleSql
+      SnapshotDiff.oracleSql ++ BloomJoin.oracleSql ++ ZOrderLayout.oracleSql ++
+      IncrementalAgg.oracleSql ++ SubqueryQueries.oracleSql
 }

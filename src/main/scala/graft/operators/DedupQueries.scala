@@ -73,6 +73,10 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccard(s, dir, maxDfFrac = Some(0.08))),
 
+    // Directed containment pairs over the same capped postings list.
+    "dedup_containment" -> ((s, dir) =>
+      containment(s, dir, maxDfFrac = Some(0.08))),
+
     // Candidate graph → duplicate CLUSTERS via min-label propagation
     // (connected components), then each document mapped to its cluster
     // representative — the step a real dedup pipeline runs after any
@@ -328,22 +332,7 @@ object DedupQueries {
     */
   def ngramJaccard(s: SparkSession, dir: String,
       maxDfFrac: Option[Double] = None, threshold: Double = 0.10): DataFrame = {
-    val exploded0 = docShingleHashes(s, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.TextHashExpressions.distinct_longs(col("hs"))).as("s"))
-    val exploded = maxDfFrac match {
-      case Some(alpha) =>
-        val nDocs = documents(s, dir).agg(count(lit(1)).as("n_docs"))
-        val stop = exploded0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .crossJoin(broadcast(nDocs))
-          .filter(col("df") > ceil(col("n_docs") * alpha))
-          .select(col("s"))
-        exploded0.join(broadcast(stop), Seq("s"), "left_anti")
-          // the USING join moves `s` first; restore (doc_id, s) order for
-          // the positional toDF renames below
-          .select(col("doc_id"), col("s"))
-      case None => exploded0
-    }
+    val exploded = cappedPostings(s, dir, maxDfFrac)
     // the postings list feeds three consumers (per-doc sizes + both self-
     // join sides); persist materializes the tokenize→shingle→stop-filter
     // pipeline ONCE instead of re-running it per consumer. persist (not
@@ -376,6 +365,69 @@ object DedupQueries {
       .filter(col("jac") >= threshold)
       .select(col("ia"), col("ib"), col("m"), col("jac"))
       .orderBy(col("ia"), col("ib"))
+  }
+
+  /** Distinct (doc_id, shingle-hash) postings, optionally with the
+    * df-capped stop-shingle filter applied (see [[ngramJaccard]]).
+    */
+  private def cappedPostings(s: SparkSession, dir: String,
+      maxDfFrac: Option[Double]): DataFrame = {
+    val exploded0 = docShingleHashes(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextHashExpressions.distinct_longs(col("hs"))).as("s"))
+    maxDfFrac match {
+      case Some(alpha) =>
+        val nDocs = documents(s, dir).agg(count(lit(1)).as("n_docs"))
+        val stop = exploded0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") > ceil(col("n_docs") * alpha))
+          .select(col("s"))
+        exploded0.join(broadcast(stop), Seq("s"), "left_anti")
+          // the USING join moves `s` first; restore (doc_id, s) order for
+          // the positional toDF renames below
+          .select(col("doc_id"), col("s"))
+      case None => exploded0
+    }
+  }
+
+  /** Asymmetric n-gram CONTAINMENT pairs: C(A→B) = |A∩B| / |A| — the
+    * substring-duplicate detector Jaccard misses. A short document fully
+    * embedded in a long one has tiny Jaccard (the union is dominated by
+    * the long side) but containment ≈ 1; an LLM training corpus prunes
+    * exactly these (quotes, boilerplate wrappers, excerpt pages).
+    *
+    * Same inverted-index shuffle as [[ngramJaccard]] — one join keyed by
+    * shingle hash, pair counts on a packed-long key — then each unordered
+    * pair emits up to two DIRECTED rows (contained, container), filtered
+    * by the containment of the contained side.
+    */
+  def containment(s: SparkSession, dir: String,
+      maxDfFrac: Option[Double] = None, threshold: Double = 0.5): DataFrame = {
+    val kept = cappedPostings(s, dir, maxDfFrac).persist()
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = kept.toDF("ia", "s")
+      .join(kept.toDF("ib", "s"), Seq("s"))
+      .filter(col("ia") < col("ib"))
+      .select((shiftleft(col("ia"), 32) bitwiseOR col("ib")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("m"))
+      .select(shiftrightunsigned(col("pair"), 32).as("ia"),
+        (col("pair") bitwiseAND lit(0xffffffffL)).as("ib"), col("m"))
+    val sized = inter
+      .join(sizes.toDF("ia", "na"), "ia")
+      .join(sizes.toDF("ib", "nb"), "ib")
+    // both directions from one pass over the unordered pairs
+    sized.select(explode(array(
+        struct(col("ia").as("contained"), col("ib").as("container"),
+          col("m"), col("na").as("n_contained")),
+        struct(col("ib").as("contained"), col("ia").as("container"),
+          col("m"), col("nb").as("n_contained")))).as("d"))
+      .select(col("d.contained").as("contained"),
+        col("d.container").as("container"), col("d.m").as("m"),
+        col("d.n_contained").as("n_contained"))
+      .withColumn("cont",
+        col("m").cast("double") / col("n_contained").cast("double"))
+      .filter(col("cont") >= threshold)
+      .orderBy(col("contained"), col("container"))
   }
 
   private val shinglesCte =
@@ -436,6 +488,28 @@ object DedupQueries {
         |JOIN sizes nb ON nb.doc_id = ib
         |WHERE CAST(m AS DOUBLE) / CAST(na.n + nb.n - m AS DOUBLE) >= 0.10
         |ORDER BY ia, ib""".stripMargin),
+    "dedup_containment" -> (shinglesCte +
+      """, hd0 AS (SELECT DISTINCT doc_id, h FROM h),
+        |stop AS (
+        |  SELECT h FROM hd0 GROUP BY h
+        |  HAVING COUNT(*) > CEIL(0.08 * (SELECT COUNT(*) FROM documents))),
+        |hd AS (SELECT * FROM hd0 WHERE h NOT IN (SELECT h FROM stop)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS m
+        |  FROM hd a JOIN hd b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |directed AS (
+        |  SELECT i.ia AS contained, i.ib AS container, i.m, na.n AS n_contained
+        |  FROM inter i JOIN sizes na ON na.doc_id = i.ia
+        |  UNION ALL
+        |  SELECT i.ib, i.ia, i.m, nb.n
+        |  FROM inter i JOIN sizes nb ON nb.doc_id = i.ib)
+        |SELECT contained, container, m, n_contained,
+        |       CAST(m AS DOUBLE) / CAST(n_contained AS DOUBLE) AS cont
+        |FROM directed
+        |WHERE CAST(m AS DOUBLE) / CAST(n_contained AS DOUBLE) >= 0.5
+        |ORDER BY contained, container""".stripMargin),
     "dedup_clusters" -> ("WITH RECURSIVE " + shinglesCte.stripPrefix("WITH ") +
       """, sig AS (
         |  SELECT doc_id,

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Incremental aggregate maintenance — applying a CDC changelog to a
+  * materialized rollup WITHOUT re-scanning the base data. This is the
+  * canonical downstream consumer of the change stream the reference
+  * produces (its JDBC sink applies row changes to a copy of the table;
+  * a lakehouse consumer applies them to the table's AGGREGATES — same
+  * op codes, c/u/d, as `KafkaSnapshotLogTable`'s DMLTYPE mapping).
+  *
+  * Scale design (100 TB): the whole maintenance step is ONE aggregate
+  * over the delta (changelog-sized, not base-sized) plus ONE
+  * co-partitioned full-outer join against the base rollup on the group
+  * key. Sum/count are self-inverse under retraction, so 'd' and the
+  * before-image of 'u' enter with negative sign — no per-group rescans,
+  * no driver state. Non-invertible aggregates (min/max) would need the
+  * stored per-group structure instead; sums/counts are exactly the
+  * shapes a CDC-maintained materialized view keeps hot.
+  */
+object IncrementalAgg {
+
+  /** Apply `delta` to `base`.
+    *
+    * base:  (key, n, total)            — the materialized rollup
+    * delta: (key, op, before, after)   — op ∈ 'c'/'u'/'d'; before is the
+    *        retracted measure ('u'/'d'), after the inserted one ('c'/'u')
+    *
+    * Groups whose maintained count reaches 0 disappear, matching a
+    * direct re-aggregation of the post-change rows.
+    */
+  def maintain(base: DataFrame, delta: DataFrame, key: String): DataFrame = {
+    val signed = delta.select(col(key),
+      when(col("op") === "c", 1L).when(col("op") === "d", -1L)
+        .otherwise(0L).as("dn"),
+      (coalesce(when(col("op") =!= "d", col("after")), lit(0L)) -
+        coalesce(when(col("op") =!= "c", col("before")), lit(0L))).as("dt"))
+      .groupBy(col(key))
+      .agg(sum(col("dn")).as("dn"), sum(col("dt")).as("dt"))
+    base.join(signed, Seq(key), "full_outer")
+      .select(col(key),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0L)) + coalesce(col("dt"), lit(0L)))
+          .as("total"))
+      .filter(col("n") > 0)
+  }
+
+  private val CUTOFF = "1997-01-01"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Maintained per-customer order rollup: the base aggregate covers
+    // orders before the cutoff; the changelog then inserts every later
+    // order ('c'), deletes base orders with key%17==0 ('d'), and
+    // re-prices base orders with key%19==0 by +100 cents ('u', with
+    // before/after images). The oracle is the INDEPENDENT formulation —
+    // a direct aggregate of the post-change order set — so the gate
+    // proves maintenance ≡ recomputation, not that two copies of the
+    // same algebra agree.
+    "q_incremental_agg" -> ((s, dir) => {
+      val cutoff = lit(CUTOFF).cast("timestamp_ntz")
+      val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      val baseRows = o.filter(col("o_orderdate") < cutoff)
+      val base = baseRows.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+      val inserts = o.filter(col("o_orderdate") >= cutoff)
+        .select(col("o_custkey"), lit("c").as("op"),
+          lit(null).cast("long").as("before"), col("cents").as("after"))
+      val deletes = baseRows.filter(col("o_orderkey") % 17 === 0)
+        .select(col("o_custkey"), lit("d").as("op"),
+          col("cents").as("before"), lit(null).cast("long").as("after"))
+      val updates = baseRows
+        .filter(col("o_orderkey") % 17 =!= 0 && col("o_orderkey") % 19 === 0)
+        .select(col("o_custkey"), lit("u").as("op"),
+          col("cents").as("before"), (col("cents") + 100).as("after"))
+      maintain(base, inserts.unionByName(deletes).unionByName(updates),
+        "o_custkey")
+        .orderBy(col("o_custkey"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_incremental_agg" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey, o_orderdate,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM orders),
+         |post AS (
+         |  SELECT o_custkey,
+         |         cents + CASE WHEN o_orderkey % 19 = 0 THEN 100 ELSE 0 END
+         |           AS cents
+         |  FROM o WHERE o_orderdate < TIMESTAMP '$CUTOFF'
+         |    AND o_orderkey % 17 <> 0
+         |  UNION ALL
+         |  SELECT o_custkey, cents FROM o
+         |  WHERE o_orderdate >= TIMESTAMP '$CUTOFF')
+         |SELECT o_custkey, COUNT(*) AS n,
+         |       CAST(SUM(cents) AS BIGINT) AS total
+         |FROM post GROUP BY 1 ORDER BY o_custkey""".stripMargin
+  )
+}

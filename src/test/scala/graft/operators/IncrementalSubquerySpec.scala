@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 additions: incremental aggregate maintenance, containment
+  * dedup, correlated-subquery decorrelation.
+  */
+class IncrementalSubquerySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", false)
+    .appName("incr-subq-spec").getOrCreate()
+
+  private def sf = "/root/testdata/sf0.001"
+
+  test("maintain: equals direct re-aggregation, including vanished groups") {
+    import spark.implicits._
+    // base rows per key; key 1 loses all rows, key 2 is re-priced,
+    // key 3 gains one, key 4 appears fresh
+    val base = Seq((1L, 2L, 30L), (2L, 1L, 10L), (3L, 1L, 5L))
+      .toDF("k", "n", "total")
+    val delta = Seq(
+      ("d", 1L, Some(10L), None: Option[Long]),
+      ("d", 1L, Some(20L), None),
+      ("u", 2L, Some(10L), Some(17L)),
+      ("c", 3L, None, Some(7L)),
+      ("c", 4L, None, Some(100L))
+    ).toDF("op", "k", "before", "after")
+    val got = IncrementalAgg.maintain(base, delta, "k")
+      .orderBy("k").as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((2L, 1L, 17L), (3L, 2L, 12L), (4L, 1L, 100L)))
+  }
+
+  test("maintain gate: maintenance equals recomputation on testdata") {
+    val got = IncrementalAgg.queries("q_incremental_agg")(spark, sf)
+    import graft.Tables._
+    val cutoff = lit("1997-01-01").cast("timestamp_ntz")
+    val o = orders(spark, sf).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val post = o.filter(col("o_orderdate") < cutoff &&
+        col("o_orderkey") % 17 =!= 0)
+      .withColumn("cents", col("cents") +
+        when(col("o_orderkey") % 19 === 0, 100L).otherwise(0L))
+      .unionByName(o.filter(col("o_orderdate") >= cutoff))
+    val direct = post.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+      .orderBy(col("o_custkey"))
+    assert(got.collect().toSeq === direct.collect().toSeq)
+  }
+
+  test("containment: embedded short doc scores 1.0 one-way") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix tail"),
+      (3L, "completely different content with other words entirely")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupQueries.containment(spark, dir, None, 0.8)
+      .select("contained", "container", "cont").collect()
+    // doc 1's 7 bigram shingles all occur in doc 2 → containment 1.0
+    assert(rows.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getDouble(2) == 1.0))
+    // doc 2 is NOT contained in doc 1 (11 shingles, only 7 shared → 0.64)
+    assert(!rows.exists(r => r.getLong(0) == 2L && r.getLong(1) == 1L))
+    assert(!rows.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
+  test("correlated EXISTS decorrelates to semi/anti joins") {
+    val df = SubqueryQueries.queries("q_exists_correlated")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected LeftSemi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected LeftAnti join:\n$plan")
+  }
+
+  test("correlated scalar subquery matches join formulation") {
+    import graft.Tables._
+    val o = orders(spark, sf).select(col("o_orderkey"), col("o_custkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val avgs = o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("s"))
+    val expect = o.join(avgs, "o_custkey")
+      .filter(col("cents") * col("cnt") > col("s"))
+      .select(col("o_orderkey")).orderBy(col("o_orderkey"))
+    val got = SubqueryQueries.queries("q_scalar_subquery")(spark, sf)
+    assert(got.collect().toSeq === expect.collect().toSeq)
+  }
+}
