@@ -39,6 +39,18 @@ object Transforms {
     df.withColumn(valueCol,
       struct(structFields(df, valueCol) ++ headerCols.map(c => col(c).as(c)): _*))
 
+  /** M6 LOB transformation hook (the reference's pluggable
+    * `a2.lob.transformation` interface, applied per LOB column at emit):
+    * the caller supplies a `Column => Column`. Because the hook is a
+    * COLUMN function, a transform built from builtin/codegen expressions
+    * stays inside whole-stage codegen — the row-at-a-time plugin calling
+    * convention the reference uses would fence off codegen around every
+    * LOB-bearing projection.
+    */
+  def lobTransform(df: DataFrame, lobCols: Seq[String],
+      f: Column => Column): DataFrame =
+    lobCols.foldLeft(df)((d, c0) => d.withColumn(c0, f(col(c0))))
+
   /** P8 name sanitation: Avro-legal identifiers ([A-Za-z_][A-Za-z0-9_]*). */
   def sanitizeNames(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(sanitizeName): _*)

@@ -227,6 +227,21 @@ object CdcQueries {
             Transforms.headersToFields(df, Seq("hdr_nation")))))
       chained.select(col("value.*")).toDF("c_name", "c_acctbal", "hdr_nation", "c_custkey")
         .orderBy(col("c_custkey"))
+    }),
+
+    // M6 LOB transform hook: documents.text round-trips through a
+    // synthetic compressed CLOB carrier (gzip, the reference's wire
+    // compression — F14) and the user hook decompresses + upper-cases.
+    // The oracle states the post-transform value directly from the
+    // source text, so the gate proves carrier + hook end-to-end.
+    "m6_lob_transform" -> ((s, dir) => {
+      import graft.functions.OracleFunctions._
+      val lobbed = documents(s, dir).select(col("doc_id"),
+        gzip_compress(to_binary(col("text"), lit("utf-8"))).as("clob"))
+      Transforms.lobTransform(lobbed, Seq("clob"),
+          c => upper(decode(gzip_decompress(c), "UTF-8")))
+        .withColumn("clob_len", length(col("clob")).cast("long"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -276,6 +291,9 @@ object CdcQueries {
         |FROM emitted ORDER BY scn""".stripMargin),
     "m3_m4_m5_smt_chain" ->
       """SELECT c_name, c_acctbal, c_nationkey AS hdr_nation, c_custkey
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "m6_lob_transform" ->
+      """SELECT doc_id, UPPER(text) AS clob, LENGTH(UPPER(text)) AS clob_len
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

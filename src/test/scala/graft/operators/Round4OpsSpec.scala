@@ -90,6 +90,13 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("mightcontain") ||
       plan.contains("BloomMightContain"), s"probe missing from plan:\n$plan")
     assert(exchangeAt >= 0, s"expected a shuffled join:\n$plan")
+    // regression guard: the bitset must enter as a scalar subquery
+    // (evaluated once), NOT as a broadcast-joined column — the column
+    // form defensively copies the full bitset per probed row
+    assert(plan.contains("Subquery"),
+      s"bitset should bind via scalar subquery:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bitset must not be cross-joined onto the fact:\n$plan")
   }
 
   // ---------------- z-order ----------------
