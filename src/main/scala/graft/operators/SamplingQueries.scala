@@ -24,9 +24,10 @@ import graft.Tables._
   */
 object SamplingQueries {
 
-  // Knuth multiplicative hash on doc_id, mod 100 → a stable per-row
-  // percentile in [0,100) both engines compute identically
-  private val pctExpr = "pmod(doc_id * 2654435761, 4294967296) % 100"
+  // Knuth multiplicative hash on doc_id → a stable per-row value both
+  // engines compute identically; mod 100 gives a percentile in [0,100)
+  private val pctHash = "pmod(doc_id * 2654435761, 4294967296)"
+  private val pctExpr = s"$pctHash % 100"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language rebalancing: downsample the dominant language (en → 10%)
@@ -37,6 +38,25 @@ object SamplingQueries {
         .filter(col("pct") < when(col("lang") === "en", 10).otherwise(30))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Reservoir-style k-per-stratum sample, deterministically: rank each
+    // document inside its (lang, source) stratum by the same arithmetic
+    // hash and keep the 5 lowest — a fixed-size per-stratum sample that
+    // reruns byte-identically (a true reservoir's RNG state cannot).
+    // The row_number()≤k form runs THROUGH the TopKRewrite bounded-heap
+    // aggregate, so each stratum shuffles at most k rows per partition —
+    // on a 100 TB corpus the shuffle carries ~k·strata·partitions rows,
+    // not the corpus.
+    "q_sample_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(expr(pctHash), col("doc_id"))
+      documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("source"), col("doc_id"), col("rn"))
+        .orderBy(col("lang"), col("source"), col("rn"))
     }),
 
     // Per-language length distribution: exact quartiles of n_chars
@@ -64,6 +84,14 @@ object SamplingQueries {
         |WHERE (doc_id * 2654435761) % 4294967296 % 100
         |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
         |ORDER BY doc_id""".stripMargin,
+    "q_sample_per_group" ->
+      """SELECT lang, source, doc_id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT lang, source, doc_id,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY lang, source
+        |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY lang, source, rn""".stripMargin,
     "q_quantiles" ->
       """SELECT lang, COUNT(*) AS n,
         |  ROUND(quantile_cont(n_chars, 0.25), 4) AS q25,

@@ -118,4 +118,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"),
       s"deterministic sampling must not shuffle:\n$p")
   }
+
+  test("per-group sample runs through the bounded-heap top-k rewrite") {
+    // the gate sessions (Verify/Bench) install GraftExtensions; here the
+    // rule is injected session-side, which also exercises the late-batch
+    // position where InferWindowGroupLimit has already run
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
+    val p = plan("q_sample_per_group")
+    assert(p.contains("rowtopk"),
+      s"expected the bounded-heap aggregate:\n$p")
+    assert(!p.contains("Window ["),
+      s"window machinery must be rewritten away:\n$p")
+  }
 }
