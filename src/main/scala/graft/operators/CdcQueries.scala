@@ -229,6 +229,30 @@ object CdcQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // SCD2 (slowly-changing-dimension type 2) apply: the versioned-table
+    // shape every CDC consumer materializes — each change row becomes a
+    // validity interval [valid_from, valid_to) per key, closed by the
+    // NEXT change of the same key (lead over the key partition: ONE
+    // shuffle keyed by the dimension key, no self-join). The reference
+    // emits the ordered change stream; this is its temporal-table
+    // consumer. Key collapses o_orderkey mod 997 so keys carry multiple
+    // versions; ties broken on o_orderkey for a total, engine-agnostic
+    // order.
+    "q_scd2_versions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("valid_from"), col("o_orderkey"))
+      orders(s, dir).select(col("o_orderkey"),
+          (col("o_orderkey") % 997).as("k"),
+          col("o_orderdate").as("valid_from"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("k"), col("o_orderkey"), col("cents"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("k"), col("valid_from"), col("o_orderkey"))
+    }),
+
     // M6 LOB transform hook: documents.text round-trips through a
     // synthetic compressed CLOB carrier (gzip, the reference's wire
     // compression — F14) and the user hook decompresses + upper-cases.
@@ -294,6 +318,18 @@ object CdcQueries {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "m6_lob_transform" ->
       """SELECT doc_id, UPPER(text) AS clob, LENGTH(UPPER(text)) AS clob_len
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_scd2_versions" ->
+      """SELECT o_orderkey % 997 AS k, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  o_orderdate AS valid_from,
+        |  LEAD(o_orderdate) OVER (
+        |    PARTITION BY o_orderkey % 997
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  LEAD(o_orderdate) OVER (
+        |    PARTITION BY o_orderkey % 997
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM orders
+        |ORDER BY k, valid_from, o_orderkey""".stripMargin
   )
 }

@@ -205,6 +205,23 @@ object RelationalQueries {
         .orderBy(col("status"))
     }),
 
+    // UNPIVOT (melt): the wide status × priority matrix back to long
+    // form — map-only over the pivoted aggregate (ids stay, value
+    // columns explode to (name, value) rows).
+    "q_unpivot" -> ((s, dir) => {
+      val wide = orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .pivot(col("o_orderpriority"),
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .toDF("status", "p1", "p2", "p3", "p4", "p5")
+        .na.fill(0L, Seq("p1", "p2", "p3", "p4", "p5"))
+      wide.unpivot(Array(col("status")),
+          Array(col("p1"), col("p2"), col("p3"), col("p4"), col("p5")),
+          "priority", "n")
+        .orderBy(col("status"), col("priority"))
+    }),
+
     // HLL approximate distinct at 5% rsd vs exact (the 100 TB cardinality
     // path): the estimate must land within the documented error envelope,
     // asserted INSIDE the query so the oracle stays exact and
@@ -384,6 +401,18 @@ object RelationalQueries {
         |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
         |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "q_unpivot" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus AS status, o_orderpriority AS pr
+        |  FROM orders)
+        |SELECT s.status, p.priority,
+        |       CAST((SELECT COUNT(*) FROM m
+        |             WHERE m.status = s.status AND m.pr = p.pr) AS BIGINT) AS n
+        |FROM (SELECT DISTINCT status FROM m) s
+        |CROSS JOIN (VALUES ('p1', '1-URGENT'), ('p2', '2-HIGH'),
+        |                   ('p3', '3-MEDIUM'), ('p4', '4-NOT SPECIFIED'),
+        |                   ('p5', '5-LOW')) AS p(priority, pr)
+        |ORDER BY s.status, p.priority""".stripMargin,
     "q_approx_distinct" ->
       """SELECT l_returnflag, TRUE AS within_3rsd,
         |       COUNT(DISTINCT l_orderkey) AS exact
