@@ -82,6 +82,11 @@ object Bench {
     // line (plus sbt's trailing "[success]" line) inside the window.
     def fmt(v: Double): String = "%.2f".format(v)
       .stripSuffix("0").stripSuffix("0").stripSuffix(".")
+    // per-query at 1 decimal: run-to-run variance (±20% on shared CPU)
+    // dwarfs the second decimal, and the char budget buys ~3 more
+    // queries into the driver-visible breakdown
+    def fmtQ(v: Double): String = "%.1f".format(v)
+      .stripSuffix("0").stripSuffix(".")
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs =
@@ -89,7 +94,7 @@ object Bench {
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     val sfName = new java.io.File(sfDir).getName
     def render(es: Seq[(String, Double)], omitted: Int): String = {
-      val qs = es.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      val qs = es.map { case (k, v) => "\"" + k + "\":" + fmtQ(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs$om,"sf":"$sfName"}"""
