@@ -229,6 +229,19 @@ object CdcQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // P8 name sanitation, gated through the driver's SCHEMA comparison:
+    // the output column names ARE the sanitized results (space/#/dash/
+    // non-ASCII → '_', leading digit prefixed), stated verbatim as
+    // quoted aliases in the oracle.
+    "p8_name_sanitize" -> ((s, dir) => {
+      val dirty = customer(s, dir).select(
+        col("c_custkey").as("Cust Key#"),
+        col("c_name").as("1name"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100)
+          .cast("long").as("acct-bal€"))
+      Transforms.sanitizeNames(dirty).orderBy(col("Cust_Key_"))
+    }),
+
     // SCD2 (slowly-changing-dimension type 2) apply: the versioned-table
     // shape every CDC consumer materializes — each change row becomes a
     // validity interval [valid_from, valid_to) per key, closed by the
@@ -319,6 +332,10 @@ object CdcQueries {
     "m6_lob_transform" ->
       """SELECT doc_id, UPPER(text) AS clob, LENGTH(UPPER(text)) AS clob_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "p8_name_sanitize" ->
+      """SELECT c_custkey AS "Cust_Key_", c_name AS "_1name",
+        |       CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS "acct_bal_"
+        |FROM customer ORDER BY 1""".stripMargin,
     "q_scd2_versions" ->
       """SELECT o_orderkey % 997 AS k, o_orderkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
