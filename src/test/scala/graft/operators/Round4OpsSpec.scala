@@ -143,4 +143,37 @@ class Round4OpsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("z-clustered layout prunes row groups a random layout cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = (1L to 200000L)
+      .map(i => (i, (i * 2654435761L) % 256, (i * 40503L) % 256))
+      .toDF("id", "x", "y")
+    val base = java.nio.file.Files.createTempDirectory("zprune").toString
+    ZOrderLayout.clusterByZ(df, col("x"), col("y"), bits = 8,
+      partitions = 16).write.mode("overwrite").parquet(s"$base/clustered")
+    df.repartition(16).write.mode("overwrite").parquet(s"$base/random")
+    // selective 2-D box: both dimensions constrained, neither a prefix
+    def scanned(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("x") < 16 && col("y") < 16)
+      q.collect()
+      def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] =
+        p match {
+          case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+          case s: FileSourceScanExec =>
+            Seq(s.metrics("numOutputRows").value)
+          case other => other.children.flatMap(leaves)
+        }
+      leaves(q.queryExecution.executedPlan).sum
+    }
+    val (zRows, rRows) = (scanned(s"$base/clustered"), scanned(s"$base/random"))
+    // the random layout reads every row group (min/max spans the full
+    // domain in every file); the z layout must skip most of them
+    assert(rRows == 200000L, s"expected no pruning on random layout: $rRows")
+    assert(zRows < rRows / 4,
+      s"z layout should prune at least 4x: z=$zRows random=$rRows")
+  }
 }
