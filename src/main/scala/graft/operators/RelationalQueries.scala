@@ -205,6 +205,50 @@ object RelationalQueries {
         .orderBy(col("status"))
     }),
 
+    // Window-function battery beyond rank: lag/lead with defaults,
+    // ntile, cume_dist, and a running sum — one shuffle on the
+    // partition key, every function sharing the same window frame.
+    "q_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .withColumn("prev_key", lag(col("o_orderkey"), 1, -1L).over(w))
+        .withColumn("next_key", lead(col("o_orderkey"), 1, -1L).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .withColumn("running_cents", sum(col("cents")).over(wr))
+        .select(col("o_custkey"), col("o_orderkey"), col("prev_key"),
+          col("next_key"), col("quartile"), col("cume"),
+          col("running_cents"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // NULL semantics: null-safe equality, NULLIF/COALESCE, and
+    // null-aware aggregation (COUNT skips nulls, COUNT(*) does not).
+    "q_null_handling" -> ((s, dir) => {
+      val withNulls = orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"),
+        // keys %7==0 get a null priority; %3==0 a null status
+        nullif(col("o_orderpriority"),
+          when(col("o_orderkey") % 7 === 0, col("o_orderpriority"))).as("pri"),
+        nullif(col("o_orderstatus"),
+          when(col("o_orderkey") % 3 === 0, col("o_orderstatus"))).as("st"))
+      withNulls
+        .groupBy(coalesce(col("pri"), lit("<none>")).as("pri_group"))
+        .agg(count(lit(1)).as("n_all"),
+          count(col("st")).as("n_status"),
+          // null-safe equality across columns: true only when BOTH are
+          // null (priority and status strings never coincide)
+          sum((col("pri") <=> col("st")).cast("long")).as("n_both_null"),
+          sum(when(col("st").isNull, 1L).otherwise(0L)).as("n_null_status"))
+        .orderBy(col("pri_group"))
+    }),
+
     // UNPIVOT (melt): the wide status × priority matrix back to long
     // form — map-only over the pivoted aggregate (ids stay, value
     // columns explode to (name, value) rows).
@@ -401,6 +445,36 @@ object RelationalQueries {
         |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
         |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  COALESCE(LAG(o_orderkey) OVER w, -1) AS prev_key,
+        |  COALESCE(LEAD(o_orderkey) OVER w, -1) AS next_key,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  CUME_DIST() OVER w AS cume,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS BIGINT) AS running_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_null_handling" ->
+      """WITH n AS (
+        |  SELECT o_orderkey,
+        |    NULLIF(o_orderpriority, CASE WHEN o_orderkey % 7 = 0
+        |                                 THEN o_orderpriority END) AS pri,
+        |    NULLIF(o_orderstatus, CASE WHEN o_orderkey % 3 = 0
+        |                               THEN o_orderstatus END) AS st
+        |  FROM orders)
+        |SELECT COALESCE(pri, '<none>') AS pri_group,
+        |  COUNT(*) AS n_all,
+        |  COUNT(st) AS n_status,
+        |  CAST(SUM(CASE WHEN pri IS NOT DISTINCT FROM st THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_both_null,
+        |  CAST(SUM(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_status
+        |FROM n GROUP BY 1 ORDER BY pri_group""".stripMargin,
     "q_unpivot" ->
       """WITH m AS (
         |  SELECT o_orderstatus AS status, o_orderpriority AS pr
