@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — the other half of table maintenance next to
+  * z-order layout ([[ZOrderLayout]]): a CDC-fed table accretes one file
+  * per micro-batch per partition, and scan planning cost grows with the
+  * FILE count, not the byte count. Compaction rewrites a directory into
+  * ~size-targeted files.
+  *
+  * Scale design: file sizing derives from the INPUT's on-disk footprint
+  * (sum of file lengths via the scan's own file index — metadata only,
+  * no data pass, no driver collect of rows). The rewrite itself is one
+  * `repartition(n)` — a single round-robin shuffle sized so each output
+  * file lands near the target; with an optional cluster column it
+  * becomes `repartitionByRange` so compaction and layout clustering
+  * happen in the same shuffle.
+  */
+object Compaction {
+
+  /** Total bytes of the parquet files under `path` (driver-side file
+    * metadata listing only).
+    */
+  def inputBytes(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: HadoopFsRelation => fs.location.sizeInBytes
+          case _ => 0L
+        }
+    }.getOrElse(0L)
+  }
+
+  /** Rewrite `src` (a parquet directory) into `dst` with files sized
+    * near `targetFileBytes`. Returns the chosen output file count.
+    */
+  def compact(df: DataFrame, dst: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Option[String] = None): Int = {
+    val bytes = inputBytes(df)
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val shaped = clusterBy match {
+      case Some(c) => df.repartitionByRange(n, col(c))
+      case None => df.repartition(n)
+    }
+    shaped.write.mode(SaveMode.Overwrite).parquet(dst)
+    n
+  }
+}
