@@ -80,13 +80,18 @@ object Bench {
     // doubles over ~70 queries blow past it (r01/r03 both "parsed": null).
     // 2-decimal values + basename sf + errors-only-when-failing keep the
     // line (plus sbt's trailing "[success]" line) inside the window.
-    def fmt(v: Double): String = "%.2f".format(v)
-      .stripSuffix("0").stripSuffix("0").stripSuffix(".")
+    // Locale.ROOT: the default-locale format would emit a comma decimal
+    // separator on e.g. de_DE JVMs — invalid JSON, the very parse
+    // failure this line exists to avoid
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        .stripSuffix("0").stripSuffix("0").stripSuffix(".")
     // per-query at 1 decimal: run-to-run variance (±20% on shared CPU)
     // dwarfs the second decimal, and the char budget buys ~3 more
     // queries into the driver-visible breakdown
-    def fmtQ(v: Double): String = "%.1f".format(v)
-      .stripSuffix("0").stripSuffix(".")
+    def fmtQ(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+        .stripSuffix("0").stripSuffix(".")
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs =
@@ -99,14 +104,15 @@ object Bench {
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs$om,"sf":"$sfName"}"""
     }
-    // self-limiting breakdown: if the line would overflow the budget,
-    // drop the FASTEST queries (they sit at the per-query overhead
-    // floor and carry no signal) and record how many were omitted
-    var entries = results.sortBy(_._1)
+    // self-limiting breakdown: failed queries are already named in the
+    // errors array, so they don't repeat in the timings map; if the
+    // line would still overflow the budget, drop the FASTEST queries
+    // (they sit at the per-query overhead floor and carry no signal)
+    // and record how many were omitted
+    var entries = results.filter(_._2 >= 0).sortBy(_._1)
     var omitted = 0
     while (render(entries, omitted).length > 1900 && entries.nonEmpty) {
-      val drop = entries.filter(_._2 >= 0).minByOption(_._2)
-        .getOrElse(entries.head)._1
+      val drop = entries.minBy(_._2)._1
       entries = entries.filterNot(_._1 == drop)
       omitted += 1
     }

@@ -31,13 +31,17 @@ object BloomJoin {
     * whose join work is < 2 s.
     */
   def bloomPrefilter(fact: DataFrame, factKey: Column,
-      dim: DataFrame, dimKey: Column, numBits: Int = 1 << 23): DataFrame = {
+      dim: DataFrame, dimKey: Column, numBits: Int = 1 << 23,
+      hashes: Int = 5): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
-    val bf = dim.agg(bloomAgg(dimKey, numBits).as("__bf"))
+    // one `hashes` value feeds BOTH build and probe: a mismatch would
+    // probe bit positions the builder never set — silent false
+    // NEGATIVES, i.e. dropped matching rows, not just lost efficiency
+    val bf = dim.agg(bloomAgg(dimKey, numBits, hashes).as("__bf"))
     fact.filter(GraftSqlBridge.column(
       graft.functions.BloomMightContain(
         GraftSqlBridge.scalarSubquery(bf),
-        GraftSqlBridge.expression(factKey), hashes = 5)))
+        GraftSqlBridge.expression(factKey), hashes)))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -19,18 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
-  /** Total bytes of the parquet files under `path` (driver-side file
-    * metadata listing only).
+  /** Total on-disk bytes feeding `df` — the scan's own file index when
+    * the plan is a V1 file relation (metadata only, exact), otherwise
+    * the optimizer's size estimate (DSv2/catalog tables), so a
+    * non-file-backed frame never silently sizes to one file.
     */
   def inputBytes(df: DataFrame): Long = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     df.queryExecution.analyzed.collectFirst {
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        r.relation match {
-          case fs: HadoopFsRelation => fs.location.sizeInBytes
-          case _ => 0L
-        }
-    }.getOrElse(0L)
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.relation.isInstanceOf[HadoopFsRelation] =>
+        r.relation.asInstanceOf[HadoopFsRelation].location.sizeInBytes
+    }.getOrElse {
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est.isValidLong) est.toLong else Long.MaxValue
+    }
   }
 
   /** Rewrite `src` (a parquet directory) into `dst` with files sized
@@ -39,8 +42,11 @@ object Compaction {
   def compact(df: DataFrame, dst: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       clusterBy: Option[String] = None): Int = {
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive, got $targetFileBytes")
     val bytes = inputBytes(df)
-    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .min(1 << 20).toInt
     val shaped = clusterBy match {
       case Some(c) => df.repartitionByRange(n, col(c))
       case None => df.repartition(n)
