@@ -25,8 +25,13 @@ import graft.Tables._
 object SamplingQueries {
 
   // Knuth multiplicative hash on doc_id → a stable per-row value both
-  // engines compute identically; mod 100 gives a percentile in [0,100)
-  private val pctHash = "pmod(doc_id * 2654435761, 4294967296)"
+  // engines compute identically; mod 100 gives a percentile in [0,100).
+  // doc_id is masked to 31 bits FIRST: the raw product overflows signed
+  // 64-bit once doc_id exceeds ~3.47e9, which Spark wraps silently but
+  // ANSI engines (the DuckDB oracle included) reject — the mask keeps
+  // the product in range everywhere, so the "reruns identically on any
+  // engine" claim holds at 100 TB id ranges, not just test data.
+  private val pctHash = "pmod((doc_id % 2147483648) * 2654435761, 4294967296)"
   private val pctExpr = s"$pctHash % 100"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -81,7 +86,7 @@ object SamplingQueries {
     "q_stratified_sample" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 4294967296 % 100
+        |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100
         |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
         |ORDER BY doc_id""".stripMargin,
     "q_sample_per_group" ->
@@ -89,7 +94,8 @@ object SamplingQueries {
         |  SELECT lang, source, doc_id,
         |         ROW_NUMBER() OVER (
         |           PARTITION BY lang, source
-        |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+        |                    doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY lang, source, rn""".stripMargin,
     "q_quantiles" ->

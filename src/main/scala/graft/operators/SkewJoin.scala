@@ -23,7 +23,11 @@ object SkewJoin {
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
       factSalt: Column): DataFrame = {
-    val f = fact.withColumn("__salt", pmod(factSalt, lit(salts)).cast("int"))
+    // null-safe salt: pmod(null, n) is null and a null salt matches NO
+    // dim replica, which would silently DROP the fact row — the one
+    // outcome a pure partitioning change must never produce
+    val f = fact.withColumn("__salt",
+      coalesce(pmod(factSalt, lit(salts)).cast("int"), lit(0)))
     val d = dim.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     // merge hint: the whole point is a shuffled join on (key, salt) —

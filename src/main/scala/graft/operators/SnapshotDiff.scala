@@ -25,6 +25,12 @@ object SnapshotDiff {
     * same `compareCols`. Emits key, op ('c'/'u'/'d'), and before/after
     * values of each compared column (null on the absent side). Unchanged
     * rows are eliminated — the analogue of P3 no-op UPDATE suppression.
+    *
+    * Precondition: `key` is UNIQUE within each snapshot (the CDC
+    * invariant — snapshots are keyed table states). A duplicated key
+    * fans out the full-outer join, reporting a cross product of
+    * misclassified updates; dedupe or aggregate to one row per key
+    * first.
     */
   def diff(oldDf: DataFrame, newDf: DataFrame, key: String,
       compareCols: Seq[String]): DataFrame = {

@@ -50,14 +50,20 @@ object TemporalQueries {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       time: String, payload: String, out: String): DataFrame = {
     val l = left.withColumn("__tag", lit(1))
-    val r = right.select(col(key), col(time), col(payload).as(out))
+    // the payload rides inside a STRUCT: the wrapper is non-null for
+    // every marker row even when the payload value itself is null, so
+    // `last(ignoreNulls)` skips only LEFT rows — a null-payload marker
+    // still supersedes older markers (DuckDB ASOF semantics) instead of
+    // letting a stale non-null payload leak through
+    val r = right.select(col(key), col(time),
+        struct(col(payload).as("p")).as("__m"))
       .withColumn("__tag", lit(0))
     val w = Window.partitionBy(key).orderBy(time, "__tag")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn(out, last(col(out), ignoreNulls = true).over(w))
+      .withColumn(out, last(col("__m"), ignoreNulls = true).over(w)("p"))
       .filter(col("__tag") === 1)
-      .drop("__tag")
+      .drop("__tag", "__m")
   }
 
   /** Generic sessionization: adds a `sess` column numbering each key's

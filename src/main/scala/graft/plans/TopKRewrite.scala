@@ -81,7 +81,7 @@ object TopKRewrite extends Rule[LogicalPlan] {
             org.apache.spark.sql.types.StructField(a.name, a.dataType,
               a.nullable, a.metadata)))
           val payload = CreateStruct(aggChild.output)
-          val agg = RowTopK(k, os.map(_.child),
+          val agg = RowTopK(k.toInt, os.map(_.child),
             os.map(_.direction == Ascending),
             os.map(_.nullOrdering == NullsFirst), payload)
           val aggAlias = Alias(agg.toAggregateExpression(), "__topk")()
@@ -119,20 +119,23 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** constant integer upper bound this conjunct puts on the rank */
-  private def upperBound(rn: Attribute, e: Expression): Option[Int] = e match {
+  /** Constant upper bound this conjunct puts on the rank. Long-valued:
+    * `rn < Int.MinValue` must yield Int.MinValue-1 (an always-false
+    * bound the caller rejects via k <= 0), not wrap to Int.MaxValue.
+    */
+  private def upperBound(rn: Attribute, e: Expression): Option[Long] = e match {
     case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType))
-      if a.semanticEquals(rn) => Some(v)
+      if a.semanticEquals(rn) => Some(v.toLong)
     case LessThan(a: Attribute, Literal(v: Int, IntegerType))
-      if a.semanticEquals(rn) => Some(v - 1)
+      if a.semanticEquals(rn) => Some(v.toLong - 1)
     case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute)
-      if a.semanticEquals(rn) => Some(v)
+      if a.semanticEquals(rn) => Some(v.toLong)
     case GreaterThan(Literal(v: Int, IntegerType), a: Attribute)
-      if a.semanticEquals(rn) => Some(v - 1)
+      if a.semanticEquals(rn) => Some(v.toLong - 1)
     case EqualTo(a: Attribute, Literal(v: Int, IntegerType))
-      if a.semanticEquals(rn) => Some(v)
+      if a.semanticEquals(rn) => Some(v.toLong)
     case EqualTo(Literal(v: Int, IntegerType), a: Attribute)
-      if a.semanticEquals(rn) => Some(v)
+      if a.semanticEquals(rn) => Some(v.toLong)
     case _ => None
   }
 

@@ -85,11 +85,15 @@ class Round4OpsSpec extends AnyFunSuite {
     val plan = BloomJoin.bloomPrefilter(fact, col("fk"), dim, col("dk"))
       .join(dim.hint("merge"), col("fk") === col("dk"))
       .queryExecution.executedPlan.toString
-    val probeAt = plan.indexOf("mightcontain")
+    val probeAt = plan.indexOf("bloommightcontain")
     val exchangeAt = plan.indexOf("Exchange hashpartitioning(fk")
-    assert(plan.toLowerCase.contains("mightcontain") ||
-      plan.contains("BloomMightContain"), s"probe missing from plan:\n$plan")
+    assert(probeAt >= 0, s"probe missing from plan:\n$plan")
     assert(exchangeAt >= 0, s"expected a shuffled join:\n$plan")
+    // tree printing is top-down, so "below the exchange" = printed AFTER
+    // it; a regression hoisting the probe above the shuffle would flip
+    // this ordering and re-inflate the exchange the filter exists to thin
+    assert(probeAt > exchangeAt,
+      s"probe must sit below the fact-side exchange:\n$plan")
     // regression guard: the bitset must enter as a scalar subquery
     // (evaluated once), NOT as a broadcast-joined column — the column
     // form defensively copies the full bitset per probed row

@@ -38,6 +38,17 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(p.contains("__salt"), "salt must be part of the join key")
   }
 
+  test("a null salt expression must not drop fact rows") {
+    import spark.implicits._
+    val fact = Seq((Some(1L), "a"), (None: Option[Long], "a"))
+      .toDF("salt_src", "k")
+    val dim = Seq(("a", "dim_a")).toDF("k", "name")
+    val got = SkewJoin.saltedJoin(fact, dim, "k", salts = 4,
+      factSalt = col("salt_src"))
+    assert(got.count() == 2,
+      "row with null salt source vanished from the salted join")
+  }
+
   test("salt spreads a hot key across all buckets") {
     import spark.implicits._
     val fact = (1 to 800).map(i => (i.toLong, "hot")).toDF("id", "k")

@@ -80,6 +80,21 @@ class TemporalSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin: a null-payload marker supersedes older markers") {
+    import spark.implicits._
+    val left = Seq((1L, 25L), (1L, 15L)).toDF("id", "t")
+      .select(col("id"), col("t"))
+    val right = Seq((1L, 10L, Some(5L)), (1L, 20L, None: Option[Long]))
+      .toDF("id", "t", "p")
+    val got = TemporalQueries.asofJoin(left, right, "id", "t", "p", "out")
+      .orderBy("t").collect()
+    // t=15 sees the t=10 marker (payload 5); t=25 sees the t=20 marker
+    // whose payload is NULL — the stale 5 must NOT leak through
+    assert(got(0).getLong(1) == 15L && got(0).getLong(2) == 5L)
+    assert(got(1).getLong(1) == 25L && got(1).isNullAt(2),
+      s"null-payload marker must supersede: ${got.toSeq}")
+  }
+
   test("q_stratified_sample: en downsampled harder than the rest") {
     val df = SparkEntry_q("q_stratified_sample")
     val total = graft.Tables.documents(spark, dir)
