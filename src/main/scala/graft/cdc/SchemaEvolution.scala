@@ -43,7 +43,11 @@ object SchemaEvolution {
     // "TIMESTAMP(6) WITH TIME ZONE" must not collapse to "TIMESTAMP"
     anyArgs.replaceAllIn(up, "").replaceAll("\\s+", " ").trim match {
       case "NUMBER" => args match {
-        case Seq(p, s) if s > 0 => DecimalType(p, s)
+        // Oracle allows scale > precision (NUMBER(2,7): values < 10^-5
+        // with 2 significant digits); Spark requires scale <= precision,
+        // so widen the precision to the scale — lossless for every value
+        // the Oracle type admits
+        case Seq(p, s) if s > 0 => DecimalType(math.max(p, s), s)
         // NUMBER(p) and NUMBER(p,0) are the same integral split; a
         // negative scale widens the magnitude by |s| decimal digits
         case Seq(p) => integralNumber(p)
@@ -116,28 +120,51 @@ object SchemaEvolution {
       val b = afterName.substring(prefix.length).trim
       if (b.startsWith("(")) b.stripPrefix("(").stripSuffix(")") else b
     }
+    // Oracle DROP/SET UNUSED accept trailing options after the column:
+    // CASCADE CONSTRAINTS, INVALIDATE, ONLINE, CHECKPOINT n. They must
+    // be stripped BEFORE the name lookup — treated as part of the name
+    // they match no column and the drop silently no-ops.
+    def stripTrailingOptions(b: String): String =
+      b.replaceAll("(?i)\\s+(cascade( constraints)?|invalidate|online|checkpoint( \\d+)?)\\s*$",
+        "")
 
-    if (verb.startsWith("add ")) {
-      splitCols(body("add ")).map { d =>
+    // verbs may abut the parenthesized form with no space: ADD(...),
+    // MODIFY(...), DROP(...) are all legal Oracle syntax
+    def verbIs(v: String): Boolean =
+      verb.startsWith(v + " ") || verb.startsWith(v + "(")
+    def verbBody(v: String): String = {
+      val b = afterName.substring(v.length).trim
+      if (b.startsWith("(")) b.stripPrefix("(").stripSuffix(")") else b
+    }
+
+    if (verbIs("add")) {
+      splitCols(verbBody("add")).map { d =>
         val (n, t, nu) = colDef(d, withNull = true); AddColumn(n, t, nu)
       }
-    } else if (verb.startsWith("modify ")) {
-      splitCols(body("modify ")).map { d =>
+    } else if (verbIs("modify")) {
+      splitCols(verbBody("modify")).map { d =>
         val (n, t, _) = colDef(d, withNull = false); ModifyColumn(n, t)
       }
     } else if (verb.startsWith("drop column ")) {
-      Seq(DropColumn(clean(body("drop column "))))
-    } else if (verb.startsWith("drop (")) {
-      splitCols(body("drop ")).map(c => DropColumn(clean(c)))
+      Seq(DropColumn(clean(stripTrailingOptions(body("drop column ")))))
+    } else if (verb.startsWith("drop (") || verb.startsWith("drop(")) {
+      // strip trailing options BEFORE the parens: "(a, b) cascade
+      // constraints" must reduce to "a, b"
+      val b = stripTrailingOptions(afterName.substring("drop".length).trim)
+      splitCols(b.stripPrefix("(").stripSuffix(")"))
+        .map(c => DropColumn(clean(c)))
     } else if (verb.startsWith("rename column ")) {
       val b = body("rename column ")
       val m = "(?i)^(\\S+) to (\\S+)$".r.findFirstMatchIn(b)
         .getOrElse(throw new IllegalArgumentException(s"bad rename: $b"))
       Seq(RenameColumn(clean(m.group(1)), clean(m.group(2))))
     } else if (verb.startsWith("set unused column ")) {
-      Seq(SetUnused(clean(body("set unused column "))))
-    } else if (verb.startsWith("set unused (")) {
-      splitCols(body("set unused ")).map(c => SetUnused(clean(c)))
+      Seq(SetUnused(clean(stripTrailingOptions(body("set unused column ")))))
+    } else if (verb.startsWith("set unused (") || verb.startsWith("set unused(")) {
+      val b = stripTrailingOptions(
+        afterName.substring("set unused".length).trim)
+      splitCols(b.stripPrefix("(").stripSuffix(")"))
+        .map(c => SetUnused(clean(c)))
     } else throw new IllegalArgumentException(s"unsupported DDL verb: $verb")
   }
 
@@ -150,8 +177,15 @@ object SchemaEvolution {
     var fields = tv.schema.fields.toVector
     parseAlter(ddl).foreach {
       case AddColumn(n, t, nu) =>
-        require(!fields.exists(_.name.equalsIgnoreCase(n)), s"duplicate column $n")
-        fields = fields :+ StructField(n, t, nu)
+        fields.find(_.name.equalsIgnoreCase(n)) match {
+          // replayed DDL on restart: an identical ADD is a no-op (same
+          // idempotence guard drop/set-unused already have); a SAME-NAME
+          // add with a different type is a genuine conflict
+          case Some(f) =>
+            require(f.dataType == t,
+              s"duplicate column $n with conflicting type ${f.dataType} vs $t")
+          case None => fields = fields :+ StructField(n, t, nu)
+        }
       case ModifyColumn(n, t) =>
         val i = indexOf(fields, n)
         fields = fields.updated(i, fields(i).copy(dataType = t))

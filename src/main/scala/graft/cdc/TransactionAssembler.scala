@@ -63,8 +63,13 @@ object TransactionAssembler {
         case Ops.Commit => commitScn = r.scn
         case Ops.Rollback => rolledBack = true
         case Ops.LobChunk =>
+          // a rollback-flagged chunk record retracts its LOB's pending
+          // chunks (the partial-rollback pass below only walks row
+          // changes, so chunk cancellation must happen here) — without
+          // this, rolled-back chunk writes corrupt the resolved value
           r.after.get("lobId").foreach { id =>
-            lobs.getOrElseUpdate(id, new StringBuilder)
+            if (r.rollback) lobs.remove(id)
+            else lobs.getOrElseUpdate(id, new StringBuilder)
               .append(r.after.getOrElse("data", ""))
           }
         case _ => buf += r
@@ -110,13 +115,26 @@ object TransactionAssembler {
         val r = buf(i)
         r.op match {
           case Ops.MultiInsert | Ops.MultiDelete =>
-            // T6: expand to N single-row changes, ssn increments per row
+            // T6: expand to N single-row changes, ssn increments per row.
+            // The P4/P5 delete policies apply to the EXPANDED rows too —
+            // a delete must behave identically whether it was encoded as
+            // a single DRP or batched into a QMD vector.
             val op = if (r.op == Ops.MultiInsert) Ops.Insert else Ops.Delete
-            r.multiRows.zipWithIndex.foreach { case (row, k) =>
-              val (b, a) = if (op == Ops.Insert) (Map.empty[String, String], row)
-                           else (row, Map.empty[String, String])
-              out += EmittedChange(r.xid, commitScn, r.scn, r.ssn + k,
-                r.table, op, r.rowId, r.tsMicros, b, a)
+            if (op != Ops.Delete ||
+                !(opts.skipKeylessDelete && opts.keyCols.isEmpty)) {
+              r.multiRows.zipWithIndex.foreach { case (row, k) =>
+                val (b, a) =
+                  if (op == Ops.Insert) (Map.empty[String, String], row)
+                  else {
+                    val before =
+                      if (!opts.allColsOnDelete && opts.keyCols.nonEmpty)
+                        row.view.filterKeys(opts.keyCols.contains).toMap
+                      else row
+                    (before, Map.empty[String, String])
+                  }
+                out += EmittedChange(r.xid, commitScn, r.scn, r.ssn + k,
+                  r.table, op, r.rowId, r.tsMicros, b, a)
+              }
             }
           case Ops.DirectLoad =>
             // T7: a direct-loaded block expands to N INSERTs; unlike

@@ -47,6 +47,7 @@ object RedoLogFormat {
   val LayerTxn: Int = 5
   val LayerRow: Int = 11
   val LayerDirect: Int = 19
+  val LayerDdl: Int = 24
   val LayerLob: Int = 26
   val OpUndo: Int = 1      // 5.1: before-image
   val OpCommitCtl: Int = 4 // 5.4: commit (flag bit1=0) / rollback (bit1=1)
@@ -57,6 +58,7 @@ object RedoLogFormat {
   val OpMultiDelete: Int = 12 // 11.12 QMD
   val OpLobWrite: Int = 1     // 26.1 LOB chunk
   val OpDirectBlock: Int = 1  // 19.1 COLB direct-loaded block
+  val OpDdlStmt: Int = 1      // 24.1 DDL statement (text rides in `after`)
   val FlagRollback: Int = 0x01
   val FlagTxnRollback: Int = 0x02
 
@@ -86,11 +88,17 @@ class RedoLogWriter(file: File, blockSize: Int = 1024, seq: Int = 1,
     thread: Int = 0) {
   require(RedoLogFormat.LegalBlockSizes(blockSize), s"bad block size $blockSize")
 
-  private val out = new ArrayBuffer[Byte](1 << 16)
+  // primitive byte stream, NOT ArrayBuffer[Byte]: boxed bytes cost
+  // 5-17x the payload in heap and a GiB-scale partition streamed
+  // through one writer must stay ~1x resident
+  private val out = new java.io.ByteArrayOutputStream(1 << 16)
   private var firstScn = Long.MaxValue
   private var nextScn = 0L
 
   private def putU16(b: ArrayBuffer[Byte], v: Int): Unit = {
+    // silent truncation here would corrupt ssn / row- / column-counts
+    // in a way only the assembler's ordering notices much later
+    require(v >= 0 && v <= 0xffff, s"u16 field out of range: $v")
     b += (v & 0xff).toByte; b += ((v >> 8) & 0xff).toByte
   }
   private def putU32(b: ArrayBuffer[Byte], v: Int): Unit = {
@@ -113,7 +121,7 @@ class RedoLogWriter(file: File, blockSize: Int = 1024, seq: Int = 1,
   private val recordStarts = new ArrayBuffer[Long]()
 
   def append(r: RedoRecord): Unit = {
-    recordStarts += out.length.toLong
+    recordStarts += out.size().toLong
     if (r.scn < firstScn) firstScn = r.scn
     if (r.scn + 1 > nextScn) nextScn = r.scn + 1
 
@@ -162,6 +170,10 @@ class RedoLogWriter(file: File, blockSize: Int = 1024, seq: Int = 1,
         Seq(vector(LayerDirect, OpDirectBlock, rollbackFlag, r.multiRows))
       case Ops.LobChunk =>
         Seq(vector(LayerLob, OpLobWrite, rollbackFlag, Seq(r.after)))
+      case Ops.Ddl =>
+        // T9: DDL transits redo like any change (24.1 analogue); the
+        // statement text rides in `after` (e.g. key "ddl")
+        Seq(vector(LayerDdl, OpDdlStmt, 0, Seq(r.after)))
       case Ops.Commit =>
         Seq(vector(LayerTxn, OpCommitCtl, 0, Nil))
       case Ops.Rollback =>
@@ -174,16 +186,19 @@ class RedoLogWriter(file: File, blockSize: Int = 1024, seq: Int = 1,
     putU16(rec, vectors.length)
     vectors.foreach(rec ++= _)
 
-    putU32(out, 4 + body.length + rec.length) // recLen counts itself
-    out ++= body
-    out ++= rec
+    val recLen = 4 + body.length + rec.length // recLen counts itself
+    out.write(recLen & 0xff); out.write((recLen >> 8) & 0xff)
+    out.write((recLen >> 16) & 0xff); out.write((recLen >>> 24) & 0xff)
+    out.write(body.toArray)
+    out.write(rec.toArray)
   }
 
   /** Flush the record stream into checksummed blocks and write the file. */
   def close(): Unit = {
     import RedoLogFormat._
+    val data = out.toByteArray
     val payloadPerBlock = blockSize - HeaderBytes
-    val nBlocks = math.max(1, (out.length + payloadPerBlock - 1) / payloadPerBlock)
+    val nBlocks = math.max(1, (data.length + payloadPerBlock - 1) / payloadPerBlock)
 
     val f = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(file)))
     try {
@@ -199,7 +214,7 @@ class RedoLogWriter(file: File, blockSize: Int = 1024, seq: Int = 1,
       var nextRecIdx = 0
       while (blockNo <= nBlocks) {
         val block = ByteBuffer.allocate(blockSize).order(ByteOrder.LITTLE_ENDIAN)
-        val take = math.min(payloadPerBlock, out.length - pos)
+        val take = math.min(payloadPerBlock, data.length - pos)
         // first record that STARTS inside this block's payload range
         while (nextRecIdx < recordStarts.length &&
           recordStarts(nextRecIdx) < pos) nextRecIdx += 1
@@ -211,8 +226,7 @@ class RedoLogWriter(file: File, blockSize: Int = 1024, seq: Int = 1,
         block.putInt(Magic); block.putInt(blockNo); block.putInt(seq)
         block.putShort(0) // checksum placeholder at offset 12
         block.putShort(firstRec.toShort)
-        var i = 0
-        while (i < take) { block.put(out(pos + i)); i += 1 }
+        block.put(data, pos, take)
         val arr = block.array()
         val ck = checksum(arr, 12)
         arr(12) = (ck & 0xff).toByte
@@ -275,6 +289,9 @@ object RedoLogReader {
     val payloadPer = blockSize - HeaderBytes
     val bn0 = math.max(1, startBlock)
     val nBlocks = math.max(0, totalBlocks - bn0)
+    // a start RBA at/past EOF is the normal restart shape after a log
+    // rotation — the stream simply continues in the next sequence's log
+    if (nBlocks == 0) return Iterator.empty
     // the stitched payload must fit one array (parseStream's contract —
     // GRL segments are bounded archived logs, like the reference's)
     require(nBlocks.toLong * payloadPer <= Int.MaxValue - 64,
@@ -312,6 +329,11 @@ object RedoLogReader {
       }
       i += n
     }
+    // a clear diagnosis beats copyOfRange's opaque IllegalArgumentException
+    // when a checkpoint carries a corrupt in-block offset
+    require(effStartOffset >= 0 && effStartOffset <= out.length,
+      s"start RBA offset $effStartOffset out of range for $name " +
+        s"(payload ${out.length} bytes from block $bn0)")
     val bytes =
       if (effStartOffset == 0) out
       else java.util.Arrays.copyOfRange(out, effStartOffset, out.length)
@@ -393,6 +415,8 @@ object RedoLogReader {
               op = Ops.DirectLoad; multi = rows
             case (LayerLob, OpLobWrite) =>
               op = Ops.LobChunk; after = rows.headOption.getOrElse(Map.empty)
+            case (LayerDdl, OpDdlStmt) =>
+              op = Ops.Ddl; after = rows.headOption.getOrElse(Map.empty)
             case other =>
               throw new java.io.IOException(s"unknown change vector $other")
           }

@@ -141,4 +141,30 @@ class AssemblerSpec extends AnyFunSuite {
     val out = assemble(recs, Options(skipKeylessDelete = true))
     assert(out.map(_.op) == Seq(Ops.Insert))
   }
+
+  test("P4/P5 delete options apply to QMD-expanded rows too") {
+    val rows = Seq(Map("id" -> "7", "c" -> "x"), Map("id" -> "8", "c" -> "y"))
+    val qmd = RedoRecord(10, 0, "tx1", Ops.MultiDelete, "T", "r",
+      rollback = false, 0, Map.empty, Map.empty, rows)
+    val recs = Seq(qmd, commit(20))
+    // P4: expanded before-images pruned to key columns
+    val pruned = assemble(recs,
+      Options(allColsOnDelete = false, keyCols = Seq("id")))
+    assert(pruned.map(_.before) == Seq(Map("id" -> "7"), Map("id" -> "8")))
+    // P5: a keyless QMD delete is skipped like a keyless DRP delete
+    assert(assemble(recs, Options(skipKeylessDelete = true)) == Nil)
+  }
+
+  test("rollback-flagged LOB chunk retracts the pending chunks (T8)") {
+    def lob(scn: Long, data: String, rb: Boolean = false) =
+      RedoRecord(scn, 0, "tx1", Ops.LobChunk, "T", "", rollback = rb, 0,
+        Map.empty, Map("lobId" -> "L1", "data" -> data))
+    val row = chg(14, Ops.Insert, "r1",
+      after = Map("doc" -> s"${TransactionAssembler.LobRef}L1"))
+    val out = assemble(Seq(
+      lob(10, "AAA"), lob(11, "", rb = true), lob(12, "BBB"), lob(13, "CCC"),
+      row, commit(20)))
+    // the rolled-back AAA chunk must not contaminate the resolved value
+    assert(out.head.after("doc") == "BBBCCC")
+  }
 }

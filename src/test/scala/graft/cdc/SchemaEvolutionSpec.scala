@@ -84,6 +84,38 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("drop/set-unused strip trailing Oracle options") {
+    val d = applyDdl(base, "ALTER TABLE S.T DROP COLUMN NAME CASCADE CONSTRAINTS")
+    assert(d.version === 2 && !d.schema.fieldNames.contains("NAME"))
+    val d2 = applyDdl(base, "ALTER TABLE S.T DROP (NAME, AMT) CASCADE CONSTRAINTS")
+    assert(d2.schema.fieldNames.toSeq === Seq("ID"))
+    val u = applyDdl(base, "ALTER TABLE S.T SET UNUSED COLUMN AMT ONLINE")
+    assert(!u.schema.fieldNames.contains("AMT"))
+    val c = applyDdl(base, "ALTER TABLE S.T DROP COLUMN AMT CHECKPOINT 500")
+    assert(!c.schema.fieldNames.contains("AMT"))
+  }
+
+  test("no-space parenthesized verb forms parse") {
+    val a = applyDdl(base, "ALTER TABLE S.T ADD(C9 NUMBER(4))")
+    assert(a.schema.fieldNames.contains("C9"))
+    val m = applyDdl(base, "ALTER TABLE S.T MODIFY(NAME CLOB)")
+    assert(m.version === 1) // CLOB still maps to StringType: no change
+    val d = applyDdl(base, "ALTER TABLE S.T DROP(NAME)")
+    assert(!d.schema.fieldNames.contains("NAME"))
+  }
+
+  test("replayed identical ADD is a no-op; conflicting type still fails") {
+    val a = applyDdl(base, "ALTER TABLE S.T ADD NAME VARCHAR2(50)")
+    assert(a.version === 1) // same name, same type → idempotent replay
+    intercept[IllegalArgumentException] {
+      applyDdl(base, "ALTER TABLE S.T ADD NAME NUMBER(9)")
+    }
+  }
+
+  test("scale greater than precision widens to a legal decimal") {
+    assert(oraType("NUMBER(2,7)") === DecimalType(7, 7))
+  }
+
   test("registry tracks per-table versions") {
     val reg = new SchemaRegistry
     reg.register("S.T", base.schema)

@@ -92,6 +92,40 @@ class RedoLogSpec extends AnyFunSuite {
     assert(records.endsWith(fromBlock5))
   }
 
+  test("DDL records transit GRL and round-trip (T9)") {
+    val f = new File(tmpDir(), "ddl.grl")
+    val w = new RedoLogWriter(f)
+    w.append(rec(1, "tx1", Ops.Ddl,
+      after = Map("ddl" -> "ALTER TABLE T.TAB ADD (C NUMBER(9))")))
+    w.append(rec(2, "tx1", Ops.Commit))
+    w.close()
+    val back = RedoLogReader.records(f).toSeq
+    assert(back.head.op == Ops.Ddl)
+    assert(back.head.after("ddl") == "ALTER TABLE T.TAB ADD (C NUMBER(9))")
+  }
+
+  test("u16 overflow fails loudly at write, not silently at read") {
+    val f = new File(tmpDir(), "ssn.grl")
+    val w = new RedoLogWriter(f)
+    intercept[IllegalArgumentException] {
+      w.append(RedoRecord(1, 70000, "tx1", Ops.Insert, "T.TAB", "r",
+        rollback = false, 0, Map.empty, Map("a" -> "1")))
+    }
+  }
+
+  test("start RBA past EOF yields an empty iterator (log-rotation restart)") {
+    val f = new File(tmpDir(), "eof.grl")
+    val w = new RedoLogWriter(f)
+    w.append(rec(1, "tx1", Ops.Insert, after = Map("a" -> "1")))
+    w.close()
+    assert(RedoLogReader.recordsFrom(f, startBlock = 99, startOffset = 0).isEmpty)
+    // corrupt in-block offset: clear diagnosis, not an opaque copyOfRange
+    val ex = intercept[IllegalArgumentException] {
+      RedoLogReader.recordsFrom(f, startBlock = 1, startOffset = 1 << 20)
+    }
+    assert(ex.getMessage.contains("out of range"))
+  }
+
   test("log topology listing orders by seq and detects gaps") {
     val dir = tmpDir()
     Seq(1, 2, 3).foreach { s =>
