@@ -35,14 +35,23 @@ object LobLocator {
   }
 
   def decode(bytes: Array[Byte]): Locator = {
+    // validate against the buffer instead of trusting wire lengths: a
+    // truncated/corrupt locator must fail with a codec diagnosis, not a
+    // raw BufferUnderflow or a near-2GB allocation attempt
+    require(bytes != null && bytes.length >= 1, "empty LOB locator")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     bb.get() match {
       case 1 =>
+        require(bb.remaining() >= 4, "truncated inline LOB locator")
         val n = bb.getInt
+        require(n >= 0 && n <= bb.remaining(),
+          s"corrupt inline LOB length $n (have ${bb.remaining()} bytes)")
         val a = new Array[Byte](n)
         bb.get(a)
         Inline(a)
-      case 0 => OutOfRow(bb.getLong)
+      case 0 =>
+        require(bb.remaining() >= 8, "truncated out-of-row LOB locator")
+        OutOfRow(bb.getLong)
       case f => throw new IllegalArgumentException(s"bad locator flag $f")
     }
   }

@@ -34,7 +34,9 @@ object OraCharset {
   )
 
   def forName(oracleName: String): Charset =
-    map.getOrElse(oracleName.toUpperCase,
+    // Locale.ROOT: default-locale uppercasing turns 'i' into dotted
+    // capital İ on Turkish JVMs, missing every map key containing I
+    map.getOrElse(oracleName.toUpperCase(java.util.Locale.ROOT),
       throw new IllegalArgumentException(s"unmapped Oracle charset $oracleName"))
 
   def decode(bytes: Array[Byte], oracleName: String): String =

@@ -17,11 +17,17 @@ object OraDateTime {
   /** Decode 7- or 11-byte Oracle DATE/TIMESTAMP to epoch micros (UTC). */
   def decodeToMicros(b: Array[Byte]): Long = {
     require(b != null && (b.length == 7 || b.length == 11), s"bad DATE len ${if (b == null) -1 else b.length}")
+    decodeToMicros0(b, b.length)
+  }
+
+  // length-bounded form so the 13-byte TSTZ path reads its leading 11
+  // bytes in place — no per-row take() copy in the codegen hot path
+  private def decodeToMicros0(b: Array[Byte], len: Int): Long = {
     val year = ((b(0) & 0xff) - 100) * 100 + ((b(1) & 0xff) - 100)
     val ldt = LocalDateTime.of(year, b(2) & 0xff, b(3) & 0xff,
       (b(4) & 0xff) - 1, (b(5) & 0xff) - 1, (b(6) & 0xff) - 1)
     val nanos =
-      if (b.length == 11)
+      if (len >= 11)
         ((b(7) & 0xff) << 24) | ((b(8) & 0xff) << 16) | ((b(9) & 0xff) << 8) | (b(10) & 0xff)
       else 0
     val epochSec = ldt.toEpochSecond(ZoneOffset.UTC)
@@ -73,7 +79,7 @@ object OraDateTime {
   /** Primitive accessors (single static calls for generated code). */
   def decodeTsTzMicros(b: Array[Byte]): Long = {
     require(b != null && b.length == 13, s"bad TSTZ len ${if (b == null) -1 else b.length}")
-    decodeToMicros(b.take(11))
+    decodeToMicros0(b, 11)
   }
 
   def decodeTsTzOffset(b: Array[Byte]): Int = {

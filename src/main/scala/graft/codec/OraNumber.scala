@@ -29,7 +29,12 @@ object OraNumber {
     require(b != null && b.length > 0, "empty NUMBER")
     val b0 = b(0) & 0xff
     if (b.length == 1 && b0 == 0x80) return JBigDecimal.ZERO
-    if (b0 == 0xff || b0 == 0x00)
+    // only the EXACT patterns FF 65 / 00 00 are infinities; a leading
+    // FF/00 byte otherwise is a legal exponent-62 magnitude (|x| ≥
+    // 1e124, within NUMBER's documented ~9.99e125 range) — rejecting
+    // the whole leading byte broke round-trip for those values
+    if ((b.length == 2 && b0 == 0xff && (b(1) & 0xff) == 0x65) ||
+        (b0 == 0x00 && (b.length == 1 || (b.length == 2 && b(1) == 0))))
       throw new IllegalArgumentException("infinite NUMBER unsupported")
     val positive = (b0 & 0x80) != 0
     val (exp, digits) =

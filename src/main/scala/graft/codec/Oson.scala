@@ -148,11 +148,20 @@ object Oson {
     val treeBase = fnamesBase + fnamesSegSize
     val fidW = if (numFnames > 0xff) 2 else 1
     val treeOffW = offW // same flag governs both segments in this subset
-    readNode(bytes, treeBase, 0, names, fidW, treeOffW)
+    readNode(bytes, treeBase, 0, names, fidW, treeOffW, depth = 0)
   }
 
+  /** Nesting bound: well-formed OSON trees are offset-acyclic, but a
+    * corrupt/malicious image whose child offset points back at (or
+    * above) itself would otherwise recurse to StackOverflowError — an
+    * Error the corrupt-image catch cannot normalize.
+    */
+  private val MaxDepth = 256
+
   private def readNode(b: Array[Byte], base: Int, off: Int, names: Array[String],
-      fidW: Int, offW: Int): J = {
+      fidW: Int, offW: Int, depth: Int): J = {
+    if (depth > MaxDepth)
+      throw new OsonException("corrupt OSON image (cyclic or over-deep tree)")
     var p = base + off
     val t = b(p) & 0xff; p += 1
     if ((t & 0x80) != 0) {
@@ -169,7 +178,7 @@ object Oson {
         var i = 0
         while (i < count) {
           val child = if (ow == 4) u32(b, p + i * 4) else u16(b, p + i * 2)
-          items += readNode(b, base, child, names, fidW, ow)
+          items += readNode(b, base, child, names, fidW, ow, depth + 1)
           i += 1
         }
         JArr(items.result())
@@ -184,7 +193,7 @@ object Oson {
         i = 0
         while (i < count) {
           val child = if (ow == 4) u32(b, p + i * 4) else u16(b, p + i * 2)
-          fields += names(fids(i) - 1) -> readNode(b, base, child, names, fidW, ow)
+          fields += names(fids(i) - 1) -> readNode(b, base, child, names, fidW, ow, depth + 1)
           i += 1
         }
         JObj(fields.result())
@@ -329,6 +338,11 @@ object Oson {
       case Some(t) => (t, false)
       case None => (tree(4).get, true)
     }
+    // the large-variant dictionary header is u16 — silently truncating
+    // a bigger dictionary would corrupt every field-id reference
+    if (names.length > 0xffff)
+      throw new OsonException(
+        s"too many distinct field names for OSON: ${names.length} > 65535")
     val large = large0 || names.length > 0xff || fnamesSegSize > 0xffff
     // a large dictionary forces u32 tree offsets too (one flag governs both)
     val treeFinal =

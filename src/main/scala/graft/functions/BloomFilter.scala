@@ -34,14 +34,21 @@ object BloomFilterOps {
   private def c(e: Expression): Column = GraftSqlBridge.column(e)
   private def e(col: Column): Expression = GraftSqlBridge.expression(col)
 
-  /** Build: aggregate long keys into a `numBits`-wide bitset (binary). */
+  /** Build: aggregate long keys into a `numBits`-wide bitset (binary).
+    * The hash count is embedded in the serialized filter (header byte),
+    * so the probe can NEVER desynchronize from the build — a mismatch
+    * would probe bits the builder never set and silently drop matching
+    * rows (false negatives).
+    */
   def bloomAgg(key: Column, numBits: Int = 1 << 23, hashes: Int = 5): Column =
     c(BloomBuildAgg(e(key), numBits, hashes)
       .toAggregateExpression(isDistinct = false))
 
-  /** Probe: true iff `key` may be in `filter` (no false negatives). */
-  def bloomMightContain(filter: Column, key: Column, hashes: Int = 5): Column =
-    c(BloomMightContain(e(filter), e(key), hashes))
+  /** Probe: true iff `key` may be in `filter` (no false negatives);
+    * reads the hash count from the filter's own header.
+    */
+  def bloomMightContain(filter: Column, key: Column): Column =
+    c(BloomMightContain(e(filter), e(key)))
 }
 
 /** Static kernels shared by interpreted eval and generated code. */
@@ -67,16 +74,20 @@ object BloomKernel {
     }
   }
 
-  /** Probe over the serialized little-endian word array. */
-  def mightContain(bytes: Array[Byte], key: Long, hashes: Int): Boolean = {
-    val nWords = bytes.length >>> 3
+  /** Probe over the serialized filter: 1 header byte (hash count) +
+    * little-endian word array. Reading the count from the filter itself
+    * makes a build/probe mismatch structurally impossible.
+    */
+  def mightContain(bytes: Array[Byte], key: Long): Boolean = {
+    val hashes = bytes(0) & 0xff
+    val nWords = (bytes.length - 1) >>> 3
     val mask = (nWords.toLong << 6) - 1
     val h1 = mix(key)
     val h2 = mix(key ^ 0x5851f42d4c957f2dL) | 1L
     var i = 0
     while (i < hashes) {
       val bit = (h1 + i * h2) & mask
-      val w = (bit >>> 6).toInt << 3
+      val w = 1 + ((bit >>> 6).toInt << 3)
       val word = (bytes(w) & 0xffL) | ((bytes(w + 1) & 0xffL) << 8) |
         ((bytes(w + 2) & 0xffL) << 16) | ((bytes(w + 3) & 0xffL) << 24) |
         ((bytes(w + 4) & 0xffL) << 32) | ((bytes(w + 5) & 0xffL) << 40) |
@@ -87,6 +98,23 @@ object BloomKernel {
     true
   }
 
+  /** Finished-filter encoding: header byte (hash count) + words. */
+  def toFilterBytes(words: Array[Long], hashes: Int): Array[Byte] = {
+    val out = new Array[Byte](1 + (words.length << 3))
+    out(0) = hashes.toByte
+    var i = 0
+    while (i < words.length) {
+      val w = words(i); val o = 1 + (i << 3)
+      out(o) = w.toByte; out(o + 1) = (w >>> 8).toByte
+      out(o + 2) = (w >>> 16).toByte; out(o + 3) = (w >>> 24).toByte
+      out(o + 4) = (w >>> 32).toByte; out(o + 5) = (w >>> 40).toByte
+      out(o + 6) = (w >>> 48).toByte; out(o + 7) = (w >>> 56).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Header-less encoding for the aggregation buffer wire form. */
   def toBytes(words: Array[Long]): Array[Byte] = {
     val out = new Array[Byte](words.length << 3)
     var i = 0
@@ -149,7 +177,10 @@ case class BloomBuildAgg(
     buffer
   }
 
-  override def eval(buffer: Array[Long]): Any = BloomKernel.toBytes(buffer)
+  require(hashes <= 255, s"hashes must fit the header byte, got $hashes")
+
+  override def eval(buffer: Array[Long]): Any =
+    BloomKernel.toFilterBytes(buffer, hashes)
 
   override def serialize(buffer: Array[Long]): Array[Byte] =
     BloomKernel.toBytes(buffer)
@@ -164,8 +195,10 @@ case class BloomBuildAgg(
     copy(child = nc)
 }
 
-/** Probe expression — codegen'd bit test, no deserialization per row. */
-case class BloomMightContain(left: Expression, right: Expression, hashes: Int)
+/** Probe expression — codegen'd bit test, no deserialization per row;
+  * the hash count comes from the filter's own header byte.
+  */
+case class BloomMightContain(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes = Seq(BinaryType, LongType)
@@ -174,11 +207,11 @@ case class BloomMightContain(left: Expression, right: Expression, hashes: Int)
 
   override def nullSafeEval(filter: Any, key: Any): Any =
     BloomKernel.mightContain(filter.asInstanceOf[Array[Byte]],
-      key.asInstanceOf[Long], hashes)
+      key.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (f, k) =>
-      s"graft.functions.BloomKernel.mightContain($f, $k, $hashes)")
+      s"graft.functions.BloomKernel.mightContain($f, $k)")
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): BloomMightContain = copy(left = l, right = r)

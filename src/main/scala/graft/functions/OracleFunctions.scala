@@ -648,7 +648,7 @@ object OracleFunctions {
     unary("gzip_compress", GzipCompress)
     unary("gzip_decompress", GzipDecompress)
     reg.createOrReplaceTempFunction("bloom_might_contain",
-      es => BloomMightContain(es(0), es(1), hashes = 5), "built-in")
+      es => BloomMightContain(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("zvalue2",
       es => ZValue2(es(0), es(1), bits = 16), "built-in")
   }

@@ -99,7 +99,10 @@ object TextFunctions {
     val stop = markerScore(toks, Seq("the", "a", "of", "and")).cast("double")
     val meanTokLen = (length(text).cast("double") - nTok + 1.0) / nTok
     val stopRatio = stop / nTok
-    meanTokLen * lit(0.5) + stopRatio * lit(2.0) +
-      when(nTok >= 20 && nTok <= 1000, lit(1.0)).otherwise(lit(0.0))
+    // empty/whitespace-only documents score 0, not +Infinity (IEEE x/0)
+    // — Infinity would rank blank docs as the HIGHEST quality
+    when(nTok === 0.0, lit(0.0)).otherwise(
+      meanTokLen * lit(0.5) + stopRatio * lit(2.0) +
+        when(nTok >= 20 && nTok <= 1000, lit(1.0)).otherwise(lit(0.0)))
   }
 }

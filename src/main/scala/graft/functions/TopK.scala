@@ -55,8 +55,12 @@ case class TopKByScore(
     val i = id.eval(input)
     if (s != null && i != null) {
       val p = payload.eval(input)
+      // fail loudly: substituting 0 would make a null payload look like
+      // a legitimate id/pointer in the (non-nullable) result struct
+      if (p == null) throw new IllegalArgumentException(
+        "row_topk_by_score: null payload (coalesce it or filter nulls first)")
       buffer.add(s.asInstanceOf[Double], i.asInstanceOf[Long],
-        if (p == null) 0L else p.asInstanceOf[Long])
+        p.asInstanceOf[Long])
     }
     buffer
   }

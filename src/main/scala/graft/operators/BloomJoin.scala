@@ -41,7 +41,7 @@ object BloomJoin {
     fact.filter(GraftSqlBridge.column(
       graft.functions.BloomMightContain(
         GraftSqlBridge.scalarSubquery(bf),
-        GraftSqlBridge.expression(factKey), hashes)))
+        GraftSqlBridge.expression(factKey))))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -103,11 +103,13 @@ object TextQueries {
         |FROM toks ORDER BY doc_id""".stripMargin),
     "text_quality_score" -> (toksCte +
       """SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tok,
+        |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE
         |  (((CAST(length(text) AS DOUBLE) - CAST(len(tk) AS DOUBLE)) + 1.0)
         |     / CAST(len(tk) AS DOUBLE)) * 0.5
         |  + (CAST(len(list_filter(tk, t -> t IN ('the','a','of','and'))) AS DOUBLE)
         |     / CAST(len(tk) AS DOUBLE)) * 2.0
-        |  + (CASE WHEN len(tk) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) AS q
+        |  + (CASE WHEN len(tk) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+        |  END AS q
         |FROM toks ORDER BY doc_id""".stripMargin),
     "text_lang_id" -> (toksCte +
       """SELECT doc_id,

@@ -48,6 +48,30 @@ class CodecSpec extends AnyFunSuite {
     assert(OraNumber.decodeToLong(hex("3d644e66")) == -123L)
   }
 
+  test("NUMBER exponent-62 magnitudes round-trip; only exact patterns are infinite") {
+    // |x| >= 1e124 encodes with leading byte FF (positive) / 00
+    // (negative) — legal NUMBER magnitudes, NOT infinities
+    Seq("1e124", "-1e124", "9.9e125", "-9.9e125").foreach { s =>
+      val v = new JBD(s)
+      assert(OraNumber.decode(OraNumber.encode(v)).compareTo(v) == 0, s)
+    }
+    intercept[IllegalArgumentException] {
+      OraNumber.decode(Array(0xff.toByte, 0x65.toByte)) // +infinity
+    }
+    intercept[IllegalArgumentException] {
+      OraNumber.decode(Array(0x00.toByte, 0x00.toByte)) // -infinity
+    }
+  }
+
+  test("corrupt LOB locators fail with a diagnosis, not raw JDK errors") {
+    val huge = Array[Byte](1, 0x7f, -1, -1, -1) // inline, length Int.MaxValue
+    assert(intercept[IllegalArgumentException] {
+      LobLocator.decode(huge)
+    }.getMessage.contains("corrupt inline LOB length"))
+    intercept[IllegalArgumentException] { LobLocator.decode(Array[Byte](1)) }
+    intercept[IllegalArgumentException] { LobLocator.decode(Array[Byte](0, 1)) }
+  }
+
   test("NUMBER roundtrip property (long)") {
     forSeeded(500) { rnd =>
       val v = rnd.nextLong()

@@ -146,4 +146,21 @@ class OsonSpec extends AnyFunSuite {
     intercept[OsonException](decode(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)))
     intercept[OsonException](decode(refOson.take(20) ++ Array.fill[Byte](20)(0x7f)))
   }
+
+  test("self-referential container offset raises OsonException, not StackOverflow") {
+    // header with zero field names, tree = array node whose single child
+    // offset points back at itself (offset 0)
+    val img = Array[Byte](
+      0xff.toByte, 0x4a, 0x5a, 0x01, // magic + version
+      0x21, 0x06, // flags: SmallFlags (tiny-node stat + u8 hash ids + compat bits)
+      0x00, // numFieldNames = 0
+      0x00, 0x00, // fnames seg size = 0
+      0x00, 0x05, // tree seg size
+      0x00, 0x00, // tiny-node stat
+      // tree segment, offset 0: array container (0x80|0x40|0x04),
+      // count=1, child offset u16 = 0 (itself)
+      0xc4.toByte, 0x01, 0x00, 0x00)
+    val ex = intercept[OsonException](decode(img))
+    assert(ex.getMessage.contains("cyclic") || ex.getMessage.contains("corrupt"))
+  }
 }

@@ -59,11 +59,11 @@ class Round4OpsSpec extends AnyFunSuite {
       .agg(bloomAgg(col("k"), numBits = 1 << 16).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)
     // every inserted key probes true — across the partial-merge path
-    assert(keys.forall(k => BloomKernel.mightContain(bf, k, 5)))
+    assert(keys.forall(k => BloomKernel.mightContain(bf, k)))
     // false-positive rate sanity on disjoint keys: n/m = 2000/65536,
     // theoretical fp ≈ (1-e^(-kn/m))^k ≈ 1e-5 at k=5; allow slack
     val misses = (1L to 10000L).map(_ * 7919 + 1)
-    val fp = misses.count(k => BloomKernel.mightContain(bf, k, 5))
+    val fp = misses.count(k => BloomKernel.mightContain(bf, k))
     assert(fp < 50, s"false-positive rate too high: $fp/10000")
   }
 
