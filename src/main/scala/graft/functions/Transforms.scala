@@ -61,15 +61,10 @@ object Transforms {
     if (cleaned.isEmpty || cleaned.head.isDigit) "_" + cleaned else cleaned
   }
 
+  // NOTE: unlike Wildcards.matcher, an EMPTY pattern list here matches
+  // NOTHING — a converter with no patterns must convert no fields
   private def fieldMatcher(patterns: Seq[String]): String => Boolean = {
-    val regexes = patterns.map { p =>
-      val sb = new StringBuilder("(?i)^")
-      p.foreach {
-        case '%' | '*' => sb.append(".*")
-        case c => sb.append(java.util.regex.Pattern.quote(c.toString))
-      }
-      sb.append("$").result().r
-    }
+    val regexes = patterns.map(graft.util.Wildcards.regex)
     n => regexes.exists(_.findFirstIn(n).isDefined)
   }
 

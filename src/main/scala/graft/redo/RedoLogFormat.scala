@@ -446,13 +446,31 @@ object RedoLogReader {
 
   /** Transport-independent topology scan (S6): list + header-read each
     * log through the provider, enforce per-thread sequence continuity.
+    *
+    * `headerCache` (optional): path → header memo for repeated listings.
+    * GRL segments are immutable once written (archived logs), so a
+    * cached header never staled; without the cache a streaming trigger
+    * re-opens every accumulated archive up to three times per
+    * micro-batch (latestOffset / reportLatestOffset / planning) — over
+    * a remote provider that is 3N round trips per trigger, growing with
+    * the archive.
     */
-  def listLogs(provider: RedoStorageProvider, dir: String): Seq[(String, FileHeader)] = {
+  def listLogs(provider: RedoStorageProvider, dir: String,
+      headerCache: collection.mutable.Map[String, FileHeader] = null)
+      : Seq[(String, FileHeader)] = {
     val base = dir.stripSuffix("/")
+    def header(path: String): FileHeader = {
+      val cached = if (headerCache != null) headerCache.get(path) else None
+      cached.getOrElse {
+        val src = provider.open(path)
+        val h = try readHeader(src, path) finally src.close()
+        if (headerCache != null) headerCache(path) = h
+        h
+      }
+    }
     val withHeaders = provider.list(dir).map { name =>
       val path = s"$base/$name"
-      val src = provider.open(path)
-      try path -> readHeader(src, path) finally src.close()
+      path -> header(path)
     }.sortBy { case (_, h) => (h.thread, h.seq) }
     withHeaders.groupBy(_._2.thread).foreach { case (t, logs) =>
       logs.map(_._2.seq).sliding(2).foreach {

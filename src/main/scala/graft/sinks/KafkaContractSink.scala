@@ -93,8 +93,14 @@ object KafkaContractSink {
             if (tp != current) {
               if (out != null) out.close()
               current = tp
-              out = new BufferedWriter(new FileWriter(
-                new File(dir, s"${tp._1}-${tp._2}.jsonl"), true))
+              // explicit UTF-8: a real Kafka producer delivers UTF-8
+              // bytes; the platform-default charset would corrupt
+              // non-ASCII payloads on non-UTF-8 JVMs
+              out = java.nio.file.Files.newBufferedWriter(
+                new File(dir, s"${tp._1}-${tp._2}.jsonl").toPath,
+                java.nio.charset.StandardCharsets.UTF_8,
+                java.nio.file.StandardOpenOption.CREATE,
+                java.nio.file.StandardOpenOption.APPEND)
             }
             out.write(r.getString(2))
             out.write('\t')

@@ -67,13 +67,6 @@ object NameMappers {
   def tableFromSchemaName(schemaName: String): String =
     schemaName.substring(schemaName.lastIndexOf('.') + 1)
 
-  private def matches(pattern: String, table: String): Boolean = {
-    val sb = new StringBuilder("(?i)^")
-    pattern.foreach {
-      case '%' | '*' => sb.append(".*")
-      case c => sb.append(java.util.regex.Pattern.quote(c.toString))
-    }
-    sb.append("$")
-    sb.result().r.findFirstIn(table).isDefined
-  }
+  private def matches(pattern: String, table: String): Boolean =
+    graft.util.Wildcards.regex(pattern).findFirstIn(table).isDefined
 }

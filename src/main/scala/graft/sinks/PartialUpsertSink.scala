@@ -61,7 +61,30 @@ case class PartialUpsertSink(
               del.executeUpdate()
             } else {
               val vals = r.getMap[String, String](valsIdx)
-              val present = vals.keys.toSeq.sorted
+              // data-driven map keys become SQL TEXT: validate them as
+              // plain identifiers (a crafted key would otherwise inject
+              // into the statement — values are bound, keys are not),
+              // and exclude key columns (they bind via the WHERE/INSERT
+              // key slots; repeating them would duplicate columns)
+              val present = vals.keys.toSeq
+                .filterNot(c => kCols.exists(_.equalsIgnoreCase(c))).sorted
+              present.foreach { c =>
+                if (!c.matches("[A-Za-z_][A-Za-z0-9_$#]*"))
+                  throw new IllegalArgumentException(
+                    s"illegal column identifier in wrapped payload: '$c'")
+              }
+              if (present.isEmpty) {
+                // key-only change: nothing to SET; ensure the row exists
+                val ins = insCache.getOrElseUpdate(Nil, conn.prepareStatement(
+                  s"INSERT INTO $t (${kCols.mkString(", ")}) " +
+                    s"VALUES (${kCols.map(_ => "?").mkString(", ")})"))
+                try {
+                  keyVals.zipWithIndex.foreach { case (v, i) =>
+                    ins.setObject(i + 1, v)
+                  }
+                  ins.executeUpdate()
+                } catch { case _: java.sql.SQLException => () /* exists */ }
+              } else {
               val upd = updCache.getOrElseUpdate(present, conn.prepareStatement(
                 s"UPDATE $t SET ${present.map(c => s"$c = ?").mkString(", ")} " +
                   s"WHERE ${kCols.map(k => s"$k = ?").mkString(" AND ")}"))
@@ -80,6 +103,7 @@ case class PartialUpsertSink(
                   ins.setString(kCols.size + i + 1, vals(c))
                 }
                 ins.executeUpdate()
+              }
               }
             }
           }

@@ -264,4 +264,11 @@ case object ClickHouseDialect extends SinkDialect {
   /** ReplacingMergeTree: upsert == insert; dedup at merge time. */
   override def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String =
     insertSql(table, cols)
+  /** Lightweight delete (ClickHouse ≥ 23.3; `DELETE FROM` is a
+    * row-granular mutation there). High-delete CDC feeds should prefer
+    * an is_deleted/version column on the ReplacingMergeTree instead —
+    * this statement exists so correctness holds, not as the fast path.
+    */
+  override def deleteSql(table: String, keyCols: Seq[String]): String =
+    super.deleteSql(table, keyCols)
 }

@@ -38,8 +38,11 @@ object DictionaryReader {
     def keySchema: StructType = keyType match {
       case "ROWID" => StructType(Seq(StructField("ORA_ROW_ID", StringType, false)))
       case "NONE" => StructType(Nil)
-      case _ => StructType(columns.filter(c => keyCols.contains(c.name))
-        .map(c => StructField(c.name, sparkType(c), nullable = false)))
+      // fields in keyCols (KEY_SEQ) order, NOT table column order —
+      // consumers bind key values positionally against this schema
+      case _ => StructType(keyCols.flatMap(k =>
+        columns.find(_.name == k)
+          .map(c => StructField(c.name, sparkType(c), nullable = false))))
     }
   }
 
@@ -80,9 +83,15 @@ object DictionaryReader {
   def readTable(conn: Connection, schema: String, table: String,
       keyMode: KeyMode = WellDefined, rowIdPseudoKey: Boolean = true): TableDef = {
     val md = conn.getMetaData
+    // getColumns treats schema/table as LIKE patterns: an unescaped '_'
+    // (ubiquitous in Oracle names) matches ANY character and can merge a
+    // sibling table's columns into this TableDef — escape literals
+    val esc = md.getSearchStringEscape
+    def lit(id: String): String =
+      id.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
 
     val cols = {
-      val rs = md.getColumns(null, schema, table, "%")
+      val rs = md.getColumns(null, lit(schema), lit(table), "%")
       val buf = collection.mutable.ArrayBuffer[ColumnDef]()
       while (rs.next()) {
         buf += ColumnDef(

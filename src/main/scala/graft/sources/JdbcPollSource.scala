@@ -65,7 +65,11 @@ object JdbcPollSource {
       case DoubleType => rs.getDouble(i)
       case BooleanType => rs.getBoolean(i)
       case StringType => UTF8String.fromString(rs.getString(i))
-      case _: DecimalType => org.apache.spark.sql.types.Decimal(rs.getBigDecimal(i))
+      case _: DecimalType =>
+        // null-check BEFORE wrapping: Decimal(null) NPEs, unlike every
+        // other nullable accessor here which survives to wasNull()
+        val bd = rs.getBigDecimal(i)
+        if (bd == null) null else org.apache.spark.sql.types.Decimal(bd)
       case BinaryType => rs.getBytes(i)
       case TimestampNTZType =>
         // NTZ carries the LOCAL datetime as-if-UTC — getTime would shift
@@ -117,6 +121,16 @@ class JdbcPollStream(schema: StructType, options: CaseInsensitiveStringMap)
   private val numPartitions = Option(options.get("numPartitions")).map(_.toInt).getOrElse(1)
   private val startWm = Option(options.get("startWm")).map(_.toLong).getOrElse(0L)
   private val fetchSize = Option(options.get("fetchSize")).map(_.toInt).getOrElse(1000)
+  // Commit-visibility margin: MAX(wm) sees only COMMITTED rows, but a
+  // writer can hold wm=100 uncommitted while wm=101 commits first —
+  // advancing the offset to 101 would skip row 100 forever once it
+  // lands. `lagBehind` keeps the window end that many wm units behind
+  // the observed MAX so in-flight writers get that much time to commit;
+  // rows beyond the margin are read by LATER batches (never twice —
+  // the offset only advances to max-lag). Size it to the writers' max
+  // transaction duration in wm units; 0 (default) preserves the
+  // poll-only semantics for gap-free monotonic feeds.
+  private val lagBehind = Option(options.get("lagBehind")).map(_.toLong).getOrElse(0L)
 
   override def initialOffset(): Offset = WmOffset(startWm)
 
@@ -127,7 +141,8 @@ class JdbcPollStream(schema: StructType, options: CaseInsensitiveStringMap)
         s"SELECT MAX($wmColumn) FROM $table")
       rs.next()
       val max = rs.getLong(1)
-      WmOffset(if (rs.wasNull()) startWm else math.max(max, startWm))
+      WmOffset(if (rs.wasNull()) startWm
+        else math.max(max - lagBehind, startWm))
     } finally conn.close()
   }
 

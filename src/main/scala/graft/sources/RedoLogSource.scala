@@ -68,20 +68,8 @@ object RedoLogSource {
       nullable = false)))
 
   /** `%`/`*` wildcard table matcher (P1: a2.include-style scope). */
-  private[sources] def tableMatcher(patterns: Seq[String]): String => Boolean = {
-    if (patterns.isEmpty) _ => true
-    else {
-      val regexes = patterns.map { p =>
-        val sb = new StringBuilder("(?i)^")
-        p.foreach {
-          case '%' | '*' => sb.append(".*")
-          case c => sb.append(java.util.regex.Pattern.quote(c.toString))
-        }
-        sb.append("$").result().r
-      }
-      t => regexes.exists(_.findFirstIn(t).isDefined)
-    }
-  }
+  private[sources] def tableMatcher(patterns: Seq[String]): String => Boolean =
+    graft.util.Wildcards.matcher(patterns)
 
   private[sources] def toRow(r: RedoRecord): InternalRow = {
     def mapData(m: Map[String, String]) = new ArrayBasedMapData(
@@ -124,12 +112,16 @@ class RedoLogScan(options: CaseInsensitiveStringMap) extends Scan {
     Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue)
 
   // S6: the path picks the transport — local directory or http(s)://
-  // base URL; every executor opens its own byte source per partition
+  // base URL; every executor opens its own byte source per partition.
+  // Driver-side header memo: segments are immutable, and a streaming
+  // trigger lists up to 3x — only NEW files pay a header read.
+  private val headerCache =
+    collection.mutable.Map.empty[String, RedoLogReader.FileHeader]
   private def listWithCoords(): Seq[(String, Int, Int)] = {
     val provider = RedoStorageProvider.forPath(path)
     val base =
       if (provider eq LocalRedoProvider) new File(path).getAbsolutePath else path
-    RedoLogReader.listLogs(provider, base).map { case (p, h) =>
+    RedoLogReader.listLogs(provider, base, headerCache).map { case (p, h) =>
       (p, h.thread, h.seq)
     }
   }

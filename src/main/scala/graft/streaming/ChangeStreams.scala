@@ -45,7 +45,26 @@ object ChangeStreams {
       val buf = collection.mutable.ArrayBuffer.empty[RedoRecord]
       it.foreach(buf += _)
       buf.sortInPlaceBy(r => (r.scn, r.ssn))
-      TransactionAssembler.assemble(buf.toSeq, opts).iterator
+      // split at COMMIT/ROLLBACK terminals: an xid is reused for a NEW
+      // transaction after its terminal, and feeding both to one
+      // assemble() call would let a later ROLLBACK retroactively
+      // discard an earlier committed transaction (or stamp its changes
+      // with the wrong commitScn) — same invariant the streaming
+      // processor enforces per terminal
+      val out = Seq.newBuilder[EmittedChange]
+      var start = 0
+      var i = 0
+      while (i < buf.length) {
+        val op = buf(i).op
+        if (op == graft.cdc.Ops.Commit || op == graft.cdc.Ops.Rollback) {
+          out ++= TransactionAssembler.assemble(buf.slice(start, i + 1).toSeq, opts)
+          start = i + 1
+        }
+        i += 1
+      }
+      // trailing open (uncommitted) segment: assemble() emits nothing
+      // for it by construction, so it is simply dropped
+      out.result().iterator
     }
   }
 

@@ -185,4 +185,22 @@ class StreamingAssemblySpec extends AnyFunSuite {
         s"expired transaction must not emit, got ${got.toSeq}")
     } finally q.stop()
   }
+
+  test("batch assembly splits a reused xid at each terminal") {
+    import spark.implicits._
+    // txn1 commits at 20; the SAME xid is reused and rolled back at 40.
+    // The rollback must not retroactively discard txn1, and txn2's
+    // partial-rollback-style reuse must not cancel across the boundary.
+    val recs = Seq(
+      rec(10, "tx1", Ops.Insert, "r1", Map("c" -> "1")),
+      rec(20, "tx1", Ops.Commit),
+      rec(30, "tx1", Ops.Insert, "r2", Map("c" -> "2")),
+      rec(40, "tx1", Ops.Rollback),
+      // third reuse: commits again with its own commitScn
+      rec(50, "tx1", Ops.Insert, "r3", Map("c" -> "3")),
+      rec(60, "tx1", Ops.Commit)).toDS()
+    val out = ChangeStreams.assembleBatch(recs).collect().sortBy(_.scn)
+    assert(out.map(_.scn).toSeq == Seq(10, 50))
+    assert(out.map(_.commitScn).toSeq == Seq(20, 60))
+  }
 }
