@@ -17,8 +17,8 @@ import graft.functions.VectorFunctions._
   *    never with |docs|²;
   *  - n-gram Jaccard: shuffle join keyed by shingle (at production scale
   *    drop ultra-frequent shingles first — they only add join fan-out);
-  *  - cosine near-dup: blocked by `label` (in production: by LSH bucket,
-  *    see SimilarityQueries) so the pair space is per-block, not global;
+  *  - cosine near-dup: blocked by random-hyperplane LSH bucket (shared
+  *    with SimilarityQueries) so the pair space is per-block, not global;
   *  - every hash is an explicit arithmetic fold — reproducible across
   *    engines and partitionings, unlike engine-private hash functions.
   */
@@ -116,9 +116,12 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Per-document 16-bit SimHash (near-dup docs collide).
+    // Per-document 16-bit SimHash (near-dup docs collide). Token-less
+    // documents are dropped — the oracle's per-token GROUP BY never
+    // produces a row for them (same guard as dedup_minhash_lsh).
     "dedup_simhash" -> ((s, dir) => {
       documents(s, dir)
+        .filter(size(tokens(col("text"))) > 0)
         .select(col("doc_id"),
           simHash16(transform(tokens(col("text")), t => stringHash(t))).as("sh16"))
         .orderBy(col("doc_id"))
@@ -344,19 +347,7 @@ object DedupQueries {
     // with the corpus, so forcing broadcast would OOM at scale — AQE
     // picks the join strategy from runtime shuffle sizes.
     val kept = exploded.persist()
-    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // the join fans out to Σ df(s)² rows; aggregate them on ONE packed
-    // long key (ia<<32|ib) — the primitive-key fast path in Spark's
-    // hash aggregate — instead of a two-column row key. The packing
-    // assumes doc_id < 2^32 (unsigned unpack); for a corpus beyond that
-    // fall back to the two-column groupBy — same plan, slower agg.
-    val inter = kept.toDF("ia", "s")
-      .join(kept.toDF("ib", "s"), Seq("s"))
-      .filter(col("ia") < col("ib"))
-      .select((shiftleft(col("ia"), 32) bitwiseOR col("ib")).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("m"))
-      .select(shiftrightunsigned(col("pair"), 32).as("ia"),
-        (col("pair") bitwiseAND lit(0xffffffffL)).as("ib"), col("m"))
+    val (sizes, inter) = pairCounts(kept)
     inter
       .join(sizes.toDF("ia", "na"), "ia")
       .join(sizes.toDF("ib", "nb"), "ib")
@@ -365,6 +356,27 @@ object DedupQueries {
       .filter(col("jac") >= threshold)
       .select(col("ia"), col("ib"), col("m"), col("jac"))
       .orderBy(col("ia"), col("ib"))
+  }
+
+  /** Per-doc set sizes + per-pair intersection counts over a postings
+    * list — the shared core of [[ngramJaccard]] and [[containment]].
+    * The self-join fans out to Σ df(s)² rows; pairs aggregate on ONE
+    * packed long key (ia<<32|ib) — the primitive-key fast path in
+    * Spark's hash aggregate — instead of a two-column row key. The
+    * packing assumes doc_id < 2^32 (unsigned unpack); for a corpus
+    * beyond that fall back to the two-column groupBy — same plan,
+    * slower agg.
+    */
+  private def pairCounts(kept: DataFrame): (DataFrame, DataFrame) = {
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = kept.toDF("ia", "s")
+      .join(kept.toDF("ib", "s"), Seq("s"))
+      .filter(col("ia") < col("ib"))
+      .select((shiftleft(col("ia"), 32) bitwiseOR col("ib")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("m"))
+      .select(shiftrightunsigned(col("pair"), 32).as("ia"),
+        (col("pair") bitwiseAND lit(0xffffffffL)).as("ib"), col("m"))
+    (sizes, inter)
   }
 
   /** Distinct (doc_id, shingle-hash) postings, optionally with the
@@ -404,14 +416,7 @@ object DedupQueries {
   def containment(s: SparkSession, dir: String,
       maxDfFrac: Option[Double] = None, threshold: Double = 0.5): DataFrame = {
     val kept = cappedPostings(s, dir, maxDfFrac).persist()
-    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = kept.toDF("ia", "s")
-      .join(kept.toDF("ib", "s"), Seq("s"))
-      .filter(col("ia") < col("ib"))
-      .select((shiftleft(col("ia"), 32) bitwiseOR col("ib")).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("m"))
-      .select(shiftrightunsigned(col("pair"), 32).as("ia"),
-        (col("pair") bitwiseAND lit(0xffffffffL)).as("ib"), col("m"))
+    val (sizes, inter) = pairCounts(kept)
     val sized = inter
       .join(sizes.toDF("ia", "na"), "ia")
       .join(sizes.toDF("ib", "nb"), "ib")

@@ -83,7 +83,13 @@ object JdbcGateQueries {
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      // a timed-out stream must fail loudly, not fall through to read a
+      // partially-written directory while the query still runs
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "s3_jdbc_poll: AvailableNow drain did not finish within 300s")
+      }
       s.read.parquet(outDir)
         .select(col("SCN").as("o_orderkey"), col("CUSTKEY").as("custkey"),
           col("PRICE").cast("double").as("price"))

@@ -37,6 +37,17 @@ object RelationalQueries {
   private def dec(c: Column) = c.cast(D)
   private def ts(s: String) = lit(s).cast("timestamp_ntz")
 
+  /** Shared status × priority wide matrix (q_pivot result; q_unpivot
+    * melts it back — one builder keeps them exact inverses). */
+  private def pivotWide(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot(col("o_orderpriority"),
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .toDF("status", "p1", "p2", "p3", "p4", "p5")
+      .na.fill(0L, Seq("p1", "p2", "p3", "p4", "p5"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Single-scan aggregation with map-side partial agg (TPC-H Q1 style).
     "q1_agg" -> ((s, dir) => {
@@ -194,22 +205,12 @@ object RelationalQueries {
     }),
 
     // PIVOT: status × priority matrix via groupBy().pivot().
-    "q_pivot" -> ((s, dir) => {
-      orders(s, dir)
-        .groupBy(col("o_orderstatus"))
-        .pivot(col("o_orderpriority"),
-          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
-        .agg(count(lit(1)))
-        .toDF("status", "p1", "p2", "p3", "p4", "p5")
-        .na.fill(0L, Seq("p1", "p2", "p3", "p4", "p5"))
-        .orderBy(col("status"))
-    }),
+    "q_pivot" -> ((s, dir) => pivotWide(s, dir).orderBy(col("status"))),
 
     // Window-function battery beyond rank: lag/lead with defaults,
     // ntile, cume_dist, and a running sum — one shuffle on the
     // partition key, every function sharing the same window frame.
     "q_window_funcs" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -251,20 +252,13 @@ object RelationalQueries {
 
     // UNPIVOT (melt): the wide status × priority matrix back to long
     // form — map-only over the pivoted aggregate (ids stay, value
-    // columns explode to (name, value) rows).
-    "q_unpivot" -> ((s, dir) => {
-      val wide = orders(s, dir)
-        .groupBy(col("o_orderstatus"))
-        .pivot(col("o_orderpriority"),
-          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
-        .agg(count(lit(1)))
-        .toDF("status", "p1", "p2", "p3", "p4", "p5")
-        .na.fill(0L, Seq("p1", "p2", "p3", "p4", "p5"))
-      wide.unpivot(Array(col("status")),
+    // columns explode to (name, value) rows). Shares pivotWide with
+    // q_pivot so the two stay exact inverses.
+    "q_unpivot" -> ((s, dir) =>
+      pivotWide(s, dir).unpivot(Array(col("status")),
           Array(col("p1"), col("p2"), col("p3"), col("p4"), col("p5")),
           "priority", "n")
-        .orderBy(col("status"), col("priority"))
-    }),
+        .orderBy(col("status"), col("priority"))),
 
     // HLL approximate distinct at 5% rsd vs exact (the 100 TB cardinality
     // path): the estimate must land within the documented error envelope,

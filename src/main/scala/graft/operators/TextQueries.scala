@@ -35,8 +35,11 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-less documents are dropped: the oracle's per-token GROUP BY
+    // never yields a row for them.
     "text_fingerprint" -> ((s, dir) => {
       documents(s, dir)
+        .filter(size(tokens(col("text"))) > 0)
         .select(col("doc_id"),
           docFingerprint(tokens(col("text"))).as("fp"))
         .orderBy(col("doc_id"))
@@ -74,10 +77,11 @@ object TextQueries {
     }),
 
     // Corpus-wide frequent terms via the Misra–Gries sketch (bounded
-    // state per partial, OR-of-counters merge): exact here because the
-    // 1024-counter capacity dominates the vocabulary, approximate with
-    // proven bounds when it doesn't — the only way "top tokens over
-    // 100 TB" fits in memory at all. See FreqSketchAgg.
+    // state per partial; merge sums shared counters then re-trims to
+    // capacity): exact here because the 1024-counter capacity dominates
+    // the vocabulary, approximate with proven bounds when it doesn't —
+    // the only way "top tokens over 100 TB" fits in memory at all. See
+    // FreqSketchAgg.
     "text_top_terms" -> ((s, dir) => {
       documents(s, dir)
         .select(explode(tokens(col("text"))).as("tok"))

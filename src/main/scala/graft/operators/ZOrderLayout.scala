@@ -44,9 +44,12 @@ object ZOrderLayout {
   )
 
   // the oracle spreads the bits explicitly: Σ ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1)
+  // pmod-equivalent ((v%m)+m)%m: Spark's pmod is non-negative while SQL %
+  // preserves sign — a negative cents value would otherwise interleave
+  // different bits per engine
   private val zExpr: String = {
-    val x = "(user_id % 1024)"
-    val y = "(cents % 1024)"
+    val x = "(((user_id % 1024) + 1024) % 1024)"
+    val y = "(((cents % 1024) + 1024) % 1024)"
     (0 until 10).map(i =>
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
