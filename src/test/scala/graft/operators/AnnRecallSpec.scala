@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measured quality of the approximate ANN paths against the exact
+  * brute-force baseline: recall@5 over the same query set. IVF's
+  * exactness-within-probed-cells means recall is the tuning knob (cells
+  * probed × centroid count) — this spec pins a floor so a regression in
+  * cell assignment or probing silently degrading the index shows up as
+  * a failing number, not as user-visible bad neighbors at 100 TB.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", 8)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", false)
+    .appName("ann-recall-spec").getOrCreate()
+
+  private def recallAt5(dir: String): Double = {
+    val bf = SimilarityQueries.queries("ann_bruteforce_topk")(spark, dir)
+      .select(col("qid"), col("vec_id"))
+    val ivf = SimilarityQueries.queries("ann_ivf")(spark, dir)
+      .select(col("qid"), col("vec_id"))
+    val hits = bf.intersect(ivf).count().toDouble
+    hits / bf.count().toDouble
+  }
+
+  test("IVF recall@5 vs brute force stays above the floor") {
+    val r = recallAt5("/root/testdata/sf0.001")
+    info(f"IVF recall@5 sf0.001 = $r%.3f")
+    // measured 0.96 on the pinned testdata; 0.8 leaves headroom for
+    // data drift while still catching a real indexing regression
+    assert(r >= 0.8, f"IVF recall@5 degraded to $r%.3f")
+  }
+}
