@@ -117,7 +117,6 @@ object CdcQueries {
         .select(col("xid"), col("commitScn").as("commit_scn"), col("scn"),
           col("op"), col("rowId").as("row_id"),
           element_at(col("after"), "value").cast("double").as("val"))
-        .orderBy(col("scn"))
     }),
 
     // P3: no-op UPDATE elimination via assembler options.
@@ -127,7 +126,6 @@ object CdcQueries {
         .filter(col("op") === Ops.Update)
         .select(col("xid"), col("scn"),
           element_at(col("after"), "v5").cast("long").as("v5"))
-        .orderBy(col("scn"))
     }),
 
     // P4: DELETE column pruning to key columns via assembler options.
@@ -139,7 +137,6 @@ object CdcQueries {
         .select(col("xid"), col("scn"),
           concat_ws(",", array_sort(map_keys(col("before")))).as("before_cols"),
           element_at(col("before"), "user_id").cast("long").as("uid"))
-        .orderBy(col("scn"))
     }),
 
     // T6: multi-row op expansion (QMI analogue) through the assembler.
@@ -162,7 +159,6 @@ object CdcQueries {
         .select(col("scn"), col("ssn"),
           element_at(col("after"), "seq").cast("int").as("seq"),
           element_at(col("after"), "value").cast("double").as("val"))
-        .orderBy(col("scn"), col("ssn"))
     }),
 
     // T9: DDL apply / schema evolution — per nation, a deterministic
@@ -263,7 +259,6 @@ object CdcQueries {
         .withColumn("is_current", col("valid_to").isNull)
         .select(col("k"), col("o_orderkey"), col("cents"),
           col("valid_from"), col("valid_to"), col("is_current"))
-        .orderBy(col("k"), col("valid_from"), col("o_orderkey"))
     }),
 
     // M6 LOB transform hook: documents.text round-trips through a

@@ -32,7 +32,6 @@ object LoadQueries {
         .select(col("op"), col("okey"), col("line"), col("rowscn"),
           col("o_custkey").as("custkey"),
           col("o_totalprice").as("price"))
-        .orderBy(col("okey"), col("line"))
     }),
 
     // S8: initial load ∪ change stream — the snapshot half of orders is

@@ -111,7 +111,6 @@ object RelationalQueries {
         .filter(col("rk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("rk"),
           col("prev_price"), col("run_cnt"))
-        .orderBy(col("o_custkey"), col("rk"), col("o_orderkey"))
     }),
 
     // Top-n per group written the NAIVE way — row_number window + filter.
@@ -127,7 +126,6 @@ object RelationalQueries {
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           col("rn").cast("long").as("rn"))
-        .orderBy(col("o_custkey"), col("rn"))
     }),
 
     // Set operations: UNION / INTERSECT / EXCEPT keep distinct semantics.
@@ -226,7 +224,6 @@ object RelationalQueries {
         .select(col("o_custkey"), col("o_orderkey"), col("prev_key"),
           col("next_key"), col("quartile"), col("cume"),
           col("running_cents"))
-        .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
     // NULL semantics: null-safe equality, NULLIF/COALESCE, and

@@ -77,7 +77,6 @@ object SourceQueries {
         .select(col("xid"), col("commitScn").as("commit_scn"), col("scn"),
           col("op"), col("rowId").as("row_id"),
           element_at(col("after"), "value").cast("double").as("val"))
-        .orderBy(col("scn"))
     }),
 
     // P1+P2: include/exclude wildcards + operation filter applied AT THE
@@ -120,7 +119,6 @@ object SourceQueries {
         .option("ops", s"${graft.cdc.Ops.Insert},${graft.cdc.Ops.Update}")
         .load(logDir)
         .select(col("scn"), col("xid"), col("op"), col("table").as("tab"))
-        .orderBy(col("scn"), col("xid"))
     }),
 
     // T7: direct-load 19.1 — orders rows arrive as whole direct-loaded
@@ -155,7 +153,6 @@ object SourceQueries {
           element_at(col("after"), "o_custkey").cast("long").as("custkey"),
           col("op"), col("rowId").as("row_id"),
           col("commitScn").as("commit_scn"), col("ssn"))
-        .orderBy(col("o_orderkey"))
     }),
 
     // T8: out-of-row LOB chunk assembly through the full binary path —

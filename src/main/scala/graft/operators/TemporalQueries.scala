@@ -99,7 +99,6 @@ object TemporalQueries {
         .agg(max(col("event_id")).as("mk_id"))
       asofJoin(ev, mk, "user_id", "t", "mk_id", "last_error_id")
         .select(col("event_id"), col("user_id"), col("last_error_id"))
-        .orderBy(col("event_id"))
     }),
 
     // Banded range join: for each error event, aggregate all events of
@@ -123,7 +122,6 @@ object TemporalQueries {
         .groupBy(col("anchor_id"))
         .agg(count(lit(1)).as("n_events"),
           sum(dec(col("value"))).cast("double").as("total"))
-        .orderBy(col("anchor_id"))
     }),
 
     // Sessionization: per-user sessions split on a >3h inactivity gap
@@ -138,7 +136,6 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n_events"),
           min(col("t")).as("start_us"), max(col("t")).as("end_us"),
           sum(dec(col("value"))).cast("double").as("total"))
-        .orderBy(col("user_id"), col("sess"))
     })
   )
 
