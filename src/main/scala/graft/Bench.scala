@@ -116,6 +116,9 @@ object Bench {
       entries = entries.filterNot(_._1 == drop)
       omitted += 1
     }
+    // nothing may print AFTER the metric line — a stray shutdown WARN
+    // would push it out of the driver's bounded output tail
+    spark.sparkContext.setLogLevel("OFF")
     println(render(entries, omitted))
     spark.stop()
   }
