@@ -120,29 +120,27 @@ object SchemaEvolution {
       val b = afterName.substring(prefix.length).trim
       if (b.startsWith("(")) b.stripPrefix("(").stripSuffix(")") else b
     }
-    // Oracle DROP/SET UNUSED accept trailing options after the column:
-    // CASCADE CONSTRAINTS, INVALIDATE, ONLINE, CHECKPOINT n. They must
-    // be stripped BEFORE the name lookup — treated as part of the name
-    // they match no column and the drop silently no-ops.
+    // Oracle DROP/SET UNUSED accept trailing options after the column —
+    // CASCADE CONSTRAINTS, INVALIDATE, ONLINE, CHECKPOINT n — possibly
+    // COMBINED. They must all be stripped BEFORE the name lookup:
+    // treated as part of the name they match no column and the drop
+    // silently no-ops. The repetition group handles multi-option DDL.
     def stripTrailingOptions(b: String): String =
-      b.replaceAll("(?i)\\s+(cascade( constraints)?|invalidate|online|checkpoint( \\d+)?)\\s*$",
+      b.replaceAll("(?i)(\\s+(cascade( constraints)?|invalidate|online|checkpoint( \\d+)?))+\\s*$",
         "")
 
     // verbs may abut the parenthesized form with no space: ADD(...),
-    // MODIFY(...), DROP(...) are all legal Oracle syntax
+    // MODIFY(...), DROP(...) are all legal Oracle syntax. `body` handles
+    // both shapes: the trim absorbs the space, the paren-strip the rest.
     def verbIs(v: String): Boolean =
       verb.startsWith(v + " ") || verb.startsWith(v + "(")
-    def verbBody(v: String): String = {
-      val b = afterName.substring(v.length).trim
-      if (b.startsWith("(")) b.stripPrefix("(").stripSuffix(")") else b
-    }
 
     if (verbIs("add")) {
-      splitCols(verbBody("add")).map { d =>
+      splitCols(body("add")).map { d =>
         val (n, t, nu) = colDef(d, withNull = true); AddColumn(n, t, nu)
       }
     } else if (verbIs("modify")) {
-      splitCols(verbBody("modify")).map { d =>
+      splitCols(body("modify")).map { d =>
         val (n, t, _) = colDef(d, withNull = false); ModifyColumn(n, t)
       }
     } else if (verb.startsWith("drop column ")) {

@@ -124,7 +124,10 @@ object TransactionAssembler {
                 !(opts.skipKeylessDelete && opts.keyCols.isEmpty)) {
               r.multiRows.zipWithIndex.foreach { case (row, k) =>
                 val (b, a) =
-                  if (op == Ops.Insert) (Map.empty[String, String], row)
+                  if (op == Ops.Insert)
+                    // resolveLobs like the single-row path: a QMI row
+                    // image may carry LobRef markers too
+                    (Map.empty[String, String], resolveLobs(row))
                   else {
                     val before =
                       if (!opts.allColsOnDelete && opts.keyCols.nonEmpty)
@@ -145,7 +148,7 @@ object TransactionAssembler {
             r.multiRows.zipWithIndex.foreach { case (row, k) =>
               out += EmittedChange(r.xid, commitScn, r.scn, r.ssn + k,
                 r.table, Ops.Insert, s"${r.rowId}.$k", r.tsMicros,
-                Map.empty[String, String], row)
+                Map.empty[String, String], resolveLobs(row))
             }
           case Ops.Update
               if !opts.emitAllUpdates && updateIsNoop(r) => // P3: drop

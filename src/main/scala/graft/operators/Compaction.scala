@@ -26,11 +26,16 @@ object Compaction {
     */
   def inputBytes(df: DataFrame): Long = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
-    df.queryExecution.analyzed.collectFirst {
+    // SUM over every file relation — a compaction input is often a
+    // union of the base directory plus newly accreted files, and sizing
+    // from the first relation alone would double the output file size
+    val fileBytes = df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation
           if r.relation.isInstanceOf[HadoopFsRelation] =>
         r.relation.asInstanceOf[HadoopFsRelation].location.sizeInBytes
-    }.getOrElse {
+    }
+    if (fileBytes.nonEmpty) fileBytes.sum
+    else {
       val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
       if (est.isValidLong) est.toLong else Long.MaxValue
     }

@@ -118,10 +118,11 @@ object DedupQueries {
 
     // Per-document 16-bit SimHash (near-dup docs collide). Token-less
     // documents are dropped — the oracle's per-token GROUP BY never
-    // produces a row for them (same guard as dedup_minhash_lsh).
+    // produces a row for them. trim ≠ '' ⟺ has a token, and avoids
+    // re-running the tokenizer in the filter.
     "dedup_simhash" -> ((s, dir) => {
       documents(s, dir)
-        .filter(size(tokens(col("text"))) > 0)
+        .filter(trim(col("text")) =!= "")
         .select(col("doc_id"),
           simHash16(transform(tokens(col("text")), t => stringHash(t))).as("sh16"))
         .orderBy(col("doc_id"))

@@ -36,10 +36,12 @@ object TextQueries {
     }),
 
     // Token-less documents are dropped: the oracle's per-token GROUP BY
-    // never yields a row for them.
+    // never yields a row for them. trim(text) ≠ '' is EQUIVALENT to
+    // "has a token" (tokens splits on \s+) and avoids running the
+    // tokenizer twice (Spark does no CSE across Filter and Project).
     "text_fingerprint" -> ((s, dir) => {
       documents(s, dir)
-        .filter(size(tokens(col("text"))) > 0)
+        .filter(trim(col("text")) =!= "")
         .select(col("doc_id"),
           docFingerprint(tokens(col("text"))).as("fp"))
         .orderBy(col("doc_id"))

@@ -93,6 +93,13 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(!u.schema.fieldNames.contains("AMT"))
     val c = applyDdl(base, "ALTER TABLE S.T DROP COLUMN AMT CHECKPOINT 500")
     assert(!c.schema.fieldNames.contains("AMT"))
+    // COMBINED options must all strip, not just the last one
+    val m = applyDdl(base,
+      "ALTER TABLE S.T DROP COLUMN AMT CASCADE CONSTRAINTS CHECKPOINT 500")
+    assert(!m.schema.fieldNames.contains("AMT"))
+    val m2 = applyDdl(base,
+      "ALTER TABLE S.T SET UNUSED COLUMN NAME CASCADE CONSTRAINTS ONLINE")
+    assert(!m2.schema.fieldNames.contains("NAME"))
   }
 
   test("no-space parenthesized verb forms parse") {
