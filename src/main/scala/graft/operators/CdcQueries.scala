@@ -109,6 +109,22 @@ object CdcQueries {
       |    AND event_id NOT IN (SELECT prev_id FROM victims))
       |""".stripMargin
 
+  /** Generic SCD2 (slowly-changing-dimension type 2) apply: each change
+    * row of a key becomes a validity interval — `valid_to` = the key's
+    * NEXT change's `ts` (null = current version, flagged `is_current`).
+    * ONE lead() window shuffle keyed by the dimension key, no
+    * self-join; `tieBreak` makes the version order total. The temporal-
+    * table consumer of an ordered change stream.
+    */
+  def scd2(changes: DataFrame, key: String, ts: String,
+      tieBreak: String): DataFrame =
+    changes
+      .withColumnRenamed(ts, "valid_from")
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy(col(key))
+          .orderBy(col("valid_from"), col(tieBreak))))
+      .withColumn("is_current", col("valid_to").isNull)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T1+T2+T4: XID grouping, commit/rollback resolution, partial-rollback
     // cancellation — the REAL assembler running as flatMapGroups.
@@ -248,15 +264,12 @@ object CdcQueries {
     // versions; ties broken on o_orderkey for a total, engine-agnostic
     // order.
     "q_scd2_versions" -> ((s, dir) => {
-      val w = Window.partitionBy(col("k"))
-        .orderBy(col("valid_from"), col("o_orderkey"))
       orders(s, dir).select(col("o_orderkey"),
           (col("o_orderkey") % 997).as("k"),
           col("o_orderdate").as("valid_from"),
           (col("o_totalprice").cast("decimal(18,2)") * 100)
             .cast("long").as("cents"))
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
-        .withColumn("is_current", col("valid_to").isNull)
+        .transform(scd2(_, "k", "valid_from", "o_orderkey"))
         .select(col("k"), col("o_orderkey"), col("cents"),
           col("valid_from"), col("valid_to"), col("is_current"))
     }),
