@@ -166,6 +166,13 @@ class StreamingAssemblySpec extends AnyFunSuite {
     try {
       // an open transaction whose terminal record is "lost"
       input.addData(rec(10, "txLost", Ops.Insert, "r1", Map("c" -> "1")))
+      // the timer only exists once the INSERT's batch has run — under
+      // heavy load the first batch can lag, and sleeping before it runs
+      // would let the stale commit below land in the SAME batch as the
+      // insert (no expiry, flaky failure). Wait for the batch first.
+      val d0 = System.currentTimeMillis() + 60000
+      while (q.recentProgress.map(_.numInputRows).sum < 1 &&
+        System.currentTimeMillis() < d0) Thread.sleep(100)
       // generous margin over the 800 ms deadline: batch scheduling on a
       // loaded host must not outlive the sleep or the commit below races
       // the timer (expiry is not externally observable to poll on)
