@@ -178,10 +178,12 @@ object SchemaEvolution {
         fields.find(_.name.equalsIgnoreCase(n)) match {
           // replayed DDL on restart: an identical ADD is a no-op (same
           // idempotence guard drop/set-unused already have); a SAME-NAME
-          // add with a different type is a genuine conflict
+          // add with a different type OR nullability is a genuine conflict
           case Some(f) =>
-            require(f.dataType == t,
-              s"duplicate column $n with conflicting type ${f.dataType} vs $t")
+            require(f.dataType == t && f.nullable == nu,
+              s"duplicate column $n with conflicting definition " +
+                s"${f.dataType}${if (f.nullable) "" else " NOT NULL"} vs " +
+                s"$t${if (nu) "" else " NOT NULL"}")
           case None => fields = fields :+ StructField(n, t, nu)
         }
       case ModifyColumn(n, t) =>

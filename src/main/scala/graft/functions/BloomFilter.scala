@@ -79,7 +79,18 @@ object BloomKernel {
     * makes a build/probe mismatch structurally impossible.
     */
   def mightContain(bytes: Array[Byte], key: Long): Boolean = {
+    // Guard the framing: only the header+words form from toFilterBytes is
+    // probeable. A header-less blob (the serialize() wire form, or an empty
+    // array) would silently misread its first payload byte as the hash
+    // count and return wrong answers rather than fail.
+    if (bytes.length < 9 || ((bytes.length - 1) & 7) != 0)
+      throw new IllegalArgumentException(
+        s"not a serialized bloom filter: length ${bytes.length} " +
+          "(expected 1 header byte + non-empty multiple of 8 word bytes)")
     val hashes = bytes(0) & 0xff
+    if (hashes < 1)
+      throw new IllegalArgumentException(
+        s"not a serialized bloom filter: header hash count $hashes")
     val nWords = (bytes.length - 1) >>> 3
     val mask = (nWords.toLong << 6) - 1
     val h1 = mix(key)
