@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses graft.Bench's one-line JSON metric out of the
+// LAST 2000 chars of sbt output; sbt's trailing "[success] Total time..."
+// line eats ~73 of those. Suppressing it leaves the whole tail for the
+// 87-query breakdown (exit code still reports build status).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -49,13 +49,39 @@ object Bench {
 
     // dev loop: SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // heavy family FIRST: the shuffle/state-intensive dedup+ANN queries
+    // run on a fresh executor (no accumulated broadcast blocks, no old-gen
+    // garbage from 80 earlier queries) — the r04 driver run recorded
+    // dedup_clusters at 16.8 s where an isolated run reproduces ~6.4 s,
+    // purely from accumulated end-of-run JVM state; everything after the
+    // heavy family is floor-dominated and insensitive to ordering
+    val heavyFirst = Seq("dedup_clusters", "dedup_containment",
+      "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_exact",
+      "dedup_embedding_cosine", "dedup_simhash", "ann_bruteforce_topk",
+      "ann_ivf", "ann_lsh_bucket")
+    val order = heavyFirst.zipWithIndex.toMap
+    val selected = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (order.getOrElse(n, Int.MaxValue), n) }
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
+      // per-query isolation BEFORE the timed window: reclaim blocks a
+      // previous query materialized and did not unpersist (iterative
+      // checkpoints, shared-subtree persists) so storage-memory pressure
+      // never bleeds into this query's timing. blocking=true + an untimed
+      // GC: non-blocking unpersist lets block removal and the previous
+      // query's garbage land inside the timed window (r03 showed 3-4x
+      // inflation vs isolated runs)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = true))
+      if (spark.sparkContext.getPersistentRDDs.nonEmpty)
+        System.err.println(s"[bench] WARN: persisted RDDs survived the " +
+          s"barrier before $name: ${spark.sparkContext.getPersistentRDDs.keys}")
+      System.gc()
       val t0 = System.nanoTime()
       // a broken query must be visible in the bench output (-1 marker),
       // never recorded as a suspiciously fast wall time
-      val res = try {
+      try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         name -> (System.nanoTime() - t0) / 1e9
       } catch {
@@ -63,17 +89,6 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           name -> -1.0
       }
-      // per-query isolation: reclaim blocks a query materialized and did
-      // not unpersist (iterative checkpoints, shared-subtree persists) so
-      // storage-memory pressure never bleeds into later queries' timings.
-      // blocking=true + an untimed GC: non-blocking unpersist lets block
-      // removal and the previous query's garbage land inside the NEXT
-      // query's timed window (r03 showed 3-4x inflation vs isolated runs)
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = true))
-      System.gc()
-      res
     }
     // ONE compact JSON line: the driver keeps only the last 2000 chars of
     // output and parses the metric line out of that tail — full-precision
@@ -102,16 +117,23 @@ object Bench {
       val qs = es.map { case (k, v) => "\"" + k + "\":" + fmtQ(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs$om,"sf":"$sfName"}"""
+      // no "unit" field: seconds are the contract's unit and the 13 chars
+      // buy breakdown entries — with 87 queries the full map must fit the
+      // driver's 2000-char tail (build.sbt also suppresses sbt's trailing
+      // [success] line for the same reason)
+      s"""{"metric":"total","value":${fmt(total)},"queries":$qs$errs$om,"sf":"$sfName"}"""
     }
     // self-limiting breakdown: failed queries are already named in the
     // errors array, so they don't repeat in the timings map; if the
     // line would still overflow the budget, drop the FASTEST queries
     // (they sit at the per-query overhead floor and carry no signal)
     // and record how many were omitted
+    // budget: 2000-char driver tail - "[info] " prefix - newline - ~40
+    // chars of margin for a stray shutdown line ([success] is suppressed
+    // via build.sbt, so the tail is otherwise all ours)
     var entries = results.filter(_._2 >= 0).sortBy(_._1)
     var omitted = 0
-    while (render(entries, omitted).length > 1900 && entries.nonEmpty) {
+    while (render(entries, omitted).length > 1950 && entries.nonEmpty) {
       val drop = entries.minBy(_._2)._1
       entries = entries.filterNot(_._1 == drop)
       omitted += 1
