@@ -28,6 +28,12 @@ object Ops {
   /** LOB chunk write (redo 26.x analogue); `after` carries lobId/seq/data */
   val LobChunk = 26
   val Rollback = 36
+  /** session-audit record (redo 5.19/5.20 session-attributes analogue;
+    * ref `OraCdcChangeAudit.java`): `after` carries username/osUsername/
+    * hostname/auditSessionId/clientId for the enclosing transaction —
+    * never emitted itself, stamped onto every emitted change (P7)
+    */
+  val Audit = 20
 
   def name(op: Int): String = op match {
     case Insert => "INSERT"
@@ -64,7 +70,10 @@ case class RedoRecord(
     multiRows: Seq[Map[String, String]] = Nil)
 
 /** A committed row change, stamped with its transaction's commit SCN
-  * (emission strictly deferred to commit — ref `T2`).
+  * (emission strictly deferred to commit — ref `T2`). `audit` carries the
+  * transaction's session-audit attributes (P7 pseudo-columns; ref
+  * `KafkaPseudoColumnsProcessor.java:82-249`) — empty when the stream
+  * carried no audit record.
   */
 case class EmittedChange(
     xid: String,
@@ -76,4 +85,5 @@ case class EmittedChange(
     rowId: String,
     tsMicros: Long,
     before: Map[String, String],
-    after: Map[String, String])
+    after: Map[String, String],
+    audit: Map[String, String] = Map.empty)

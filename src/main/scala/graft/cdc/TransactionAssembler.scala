@@ -53,6 +53,13 @@ object TransactionAssembler {
     var commitScn = -1L
     var rolledBack = false
     val buf = new ArrayBuffer[RedoRecord]()
+    // P7: session-audit attributes for the transaction (username,
+    // osUsername, hostname, auditSessionId, clientId — ref
+    // `OraCdcChangeAudit.java`). Stamped onto every emitted change;
+    // Oracle's session info is constant per transaction, so a repeated
+    // audit record just overwrites with the same values (last wins).
+    var audit = Map.empty[String, String]
+
     // T8: LOB chunk accumulation per lobId, in record order (the caller
     // already sorted by scn/ssn). Uncommitted transactions never
     // assemble, so rolled-back LOB writes are discarded for free.
@@ -62,6 +69,7 @@ object TransactionAssembler {
       r.op match {
         case Ops.Commit => commitScn = r.scn
         case Ops.Rollback => rolledBack = true
+        case Ops.Audit => audit = audit ++ r.after
         case Ops.LobChunk =>
           // a rollback-flagged chunk record retracts its LOB's pending
           // chunks (the partial-rollback pass below only walks row
@@ -136,7 +144,7 @@ object TransactionAssembler {
                     (before, Map.empty[String, String])
                   }
                 out += EmittedChange(r.xid, commitScn, r.scn, r.ssn + k,
-                  r.table, op, r.rowId, r.tsMicros, b, a)
+                  r.table, op, r.rowId, r.tsMicros, b, a, audit)
               }
             }
           case Ops.DirectLoad =>
@@ -148,7 +156,7 @@ object TransactionAssembler {
             r.multiRows.zipWithIndex.foreach { case (row, k) =>
               out += EmittedChange(r.xid, commitScn, r.scn, r.ssn + k,
                 r.table, Ops.Insert, s"${r.rowId}.$k", r.tsMicros,
-                Map.empty[String, String], resolveLobs(row))
+                Map.empty[String, String], resolveLobs(row), audit)
             }
           case Ops.Update
               if !opts.emitAllUpdates && updateIsNoop(r) => // P3: drop
@@ -159,11 +167,11 @@ object TransactionAssembler {
             out += EmittedChange(r.xid, commitScn, r.scn, r.ssn, r.table,
               r.op, r.rowId, r.tsMicros,
               r.before.view.filterKeys(opts.keyCols.contains).toMap,
-              resolveLobs(r.after))
+              resolveLobs(r.after), audit)
           case _ =>
             out += EmittedChange(r.xid, commitScn, r.scn, r.ssn, r.table,
               r.op, r.rowId, r.tsMicros, resolveLobs(r.before),
-              resolveLobs(r.after))
+              resolveLobs(r.after), audit)
         }
       }
       i += 1

@@ -83,7 +83,38 @@ object CdcQueries {
         emptyMap.as("before"),
         emptyMap.as("after"),
         typedLit(Seq.empty[Map[String, String]]).as("multiRows"))
-    changes.unionByName(controls).as[RedoRecord]
+    // P7 audit: one 5.19-analogue session-audit record per transaction,
+    // fields deterministic in user_id so a SQL oracle can restate them.
+    // clientId is set only for even users — the NULL path is part of the
+    // contract (reference emits null pseudo-columns when V$ has none).
+    // scn=0 only orders it first; the assembler is position-independent.
+    val audits = ev.select(col("user_id")).distinct()
+      .select(
+        lit(0L).as("scn"),
+        lit(0).as("ssn"),
+        col("user_id").cast("string").as("xid"),
+        lit(Ops.Audit).as("op"),
+        lit("GRAFT.EVENTS").as("table"),
+        lit("").as("rowId"),
+        lit(false).as("rollback"),
+        lit(0L).as("tsMicros"),
+        emptyMap.as("before"),
+        map_concat(
+          map(
+            lit("username"),
+            concat(lit("USER_"), (col("user_id") % 7).cast("string")),
+            lit("osUsername"),
+            concat(lit("os"), (col("user_id") % 3).cast("string")),
+            lit("hostname"),
+            concat(lit("host-"), (col("user_id") % 5).cast("string")),
+            lit("auditSessionId"),
+            (col("user_id") * 131 % 9973).cast("string")),
+          when(col("user_id") % 2 === 0,
+            map(lit("clientId"),
+              concat(lit("app-"), (col("user_id") % 4).cast("string"))))
+            .otherwise(map().cast("map<string,string>"))).as("after"),
+        typedLit(Seq.empty[Map[String, String]]).as("multiRows"))
+    changes.unionByName(controls).unionByName(audits).as[RedoRecord]
   }
 
   /** Shared oracle CTE prefix mirroring the change-stream reading. */
@@ -218,6 +249,21 @@ object CdcQueries {
         .orderBy(col("xid"))
     }),
 
+    // P7 completion: session-audit pseudo-columns (username, osUsername,
+    // hostname, auditSessionId, clientId) captured from the transaction's
+    // audit record and stamped onto every emitted change — ref
+    // `OraCdcChangeAudit.java`, `KafkaPseudoColumnsProcessor.java:82-249`.
+    "p7_audit_columns" -> ((s, dir) => {
+      Envelopes.withPseudoColumns(ChangeStreams.assembleBatch(redoRecords(s, dir)))
+        .select(col("ORA_SCN").as("scn"), col("ORA_XID").as("xid"),
+          col("ORA_USERNAME").as("username"),
+          col("ORA_OS_USERNAME").as("os_username"),
+          col("ORA_HOSTNAME").as("hostname"),
+          col("ORA_AUDIT_SESSION_ID").as("audit_session_id"),
+          col("ORA_CLIENT_ID").as("client_id"))
+        .orderBy(col("scn"))
+    }),
+
     // P6/P7: debezium envelope + pseudo-columns, flattened for compare.
     "p7_debezium_envelope" -> ((s, dir) => {
       Envelopes.debezium(ChangeStreams.assembleBatch(redoRecords(s, dir)), "graft")
@@ -328,6 +374,15 @@ object CdcQueries {
         |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM emitted)
         |WHERE rn = 1 AND op <> 2 ORDER BY xid""".stripMargin),
+    "p7_audit_columns" -> (baseCte +
+      """SELECT event_id AS scn, CAST(user_id AS VARCHAR) AS xid,
+        |       'USER_' || (user_id % 7) AS username,
+        |       'os' || (user_id % 3) AS os_username,
+        |       'host-' || (user_id % 5) AS hostname,
+        |       (user_id * 131) % 9973 AS audit_session_id,
+        |       CASE WHEN user_id % 2 = 0
+        |            THEN 'app-' || (user_id % 4) END AS client_id
+        |FROM emitted ORDER BY scn""".stripMargin),
     "p7_debezium_envelope" -> (baseCte +
       """SELECT event_id AS scn, commit_scn, CAST(user_id AS VARCHAR) AS xid,
         |       CAST(event_id AS VARCHAR) AS row_id,

@@ -51,6 +51,10 @@ object RedoLogFormat {
   val LayerLob: Int = 26
   val OpUndo: Int = 1      // 5.1: before-image
   val OpCommitCtl: Int = 4 // 5.4: commit (flag bit1=0) / rollback (bit1=1)
+  val OpAudit: Int = 19    // 5.19: session-audit attributes (P7; ref
+                           // `OraCdcChangeAudit.java`) — username,
+                           // osUsername, hostname, auditSessionId, clientId
+                           // ride as the vector's single row image
   val OpInsert: Int = 2    // 11.2 IRP
   val OpDelete: Int = 3    // 11.3 DRP
   val OpUpdate: Int = 5    // 11.5 URP
@@ -178,6 +182,8 @@ class RedoLogWriter(file: File, blockSize: Int = 1024, seq: Int = 1,
         Seq(vector(LayerTxn, OpCommitCtl, 0, Nil))
       case Ops.Rollback =>
         Seq(vector(LayerTxn, OpCommitCtl, FlagTxnRollback, Nil))
+      case Ops.Audit =>
+        Seq(vector(LayerTxn, OpAudit, 0, Seq(r.after)))
       case other =>
         throw new IllegalArgumentException(s"unsupported op $other")
     }
@@ -401,6 +407,8 @@ object RedoLogReader {
               before = rows.headOption.getOrElse(Map.empty)
             case (LayerTxn, OpCommitCtl) =>
               op = if ((flags & FlagTxnRollback) != 0) Ops.Rollback else Ops.Commit
+            case (LayerTxn, OpAudit) =>
+              op = Ops.Audit; after = rows.headOption.getOrElse(Map.empty)
             case (LayerRow, OpInsert) =>
               op = Ops.Insert; after = rows.headOption.getOrElse(Map.empty)
             case (LayerRow, OpDelete) =>

@@ -228,10 +228,13 @@ class RedoReaderFactory extends PartitionReaderFactory {
         try RedoLogReader.recordsFrom(src, p.file, 1, 0) finally src.close()
       }.filter { r =>
         // P1/P2 pruning at the scan: control records (COMMIT/ROLLBACK,
-        // empty table) always pass so transactions still terminate
+        // empty table) always pass so transactions still terminate, and
+        // session-audit records always pass so P7 pseudo-columns survive
+        // an op filter (they are transaction metadata, not data changes)
         (r.table.isEmpty || matches(r.table)) &&
           (opSet.isEmpty || opSet.contains(r.op) ||
-            r.op == graft.cdc.Ops.Commit || r.op == graft.cdc.Ops.Rollback)
+            r.op == graft.cdc.Ops.Commit || r.op == graft.cdc.Ops.Rollback ||
+            r.op == graft.cdc.Ops.Audit)
       }
       private var current: InternalRow = _
       override def next(): Boolean =

@@ -62,7 +62,13 @@ object Envelopes {
       transform_values(col("before"), (_, v) => struct(v.as("V"))).as("before_w"),
       transform_values(col("after"), (_, v) => struct(v.as("V"))).as("after_w"))
 
-  /** Pseudo-columns (P7): audit/meta fields appended to the value image. */
+  /** Pseudo-columns (P7): audit/meta fields appended to the value image.
+    * The session-audit fields (username, osUsername, hostname,
+    * auditSessionId, clientId — ref `OraCdcChangeAudit.java`,
+    * `KafkaPseudoColumnsProcessor.java:82-249`) come from the
+    * transaction's 5.19 audit vector, stamped onto each change by the
+    * assembler; NULL when the stream carried no audit record.
+    */
   def withPseudoColumns(changes: Dataset[EmittedChange]): DataFrame =
     changes.select(
       col("xid").as("ORA_XID"),
@@ -71,6 +77,12 @@ object Envelopes {
       col("rowId").as("ORA_ROW_ID"),
       opName(col("op")).as("ORA_OPERATION"),
       (col("tsMicros") / 1000L).cast("long").as("ORA_TS_MS"),
+      element_at(col("audit"), "username").as("ORA_USERNAME"),
+      element_at(col("audit"), "osUsername").as("ORA_OS_USERNAME"),
+      element_at(col("audit"), "hostname").as("ORA_HOSTNAME"),
+      element_at(col("audit"), "auditSessionId").cast("long")
+        .as("ORA_AUDIT_SESSION_ID"),
+      element_at(col("audit"), "clientId").as("ORA_CLIENT_ID"),
       col("table"),
       col("before"),
       col("after"))

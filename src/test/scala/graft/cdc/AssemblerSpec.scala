@@ -167,4 +167,30 @@ class AssemblerSpec extends AnyFunSuite {
     // the rolled-back AAA chunk must not contaminate the resolved value
     assert(out.head.after("doc") == "BBBCCC")
   }
+
+  test("session-audit record stamps every emitted change (P7)") {
+    val fields = Map("username" -> "SCOTT", "osUsername" -> "oracle",
+      "hostname" -> "db01", "auditSessionId" -> "4242")
+    val audit = RedoRecord(5, 0, "tx1", Ops.Audit, "", "",
+      rollback = false, 0, Map.empty, fields)
+    val out = assemble(Seq(audit,
+      chg(10, Ops.Insert, "r1", after = Map("c" -> "1")),
+      chg(11, Ops.Update, "r2", after = Map("c" -> "2")),
+      commit(12)))
+    assert(out.size == 2 && out.forall(_.audit === fields))
+    // audit records themselves never emit
+    assert(!out.exists(_.op == Ops.Audit))
+  }
+
+  test("audit capture is position-independent and absent-audit means empty") {
+    val audit = RedoRecord(11, 0, "tx1", Ops.Audit, "", "",
+      rollback = false, 0, Map.empty, Map("username" -> "U"))
+    // audit arrives AFTER the data change it must stamp
+    val out = assemble(Seq(
+      chg(10, Ops.Insert, "r1", after = Map("c" -> "1")), audit, commit(12)))
+    assert(out.head.audit("username") == "U")
+    val bare = assemble(Seq(
+      chg(10, Ops.Insert, "r1", after = Map("c" -> "1")), commit(12)))
+    assert(bare.head.audit.isEmpty)
+  }
 }

@@ -104,6 +104,20 @@ class RedoLogSpec extends AnyFunSuite {
     assert(back.head.after("ddl") == "ALTER TABLE T.TAB ADD (C NUMBER(9))")
   }
 
+  test("session-audit records (5.19 analogue) transit GRL and round-trip (P7)") {
+    val f = new File(tmpDir(), "audit.grl")
+    val w = new RedoLogWriter(f)
+    val fields = Map("username" -> "SCOTT", "osUsername" -> "oracle",
+      "hostname" -> "db01", "auditSessionId" -> "4242", "clientId" -> "app7")
+    w.append(rec(1, "tx1", Ops.Audit, after = fields))
+    w.append(rec(2, "tx1", Ops.Insert, after = Map("a" -> "1")))
+    w.append(rec(3, "tx1", Ops.Commit))
+    w.close()
+    val back = RedoLogReader.records(f).toSeq
+    assert(back.head.op == Ops.Audit)
+    assert(back.head.after === fields)
+  }
+
   test("u16 overflow fails loudly at write, not silently at read") {
     val f = new File(tmpDir(), "ssn.grl")
     val w = new RedoLogWriter(f)
