@@ -63,13 +63,19 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // Fact-fact shuffle join + broadcast dim join + top-k (TPC-H Q3 style).
+    // Fact-fact shuffle join + dim join + top-k (TPC-H Q3 style).
+    // customer is NOT broadcast-hinted: it grows linearly with scale
+    // factor (~15M rows, GBs at sf100), so a forced broadcast is the
+    // first OOM at 100×. AQE sizes it from runtime stats instead —
+    // broadcast while it fits the threshold, shuffle join beyond.
+    // Only genuinely bounded dims (nation: 25 rows, region: 5) earn a
+    // static hint (see q5). PlanAuditSpec asserts both directions.
     "q3_join_topk" -> ((s, dir) => {
       val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       val o = orders(s, dir).filter(col("o_orderdate") < ts("1998-01-01"))
       val l = lineitem(s, dir).filter(col("l_shipdate") > ts("1998-01-01"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
           .cast("double").as("revenue"))
@@ -77,7 +83,12 @@ object RelationalQueries {
         .limit(10)
     }),
 
-    // Star join through 4 broadcast dims + group-by (TPC-H Q5 style).
+    // Star join + group-by (TPC-H Q5 style). Broadcast hints ONLY on the
+    // bounded dims — nation (25 rows) and region (5 rows) are constant
+    // at every scale factor. customer and supplier grow linearly with
+    // SF, so they get no hint: AQE broadcasts them while their runtime
+    // size fits autoBroadcastJoinThreshold and falls back to a shuffle
+    // join at 100× where a forced broadcast would OOM the driver.
     "q5_star_join" -> ((s, dir) => {
       val r = region(s, dir).filter(col("r_name") === "ASIA")
       val n = nation(s, dir)
@@ -87,8 +98,8 @@ object RelationalQueries {
         col("o_orderdate") < ts("1997-01-01"))
       val l = lineitem(s, dir)
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))

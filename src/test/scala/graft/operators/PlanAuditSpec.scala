@@ -28,10 +28,27 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("dimension joins broadcast (q3, q5)") {
+    // at test scale every dim fits autoBroadcastJoinThreshold, so the
+    // physical plan must still pick broadcast joins WITHOUT forced hints
     assert(plan("q3_join_topk").contains("BroadcastHashJoin"))
     val p5 = plan("q5_star_join")
     assert("BroadcastHashJoin".r.findAllIn(p5).size >= 2,
       "star join should broadcast its dimension tables")
+  }
+
+  test("no broadcast hint on linearly-growing tables (q3, q5 at 100x)") {
+    // customer/supplier grow with scale factor: a forced broadcast(...)
+    // hint on them is the first OOM at sf100. Only the bounded dims
+    // (nation: 25 rows, region: 5 rows) may carry a static hint — the
+    // rest must be left to AQE's runtime sizing.
+    def hints(name: String): Int =
+      "ResolvedHint".r.findAllIn(
+        graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.analyzed.toString).size
+    assert(hints("q3_join_topk") == 0,
+      "q3 must not force-broadcast customer (linear in SF)")
+    assert(hints("q5_star_join") == 2,
+      "q5 may hint only nation + region (bounded dims)")
   }
 
   test("string predicate pushes down to the parquet scan") {
