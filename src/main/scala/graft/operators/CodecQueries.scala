@@ -39,6 +39,33 @@ object CodecQueries {
         .select(col("o_orderkey"),
           oranumber_to_long(oranumber_from_long(col("o_custkey"))).as("custkey_rt"))
     }),
+    // F1 variant: per-column NUMBER type-map overrides (ref
+    // `OraCdcNumberMapTest.java`, `a2.map.number.*`). Each part key
+    // synthesizes a NUMBER column (name, precision, scale); the REAL
+    // dictionary resolution — exact-beats-pattern override lookup, then
+    // the precision split — runs distributed on executors, and the
+    // oracle restates the decision table in SQL.
+    "f1_number_map" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.DictionaryReader
+      part(s, dir).select(col("p_partkey").cast("long")).as[Long]
+        .map { k =>
+          val colName = s"COL_${k % 10}"
+          val precision = (k % 38 + 1).toInt
+          val scale = (k % 3).toInt
+          val overrides = Seq(
+            "COL_3" -> org.apache.spark.sql.types.ShortType,
+            "%_7" -> org.apache.spark.sql.types.LongType,
+            "COL_1%" -> DecimalType(38, 2))
+          val t = DictionaryReader.NumberMap.resolve(overrides, colName)
+            .getOrElse(DictionaryReader.sparkType(DictionaryReader.ColumnDef(
+              colName, java.sql.Types.NUMERIC, precision, scale,
+              nullable = true)))
+          (k, colName, t.simpleString)
+        }
+        .toDF("p_partkey", "col_name", "mapped_type")
+        .orderBy(col("p_partkey"))
+    }),
     // F3: 11-byte Oracle TIMESTAMP ⇄ TimestampType roundtrip
     "f3_oradate_timestamp" -> ((s, dir) => {
       ord(s, dir)
@@ -203,6 +230,21 @@ object CodecQueries {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "f1_oranumber_long" ->
       "SELECT o_orderkey, o_custkey AS custkey_rt FROM orders ORDER BY o_orderkey",
+    "f1_number_map" ->
+      """SELECT p_partkey,
+        |  'COL_' || (p_partkey % 10) AS col_name,
+        |  CASE
+        |    WHEN p_partkey % 10 = 3 THEN 'smallint'
+        |    WHEN p_partkey % 10 = 7 THEN 'bigint'
+        |    WHEN p_partkey % 10 = 1 THEN 'decimal(38,2)'
+        |    WHEN p_partkey % 3 = 0 AND p_partkey % 38 + 1 < 3 THEN 'tinyint'
+        |    WHEN p_partkey % 3 = 0 AND p_partkey % 38 + 1 < 5 THEN 'smallint'
+        |    WHEN p_partkey % 3 = 0 AND p_partkey % 38 + 1 < 10 THEN 'int'
+        |    WHEN p_partkey % 3 = 0 AND p_partkey % 38 + 1 < 19 THEN 'bigint'
+        |    ELSE 'decimal(' || GREATEST(p_partkey % 38 + 1, p_partkey % 3)
+        |         || ',' || (p_partkey % 3) || ')'
+        |  END AS mapped_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "f3_oradate_timestamp" ->
       "SELECT o_orderkey, o_orderdate AS odate_rt FROM orders ORDER BY o_orderkey",
     "f7_rowid" ->

@@ -28,21 +28,109 @@ object DictionaryReader {
   case object WellDefined extends KeyMode
   case object AnyUnique extends KeyMode
 
+  /** Per-table key override (ref `OraCdcKeyOverrideTypes.java:28`,
+    * `doc/parameters.adoc:155-159` `a2.key.override`): when present for a
+    * table it REPLACES the key ladder entirely —
+    *  - NOKEY: no key fields (keyless emission);
+    *  - ROWID: the ROWID pseudo-key (`ORA_ROW_ID` string field);
+    *  - INDEX(name): the named index's columns, in index column order,
+    *    whether or not that index is unique.
+    */
+  sealed trait KeyOverride
+  object KeyOverride {
+    case object NoKey extends KeyOverride
+    case object RowId extends KeyOverride
+    final case class Index(name: String) extends KeyOverride
+
+    private val IndexRe = "(?i)^INDEX\\(([^)]+)\\)$".r
+
+    def parse(s: String): KeyOverride = s.trim match {
+      case t if t.equalsIgnoreCase("NOKEY") => NoKey
+      case t if t.equalsIgnoreCase("ROWID") => RowId
+      case IndexRe(name) => Index(name.trim)
+      case other => throw new IllegalArgumentException(
+        s"bad key override '$other' (want NOKEY | ROWID | INDEX(name))")
+    }
+
+    /** Parse the reference's comma-separated config form:
+      * `OWNER.TABLE=NOKEY,OWNER.T2=INDEX(T2_IX)` → map keyed
+      * "OWNER.TABLE" (upper-cased).
+      */
+    def parseMap(s: String): Map[String, KeyOverride] =
+      s.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { e =>
+        e.split("=", 2) match {
+          case Array(t, v) => t.trim.toUpperCase -> parse(v)
+          case _ => throw new IllegalArgumentException(
+            s"bad key override entry '$e' (want OWNER.TABLE=...)")
+        }
+      }.toMap
+  }
+
   case class ColumnDef(name: String, jdbcType: Int, precision: Int,
       scale: Int, nullable: Boolean)
   case class TableDef(schema: String, table: String, columns: Seq[ColumnDef],
-      keyCols: Seq[String], keyType: String) {
+      keyCols: Seq[String], keyType: String,
+      typeOverrides: Map[String, DataType] = Map.empty) {
+    private def colType(c: ColumnDef): DataType =
+      typeOverrides.getOrElse(c.name, sparkType(c))
     def valueSchema: StructType =
       StructType(columns.map(c =>
-        StructField(c.name, sparkType(c), c.nullable)))
+        StructField(c.name, colType(c), c.nullable)))
     def keySchema: StructType = keyType match {
       case "ROWID" => StructType(Seq(StructField("ORA_ROW_ID", StringType, false)))
       case "NONE" => StructType(Nil)
-      // fields in keyCols (KEY_SEQ) order, NOT table column order —
-      // consumers bind key values positionally against this schema
+      // fields in keyCols (KEY_SEQ / index ordinal) order, NOT table
+      // column order — consumers bind key values positionally
       case _ => StructType(keyCols.flatMap(k =>
         columns.find(_.name == k)
-          .map(c => StructField(c.name, sparkType(c), nullable = false))))
+          .map(c => StructField(c.name, colType(c), nullable = false))))
+    }
+  }
+
+  /** Per-column NUMBER target overrides (ref `OraCdcNumberMapTest.java`,
+    * `a2.map.number.SCHEMA.TABLE.COL_OR_PATTERN=TYPE`): force a NUMBER
+    * column to a chosen target regardless of its reported precision/
+    * scale. Patterns use the reference's `%` wildcard (prefix `SAL%`,
+    * suffix `%ID`); an exact column name always beats a pattern, and
+    * among patterns the first given wins. Only NUMBER/DECIMAL columns
+    * are remapped — the override never rewrites non-numeric types.
+    */
+  object NumberMap {
+    def parseType(s: String): DataType = {
+      val t = s.trim.toUpperCase
+      val DecRe = "(?:DECIMAL|NUMERIC)\\((\\d+),\\s*(\\d+)\\)".r
+      val DecScaleRe = "(?:DECIMAL|NUMERIC)\\((\\d+)\\)".r
+      t match {
+        case "BOOL" | "BOOLEAN" => BooleanType
+        case "BYTE" | "TINYINT" => ByteType
+        case "SHORT" | "SMALLINT" => ShortType
+        case "INT" | "INTEGER" => IntegerType
+        case "LONG" | "BIGINT" => LongType
+        case "FLOAT" => FloatType
+        case "DOUBLE" => DoubleType
+        case DecRe(p, sc) => DecimalType(p.toInt, sc.toInt)
+        case DecScaleRe(sc) => DecimalType(38, sc.toInt) // DECIMAL(S): ref's scale-only form
+        case other => throw new IllegalArgumentException(
+          s"bad NUMBER map target '$other'")
+      }
+    }
+
+    /** Resolve a column against (pattern, type) entries: exact name
+      * first, then first matching `%` pattern.
+      */
+    def resolve(entries: Seq[(String, DataType)], col: String): Option[DataType] = {
+      val u = col.toUpperCase
+      entries.collectFirst { case (p, t) if p.toUpperCase == u => t }
+        .orElse(entries.collectFirst {
+          case (p, t) if p.contains("%") && matches(p.toUpperCase, u) => t
+        })
+    }
+
+    private def matches(pattern: String, col: String): Boolean = {
+      // translate the % wildcard, quoting everything else literally
+      val rx = pattern.split("%", -1).map(java.util.regex.Pattern.quote)
+        .mkString(".*")
+      col.matches(rx)
     }
   }
 
@@ -64,7 +152,13 @@ object DictionaryReader {
       else if (c.scale == 0 && c.precision < 5) ShortType
       else if (c.scale == 0 && c.precision < 10) IntegerType
       else if (c.scale == 0 && c.precision < 19) LongType
-      else DecimalType(c.precision, math.max(0, c.scale))
+      else {
+        // Oracle allows NUMBER(p,s) with s > p (values < 1 carrying s
+        // fraction digits); Spark requires precision >= scale, so widen
+        // the precision to hold the scale
+        val sc = math.max(0, c.scale)
+        DecimalType(math.max(c.precision, sc), sc)
+      }
     case Types.CHAR | Types.VARCHAR | Types.LONGVARCHAR | Types.NCHAR |
          Types.NVARCHAR | Types.LONGNVARCHAR | Types.CLOB | Types.NCLOB |
          Types.SQLXML => StringType
@@ -76,12 +170,18 @@ object DictionaryReader {
     case other => throw new IllegalArgumentException(s"unsupported jdbc type $other")
   }
 
-  /** `rowIdPseudoKey = false` is the NOKEY override
-    * (`a2.key.override=NOKEY`): tables without a usable key become
+  /** `rowIdPseudoKey = false` disables the ROWID fallback globally
+    * (`a2.use.rowid.as.key=false`): tables without a usable key become
     * keyless instead of falling back to the ROWID pseudo-key.
+    *
+    * `keyOverride` (per-table `a2.key.override=...`) REPLACES the ladder
+    * outright when present; `numberOverrides` are this table's
+    * `a2.map.number.*` entries in config order.
     */
   def readTable(conn: Connection, schema: String, table: String,
-      keyMode: KeyMode = WellDefined, rowIdPseudoKey: Boolean = true): TableDef = {
+      keyMode: KeyMode = WellDefined, rowIdPseudoKey: Boolean = true,
+      keyOverride: Option[KeyOverride] = None,
+      numberOverrides: Seq[(String, DataType)] = Nil): TableDef = {
     val md = conn.getMetaData
     // getColumns treats schema/table as LIKE patterns: an unescaped '_'
     // (ubiquitous in Oracle names) matches ANY character and can merge a
@@ -115,46 +215,82 @@ object DictionaryReader {
       buf.sortBy(_._1).map(_._2).toSeq
     }
 
-    lazy val uniqueIndexes: Seq[Seq[String]] = {
-      val rs = md.getIndexInfo(null, schema, table, true, false)
+    // unique=false so INDEX(name) overrides can target ANY named index,
+    // not just unique ones; the ladder below still restricts itself to
+    // the unique subset
+    lazy val allIndexes: Map[String, (Boolean, Seq[String])] = {
+      val rs = md.getIndexInfo(null, schema, table, false, false)
       val byIndex = collection.mutable.LinkedHashMap[String,
-        collection.mutable.ArrayBuffer[(Short, String)]]()
+        (Boolean, collection.mutable.ArrayBuffer[(Short, String)])]()
       while (rs.next()) {
         val idx = rs.getString("INDEX_NAME")
         val colName = rs.getString("COLUMN_NAME")
+        val unique = !rs.getBoolean("NON_UNIQUE")
         if (idx != null && colName != null)
-          byIndex.getOrElseUpdate(idx, collection.mutable.ArrayBuffer())
-            .append(rs.getShort("ORDINAL_POSITION") -> colName)
+          byIndex.getOrElseUpdate(idx,
+            (unique, collection.mutable.ArrayBuffer()))
+            ._2.append(rs.getShort("ORDINAL_POSITION") -> colName)
       }
       rs.close()
-      byIndex.values.map(_.sortBy(_._1).map(_._2).toSeq).toSeq
+      byIndex.view.mapValues { case (u, cs) =>
+        (u, cs.sortBy(_._1).map(_._2).toSeq)
+      }.toMap
+    }
+    lazy val uniqueIndexes: Seq[Seq[String]] =
+      allIndexes.values.collect { case (true, cs) => cs }.toSeq
+
+    val (keyCols, keyType) = keyOverride match {
+      case Some(KeyOverride.NoKey) => (Nil, "NONE")
+      case Some(KeyOverride.RowId) => (Nil, "ROWID")
+      case Some(KeyOverride.Index(name)) =>
+        val ix = allIndexes.collectFirst {
+          case (n, (_, cs)) if n.equalsIgnoreCase(name) => cs
+        }.getOrElse(throw new IllegalArgumentException(
+          s"key override INDEX($name): no such index on $schema.$table"))
+        (ix, "INDEX")
+      case None =>
+        if (pk.nonEmpty) (pk, "PK")
+        else {
+          val notNullUnique = uniqueIndexes.find(_.forall(notNull.contains))
+          val anyUnique = uniqueIndexes.headOption
+          (keyMode match {
+            case WellDefined => notNullUnique
+            case AnyUnique => notNullUnique.orElse(anyUnique)
+          }) match {
+            case Some(ix) => (ix, "UNIQUE")
+            case None if rowIdPseudoKey => (Nil, "ROWID") // pseudo-key fallback
+            case None => (Nil, "NONE") // keyless (NOKEY)
+          }
+        }
     }
 
-    val (keyCols, keyType) =
-      if (pk.nonEmpty) (pk, "PK")
-      else {
-        val notNullUnique = uniqueIndexes.find(_.forall(notNull.contains))
-        val anyUnique = uniqueIndexes.headOption
-        (keyMode match {
-          case WellDefined => notNullUnique
-          case AnyUnique => notNullUnique.orElse(anyUnique)
-        }) match {
-          case Some(ix) => (ix, "UNIQUE")
-          case None if rowIdPseudoKey => (Nil, "ROWID") // pseudo-key fallback
-          case None => (Nil, "NONE") // keyless (NOKEY override)
-        }
-      }
+    // the NUMBER map applies ONLY to NUMBER/DECIMAL columns — a non-
+    // numeric column matching a pattern keeps its dictionary type
+    val overrides = cols.iterator.filter(c =>
+        c.jdbcType == Types.DECIMAL || c.jdbcType == Types.NUMERIC)
+      .flatMap(c => NumberMap.resolve(numberOverrides, c.name).map(c.name -> _))
+      .toMap
 
-    TableDef(schema, table, cols, keyCols, keyType)
+    TableDef(schema, table, cols, keyCols, keyType, overrides)
   }
 
   /** First-touch cache keyed like the reference's (conId<<32)|objId —
     * here by qualified name; the driver holds one instance.
+    *
+    * `keyOverrides`: per-table map keyed "SCHEMA.TABLE" (upper-case),
+    * the parsed `a2.key.override` list. `numberOverrides`: per-table
+    * `a2.map.number.*` entries, pattern → target, in config order.
     */
-  final class Cache(conn: Connection, keyMode: KeyMode = WellDefined) {
+  final class Cache(conn: Connection, keyMode: KeyMode = WellDefined,
+      keyOverrides: Map[String, KeyOverride] = Map.empty,
+      numberOverrides: Map[String, Seq[(String, DataType)]] = Map.empty) {
     private val tables = collection.mutable.Map[String, TableDef]()
-    def get(schema: String, table: String): TableDef =
-      tables.getOrElseUpdate(s"$schema.$table", readTable(conn, schema, table, keyMode))
+    def get(schema: String, table: String): TableDef = {
+      val qn = s"$schema.$table"
+      tables.getOrElseUpdate(qn, readTable(conn, schema, table, keyMode,
+        keyOverride = keyOverrides.get(qn.toUpperCase),
+        numberOverrides = numberOverrides.getOrElse(qn.toUpperCase, Nil)))
+    }
     def loaded: Int = tables.size
   }
 }

@@ -66,6 +66,92 @@ class DictionaryReaderSpec extends AnyFunSuite {
       === DoubleType)
   }
 
+  test("per-table key override: NOKEY, ROWID, INDEX(name) (a2.key.override)") {
+    withDb { conn =>
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE APP.KO (
+        ID BIGINT NOT NULL PRIMARY KEY, GRP INT NOT NULL, NM VARCHAR(10))""")
+      // non-unique named index — only reachable via the INDEX() override
+      st.execute("CREATE INDEX KO_GRP_IX ON APP.KO(GRP, NM)")
+
+      // the override REPLACES the ladder: the PK is ignored
+      val nokey = readTable(conn, "APP", "KO",
+        keyOverride = Some(KeyOverride.NoKey))
+      assert(nokey.keyType === "NONE" && nokey.keySchema.fields.isEmpty)
+
+      val rowid = readTable(conn, "APP", "KO",
+        keyOverride = Some(KeyOverride.RowId))
+      assert(rowid.keyType === "ROWID" &&
+        rowid.keySchema.fieldNames.toSeq === Seq("ORA_ROW_ID"))
+
+      val named = readTable(conn, "APP", "KO",
+        keyOverride = Some(KeyOverride.Index("KO_GRP_IX")))
+      assert(named.keyType === "INDEX" && named.keyCols === Seq("GRP", "NM"))
+      assert(named.keySchema.fieldNames.toSeq === Seq("GRP", "NM"))
+
+      intercept[IllegalArgumentException] {
+        readTable(conn, "APP", "KO",
+          keyOverride = Some(KeyOverride.Index("NO_SUCH_IX")))
+      }
+
+      // ladder unchanged without an override
+      assert(readTable(conn, "APP", "KO").keyType === "PK")
+      st.execute("DROP TABLE APP.KO")
+    }
+  }
+
+  test("key override config list parses (reference form)") {
+    val m = KeyOverride.parseMap(
+      "SCOTT.DEPT=NOKEY, SCOTT.EMP=ROWID,AP.INVOICES=INDEX(INV_IX)")
+    assert(m("SCOTT.DEPT") === KeyOverride.NoKey)
+    assert(m("SCOTT.EMP") === KeyOverride.RowId)
+    assert(m("AP.INVOICES") === KeyOverride.Index("INV_IX"))
+    intercept[IllegalArgumentException] { KeyOverride.parse("PRIMARY") }
+  }
+
+  test("per-column NUMBER map overrides the precision split (a2.map.number)") {
+    withDb { conn =>
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE APP.NM (
+        DEPTNO NUMERIC(2) NOT NULL PRIMARY KEY,
+        EMPNO NUMERIC(6),
+        SAL NUMERIC(8,2),
+        NOTE VARCHAR(20))""")
+      val overrides = Seq(
+        "EMPNO" -> LongType,          // exact: NUMERIC(6) would be Integer
+        "%NO" -> ShortType,           // suffix pattern (exact beats it)
+        "SAL%" -> DecimalType(38, 2)) // prefix pattern
+      val td = readTable(conn, "APP", "NM", numberOverrides = overrides)
+      val byName = td.valueSchema.fields.map(f => f.name -> f.dataType).toMap
+      assert(byName("EMPNO") === LongType)   // exact wins over %NO
+      assert(byName("DEPTNO") === ShortType) // pattern (default: ByteType)
+      assert(byName("SAL") === DecimalType(38, 2))
+      assert(byName("NOTE") === StringType)  // non-NUMBER never remapped
+      // the override follows the column into the key schema
+      assert(td.keySchema.fields.head.dataType === ShortType)
+
+      // cache threads per-table overrides through
+      val cache = new Cache(conn,
+        numberOverrides = Map("APP.NM" -> overrides))
+      assert(cache.get("APP", "NM").valueSchema === td.valueSchema)
+      st.execute("DROP TABLE APP.NM")
+    }
+  }
+
+  test("NUMBER map target types parse (reference catalogue)") {
+    import NumberMap.parseType
+    assert(parseType("BOOLEAN") === BooleanType)
+    assert(parseType("byte") === ByteType)
+    assert(parseType("SMALLINT") === ShortType)
+    assert(parseType("INT") === IntegerType)
+    assert(parseType("BIGINT") === LongType)
+    assert(parseType("FLOAT") === FloatType)
+    assert(parseType("DOUBLE") === DoubleType)
+    assert(parseType("DECIMAL(38,2)") === DecimalType(38, 2))
+    assert(parseType("NUMERIC(10, 4)") === DecimalType(10, 4))
+    intercept[IllegalArgumentException] { parseType("VARCHAR") }
+  }
+
   test("keyless table falls back to ROWID pseudo-key; cache loads once") {
     withDb { conn =>
       val st = conn.createStatement()
