@@ -24,6 +24,44 @@ import graft.functions.VectorFunctions._
   */
 object DedupQueries {
 
+  /** PRODUCTION MinHash candidate API — star edges, not pairwise.
+    *
+    * Documents sharing an LSH bucket form a clique, and a clique's
+    * connectivity is exactly preserved by a STAR: every member joined to
+    * the bucket's minimum member. The output is therefore membership-
+    * sized — ≤ bands·|docs| rows — and feeds [[connectedComponents]]
+    * directly. By contrast the PAIRWISE candidate set (the shape
+    * `dedup_minhash_lsh` emits, matching the textbook definition its
+    * oracle states) is Θ(Σ|bucket|²) in the OUTPUT itself: one
+    * million-document duplicate group at 100 TB makes the result
+    * quadratic (~10^12 rows) before any downstream step runs. Route
+    * production candidate generation through this entry and treat the
+    * pairwise form as a conformance/diagnostic query.
+    *
+    * Input: (idCol, hashesCol: array<long> shingle hashes). Bands use 2
+    * MinHash rows each (signature length = 2·bands); the packed
+    * (band, h1, h2) bucket key is collision-free because minhashes are
+    * < 2^30 (mod 1e9+7) and band < 16.
+    */
+  def minHashStarCandidates(docs: DataFrame, idCol: String = "doc_id",
+      hashesCol: String = "hs", bands: Int = 4): DataFrame = {
+    require(bands >= 1 && bands < 16, s"bands must be in [1,16): $bands")
+    val sigs = docs.filter(size(col(hashesCol)) > 0).select(
+      (col(idCol) +: (0 until 2 * bands).map(j =>
+        minHash(col(hashesCol), j).as(s"s$j"))): _*)
+    val memb = sigs.select(col(idCol), explode(array((0 until bands).map(b =>
+        shiftleft(lit(b.toLong), 60) bitwiseOR
+          (shiftleft(col(s"s${2 * b}"), 30) bitwiseOR col(s"s${2 * b + 1}"))): _*))
+      .as("bucket"))
+      // memberships feed rep-selection AND the star join; persist runs
+      // the scan → shingle → minhash pipeline once (lazy, recoverable)
+      .persist()
+    val reps = memb.groupBy(col("bucket")).agg(min(col(idCol)).as("rep"))
+    memb.join(reps, "bucket")
+      .filter(col(idCol) =!= col("rep"))
+      .select(col("rep").as("ia"), col(idCol).as("ib")).distinct()
+  }
+
   /** doc_id + word-bigram shingle hashes (longs; no shingle strings are
     * materialized — computed by one native codegen pass per document).
     */
@@ -40,7 +78,11 @@ object DedupQueries {
         .orderBy(col("digest"))
     }),
 
-    // MinHash (8 hashes) + LSH (4 bands × 2) candidate pairs.
+    // MinHash (8 hashes) + LSH (4 bands × 2) candidate pairs — the
+    // textbook PAIRWISE shape, kept because the oracle states exactly
+    // this definition. Θ(Σ|bucket|²) output: conformance/diagnostic
+    // only — production candidate generation goes through
+    // [[minHashStarCandidates]] (membership-sized star edges).
     "dedup_minhash_lsh" -> ((s, dir) => {
       // duplicates in hs never change a MIN, so no distinct pass needed;
       // shingle-less docs are dropped (the oracle's GROUP BY omits them)
@@ -93,24 +135,7 @@ object DedupQueries {
     // replace it). Components, and therefore min-label clusters, are
     // identical to the pairwise formulation the DuckDB oracle states.
     "dedup_clusters" -> ((s, dir) => {
-      val hashes = docShingleHashes(s, dir).filter(size(col("hs")) > 0)
-      val sigs = hashes.select(
-        (col("doc_id") +: (0 until 8).map(j =>
-          minHash(col("hs"), j).as(s"s$j"))): _*)
-      // exact packed bucket key: minhashes are < 2^30 (mod 1e9+7) and
-      // band < 4, so (band,h1,h2) packs collision-FREE into one long —
-      // a hash() key here could merge unrelated buckets
-      val memb = sigs.select(col("doc_id"), explode(array((0 until 4).map(b =>
-          shiftleft(lit(b.toLong), 60) bitwiseOR
-            (shiftleft(col(s"s${2 * b}"), 30) bitwiseOR col(s"s${2 * b + 1}"))): _*))
-        .as("bucket"))
-        // memberships feed rep-selection AND the star join; persist runs
-        // the scan → shingle → minhash pipeline once (lazy, recoverable)
-        .persist()
-      val reps = memb.groupBy(col("bucket")).agg(min(col("doc_id")).as("rep"))
-      val pairs = memb.join(reps, "bucket")
-        .filter(col("doc_id") =!= col("rep"))
-        .select(col("rep").as("ia"), col("doc_id").as("ib")).distinct()
+      val pairs = minHashStarCandidates(docShingleHashes(s, dir))
       val vertices = documents(s, dir).select(col("doc_id"))
       connectedComponents(vertices, pairs)
         .orderBy(col("doc_id"))

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+
+/** The production MinHash candidate contract: star edges are
+  * membership-sized (≤ bands·|docs|), never clique-quadratic, and
+  * produce the SAME connected components as the pairwise candidate set.
+  */
+class MinHashStarSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", false)
+    .appName("minhash-star-spec").getOrCreate()
+
+  private def shingled = {
+    import graft.Tables.documents
+    documents(spark, dir).select(col("doc_id"),
+      shingleHashes(tokens(col("text")), 2).as("hs"))
+  }
+
+  test("star-edge count is membership-bounded: ≤ bands·|docs|") {
+    val docs = shingled
+    val nDocs = docs.count()
+    val bands = 4
+    val stars = DedupQueries.minHashStarCandidates(docs, bands = bands).count()
+    assert(stars <= bands * nDocs,
+      s"star edges ($stars) exceed the membership bound (${bands * nDocs})")
+  }
+
+  test("star edges yield the same components as pairwise candidates") {
+    val docs = shingled.persist()
+    val withHs = docs.filter(size(col("hs")) > 0)
+
+    // pairwise formulation (what dedup_minhash_lsh emits)
+    val sigs = withHs.select(
+      (col("doc_id") +: (0 until 8).map(j =>
+        minHash(col("hs"), j).as(s"s$j"))): _*)
+    val bandsDf = sigs.select(col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), col(s"s${2 * b}").as("h1"),
+          col(s"s${2 * b + 1}").as("h2"))): _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"),
+        col("bh.h1").as("h1"), col("bh.h2").as("h2"))
+    val a = bandsDf.toDF("ia", "band", "h1", "h2")
+    val b = bandsDf.toDF("ib", "band", "h1", "h2")
+    val pairwise = a.join(b, Seq("band", "h1", "h2"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+
+    val stars = DedupQueries.minHashStarCandidates(docs)
+    val vertices = docs.select(col("doc_id"))
+    val fromStars = DedupQueries.connectedComponents(vertices, stars)
+    val fromPairs = DedupQueries.connectedComponents(vertices, pairwise)
+    assert(fromStars.exceptAll(fromPairs).isEmpty &&
+      fromPairs.exceptAll(fromStars).isEmpty,
+      "star and pairwise candidate sets must produce identical components")
+    docs.unpersist()
+  }
+}
