@@ -103,7 +103,12 @@ object ChangeStreams {
   * State layout:
   *  - `log` (ListState[RedoRecord]): statements of the currently-open
   *    transaction, in arrival order. Append-only between terminals —
-  *    never rewritten, never sorted per batch.
+  *    never rewritten, never sorted per batch. LOB chunk records (26.x)
+  *    ride this same list, so an out-of-row LOB written across many
+  *    micro-batches resolves at the commit batch (T8; ref
+  *    `OraCdcTransaction.java:1991-2263` buffers LOBs with the
+  *    transaction for the same reason) — LobAssemblySpec proves a LOB
+  *    spanning 3 micro-batches.
   *  - `deadline` (ValueState[Long]): the registered idle-timer instant,
   *    so the previous timer can be deleted when activity arrives.
   *

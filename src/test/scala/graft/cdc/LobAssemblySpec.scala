@@ -60,4 +60,40 @@ class LobAssemblySpec extends AnyFunSuite {
       ins(2, Map("a" -> "plain", "b" -> null)), commit(3)))
     assert(out.head.after === Map("a" -> "plain", "b" -> null))
   }
+
+  test("streaming: LOB chunks spanning 3 micro-batches survive boundaries (T8)") {
+    // chunk records ride the SAME transformWithState list state as the
+    // statement log (ref `OraCdcTransaction.java:1991-2263` keeps LOBs in
+    // the transaction buffer for the same reason), so an out-of-row LOB
+    // written across micro-batches resolves at the commit batch.
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RedoRecord]
+    val q = graft.streaming.ChangeStreams.assembleStream(input.toDS())
+      .writeStream.format("memory").queryName("lob_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(chunk(1, "77", 0, "Hello, "))
+      q.processAllAvailable()
+      assert(spark.table("lob_stream").count() == 0)
+      input.addData(chunk(2, "77", 1, "LOB "), chunk(3, "77", 2, "world"))
+      q.processAllAvailable()
+      assert(spark.table("lob_stream").count() == 0)
+      input.addData(
+        ins(4, Map("id" -> "1", "doc" -> s"${LobRef}77")), commit(5))
+      q.processAllAvailable()
+      val out = spark.table("lob_stream").as[EmittedChange].collect()
+      assert(out.length == 1)
+      assert(out.head.after === Map("id" -> "1", "doc" -> "Hello, LOB world"))
+    } finally q.stop()
+  }
 }
