@@ -297,16 +297,29 @@ object RelationalQueries {
     }),
 
     // Exact distinct + conditional aggregation (pivot-style CASE sums).
+    // TWO count-distincts on different keys + conditional sums. Written
+    // as three column-pruned aggregations joined on the tiny group key
+    // instead of one multi-distinct aggregate: Spark plans the latter as
+    // an Expand (3x row replication through two agg phases), while each
+    // split branch is a plain two-phase hash aggregate over only its own
+    // 2-3 columns — at 100 TB the Expand's 3x shuffle dwarfs the cost of
+    // two extra column-pruned scans. The joins are 3-row broadcasts.
     "q_distinct_case" -> ((s, dir) => {
-      lineitem(s, dir)
+      val li = lineitem(s, dir)
+      val sums = li
         .groupBy(col("l_returnflag"))
         .agg(
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
           sum(when(col("l_linestatus") === "F", dec(col("l_quantity")))
             .otherwise(lit(0).cast(D))).cast("double").as("qty_f"),
           sum(when(col("l_linestatus") === "O", dec(col("l_quantity")))
             .otherwise(lit(0).cast(D))).cast("double").as("qty_o"))
+      val nOrders = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val nPartSupp = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"))
+      sums.join(nOrders, "l_returnflag").join(nPartSupp, "l_returnflag")
+        .select(col("l_returnflag"), col("n_orders"), col("n_part_supp"),
+          col("qty_f"), col("qty_o"))
         .orderBy(col("l_returnflag"))
     }),
 
