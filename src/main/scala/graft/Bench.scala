@@ -128,20 +128,21 @@ object Bench {
     // line would still overflow the budget, drop the FASTEST queries
     // (they sit at the per-query overhead floor and carry no signal)
     // and record how many were omitted
-    // budget: 2000-char driver tail - "[info] " prefix - newline - ~40
-    // chars of margin for a stray shutdown line ([success] is suppressed
-    // via build.sbt, so the tail is otherwise all ours)
+    // budget: 2000-char driver tail - "[info] " prefix - newline
+    // ([success] is suppressed via build.sbt, and the metric line prints
+    // AFTER spark.stop() below, so nothing can displace it)
     var entries = results.filter(_._2 >= 0).sortBy(_._1)
     var omitted = 0
-    while (render(entries, omitted).length > 1950 && entries.nonEmpty) {
+    while (render(entries, omitted).length > 1985 && entries.nonEmpty) {
       val drop = entries.minBy(_._2)._1
       entries = entries.filterNot(_._1 == drop)
       omitted += 1
     }
-    // nothing may print AFTER the metric line — a stray shutdown WARN
-    // would push it out of the driver's bounded output tail
+    // nothing may print AFTER the metric line: silence logging, stop the
+    // session (its shutdown chatter lands BEFORE the line this way), and
+    // make the metric line the process's final output
     spark.sparkContext.setLogLevel("OFF")
-    println(render(entries, omitted))
     spark.stop()
+    println(render(entries, omitted))
   }
 }
