@@ -46,6 +46,7 @@ object Ops {
     case MultiDelete => "MULTI_DELETE"
     case LobChunk => "LOB_CHUNK"
     case Rollback => "ROLLBACK"
+    case Audit => "AUDIT"
     case _ => s"OP_$op"
   }
 }

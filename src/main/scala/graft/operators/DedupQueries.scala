@@ -42,6 +42,13 @@ object DedupQueries {
     * MinHash rows each (signature length = 2·bands); the packed
     * (band, h1, h2) bucket key is collision-free because minhashes are
     * < 2^30 (mod 1e9+7) and band < 16.
+    *
+    * The returned edge list is ALREADY MATERIALIZED and persisted
+    * (edge-list-sized — ≤ bands·|docs| rows): consumers iterate over it
+    * (connected components reads it every round), and eager
+    * materialization lets this method release its internal membership
+    * cache before returning instead of leaking it for the session
+    * lifetime. Call `unpersist()` on the result when done with it.
     */
   def minHashStarCandidates(docs: DataFrame, idCol: String = "doc_id",
       hashesCol: String = "hs", bands: Int = 4): DataFrame = {
@@ -57,9 +64,13 @@ object DedupQueries {
       // the scan → shingle → minhash pipeline once (lazy, recoverable)
       .persist()
     val reps = memb.groupBy(col("bucket")).agg(min(col(idCol)).as("rep"))
-    memb.join(reps, "bucket")
+    val stars = memb.join(reps, "bucket")
       .filter(col(idCol) =!= col("rep"))
       .select(col("rep").as("ia"), col(idCol).as("ib")).distinct()
+      .persist()
+    stars.count() // force: both memb reads happen now
+    memb.unpersist(blocking = false)
+    stars
   }
 
   /** doc_id + word-bigram shingle hashes (longs; no shingle strings are
@@ -137,8 +148,12 @@ object DedupQueries {
     "dedup_clusters" -> ((s, dir) => {
       val pairs = minHashStarCandidates(docShingleHashes(s, dir))
       val vertices = documents(s, dir).select(col("doc_id"))
-      connectedComponents(vertices, pairs)
-        .orderBy(col("doc_id"))
+      // connectedComponents truncates lineage internally (checkpointed
+      // rounds), so the candidate cache can be released as soon as it
+      // returns — its result never recomputes through `pairs`
+      val out = connectedComponents(vertices, pairs).orderBy(col("doc_id"))
+      pairs.unpersist(blocking = false)
+      out
     }),
 
     // Per-document 16-bit SimHash (near-dup docs collide). Token-less

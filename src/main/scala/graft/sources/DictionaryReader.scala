@@ -100,6 +100,16 @@ object DictionaryReader {
       val t = s.trim.toUpperCase
       val DecRe = "(?:DECIMAL|NUMERIC)\\((\\d+),\\s*(\\d+)\\)".r
       val DecScaleRe = "(?:DECIMAL|NUMERIC)\\((\\d+)\\)".r
+      def dec(p: Int, sc: Int): DataType = {
+        // validate HERE with the config text in hand — an invalid target
+        // otherwise surfaces as an opaque Spark error deep inside schema
+        // construction, far from the a2.map.number entry that caused it
+        if (p < 1 || p > 38 || sc < 0 || sc > p)
+          throw new IllegalArgumentException(
+            s"bad NUMBER map target '$s': DECIMAL precision must be 1..38 " +
+              "and scale must be 0..precision")
+        DecimalType(p, sc)
+      }
       t match {
         case "BOOL" | "BOOLEAN" => BooleanType
         case "BYTE" | "TINYINT" => ByteType
@@ -108,8 +118,13 @@ object DictionaryReader {
         case "LONG" | "BIGINT" => LongType
         case "FLOAT" => FloatType
         case "DOUBLE" => DoubleType
-        case DecRe(p, sc) => DecimalType(p.toInt, sc.toInt)
-        case DecScaleRe(sc) => DecimalType(38, sc.toInt) // DECIMAL(S): ref's scale-only form
+        case DecRe(p, sc) => dec(p.toInt, sc.toInt)
+        // single-argument form: the reference's catalogue reads
+        // `DECIMAL([P],S)` — precision OPTIONAL, scale mandatory
+        // (`OraCdcNumberMapTest.java` comment) — so DECIMAL(S) is a
+        // SCALE with precision defaulting to 38, NOT standard SQL's
+        // DECIMAL(P). Deliberate fidelity to the reference config.
+        case DecScaleRe(sc) => dec(38, sc.toInt)
         case other => throw new IllegalArgumentException(
           s"bad NUMBER map target '$other'")
       }
@@ -217,8 +232,10 @@ object DictionaryReader {
 
     // unique=false so INDEX(name) overrides can target ANY named index,
     // not just unique ones; the ladder below still restricts itself to
-    // the unique subset
-    lazy val allIndexes: Map[String, (Boolean, Seq[String])] = {
+    // the unique subset. A SEQ, not a Map: JDBC result-set order
+    // (NON_UNIQUE, TYPE, INDEX_NAME) must survive so the ladder's
+    // find/headOption stay deterministic for the same table
+    lazy val allIndexes: Seq[(String, (Boolean, Seq[String]))] = {
       val rs = md.getIndexInfo(null, schema, table, false, false)
       val byIndex = collection.mutable.LinkedHashMap[String,
         (Boolean, collection.mutable.ArrayBuffer[(Short, String)])]()
@@ -232,12 +249,12 @@ object DictionaryReader {
             ._2.append(rs.getShort("ORDINAL_POSITION") -> colName)
       }
       rs.close()
-      byIndex.view.mapValues { case (u, cs) =>
-        (u, cs.sortBy(_._1).map(_._2).toSeq)
-      }.toMap
+      byIndex.iterator.map { case (n, (u, cs)) =>
+        n -> (u, cs.sortBy(_._1).map(_._2).toSeq)
+      }.toSeq
     }
     lazy val uniqueIndexes: Seq[Seq[String]] =
-      allIndexes.values.collect { case (true, cs) => cs }.toSeq
+      allIndexes.collect { case (_, (true, cs)) => cs }
 
     val (keyCols, keyType) = keyOverride match {
       case Some(KeyOverride.NoKey) => (Nil, "NONE")

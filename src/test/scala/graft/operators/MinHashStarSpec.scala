@@ -31,7 +31,9 @@ class MinHashStarSpec extends AnyFunSuite {
     val docs = shingled
     val nDocs = docs.count()
     val bands = 4
-    val stars = DedupQueries.minHashStarCandidates(docs, bands = bands).count()
+    val starsDf = DedupQueries.minHashStarCandidates(docs, bands = bands)
+    val stars = starsDf.count()
+    starsDf.unpersist()
     assert(stars <= bands * nDocs,
       s"star edges ($stars) exceed the membership bound (${bands * nDocs})")
   }
@@ -62,6 +64,7 @@ class MinHashStarSpec extends AnyFunSuite {
     assert(fromStars.exceptAll(fromPairs).isEmpty &&
       fromPairs.exceptAll(fromStars).isEmpty,
       "star and pairwise candidate sets must produce identical components")
+    stars.unpersist()
     docs.unpersist()
   }
 }

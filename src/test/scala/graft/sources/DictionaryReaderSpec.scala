@@ -149,7 +149,15 @@ class DictionaryReaderSpec extends AnyFunSuite {
     assert(parseType("DOUBLE") === DoubleType)
     assert(parseType("DECIMAL(38,2)") === DecimalType(38, 2))
     assert(parseType("NUMERIC(10, 4)") === DecimalType(10, 4))
+    // single-arg form is the reference's `DECIMAL([P],S)`: a SCALE with
+    // precision defaulting to 38 — NOT standard SQL's DECIMAL(P)
+    assert(parseType("DECIMAL(2)") === DecimalType(38, 2))
+    assert(parseType("NUMERIC(0)") === DecimalType(38, 0))
     intercept[IllegalArgumentException] { parseType("VARCHAR") }
+    // invalid targets fail HERE with the config text, not deep in Spark
+    intercept[IllegalArgumentException] { parseType("DECIMAL(39,2)") }
+    intercept[IllegalArgumentException] { parseType("DECIMAL(5,6)") }
+    intercept[IllegalArgumentException] { parseType("DECIMAL(0,0)") }
   }
 
   test("keyless table falls back to ROWID pseudo-key; cache loads once") {
