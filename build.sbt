@@ -16,6 +16,7 @@ run / fork := true
 // line eats ~73 of those. Suppressing it leaves the whole tail for the
 // 87-query breakdown (exit code still reports build status).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
