@@ -119,9 +119,14 @@ object Transforms {
 
   def singleTopicName(topic: String): Column = lit(topic)
 
-  def flexibleTopicName(table: Column, mapping: Map[String, String],
+  /** topic→table routing with caller-controlled precedence: `mapping` is
+    * a SEQ, not a Map — when two topics claim the same table the FIRST
+    * entry wins, deterministically (a Map's iteration order would route
+    * rows to an arbitrary topic on hash-order ties).
+    */
+  def flexibleTopicName(table: Column, mapping: Seq[(String, String)],
       fallbackPrefix: String = ""): Column =
-    mapping.foldLeft(defaultTopicName(table, fallbackPrefix)) {
-      case (acc, (topic, tbl)) => when(table === tbl, lit(topic)).otherwise(acc)
+    mapping.foldRight(defaultTopicName(table, fallbackPrefix)) {
+      case ((topic, tbl), acc) => when(table === tbl, lit(topic)).otherwise(acc)
     }
 }

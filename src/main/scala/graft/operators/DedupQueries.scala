@@ -176,18 +176,9 @@ object DedupQueries {
     // category key would grow blocks linearly with data and the pair
     // space quadratically).
     "dedup_embedding_cosine" -> ((s, dir) => {
-      val e = embeddings(s, dir).select(col("vec_id"),
-        quantize(col("embedding")).as("q"))
-        .withColumn("n2", normQ2(col("q")))
-        .withColumn("bucket", lshBucket(col("q"), planes = 6))
-      val a = e.select(col("vec_id").as("ia"), col("bucket"),
-        col("q").as("qa"), col("n2").as("na"))
-      val b = e.select(col("vec_id").as("ib"), col("bucket"),
-        col("q").as("qb"), col("n2").as("nb"))
-      a.join(b, Seq("bucket")).filter(col("ia") < col("ib"))
-        .withColumn("dot", dotQ(col("qa"), col("qb")))
-        .withColumn("cos", cosineFromQ(col("dot"), col("na"), col("nb")))
-        .filter(col("cos") > 0.35)
+      SimilarityQueries.lshBucketedPairs(embeddings(s, dir), "vec_id",
+          planes = 6)
+        .filter(col("ia") < col("ib") && col("cos") > 0.35)
         .select(col("bucket"), col("ia"), col("ib"), col("dot"), col("cos"))
         .orderBy(col("ia"), col("ib"))
     })
@@ -278,7 +269,6 @@ object DedupQueries {
     if (sys.env.contains("GRAFT_CC_TRACE"))
       println(s"[cc] build t=${System.nanoTime() / 1e9} edges=$edgeCount parts=$contractParts")
     und.count()
-    p0.unpersist()
     if (sys.env.contains("GRAFT_CC_TRACE"))
       println(s"[cc] edges t=${System.nanoTime() / 1e9}")
     // iterate ONLY over edge-incident vertices: a vertex with no edges
@@ -300,6 +290,10 @@ object DedupQueries {
         col("ia").as("cluster")))
       .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
     var mat = truncate(init)
+    // p0 feeds `contracted`, which BOTH und and init derive from —
+    // releasing it before truncate(init) materializes would re-run the
+    // whole repartition + union-find contraction a second time
+    p0.unpersist()
     if (sys.env.contains("GRAFT_CC_TRACE"))
       println(s"[cc] init t=${System.nanoTime() / 1e9}")
     var labels = mat

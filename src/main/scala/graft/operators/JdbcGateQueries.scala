@@ -30,6 +30,18 @@ object JdbcGateQueries {
   // (bench warmup) and must not see prior state
   private val dbSeq = new AtomicInteger(0)
 
+  /** Drop an in-memory Derby database once its gate is done with it —
+    * each one holds a full table copy on the heap, and a bench session
+    * invokes the gates many times. Derby signals a successful drop by
+    * THROWING (SQLState 08006), so the "error" path is the success path.
+    */
+  private def dropDerby(url: String): Unit =
+    try {
+      DriverManager.getConnection(
+        url.replace(";create=true", "") + ";drop=true")
+      ()
+    } catch { case _: java.sql.SQLException => () }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S3: orders seeded into a Derby "change table" keyed by SCN, then
     // read back through the graft-jdbc-poll micro-batch source (schema
@@ -90,6 +102,9 @@ object JdbcGateQueries {
         throw new IllegalStateException(
           "s3_jdbc_poll: AvailableNow drain did not finish within 300s")
       }
+      // the stream has drained to parquet; the Derby copy of orders is
+      // dead weight from here — release its heap
+      dropDerby(url)
       s.read.parquet(outDir)
         .select(col("SCN").as("o_orderkey"), col("CUSTKEY").as("custkey"),
           col("PRICE").cast("double").as("price"))
@@ -124,13 +139,20 @@ object JdbcGateQueries {
         .filter(col("ID") % 7 === 0)
         .select(col("ID"), lit("d").as("op"),
           map().cast("map<string,string>").as("vals")))
-      s.read.format("jdbc")
+      // materialize the applied table (eager localCheckpoint truncates
+      // the lineage off Derby) so the database — a full customer copy on
+      // the heap — can be dropped HERE instead of leaking per invocation.
+      // localCheckpoint is the right tool because this gate is local-mode
+      // by construction (in-memory Derby is per-JVM, see scaladoc above).
+      val out = s.read.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
         .load()
         .select(col("ID").cast("long").as("id"), col("NAME").as("name"),
           col("ACCTBAL").cast("double").as("acctbal"))
-        .orderBy(col("id"))
+        .localCheckpoint(true)
+      dropDerby(url)
+      out.orderBy(col("id"))
     })
   )
 

@@ -17,6 +17,29 @@ import graft.functions.VectorFunctions._
   */
 object SimilarityQueries {
 
+  /** Quantized embeddings blocked by random-hyperplane LSH bucket and
+    * joined into within-bucket candidate pairs, with the quantized dot
+    * and cosine already computed: (bucket, ia, na, ib, nb, dot, cos).
+    * ONE definition shared by `ann_lsh_bucket` and
+    * `dedup_embedding_cosine` — a plane-count or quantization change in
+    * one family must never silently desynchronize the other.
+    */
+  def lshBucketedPairs(embeddings: DataFrame, idCol: String,
+      planes: Int): DataFrame = {
+    val e = embeddings
+      .select(col(idCol).as("id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", normQ2(col("q")))
+      .withColumn("bucket", lshBucket(col("q"), planes))
+    val a = e.select(col("bucket"), col("id").as("ia"),
+      col("q").as("qa"), col("n2").as("na"))
+    val b = e.select(col("bucket"), col("id").as("ib"),
+      col("q").as("qb"), col("n2").as("nb"))
+    a.join(b, Seq("bucket"))
+      .withColumn("dot", dotQ(col("qa"), col("qb")))
+      .withColumn("cos", cosineFromQ(col("dot"), col("na"), col("nb")))
+      .select(col("bucket"), col("ia"), col("ib"), col("dot"), col("cos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -91,21 +114,12 @@ object SimilarityQueries {
     }),
 
     "ann_lsh_bucket" -> ((s, dir) => {
-      val e = embeddings(s, dir)
-        .select(col("vec_id"), quantize(col("embedding")).as("q"))
-        .withColumn("n2", normQ2(col("q")))
-        .withColumn("bucket", lshBucket(col("q"), planes = 6))
-      val a = e.select(col("bucket"), col("vec_id").as("ia"),
-        col("q").as("qa"), col("n2").as("na"))
-      val b = e.select(col("bucket"), col("vec_id").as("ib"),
-        col("q").as("qb"), col("n2").as("nb"))
       // top-1 neighbor via the bounded-heap aggregate: the bucket join
       // co-locates each ia's candidates, so the partial aggregate
       // collapses them in place instead of shuffling every pair through
       // a row_number window
-      a.join(b, Seq("bucket")).filter(col("ia") =!= col("ib"))
-        .withColumn("cos",
-          cosineFromQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
+      lshBucketedPairs(embeddings(s, dir), "vec_id", planes = 6)
+        .filter(col("ia") =!= col("ib"))
         .groupBy(col("ia"), col("bucket"))
         .agg(graft.functions.TopKFunctions
           .topk_by_score(1, col("cos"), col("ib"), lit(0L)).as("top"))

@@ -141,19 +141,29 @@ object TemporalQueries {
 
   def oracleSql: Map[String, String] = Map(
     // independent formulation: DuckDB's native ASOF JOIN operator
+    // epoch_us normalization on BOTH joins: the Spark side works in
+    // integer microseconds (`ts div 1000` over nanos-as-long), so the
+    // oracle must compare at the same resolution — raw ns timestamps
+    // would include/exclude sub-µs neighbors differently (masked by the
+    // µs-aligned testdata, but a semantic divergence). Same convention
+    // q_sessionize's oracle already uses.
     "q_asof_join" ->
-      """WITH mk AS (SELECT user_id, ts AS t, MAX(event_id) AS mk_id
-        |            FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+      """WITH mk AS (SELECT user_id, epoch_us(ts) AS t, MAX(event_id) AS mk_id
+        |            FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        |     e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events)
         |SELECT e.event_id, e.user_id, mk.mk_id AS last_error_id
-        |FROM events e ASOF LEFT JOIN mk
-        |  ON e.user_id = mk.user_id AND e.ts >= mk.t
+        |FROM e ASOF LEFT JOIN mk
+        |  ON e.user_id = mk.user_id AND e.t >= mk.t
         |ORDER BY e.event_id""".stripMargin,
     // independent formulation: plain inequality join
     "q_range_join" ->
-      """SELECT a.event_id AS anchor_id, COUNT(*) AS n_events,
+      """WITH a AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type
+        |           FROM events),
+        |     e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events)
+        |SELECT a.event_id AS anchor_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM events a JOIN events e ON e.user_id = a.user_id
-        |  AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 6 HOUR
+        |FROM a JOIN e ON e.user_id = a.user_id
+        |  AND e.t >= a.t AND e.t < a.t + 21600000000
         |WHERE a.event_type = 'error'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sessionize" ->
