@@ -142,7 +142,11 @@ object Bench {
     // session (its shutdown chatter lands BEFORE the line this way), and
     // make the metric line the process's final output
     spark.sparkContext.setLogLevel("OFF")
-    spark.stop()
+    // stop() may throw on a shutdown race (e.g. the noop-write executor
+    // teardown); the metric line must still print or the whole run's
+    // result is lost to the driver
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"spark.stop: $e") }
     println(render(entries, omitted))
   }
 }

@@ -19,7 +19,7 @@ object SimilarityQueries {
 
   /** Quantized embeddings blocked by random-hyperplane LSH bucket and
     * joined into within-bucket candidate pairs, with the quantized dot
-    * and cosine already computed: (bucket, ia, na, ib, nb, dot, cos).
+    * and cosine already computed: (bucket, ia, ib, dot, cos).
     * ONE definition shared by `ann_lsh_bucket` and
     * `dedup_embedding_cosine` — a plane-count or quantization change in
     * one family must never silently desynchronize the other.

@@ -91,9 +91,13 @@ object DictionaryReader {
     * `a2.map.number.SCHEMA.TABLE.COL_OR_PATTERN=TYPE`): force a NUMBER
     * column to a chosen target regardless of its reported precision/
     * scale. Patterns use the reference's `%` wildcard (prefix `SAL%`,
-    * suffix `%ID`); an exact column name always beats a pattern, and
-    * among patterns the first given wins. Only NUMBER/DECIMAL columns
-    * are remapped — the override never rewrites non-numeric types.
+    * suffix `%ID`), resolved with the reference's precedence
+    * (`runtime/config/SourceConnectorConfig.java` `columnNumberMapping`):
+    * exact name, then prefix patterns, then suffix patterns — all
+    * case-sensitive. Mid-string `%` (e.g. `A%B`) is an extension the
+    * reference does not read; it is tried last. Only NUMBER/DECIMAL
+    * columns are remapped — the override never rewrites non-numeric
+    * types.
     */
   object NumberMap {
     def parseType(s: String): DataType = {
@@ -119,25 +123,43 @@ object DictionaryReader {
         case "FLOAT" => FloatType
         case "DOUBLE" => DoubleType
         case DecRe(p, sc) => dec(p.toInt, sc.toInt)
-        // single-argument form: the reference's catalogue reads
-        // `DECIMAL([P],S)` — precision OPTIONAL, scale mandatory
-        // (`OraCdcNumberMapTest.java` comment) — so DECIMAL(S) is a
-        // SCALE with precision defaulting to 38, NOT standard SQL's
-        // DECIMAL(P). Deliberate fidelity to the reference config.
+        // single-argument form: the reference accepts ONLY the comma
+        // form — `DECIMAL(p,s)` with exactly one comma, of which it
+        // keeps just the SCALE and discards the precision; anything
+        // else is logged and ignored (`runtime/config/
+        // SourceConnectorConfig.java:166-183`). We read DECIMAL(S) as
+        // that scale with precision widened to 38 (same value space the
+        // reference ends up with), and honor an explicit precision when
+        // the comma form supplies one — a strictness extension, not a
+        // reference behavior.
         case DecScaleRe(sc) => dec(38, sc.toInt)
         case other => throw new IllegalArgumentException(
           s"bad NUMBER map target '$other'")
       }
     }
 
-    /** Resolve a column against (pattern, type) entries: exact name
-      * first, then first matching `%` pattern.
+    /** Resolve a column against (pattern, type) entries with the
+      * reference's precedence (`runtime/config/SourceConnectorConfig
+      * .java` `columnNumberMapping`/`remapUsingPattern`): exact name,
+      * then prefix `X%` (startsWith), then suffix `%X` (endsWith) —
+      * case-sensitive throughout, first match within each tier. General
+      * mid-`%` patterns (our extension) are tried last.
       */
     def resolve(entries: Seq[(String, DataType)], col: String): Option[DataType] = {
-      val u = col.toUpperCase
-      entries.collectFirst { case (p, t) if p.toUpperCase == u => t }
+      def isPrefix(p: String) =
+        p.length > 1 && p.indexOf('%') == p.length - 1
+      def isSuffix(p: String) =
+        p.length > 1 && p.lastIndexOf('%') == 0
+      entries.collectFirst { case (p, t) if !p.contains("%") && p == col => t }
         .orElse(entries.collectFirst {
-          case (p, t) if p.contains("%") && matches(p.toUpperCase, u) => t
+          case (p, t) if isPrefix(p) && col.startsWith(p.dropRight(1)) => t
+        })
+        .orElse(entries.collectFirst {
+          case (p, t) if isSuffix(p) && col.endsWith(p.drop(1)) => t
+        })
+        .orElse(entries.collectFirst {
+          case (p, t) if p.contains("%") && !isPrefix(p) && !isSuffix(p) &&
+            matches(p, col) => t
         })
     }
 

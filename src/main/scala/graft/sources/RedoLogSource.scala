@@ -229,9 +229,11 @@ class RedoReaderFactory extends PartitionReaderFactory {
       }.filter { r =>
         // P1/P2 pruning at the scan: control records (COMMIT/ROLLBACK,
         // empty table) always pass so transactions still terminate, and
-        // session-audit records always pass so P7 pseudo-columns survive
-        // an op filter (they are transaction metadata, not data changes)
-        (r.table.isEmpty || matches(r.table)) &&
+        // session-audit records bypass BOTH the op filter AND the table
+        // filter (they are transaction metadata, not data changes — a
+        // writer may stamp them with any table name, and dropping one
+        // would null out every P7 pseudo-column for its transaction)
+        (r.table.isEmpty || r.op == graft.cdc.Ops.Audit || matches(r.table)) &&
           (opSet.isEmpty || opSet.contains(r.op) ||
             r.op == graft.cdc.Ops.Commit || r.op == graft.cdc.Ops.Rollback ||
             r.op == graft.cdc.Ops.Audit)

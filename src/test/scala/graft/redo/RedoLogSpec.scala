@@ -258,6 +258,29 @@ class RedoSourceSpec extends AnyFunSuite {
     assert(insertsOnly.count(_.op == Ops.Insert) === 2)
   }
 
+  test("session-audit records bypass table AND op filters (P7 survival)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("grlsrc").toFile
+    // the audit vector is stamped with a table name that does NOT match
+    // the filter — it must still pass, or every P7 pseudo-column in the
+    // transaction silently nulls out
+    val recs = Seq(
+      RedoRecord(1, 0, "a", Ops.Audit, "GRAFT.EVENTS", "1", rollback = false,
+        1, Map.empty, Map("username" -> "SCOTT")),
+      RedoRecord(2, 0, "a", Ops.Insert, "S.T1", "2", rollback = false,
+        2, Map.empty, Map("v" -> "1")),
+      RedoRecord(3, 0, "a", Ops.Commit, "", "3", rollback = false,
+        3, Map.empty, Map.empty))
+    val w = new RedoLogWriter(new File(dir, "log_1.grl"), 1024, seq = 1)
+    recs.foreach(w.append)
+    w.close()
+    val got = spark.read.format("graft-redo")
+      .option("tables", "s.t1").option("ops", Ops.Insert.toString)
+      .load(dir.getAbsolutePath).as[RedoRecord].collect()
+    assert(got.count(_.op == Ops.Audit) === 1)
+    assert(got.count(_.op == Ops.Insert) === 1)
+  }
+
   test("micro-batch stream consumes logs file-by-file with offsets") {
     import spark.implicits._
     val dir = Files.createTempDirectory("grlsrc").toFile

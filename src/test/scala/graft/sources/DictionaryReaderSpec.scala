@@ -138,6 +138,25 @@ class DictionaryReaderSpec extends AnyFunSuite {
     }
   }
 
+  test("NUMBER map resolution follows reference precedence (exact>prefix>suffix, CS)") {
+    import NumberMap.resolve
+    // prefix beats suffix even when the suffix entry is listed first
+    // (ref `runtime/config/SourceConnectorConfig.java` columnNumberMapping:
+    // middle map, then getLeft prefix list, then getRight suffix list)
+    val both = Seq("%_ID" -> ShortType, "SAL%" -> LongType)
+    assert(resolve(both, "SAL_ID") === Some(LongType))
+    // exact beats everything
+    assert(resolve(Seq("%NO" -> ShortType, "EMPNO" -> LongType), "EMPNO")
+      === Some(LongType))
+    // case-sensitive, like the reference's Strings.CS matchers
+    assert(resolve(Seq("EMPNO" -> LongType), "empno") === None)
+    assert(resolve(Seq("SAL%" -> LongType), "salary") === None)
+    // mid-string % (our extension) resolves last
+    assert(resolve(Seq("S%Y" -> ShortType), "SALARY") === Some(ShortType))
+    assert(resolve(Seq("S%Y" -> ShortType, "SAL%" -> LongType), "SALARY")
+      === Some(LongType))
+  }
+
   test("NUMBER map target types parse (reference catalogue)") {
     import NumberMap.parseType
     assert(parseType("BOOLEAN") === BooleanType)
