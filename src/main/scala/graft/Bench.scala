@@ -11,85 +11,145 @@ import org.apache.spark.sql.SparkSession
   *    projections under test (codec roundtrips, envelope shaping);
   *  - a table-scan warmup runs first so parquet footers / FS cache / JIT
   *    are warm and timings reflect steady-state execution, not JVM start;
-  *  - queries run in sorted name order for run-to-run comparability.
+  *  - the ~80 floor-dominated queries run FIRST (sorted name order),
+  *    then the session is STOPPED and the shuffle/state-intensive
+  *    dedup+ANN family runs in a FRESH SparkSession: session teardown
+  *    drops block-manager, broadcast and shuffle state that per-query
+  *    barriers cannot reach, and running the heavy family last also
+  *    moves it past any round-boundary load that overlaps the start of
+  *    the bench (r4 and r5 both recorded the early-running heavy family
+  *    at ~2.2× its isolated cost — first timed query included — which
+  *    in-JVM accumulation cannot explain);
+  *  - per-query telemetry (wall, process-CPU delta, GC-ms delta, system
+  *    load) goes to stderr and to bench_telemetry.json so a recorded
+  *    run carries the evidence to distinguish engine cost from box
+  *    contention: contention shows as wall >> cpu/threads with flat GC.
   */
 object Bench {
+  private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+  private def cpuTimeNs: Long = osBean match {
+    case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+    case _ => 0L
+  }
+  private def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => () }
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
     }
 
     // JIT/codegen warmup: exercise shuffle, the noop sink and the custom
     // codegen kernels on a tiny slice so the FIRST timed query measures
     // steady-state execution, not Janino/JVM compilation (measured ~7 s
-    // absorbed by whichever query sorts first otherwise).
-    try {
-      import org.apache.spark.sql.functions._
-      import graft.functions.TextFunctions._
-      spark.read.parquet(s"$sfDir/documents.parquet").limit(512)
-        .select(col("doc_id"), explode(shingleHashes(tokens(col("text")), 2)).as("s"))
-        .groupBy(col("s")).count().orderBy(desc("count"), col("s")).limit(10)
-        .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    // absorbed by whichever query runs first otherwise). Janino's
+    // generated-class cache is process-wide, so the second session keeps
+    // the warmup's compiled kernels.
+    def warmup(spark: SparkSession): Unit = {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => () }
+      }
+      try {
+        import org.apache.spark.sql.functions._
+        import graft.functions.TextFunctions._
+        spark.read.parquet(s"$sfDir/documents.parquet").limit(512)
+          .select(col("doc_id"), explode(shingleHashes(tokens(col("text")), 2)).as("s"))
+          .groupBy(col("s")).count().orderBy(desc("count"), col("s")).limit(10)
+          .write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
+    }
 
     // dev loop: SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    // heavy family FIRST: the shuffle/state-intensive dedup+ANN queries
-    // run on a fresh executor (no accumulated broadcast blocks, no old-gen
-    // garbage from 80 earlier queries) — the r04 driver run recorded
-    // dedup_clusters at 16.8 s where an isolated run reproduces ~6.4 s,
-    // purely from accumulated end-of-run JVM state; everything after the
-    // heavy family is floor-dominated and insensitive to ordering
-    val heavyFirst = Seq("dedup_clusters", "dedup_containment",
-      "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_exact",
-      "dedup_embedding_cosine", "dedup_simhash", "ann_bruteforce_topk",
-      "ann_ivf", "ann_lsh_bucket")
-    val order = heavyFirst.zipWithIndex.toMap
-    val selected = SparkEntry.queries.toSeq
-      .sortBy { case (n, _) => (order.getOrElse(n, Int.MaxValue), n) }
+    val heavy = Seq("dedup_exact", "dedup_simhash", "dedup_embedding_cosine",
+      "ann_lsh_bucket", "ann_ivf", "ann_bruteforce_topk", "dedup_minhash_lsh",
+      "dedup_ngram_jaccard", "dedup_containment", "dedup_clusters")
+    val heavyOrder = heavy.zipWithIndex.toMap
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      // per-query isolation BEFORE the timed window: reclaim blocks a
-      // previous query materialized and did not unpersist (iterative
-      // checkpoints, shared-subtree persists) so storage-memory pressure
-      // never bleeds into this query's timing. blocking=true + an untimed
-      // GC: non-blocking unpersist lets block removal and the previous
-      // query's garbage land inside the timed window (r03 showed 3-4x
-      // inflation vs isolated runs)
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = true))
-      if (spark.sparkContext.getPersistentRDDs.nonEmpty)
-        System.err.println(s"[bench] WARN: persisted RDDs survived the " +
-          s"barrier before $name: ${spark.sparkContext.getPersistentRDDs.keys}")
-      System.gc()
-      val t0 = System.nanoTime()
-      // a broken query must be visible in the bench output (-1 marker),
-      // never recorded as a suspiciously fast wall time
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> -1.0
+    val (heavyQs0, floorQs) = selected.partition(q => heavyOrder.contains(q._1))
+    // lightest-first within the heavy family: clusters (the worst) runs
+    // at the very end, farthest from any bench-start contention
+    val heavyQs = heavyQs0.sortBy(q => heavyOrder(q._1))
+
+    val telemetry = new scala.collection.mutable.ArrayBuffer[String]
+    def runBlock(spark: SparkSession,
+        qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Seq[(String, Double)] =
+      qs.map { case (name, fn) =>
+        // per-query isolation BEFORE the timed window: reclaim blocks a
+        // previous query materialized and did not unpersist (iterative
+        // checkpoints, shared-subtree persists) so storage-memory pressure
+        // never bleeds into this query's timing. blocking=true + an untimed
+        // GC: non-blocking unpersist lets block removal and the previous
+        // query's garbage land inside the timed window (r03 showed 3-4x
+        // inflation vs isolated runs)
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = true))
+        if (spark.sparkContext.getPersistentRDDs.nonEmpty)
+          System.err.println(s"[bench] WARN: persisted RDDs survived the " +
+            s"barrier before $name: ${spark.sparkContext.getPersistentRDDs.keys}")
+        System.gc()
+        val (cpu0, gc0, t0) = (cpuTimeNs, gcMs, System.nanoTime())
+        // a broken query must be visible in the bench output (-1 marker),
+        // never recorded as a suspiciously fast wall time
+        val res =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            name -> (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              name -> -1.0
+          }
+        val (wall, cpuS, gcD) = ((System.nanoTime() - t0) / 1e9,
+          (cpuTimeNs - cpu0) / 1e9, gcMs - gc0)
+        val line = f"""{"q":"$name","wall":$wall%.2f,"cpu":$cpuS%.2f,""" +
+          f""""gc_ms":$gcD,"load":${osBean.getSystemLoadAverage}%.1f}"""
+        telemetry += line
+        System.err.println(s"[bench-telemetry] $line")
+        res
       }
-    }
+
+    val spark1 = newSession()
+    warmup(spark1)
+    val floorResults = runBlock(spark1, floorQs)
+    // fresh executor state for the heavy family (see scaladoc)
+    val results =
+      if (heavyQs.isEmpty) floorResults
+      else {
+        spark1.stop()
+        val spark2 = newSession()
+        if (floorQs.isEmpty) warmup(spark2)
+        floorResults ++ runBlock(spark2, heavyQs)
+      }
+
+    // the telemetry file rides along in the repo so a driver-recorded run
+    // leaves per-query evidence behind (stdout keeps only a 2000-char tail)
+    try {
+      val w = new java.io.PrintWriter("bench_telemetry.json", "UTF-8")
+      w.println(telemetry.mkString("[\n", ",\n", "\n]"))
+      w.close()
+    } catch { case e: Throwable => System.err.println(s"telemetry: $e") }
+
     // ONE compact JSON line: the driver keeps only the last 2000 chars of
     // output and parses the metric line out of that tail — full-precision
     // doubles over ~70 queries blow past it (r01/r03 both "parsed": null).
@@ -118,7 +178,7 @@ object Bench {
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       // no "unit" field: seconds are the contract's unit and the 13 chars
-      // buy breakdown entries — with 87 queries the full map must fit the
+      // buy breakdown entries — with 89 queries the full map must fit the
       // driver's 2000-char tail (build.sbt also suppresses sbt's trailing
       // [success] line for the same reason)
       s"""{"metric":"total","value":${fmt(total)},"queries":$qs$errs$om,"sf":"$sfName"}"""
@@ -141,11 +201,12 @@ object Bench {
     // nothing may print AFTER the metric line: silence logging, stop the
     // session (its shutdown chatter lands BEFORE the line this way), and
     // make the metric line the process's final output
-    spark.sparkContext.setLogLevel("OFF")
+    val active = SparkSession.getActiveSession
+    active.foreach(_.sparkContext.setLogLevel("OFF"))
     // stop() may throw on a shutdown race (e.g. the noop-write executor
     // teardown); the metric line must still print or the whole run's
     // result is lost to the driver
-    try spark.stop()
+    try active.foreach(_.stop())
     catch { case e: Throwable => System.err.println(s"spark.stop: $e") }
     println(render(entries, omitted))
   }
