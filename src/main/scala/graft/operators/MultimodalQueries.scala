@@ -6,15 +6,23 @@ import graft.Tables._
 import graft.functions.Multimodal
 
 /** Multimodal gate queries: binary payload columns + typed metadata,
-  * decoded batched on executors (stub codec — see graft.functions
-  * .Multimodal). The payload here is the document text's UTF-8 bytes
-  * standing in for image/video bytes, so DuckDB can state the expected
-  * stub features independently.
+  * decoded batched on executors.
   *
-  * Oracle caveat: the DuckDB oracles index by CHARACTER (substr/ord)
-  * while the engine operates on payload BYTES — equivalent only because
-  * the driver corpus is pure ASCII (verified: zero non-ASCII docs at
-  * every SF). The Spark side is the byte-correct behavior.
+  * The image gates are REAL: executors render deterministic RGB images,
+  * encode them to PNG with `javax.imageio`, and the gates decode those
+  * bytes back (`mm_decode`) and box-filter-resize them (`mm_resize`).
+  * The pixel function is closed-form in (doc_id, x, y), so the DuckDB
+  * oracle states the expected output analytically WITHOUT any decoder —
+  * and because PNG is lossless, a hash match proves the whole
+  * render→encode→decode pipeline is pixel-exact. The frame-sample and
+  * feature-histogram gates keep the labeled stub kernels over the
+  * text-bytes payload (no audio/video codec ships in the JDK).
+  *
+  * Oracle caveat (stub gates only): their DuckDB oracles index by
+  * CHARACTER (substr/ord) while the engine operates on payload BYTES —
+  * equivalent only because the driver corpus is pure ASCII (verified:
+  * zero non-ASCII docs at every SF). The Spark side is the
+  * byte-correct behavior.
   */
 object MultimodalQueries {
 
@@ -25,10 +33,24 @@ object MultimodalQueries {
       to_binary(col("text"), lit("utf-8")).as("payload"),
       struct(col("lang"), col("source"), lit("image/fake").as("mime")).as("meta"))
 
+  /** documents as REAL PNG payloads, rendered + encoded on executors
+    * (map-only; in production this binary column arrives from storage).
+    */
+  private def pngTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => (id, Multimodal.syntheticPng(id)))
+      }
+      .toDF("doc_id", "payload")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // binary → per-partition batched decode → fixed-schema features
-    "mm_decode_stub" -> ((s, dir) => {
-      Multimodal.decodeBatch(mediaTable(s, dir))
+    // REAL javax.imageio PNG decode: binary → per-partition batched
+    // decode → dimensions + per-channel pixel sums
+    "mm_decode" -> ((s, dir) => {
+      Multimodal.decodePng(pngTable(s, dir))
         .toDF().orderBy(col("doc_id"))
     }),
 
@@ -38,12 +60,13 @@ object MultimodalQueries {
         .toDF().orderBy(col("doc_id"), col("frame_idx"))
     }),
 
-    // strided resize to a fixed 32-sample "resolution". The sample array
-    // is emitted as a CSV string: an array-typed gate column crashes the
-    // driver's pandas hasher (unhashable ndarray); int→string rendering
-    // is identical in Spark and DuckDB so the compare stays exact.
+    // REAL box-filter resize of the decoded red channel to 8×8. The
+    // pixel array is emitted as a CSV string: an array-typed gate column
+    // crashes the driver's pandas hasher (unhashable ndarray); int→string
+    // rendering is identical in Spark and DuckDB so the compare stays
+    // exact.
     "mm_resize" -> ((s, dir) => {
-      Multimodal.resize(mediaTable(s, dir))
+      Multimodal.resizePng(pngTable(s, dir))
         .toDF()
         .withColumn("pixels",
           concat_ws(",", col("pixels").cast("array<string>")))
@@ -61,12 +84,21 @@ object MultimodalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
-    "mm_decode_stub" ->
+    // analytic restatement of the closed-form image: a hash match here
+    // proves the render→PNG-encode→ImageIO-decode roundtrip pixel-exact
+    "mm_decode" ->
       """SELECT doc_id,
-        |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-        |       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
-        |       CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
-        |       substr(md5(text), 1, 8) AS sig
+        |       CAST(16 + doc_id % 17 AS INTEGER) AS width,
+        |       CAST(16 + (doc_id * 7) % 13 AS INTEGER) AS height,
+        |       CAST(list_sum(flatten(list_transform(range(0, 16 + (doc_id * 7) % 13), y ->
+        |         list_transform(range(0, 16 + doc_id % 17), x ->
+        |           (doc_id + 31 * x + 7 * y) % 256)))) AS BIGINT) AS sum_r,
+        |       CAST(list_sum(flatten(list_transform(range(0, 16 + (doc_id * 7) % 13), y ->
+        |         list_transform(range(0, 16 + doc_id % 17), x ->
+        |           (3 * doc_id + 5 * x + 11 * y) % 256)))) AS BIGINT) AS sum_g,
+        |       CAST(list_sum(flatten(list_transform(range(0, 16 + (doc_id * 7) % 13), y ->
+        |         list_transform(range(0, 16 + doc_id % 17), x ->
+        |           (7 * doc_id + 13 * x + 3 * y) % 256)))) AS BIGINT) AS sum_b
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(j AS INTEGER) AS frame_idx,
@@ -75,16 +107,27 @@ object MultimodalQueries {
         |             UNNEST(range(0, octet_length(encode(text)) // 16, 4)) AS j
         |      FROM documents)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // floored-mean box filter of the closed-form red channel, 8×8
+    // row-major — integer arithmetic end-to-end on both sides
     "mm_resize" ->
-      """SELECT doc_id,
-        |       CAST(least(32, octet_length(encode(text))) AS INTEGER) AS out_len,
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(16 + doc_id % 17 AS BIGINT) AS w,
+        |         CAST(16 + (doc_id * 7) % 13 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h,
         |       array_to_string(
-        |         list_transform(range(0, least(32, octet_length(encode(text)))),
-        |           i -> CAST(ord(substr(text,
-        |                  CAST(least(i * greatest(1, octet_length(encode(text)) // 32),
-        |                             octet_length(encode(text)) - 1) + 1 AS INTEGER),
-        |                  1)) AS INTEGER)), ',') AS pixels
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |         flatten(list_transform(range(0, 8), j ->
+        |           list_transform(range(0, 8), i ->
+        |             CAST(list_sum(flatten(
+        |                 list_transform(range(j * h // 8, (j + 1) * h // 8), y ->
+        |                   list_transform(range(i * w // 8, (i + 1) * w // 8), x ->
+        |                     (doc_id + 31 * x + 7 * y) % 256))))
+        |               // (((i + 1) * w // 8 - i * w // 8) *
+        |                  ((j + 1) * h // 8 - j * h // 8)) AS BIGINT)))), ',')
+        |         AS pixels
+        |FROM dims ORDER BY doc_id""".stripMargin,
     "mm_feature_extract" ->
       """SELECT doc_id,
         |       array_to_string(

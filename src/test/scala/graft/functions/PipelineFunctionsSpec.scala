@@ -57,16 +57,49 @@ class PipelineFunctionsSpec extends AnyFunSuite {
     assert(v == one[Long](hs)) // deterministic
   }
 
-  test("multimodal stub decode shape") {
+  test("PNG encode→decode roundtrip is pixel-exact (javax.imageio)") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 42L, 1234567L)
+    val df = ids.toDF("doc_id")
+      .select(col("doc_id"),
+        udf((id: Long) => Multimodal.syntheticPng(id)).apply(col("doc_id"))
+          .as("payload"))
+    val out = Multimodal.decodePng(df).collect().sortBy(_.doc_id)
+    assert(out.length == ids.length)
+    for (d <- out) {
+      val (w, h) = (Multimodal.imgWidth(d.doc_id), Multimodal.imgHeight(d.doc_id))
+      assert(d.width == w && d.height == h)
+      val grid = for { y <- 0 until h; x <- 0 until w } yield (x, y)
+      assert(d.sum_r == grid.map { case (x, y) => Multimodal.red(d.doc_id, x, y).toLong }.sum)
+      assert(d.sum_g == grid.map { case (x, y) => Multimodal.green(d.doc_id, x, y).toLong }.sum)
+      assert(d.sum_b == grid.map { case (x, y) => Multimodal.blue(d.doc_id, x, y).toLong }.sum)
+    }
+  }
+
+  test("box-filter resize matches the direct integer computation") {
+    import spark.implicits._
+    val df = Seq(7L).toDF("doc_id")
+      .select(col("doc_id"),
+        udf((id: Long) => Multimodal.syntheticPng(id)).apply(col("doc_id"))
+          .as("payload"))
+    val r = Multimodal.resizePng(df, target = 8).collect().head
+    val (w, h) = (Multimodal.imgWidth(7L), Multimodal.imgHeight(7L))
+    val expect = for { j <- 0 until 8; i <- 0 until 8 } yield {
+      val (x0, x1) = (i * w / 8, (i + 1) * w / 8)
+      val (y0, y1) = (j * h / 8, (j + 1) * h / 8)
+      val block = for { y <- y0 until y1; x <- x0 until x1 }
+        yield Multimodal.red(7L, x, y).toLong
+      (block.sum / block.length).toInt
+    }
+    assert(r.out_w == 8 && r.out_h == 8)
+    assert(r.pixels == expect)
+  }
+
+  test("multimodal stub frame sampling shape") {
     import spark.implicits._
     val df = Seq((1L, "hello world! padding to make it longer 123"))
       .toDF("doc_id", "text")
       .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
-    val out = Multimodal.decodeBatch(df).collect()
-    assert(out.length == 1)
-    assert(out(0).byte_len == 42)
-    assert(out(0).width == 42 % 640 && out(0).height == (42 * 7) % 480)
-    assert(out(0).sig.length == 8)
     val frames = Multimodal.sampleFrames(df).collect()
     assert(frames.map(_.frame_idx).toSeq == Seq(0)) // 2 frames, step 4 → idx 0
   }
