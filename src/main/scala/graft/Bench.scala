@@ -80,7 +80,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val heavy = Seq("dedup_exact", "dedup_simhash", "dedup_embedding_cosine",
       "ann_lsh_bucket", "ann_ivf", "ann_bruteforce_topk", "dedup_minhash_lsh",
-      "dedup_ngram_jaccard", "dedup_containment", "dedup_clusters")
+      "dedup_jaccard_lsh", "dedup_ngram_jaccard", "dedup_containment",
+      "dedup_clusters")
     val heavyOrder = heavy.zipWithIndex.toMap
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
