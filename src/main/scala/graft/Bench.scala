@@ -92,8 +92,8 @@ object Bench {
 
     val telemetry = new scala.collection.mutable.ArrayBuffer[String]
     def runBlock(spark: SparkSession,
-        qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
-        : Seq[(String, Double)] =
+        qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+        alwaysGc: Boolean): Seq[(String, Double)] =
       qs.map { case (name, fn) =>
         // per-query isolation BEFORE the timed window: reclaim blocks a
         // previous query materialized and did not unpersist (iterative
@@ -101,14 +101,18 @@ object Bench {
         // never bleeds into this query's timing. blocking=true + an untimed
         // GC: non-blocking unpersist lets block removal and the previous
         // query's garbage land inside the timed window (r03 showed 3-4x
-        // inflation vs isolated runs)
+        // inflation vs isolated runs). The untimed GC runs before every
+        // heavy query but only after an actual unpersist in the floor
+        // block — ~80 unconditional full GCs cost more wall than the
+        // floor queries' own bleed risk.
+        val hadRdds = spark.sparkContext.getPersistentRDDs.nonEmpty
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.valuesIterator
           .foreach(_.unpersist(blocking = true))
         if (spark.sparkContext.getPersistentRDDs.nonEmpty)
           System.err.println(s"[bench] WARN: persisted RDDs survived the " +
             s"barrier before $name: ${spark.sparkContext.getPersistentRDDs.keys}")
-        System.gc()
+        if (alwaysGc || hadRdds) System.gc()
         val (cpu0, gc0, t0) = (cpuTimeNs, gcMs, System.nanoTime())
         // a broken query must be visible in the bench output (-1 marker),
         // never recorded as a suspiciously fast wall time
@@ -132,7 +136,7 @@ object Bench {
 
     val spark1 = newSession()
     warmup(spark1)
-    val floorResults = runBlock(spark1, floorQs)
+    val floorResults = runBlock(spark1, floorQs, alwaysGc = false)
     // fresh executor state for the heavy family (see scaladoc)
     val results =
       if (heavyQs.isEmpty) floorResults
@@ -140,7 +144,7 @@ object Bench {
         spark1.stop()
         val spark2 = newSession()
         if (floorQs.isEmpty) warmup(spark2)
-        floorResults ++ runBlock(spark2, heavyQs)
+        floorResults ++ runBlock(spark2, heavyQs, alwaysGc = true)
       }
 
     // the telemetry file rides along in the repo so a driver-recorded run
