@@ -90,6 +90,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
   }
 
+  test("LSH-verified jaccard: equi-joins only, no nested-loop, no union") {
+    // the production dedup shape: every join must be hash/merge keyed
+    // (bands, then candidate-id joins) — a BroadcastNestedLoopJoin here
+    // would mean the candidate restriction silently degenerated to
+    // all-pairs
+    val p = plan("dedup_jaccard_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("Union"))
+  }
+
   test("brute-force top-k uses two-phase object hash aggregation, queries broadcast") {
     val p = plan("ann_bruteforce_topk")
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
