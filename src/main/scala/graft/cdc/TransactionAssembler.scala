@@ -33,7 +33,19 @@ object TransactionAssembler {
       /** key columns for P4/P5 */
       keyCols: Seq[String] = Nil,
       /** true → skip DELETE on keyless tables instead of failing (P5) */
-      skipKeylessDelete: Boolean = false)
+      skipKeylessDelete: Boolean = false,
+      /** true → collapse an adjacent DELETE+INSERT pair on the same
+        * table (same rowId, or same SCN when the row moved — the IOT
+        * case) into ONE logical UPDATE. This is the statement shape a
+        * key-changing UPDATE takes on the wire: the reference assembles
+        * it from 10.30/10.35 index-op chains
+        * (`internals/OraCdcChangeIndexOp.java:33-146`, tests
+        * `Op10_30_Test.java`/`Op10_35_Test.java`); Debezium-style
+        * streams encode it as delete+create. GRL1 writers emit logical
+        * UPDATEs directly, so this is OFF by default and exists for
+        * producers that don't.
+        */
+      collapseKeyUpdates: Boolean = false)
 
   val DefaultOptions: Options = Options()
 
@@ -114,6 +126,32 @@ object TransactionAssembler {
         // unmatched rollback → "suspicious" in the reference; dropped here
       }
       i += 1
+    }
+
+    // key-update collapse (see Options.collapseKeyUpdates): rewrite an
+    // adjacent surviving DELETE+INSERT pair into one UPDATE carrying the
+    // delete's before-image and the insert's after-image, BEFORE the
+    // P3/P4/P5 policies run — the pair is one logical statement, so
+    // delete-side pruning must never apply to it. The UPDATE keeps the
+    // delete's (scn, ssn) statement position and the insert's rowId
+    // (the row's new location when it moved).
+    if (opts.collapseKeyUpdates) {
+      i = 0
+      while (i < buf.length - 1) {
+        if (!cancelled(i) && buf(i).op == Ops.Delete) {
+          // nearest following surviving record
+          var j = i + 1
+          while (j < buf.length && cancelled(j)) j += 1
+          if (j < buf.length && buf(j).op == Ops.Insert &&
+              buf(j).table == buf(i).table &&
+              (buf(j).rowId == buf(i).rowId || buf(j).scn == buf(i).scn)) {
+            buf(i) = buf(i).copy(op = Ops.Update, rowId = buf(j).rowId,
+              after = buf(j).after)
+            cancelled(j) = true
+          }
+        }
+        i += 1
+      }
     }
 
     val out = new ArrayBuffer[EmittedChange]()

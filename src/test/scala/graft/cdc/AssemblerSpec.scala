@@ -193,4 +193,43 @@ class AssemblerSpec extends AnyFunSuite {
       chg(10, Ops.Insert, "r1", after = Map("c" -> "1")), commit(12)))
     assert(bare.head.audit.isEmpty)
   }
+
+  test("key-update collapse: adjacent DELETE+INSERT becomes one UPDATE (10.30 semantics)") {
+    // same SCN = one wire statement, new rowId = the row moved (IOT key
+    // update, ref Op10_30_Test.java); the UPDATE carries the delete's
+    // before-image, the insert's after-image and the NEW rowId
+    val recs = Seq(
+      chg(10, Ops.Delete, "rOld", before = Map("id" -> "3", "d" -> "old")),
+      chg(10, Ops.Insert, "rNew", after = Map("id" -> "3", "d" -> "new")),
+      commit(20))
+    val out = assemble(recs, Options(collapseKeyUpdates = true))
+    assert(out.map(_.op) == Seq(Ops.Update))
+    assert(out.head.before("d") == "old" && out.head.after("d") == "new")
+    assert(out.head.rowId == "rNew" && out.head.scn == 10)
+    // default options keep the raw pair (GRL1 writers emit UPDATEs
+    // directly, so collapsing is opt-in)
+    assert(assemble(recs).map(_.op) == Seq(Ops.Delete, Ops.Insert))
+  }
+
+  test("key-update collapse pairs same-rowId across SCNs, leaves strangers alone") {
+    val recs = Seq(
+      chg(10, Ops.Delete, "r1", before = Map("k" -> "1")),
+      chg(11, Ops.Insert, "r1", after = Map("k" -> "2")),   // same rowId → pair
+      chg(12, Ops.Delete, "r7", before = Map("k" -> "7")),
+      chg(13, Ops.Insert, "r9", after = Map("k" -> "9")),   // different rowId+scn → no pair
+      commit(20))
+    val out = assemble(recs, Options(collapseKeyUpdates = true))
+    assert(out.map(_.op) == Seq(Ops.Update, Ops.Delete, Ops.Insert))
+    assert(out.head.before("k") == "1" && out.head.after("k") == "2")
+  }
+
+  test("key-update collapse respects partial rollback (cancelled insert never pairs)") {
+    val recs = Seq(
+      chg(10, Ops.Delete, "r1", before = Map("k" -> "1")),
+      chg(11, Ops.Insert, "r1", after = Map("k" -> "2")),
+      chg(12, Ops.Insert, "r1", rollback = true), // cancels the insert
+      commit(20))
+    val out = assemble(recs, Options(collapseKeyUpdates = true))
+    assert(out.map(_.op) == Seq(Ops.Delete))
+  }
 }
