@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.{documents, events, orders}
 import graft.cdc.RedoRecord
-import graft.logminer.SqlRedoParser
+import graft.logminer.{CsfReassembly, SqlRedoParser}
 import graft.redo.RedoLogWriter
 import graft.streaming.ChangeStreams
 
@@ -194,50 +194,84 @@ object SourceQueries {
     // wrappers), parsed back by SqlRedoParser, and the reconstructed
     // typed columns must equal the source rows. op mix by o_orderkey%3:
     // 0→INSERT(values list) 1→UPDATE(set+where) 2→DELETE(where only).
-    "s4_sqlredo_parse" -> ((s, dir) => {
-      import s.implicits._
-      val o = orders(s, dir)
-        .withColumn("price_s", col("o_totalprice").cast("decimal(12,2)").cast("string"))
-        .withColumn("odate_s",
-          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-        .withColumn("prio_esc", regexp_replace(col("o_orderpriority"), "'", "''"))
-      val sqlText = o.select(
-        when(col("o_orderkey") % 3 === 0, concat(
-          lit("insert into \"G\".\"ORDERS\"(\"O_ORDERKEY\",\"O_CUSTKEY\"," +
-            "\"O_TOTALPRICE\",\"O_ORDERDATE\",\"O_PRIO\") values ("),
-          col("o_orderkey"), lit(","), col("o_custkey"), lit(","),
-          col("price_s"), lit(",TO_TIMESTAMP('"), col("odate_s"),
-          lit("'),'"), col("prio_esc"), lit("')")))
-        .when(col("o_orderkey") % 3 === 1, concat(
-          lit("update \"G\".\"ORDERS\" set \"O_TOTALPRICE\" = "), col("price_s"),
-          lit(", \"O_PRIO\" = '"), col("prio_esc"),
-          lit("' where \"O_ORDERKEY\" = "), col("o_orderkey"),
-          lit(" and \"O_CUSTKEY\" = "), col("o_custkey"),
-          lit(" and \"O_ORDERDATE\" = TO_TIMESTAMP('"), col("odate_s"), lit("')")))
-        .otherwise(concat(
-          lit("delete from \"G\".\"ORDERS\" where \"O_ORDERKEY\" = "),
-          col("o_orderkey"), lit(" and \"O_CUSTKEY\" = "), col("o_custkey")))
-        .as("sql_redo"))
-      val parsed = sqlText.as[String].map { sql =>
-        val c = SqlRedoParser.parse(sql)
-        def g(m: Map[String, Option[String]], k: String): Option[String] =
-          m.get(k).flatten
-        (c.op,
-          g(c.set, "O_ORDERKEY").orElse(g(c.where, "O_ORDERKEY")).map(_.toLong),
-          g(c.set, "O_CUSTKEY").orElse(g(c.where, "O_CUSTKEY")).map(_.toLong),
-          g(c.set, "O_TOTALPRICE"),
-          g(c.set, "O_ORDERDATE").orElse(g(c.where, "O_ORDERDATE")),
-          g(c.set, "O_PRIO"))
-      }.toDF("op", "okey", "custkey", "price_s", "odate_s", "prio")
-      parsed.select(col("op"), col("okey"), col("custkey"),
-          // double + ntz outputs: the driver's pandas comparator can't
-          // match Decimal-object / ns-unit columns against DuckDB's
-          // float64 / µs frames
-          col("price_s").cast("decimal(12,2)").cast("double").as("price"),
-          col("odate_s").cast("timestamp_ntz").as("odate"), col("prio"))
-        .orderBy(col("okey"))
+    "s4_sqlredo_parse" -> ((s, dir) =>
+      parseRedoTyped(s, synthesizedRedoSql(s, dir).select(col("sql_redo")))),
+
+    // S4 CSF parity: every synthesized statement is CHUNKED into
+    // 40-char CSF-flagged rows (LogMiner's continuation encoding),
+    // shuffled, reassembled by CsfReassembly's window+ordered-concat,
+    // and only THEN parsed — the oracle is the same typed decision
+    // table as s4_sqlredo_parse, so a dropped, duplicated or reordered
+    // chunk breaks the parse or the hash
+    "s4_csf_reassembly" -> ((s, dir) => {
+      val stmts = synthesizedRedoSql(s, dir)
+        .withColumn("xid", concat(lit("tx"), col("okey") % 97))
+        .withColumn("scn", col("okey"))
+      val parts = stmts.select(col("xid"), col("scn"),
+          posexplode(expr("transform(sequence(0, CAST(floor((length(sql_redo)-1)/40) AS INT))," +
+            " i -> substring(sql_redo, i*40+1, 40))")).as(Seq("seq", "part")),
+          (length(col("sql_redo")) - 1).divide(40).cast("int").as("last_seq"))
+        .withColumn("csf", when(col("seq") < col("last_seq"), 1).otherwise(0))
+        .drop("last_seq")
+      parseRedoTyped(s, CsfReassembly.reassemble(parts)
+        .select(col("sql").as("sql_redo")))
     })
   )
+
+  /** The s4 statement corpus: redo SQL SYNTHESIZED from orders rows
+    * (distributed, with '' escaping and TO_TIMESTAMP wrappers). op mix
+    * by o_orderkey%3: 0→INSERT(values list) 1→UPDATE(set+where)
+    * 2→DELETE(where only). Returns (okey, sql_redo).
+    */
+  private def synthesizedRedoSql(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+      .withColumn("price_s", col("o_totalprice").cast("decimal(12,2)").cast("string"))
+      .withColumn("odate_s",
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .withColumn("prio_esc", regexp_replace(col("o_orderpriority"), "'", "''"))
+    o.select(col("o_orderkey").as("okey"),
+      when(col("o_orderkey") % 3 === 0, concat(
+        lit("insert into \"G\".\"ORDERS\"(\"O_ORDERKEY\",\"O_CUSTKEY\"," +
+          "\"O_TOTALPRICE\",\"O_ORDERDATE\",\"O_PRIO\") values ("),
+        col("o_orderkey"), lit(","), col("o_custkey"), lit(","),
+        col("price_s"), lit(",TO_TIMESTAMP('"), col("odate_s"),
+        lit("'),'"), col("prio_esc"), lit("')")))
+      .when(col("o_orderkey") % 3 === 1, concat(
+        lit("update \"G\".\"ORDERS\" set \"O_TOTALPRICE\" = "), col("price_s"),
+        lit(", \"O_PRIO\" = '"), col("prio_esc"),
+        lit("' where \"O_ORDERKEY\" = "), col("o_orderkey"),
+        lit(" and \"O_CUSTKEY\" = "), col("o_custkey"),
+        lit(" and \"O_ORDERDATE\" = TO_TIMESTAMP('"), col("odate_s"), lit("')")))
+      .otherwise(concat(
+        lit("delete from \"G\".\"ORDERS\" where \"O_ORDERKEY\" = "),
+        col("o_orderkey"), lit(" and \"O_CUSTKEY\" = "), col("o_custkey")))
+      .as("sql_redo"))
+  }
+
+  /** Parse a `sql_redo` column back to typed order columns — the shared
+    * verification tail of the s4 gates.
+    */
+  private def parseRedoTyped(s: SparkSession, sqlText: DataFrame): DataFrame = {
+    import s.implicits._
+    val parsed = sqlText.select(col("sql_redo")).as[String].map { sql =>
+      val c = SqlRedoParser.parse(sql)
+      def g(m: Map[String, Option[String]], k: String): Option[String] =
+        m.get(k).flatten
+      (c.op,
+        g(c.set, "O_ORDERKEY").orElse(g(c.where, "O_ORDERKEY")).map(_.toLong),
+        g(c.set, "O_CUSTKEY").orElse(g(c.where, "O_CUSTKEY")).map(_.toLong),
+        g(c.set, "O_TOTALPRICE"),
+        g(c.set, "O_ORDERDATE").orElse(g(c.where, "O_ORDERDATE")),
+        g(c.set, "O_PRIO"))
+    }.toDF("op", "okey", "custkey", "price_s", "odate_s", "prio")
+    parsed.select(col("op"), col("okey"), col("custkey"),
+        // double + ntz outputs: the driver's pandas comparator can't
+        // match Decimal-object / ns-unit columns against DuckDB's
+        // float64 / µs frames
+        col("price_s").cast("decimal(12,2)").cast("double").as("price"),
+        col("odate_s").cast("timestamp_ntz").as("odate"), col("prio"))
+      .orderBy(col("okey"))
+  }
 
   /** Identical expected emission to t1_txn_assembly — by construction the
     * redo encode/scan round-trip must be invisible to the result.
@@ -277,6 +311,18 @@ object SourceQueries {
     "t8_lob_chunk_assembly" ->
       "SELECT doc_id, text AS body FROM documents ORDER BY doc_id",
     "s4_sqlredo_parse" ->
+      """SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1
+        |            WHEN o_orderkey % 3 = 1 THEN 3 ELSE 2 END AS op,
+        |       o_orderkey AS okey, o_custkey AS custkey,
+        |       CASE WHEN o_orderkey % 3 = 2 THEN NULL
+        |            ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) END AS price,
+        |       CASE WHEN o_orderkey % 3 = 2 THEN NULL
+        |            ELSE o_orderdate END AS odate,
+        |       CASE WHEN o_orderkey % 3 = 2 THEN NULL
+        |            ELSE o_orderpriority END AS prio
+        |FROM orders ORDER BY okey""".stripMargin,
+    // chunk → reassemble → parse must land on the identical typed table
+    "s4_csf_reassembly" ->
       """SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1
         |            WHEN o_orderkey % 3 = 1 THEN 3 ELSE 2 END AS op,
         |       o_orderkey AS okey, o_custkey AS custkey,
