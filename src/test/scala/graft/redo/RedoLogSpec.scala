@@ -291,7 +291,7 @@ class RedoSourceSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("redo_stream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(180000), "stream did not finish in time")
     val got = spark.table("redo_stream").as[RedoRecord]
       .collect().sortBy(_.scn).toSeq
     assert(got === expected)

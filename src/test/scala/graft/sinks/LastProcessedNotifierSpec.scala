@@ -27,7 +27,7 @@ class LastProcessedNotifierSpec extends AnyFunSuite {
       input.addData(1, 2, 3)
       val q = input.toDS().writeStream.format("noop")
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(180000), "stream did not finish in time")
       // listener events are async — poll briefly
       var tries = 0
       var content = ""

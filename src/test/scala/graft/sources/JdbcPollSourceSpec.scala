@@ -51,7 +51,7 @@ class JdbcPollSourceSpec extends AnyFunSuite {
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(180000), "stream did not finish in time")
       got.toSeq.sortBy(_._1)
     }
 

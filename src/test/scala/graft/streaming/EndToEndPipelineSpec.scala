@@ -80,7 +80,10 @@ class EndToEndPipelineSpec extends AnyFunSuite {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    // awaitTermination returns false on timeout — failing to check it
+    // makes the Derby read race the stream under box load (observed as
+    // a full-suite-only flake)
+    assert(q.awaitTermination(300000), "stream did not finish within 300s")
 
     val conn = DriverManager.getConnection(url)
     val rs = conn.createStatement()
