@@ -127,23 +127,38 @@ object Bench {
           }
         val (wall, cpuS, gcD) = ((System.nanoTime() - t0) / 1e9,
           (cpuTimeNs - cpu0) / 1e9, gcMs - gc0)
-        val line = f"""{"q":"$name","wall":$wall%.2f,"cpu":$cpuS%.2f,""" +
-          f""""gc_ms":$gcD,"load":${osBean.getSystemLoadAverage}%.1f}"""
+        // Locale.ROOT, like the metric line: the f-interpolator follows
+        // the default locale, and a comma decimal separator would make
+        // bench_telemetry.json invalid JSON
+        val line = String.format(java.util.Locale.ROOT,
+          """{"q":"%s","wall":%.2f,"cpu":%.2f,"gc_ms":%d,"load":%.1f}""",
+          name, Double.box(wall), Double.box(cpuS), Long.box(gcD),
+          Double.box(osBean.getSystemLoadAverage))
         telemetry += line
         System.err.println(s"[bench-telemetry] $line")
         res
       }
 
-    val spark1 = newSession()
-    warmup(spark1)
-    val floorResults = runBlock(spark1, floorQs, alwaysGc = false)
-    // fresh executor state for the heavy family (see scaladoc)
+    // session 1 only exists when there are floor queries to run in it —
+    // a heavy-only dev run goes straight to its own session
+    val floorResults =
+      if (floorQs.isEmpty) Nil
+      else {
+        val spark1 = newSession()
+        warmup(spark1)
+        val r = runBlock(spark1, floorQs, alwaysGc = false)
+        if (heavyQs.nonEmpty) spark1.stop()
+        r
+      }
+    // fresh executor state for the heavy family (see scaladoc); the
+    // fresh session gets its own warmup — Janino's codegen cache is
+    // process-wide but file listing and session state are per-session,
+    // and the first heavy query must not pay them
     val results =
       if (heavyQs.isEmpty) floorResults
       else {
-        spark1.stop()
         val spark2 = newSession()
-        if (floorQs.isEmpty) warmup(spark2)
+        warmup(spark2)
         floorResults ++ runBlock(spark2, heavyQs, alwaysGc = true)
       }
 

@@ -34,16 +34,24 @@ object TransactionAssembler {
       keyCols: Seq[String] = Nil,
       /** true → skip DELETE on keyless tables instead of failing (P5) */
       skipKeylessDelete: Boolean = false,
-      /** true → collapse an adjacent DELETE+INSERT pair on the same
-        * table (same rowId, or same SCN when the row moved — the IOT
-        * case) into ONE logical UPDATE. This is the statement shape a
-        * key-changing UPDATE takes on the wire: the reference assembles
-        * it from 10.30/10.35 index-op chains
+      /** true → collapse a DELETE+INSERT pair on the same table into
+        * ONE logical UPDATE. Pairing requires either the SAME rowId
+        * (key update in place; interleaved changes to OTHER tables may
+        * sit between the two), or — for the row-moved/IOT case where
+        * the rowId changes — the two records must be one wire statement:
+        * same SCN AND consecutive ssn AND no surviving record between
+        * them. This is the statement shape a key-changing UPDATE takes
+        * on the wire: the reference assembles it from explicit
+        * 10.30/10.35 index-op chain markers
         * (`internals/OraCdcChangeIndexOp.java:33-146`, tests
-        * `Op10_30_Test.java`/`Op10_35_Test.java`); Debezium-style
-        * streams encode it as delete+create. GRL1 writers emit logical
-        * UPDATEs directly, so this is OFF by default and exists for
-        * producers that don't.
+        * `Op10_30_Test.java`/`Op10_35_Test.java`); GRL1 has no chain
+        * marker, so the moved-row leg demands the strict
+        * same-statement coordinates above — a producer encoding key
+        * updates MUST emit the pair adjacently with consecutive ssn
+        * under one SCN, and unrelated same-SCN changes never match
+        * because they either differ in rowId AND fail ssn-adjacency,
+        * or have records between them. OFF by default (GRL1 writers
+        * emit logical UPDATEs directly).
         */
       collapseKeyUpdates: Boolean = false)
 
@@ -139,15 +147,26 @@ object TransactionAssembler {
       i = 0
       while (i < buf.length - 1) {
         if (!cancelled(i) && buf(i).op == Ops.Delete) {
-          // nearest following surviving record
-          var j = i + 1
-          while (j < buf.length && cancelled(j)) j += 1
-          if (j < buf.length && buf(j).op == Ops.Insert &&
-              buf(j).table == buf(i).table &&
-              (buf(j).rowId == buf(i).rowId || buf(j).scn == buf(i).scn)) {
-            buf(i) = buf(i).copy(op = Ops.Update, rowId = buf(j).rowId,
-              after = buf(j).after)
-            cancelled(j) = true
+          // nearest following surviving record AND nearest surviving
+          // record of the SAME table (interleaved changes to other
+          // tables must not break a same-rowId pair, but anything on
+          // this table between the two halves does)
+          var jAny = i + 1
+          while (jAny < buf.length && cancelled(jAny)) jAny += 1
+          var j = jAny
+          while (j < buf.length &&
+            (cancelled(j) || buf(j).table != buf(i).table)) j += 1
+          if (j < buf.length && buf(j).op == Ops.Insert) {
+            val samePlace = buf(j).rowId == buf(i).rowId
+            // moved-row leg: strictly one wire statement — same SCN,
+            // consecutive ssn, physically adjacent among survivors
+            val oneStatement = j == jAny && buf(j).scn == buf(i).scn &&
+              buf(j).ssn == buf(i).ssn + 1
+            if (samePlace || oneStatement) {
+              buf(i) = buf(i).copy(op = Ops.Update, rowId = buf(j).rowId,
+                after = buf(j).after)
+              cancelled(j) = true
+            }
           }
         }
         i += 1

@@ -1,7 +1,6 @@
 package graft.logminer
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CSF continuation reassembly (SURVEY §2.1 S4 parity): LogMiner splits
@@ -9,33 +8,34 @@ import org.apache.spark.sql.functions._
   * every row but the last with CSF=1; the reference stitches them back
   * with a cursor-side while-loop
   * (`OraCdcLogMinerWorkerThread.java:906-913,1134-1150`). Spark-first
-  * re-expression: a per-transaction window assigns statement ids from
-  * the CSF run-length structure, then one ordered group-concat rebuilds
-  * each statement — fully distributed, no driver cursor.
+  * re-expression: statements are KEYED by their LogMiner identity —
+  * continuation rows repeat the statement's (SCN, SSN) coordinates
+  * (RS_ID+SSN in `V$LOGMNR_CONTENTS`; the reference's fetch loop relies
+  * on exactly this) — so one ordered group-concat per (xid, scn, ssn)
+  * rebuilds every statement. No window, no run-length inference: a
+  * CSF-run-based splitter was tried first and rejected because two
+  * statements of one transaction routinely share an SCN (every row of a
+  * multi-row UPDATE), which makes any (scn, seq)-ordered run-length
+  * nondeterministic under ties. CSF's only remaining wire role is
+  * telling the POLLER how many rows to fetch; identification is the
+  * statement key.
   *
-  * Input columns: `xid` (transaction), `scn` (statement anchor; rows of
-  * one statement share it), `seq` (chunk order within the statement),
-  * `csf` (1 = continued in the next row), `part` (text chunk).
-  * Output: one row per statement — (xid, scn, sql).
+  * Input columns: `xid` (transaction), `scn` + `ssn` (statement
+  * identity within the transaction), `seq` (chunk order within the
+  * statement), `part` (text chunk).
+  * Output: one row per statement — (xid, scn, ssn, sql).
   *
-  * Scale: the window partitions by transaction and the concat state is
-  * bounded by one statement's length — never by table or log size.
+  * Scale: one shuffle keyed by statement; concat state is bounded by a
+  * single statement's length — never by table or log size.
   */
 object CsfReassembly {
 
-  def reassemble(parts: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("xid")).orderBy(col("scn"), col("seq"))
-    // a row STARTS a statement iff the previous row in the transaction
-    // was not continued (lag default 0 starts the first statement)
-    val marked = parts
-      .withColumn("stmt",
-        sum(when(lag(col("csf"), 1, 0).over(w) === 0, 1).otherwise(0)).over(w))
-    marked.groupBy(col("xid"), col("stmt"))
-      .agg(min(col("scn")).as("scn"),
-        // ordered concat: collect_list has no ordering guarantee after a
-        // shuffle, so sort the (seq, part) pairs inside the aggregate
-        array_join(expr("transform(sort_array(collect_list(struct(seq, part))), x -> x.part)"), "")
-          .as("sql"))
-      .select(col("xid"), col("scn"), col("sql"))
-  }
+  def reassemble(parts: DataFrame): DataFrame =
+    parts.groupBy(col("xid"), col("scn"), col("ssn"))
+      // ordered concat: collect_list has no ordering guarantee after a
+      // shuffle, so sort the (seq, part) pairs inside the aggregate
+      .agg(array_join(
+        expr("transform(sort_array(collect_list(struct(seq, part))), x -> x.part)"),
+        "").as("sql"))
+      .select(col("xid"), col("scn"), col("ssn"), col("sql"))
 }

@@ -87,8 +87,14 @@ object DedupQueries {
     * distinct pass is needed; callers drop shingle-less docs first.
     * Bands via one explode, NOT a 4-way union: each union branch would
     * recompute the whole scan+signature subtree (8× with the
-    * self-join). The banded signatures persist because BOTH self-join
-    * sides read them (lazy, lineage-recoverable).
+    * self-join). NO persist: the two self-join sides shuffle identical
+    * canonicalized band subplans by (band, h1, h2), so Spark's
+    * exchange reuse computes the scan → shingle → minhash → explode
+    * pipeline ONCE and feeds both sides from the same shuffle files —
+    * the de-duplication a cache would buy, without pinning a
+    * corpus-sized dataset in storage memory for the session lifetime
+    * (the leak shape r5's review fixed in [[minHashStarCandidates]]),
+    * and the frame stays LAZY for explain/schema callers.
     */
   private def lshCandidatePairs(hashes: DataFrame): DataFrame = {
     val sigs = hashes.select(
@@ -99,7 +105,6 @@ object DedupQueries {
           col(s"s${2 * b + 1}").as("h2"))): _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"),
         col("bh.h1").as("h1"), col("bh.h2").as("h2"))
-      .persist()
     val a = bands.toDF("ia", "band", "h1", "h2")
     val b = bands.toDF("ib", "band", "h1", "h2")
     a.join(b, Seq("band", "h1", "h2"))
@@ -139,11 +144,12 @@ object DedupQueries {
     "dedup_jaccard_lsh" -> ((s, dir) => {
       val hashes = docShingleHashes(s, dir).filter(size(col("hs")) > 0)
       val cand = lshCandidatePairs(hashes)
-      // distinct shingle sets for exact verification; reused by both
-      // join sides — persist materializes the scan→shingle pass once
+      // distinct shingle sets for exact verification. NOT persisted: the
+      // scan→shingle pass is map-only and cheap to run once per join
+      // side, and a persist here would pin a corpus-sized cache with no
+      // release point inside a lazy query closure
       val sets = hashes.select(col("doc_id"),
         graft.functions.TextHashExpressions.distinct_longs(col("hs")).as("set"))
-        .persist()
       cand
         .join(sets.select(col("doc_id").as("ia"), col("set").as("sa")), "ia")
         .join(sets.select(col("doc_id").as("ib"), col("set").as("sb")), "ib")

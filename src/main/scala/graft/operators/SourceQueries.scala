@@ -198,21 +198,21 @@ object SourceQueries {
       parseRedoTyped(s, synthesizedRedoSql(s, dir).select(col("sql_redo")))),
 
     // S4 CSF parity: every synthesized statement is CHUNKED into
-    // 40-char CSF-flagged rows (LogMiner's continuation encoding),
-    // shuffled, reassembled by CsfReassembly's window+ordered-concat,
+    // 40-char continuation rows (LogMiner's CSF encoding), shuffled,
+    // reassembled by CsfReassembly's statement-keyed ordered concat,
     // and only THEN parsed — the oracle is the same typed decision
     // table as s4_sqlredo_parse, so a dropped, duplicated or reordered
-    // chunk breaks the parse or the hash
+    // chunk breaks the parse or the hash. Statement ids deliberately
+    // SHARE SCNs pairwise (scn = okey/2, ssn = okey%2) to prove
+    // same-SCN statements never interleave.
     "s4_csf_reassembly" -> ((s, dir) => {
       val stmts = synthesizedRedoSql(s, dir)
         .withColumn("xid", concat(lit("tx"), col("okey") % 97))
-        .withColumn("scn", col("okey"))
-      val parts = stmts.select(col("xid"), col("scn"),
-          posexplode(expr("transform(sequence(0, CAST(floor((length(sql_redo)-1)/40) AS INT))," +
-            " i -> substring(sql_redo, i*40+1, 40))")).as(Seq("seq", "part")),
-          (length(col("sql_redo")) - 1).divide(40).cast("int").as("last_seq"))
-        .withColumn("csf", when(col("seq") < col("last_seq"), 1).otherwise(0))
-        .drop("last_seq")
+        .withColumn("scn", (col("okey") / 2).cast("long"))
+        .withColumn("ssn", (col("okey") % 2).cast("int"))
+      val parts = stmts.select(col("xid"), col("scn"), col("ssn"),
+        posexplode(expr("transform(sequence(0, CAST(floor((length(sql_redo)-1)/40) AS INT))," +
+          " i -> substring(sql_redo, i*40+1, 40))")).as(Seq("seq", "part")))
       parseRedoTyped(s, CsfReassembly.reassemble(parts)
         .select(col("sql").as("sql_redo")))
     })

@@ -194,13 +194,16 @@ class AssemblerSpec extends AnyFunSuite {
     assert(bare.head.audit.isEmpty)
   }
 
-  test("key-update collapse: adjacent DELETE+INSERT becomes one UPDATE (10.30 semantics)") {
-    // same SCN = one wire statement, new rowId = the row moved (IOT key
-    // update, ref Op10_30_Test.java); the UPDATE carries the delete's
-    // before-image, the insert's after-image and the NEW rowId
+  test("key-update collapse: one-statement DELETE+INSERT becomes one UPDATE (10.30 semantics)") {
+    // row moved (IOT key update, ref Op10_30_Test.java): new rowId, so
+    // pairing demands one wire statement — same SCN, consecutive ssn,
+    // adjacent. The UPDATE carries the delete's before-image, the
+    // insert's after-image and the NEW rowId.
     val recs = Seq(
-      chg(10, Ops.Delete, "rOld", before = Map("id" -> "3", "d" -> "old")),
-      chg(10, Ops.Insert, "rNew", after = Map("id" -> "3", "d" -> "new")),
+      RedoRecord(10, 0, "tx1", Ops.Delete, "T", "rOld", rollback = false,
+        0, Map("id" -> "3", "d" -> "old"), Map.empty),
+      RedoRecord(10, 1, "tx1", Ops.Insert, "T", "rNew", rollback = false,
+        0, Map.empty, Map("id" -> "3", "d" -> "new")),
       commit(20))
     val out = assemble(recs, Options(collapseKeyUpdates = true))
     assert(out.map(_.op) == Seq(Ops.Update))
@@ -211,16 +214,48 @@ class AssemblerSpec extends AnyFunSuite {
     assert(assemble(recs).map(_.op) == Seq(Ops.Delete, Ops.Insert))
   }
 
-  test("key-update collapse pairs same-rowId across SCNs, leaves strangers alone") {
+  test("key-update collapse: unrelated same-SCN rows never mis-pair") {
+    // DELETE row A + INSERT row B under one SCN (e.g. DELETE +
+    // INSERT..SELECT): different rowIds AND non-consecutive ssn → the
+    // pair must survive as-is, not corrupt into a fake UPDATE
     val recs = Seq(
-      chg(10, Ops.Delete, "r1", before = Map("k" -> "1")),
-      chg(11, Ops.Insert, "r1", after = Map("k" -> "2")),   // same rowId → pair
-      chg(12, Ops.Delete, "r7", before = Map("k" -> "7")),
-      chg(13, Ops.Insert, "r9", after = Map("k" -> "9")),   // different rowId+scn → no pair
+      RedoRecord(10, 0, "tx1", Ops.Delete, "T", "rA", rollback = false,
+        0, Map("k" -> "a"), Map.empty),
+      RedoRecord(10, 2, "tx1", Ops.Insert, "T", "rB", rollback = false,
+        0, Map.empty, Map("k" -> "b")),
       commit(20))
     val out = assemble(recs, Options(collapseKeyUpdates = true))
-    assert(out.map(_.op) == Seq(Ops.Update, Ops.Delete, Ops.Insert))
-    assert(out.head.before("k") == "1" && out.head.after("k") == "2")
+    assert(out.map(_.op) == Seq(Ops.Delete, Ops.Insert))
+  }
+
+  test("key-update collapse pairs same-rowId across interleaved other-table changes") {
+    val recs = Seq(
+      chg(10, Ops.Delete, "r1", before = Map("k" -> "1")),
+      RedoRecord(11, 0, "tx1", Ops.Insert, "OTHER.T", "rX", rollback = false,
+        0, Map.empty, Map("z" -> "9")), // interleaved, different table
+      chg(12, Ops.Insert, "r1", after = Map("k" -> "2")),  // same rowId → pair
+      chg(13, Ops.Delete, "r7", before = Map("k" -> "7")),
+      chg(14, Ops.Insert, "r9", after = Map("k" -> "9")),  // different rowId+stmt → no pair
+      commit(20))
+    val out = assemble(recs, Options(collapseKeyUpdates = true))
+    assert(out.map(r => (r.op, r.table)) == Seq(
+      (Ops.Update, "T"), (Ops.Insert, "OTHER.T"), (Ops.Delete, "T"),
+      (Ops.Insert, "T")))
+    val upd = out.head
+    assert(upd.before("k") == "1" && upd.after("k") == "2")
+  }
+
+  test("key-update collapse: a same-table change between the halves blocks pairing") {
+    // DELETE r1, then an unrelated same-table insert, then INSERT r1:
+    // the intervening same-table record means these are separate
+    // statements — no collapse
+    val recs = Seq(
+      chg(10, Ops.Delete, "r1", before = Map("k" -> "1")),
+      chg(11, Ops.Insert, "r5", after = Map("k" -> "5")),
+      chg(12, Ops.Insert, "r1", after = Map("k" -> "2")),
+      commit(20))
+    val out = assemble(recs, Options(collapseKeyUpdates = true))
+    assert(out.map(_.op) == Seq(Ops.Delete, Ops.Insert, Ops.Insert))
   }
 
   test("key-update collapse respects partial rollback (cancelled insert never pairs)") {
