@@ -118,6 +118,50 @@ object TextHash {
     acc
   }
 
+  /** Distinct values of a long array, ASCENDING order — the set form
+    * [[sortedIntersectCount]] merges. One sort per DOCUMENT (not per
+    * pair): a corpus has |docs| sets but the candidate verify touches
+    * Σ|candidates| pairs, so sorting at set-build time is the cheap
+    * side of the trade.
+    */
+  def sortedDistinctLongs(hs: ArrayData): ArrayData = {
+    val n = hs.numElements()
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = hs.getLong(i); i += 1 }
+    java.util.Arrays.sort(a)
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (k == 0 || a(i) != a(k - 1)) { a(k) = a(i); k += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(a, k))
+  }
+
+  /** |A ∩ B| for two ASCENDING-sorted long arrays — one branch-light
+    * merge pass, zero allocation. `size(array_intersect(a, b))` builds
+    * an OpenHashSet AND the intersection array per evaluation only to
+    * take its length; on the LSH verify path the intersect runs up to
+    * 3× per candidate pair (join condition + m + jac projections), so
+    * the per-eval constant is what the whole stage costs.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var m = 0L
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va == vb) { m += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    m
+  }
+
   /** Distinct values of a long array, first-occurrence order. */
   def distinctLongs(hs: ArrayData): ArrayData = {
     val n = hs.numElements()

@@ -101,6 +101,39 @@ object TextHashExpressions {
     override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
   }
 
+  /** Ascending-sorted distinct array<long> — the set form
+    * [[IntersectCountSortedExpr]] merges.
+    */
+  case class SortedDistinctLongsExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextHash.sortedDistinctLongs(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, h => s"graft.functions.TextHash.sortedDistinctLongs($h)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  /** |A ∩ B| over two ascending-sorted array<long> — allocation-free
+    * merge, vs `size(array_intersect(...))` building a hash set and the
+    * intersection array per evaluation just to take its length.
+    */
+  case class IntersectCountSortedExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextHash.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.TextHash.sortedIntersectCount($a, $b)")
+    override protected def withNewChildrenInternal(nl: Expression, nr: Expression): Expression =
+      copy(left = nl, right = nr)
+  }
+
   // ---- Column API ----
   def poly_hash(col: Column): Column = c(PolyStringHash(e(col)))
   def poly_minhash(col: Column, a: Long, b: Long): Column = c(PolyMinHash(e(col), a, b))
@@ -108,4 +141,7 @@ object TextHashExpressions {
   def fingerprint(col: Column): Column = c(FingerprintExpr(e(col)))
   def shingle_hashes(col: Column, n: Int): Column = c(ShingleHashesExpr(e(col), n))
   def distinct_longs(col: Column): Column = c(DistinctLongsExpr(e(col)))
+  def sorted_distinct_longs(col: Column): Column = c(SortedDistinctLongsExpr(e(col)))
+  def intersect_count_sorted(a: Column, b: Column): Column =
+    c(IntersectCountSortedExpr(e(a), e(b)))
 }
