@@ -35,23 +35,25 @@ object TransactionAssembler {
       /** true → skip DELETE on keyless tables instead of failing (P5) */
       skipKeylessDelete: Boolean = false,
       /** true → collapse a DELETE+INSERT pair on the same table into
-        * ONE logical UPDATE. Pairing requires either the SAME rowId
-        * (key update in place; interleaved changes to OTHER tables may
-        * sit between the two), or — for the row-moved/IOT case where
-        * the rowId changes — the two records must be one wire statement:
-        * same SCN AND consecutive ssn AND no surviving record between
-        * them. This is the statement shape a key-changing UPDATE takes
-        * on the wire: the reference assembles it from explicit
-        * 10.30/10.35 index-op chain markers
-        * (`internals/OraCdcChangeIndexOp.java:33-146`, tests
-        * `Op10_30_Test.java`/`Op10_35_Test.java`); GRL1 has no chain
-        * marker, so the moved-row leg demands the strict
-        * same-statement coordinates above — a producer encoding key
-        * updates MUST emit the pair adjacently with consecutive ssn
-        * under one SCN, and unrelated same-SCN changes never match
-        * because they either differ in rowId AND fail ssn-adjacency,
-        * or have records between them. OFF by default (GRL1 writers
-        * emit logical UPDATEs directly).
+        * ONE logical UPDATE. BOTH pairing legs are SCN-bound — the pair
+        * must come from one wire statement, because Oracle reuses row
+        * slots: a DELETE(row A) freeing a rowid and a later unrelated
+        * INSERT(row B) landing on the recycled slot would otherwise be
+        * silently rewritten into a fake UPDATE mixing two rows' images
+        * (the reference only collapses on explicit 10.30/10.35 chain
+        * markers — `internals/OraCdcChangeIndexOp.java:33-146`, tests
+        * `Op10_30_Test.java`/`Op10_35_Test.java` — which GRL1 lacks).
+        * Legs: SAME rowId + SAME SCN (key update in place; interleaved
+        * same-statement changes to OTHER tables may sit between the
+        * two), or — for the row-moved/IOT case where the rowId
+        * changes — same SCN AND consecutive ssn AND no surviving
+        * record between them. A producer encoding key updates MUST
+        * emit the pair under one SCN (adjacent with consecutive ssn
+        * when the rowId moves); slot reuse across statements never
+        * matches because a later statement carries a later SCN, and
+        * within one statement Oracle does not reclaim space freed by
+        * that same statement. OFF by default (GRL1 writers emit
+        * logical UPDATEs directly).
         */
       collapseKeyUpdates: Boolean = false)
 
@@ -157,7 +159,11 @@ object TransactionAssembler {
           while (j < buf.length &&
             (cancelled(j) || buf(j).table != buf(i).table)) j += 1
           if (j < buf.length && buf(j).op == Ops.Insert) {
-            val samePlace = buf(j).rowId == buf(i).rowId
+            // SCN-bound (see Options.collapseKeyUpdates): a pair from
+            // two different statements — e.g. an unrelated insert
+            // landing on a recycled row slot — must never collapse
+            val samePlace = buf(j).rowId == buf(i).rowId &&
+              buf(j).scn == buf(i).scn
             // moved-row leg: strictly one wire statement — same SCN,
             // consecutive ssn, physically adjacent among survivors
             val oneStatement = j == jAny && buf(j).scn == buf(i).scn &&

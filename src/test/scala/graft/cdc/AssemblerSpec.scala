@@ -229,11 +229,15 @@ class AssemblerSpec extends AnyFunSuite {
   }
 
   test("key-update collapse pairs same-rowId across interleaved other-table changes") {
+    // one statement (SCN 10) touching two tables via a trigger: the
+    // other-table record between the halves must not break the pair
     val recs = Seq(
-      chg(10, Ops.Delete, "r1", before = Map("k" -> "1")),
-      RedoRecord(11, 0, "tx1", Ops.Insert, "OTHER.T", "rX", rollback = false,
+      RedoRecord(10, 0, "tx1", Ops.Delete, "T", "r1", rollback = false,
+        0, Map("k" -> "1"), Map.empty),
+      RedoRecord(10, 1, "tx1", Ops.Insert, "OTHER.T", "rX", rollback = false,
         0, Map.empty, Map("z" -> "9")), // interleaved, different table
-      chg(12, Ops.Insert, "r1", after = Map("k" -> "2")),  // same rowId → pair
+      RedoRecord(10, 2, "tx1", Ops.Insert, "T", "r1", rollback = false,
+        0, Map.empty, Map("k" -> "2")), // same rowId + SCN → pair
       chg(13, Ops.Delete, "r7", before = Map("k" -> "7")),
       chg(14, Ops.Insert, "r9", after = Map("k" -> "9")),  // different rowId+stmt → no pair
       commit(20))
@@ -243,6 +247,18 @@ class AssemblerSpec extends AnyFunSuite {
       (Ops.Insert, "T")))
     val upd = out.head
     assert(upd.before("k") == "1" && upd.after("k") == "2")
+  }
+
+  test("key-update collapse: same rowId across DIFFERENT SCNs never pairs (slot reuse)") {
+    // Oracle reuses row slots: DELETE(row A) then a later statement's
+    // INSERT(row B) on the recycled rowid must survive as-is — the
+    // SCN-bound samePlace leg refuses the cross-statement pair
+    val recs = Seq(
+      chg(10, Ops.Delete, "r1", before = Map("k" -> "a")),
+      chg(12, Ops.Insert, "r1", after = Map("k" -> "b")),
+      commit(20))
+    val out = assemble(recs, Options(collapseKeyUpdates = true))
+    assert(out.map(_.op) == Seq(Ops.Delete, Ops.Insert))
   }
 
   test("key-update collapse: a same-table change between the halves blocks pairing") {
