@@ -47,7 +47,11 @@ object TransactionAssembler {
         * same-statement changes to OTHER tables may sit between the
         * two), or — for the row-moved/IOT case where the rowId
         * changes — same SCN AND consecutive ssn AND no surviving
-        * record between them. A producer encoding key updates MUST
+        * record between them AND (when `keyCols` is set) identical key
+        * values in the delete before-image and insert after-image — a
+        * moved row keeps its key, so setting `keyCols` hardens the leg
+        * against same-SCN-batched unrelated pairs. A producer encoding
+        * key updates MUST
         * emit the pair under one SCN (adjacent with consecutive ssn
         * when the rowId moves); slot reuse across statements never
         * matches because a later statement carries a later SCN, and
@@ -165,9 +169,16 @@ object TransactionAssembler {
             val samePlace = buf(j).rowId == buf(i).rowId &&
               buf(j).scn == buf(i).scn
             // moved-row leg: strictly one wire statement — same SCN,
-            // consecutive ssn, physically adjacent among survivors
+            // consecutive ssn, physically adjacent among survivors.
+            // When keyCols is set, ALSO require the delete before-image
+            // and insert after-image to agree on every key column: a
+            // moved row keeps its key (only the rowId changes), so a
+            // same-SCN-batched but genuinely separate DELETE+INSERT of
+            // two different rows never collapses into a false UPDATE.
+            val sameKey = opts.keyCols.isEmpty || opts.keyCols.forall(k =>
+              buf(i).before.get(k) == buf(j).after.get(k))
             val oneStatement = j == jAny && buf(j).scn == buf(i).scn &&
-              buf(j).ssn == buf(i).ssn + 1
+              buf(j).ssn == buf(i).ssn + 1 && sameKey
             if (samePlace || oneStatement) {
               buf(i) = buf(i).copy(op = Ops.Update, rowId = buf(j).rowId,
                 after = buf(j).after)

@@ -14,9 +14,15 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * the pixel function is closed-form in (doc_id, x, y), a SQL oracle
   * can state the expected output WITHOUT decoding — the gate match
   * proves the whole encode→bytes→decode roundtrip is pixel-exact.
-  * Audio/video codecs are NOT in this container, so the frame-sample
-  * and feature-histogram kernels remain clearly-marked deterministic
-  * stand-ins over the same partition-batched plumbing.
+  *
+  * The audio path is REAL the same way: `syntheticWav` renders
+  * deterministic stereo 16-bit PCM and encodes a RIFF/WAVE container
+  * with `javax.sound.sampled` (ships in every JDK); `decodeWav` parses
+  * it back and computes per-channel energy/zero-crossing/peak features
+  * the SQL oracle states analytically from the closed-form samples.
+  * Video codecs are NOT in this container, so the frame-sample kernel
+  * remains a clearly-marked deterministic stand-in over the same
+  * partition-batched plumbing.
   */
 object Multimodal {
 
@@ -140,21 +146,94 @@ object Multimodal {
       }
   }
 
-  /** Fixed-dimension features: 16-bin byte-value histogram (b >>> 4). */
-  case class Features(doc_id: Long, hist: Seq[Int])
+  // ---- REAL audio: PCM WAV via javax.sound.sampled (ships in every
+  // JDK — no container codec needed, the same move that made the image
+  // path real) ----
 
-  /** STUB feature extraction — stands in for an embedding model forward
-    * pass; deterministic integer histogram so any engine can verify it.
+  /** Decoded audio features, one row per clip: stereo 16-bit PCM →
+    * per-channel energy (Σ s²), zero-crossing count and peak |s|.
     */
-  def extractFeatures(df: DataFrame): Dataset[Features] = {
+  case class AudioFeatures(doc_id: Long, n_samples: Int, sample_rate: Int,
+      energy0: Long, energy1: Long, zc0: Int, zc1: Int, peak0: Int, peak1: Int)
+
+  /** Closed-form 16-bit sample for (clip, channel, frame) — the formula
+    * the SQL oracle restates analytically. Long arithmetic with
+    * non-negative terms, so `%` is a true mod.
+    */
+  def audioSample(id: Long, ch: Int, t: Int): Int =
+    ((id * 31 + ch * 17 + t.toLong * 7919) % 65536 - 32768).toInt
+
+  /** Frames per clip (~25-32 ms at 8 kHz, varies per doc). */
+  def audioFrames(id: Long): Int = (200 + id % 57).toInt
+
+  /** REAL WAV bytes for doc `id` (fixture generator, runs on
+    * executors): renders the closed-form stereo PCM and encodes a
+    * RIFF/WAVE container with the JDK's `javax.sound.sampled` writer.
+    * In production this column arrives from storage; here the generator
+    * doubles as the proof fixture — the gate's hash match proves the
+    * encode→bytes→parse→decode roundtrip is sample-exact.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = audioFrames(id)
+    val pcm = new Array[Byte](n * 4) // 2 ch × 16-bit LE, interleaved
+    var t = 0
+    while (t < n) {
+      val s0 = audioSample(id, 0, t)
+      val s1 = audioSample(id, 1, t)
+      pcm(4 * t) = s0.toByte;     pcm(4 * t + 1) = (s0 >> 8).toByte
+      pcm(4 * t + 2) = s1.toByte; pcm(4 * t + 3) = (s1 >> 8).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2,
+      /*signed=*/ true, /*bigEndian=*/ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n)
+    val bos = new java.io.ByteArrayOutputStream(pcm.length + 64)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode over (doc_id, payload) binary WAV columns —
+    * `javax.sound.sampled` parses the RIFF header and streams PCM per
+    * partition batch; per-channel energy / zero-crossings / peak out,
+    * no driver involvement. Zero-crossing convention: a sign flip
+    * between consecutive frames, sign(s) = s ≥ 0.
+    */
+  def decodeWav(df: DataFrame): Dataset[AudioFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.selectExpr("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val hist = new Array[Int](16)
-          payload.foreach(b => hist((b & 0xff) >>> 4) += 1)
-          Features(id, hist.toSeq)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 2 &&
+            !fmt.isBigEndian && fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"doc $id: expected 16-bit LE signed stereo PCM, got $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 4
+          var (e0, e1) = (0L, 0L)
+          var (z0, z1) = (0, 0)
+          var (p0, p1) = (0, 0)
+          var (prev0, prev1) = (0, 0)
+          var t = 0
+          while (t < n) {
+            val s0 = ((bytes(4 * t) & 0xff) | (bytes(4 * t + 1) << 8)).toShort.toInt
+            val s1 = ((bytes(4 * t + 2) & 0xff) | (bytes(4 * t + 3) << 8)).toShort.toInt
+            e0 += s0.toLong * s0; e1 += s1.toLong * s1
+            if (t > 0) {
+              if ((s0 >= 0) != (prev0 >= 0)) z0 += 1
+              if ((s1 >= 0) != (prev1 >= 0)) z1 += 1
+            }
+            if (math.abs(s0) > p0) p0 = math.abs(s0)
+            if (math.abs(s1) > p1) p1 = math.abs(s1)
+            prev0 = s0; prev1 = s1
+            t += 1
+          }
+          AudioFeatures(id, n, fmt.getSampleRate.toInt, e0, e1, z0, z1, p0, p1)
         }
       }
   }

@@ -14,11 +14,15 @@ import graft.functions.Multimodal
   * The pixel function is closed-form in (doc_id, x, y), so the DuckDB
   * oracle states the expected output analytically WITHOUT any decoder —
   * and because PNG is lossless, a hash match proves the whole
-  * render→encode→decode pipeline is pixel-exact. The frame-sample and
-  * feature-histogram gates keep the labeled stub kernels over the
-  * text-bytes payload (no audio/video codec ships in the JDK).
+  * render→encode→decode pipeline is pixel-exact.
   *
-  * Oracle caveat (stub gates only): their DuckDB oracles index by
+  * The audio gate (`mm_feature_extract`) is REAL the same way: stereo
+  * 16-bit PCM encoded to a RIFF/WAVE container and decoded back with
+  * `javax.sound.sampled` (in the JDK), features stated analytically by
+  * the oracle. Only the video frame-sample gate keeps a labeled stub
+  * kernel over the text-bytes payload (no video codec in the JDK).
+  *
+  * Oracle caveat (frame-sample gate only): its DuckDB oracle indexes by
   * CHARACTER (substr/ord) while the engine operates on payload BYTES —
   * equivalent only because the driver corpus is pure ASCII (verified:
   * zero non-ASCII docs at every SF). The Spark side is the
@@ -43,6 +47,17 @@ object MultimodalQueries {
         javax.imageio.ImageIO.setUseCache(false)
         it.map(id => (id, Multimodal.syntheticPng(id)))
       }
+      .toDF("doc_id", "payload")
+  }
+
+  /** documents as REAL RIFF/WAVE payloads, rendered + encoded on
+    * executors with `javax.sound.sampled` (map-only; in production this
+    * binary column arrives from storage).
+    */
+  private def wavTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
       .toDF("doc_id", "payload")
   }
 
@@ -73,13 +88,11 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // fixed-dim feature extraction: 16-bin byte-value histogram (CSV
-    // string output for the same reason as mm_resize)
+    // REAL audio feature extraction: javax.sound.sampled WAV decode →
+    // per-channel energy / zero-crossings / peak (see wavTable)
     "mm_feature_extract" -> ((s, dir) => {
-      Multimodal.extractFeatures(mediaTable(s, dir))
-        .toDF()
-        .withColumn("hist", concat_ws(",", col("hist").cast("array<string>")))
-        .orderBy(col("doc_id"))
+      Multimodal.decodeWav(wavTable(s, dir))
+        .toDF().orderBy(col("doc_id"))
     })
   )
 
@@ -128,12 +141,31 @@ object MultimodalQueries {
         |                  ((j + 1) * h // 8 - j * h // 8)) AS BIGINT)))), ',')
         |         AS pixels
         |FROM dims ORDER BY doc_id""".stripMargin,
+    // analytic restatement of the closed-form stereo PCM: a hash match
+    // proves the WAV encode→bytes→parse→decode roundtrip sample-exact.
+    // sample(ch, t) = (doc_id*31 + ch*17 + t*7919) % 65536 - 32768
     "mm_feature_extract" ->
-      """SELECT doc_id,
-        |       array_to_string(
-        |         list_transform(range(0, 16), k ->
-        |           CAST(len(list_filter(string_split(text, ''),
-        |                  c -> ord(c) // 16 = k)) AS INTEGER)), ',') AS hist
-        |FROM documents ORDER BY doc_id""".stripMargin
+      """WITH clip AS (
+        |  SELECT doc_id, CAST(200 + doc_id % 57 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, t,
+        |         (doc_id * 31 + t * 7919) % 65536 - 32768 AS s0,
+        |         (doc_id * 31 + 17 + t * 7919) % 65536 - 32768 AS s1
+        |  FROM (SELECT doc_id, n, UNNEST(range(0, n)) AS t FROM clip))
+        |SELECT doc_id,
+        |       CAST(MAX(n) AS INTEGER) AS n_samples,
+        |       CAST(8000 AS INTEGER) AS sample_rate,
+        |       CAST(SUM(s0 * s0) AS BIGINT) AS energy0,
+        |       CAST(SUM(s1 * s1) AS BIGINT) AS energy1,
+        |       CAST(SUM(CASE WHEN t > 0 AND
+        |         (s0 >= 0) <> ((doc_id * 31 + (t - 1) * 7919) % 65536 - 32768 >= 0)
+        |         THEN 1 ELSE 0 END) AS INTEGER) AS zc0,
+        |       CAST(SUM(CASE WHEN t > 0 AND
+        |         (s1 >= 0) <> ((doc_id * 31 + 17 + (t - 1) * 7919) % 65536 - 32768 >= 0)
+        |         THEN 1 ELSE 0 END) AS INTEGER) AS zc1,
+        |       CAST(MAX(ABS(s0)) AS INTEGER) AS peak0,
+        |       CAST(MAX(ABS(s1)) AS INTEGER) AS peak1
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

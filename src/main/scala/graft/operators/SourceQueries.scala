@@ -211,7 +211,11 @@ object SourceQueries {
         .withColumn("scn", (col("okey") / 2).cast("long"))
         .withColumn("ssn", (col("okey") % 2).cast("int"))
       val parts = stmts.select(col("xid"), col("scn"), col("ssn"),
-        posexplode(expr("transform(sequence(0, CAST(floor((length(sql_redo)-1)/40) AS INT))," +
+        // greatest(0, …): an empty/null statement would otherwise yield
+        // sequence(0, -1) = [0, -1] (Spark auto-steps down) and feed a
+        // negative seq + duplicate empty chunk; clamp so the helper
+        // stays safe under reuse beyond this synthesized corpus
+        posexplode(expr("transform(sequence(0, greatest(0, CAST(floor((length(sql_redo)-1)/40) AS INT)))," +
           " i -> substring(sql_redo, i*40+1, 40))")).as(Seq("seq", "part")))
       parseRedoTyped(s, CsfReassembly.reassemble(parts)
         .select(col("sql").as("sql_redo")))

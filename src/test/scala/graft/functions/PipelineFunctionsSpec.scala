@@ -95,6 +95,29 @@ class PipelineFunctionsSpec extends AnyFunSuite {
     assert(r.pixels == expect)
   }
 
+  test("WAV encode→decode roundtrip is sample-exact (javax.sound.sampled)") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 42L, 1234567L)
+    val df = ids.toDF("doc_id")
+      .select(col("doc_id"),
+        udf((id: Long) => Multimodal.syntheticWav(id)).apply(col("doc_id"))
+          .as("payload"))
+    val out = Multimodal.decodeWav(df).collect().sortBy(_.doc_id)
+    assert(out.length == ids.length)
+    for (a <- out) {
+      val n = Multimodal.audioFrames(a.doc_id)
+      assert(a.n_samples == n && a.sample_rate == 8000)
+      def s(ch: Int, t: Int) = Multimodal.audioSample(a.doc_id, ch, t)
+      def energy(ch: Int) = (0 until n).map(t => s(ch, t).toLong * s(ch, t)).sum
+      def zc(ch: Int) =
+        (1 until n).count(t => (s(ch, t) >= 0) != (s(ch, t - 1) >= 0))
+      def peak(ch: Int) = (0 until n).map(t => math.abs(s(ch, t))).max
+      assert(a.energy0 == energy(0) && a.energy1 == energy(1))
+      assert(a.zc0 == zc(0) && a.zc1 == zc(1))
+      assert(a.peak0 == peak(0) && a.peak1 == peak(1))
+    }
+  }
+
   test("multimodal stub frame sampling shape") {
     import spark.implicits._
     val df = Seq((1L, "hello world! padding to make it longer 123"))
