@@ -1,41 +1,149 @@
 package graft.logminer
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** CSF continuation reassembly (SURVEY §2.1 S4 parity): LogMiner splits
   * a long SQL_REDO across consecutive `V$LOGMNR_CONTENTS` rows, flagging
   * every row but the last with CSF=1; the reference stitches them back
   * with a cursor-side while-loop
   * (`OraCdcLogMinerWorkerThread.java:906-913,1134-1150`). Spark-first
-  * re-expression: statements are KEYED by their LogMiner identity —
-  * continuation rows repeat the statement's (SCN, SSN) coordinates
-  * (RS_ID+SSN in `V$LOGMNR_CONTENTS`; the reference's fetch loop relies
-  * on exactly this) — so one ordered group-concat per (xid, scn, ssn)
-  * rebuilds every statement. No window, no run-length inference: a
-  * CSF-run-based splitter was tried first and rejected because two
-  * statements of one transaction routinely share an SCN (every row of a
-  * multi-row UPDATE), which makes any (scn, seq)-ordered run-length
-  * nondeterministic under ties. CSF's only remaining wire role is
-  * telling the POLLER how many rows to fetch; identification is the
-  * statement key.
+  * re-expression: statements are KEYED by their identity — one ordered
+  * group-concat per statement key rebuilds every statement. No window,
+  * no run-length inference: a CSF-run-based splitter was tried first and
+  * rejected because two statements of one transaction routinely share an
+  * SCN (every row of a multi-row UPDATE), which makes any (scn,
+  * seq)-ordered run-length nondeterministic under ties. CSF's only
+  * remaining wire role is completeness (streaming path below);
+  * identification is the statement key.
   *
-  * Input columns: `xid` (transaction), `scn` + `ssn` (statement
-  * identity within the transaction), `seq` (chunk order within the
-  * statement), `part` (text chunk).
-  * Output: one row per statement — (xid, scn, ssn, sql).
+  * STATEMENT IDENTITY: LogMiner's true per-statement key is RS_ID+SSN —
+  * RS_ID (the redo byte address) is FINER than SCN, so two distinct
+  * statements of one transaction CAN share (scn, ssn) in a raw feed.
+  * The default `(xid, scn, ssn)` key is therefore only safe when the
+  * `scn` column is a per-statement-unique surrogate (an RS_ID analogue),
+  * as in this library's poll feeds. When it is a RAW SCN, pass the
+  * RS_ID-carrying column via `idCols` instead — the caller owns key
+  * uniqueness, exactly as the reference's cursor owns adjacency.
+  *
+  * Input columns (batch): `xid`, statement-identity columns (default
+  * `scn` + `ssn`), `seq` (chunk order within the statement), `part`
+  * (text chunk). Output: one row per statement — id columns + `sql`.
   *
   * Scale: one shuffle keyed by statement; concat state is bounded by a
   * single statement's length — never by table or log size.
   */
 object CsfReassembly {
 
-  def reassemble(parts: DataFrame): DataFrame =
-    parts.groupBy(col("xid"), col("scn"), col("ssn"))
+  def reassemble(parts: DataFrame,
+      idCols: Seq[String] = Seq("xid", "scn", "ssn")): DataFrame =
+    parts.groupBy(idCols.map(col): _*)
       // ordered concat: collect_list has no ordering guarantee after a
       // shuffle, so sort the (seq, part) pairs inside the aggregate
       .agg(array_join(
         expr("transform(sort_array(collect_list(struct(seq, part))), x -> x.part)"),
         "").as("sql"))
-      .select(col("xid"), col("scn"), col("ssn"), col("sql"))
+      .select(idCols.map(col) :+ col("sql"): _*)
+
+  /** One CSF chunk on the wire: `csf` = 1 while continuation rows
+    * follow, 0 on the statement's final chunk (LogMiner's flag).
+    */
+  case class CsfChunk(xid: String, scn: Long, ssn: Int, seq: Int,
+      csf: Int, part: String)
+
+  /** One reassembled statement, ready for [[SqlRedoParser]]. */
+  case class CsfStatement(xid: String, scn: Long, ssn: Int, sql: String)
+
+  /** STREAMING reassembly — the poll-path composition the reference does
+    * inside its fetch loop: a statement's chunks may be SPLIT ACROSS
+    * MICRO-BATCHES (a poll window boundary lands mid-statement), so the
+    * batch group-concat above cannot see them together. `transformWith
+    * State` buffers chunks per statement key in a RocksDB-backed
+    * ListState and emits exactly when the CSF=0 terminal chunk and every
+    * seq before it have arrived; state for a statement is freed at emit.
+    * Requires the RocksDB state store provider (same as
+    * [[graft.streaming.ChangeStreams.assembleStream]]).
+    *
+    * State is bounded by OPEN (incomplete) statements only — a complete
+    * statement never outlives its emitting micro-batch, so steady-state
+    * size is (statements straddling the current window boundary) ×
+    * (statement length), independent of feed length.
+    */
+  def reassembleStream(chunks: Dataset[CsfChunk]): Dataset[CsfStatement] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.groupByKey(c => (c.xid, c.scn, c.ssn))
+      .transformWithState(new CsfStitchProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The full streaming S4 composition — CSF reassembly AHEAD of the
+    * SQL_REDO parser, the order the reference's fetch loop hard-codes
+    * (`OraCdcLogMinerWorkerThread.java:906-913` stitches, THEN
+    * `parseRedoRecord` runs): a `graft-jdbc-poll` chunk feed becomes
+    * typed [[graft.cdc.RedoRecord]]s ready for
+    * [[graft.streaming.ChangeStreams.assembleStream]]. SQL NULLs are
+    * encoded as ABSENT keys in the before/after images (matching the
+    * P4 key-projection convention elsewhere in the cdc model).
+    */
+  def redoRecordStream(chunks: Dataset[CsfChunk]): Dataset[graft.cdc.RedoRecord] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    reassembleStream(chunks).map { st =>
+      val c = SqlRedoParser.parse(st.sql)
+      graft.cdc.RedoRecord(st.scn, st.ssn, st.xid, c.op,
+        s"${c.owner}.${c.table}", rowId = "", rollback = false,
+        tsMicros = 0L,
+        before = c.where.collect { case (k, Some(v)) => k -> v },
+        after = c.set.collect { case (k, Some(v)) => k -> v })
+    }
+  }
+}
+
+/** Per-statement stateful stitcher: append-only chunk log + the terminal
+  * seq once the CSF=0 chunk is seen. Append-only batches (terminal not
+  * yet known) cost O(increment) state IO; the one full list read happens
+  * on terminal-bearing batches. Chunk arrival order is NOT assumed —
+  * window value-range splits read concurrently, so a later seq can land
+  * first — and checkpoint-replayed duplicates collapse via the seq map.
+  */
+private[logminer] class CsfStitchProcessor
+  extends StatefulProcessor[(String, Long, Int),
+    CsfReassembly.CsfChunk, CsfReassembly.CsfStatement] {
+  import CsfReassembly.{CsfChunk, CsfStatement}
+
+  @transient private var chunks: ListState[CsfChunk] = _
+  @transient private var terminalSeq: ValueState[Int] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    chunks = getHandle.getListState("chunks",
+      Encoders.product[CsfChunk], TTLConfig.NONE)
+    terminalSeq = getHandle.getValueState("terminalSeq",
+      Encoders.scalaInt, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: (String, Long, Int),
+      rows: Iterator[CsfChunk],
+      timerValues: TimerValues): Iterator[CsfStatement] = {
+    val incoming = rows.toArray
+    if (incoming.nonEmpty) chunks.appendList(incoming)
+    incoming.find(_.csf == 0).foreach(c => terminalSeq.update(c.seq))
+    if (!terminalSeq.exists()) Iterator.empty
+    else {
+      val k = terminalSeq.get()
+      val bySeq = chunks.get().map(c => c.seq -> c.part).toMap
+      if ((0 to k).forall(bySeq.contains)) {
+        chunks.clear(); terminalSeq.clear()
+        Iterator.single(CsfStatement(key._1, key._2, key._3,
+          (0 to k).iterator.map(bySeq).mkString))
+      } else Iterator.empty
+    }
+  }
+
+  override def handleExpiredTimer(key: (String, Long, Int),
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[CsfStatement] =
+    Iterator.empty
 }
