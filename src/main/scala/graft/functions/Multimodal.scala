@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
 import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Multimodal column plumbing (BASELINE.json mandate): image/audio/video
@@ -20,21 +19,20 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * with `javax.sound.sampled` (ships in every JDK); `decodeWav` parses
   * it back and computes per-channel energy/zero-crossing/peak features
   * the SQL oracle states analytically from the closed-form samples.
-  * Video codecs are NOT in this container, so the frame-sample kernel
-  * remains a clearly-marked deterministic stand-in over the same
-  * partition-batched plumbing.
+  *
+  * The video path is REAL via the JDK's animated-GIF sequence
+  * writer/reader: `syntheticGif` encodes N closed-form grayscale
+  * frames into one multi-frame GIF container; `sampleFrames` counts
+  * the container's frames and decodes only every step-th one
+  * (keyframe sampling — skipped frames are never rasterized). GIF's
+  * 256-entry palette holds 8-bit grayscale losslessly, so the
+  * roundtrip is pixel-exact and the oracle states it analytically.
   */
 object Multimodal {
 
   /** Decoded image: dimensions + per-channel pixel sums. */
   case class DecodedImage(doc_id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long)
-
-  /** A sampled "video frame" fingerprint. */
-  case class Frame(doc_id: Long, frame_idx: Int, frame_sig: String)
-
-  private def md5Hex(md: MessageDigest, bytes: Array[Byte]): String =
-    md.digest(bytes).map(b => f"$b%02x").mkString
 
   /** Deterministic synthetic image dimensions/channels for doc `id` —
     * the closed form the SQL oracle restates. All arithmetic stays in
@@ -238,21 +236,105 @@ object Multimodal {
       }
   }
 
-  /** STUB video frame sampling: fixed-size 16-byte "frames", every
-    * `step`-th frame fingerprinted (stands in for keyframe extraction).
+  // ---- REAL video: multi-frame animated GIF via javax.imageio (the
+  // GIF sequence writer/reader ship in every JDK — no external codec
+  // needed, the same move that made the image and audio paths real).
+  // GIF is a genuine video container here: N distinct frames, palette
+  // encoding, LZW compression — and because the frames are 8-bit
+  // grayscale the 256-entry palette preserves them losslessly, so the
+  // roundtrip is pixel-exact and an analytic oracle can state it. ----
+
+  /** One sampled (decoded) video frame: index + pixel statistics. */
+  case class SampledFrame(doc_id: Long, frame_idx: Int, n_frames: Int,
+      px_sum: Long)
+
+  /** Closed-form video geometry + 8-bit gray pixel for (clip, frame,
+    * x, y) — the formulas the SQL oracle restates. Non-negative Long
+    * terms, so `%` is a true mod.
     */
-  def sampleFrames(df: DataFrame, frameBytes: Int = 16, step: Int = 4): Dataset[Frame] = {
+  val VidW = 16
+  val VidH = 12
+  def vidFrames(id: Long): Int = (6 + id % 5).toInt
+  def gray(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f.toLong * 101 + y.toLong * VidW + x.toLong * 7) % 256).toInt
+
+  /** REAL animated-GIF bytes for doc `id` (fixture generator, runs on
+    * executors): renders the closed-form grayscale frames and encodes a
+    * multi-frame GIF sequence with the JDK ImageIO writer. In
+    * production this column arrives from storage; here the generator
+    * doubles as the proof fixture — the gate's hash match proves the
+    * frame-sequence encode→bytes→decode roundtrip frame- and
+    * pixel-exact.
+    */
+  def syntheticGif(id: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream(VidW * VidH + 512)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      val n = vidFrames(id)
+      while (f < n) {
+        val img = new java.awt.image.BufferedImage(
+          VidW, VidH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < VidH) {
+          var x = 0
+          while (x < VidW) {
+            raster.setSample(x, y, 0, gray(id, f, x, y)); x += 1
+          }
+          y += 1
+        }
+        val p = writer.getDefaultWriteParam
+        val md = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), p)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), p)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** REAL video keyframe sampling over (doc_id, payload) binary
+    * animated-GIF columns: `javax.imageio`'s GIF reader counts the
+    * container's frames and decodes ONLY every `step`-th one (frame 0
+    * always included) — the decoder is random-access by frame index,
+    * so skipped frames are never rasterized, which is the point of
+    * keyframe sampling at scale. Per partition batch, fixed-schema
+    * pixel statistics out, no driver involvement.
+    */
+  def sampleFrames(df: DataFrame, step: Int = 3): Dataset[SampledFrame] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.selectExpr("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        val md = MessageDigest.getInstance("MD5")
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
         it.flatMap { case (id, payload) =>
-          val nFrames = payload.length / frameBytes
-          (0 until nFrames by step).iterator.map { j =>
-            val frame = java.util.Arrays.copyOfRange(
-              payload, j * frameBytes, (j + 1) * frameBytes)
-            Frame(id, j, md5Hex(md, frame).substring(0, 8))
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload)))
+          val n = reader.getNumImages(/*allowSearch=*/ true)
+          (0 until n by step).map { f =>
+            val img = reader.read(f)
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += img.getRGB(x, y) & 0xff; x += 1
+              }
+              y += 1
+            }
+            SampledFrame(id, f, n, sum)
           }
         }
       }

@@ -19,23 +19,16 @@ import graft.functions.Multimodal
   * The audio gate (`mm_feature_extract`) is REAL the same way: stereo
   * 16-bit PCM encoded to a RIFF/WAVE container and decoded back with
   * `javax.sound.sampled` (in the JDK), features stated analytically by
-  * the oracle. Only the video frame-sample gate keeps a labeled stub
-  * kernel over the text-bytes payload (no video codec in the JDK).
+  * the oracle.
   *
-  * Oracle caveat (frame-sample gate only): its DuckDB oracle indexes by
-  * CHARACTER (substr/ord) while the engine operates on payload BYTES —
-  * equivalent only because the driver corpus is pure ASCII (verified:
-  * zero non-ASCII docs at every SF). The Spark side is the
-  * byte-correct behavior.
+  * The video gate (`mm_frame_sample`) is REAL too: a multi-frame
+  * animated-GIF container (the JDK ImageIO GIF sequence writer/reader)
+  * whose grayscale frames survive the 256-entry palette losslessly —
+  * the gate decodes every 3rd frame and the oracle restates the
+  * closed-form pixel sums analytically, so the hash match proves the
+  * frame-sequence encode→decode roundtrip frame- and pixel-exact.
   */
 object MultimodalQueries {
-
-  /** documents as a media table: (doc_id, payload binary, meta struct). */
-  private def mediaTable(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir).select(
-      col("doc_id"),
-      to_binary(col("text"), lit("utf-8")).as("payload"),
-      struct(col("lang"), col("source"), lit("image/fake").as("mime")).as("meta"))
 
   /** documents as REAL PNG payloads, rendered + encoded on executors
     * (map-only; in production this binary column arrives from storage).
@@ -61,6 +54,17 @@ object MultimodalQueries {
       .toDF("doc_id", "payload")
   }
 
+  /** documents as REAL multi-frame animated-GIF payloads, rendered +
+    * encoded on executors with the JDK ImageIO GIF sequence writer
+    * (map-only; in production this binary column arrives from storage).
+    */
+  private def gifTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.syntheticGif(id))))
+      .toDF("doc_id", "payload")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // REAL javax.imageio PNG decode: binary → per-partition batched
     // decode → dimensions + per-channel pixel sums
@@ -69,9 +73,10 @@ object MultimodalQueries {
         .toDF().orderBy(col("doc_id"))
     }),
 
-    // "video" frame sampling: every 4th 16-byte frame fingerprinted
+    // REAL video keyframe sampling: animated-GIF container decode,
+    // every 3rd frame rasterized (see gifTable)
     "mm_frame_sample" -> ((s, dir) => {
-      Multimodal.sampleFrames(mediaTable(s, dir))
+      Multimodal.sampleFrames(gifTable(s, dir))
         .toDF().orderBy(col("doc_id"), col("frame_idx"))
     }),
 
@@ -113,12 +118,21 @@ object MultimodalQueries {
         |         list_transform(range(0, 16 + doc_id % 17), x ->
         |           (7 * doc_id + 13 * x + 3 * y) % 256)))) AS BIGINT) AS sum_b
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // analytic restatement of the closed-form grayscale frames: a hash
+    // match proves the GIF-sequence encode→bytes→decode roundtrip
+    // frame- and pixel-exact. gray(f,x,y) = (id*31+f*101+y*16+x*7)%256,
+    // 16×12 px frames, 6+id%5 frames per clip, every 3rd sampled.
     "mm_frame_sample" ->
-      """SELECT doc_id, CAST(j AS INTEGER) AS frame_idx,
-        |       substr(md5(substr(text, CAST(j * 16 + 1 AS INTEGER), 16)), 1, 8) AS frame_sig
-        |FROM (SELECT doc_id, text,
-        |             UNNEST(range(0, octet_length(encode(text)) // 16, 4)) AS j
-        |      FROM documents)
+      """WITH clip AS (
+        |  SELECT doc_id, CAST(6 + doc_id % 5 AS INTEGER) AS n FROM documents),
+        |f AS (SELECT doc_id, n, UNNEST(range(0, n, 3)) AS f FROM clip),
+        |px AS (
+        |  SELECT doc_id, n, f,
+        |         (doc_id * 31 + f * 101 + y.range * 16 + x.range * 7) % 256 AS g
+        |  FROM f, range(0, 12) y, range(0, 16) x)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, n AS n_frames,
+        |       CAST(SUM(g) AS BIGINT) AS px_sum
+        |FROM px GROUP BY doc_id, f, n
         |ORDER BY doc_id, frame_idx""".stripMargin,
     // floored-mean box filter of the closed-form red channel, 8×8
     // row-major — integer arithmetic end-to-end on both sides

@@ -118,12 +118,25 @@ class PipelineFunctionsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal stub frame sampling shape") {
+  test("GIF encode→frame-sample roundtrip is frame- and pixel-exact") {
     import spark.implicits._
-    val df = Seq((1L, "hello world! padding to make it longer 123"))
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
-    val frames = Multimodal.sampleFrames(df).collect()
-    assert(frames.map(_.frame_idx).toSeq == Seq(0)) // 2 frames, step 4 → idx 0
+    val ids = Seq(0L, 1L, 42L, 1234567L)
+    val df = ids.toDF("doc_id")
+      .select(col("doc_id"),
+        udf((id: Long) => Multimodal.syntheticGif(id)).apply(col("doc_id"))
+          .as("payload"))
+    val out = Multimodal.sampleFrames(df, step = 3).collect()
+      .sortBy(f => (f.doc_id, f.frame_idx))
+    val expect = ids.flatMap { id =>
+      val n = Multimodal.vidFrames(id)
+      (0 until n by 3).map { f =>
+        val sum = (for {
+          y <- 0 until Multimodal.VidH
+          x <- 0 until Multimodal.VidW
+        } yield Multimodal.gray(id, f, x, y).toLong).sum
+        Multimodal.SampledFrame(id, f, n, sum)
+      }
+    }.sortBy(f => (f.doc_id, f.frame_idx))
+    assert(out.toSeq == expect)
   }
 }
