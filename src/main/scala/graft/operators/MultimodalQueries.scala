@@ -65,19 +65,28 @@ object MultimodalQueries {
       .toDF("doc_id", "payload")
   }
 
+  /** Eager-materialize the (small, feature-sized) decoded frame before
+    * the presentation sort: `orderBy`'s range partitioner SAMPLES its
+    * child to pick split points, which would execute the whole
+    * render→encode→decode codec pipeline a second time just for the
+    * sampling pass. One executor-local materializing job instead (the
+    * decoded features are KBs; the corpus-sized payloads never pin).
+    */
+  private def sorted(df: DataFrame, by: String*): DataFrame =
+    df.localCheckpoint(true).orderBy(by.map(col): _*)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // REAL javax.imageio PNG decode: binary → per-partition batched
     // decode → dimensions + per-channel pixel sums
     "mm_decode" -> ((s, dir) => {
-      Multimodal.decodePng(pngTable(s, dir))
-        .toDF().orderBy(col("doc_id"))
+      sorted(Multimodal.decodePng(pngTable(s, dir)).toDF(), "doc_id")
     }),
 
     // REAL video keyframe sampling: animated-GIF container decode,
     // every 3rd frame rasterized (see gifTable)
     "mm_frame_sample" -> ((s, dir) => {
-      Multimodal.sampleFrames(gifTable(s, dir))
-        .toDF().orderBy(col("doc_id"), col("frame_idx"))
+      sorted(Multimodal.sampleFrames(gifTable(s, dir)).toDF(),
+        "doc_id", "frame_idx")
     }),
 
     // REAL box-filter resize of the decoded red channel to 8×8. The
@@ -86,18 +95,16 @@ object MultimodalQueries {
     // rendering is identical in Spark and DuckDB so the compare stays
     // exact.
     "mm_resize" -> ((s, dir) => {
-      Multimodal.resizePng(pngTable(s, dir))
+      sorted(Multimodal.resizePng(pngTable(s, dir))
         .toDF()
         .withColumn("pixels",
-          concat_ws(",", col("pixels").cast("array<string>")))
-        .orderBy(col("doc_id"))
+          concat_ws(",", col("pixels").cast("array<string>"))), "doc_id")
     }),
 
     // REAL audio feature extraction: javax.sound.sampled WAV decode →
     // per-channel energy / zero-crossings / peak (see wavTable)
     "mm_feature_extract" -> ((s, dir) => {
-      Multimodal.decodeWav(wavTable(s, dir))
-        .toDF().orderBy(col("doc_id"))
+      sorted(Multimodal.decodeWav(wavTable(s, dir)).toDF(), "doc_id")
     })
   )
 
