@@ -34,6 +34,45 @@ object Multimodal {
   case class DecodedImage(doc_id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long)
 
+  // ---- ImageIO codec instances, resolved ONCE per thread: every
+  // `ImageIO.read`/`write`/`createImage{In,Out}putStream`/`getImage
+  // {Readers,Writers}ByFormatName` call scans the IIORegistry behind
+  // per-category locks, which serializes 32 executor threads encoding/
+  // decoding small payloads (the WAV path measured 2.3× on exactly this
+  // pattern; the GIF sequence writer paid it PER CLIP plus a default-
+  // metadata build PER FRAME). Reader/writer instances are not
+  // thread-safe but are reusable: `setInput`/`setOutput` (+ `reset`
+  // for the stateful GIF sequence writer) re-arm them with no registry
+  // traffic, and the codec work stays the JDK's. ----
+  private val pngWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+  }
+  private val pngReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+  }
+  private val gifWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+  }
+  private val gifReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+  }
+
+  /** Registry-free decode of one image payload with the given
+    * thread-local reader (`MemoryCacheImageInputStream` is constructed
+    * directly — `ImageIO.createImageInputStream` would consult the
+    * stream-SPI registry per call).
+    */
+  private def readOne(reader: javax.imageio.ImageReader,
+      payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try { reader.setInput(iis); reader.read(0) } finally iis.close()
+  }
+
   /** Deterministic synthetic image dimensions/channels for doc `id` —
     * the closed form the SQL oracle restates. All arithmetic stays in
     * Long and every term is non-negative, so `%` is a true mod.
@@ -64,7 +103,12 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream(w * h / 2 + 128)
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val writer = pngWriter.get()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally { writer.reset(); ios.close() }
     bos.toByteArray
   }
 
@@ -79,9 +123,9 @@ object Multimodal {
     df.selectExpr("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
+        val reader = pngReader.get()
         it.map { case (id, payload) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
+          val img = readOne(reader, payload)
           require(img != null, s"doc $id: payload is not a decodable image")
           val (w, h) = (img.getWidth, img.getHeight)
           var (sr, sg, sb) = (0L, 0L, 0L)
@@ -119,9 +163,9 @@ object Multimodal {
     df.selectExpr("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
+        val reader = pngReader.get()
         it.map { case (id, payload) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
+          val img = readOne(reader, payload)
           require(img != null, s"doc $id: payload is not a decodable image")
           val (w, h) = (img.getWidth, img.getHeight)
           val px = for {
@@ -301,13 +345,17 @@ object Multimodal {
     */
   def syntheticGif(id: Long): Array[Byte] = {
     javax.imageio.ImageIO.setUseCache(false)
-    val writer =
-      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val writer = gifWriter.get()
     val bos = new java.io.ByteArrayOutputStream(VidW * VidH + 512)
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
+      val p = writer.getDefaultWriteParam
+      // every frame shares one image type, so ONE default-metadata build
+      // per clip (it was per FRAME — the single hottest call in the
+      // encode profile, and the writer only reads the passed metadata)
+      var md: javax.imageio.metadata.IIOMetadata = null
       var f = 0
       val n = vidFrames(id)
       while (f < n) {
@@ -322,15 +370,17 @@ object Multimodal {
           }
           y += 1
         }
-        val p = writer.getDefaultWriteParam
-        val md = writer.getDefaultImageMetadata(
+        if (md == null) md = writer.getDefaultImageMetadata(
           new javax.imageio.ImageTypeSpecifier(img), p)
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), p)
         f += 1
       }
       writer.endWriteSequence()
     } finally {
-      writer.dispose()
+      // reset, NOT dispose: the instance is thread-local and reused; the
+      // GIF sequence writer is stateful, so reset clears the sequence
+      // state along with the output
+      writer.reset()
       ios.close()
     }
     bos.toByteArray
@@ -350,10 +400,9 @@ object Multimodal {
     df.selectExpr("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
-        val reader =
-          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        val reader = gifReader.get()
         it.flatMap { case (id, payload) =>
-          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(payload)))
           val n = reader.getNumImages(/*allowSearch=*/ true)
           (0 until n by step).map { f =>
