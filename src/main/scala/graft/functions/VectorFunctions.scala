@@ -37,6 +37,12 @@ object VectorFunctions {
     cosineFromQ(dotQ(qa, qb), normQ2(qa), normQ2(qb))
   }
 
+  /** SQ8 decode of a quantized vector against per-dim (mn, step) bounds
+    * arrays — the integer grid value each 8-bit code represents (native).
+    */
+  def sq8Decode(q: Column, mns: Column, steps: Column): Column =
+    VectorNative.sq8_decode_native(q, mns, steps)
+
   /** Random-hyperplane LSH bucket (16-bit signature). Plane p component i
     * is the deterministic pseudo-random integer ((p·131 + i·7919 + 17)
     * mod 1000) − 500, so executors and oracles regenerate identical

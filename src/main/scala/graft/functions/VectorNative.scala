@@ -60,6 +60,26 @@ object VectorNative {
     out
   }
 
+  /** SQ8 decode on the fixed-point domain: out[i] = mn[i] +
+    * ((q[i] − mn[i]) / s[i]) · s[i] — the grid value the 8-bit code
+    * represents. Integer arithmetic with q[i] ≥ mn[i] (mn is the corpus
+    * minimum) and s[i] ≥ 1, so `/` truncation matches SQL DIV and the
+    * oracle's `//` exactly.
+    */
+  def sq8Decode(q: ArrayData, mns: ArrayData, steps: ArrayData): ArrayData = {
+    val n = math.min(q.numElements(),
+      math.min(mns.numElements(), steps.numElements()))
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val mn = mns.getLong(i)
+      val s = steps.getLong(i)
+      out(i) = mn + ((q.getLong(i) - mn) / s) * s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   case class QuantizeExpr(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(FloatType))
@@ -85,6 +105,24 @@ object VectorNative {
       copy(left = l, right = r)
   }
 
+  case class Sq8DecodeExpr(first: Expression, second: Expression,
+      third: Expression)
+      extends TernaryExpression with ExpectsInputTypes {
+    override def inputTypes =
+      Seq(ArrayType(LongType), ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(q: Any, mns: Any, steps: Any): Any =
+      VectorNative.sq8Decode(q.asInstanceOf[ArrayData],
+        mns.asInstanceOf[ArrayData], steps.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c) =>
+        s"graft.functions.VectorNative.sq8Decode($a, $b, $c)")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
   case class LshBucketExpr(child: Expression, planes: Int)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(LongType))
@@ -103,4 +141,6 @@ object VectorNative {
   def quantize_native(col: Column): Column = c(QuantizeExpr(e(col)))
   def dotq_native(a: Column, b: Column): Column = c(DotQExpr(e(a), e(b)))
   def lsh_bucket_native(q: Column, planes: Int): Column = c(LshBucketExpr(e(q), planes))
+  def sq8_decode_native(q: Column, mns: Column, steps: Column): Column =
+    c(Sq8DecodeExpr(e(q), e(mns), e(steps)))
 }

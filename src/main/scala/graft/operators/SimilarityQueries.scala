@@ -145,22 +145,26 @@ object SimilarityQueries {
       val e = embeddings(s, dir)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .withColumn("n2", normQ2(col("q")))
-      // per-dimension integer bounds: |dims| rows, one exchange
-      val dims = e.select(posexplode(col("q")).as(Seq("dim", "x")))
-        .groupBy(col("dim")).agg(min("x").as("mn"), max("x").as("mx"))
-      val bounds = dims.agg(
-        expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)")
-          .as("mns"),
-        expr("transform(array_sort(collect_list(struct(dim, mn, mx))), " +
-          "s -> greatest(CAST(1 AS BIGINT), (s.mx - s.mn + 254) DIV 255))")
-          .as("steps"))
+      // quantizer training = ONE mergeable element-wise min/max
+      // aggregate (VecBoundsAgg): an explode→groupBy(dim) formulation
+      // would multiply every row by its dimension count through an
+      // exchange — a 1024× row blowup at embedding scale — to compute
+      // 2·dim longs; here the partials are |partitions| buffers
+      val bounds = e.agg(
+          graft.functions.VecBoundsFunctions.vec_bounds(col("q")).as("b"))
+        .select(col("b.mns").as("mns"),
+          expr("zip_with(b.mxs, b.mns, (mx, mn) -> " +
+            "greatest(CAST(1 AS BIGINT), (mx - mn + 254) DIV 255))")
+            .as("steps"))
+      // decode stays a codegen'd kernel (the HOF transform interprets
+      // its lambda per ELEMENT — measured 3× the whole query's cost);
+      // only (d, dn2) survive the projection, the full-precision q does
+      // not travel with the fact side through stage 1
       val coded = e.crossJoin(broadcast(bounds))
-        .withColumn("d", expr("transform(q, (x, i) -> " +
-          "element_at(mns, i + 1) + ((x - element_at(mns, i + 1)) DIV " +
-          "element_at(steps, i + 1)) * element_at(steps, i + 1))"))
+        .withColumn("d", sq8Decode(col("q"), col("mns"), col("steps")))
         .withColumn("dn2", normQ2(col("d")))
-        .select(col("vec_id"), col("q"), col("n2"), col("d"), col("dn2"))
-      val qs = coded.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("d"), col("dn2"))
+      val qs = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("q").as("qq"),
           col("n2").as("qn2"))
       // stage 1: approximate top-m by asymmetric cosine (exact query ·

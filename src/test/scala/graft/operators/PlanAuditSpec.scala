@@ -159,6 +159,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(cell"))
   }
 
+  test("SQ8 re-rank stage: candidate list broadcasts against the fact table") {
+    // the two-stage shape's 100 TB claim: the full-precision side is
+    // touched via an equi-join with the BROADCAST candidate list — the
+    // re-rank must never shuffle the fact table on vec_id. (The stage-1
+    // crossJoins against broadcast bounds/queries are nested-loop by
+    // construction, so the audit pins the re-rank join's operator.)
+    val p = plan("ann_sq8_rerank")
+    assert("BroadcastHashJoin .*vec_id".r.findFirstIn(p).isDefined,
+      s"re-rank must equi-join vec_id against the broadcast candidates:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"re-rank must not shuffle the fact table:\n$p")
+  }
+
   test("as-of join is union+window: no join operator, one key shuffle") {
     val p = plan("q_asof_join")
     assert(!p.contains("Join"), s"as-of must not materialize a join:\n$p")
