@@ -175,6 +175,69 @@ object CdcQueries {
           element_at(col("after"), "v5").cast("long").as("v5"))
     }),
 
+    // P5: keyless-DELETE skip via assembler options — with no key
+    // columns configured a DELETE cannot be applied downstream, so the
+    // assembler must drop exactly the deletes and nothing else.
+    "p5_keyless_delete_skip" -> ((s, dir) => {
+      ChangeStreams.assembleBatch(redoRecords(s, dir),
+          TransactionAssembler.Options(skipKeylessDelete = true))
+        .select(col("xid"), col("commitScn").as("commit_scn"), col("scn"),
+          col("op"), col("rowId").as("row_id"),
+          element_at(col("after"), "value").cast("double").as("val"))
+    }),
+
+    // T5 key-update collapse (10.30/10.35 chain semantic): a producer
+    // encoding a key update as DELETE+INSERT under ONE SCN must emerge
+    // as ONE logical UPDATE (delete's statement position + before-image,
+    // insert's rowId + after-image); a DELETE+INSERT of the same row at
+    // DIFFERENT SCNs is two genuine statements and must survive as-is.
+    // Even orderkeys build the one-statement pair, odd ones the
+    // two-statement control group.
+    "t5_key_update_collapse" -> ((s, dir) => {
+      import s.implicits._
+      val emptyMap = map().cast("map<string,string>")
+      val noMulti = typedLit(Seq.empty[Map[String, String]])
+      val o = orders(s, dir).select(col("o_orderkey").as("okey"),
+        concat(lit("t"), (col("o_orderkey") % 101).cast("string")).as("xid"),
+        col("o_custkey").cast("string").as("ck"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"))
+      val deletes = o.select((col("okey") * 10).as("scn"), lit(0).as("ssn"),
+        col("xid"), lit(Ops.Delete).as("op"), lit("G.T").as("table"),
+        concat(lit("r"), col("okey")).as("rowId"), lit(false).as("rollback"),
+        lit(0L).as("tsMicros"),
+        map(lit("k"), col("ck"), lit("v"), col("cents").cast("string"))
+          .as("before"),
+        emptyMap.as("after"), noMulti.as("multiRows"))
+      val inserts = o.select(
+        (col("okey") * 10 + when(col("okey") % 2 === 0, 0).otherwise(5))
+          .as("scn"),
+        when(col("okey") % 2 === 0, 1).otherwise(0).cast("int").as("ssn"),
+        col("xid"), lit(Ops.Insert).as("op"), lit("G.T").as("table"),
+        concat(lit("r"), col("okey")).as("rowId"), lit(false).as("rollback"),
+        lit(0L).as("tsMicros"), emptyMap.as("before"),
+        map(lit("k"), col("ck"), lit("v"), (col("cents") + 7).cast("string"))
+          .as("after"), noMulti.as("multiRows"))
+      val commits = o.groupBy(col("xid"))
+        .agg((max(col("okey")) * 10 + 10).as("scn"))
+        .select(col("scn"), lit(0).as("ssn"), col("xid"),
+          lit(Ops.Commit).as("op"), lit("").as("table"), lit("").as("rowId"),
+          lit(false).as("rollback"), lit(0L).as("tsMicros"),
+          emptyMap.as("before"), emptyMap.as("after"),
+          noMulti.as("multiRows"))
+      val records = deletes.unionByName(inserts).unionByName(commits)
+        .as[RedoRecord]
+      ChangeStreams.assembleBatch(records,
+          TransactionAssembler.Options(collapseKeyUpdates = true))
+        .select(col("xid"), col("scn"), col("ssn"), col("op"),
+          col("rowId").as("row_id"),
+          coalesce(element_at(col("before"), "k"),
+            element_at(col("after"), "k")).as("k"),
+          element_at(col("before"), "v").as("vb"),
+          element_at(col("after"), "v").as("va"))
+        .orderBy(col("scn"))
+    }),
+
     // P4: DELETE column pruning to key columns via assembler options.
     "p4_delete_pk_projection" -> ((s, dir) => {
       ChangeStreams.assembleBatch(redoRecords(s, dir),
@@ -374,6 +437,33 @@ object CdcQueries {
       """SELECT CAST(user_id AS VARCHAR) AS xid, event_id AS scn,
         |       'user_id' AS before_cols, user_id AS uid
         |FROM emitted WHERE op = 2 ORDER BY scn""".stripMargin),
+    "p5_keyless_delete_skip" -> (baseCte +
+      """SELECT CAST(user_id AS VARCHAR) AS xid, commit_scn, event_id AS scn,
+        |       op, CAST(event_id AS VARCHAR) AS row_id, value AS val
+        |FROM emitted WHERE op <> 2 ORDER BY scn""".stripMargin),
+    "t5_key_update_collapse" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS okey,
+        |         't' || CAST(o_orderkey % 101 AS VARCHAR) AS xid,
+        |         CAST(o_custkey AS VARCHAR) AS ck,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders)
+        |SELECT xid, scn, ssn, op, row_id, k, vb, va FROM (
+        |  SELECT xid, okey * 10 AS scn, 0 AS ssn, 3 AS op,
+        |         'r' || CAST(okey AS VARCHAR) AS row_id, ck AS k,
+        |         CAST(cents AS VARCHAR) AS vb,
+        |         CAST(cents + 7 AS VARCHAR) AS va
+        |  FROM o WHERE okey % 2 = 0
+        |  UNION ALL
+        |  SELECT xid, okey * 10, 0, 2, 'r' || CAST(okey AS VARCHAR), ck,
+        |         CAST(cents AS VARCHAR), NULL
+        |  FROM o WHERE okey % 2 = 1
+        |  UNION ALL
+        |  SELECT xid, okey * 10 + 5, 0, 1, 'r' || CAST(okey AS VARCHAR), ck,
+        |         NULL, CAST(cents + 7 AS VARCHAR)
+        |  FROM o WHERE okey % 2 = 1)
+        |ORDER BY scn""".stripMargin,
     "t6_multirow_expansion" ->
       """SELECT e.event_id AS scn, CAST(t.i - 1 AS INT) AS ssn,
         |       CAST(t.i AS INT) AS seq, e.value AS val
