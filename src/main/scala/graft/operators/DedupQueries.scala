@@ -519,6 +519,14 @@ object DedupQueries {
     * packing assumes doc_id < 2^32 (unsigned unpack); for a corpus
     * beyond that fall back to the two-column groupBy — same plan,
     * slower agg.
+    *
+    * Sizes deliberately join AFTER the pair aggregate, not ride through
+    * the self-join: both self-join sides are the SAME cached frame, so
+    * the planner reuses one exchange for both; attaching sizes first
+    * (measured) breaks that symmetry, the planner flips to a broadcast
+    * build of the ENTIRE postings side, and the query ran 8× slower —
+    * while the post-agg joins are map-side broadcasts of the tiny
+    * per-doc sizes table against the already-aggregated pairs.
     */
   private def pairCounts(kept: DataFrame): (DataFrame, DataFrame) = {
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -570,9 +578,16 @@ object DedupQueries {
       maxDfFrac: Option[Double] = None, threshold: Double = 0.5): DataFrame = {
     val kept = cappedPostings(s, dir, maxDfFrac).persist()
     val (sizes, inter) = pairCounts(kept)
+    // pre-filter BEFORE the direction explode: the Σdf²-sized pair
+    // table only rarely passes the threshold in either direction, so
+    // the generator must see the handful of survivors, not double the
+    // biggest frame in the query first
     val sized = inter
       .join(sizes.toDF("ia", "na"), "ia")
       .join(sizes.toDF("ib", "nb"), "ib")
+      .filter(greatest(
+        col("m").cast("double") / col("na").cast("double"),
+        col("m").cast("double") / col("nb").cast("double")) >= threshold)
     // both directions from one pass over the unordered pairs
     sized.select(explode(array(
         struct(col("ia").as("contained"), col("ib").as("container"),
