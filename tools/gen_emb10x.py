@@ -1,0 +1,33 @@
+#!/usr/bin/env python3
+"""Regenerate the 10x embeddings scaling set used by BASELINE.md's SQ8
+sweep: 10 deterministically jittered copies of the sf0.1 embeddings
+(20 000 vectors), written to /tmp/graft_emb10x_dir/embeddings.parquet so
+`SPARK_GRAFT_SF_DIR=/tmp/graft_emb10x_dir SPARK_GRAFT_ONLY=ann_sq8_rerank
+tools/run.sh Bench` reproduces the 10x point.
+
+Driver-side tooling only (duckdb is not on the Spark classpath).
+"""
+import os
+import duckdb
+
+OUT_DIR = "/tmp/graft_emb10x_dir"
+SRC = "/root/testdata/sf0.1/embeddings.parquet"
+
+os.makedirs(OUT_DIR, exist_ok=True)
+con = duckdb.connect()
+con.execute(f"""
+COPY (
+  SELECT e.vec_id + 2000*k.k AS vec_id,
+         list_transform(e.embedding,
+           x -> CAST(x + 0.0001 * k.k *
+                     (CAST(e.vec_id % 13 AS FLOAT) - 6.0) AS FLOAT))
+           AS embedding,
+         e.label
+  FROM '{SRC}' e
+  CROSS JOIN (SELECT UNNEST(range(0, 10)) AS k) k
+) TO '{OUT_DIR}/embeddings.parquet' (FORMAT PARQUET)
+""")
+n, lo, hi = con.execute(
+    f"SELECT count(*), min(vec_id), max(vec_id) "
+    f"FROM '{OUT_DIR}/embeddings.parquet'").fetchone()
+print(f"wrote {OUT_DIR}/embeddings.parquet: {n} vectors, ids [{lo}, {hi}]")
