@@ -48,4 +48,18 @@ class RedoTopologySpec extends AnyFunSuite {
   test("single-segment threads report nothing") {
     assert(report(Seq(1 -> 42L, 2 -> 7L)).isEmpty)
   }
+
+  test("matches a reference fold on random topologies (one Spark job)") {
+    val rnd = new scala.util.Random(11)
+    val topo = Seq.fill(4000) {
+      (rnd.nextInt(5) + 1, rnd.nextInt(300).toLong)
+    }
+    def reference(rows: Seq[(Int, Long)]): Set[(Int, Long, Long, Long)] =
+      rows.groupBy(_._1).flatMap { case (t, rs) =>
+        rs.map(_._2).distinct.sorted.sliding(2).collect {
+          case Seq(a, b) if b > a + 1 => (t, a + 1, b - 1, b - a - 1)
+        }
+      }.toSet
+    assert(report(topo) === reference(topo))
+  }
 }
