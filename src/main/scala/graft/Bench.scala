@@ -221,19 +221,21 @@ object Bench {
     val errs =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
-    val sfName = new java.io.File(sfDir).getName
     def render(es: Seq[(String, Double)], omitted: Int): String = {
       val qs = es.map { case (k, v) => "\"" + k + "\":" + fmtQ(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       // "value" stays in seconds (the contract's unit); the per-query
       // breakdown is keyed "q_ds" — integer DECISECONDS (the _ds
-      // suffix) — because with 96 queries a 1-decimal-seconds map (or
+      // suffix) — because with 97 queries a 1-decimal-seconds map (or
       // even the longer "queries_ds" key: 96 gates measured 1987 of
       // the 1990-char budget) overflows the driver's 2000-char tail
       // (build.sbt also suppresses sbt's trailing [success] line for
-      // the same reason)
-      s"""{"metric":"total","value":${fmt(total)},"q_ds":$qs$errs$om,"sf":"$sfName"}"""
+      // the same reason). The former "sf" field is dropped for the
+      // same budget: the driver sets SPARK_GRAFT_SF_DIR itself and
+      // records sf in its own wrapper; full per-query evidence rides
+      // in bench_telemetry.json regardless.
+      s"""{"metric":"total","value":${fmt(total)},"q_ds":$qs$errs$om}"""
     }
     // self-limiting breakdown: failed queries are already named in the
     // errors array, so they don't repeat in the timings map; if the

@@ -147,9 +147,121 @@ object VecBoundsBuffer {
   }
 }
 
+/** Element-wise SUM over an `array<long>` column as one mergeable
+  * aggregate — the centroid-recompute pass of quantized k-means. Exact
+  * long arithmetic, so `sum[i] / count` (floor) restates identically in
+  * any engine; the same no-explode argument as [[VecBoundsAgg]] applies.
+  * Vectors of differing lengths fold to the shortest seen.
+  */
+case class VecSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecSumBuffer] with UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): VecSumBuffer = new VecSumBuffer
+
+  override def update(buffer: VecSumBuffer, input: InternalRow): VecSumBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[ArrayData])
+    buffer
+  }
+
+  override def merge(buffer: VecSumBuffer, other: VecSumBuffer): VecSumBuffer = {
+    buffer.mergeFrom(other)
+    buffer
+  }
+
+  override def eval(buffer: VecSumBuffer): Any = {
+    require(buffer.nonEmpty, "vec_sum over zero vectors")
+    new GenericArrayData(buffer.sums)
+  }
+
+  override def serialize(buffer: VecSumBuffer): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): VecSumBuffer =
+    VecSumBuffer.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(nc: Expression): VecSumAgg =
+    copy(child = nc)
+}
+
+/** Mutable element-wise sum fold state; `n < 0` marks the empty buffer. */
+final class VecSumBuffer {
+  private[functions] var n: Int = -1
+  var sums: Array[Long] = _
+
+  def nonEmpty: Boolean = n >= 0
+
+  private def shrinkTo(m: Int): Unit = if (m < n) {
+    sums = java.util.Arrays.copyOf(sums, m)
+    n = m
+  }
+
+  def add(v: ArrayData): Unit = {
+    val m = v.numElements()
+    if (n < 0) {
+      n = m
+      sums = new Array[Long](m)
+      var i = 0
+      while (i < m) { sums(i) = v.getLong(i); i += 1 }
+    } else {
+      shrinkTo(m)
+      var i = 0
+      while (i < n) { sums(i) += v.getLong(i); i += 1 }
+    }
+  }
+
+  def mergeFrom(other: VecSumBuffer): Unit = if (other.nonEmpty) {
+    if (n < 0) {
+      n = other.n
+      sums = other.sums.clone()
+    } else {
+      shrinkTo(other.n)
+      var i = 0
+      while (i < n) { sums(i) += other.sums(i); i += 1 }
+    }
+  }
+
+  def toBytes: Array[Byte] = {
+    val m = math.max(n, 0)
+    val bb = ByteBuffer.allocate(4 + 8 * m)
+    bb.putInt(n)
+    var i = 0
+    while (i < m) { bb.putLong(sums(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object VecSumBuffer {
+  def fromBytes(bytes: Array[Byte]): VecSumBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val m = bb.getInt
+    val b = new VecSumBuffer
+    if (m >= 0) {
+      b.n = m
+      b.sums = new Array[Long](m)
+      var i = 0
+      while (i < m) { b.sums(i) = bb.getLong; i += 1 }
+    }
+    b
+  }
+}
+
 object VecBoundsFunctions {
   /** struct<mns,mxs> of element-wise bounds over an array<long> column. */
   def vec_bounds(v: Column): Column =
     GraftSqlBridge.column(
       VecBoundsAgg(GraftSqlBridge.expression(v)).toAggregateExpression())
+
+  /** array<long> element-wise sum over an array<long> column. */
+  def vec_sum(v: Column): Column =
+    GraftSqlBridge.column(
+      VecSumAgg(GraftSqlBridge.expression(v)).toAggregateExpression())
 }

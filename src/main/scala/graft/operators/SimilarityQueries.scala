@@ -129,6 +129,72 @@ object SimilarityQueries {
         .orderBy(col("ia"))
     }),
 
+    // IVF with a TRAINED coarse quantizer — one Lloyd (k-means)
+    // iteration over the deterministic seed centroids before the index
+    // is built. The refinement loop is the 100 TB training shape: cell
+    // assignment is a map-only pass against broadcast centroids, and
+    // the centroid recompute is ONE mergeable element-wise sum
+    // aggregate (VecSumAgg, no dim-multiplying explode) + a count.
+    // Centroids stay on the integer fixed-point domain (floor(sum/cnt)
+    // per element, exact double division of exact longs), so every
+    // assignment — and therefore the whole trained index — restates
+    // engine-exactly in the SQL oracle. Empty cells die naturally
+    // (GROUP BY over members). Refinement tightens cells around the
+    // actual data distribution, which is what keeps probe counts low
+    // when the corpus is skewed — sampled seeds alone inherit the skew.
+    "ann_ivf_kmeans" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", normQ2(col("q")))
+      def best(src: DataFrame, idCol: String, cents: DataFrame,
+          keep: Int): DataFrame =
+        src.crossJoin(broadcast(cents))
+          .withColumn("ccos",
+            cosineFromQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
+          .groupBy(col(idCol), col("q"), col("n2"))
+          .agg(graft.functions.TopKFunctions
+            .topk_by_score(keep, col("ccos"), col("cid"), lit(0L)).as("top"))
+          .select(col(idCol), col("q"), col("n2"), explode(col("top")).as("e"))
+          .select(col(idCol), col("q"), col("n2"), col("e.id").as("cid"))
+      val seeds = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"),
+          col("n2").as("cn2"))
+      // Lloyd iteration: assign → integer-mean recompute
+      val a0 = best(e, "vec_id", seeds, keep = 1)
+      // the trained codebook is |cells|-bounded (tiny at any corpus
+      // size) but feeds TWO downstream assignment passes — materialize
+      // it once (eager local checkpoint) or the full seed-assignment
+      // pipeline (crossJoin + heap + sum aggregate over the whole
+      // corpus) re-runs per consumer
+      val cents1 = a0.groupBy(col("cid"))
+        .agg(graft.functions.VecBoundsFunctions.vec_sum(col("q")).as("sm"),
+          count(lit(1)).as("cnt"))
+        .select(col("cid"), expr(
+          "transform(sm, x -> CAST(floor(CAST(x AS DOUBLE) / cnt) AS BIGINT))")
+          .as("cq"))
+        .withColumn("cn2", normQ2(col("cq")))
+        .localCheckpoint(true)
+      val assigned = best(e, "vec_id", cents1, keep = 1)
+        .select(col("vec_id"), col("cid").as("cell"), col("q"), col("n2"))
+      val probes = best(
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("q"), col("n2")),
+        "qid", cents1, keep = 2)
+        .select(col("qid"), col("cid").as("cell"),
+          col("q").as("qq"), col("n2").as("qn2"))
+      probes.join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKFunctions
+          .topk_by_score(5, col("cos"), col("vec_id"), lit(0L)).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
+          col("e.id").as("vec_id"), col("e.score").as("cos"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // SQ8 two-stage retrieval — the faiss-style serving shape: (1) learn
     // per-dimension scalar-quantizer bounds from the data (one tiny
     // aggregation, broadcast back as arrays), (2) approximate candidates
@@ -276,6 +342,65 @@ object SimilarityQueries {
         |  FROM buckets a JOIN buckets b
         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
         |WHERE rn = 1 ORDER BY ia""".stripMargin),
+    // IVF + one Lloyd iteration: the same training loop stated via
+    // window functions — seed assignment, integer-mean centroid
+    // recompute (floor(sum/cnt), exact), final assignment, 2-probe
+    // retrieval, exact re-rank
+    "ann_ivf_kmeans" -> (quantCte +
+      """, seeds AS (
+        |  SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 25 = 0),
+        |a0 AS (
+        |  SELECT vec_id, q, cid FROM (
+        |    SELECT n.vec_id, n.q, s.cid,
+        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |             ORDER BY CAST(list_dot_product(n.q, s.cq) AS DOUBLE)
+        |               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(s.cn2 AS DOUBLE)))
+        |               DESC, s.cid) AS rn
+        |    FROM n CROSS JOIN seeds s)
+        |  WHERE rn = 1),
+        |cellsum AS (
+        |  SELECT cid, i, SUM(x) AS sm, COUNT(*) AS cnt
+        |  FROM (SELECT cid, UNNEST(q) AS x, generate_subscripts(q, 1) AS i
+        |        FROM a0)
+        |  GROUP BY cid, i),
+        |cents1 AS (
+        |  SELECT cid,
+        |         list(CAST(floor(CAST(sm AS DOUBLE) / cnt) AS BIGINT)
+        |              ORDER BY i) AS cq
+        |  FROM cellsum GROUP BY cid),
+        |c1 AS (
+        |  SELECT cid, cq, CAST(list_dot_product(cq, cq) AS BIGINT) AS cn2
+        |  FROM cents1),
+        |assigned AS (
+        |  SELECT vec_id, cell, q, n2 FROM (
+        |    SELECT n.vec_id, c.cid AS cell, n.q, n.n2,
+        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |             ORDER BY CAST(list_dot_product(n.q, c.cq) AS DOUBLE)
+        |               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+        |               DESC, c.cid) AS crn
+        |    FROM n CROSS JOIN c1 c)
+        |  WHERE crn = 1),
+        |probes AS (
+        |  SELECT qid, cell, qq, qn2 FROM (
+        |    SELECT n.vec_id AS qid, c.cid AS cell, n.q AS qq, n.n2 AS qn2,
+        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |             ORDER BY CAST(list_dot_product(n.q, c.cq) AS DOUBLE)
+        |               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+        |               DESC, c.cid) AS crn
+        |    FROM n CROSS JOIN c1 c
+        |    WHERE n.vec_id % 50 = 0)
+        |  WHERE crn <= 2)
+        |SELECT qid, rn, vec_id, cos FROM (
+        |  SELECT p.qid, a.vec_id,
+        |         CAST(list_dot_product(p.qq, a.q) AS DOUBLE)
+        |           / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+        |           AS cos,
+        |         ROW_NUMBER() OVER (PARTITION BY p.qid
+        |           ORDER BY CAST(list_dot_product(p.qq, a.q) AS DOUBLE)
+        |             / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
+        |             DESC, a.vec_id) AS rn
+        |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
     // SQ8 two-stage: learn per-dim bounds, asymmetric-cosine approximate
     // top-20 (exact query · decoded 8-bit grid, integer vectors so the
     // candidate set is engine-exact), exact re-rank to top-5 — the same

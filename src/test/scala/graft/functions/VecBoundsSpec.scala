@@ -50,6 +50,26 @@ class VecBoundsSpec extends AnyFunSuite {
     assert(r.maxs.toSeq === Seq(3L, -7L, 9L))
   }
 
+  test("vec_sum equals the explode formulation and roundtrips its buffer") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(150)(Array.fill(12)(rnd.nextLong() % 100000))
+    val df = rows.map(v => Tuple1(v)).toDF("q").repartition(4)
+    val got = df.agg(VecBoundsFunctions.vec_sum(col("q")).as("s"))
+      .as[Seq[Long]].head()
+    assert(got === (0 until 12).map(i => rows.map(_(i)).sum))
+    val b = new VecSumBuffer
+    b.add(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(1L, 2L, 3L)))
+    b.add(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(10L, 20L)))
+    val r = VecSumBuffer.fromBytes(b.toBytes)
+    assert(r.sums.toSeq === Seq(11L, 22L))
+    val e = new VecSumBuffer
+    e.mergeFrom(r)
+    assert(e.sums.toSeq === Seq(11L, 22L))
+  }
+
   test("merge is commutative over disjoint partials and respects shrink") {
     def buf(vs: Array[Long]*): VecBoundsBuffer = {
       val b = new VecBoundsBuffer
