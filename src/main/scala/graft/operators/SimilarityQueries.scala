@@ -174,13 +174,24 @@ object SimilarityQueries {
           .as("cq"))
         .withColumn("cn2", normQ2(col("cq")))
         .localCheckpoint(true)
-      val assigned = best(e, "vec_id", cents1, keep = 1)
-        .select(col("vec_id"), col("cid").as("cell"), col("q"), col("n2"))
-      val probes = best(
-        e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("qid"), col("q"), col("n2")),
-        "qid", cents1, keep = 2)
-        .select(col("qid"), col("cid").as("cell"),
+      // ONE ranked assignment pass serves both consumers: the index
+      // (every vector's rank-1 cell) and the probes (each query's
+      // rank ≤ 2 cells) — a second crossJoin+aggregate stage over the
+      // corpus would compute the identical ranking again
+      val ranked = e.crossJoin(broadcast(cents1))
+        .withColumn("ccos",
+          cosineFromQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
+        .groupBy(col("vec_id"), col("q"), col("n2"))
+        .agg(graft.functions.TopKFunctions
+          .topk_by_score(2, col("ccos"), col("cid"), lit(0L)).as("top"))
+        .select(col("vec_id"), col("q"), col("n2"),
+          posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("vec_id"), col("q"), col("n2"),
+          col("e.id").as("cell"), col("pos"))
+      val assigned = ranked.filter(col("pos") === 0)
+        .select(col("vec_id"), col("cell"), col("q"), col("n2"))
+      val probes = ranked.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("cell"),
           col("q").as("qq"), col("n2").as("qn2"))
       probes.join(assigned, Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
