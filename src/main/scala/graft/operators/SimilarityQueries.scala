@@ -146,21 +146,20 @@ object SimilarityQueries {
       val e = embeddings(s, dir)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .withColumn("n2", normQ2(col("q")))
-      def best(src: DataFrame, idCol: String, cents: DataFrame,
-          keep: Int): DataFrame =
-        src.crossJoin(broadcast(cents))
-          .withColumn("ccos",
-            cosineFromQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
-          .groupBy(col(idCol), col("q"), col("n2"))
-          .agg(graft.functions.TopKFunctions
-            .topk_by_score(keep, col("ccos"), col("cid"), lit(0L)).as("top"))
-          .select(col(idCol), col("q"), col("n2"), explode(col("top")).as("e"))
-          .select(col(idCol), col("q"), col("n2"), col("e.id").as("cid"))
       val seeds = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"),
           col("n2").as("cn2"))
-      // Lloyd iteration: assign → integer-mean recompute
-      val a0 = best(e, "vec_id", seeds, keep = 1)
+      // Lloyd iteration: assign → integer-mean recompute. Top-1 via
+      // getItem(0) (the ann_lsh_bucket pattern) — an explode generator
+      // stage for a 1-element array is pure codegen surface
+      val a0 = e.crossJoin(broadcast(seeds))
+        .withColumn("ccos",
+          cosineFromQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
+        .groupBy(col("vec_id"), col("q"), col("n2"))
+        .agg(graft.functions.TopKFunctions
+          .topk_by_score(1, col("ccos"), col("cid"), lit(0L)).as("top"))
+        .select(col("vec_id"), col("q"), col("n2"),
+          col("top").getItem(0).getField("id").as("cid"))
       // the trained codebook is |cells|-bounded (tiny at any corpus
       // size) but feeds TWO downstream assignment passes — materialize
       // it once (eager local checkpoint) or the full seed-assignment
