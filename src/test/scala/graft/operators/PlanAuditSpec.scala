@@ -159,6 +159,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(cell"))
   }
 
+  test("kmeans IVF: centroids broadcast, sum aggregate partials map-side") {
+    // the training loop's scale claims: every assignment pass joins the
+    // corpus against BROADCAST centroids (shuffling the corpus on a
+    // centroid key would defeat the point), and the centroid recompute
+    // runs as a two-phase object-hash aggregate (partial VecSumAgg
+    // buffers merge map-side — the no-explode training pass)
+    val p = plan("ann_ivf_kmeans")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"both assignment passes must broadcast centroids:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"vec_sum must aggregate in two phases:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("SQ8 re-rank stage: candidate list broadcasts against the fact table") {
     // the two-stage shape's 100 TB claim: the full-precision side is
     // touched via an equi-join with the BROADCAST candidate list — the
