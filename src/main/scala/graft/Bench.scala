@@ -79,7 +79,8 @@ object Bench {
     // dev loop: SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val heavy = Seq("dedup_exact", "dedup_simhash", "dedup_embedding_cosine",
-      "ann_lsh_bucket", "ann_ivf", "ann_bruteforce_topk", "dedup_minhash_lsh",
+      "ann_lsh_bucket", "ann_ivf", "ann_bruteforce_topk", "ann_sq8_rerank",
+      "ann_ivf_kmeans", "dedup_minhash_lsh",
       "dedup_jaccard_lsh", "dedup_ngram_jaccard", "dedup_containment",
       "dedup_clusters")
     val heavyOrder = heavy.zipWithIndex.toMap
@@ -210,7 +211,7 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
         .stripSuffix("0").stripSuffix("0").stripSuffix(".")
-    // per-query values as INTEGER DECISECONDS ("queries_ds"): the same
+    // per-query values as INTEGER DECISECONDS ("q_ds"): the same
     // 0.1 s resolution as 1-decimal seconds (run-to-run variance ±20%
     // dwarfs anything finer) at 1-2 fewer chars per entry — the ~90
     // chars that let ALL 91 queries fit the driver's 2000-char tail

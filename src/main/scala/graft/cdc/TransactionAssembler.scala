@@ -47,17 +47,17 @@ object TransactionAssembler {
         * same-statement changes to OTHER tables may sit between the
         * two), or — for the row-moved/IOT case where the rowId
         * changes — same SCN AND consecutive ssn AND no surviving
-        * record between them AND (when `keyCols` is set) identical key
-        * values in the delete before-image and insert after-image — a
-        * moved row keeps its key, so setting `keyCols` hardens the leg
-        * against same-SCN-batched unrelated pairs. A producer encoding
-        * key updates MUST
-        * emit the pair under one SCN (adjacent with consecutive ssn
-        * when the rowId moves); slot reuse across statements never
-        * matches because a later statement carries a later SCN, and
-        * within one statement Oracle does not reclaim space freed by
-        * that same statement. OFF by default (GRL1 writers emit
-        * logical UPDATEs directly).
+        * record between them. When `keyCols` is set, BOTH legs
+        * additionally require every key column PRESENT AND EQUAL in
+        * the delete before-image and insert after-image (a key update
+        * keeps its key; absent-on-both-sides is not agreement):
+        * statements of one transaction can share an SCN, so
+        * same-rowId+same-SCN alone can still be a recycled-slot
+        * coincidence across two statements — set `keyCols` whenever
+        * the feed cannot guarantee one-statement SCN uniqueness. A
+        * producer encoding key updates MUST emit the pair under one
+        * SCN (adjacent with consecutive ssn when the rowId moves).
+        * OFF by default (GRL1 writers emit logical UPDATEs directly).
         */
       collapseKeyUpdates: Boolean = false)
 
@@ -166,17 +166,24 @@ object TransactionAssembler {
             // SCN-bound (see Options.collapseKeyUpdates): a pair from
             // two different statements — e.g. an unrelated insert
             // landing on a recycled row slot — must never collapse
+            // key agreement (when keyCols is set) guards BOTH legs: a
+            // key update keeps its key values, so the delete
+            // before-image and insert after-image must carry every key
+            // column PRESENT and EQUAL. Absent-on-both-sides (e.g. a
+            // rowid-only delete with supplemental logging off) is NOT
+            // agreement — that is precisely the pair with no evidence,
+            // and statements of one transaction can share an SCN (see
+            // CsfReassembly), so same-rowId+same-SCN alone can still be
+            // a recycled-slot coincidence across two statements.
+            val sameKey = opts.keyCols.isEmpty || opts.keyCols.forall(k =>
+              (buf(i).before.get(k), buf(j).after.get(k)) match {
+                case (Some(a), Some(b)) => a == b
+                case _ => false
+              })
             val samePlace = buf(j).rowId == buf(i).rowId &&
-              buf(j).scn == buf(i).scn
+              buf(j).scn == buf(i).scn && sameKey
             // moved-row leg: strictly one wire statement — same SCN,
             // consecutive ssn, physically adjacent among survivors.
-            // When keyCols is set, ALSO require the delete before-image
-            // and insert after-image to agree on every key column: a
-            // moved row keeps its key (only the rowId changes), so a
-            // same-SCN-batched but genuinely separate DELETE+INSERT of
-            // two different rows never collapses into a false UPDATE.
-            val sameKey = opts.keyCols.isEmpty || opts.keyCols.forall(k =>
-              buf(i).before.get(k) == buf(j).after.get(k))
             val oneStatement = j == jAny && buf(j).scn == buf(i).scn &&
               buf(j).ssn == buf(i).ssn + 1 && sameKey
             if (samePlace || oneStatement) {

@@ -402,21 +402,36 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         val reader = gifReader.get()
         it.flatMap { case (id, payload) =>
-          reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(payload)))
-          val n = reader.getNumImages(/*allowSearch=*/ true)
-          (0 until n by step).map { f =>
-            val img = reader.read(f)
-            var sum = 0L
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                sum += img.getRGB(x, y) & 0xff; x += 1
+          // deterministic stream close per clip (same discipline as
+          // readOne): without it the thread-local reader retains the
+          // LAST clip's stream + payload for the executor thread's
+          // lifetime, and intermediate streams wait for GC. The frame
+          // map below is STRICT (Range.map), so every decode completes
+          // before the finally runs.
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(/*allowSearch=*/ true)
+            (0 until n by step).map { f =>
+              val img = reader.read(f)
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  sum += img.getRGB(x, y) & 0xff; x += 1
+                }
+                y += 1
               }
-              y += 1
+              SampledFrame(id, f, n, sum)
             }
-            SampledFrame(id, f, n, sum)
+          } finally {
+            // release the reader's grip on this clip before closing: a
+            // closed-but-still-set input would fail a hypothetical later
+            // read and pins the byte array regardless
+            reader.setInput(null)
+            iis.close()
           }
         }
       }

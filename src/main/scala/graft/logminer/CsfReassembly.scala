@@ -70,13 +70,33 @@ object CsfReassembly {
     * statement never outlives its emitting micro-batch, so steady-state
     * size is (statements straddling the current window boundary) ×
     * (statement length), independent of feed length.
+    *
+    * STATEMENT IDENTITY (same contract as the batch `idCols` note
+    * above): the state key is `(xid, scn, ssn)` where the `scn` FIELD
+    * is caller-owned — fill it with a per-statement-unique surrogate
+    * (an RS_ID analogue) when the feed's raw SCNs are not unique per
+    * statement; the chunk producer controls the field, so no separate
+    * escape hatch is needed.
+    *
+    * DELIVERY CONTRACT: exactly-once under checkpoint replay (the state
+    * store version rolls back with the offsets), at-least-once under
+    * SOURCE redelivery — a poll window re-reading chunks it already
+    * delivered re-emits the statement, exactly as the reference's
+    * cursor re-emits when a range is re-mined; the downstream upsert
+    * sinks are idempotent by design. A redelivered NON-terminal chunk
+    * re-opens state that can only complete on further redelivery; pass
+    * `ttl` (with processing-time mode) to bound such orphans when the
+    * source cannot guarantee non-overlapping windows.
     */
-  def reassembleStream(chunks: Dataset[CsfChunk]): Dataset[CsfStatement] = {
+  def reassembleStream(chunks: Dataset[CsfChunk],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[CsfStatement] = {
     val spark = chunks.sparkSession
     import spark.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     chunks.groupByKey(c => (c.xid, c.scn, c.ssn))
-      .transformWithState(new CsfStitchProcessor,
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new CsfStitchProcessor(ttl),
+        timeMode, OutputMode.Append())
   }
 
   /** The full streaming S4 composition — CSF reassembly AHEAD of the
@@ -109,7 +129,7 @@ object CsfReassembly {
   * window value-range splits read concurrently, so a later seq can land
   * first — and checkpoint-replayed duplicates collapse via the seq map.
   */
-private[logminer] class CsfStitchProcessor
+private[logminer] class CsfStitchProcessor(ttl: TTLConfig = TTLConfig.NONE)
   extends StatefulProcessor[(String, Long, Int),
     CsfReassembly.CsfChunk, CsfReassembly.CsfStatement] {
   import CsfReassembly.{CsfChunk, CsfStatement}
@@ -119,9 +139,9 @@ private[logminer] class CsfStitchProcessor
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     chunks = getHandle.getListState("chunks",
-      Encoders.product[CsfChunk], TTLConfig.NONE)
+      Encoders.product[CsfChunk], ttl)
     terminalSeq = getHandle.getValueState("terminalSeq",
-      Encoders.scalaInt, TTLConfig.NONE)
+      Encoders.scalaInt, ttl)
   }
 
   override def handleInputRows(key: (String, Long, Int),

@@ -57,8 +57,11 @@ object DedupQueries {
     // predicate is pushed below the input repartition and evaluates the
     // whole hash pipeline single-threaded on the unsplit scan (then
     // recomputes it above the exchange); cached, the pipeline runs once
-    // across all cores and the filter reads the cached arrays
-    val src = docs.persist()
+    // across all cores and the filter reads the cached arrays.
+    // where(lit(true)): gives the internal cache a DISTINCT analyzed
+    // plan, so persisting (and later unpersisting) here can never alias
+    // — and silently evict — a cache the CALLER created on `docs`
+    val src = docs.where(lit(true)).persist()
     val sigs = src.filter(size(col(hashesCol)) > 0).select(
       (col(idCol) +: (0 until 2 * bands).map(j =>
         minHash(col(hashesCol), j).as(s"s$j"))): _*)
