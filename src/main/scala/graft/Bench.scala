@@ -209,8 +209,8 @@ object Bench {
     // separator on e.g. de_DE JVMs — invalid JSON, the very parse
     // failure this line exists to avoid
     def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-        .stripSuffix("0").stripSuffix("0").stripSuffix(".")
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+        .stripSuffix("0").stripSuffix(".")
     // per-query values as INTEGER DECISECONDS ("q_ds"): the same
     // 0.1 s resolution as 1-decimal seconds (run-to-run variance ±20%
     // dwarfs anything finer) at 1-2 fewer chars per entry — the ~90
@@ -227,16 +227,16 @@ object Bench {
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       // "value" stays in seconds (the contract's unit); the per-query
-      // breakdown is keyed "q_ds" — integer DECISECONDS (the _ds
-      // suffix) — because with 97 queries a 1-decimal-seconds map (or
-      // even the longer "queries_ds" key: 96 gates measured 1987 of
-      // the 1990-char budget) overflows the driver's 2000-char tail
+      // breakdown is keyed "ds" — integer DECISECONDS — because
+      // with 97 queries a 1-decimal-seconds map (or a longer key:
+      // 96 gates measured 1987 of the 1990-char budget under
+      // "queries_ds") overflows the driver's 2000-char tail
       // (build.sbt also suppresses sbt's trailing [success] line for
       // the same reason). The former "sf" field is dropped for the
       // same budget: the driver sets SPARK_GRAFT_SF_DIR itself and
       // records sf in its own wrapper; full per-query evidence rides
       // in bench_telemetry.json regardless.
-      s"""{"metric":"total","value":${fmt(total)},"q_ds":$qs$errs$om}"""
+      s"""{"metric":"total","value":${fmt(total)},"ds":$qs$errs$om}"""
     }
     // self-limiting breakdown: failed queries are already named in the
     // errors array, so they don't repeat in the timings map; if the

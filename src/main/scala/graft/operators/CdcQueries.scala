@@ -178,7 +178,7 @@ object CdcQueries {
     // P5: keyless-DELETE skip via assembler options — with no key
     // columns configured a DELETE cannot be applied downstream, so the
     // assembler must drop exactly the deletes and nothing else.
-    "p5_keyless_delete_skip" -> ((s, dir) => {
+    "p5_keyless_delete" -> ((s, dir) => {
       ChangeStreams.assembleBatch(redoRecords(s, dir),
           TransactionAssembler.Options(skipKeylessDelete = true))
         .select(col("xid"), col("commitScn").as("commit_scn"), col("scn"),
@@ -193,7 +193,7 @@ object CdcQueries {
     // DIFFERENT SCNs is two genuine statements and must survive as-is.
     // Even orderkeys build the one-statement pair, odd ones the
     // two-statement control group.
-    "t5_key_update_collapse" -> ((s, dir) => {
+    "t5_key_collapse" -> ((s, dir) => {
       import s.implicits._
       val emptyMap = map().cast("map<string,string>")
       val noMulti = typedLit(Seq.empty[Map[String, String]])
@@ -437,11 +437,11 @@ object CdcQueries {
       """SELECT CAST(user_id AS VARCHAR) AS xid, event_id AS scn,
         |       'user_id' AS before_cols, user_id AS uid
         |FROM emitted WHERE op = 2 ORDER BY scn""".stripMargin),
-    "p5_keyless_delete_skip" -> (baseCte +
+    "p5_keyless_delete" -> (baseCte +
       """SELECT CAST(user_id AS VARCHAR) AS xid, commit_scn, event_id AS scn,
         |       op, CAST(event_id AS VARCHAR) AS row_id, value AS val
         |FROM emitted WHERE op <> 2 ORDER BY scn""".stripMargin),
-    "t5_key_update_collapse" ->
+    "t5_key_collapse" ->
       """WITH o AS (
         |  SELECT o_orderkey AS okey,
         |         't' || CAST(o_orderkey % 101 AS VARCHAR) AS xid,
