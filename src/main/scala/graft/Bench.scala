@@ -211,7 +211,7 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
         .stripSuffix("0").stripSuffix(".")
-    // per-query values as INTEGER DECISECONDS ("q_ds"): the same
+    // per-query values as INTEGER DECISECONDS ("ds"): the same
     // 0.1 s resolution as 1-decimal seconds (run-to-run variance ±20%
     // dwarfs anything finer) at 1-2 fewer chars per entry — the ~90
     // chars that let ALL 91 queries fit the driver's 2000-char tail
