@@ -107,6 +107,33 @@ object AssemblerProps extends Properties("Assembler") {
       !hasRb || deltas(assemble(recs, on)) == deltas(assemble(recs))
     }
 
+  property("keyCols guards BOTH legs: mismatched keys never collapse, matched behave like keyless") =
+    forAll(genTxn) { recs =>
+      // img() keys every image "k" -> "b$i"/"a$i" with i unique per
+      // record, so delete-before and insert-after NEVER agree on "k":
+      // with keyCols set the collapse must not fire at all, on either
+      // the same-rowId leg or the moved-row leg
+      val keyed = assemble(recs, Options(collapseKeyUpdates = true,
+        keyCols = Seq("k")))
+      val off = assemble(recs)
+      keyed.map(c => (c.op, c.table, c.rowId, c.before, c.after)) ==
+        off.map(c => (c.op, c.table, c.rowId, c.before, c.after))
+    }
+
+  property("absent key columns disable the collapse instead of licensing it") =
+    forAll(genTxn) { recs =>
+      // strip "k" from every image: None == None must NOT count as key
+      // agreement, so a keyCols run over keyless images behaves exactly
+      // like collapse-off
+      val keyless = recs.map(r => r.copy(
+        before = r.before - "k", after = r.after - "k"))
+      val keyed = assemble(keyless, Options(collapseKeyUpdates = true,
+        keyCols = Seq("k")))
+      val off = assemble(keyless)
+      keyed.map(c => (c.op, c.table, c.rowId, c.before, c.after)) ==
+        off.map(c => (c.op, c.table, c.rowId, c.before, c.after))
+    }
+
   property("collapse is idempotent: re-assembling the emitted stream changes nothing") =
     forAll(genTxn) { recs =>
       val once = assemble(recs, on)
