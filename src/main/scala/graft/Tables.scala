@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Parquet table access for the driver-generated testdata
   * (see /root/repo/TESTDATA.md). All queries take the sf directory as a
@@ -11,6 +12,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` — parquet TIMESTAMP (µs, isAdjustedToUTC=false, so Spark
+    * reads TIMESTAMP_NTZ) — as exact integer epoch microseconds, the unit
+    * every temporal query does its math in so Spark and the DuckDB oracle
+    * (`epoch_us(ts)`) agree bit-for-bit. Spark coerces the NTZ operands
+    * to the session zone (the plan shows `timestampdiff(..., Some(UTC))`),
+    * so this equals `epoch_us` of the wall-clock value under the UTC
+    * session every graft entry point configures (Verify/Bench/run.sh and
+    * all specs set `spark.sql.session.timeZone=UTC`); a DST zone would
+    * shift the two casts unequally.
+    */
+  val tsMicros: Column =
+    expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
 
   /** Read with input parallelism normalized to the cluster's core count.
     *

@@ -12,8 +12,6 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores ts as TIMESTAMP(NANOS) — read as long nanos
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // graft optimizer rules (row_number≤k → bounded-heap top-k): the
       // gates run THROUGH the rewrites, so the DuckDB oracle checks them

@@ -52,8 +52,8 @@ object CdcQueries {
           coalesce(col("prev_id").cast("string"), lit("none")))
           .otherwise(col("event_id").cast("string")).as("rowId"),
         (col("event_type") === "error").as("rollback"),
-        // ts is long nanos (nanosAsLong) → integer-divide to micros
-        expr("ts div 1000").as("tsMicros"),
+        // ts is TIMESTAMP (µs NTZ) → exact epoch micros
+        graft.Tables.tsMicros.as("tsMicros"),
         // UPDATE before-image: value unchanged (models `set value=value`),
         // v5 from the previous change → no-op iff v5 == prev_v5 (P3)
         when(col("event_type") === "view",

@@ -135,7 +135,7 @@ object CodecQueries {
     // UTC instant and a per-row fixed zone offset independently.
     "f4_tstz_roundtrip" -> ((s, dir) => {
       val e = events(s, dir).select(col("event_id"),
-        expr("ts div 1000").as("micros"),
+        graft.Tables.tsMicros.as("micros"),
         ((col("user_id") % 25 - 12) * 60).cast("int").as("off"))
         .withColumn("wire", oratstz_encode(col("micros"), col("off")))
       e.select(col("event_id"),

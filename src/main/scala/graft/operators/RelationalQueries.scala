@@ -200,7 +200,7 @@ object RelationalQueries {
     // streaming the watermark only bounds state retention).
     "q_time_window" -> ((s, dir) => {
       events(s, dir)
-        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("t", timestamp_micros(graft.Tables.tsMicros))
         .groupBy(window(col("t"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(dec(col("value"))).cast("double").as("total"))

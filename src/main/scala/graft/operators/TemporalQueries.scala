@@ -26,9 +26,9 @@ import graft.Tables._
   *    shuffle, no self-join; the streaming twin is session_window /
   *    transformWithState (see streaming/ChangeStreams).
   *
-  * events.ts is parquet TIMESTAMP(NANOS) read as long nanos
-  * (spark.sql.legacy.parquet.nanosAsLong); all time math is done in
-  * explicit µs longs so Spark and the DuckDB oracle agree bit-for-bit.
+  * events.ts is parquet TIMESTAMP (µs, NTZ); all time math is done in
+  * explicit epoch-µs longs (`Tables.tsMicros`) so Spark and the DuckDB
+  * oracle (`epoch_us(ts)`) agree bit-for-bit.
   */
 object TemporalQueries {
   private val D = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)
@@ -91,11 +91,11 @@ object TemporalQueries {
     // match is inclusive, exactly DuckDB's ASOF JOIN `>=` semantics.
     "q_asof_join" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("t"))
+        tsMicros.as("t"))
       // right side unique per (user, t): ties collapse to max event_id
       // so both engines pick the same marker deterministically
       val mk = events(s, dir).filter(col("event_type") === "error")
-        .groupBy(col("user_id"), expr("ts div 1000").as("t"))
+        .groupBy(col("user_id"), tsMicros.as("t"))
         .agg(max(col("event_id")).as("mk_id"))
       asofJoin(ev, mk, "user_id", "t", "mk_id", "last_error_id")
         .select(col("event_id"), col("user_id"), col("last_error_id"))
@@ -109,11 +109,11 @@ object TemporalQueries {
     "q_range_join" -> ((s, dir) => {
       val B = 6L * HOUR_US
       val ev = events(s, dir)
-        .select(col("user_id"), expr("ts div 1000").as("t"), col("value"))
+        .select(col("user_id"), tsMicros.as("t"), col("value"))
         .withColumn("b", expr(s"t div $B"))
       val anchors = events(s, dir).filter(col("event_type") === "error")
         .select(col("event_id").as("anchor_id"), col("user_id"),
-          expr("ts div 1000").as("t0"))
+          tsMicros.as("t0"))
         .withColumn("t1", col("t0") + lit(B))
         .withColumn("b", explode(array_distinct(
           array(expr(s"t0 div $B"), expr(s"t1 div $B")))))
@@ -130,7 +130,7 @@ object TemporalQueries {
     // session numbering — is total on both engines.
     "q_sessionize" -> ((s, dir) => {
       val ev = events(s, dir).select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("t"), col("value"))
+        tsMicros.as("t"), col("value"))
       sessionize(ev, "user_id", "t", "event_id", 3L * HOUR_US)
         .groupBy(col("user_id"), col("sess"))
         .agg(count(lit(1)).as("n_events"),
@@ -140,13 +140,11 @@ object TemporalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
-    // independent formulation: DuckDB's native ASOF JOIN operator
+    // independent formulation: DuckDB's native ASOF JOIN operator.
     // epoch_us normalization on BOTH joins: the Spark side works in
-    // integer microseconds (`ts div 1000` over nanos-as-long), so the
-    // oracle must compare at the same resolution — raw ns timestamps
-    // would include/exclude sub-µs neighbors differently (masked by the
-    // µs-aligned testdata, but a semantic divergence). Same convention
-    // q_sessionize's oracle already uses.
+    // integer epoch microseconds (`Tables.tsMicros`), so the oracle
+    // compares at the same resolution. Same convention q_sessionize's
+    // oracle already uses.
     "q_asof_join" ->
       """WITH mk AS (SELECT user_id, epoch_us(ts) AS t, MAX(event_id) AS mk_id
         |            FROM events WHERE event_type = 'error' GROUP BY 1, 2),
