@@ -15,7 +15,8 @@ object SparkEntry {
       SourceQueries.queries ++ LoadQueries.queries ++ JdbcGateQueries.queries ++
       TemporalQueries.queries ++ SamplingQueries.queries ++ SkewJoin.queries ++
       SnapshotDiff.queries ++ BloomJoin.queries ++ ZOrderLayout.queries ++
-      IncrementalAgg.queries ++ SubqueryQueries.queries
+      IncrementalAgg.queries ++ SubqueryQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
       SourceQueries.oracleSql ++ LoadQueries.oracleSql ++ JdbcGateQueries.oracleSql ++
       TemporalQueries.oracleSql ++ SamplingQueries.oracleSql ++ SkewJoin.oracleSql ++
       SnapshotDiff.oracleSql ++ BloomJoin.oracleSql ++ ZOrderLayout.oracleSql ++
-      IncrementalAgg.oracleSql ++ SubqueryQueries.oracleSql
+      IncrementalAgg.oracleSql ++ SubqueryQueries.oracleSql ++
+      PipelineQueries.oracleSql
 }

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions._
+
+/** End-to-end corpus-curation pipeline — the composition a real
+  * training-data run executes as ONE job, chaining the individually
+  * gated stages: normalize → language-ID filter → quality filter →
+  * exact dedup → MinHash-LSH near-dedup (exact-Jaccard verified) →
+  * curated manifest. Each stage is the production operator the
+  * standalone gates check (`text_normalize`, `text_lang_id`,
+  * `text_quality_score`, `dedup_exact`, `dedup_jaccard_lsh`); this gate
+  * proves the COMPOSITION end-to-end against one independent DuckDB
+  * statement of the whole pipeline.
+  *
+  * Scale design (100 TB): stages 1–3 are map-only projections fused
+  * into the scan (one WholeStageCodegen pass, no shuffle); exact dedup
+  * is one digest-keyed shuffle; near-dedup is the LSH candidate path —
+  * cost bounded by near-dup structure, never |docs|² (see
+  * `DedupQueries.jaccardOnCandidates`); the final anti-join broadcasts
+  * the (near-dup-pair-sized) drop list. Net: two shuffles + one
+  * broadcast anti-join for the whole curation sweep.
+  */
+object PipelineQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_curate" -> ((s, dir) => curate(s, dir, materialize = true)))
+
+  /** The curation pipeline as one plan. `materialize = true` (the gate /
+    * production path) persists the shared frames, eagerly materializes
+    * the manifest and releases the caches; `materialize = false` returns
+    * the LAZY plan — the full tree stays visible for plan audits and
+    * explain() (an eager localCheckpoint would reduce the audited plan
+    * to a cached-RDD scan).
+    */
+  private[operators] def curate(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
+      // stages 1–3: normalize, attribute, filter — one fused map pass.
+      // survivors are read by BOTH the shingle pipeline and the final
+      // manifest join; persist materializes the scan+normalize+score
+      // pass once (same discipline as dedup_jaccard_lsh).
+      val survivors0 = documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+        .withColumn("toks", tokens(col("norm")))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("pred", langId(col("toks")))
+        .withColumn("q", qualityScore(col("norm")))
+        .filter(col("n_tok") >= 20 && col("q") >= 3.0 && col("pred") === "en")
+        // stage 4: exact dedup on the normalized text digest — keep the
+        // minimum doc_id of each digest group (one digest-keyed shuffle)
+        .withColumn("digest", md5(to_binary(col("norm"), lit("utf-8"))))
+        .select(col("doc_id"), col("source"), col("norm"), col("toks"),
+          col("n_tok"), col("q"), col("digest"))
+      val survivors = if (materialize) survivors0.persist() else survivors0
+      val keep = survivors.groupBy(col("digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val exact = survivors.join(keep, Seq("digest", "doc_id"))
+      // stage 5: near-dedup — MinHash-LSH candidates + exact Jaccard
+      // (≥ 0.5) on the exact-dedup survivors; every doc appearing as
+      // the LARGER id of a verified near-dup pair is dropped (the
+      // deterministic keep-smallest rule, restated by the oracle as
+      // doc_id NOT IN (SELECT ib …)).
+      val hashes0 = exact
+        .select(col("doc_id"), shingleHashes(col("toks"), 2).as("hs"))
+      val hashes = if (materialize) hashes0.persist() else hashes0
+      val drops = DedupQueries.jaccardOnCandidates(
+          hashes.filter(size(col("hs")) > 0))
+        .select(col("ib")).distinct()
+      // stage 6: curated manifest. One materializing job (eager local
+      // checkpoint) covers every read of the cached frames, then both
+      // corpus-sized caches are released.
+      // the drop list is near-dup-pair-sized (orders of magnitude below
+      // the corpus) — broadcast it so the anti-join never shuffles the
+      // curated side
+      val out0 = exact.join(broadcast(drops),
+          exact("doc_id") === drops("ib"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_tok"), col("q"),
+          length(col("norm")).as("norm_len"))
+        .orderBy(col("doc_id"))
+      if (!materialize) out0
+      else {
+        val out = out0.localCheckpoint(true)
+        hashes.unpersist(blocking = false)
+        survivors.unpersist(blocking = false)
+        out
+      }
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    // the whole pipeline as one independent CTE chain: normalize →
+    // attrs (token count, marker-vote language, quality score) →
+    // filters → digest dedup → minhash/band candidates → exact-Jaccard
+    // verify → drop larger ids → manifest
+    "pipe_curate" ->
+      """WITH norm0 AS (
+        |  SELECT doc_id, source,
+        |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, source, norm,
+        |         list_filter(regexp_split_to_array(norm, '\s+'), x -> x <> '') AS tk
+        |  FROM norm0),
+        |attr AS (
+        |  SELECT doc_id, source, norm, tk, len(tk) AS n_tok,
+        |    CASE GREATEST(s_en, s_fr, s_es, s_de, s_zh)
+        |      WHEN s_en THEN 'en' WHEN s_fr THEN 'fr' WHEN s_es THEN 'es'
+        |      WHEN s_de THEN 'de' ELSE 'zh' END AS pred,
+        |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+        |      (((CAST(length(norm) AS DOUBLE) - CAST(len(tk) AS DOUBLE)) + 1.0)
+        |         / CAST(len(tk) AS DOUBLE)) * 0.5
+        |      + (CAST(len(list_filter(tk, t -> t IN ('the','a','of','and'))) AS DOUBLE)
+        |         / CAST(len(tk) AS DOUBLE)) * 2.0
+        |      + (CASE WHEN len(tk) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+        |    END AS q
+        |  FROM (SELECT doc_id, source, norm, tk,
+        |          len(list_filter(tk, t -> t IN ('the','a','data','fast'))) AS s_en,
+        |          len(list_filter(tk, t -> t IN ('table','row','line'))) AS s_fr,
+        |          len(list_filter(tk, t -> t IN ('value','part','batch'))) AS s_es,
+        |          len(list_filter(tk, t -> t IN ('window','group','merge'))) AS s_de,
+        |          len(list_filter(tk, t -> t IN ('spark','scan','hash'))) AS s_zh
+        |        FROM tk)),
+        |filt AS (
+        |  SELECT * FROM attr WHERE n_tok >= 20 AND q >= 3.0 AND pred = 'en'),
+        |exact AS (
+        |  SELECT f.* FROM filt f
+        |  JOIN (SELECT md5(norm) AS dg, MIN(doc_id) AS kid
+        |        FROM filt GROUP BY 1) k
+        |    ON md5(f.norm) = k.dg AND f.doc_id = k.kid),
+        |sh AS (
+        |  SELECT doc_id,
+        |         UNNEST(list_distinct(list_transform(range(1, len(tk)),
+        |                i -> tk[i] || ' ' || tk[i+1]))) AS s
+        |  FROM exact),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT)),
+        |                     (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
+        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
+        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
+        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
+        |  FROM h GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM sig UNION ALL
+        |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, s6, s7 FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+        |       AND a.doc_id < b.doc_id),
+        |hd AS (SELECT DISTINCT doc_id, h FROM h),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.ia, c.ib, COUNT(*) AS m
+        |  FROM cand c
+        |  JOIN hd a ON a.doc_id = c.ia
+        |  JOIN hd b ON b.doc_id = c.ib AND b.h = a.h
+        |  GROUP BY 1, 2),
+        |drops AS (
+        |  SELECT DISTINCT i.ib
+        |  FROM inter i
+        |  JOIN sizes na ON na.doc_id = i.ia
+        |  JOIN sizes nb ON nb.doc_id = i.ib
+        |  WHERE CAST(i.m AS DOUBLE) / CAST(na.n + nb.n - i.m AS DOUBLE) >= 0.5)
+        |SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok, q,
+        |       CAST(length(norm) AS INTEGER) AS norm_len
+        |FROM exact
+        |WHERE doc_id NOT IN (SELECT ib FROM drops)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

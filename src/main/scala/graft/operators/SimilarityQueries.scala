@@ -205,6 +205,138 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // PQ-ADC two-stage retrieval — the OTHER faiss serving shape (IVFPQ's
+    // code side): (1) TRAIN a product-quantizer codebook — the vector
+    // splits into M=4 disjoint subspaces, each with its own centroid set
+    // refined by one Lloyd iteration (deterministic seeds, integer-exact
+    // L2 assignment and floor-mean recompute, so the trained codebook
+    // restates engine-exactly in SQL); (2) ENCODE every vector as M
+    // centroid codes — the 100 TB memory story: the ADC scan touches
+    // M packed longs + one norm per doc, never the 64-dim vector; (3)
+    // per query, build the M×k LOOKUP TABLE of subspace dot products
+    // once, broadcast it, and score each doc by M map lookups
+    // (asymmetric distance: exact query · reconstructed doc — exact
+    // because subspaces are disjoint coordinates, so dot/norm decompose
+    // additively with NO cross terms); (4) bounded-heap top-20
+    // candidates, then exact re-rank of those only. Stage-1 traffic is
+    // ≤ 20 rows per (partition, query); the fact table is never
+    // shuffled and never read at full precision until the re-rank.
+    "ann_pq_adc" -> ((s, dir) => {
+      val M = 4
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", normQ2(col("q")))
+      // sub-vectors: one explode into (vec_id, m, sq, sn2) — M rows per
+      // vector, sub-dim = dim/M (64/4 = 16 on this corpus)
+      val subs = e.select(col("vec_id"),
+          posexplode(array((0 until M).map(m =>
+            expr(s"slice(q, $m * (size(q) DIV $M) + 1, size(q) DIV $M)")): _*))
+            .as(Seq("m", "sq")))
+        .withColumn("sn2", normQ2(col("sq")))
+      // FIXED codebook size — the defining PQ property: k = 16 centroids
+      // per subspace (4-bit codes) regardless of corpus size. A
+      // corpus-proportional seed set (the IVF convention) would make the
+      // training join volume quadratic-ish in |N| and the LUT grow with
+      // the data; fixed k keeps training at |N|·M·k rows and the LUT at
+      // M·k entries forever.
+      val seeds = subs.filter(col("vec_id") % 25 === 0 && col("vec_id") < 400)
+        .select(col("m").as("cm"), col("vec_id").as("cid"),
+          col("sq").as("ccq"), col("sn2").as("ccn2"))
+      // nearest centroid per (vec_id, m) by exact integer L2 (the PQ
+      // metric) via min_by over a (d2, cid) struct — a total order
+      // (cid unique), so ties resolve to the smaller cid exactly like
+      // the oracle's ORDER BY d2, cid; d2 stays an exact long. min_by
+      // is a declarative aggregate over PRIMITIVE group keys
+      // (vec_id, m) — grouping by the sub-vector array instead
+      // measured ~3× the CPU (UnsafeRow array hashing per candidate).
+      def assign(cents: DataFrame, src: DataFrame): DataFrame =
+        src.join(broadcast(cents), col("m") === col("cm"))
+          .withColumn("d2", col("sn2") + col("ccn2") -
+            lit(2L) * dotQ(col("sq"), col("ccq")))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min_by(struct(col("cid"), col("ccn2")),
+            struct(col("d2"), col("cid"))).as("best"))
+          .select(col("vec_id"), col("m"),
+            col("best.cid").as("cid"), col("best.ccn2").as("ccn2"))
+      // one Lloyd iteration per subspace: integer floor-mean recompute
+      // (same mergeable element-wise sum aggregate as ann_ivf_kmeans —
+      // no dim-multiplying explode). The member sub-vectors rejoin the
+      // assignment by (vec_id, m) — a co-partitioned equi-join, never a
+      // corpus shuffle on the centroid key. The trained codebook is M·k
+      // rows and feeds TWO consumers (encode, query LUTs), so it
+      // materializes once.
+      val cents1 = assign(seeds, subs)
+        .join(subs.select(col("vec_id"), col("m"), col("sq")),
+          Seq("vec_id", "m"))
+        .groupBy(col("m"), col("cid"))
+        .agg(graft.functions.VecBoundsFunctions.vec_sum(col("sq")).as("sm"),
+          count(lit(1)).as("cnt"))
+        .select(col("m").as("cm"), col("cid"), expr(
+          "transform(sm, x -> CAST(floor(CAST(x AS DOUBLE) / cnt) AS BIGINT))")
+          .as("ccq"))
+        .withColumn("ccn2", normQ2(col("ccq")))
+        .localCheckpoint(true)
+      // encode: M packed (m<<32|cid) codes per doc (sorted ⇒ subspace
+      // order — m rides the high bits) + the reconstruction norm
+      // Σ‖c_m‖² (exact: disjoint coordinates)
+      val codes = assign(cents1, subs)
+        .select(col("vec_id"),
+          (shiftleft(col("m").cast("long"), 32) bitwiseOR col("cid")).as("pk"),
+          col("ccn2"))
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(col("pk"))).as("pks"),
+          sum(col("ccn2")).as("rn2"))
+      // per-query LUT: dot(q_m, c_{m,j}) for every (m, j) — M·k entries,
+      // keyed by the same packed code the docs carry
+      val luts = subs.filter(col("vec_id") % 50 === 0)
+        .join(broadcast(cents1), col("m") === col("cm"))
+        .select(col("vec_id").as("qid"),
+          (shiftleft(col("m").cast("long"), 32) bitwiseOR col("cid")).as("pk"),
+          dotQ(col("sq"), col("ccq")).as("ld"))
+        .groupBy(col("qid"))
+        .agg(map_from_entries(collect_list(struct(col("pk"), col("ld"))))
+          .as("lut"))
+      val qsFull = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("q").as("qq"),
+          col("n2").as("qn2"))
+      // stage 1: ADC scan — approx cosine from M map lookups against the
+      // broadcast LUT; candidates through the bounded heap. The full-
+      // precision query vector does NOT ride through the scan — only
+      // (qid, qn2, lut) broadcast with it, and the heap groups on
+      // primitive (qid, qn2) keys.
+      val qs1 = qsFull.select(col("qid"), col("qn2")).join(luts, "qid")
+      val cands = codes.crossJoin(broadcast(qs1))
+        .filter(col("vec_id") =!= col("qid"))
+        // static M-term sum of map lookups (M is a fixed design
+        // constant): stays whole-stage codegen — the `aggregate` HOF
+        // interprets its lambda per element per row
+        .withColumn("lutsum", (0 until M).map(m =>
+          element_at(col("lut"), col("pks").getItem(m))).reduce(_ + _))
+        .withColumn("approx",
+          cosineFromQ(col("lutsum"), col("qn2"), col("rn2")))
+        .groupBy(col("qid"), col("qn2"))
+        .agg(graft.functions.TopKFunctions
+          .topk_by_score(20, col("approx"), col("vec_id"), lit(0L)).as("top"))
+        .select(col("qid"), explode(col("top")).as("cand"))
+        .select(col("qid"), col("cand.id").as("vec_id"))
+        // the candidate list re-attaches its query vector (|Q|·20 rows
+        // against the tiny broadcast query table) before the re-rank
+        .join(broadcast(qsFull), "qid")
+      // stage 2: exact re-rank of the 20 candidates only (the fact side
+      // streams once against the broadcast candidate list — same shape
+      // as ann_sq8_rerank)
+      e.join(broadcast(cands), Seq("vec_id"))
+        .withColumn("cos",
+          cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKFunctions
+          .topk_by_score(5, col("cos"), col("vec_id"), lit(0L)).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
+          col("e.id").as("vec_id"), col("e.score").as("cos"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // SQ8 two-stage retrieval — the faiss-style serving shape: (1) learn
     // per-dimension scalar-quantizer bounds from the data (one tiny
     // aggregation, broadcast back as arrays), (2) approximate candidates
@@ -410,6 +542,85 @@ object SimilarityQueries {
         |             / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE)))
         |             DESC, a.vec_id) AS rn
         |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+    // PQ-ADC: the same training→encode→LUT→re-rank computation stated
+    // independently — subspace slices, L2 seed assignment + floor-mean
+    // Lloyd step, code assignment, LUT join in place of the broadcast
+    // map, window-function top-k in place of the bounded heap
+    "ann_pq_adc" -> (quantCte +
+      """, subs AS (
+        |  SELECT vec_id, m,
+        |         list_slice(q, m * (len(q) // 4) + 1, (m + 1) * (len(q) // 4)) AS sq
+        |  FROM n CROSS JOIN (SELECT UNNEST(range(0, 4)) AS m)),
+        |sn AS (
+        |  SELECT vec_id, m, sq,
+        |         CAST(list_dot_product(sq, sq) AS BIGINT) AS sn2 FROM subs),
+        |seeds AS (
+        |  SELECT m, vec_id AS cid, sq AS cq, sn2 AS cn2
+        |  FROM sn WHERE vec_id % 25 = 0 AND vec_id < 400),
+        |a0 AS (
+        |  SELECT vec_id, m, sq, cid FROM (
+        |    SELECT s.vec_id, s.m, s.sq, c.cid,
+        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+        |             ORDER BY s.sn2 + c.cn2
+        |               - 2 * CAST(list_dot_product(s.sq, c.cq) AS BIGINT),
+        |               c.cid) AS rn
+        |    FROM sn s JOIN seeds c ON c.m = s.m)
+        |  WHERE rn = 1),
+        |cellsum AS (
+        |  SELECT m, cid, i, SUM(x) AS sm, COUNT(*) AS cnt
+        |  FROM (SELECT m, cid, UNNEST(sq) AS x,
+        |               generate_subscripts(sq, 1) AS i FROM a0)
+        |  GROUP BY m, cid, i),
+        |cents1 AS (
+        |  SELECT m, cid,
+        |         list(CAST(floor(CAST(sm AS DOUBLE) / cnt) AS BIGINT)
+        |              ORDER BY i) AS cq
+        |  FROM cellsum GROUP BY m, cid),
+        |c1 AS (
+        |  SELECT m, cid, cq,
+        |         CAST(list_dot_product(cq, cq) AS BIGINT) AS cn2 FROM cents1),
+        |codes AS (
+        |  SELECT vec_id, m, cid, cn2 FROM (
+        |    SELECT s.vec_id, s.m, c.cid, c.cn2,
+        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+        |             ORDER BY s.sn2 + c.cn2
+        |               - 2 * CAST(list_dot_product(s.sq, c.cq) AS BIGINT),
+        |               c.cid) AS rn
+        |    FROM sn s JOIN c1 c ON c.m = s.m)
+        |  WHERE rn = 1),
+        |recon AS (SELECT vec_id, SUM(cn2) AS rn2 FROM codes GROUP BY vec_id),
+        |luts AS (
+        |  SELECT s.vec_id AS qid, s.m, c.cid,
+        |         CAST(list_dot_product(s.sq, c.cq) AS BIGINT) AS ld
+        |  FROM sn s JOIN c1 c ON c.m = s.m
+        |  WHERE s.vec_id % 50 = 0),
+        |approx AS (
+        |  SELECT l.qid, k.vec_id, SUM(l.ld) AS lutsum
+        |  FROM codes k JOIN luts l ON l.m = k.m AND l.cid = k.cid
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT a.qid, a.vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY a.qid
+        |             ORDER BY CAST(a.lutsum AS DOUBLE)
+        |               / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(r.rn2 AS DOUBLE)))
+        |               DESC, a.vec_id) AS rn
+        |    FROM approx a JOIN n qn ON qn.vec_id = a.qid
+        |    JOIN recon r ON r.vec_id = a.vec_id
+        |    WHERE a.vec_id <> a.qid)
+        |  WHERE rn <= 20)
+        |SELECT qid, rn, vec_id, cos FROM (
+        |  SELECT c.qid, c.vec_id,
+        |         CAST(list_dot_product(qa.q, qb.q) AS DOUBLE)
+        |           / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+        |           AS cos,
+        |         ROW_NUMBER() OVER (PARTITION BY c.qid
+        |           ORDER BY CAST(list_dot_product(qa.q, qb.q) AS DOUBLE)
+        |             / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+        |             DESC, c.vec_id) AS rn
+        |  FROM cand c JOIN n qa ON qa.vec_id = c.qid
+        |  JOIN n qb ON qb.vec_id = c.vec_id)
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
     // SQ8 two-stage: learn per-dim bounds, asymmetric-cosine approximate
     // top-20 (exact query · decoded 8-bit grid, integer vectors so the

@@ -57,6 +57,25 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(kmIvf >= 0.8, f"refined IVF recall degraded to $kmIvf%.3f")
   }
 
+  test("PQ-ADC two-stage recall@5 vs brute force stays above the floor") {
+    // measured at sf0.01: the %25 seeding gives 20 centroids per
+    // subspace there, a real codebook — sf0.001's 50 vectors yield only
+    // 2 per subspace (16 distinct reconstructions for the whole corpus),
+    // which measures the corpus size, not the operator (0.42 there).
+    val dir = "/root/testdata/sf0.01"
+    val bf = SimilarityQueries.queries("ann_bruteforce_topk")(spark, dir)
+      .select(col("qid"), col("vec_id"))
+    val pq = SimilarityQueries.queries("ann_pq_adc")(spark, dir)
+      .select(col("qid"), col("vec_id"))
+    val r = bf.intersect(pq).count().toDouble / bf.count().toDouble
+    info(f"PQ-ADC recall@5 sf0.01 = $r%.3f")
+    // PQ reconstructs each doc from 4 subspace centroids, so its
+    // approximation is coarser than SQ8's per-dim grid; the exact
+    // re-rank recovers any true neighbor inside the approximate
+    // top-20. A broken codebook or LUT would land near random (~0.01).
+    assert(r >= 0.6, f"PQ-ADC recall@5 degraded to $r%.3f")
+  }
+
   test("SQ8 two-stage recall@5 vs brute force stays above the floor") {
     val dir = "/root/testdata/sf0.001"
     val bf = SimilarityQueries.queries("ann_bruteforce_topk")(spark, dir)

@@ -186,6 +186,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"re-rank must not shuffle the fact table:\n$p")
   }
 
+  test("PQ-ADC: codebook and LUTs broadcast; ADC scan never shuffles full vectors") {
+    // the PQ serving claims: every centroid join (training assignment,
+    // encode, LUT build) broadcasts the M·k codebook — the corpus is
+    // never shuffled on a centroid key — and the stage-2 re-rank
+    // equi-joins the broadcast candidate list against the fact table
+    // (same contract as SQ8). SortMergeJoin anywhere would mean a
+    // corpus-sized shuffle crept into the serving path.
+    val p = plan("ann_pq_adc")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      s"assignment/encode/LUT joins must broadcast the codebook:\n$p")
+    assert("BroadcastHashJoin .*vec_id".r.findFirstIn(p).isDefined,
+      s"re-rank must equi-join vec_id against the broadcast candidates:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join in the PQ path:\n$p")
+  }
+
+  test("pipe_curate: filters fuse into the scan side; drop list is a broadcast anti-join") {
+    // the gate entry eagerly checkpoints (its plan reduces to a cached-
+    // RDD scan) — audit the lazy plan the checkpoint materializes
+    val p = PipelineQueries.curate(spark, dir, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined ||
+      ("LeftAnti".r.findFirstIn(p).isDefined && p.contains("BroadcastExchange")),
+      s"near-dup drop list must anti-join via broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian anywhere in the curation pipeline:\n$p")
+  }
+
   test("as-of join is union+window: no join operator, one key shuffle") {
     val p = plan("q_asof_join")
     assert(!p.contains("Join"), s"as-of must not materialize a join:\n$p")
