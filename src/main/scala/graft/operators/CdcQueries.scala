@@ -167,7 +167,7 @@ object CdcQueries {
     }),
 
     // P3: no-op UPDATE elimination via assembler options.
-    "p3_noop_update_elim" -> ((s, dir) => {
+    "p3_noop_update" -> ((s, dir) => {
       ChangeStreams.assembleBatch(redoRecords(s, dir),
           TransactionAssembler.Options(emitAllUpdates = false))
         .filter(col("op") === Ops.Update)
@@ -239,7 +239,7 @@ object CdcQueries {
     }),
 
     // P4: DELETE column pruning to key columns via assembler options.
-    "p4_delete_pk_projection" -> ((s, dir) => {
+    "p4_delete_pk" -> ((s, dir) => {
       ChangeStreams.assembleBatch(redoRecords(s, dir),
           TransactionAssembler.Options(allColsOnDelete = false,
             keyCols = Seq("user_id")))
@@ -250,7 +250,7 @@ object CdcQueries {
     }),
 
     // T6: multi-row op expansion (QMI analogue) through the assembler.
-    "t6_multirow_expansion" -> ((s, dir) => {
+    "t6_multirow" -> ((s, dir) => {
       import s.implicits._
       val purchases = events(s, dir)
         .filter(col("event_type") === "purchase")
@@ -428,12 +428,12 @@ object CdcQueries {
         |       op, CAST(event_id AS VARCHAR) AS row_id,
         |       CASE WHEN op = 2 THEN NULL ELSE value END AS val
         |FROM emitted ORDER BY scn""".stripMargin),
-    "p3_noop_update_elim" -> (baseCte +
+    "p3_noop_update" -> (baseCte +
       """SELECT CAST(user_id AS VARCHAR) AS xid, event_id AS scn, v5
         |FROM emitted
         |WHERE op = 3 AND v5 <> prev_v5
         |ORDER BY scn""".stripMargin),
-    "p4_delete_pk_projection" -> (baseCte +
+    "p4_delete_pk" -> (baseCte +
       """SELECT CAST(user_id AS VARCHAR) AS xid, event_id AS scn,
         |       'user_id' AS before_cols, user_id AS uid
         |FROM emitted WHERE op = 2 ORDER BY scn""".stripMargin),
@@ -464,7 +464,7 @@ object CdcQueries {
         |         NULL, CAST(cents + 7 AS VARCHAR)
         |  FROM o WHERE okey % 2 = 1)
         |ORDER BY scn""".stripMargin,
-    "t6_multirow_expansion" ->
+    "t6_multirow" ->
       """SELECT e.event_id AS scn, CAST(t.i - 1 AS INT) AS ssn,
         |       CAST(t.i AS INT) AS seq, e.value AS val
         |FROM events e

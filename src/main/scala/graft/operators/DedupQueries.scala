@@ -280,7 +280,7 @@ object DedupQueries {
     // per-block pair space stays bounded as the corpus grows (a label/
     // category key would grow blocks linearly with data and the pair
     // space quadratically).
-    "dedup_embedding_cosine" -> ((s, dir) => {
+    "dedup_emb_cosine" -> ((s, dir) => {
       SimilarityQueries.lshBucketedPairs(embeddings(s, dir), "vec_id",
           planes = 6)
         .filter(col("ia") < col("ib") && col("cos") > 0.35)
@@ -769,7 +769,7 @@ object DedupQueries {
         s"  (CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
         .mkString(" +\n") +
       " AS BIGINT) AS sh16\nFROM votes ORDER BY doc_id"),
-    "dedup_embedding_cosine" ->
+    "dedup_emb_cosine" ->
       """WITH v AS (
         |  SELECT vec_id,
         |         list_transform(embedding,

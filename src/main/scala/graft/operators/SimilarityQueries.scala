@@ -21,7 +21,7 @@ object SimilarityQueries {
     * joined into within-bucket candidate pairs, with the quantized dot
     * and cosine already computed: (bucket, ia, ib, dot, cos).
     * ONE definition shared by `ann_lsh_bucket` and
-    * `dedup_embedding_cosine` — a plane-count or quantization change in
+    * `dedup_emb_cosine` — a plane-count or quantization change in
     * one family must never silently desynchronize the other.
     */
   def lshBucketedPairs(embeddings: DataFrame, idCol: String,
@@ -255,19 +255,20 @@ object SimilarityQueries {
             lit(2L) * dotQ(col("sq"), col("ccq")))
           .groupBy(col("vec_id"), col("m"))
           .agg(min_by(struct(col("cid"), col("ccn2")),
-            struct(col("d2"), col("cid"))).as("best"))
-          .select(col("vec_id"), col("m"),
+            struct(col("d2"), col("cid"))).as("best"),
+            // the member sub-vector rides through the aggregate —
+            // functionally dependent on the (vec_id, m) group key, so
+            // first() is deterministic in value and saves the
+            // join-back shuffle a separate sq lookup would cost
+            first(col("sq")).as("sq"))
+          .select(col("vec_id"), col("m"), col("sq"),
             col("best.cid").as("cid"), col("best.ccn2").as("ccn2"))
       // one Lloyd iteration per subspace: integer floor-mean recompute
       // (same mergeable element-wise sum aggregate as ann_ivf_kmeans —
-      // no dim-multiplying explode). The member sub-vectors rejoin the
-      // assignment by (vec_id, m) — a co-partitioned equi-join, never a
-      // corpus shuffle on the centroid key. The trained codebook is M·k
-      // rows and feeds TWO consumers (encode, query LUTs), so it
+      // no dim-multiplying explode). The trained codebook is M·k rows
+      // and feeds TWO consumers (encode, query LUTs), so it
       // materializes once.
       val cents1 = assign(seeds, subs)
-        .join(subs.select(col("vec_id"), col("m"), col("sq")),
-          Seq("vec_id", "m"))
         .groupBy(col("m"), col("cid"))
         .agg(graft.functions.VecBoundsFunctions.vec_sum(col("sq")).as("sm"),
           count(lit(1)).as("cnt"))
@@ -276,16 +277,31 @@ object SimilarityQueries {
           .as("ccq"))
         .withColumn("ccn2", normQ2(col("ccq")))
         .localCheckpoint(true)
-      // encode: M packed (m<<32|cid) codes per doc (sorted ⇒ subspace
-      // order — m rides the high bits) + the reconstruction norm
-      // Σ‖c_m‖² (exact: disjoint coordinates)
-      val codes = assign(cents1, subs)
-        .select(col("vec_id"),
-          (shiftleft(col("m").cast("long"), 32) bitwiseOR col("cid")).as("pk"),
-          col("ccn2"))
+      // encode: M packed (m<<32|cid) codes per doc in subspace order +
+      // the reconstruction norm Σ‖c_m‖² (exact: disjoint coordinates).
+      // ONE aggregation does the per-subspace argmin AND the per-doc
+      // packing: M is a fixed design constant, so each subspace gets
+      // its own FILTERed min_by over the shared (vec_id) group — this
+      // replaces a (vec_id, m) aggregate + a second collect_list pack
+      // aggregate (and its sort) with a single hash-aggregate pass.
+      val codes = subs.join(broadcast(cents1), col("m") === col("cm"))
+        .withColumn("d2", col("sn2") + col("ccn2") -
+          lit(2L) * dotQ(col("sq"), col("ccq")))
         .groupBy(col("vec_id"))
-        .agg(sort_array(collect_list(col("pk"))).as("pks"),
-          sum(col("ccn2")).as("rn2"))
+        .agg(
+          expr("min_by(struct(cid, ccn2), struct(d2, cid)) " +
+            "FILTER (WHERE m = 0)").as("b0"),
+          expr("min_by(struct(cid, ccn2), struct(d2, cid)) " +
+            "FILTER (WHERE m = 1)").as("b1"),
+          expr("min_by(struct(cid, ccn2), struct(d2, cid)) " +
+            "FILTER (WHERE m = 2)").as("b2"),
+          expr("min_by(struct(cid, ccn2), struct(d2, cid)) " +
+            "FILTER (WHERE m = 3)").as("b3"))
+        .select(col("vec_id"),
+          array((0 until M).map(m =>
+            shiftleft(lit(m.toLong), 32) bitwiseOR col(s"b$m.cid")): _*)
+            .as("pks"),
+          (0 until M).map(m => col(s"b$m.ccn2")).reduce(_ + _).as("rn2"))
       // per-query LUT: dot(q_m, c_{m,j}) for every (m, j) — M·k entries,
       // keyed by the same packed code the docs carry
       val luts = subs.filter(col("vec_id") % 50 === 0)
@@ -300,11 +316,11 @@ object SimilarityQueries {
         .select(col("vec_id").as("qid"), col("q").as("qq"),
           col("n2").as("qn2"))
       // stage 1: ADC scan — approx cosine from M map lookups against the
-      // broadcast LUT; candidates through the bounded heap. The full-
-      // precision query vector does NOT ride through the scan — only
-      // (qid, qn2, lut) broadcast with it, and the heap groups on
-      // primitive (qid, qn2) keys.
-      val qs1 = qsFull.select(col("qid"), col("qn2")).join(luts, "qid")
+      // broadcast LUT; candidates through the bounded heap. The heap
+      // groups on the primitive qid key; the query vector rides through
+      // first() (functionally dependent on qid) so no re-join is needed
+      // before the re-rank.
+      val qs1 = qsFull.join(luts, "qid")
       val cands = codes.crossJoin(broadcast(qs1))
         .filter(col("vec_id") =!= col("qid"))
         // static M-term sum of map lookups (M is a fixed design
@@ -314,14 +330,14 @@ object SimilarityQueries {
           element_at(col("lut"), col("pks").getItem(m))).reduce(_ + _))
         .withColumn("approx",
           cosineFromQ(col("lutsum"), col("qn2"), col("rn2")))
-        .groupBy(col("qid"), col("qn2"))
+        .groupBy(col("qid"))
         .agg(graft.functions.TopKFunctions
-          .topk_by_score(20, col("approx"), col("vec_id"), lit(0L)).as("top"))
-        .select(col("qid"), explode(col("top")).as("cand"))
-        .select(col("qid"), col("cand.id").as("vec_id"))
-        // the candidate list re-attaches its query vector (|Q|·20 rows
-        // against the tiny broadcast query table) before the re-rank
-        .join(broadcast(qsFull), "qid")
+          .topk_by_score(20, col("approx"), col("vec_id"), lit(0L)).as("top"),
+          first(col("qq")).as("qq"), first(col("qn2")).as("qn2"))
+        .select(col("qid"), col("qq"), col("qn2"),
+          explode(col("top")).as("cand"))
+        .select(col("qid"), col("qq"), col("qn2"),
+          col("cand.id").as("vec_id"))
       // stage 2: exact re-rank of the 20 candidates only (the fact side
       // streams once against the broadcast candidate list — same shape
       // as ann_sq8_rerank)

@@ -23,7 +23,7 @@ object SubqueryQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EXISTS + NOT EXISTS, both correlated on the customer key.
-    "q_exists_correlated" -> ((s, dir) => {
+    "q_exists_corr" -> ((s, dir) => {
       views(s, dir)
       s.sql(
         """SELECT c_custkey, c_name FROM g_customer c
@@ -53,7 +53,7 @@ object SubqueryQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_exists_correlated" ->
+    "q_exists_corr" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey

@@ -75,7 +75,7 @@ class IncrementalSubquerySpec extends AnyFunSuite {
   }
 
   test("correlated EXISTS decorrelates to semi/anti joins") {
-    val df = SubqueryQueries.queries("q_exists_correlated")(spark, sf)
+    val df = SubqueryQueries.queries("q_exists_corr")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), s"expected LeftSemi join:\n$plan")
     assert(plan.contains("LeftAnti"), s"expected LeftAnti join:\n$plan")
