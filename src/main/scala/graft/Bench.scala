@@ -79,7 +79,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val heavy = Seq("dedup_exact", "dedup_simhash", "dedup_emb_cosine",
       "ann_lsh_bucket", "ann_ivf", "ann_bruteforce_topk", "ann_sq8_rerank",
-      "ann_ivf_kmeans", "ann_pq_adc", "pipe_curate", "dedup_minhash_lsh",
+      "ann_ivf_kmeans", "ann_pq_adc", "pipe_curate", "dedup_incr",
+      "dedup_minhash_lsh",
       "dedup_jaccard_lsh", "dedup_ngram_jaccard", "dedup_containment",
       "dedup_clusters")
     val heavyOrder = heavy.zipWithIndex.toMap

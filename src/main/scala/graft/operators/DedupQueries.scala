@@ -139,15 +139,60 @@ object DedupQueries {
     * (the leak shape r5's review fixed in [[minHashStarCandidates]]),
     * and the frame stays LAZY for explain/schema callers.
     */
-  private[operators] def lshCandidatePairs(hashes: DataFrame): DataFrame = {
+  /** (doc_id, band, h1, h2) LSH band memberships — the row format of a
+    * MATERIALIZED band index (what a production corpus persists between
+    * delta batches; see [[incrementalNearDups]]).
+    */
+  private[operators] def lshBands(hashes: DataFrame): DataFrame = {
     val sigs = hashes.select(
       (col("doc_id") +: (0 until 8).map(j =>
         minHash(col("hs"), j).as(s"s$j"))): _*)
-    val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map(b =>
+    sigs.select(col("doc_id"), explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), col(s"s${2 * b}").as("h1"),
           col(s"s${2 * b + 1}").as("h2"))): _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"),
         col("bh.h1").as("h1"), col("bh.h2").as("h2"))
+  }
+
+  /** Incremental near-dedup: probe a DELTA batch against an existing
+    * corpus — the production shape for a continuously-growing corpus
+    * (crawl snapshots, streaming ingestion). The corpus side's band
+    * index and shingle sets are exactly what a production pipeline
+    * PERSISTS between batches (ingest-time artifacts, appended as docs
+    * arrive), so per batch only the delta is shingled and signed; the
+    * candidate join is keyed by (band, h1, h2), so probe cost scales
+    * with the delta size and its collision structure — NEVER with
+    * corpus size — and each candidate is verified by exact Jaccard
+    * against the full shingle sets. Output: (ia ∈ corpus, ib ∈ delta)
+    * pairs with jac ≥ threshold — the delta docs to drop (or route to
+    * review) before the batch joins the corpus.
+    *
+    * Inputs are (doc_id, hs array&lt;long&gt;) frames; pass PERSISTED
+    * frames when the caller reuses them (the verify stage reads each
+    * side once more).
+    */
+  def incrementalNearDups(corpusHashes: DataFrame, deltaHashes: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.functions.TextHashExpressions.{sorted_distinct_longs, intersect_count_sorted}
+    val index = lshBands(corpusHashes).toDF("ia", "band", "h1", "h2")
+    val probe = lshBands(deltaHashes).toDF("ib", "band", "h1", "h2")
+    val cand = probe.join(index, Seq("band", "h1", "h2"))
+      .select(col("ia"), col("ib")).distinct()
+    val setsA = corpusHashes.select(col("doc_id").as("ia"),
+      sorted_distinct_longs(col("hs")).as("sa"))
+    val setsB = deltaHashes.select(col("doc_id").as("ib"),
+      sorted_distinct_longs(col("hs")).as("sb"))
+    cand.join(setsA, "ia").join(setsB, "ib")
+      .withColumn("m", intersect_count_sorted(col("sa"), col("sb")))
+      .withColumn("jac", col("m").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("m")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("ia"), col("ib"), col("m"), col("jac"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  private[operators] def lshCandidatePairs(hashes: DataFrame): DataFrame = {
+    val bands = lshBands(hashes)
     val a = bands.toDF("ia", "band", "h1", "h2")
     val b = bands.toDF("ib", "band", "h1", "h2")
     a.join(b, Seq("band", "h1", "h2"))
@@ -220,6 +265,22 @@ object DedupQueries {
         // read of `hashes` lands inside it), then the corpus-sized cache
         // is released; the near-dup-pair-sized result is consumed
         // immediately, so executor-local blocks are the right durability
+        .localCheckpoint(true)
+      hashes.unpersist(blocking = false)
+      out
+    }),
+
+    // Incremental delta-vs-corpus near-dedup (see incrementalNearDups):
+    // even doc_ids stand in for the existing corpus, odd for the newly
+    // arrived batch. ONE shingle pass feeds both sides' band builds and
+    // verify sets (persist/force/release discipline as above); in
+    // production the corpus side reads a persisted band index instead.
+    "dedup_incr" -> ((s, dir) => {
+      val hashes = docShingleHashes(s, dir).persist()
+      val nonEmpty = hashes.filter(size(col("hs")) > 0)
+      val out = incrementalNearDups(
+          nonEmpty.filter(col("doc_id") % 2 === 0),
+          nonEmpty.filter(col("doc_id") % 2 === 1))
         .localCheckpoint(true)
       hashes.unpersist(blocking = false)
       out
@@ -666,6 +727,41 @@ object DedupQueries {
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
         |       AND a.doc_id < b.doc_id),
+        |hd AS (SELECT DISTINCT doc_id, h FROM h),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.ia, c.ib, COUNT(*) AS m
+        |  FROM cand c
+        |  JOIN hd a ON a.doc_id = c.ia
+        |  JOIN hd b ON b.doc_id = c.ib AND b.h = a.h
+        |  GROUP BY 1, 2)
+        |SELECT i.ia, i.ib, i.m,
+        |       CAST(i.m AS DOUBLE) / CAST(na.n + nb.n - i.m AS DOUBLE) AS jac
+        |FROM inter i
+        |JOIN sizes na ON na.doc_id = i.ia
+        |JOIN sizes nb ON nb.doc_id = i.ib
+        |WHERE CAST(i.m AS DOUBLE) / CAST(na.n + nb.n - i.m AS DOUBLE) >= 0.5
+        |ORDER BY ia, ib""".stripMargin),
+    // incremental probe: same minhash/band CTEs, candidate join
+    // restricted to (even corpus, odd delta) pairs, exact-Jaccard verify
+    "dedup_incr" -> (shinglesCte +
+      """, sig AS (
+        |  SELECT doc_id,
+        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
+        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
+        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
+        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
+        |  FROM h GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM sig UNION ALL
+        |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, s6, s7 FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
         |hd AS (SELECT DISTINCT doc_id, h FROM h),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
         |inter AS (

@@ -214,6 +214,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no cartesian anywhere in the curation pipeline:\n$p")
   }
 
+  test("incremental near-dedup probes the index with equi-joins only") {
+    // the delta-vs-corpus claim: the candidate probe is an equi-join on
+    // (band, h1, h2) and the verify joins are equi-joins on the ids —
+    // a nested-loop or cartesian anywhere would re-couple probe cost to
+    // corpus size. Audit the lazy API (the gate eagerly checkpoints,
+    // which would reduce — and vacuously pass — the audited plan).
+    import org.apache.spark.sql.functions.{col, size}
+    val hashes = DedupQueries.docShingleHashes(spark, dir)
+      .filter(size(col("hs")) > 0)
+    val p = DedupQueries.incrementalNearDups(
+        hashes.filter(col("doc_id") % 2 === 0),
+        hashes.filter(col("doc_id") % 2 === 1))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Join"), s"expected join operators in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental probe must stay equi-join only:\n$p")
+  }
+
   test("as-of join is union+window: no join operator, one key shuffle") {
     val p = plan("q_asof_join")
     assert(!p.contains("Join"), s"as-of must not materialize a join:\n$p")
