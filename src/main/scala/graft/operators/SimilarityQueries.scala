@@ -276,6 +276,10 @@ object SimilarityQueries {
           "transform(sm, x -> CAST(floor(CAST(x AS DOUBLE) / cnt) AS BIGINT))")
           .as("ccq"))
         .withColumn("ccn2", normQ2(col("ccq")))
+        // materialized once: the codebook feeds two broadcast builds
+        // whose jobs would each re-run the corpus-sized training join
+        // (A/B measured: dropping the checkpoint did not help — the
+        // recomputes cost what the one materialization job costs)
         .localCheckpoint(true)
       // encode: M packed (m<<32|cid) codes per doc in subspace order +
       // the reconstruction norm Σ‖c_m‖² (exact: disjoint coordinates).

@@ -31,6 +31,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(curated.filter(col("n_tok") < 20 || col("q") < 3.0).count() === 0)
   }
 
+  test("incremental near-dedup ≡ the cross-split slice of the batch sweep") {
+    // splitting the corpus and probing the delta must find EXACTLY the
+    // near-dup pairs of the all-pairs batch sweep that straddle the
+    // split (same bands, same verify): the incremental path may never
+    // gain or lose a pair relative to batch re-computation
+    import graft.functions.TextFunctions._
+    val dir01 = "/root/testdata/sf0.01"
+    val hashes = DedupQueries.docShingleHashes(spark, dir01)
+      .filter(size(col("hs")) > 0).persist()
+    val batchCross = DedupQueries.jaccardOnCandidates(hashes)
+      .filter(col("ia") % 2 =!= col("ib") % 2)
+      // canonicalize to (even, odd) — the batch sweep orders ia < ib
+      .select(
+        when(col("ia") % 2 === 0, col("ia")).otherwise(col("ib")).as("ia"),
+        when(col("ia") % 2 === 0, col("ib")).otherwise(col("ia")).as("ib"),
+        col("m"), col("jac"))
+    val incr = DedupQueries.incrementalNearDups(
+      hashes.filter(col("doc_id") % 2 === 0),
+      hashes.filter(col("doc_id") % 2 === 1))
+    assert(incr.exceptAll(batchCross).count() === 0 &&
+      batchCross.exceptAll(incr).count() === 0,
+      "incremental result diverges from the batch sweep's cross pairs")
+    assert(incr.count() > 0, "split produced no cross pairs — vacuous test")
+    hashes.unpersist(blocking = false)
+  }
+
   test("exact dedup: curated normalized texts are unique") {
     import graft.functions.TextFunctions._
     // recompute norms for the curated ids straight from the source table
