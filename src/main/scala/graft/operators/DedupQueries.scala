@@ -99,7 +99,7 @@ object DedupQueries {
     * pipeline — the 4× recompute r6 measured at 6.0 s vs the one-pass
     * 0.93 s oracle (sf0.1).
     */
-  private[operators] def jaccardOnCandidates(hashes: DataFrame): DataFrame = {
+  def jaccardOnCandidates(hashes: DataFrame): DataFrame = {
     import graft.functions.TextHashExpressions.{sorted_distinct_longs, intersect_count_sorted}
     val cand = lshCandidatePairs(hashes)
     // distinct shingle sets for exact verification — derived from the
@@ -123,25 +123,13 @@ object DedupQueries {
       .orderBy(col("ia"), col("ib"))
   }
 
-  /** MinHash (8 hashes) + LSH (4 bands × 2 rows) PAIRWISE candidate
-    * pairs (ia < ib, distinct) — the textbook shape
-    * `dedup_minhash_lsh`'s oracle states, shared with the LSH-verified
-    * exact-Jaccard gate. Duplicates in `hs` never change a MIN, so no
-    * distinct pass is needed; callers drop shingle-less docs first.
-    * Bands via one explode, NOT a 4-way union: each union branch would
-    * recompute the whole scan+signature subtree (8× with the
-    * self-join). NO persist: the two self-join sides shuffle identical
-    * canonicalized band subplans by (band, h1, h2), so Spark's
-    * exchange reuse computes the scan → shingle → minhash → explode
-    * pipeline ONCE and feeds both sides from the same shuffle files —
-    * the de-duplication a cache would buy, without pinning a
-    * corpus-sized dataset in storage memory for the session lifetime
-    * (the leak shape r5's review fixed in [[minHashStarCandidates]]),
-    * and the frame stays LAZY for explain/schema callers.
-    */
-  /** (doc_id, band, h1, h2) LSH band memberships — the row format of a
-    * MATERIALIZED band index (what a production corpus persists between
-    * delta batches; see [[incrementalNearDups]]).
+  /** MinHash (8 hashes) + LSH (4 bands × 2 rows) band memberships
+    * (doc_id, band, h1, h2) — the row format of a MATERIALIZED band
+    * index (what a production corpus persists between delta batches;
+    * see [[incrementalNearDups]]). Duplicates in `hs` never change a
+    * MIN, so no distinct pass is needed; callers drop shingle-less
+    * docs first. Bands via one explode, NOT a 4-way union: each union
+    * branch would recompute the whole scan+signature subtree.
     */
   private[operators] def lshBands(hashes: DataFrame): DataFrame = {
     val sigs = hashes.select(
@@ -191,6 +179,17 @@ object DedupQueries {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** PAIRWISE candidate pairs (ia < ib, distinct) — the textbook shape
+    * `dedup_minhash_lsh`'s oracle states, shared with the LSH-verified
+    * exact-Jaccard gate. NO persist: the two self-join sides shuffle
+    * identical canonicalized band subplans by (band, h1, h2), so
+    * Spark's exchange reuse computes the scan → shingle → minhash →
+    * explode pipeline ONCE and feeds both sides from the same shuffle
+    * files — the de-duplication a cache would buy, without pinning a
+    * corpus-sized dataset in storage memory for the session lifetime
+    * (the leak shape r5's review fixed in [[minHashStarCandidates]]),
+    * and the frame stays LAZY for explain/schema callers.
+    */
   private[operators] def lshCandidatePairs(hashes: DataFrame): DataFrame = {
     val bands = lshBands(hashes)
     val a = bands.toDF("ia", "band", "h1", "h2")
