@@ -281,13 +281,17 @@ object SimilarityQueries {
         // (A/B measured: dropping the checkpoint did not help — the
         // recomputes cost what the one materialization job costs)
         .localCheckpoint(true)
-      // encode: M packed (m<<32|cid) codes per doc in subspace order +
-      // the reconstruction norm Σ‖c_m‖² (exact: disjoint coordinates).
-      // ONE aggregation does the per-subspace argmin AND the per-doc
-      // packing: M is a fixed design constant, so each subspace gets
-      // its own FILTERed min_by over the shared (vec_id) group — this
-      // replaces a (vec_id, m) aggregate + a second collect_list pack
-      // aggregate (and its sort) with a single hash-aggregate pass.
+      // encode: M DENSE code slots per doc + the reconstruction norm
+      // Σ‖c_m‖² (exact: disjoint coordinates). The seed rule makes
+      // centroid ids dense (cid = 25·j, j < 16), so each (m, cid) maps
+      // to the flat LUT slot m·16 + cid/25 — exactly faiss's layout,
+      // where a PQ code IS an index into the codebook, never a label
+      // needing a map lookup. ONE aggregation does the per-subspace
+      // argmin AND the per-doc packing: M is a fixed design constant,
+      // so each subspace gets its own FILTERed min_by over the shared
+      // (vec_id) group — this replaces a (vec_id, m) aggregate + a
+      // second collect_list pack aggregate (and its sort) with a
+      // single hash-aggregate pass.
       val codes = subs.join(broadcast(cents1), col("m") === col("cm"))
         .withColumn("d2", col("sn2") + col("ccn2") -
           lit(2L) * dotQ(col("sq"), col("ccq")))
@@ -302,46 +306,63 @@ object SimilarityQueries {
           expr("min_by(struct(cid, ccn2), struct(d2, cid)) " +
             "FILTER (WHERE m = 3)").as("b3"))
         .select(col("vec_id"),
+          // 1-based flat LUT slots, ready for element_at
           array((0 until M).map(m =>
-            shiftleft(lit(m.toLong), 32) bitwiseOR col(s"b$m.cid")): _*)
+            (lit(m * 16 + 1) + (col(s"b$m.cid") / 25).cast("int"))): _*)
             .as("pks"),
           (0 until M).map(m => col(s"b$m.ccn2")).reduce(_ + _).as("rn2"))
-      // per-query LUT: dot(q_m, c_{m,j}) for every (m, j) — M·k entries,
-      // keyed by the same packed code the docs carry
+      // per-query LUT: dot(q_m, c_{m,j}) for every (m, j), scattered
+      // into a FLAT 64-slot array by dense slot id — the per-pair
+      // lookup in the scan below is then O(1) array indexing, not an
+      // O(k) map probe (measured 22.5 s → dominated by map scans at
+      // the 10× corpus point). Dead cells leave zero-filled slots that
+      // no code ever references.
       val luts = subs.filter(col("vec_id") % 50 === 0)
         .join(broadcast(cents1), col("m") === col("cm"))
         .select(col("vec_id").as("qid"),
-          (shiftleft(col("m").cast("long"), 32) bitwiseOR col("cid")).as("pk"),
+          (col("m") * 16 + (col("cid") / 25).cast("int")).as("slot"),
           dotQ(col("sq"), col("ccq")).as("ld"))
         .groupBy(col("qid"))
-        .agg(map_from_entries(collect_list(struct(col("pk"), col("ld"))))
-          .as("lut"))
+        .agg(map_from_entries(collect_list(struct(col("slot"), col("ld"))))
+          .as("lutm"))
+        // 64 map probes ONCE per query row, not per candidate pair
+        .select(col("qid"), expr(
+          "transform(sequence(0, 63), p -> " +
+            "coalesce(element_at(lutm, p), CAST(0 AS BIGINT)))").as("lut"))
       val qsFull = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("q").as("qq"),
           col("n2").as("qn2"))
-      // stage 1: ADC scan — approx cosine from M map lookups against the
-      // broadcast LUT; candidates through the bounded heap. The heap
-      // groups on the primitive qid key; the query vector rides through
-      // first() (functionally dependent on qid) so no re-join is needed
-      // before the re-rank.
-      val qs1 = qsFull.join(luts, "qid")
+      // stage 1: ADC scan — approx cosine from M array-index lookups
+      // against the broadcast flat LUT; candidates through the bounded
+      // heap. The heap groups on the primitive qid key; the query
+      // vector rides through first() (functionally dependent on qid)
+      // so no re-join is needed before the re-rank.
+      // materialized: without it Catalyst's projection collapse inlines
+      // the 64-element LUT-scatter transform into the per-pair scan —
+      // the interpreted HOF then runs per candidate row (measured 54 s
+      // at the 10× point); checkpointed, the |Q|-row frame carries the
+      // flat arrays by value into the broadcast. Only (qid, qn2, lut)
+      // ride the scan — the full-precision query vector re-joins onto
+      // the |Q|·20 candidate list afterwards, so the 8M-row aggregate
+      // input stays 3 primitive columns wide.
+      val qs1 = qsFull.select(col("qid"), col("qn2")).join(luts, "qid")
+        .localCheckpoint(true)
       val cands = codes.crossJoin(broadcast(qs1))
         .filter(col("vec_id") =!= col("qid"))
-        // static M-term sum of map lookups (M is a fixed design
+        // static M-term sum of O(1) array lookups (M is a fixed design
         // constant): stays whole-stage codegen — the `aggregate` HOF
         // interprets its lambda per element per row
         .withColumn("lutsum", (0 until M).map(m =>
           element_at(col("lut"), col("pks").getItem(m))).reduce(_ + _))
         .withColumn("approx",
           cosineFromQ(col("lutsum"), col("qn2"), col("rn2")))
+        .select(col("qid"), col("approx"), col("vec_id"))
         .groupBy(col("qid"))
         .agg(graft.functions.TopKFunctions
-          .topk_by_score(20, col("approx"), col("vec_id"), lit(0L)).as("top"),
-          first(col("qq")).as("qq"), first(col("qn2")).as("qn2"))
-        .select(col("qid"), col("qq"), col("qn2"),
-          explode(col("top")).as("cand"))
-        .select(col("qid"), col("qq"), col("qn2"),
-          col("cand.id").as("vec_id"))
+          .topk_by_score(20, col("approx"), col("vec_id"), lit(0L)).as("top"))
+        .select(col("qid"), explode(col("top")).as("cand"))
+        .select(col("qid"), col("cand.id").as("vec_id"))
+        .join(broadcast(qsFull), "qid")
       // stage 2: exact re-rank of the 20 candidates only (the fact side
       // streams once against the broadcast candidate list — same shape
       // as ann_sq8_rerank)
