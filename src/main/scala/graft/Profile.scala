@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   *    931-group skew dominate; keep the join formulation.
   *  - parquet testdata is one row group per table → single-partition
   *    scans; Tables.tablePar normalizes (no-op on real inputs).
+  *  - ann_pq_adc (r7): an interpreted HOF in a broadcast-side projection
+  *    gets projection-collapsed INTO the per-pair scan (64-el transform
+  *    ran per candidate row: 54 s at the 10× point) — materialize the
+  *    tiny frame before broadcast(). And keep wide arrays OUT of a
+  *    high-volume aggregate's input (the 64-long query vector riding
+  *    through the 8 M-row heap agg measured 35 s; re-joining it onto
+  *    the 8 k-row candidate list is one tiny broadcast). Array-valued
+  *    GROUP BY keys cost ~3× (UnsafeRow array hashing per row) — group
+  *    on primitive keys, carry arrays via first().
   */
 object Profile {
   def main(args: Array[String]): Unit = {
