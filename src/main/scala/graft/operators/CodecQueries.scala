@@ -22,7 +22,7 @@ object CodecQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1: NUMBER ⇄ DECIMAL roundtrip over every distinct price in lineitem
-    "f1_oranumber_decimal" -> ((s, dir) => {
+    "f1_oranum_dec" -> ((s, dir) => {
       li(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice").cast(DecimalType(18, 2)).as("p"))
@@ -34,7 +34,7 @@ object CodecQueries {
             .cast("double").as("price_rt"))
     }),
     // F1: NUMBER ⇄ BIGINT roundtrip (integral path, codegen'd static calls)
-    "f1_oranumber_long" -> ((s, dir) => {
+    "f1_oranum_long" -> ((s, dir) => {
       ord(s, dir)
         .select(col("o_orderkey"),
           oranumber_to_long(oranumber_from_long(col("o_custkey"))).as("custkey_rt"))
@@ -113,7 +113,7 @@ object CodecQueries {
     // M1+M2: pattern-based SMT field converters — NUMBER / INTERVAL
     // byte columns matching %-patterns decode to typed columns, other
     // columns pass through untouched.
-    "m1_m2_field_convert" -> ((s, dir) => {
+    "m1_m2_convert" -> ((s, dir) => {
       val encoded = li(s, dir).select(
         col("l_orderkey"), col("l_linenumber"),
         oranumber_from_decimal(col("l_extendedprice").cast(DecimalType(18, 2)))
@@ -224,11 +224,11 @@ object CodecQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
-    "f1_oranumber_decimal" ->
+    "f1_oranum_dec" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_rt
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
-    "f1_oranumber_long" ->
+    "f1_oranum_long" ->
       "SELECT o_orderkey, o_custkey AS custkey_rt FROM orders ORDER BY o_orderkey",
     "f1_number_map" ->
       """SELECT p_partkey,
@@ -266,7 +266,7 @@ object CodecQueries {
         |       CAST(UNNEST(embedding) AS DOUBLE) AS v,
         |       CAST(6 + 4 * len(embedding) AS BIGINT) AS wire_len
         |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
-    "m1_m2_field_convert" ->
+    "m1_m2_convert" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS num_price,
         |       CAST(l_quantity * 60000000 AS BIGINT) AS iv_ship,

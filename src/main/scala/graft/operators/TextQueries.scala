@@ -78,6 +78,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark DECONTAMINATION — the eval-overlap sweep every serious
+    // training corpus runs (the GPT-3/LLaMA n-gram overlap rule):
+    // documents sharing ≥ 8 distinct word-bigram shingles with the
+    // held-out benchmark set are flagged before training. The 100 TB
+    // plan shape is different from near-dedup: the benchmark's shingle
+    // inventory is TINY and BROADCASTS, so the corpus is scanned
+    // map-only (explode + broadcast semi-join + partial count) — the
+    // only shuffle carries ≤ one row per document. doc_id % 97 = 0
+    // stands in for the benchmark set.
+    "text_decontam" -> ((s, dir) => {
+      import graft.functions.TextHashExpressions.distinct_longs
+      val h = documents(s, dir)
+        .select(col("doc_id"), distinct_longs(
+          shingleHashes(tokens(col("text")), 2)).as("ds"))
+        .filter(size(col("ds")) > 0)
+      val benchSh = h.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("ds")).as("s")).distinct()
+      val corpus = h.filter(col("doc_id") % 97 =!= 0)
+      val hits = corpus.select(col("doc_id"), explode(col("ds")).as("s"))
+        .join(broadcast(benchSh), "s")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      corpus.select(col("doc_id"), size(col("ds")).cast("long").as("n"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("contaminated", col("n_hit") >= 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-wide frequent terms via the Misra–Gries sketch (bounded
     // state per partial; merge sums shared counters then re-trims to
     // capacity): exact here because the 1024-counter capacity dominates
@@ -160,6 +188,33 @@ object TextQueries {
         |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |       AS INTEGER) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // decontamination: same bigram-shingle hash domain as the dedup
+    // family; benchmark inventory joined back as a plain semi-join
+    "text_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         UNNEST(list_distinct(list_transform(range(1, len(tk)),
+        |                i -> tk[i] || ' ' || tk[i+1]))) AS s
+        |  FROM toks),
+        |h AS (
+        |  SELECT DISTINCT doc_id,
+        |         list_reduce(list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT)),
+        |                     (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM sh),
+        |bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, h FROM h WHERE doc_id % 97 <> 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM corpus GROUP BY 1),
+        |hits AS (
+        |  SELECT c.doc_id, COUNT(*) AS n_hit
+        |  FROM corpus c JOIN bench b ON b.h = c.h GROUP BY 1)
+        |SELECT s.doc_id, s.n, COALESCE(t.n_hit, 0) AS n_hit,
+        |       COALESCE(t.n_hit, 0) >= 8 AS contaminated
+        |FROM sizes s LEFT JOIN hits t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // exact regime: capacity (1024) >> vocabulary, so the sketch holds
     // every counter and the top-10 equals the exact GROUP BY
     "text_top_terms" -> (toksCte +

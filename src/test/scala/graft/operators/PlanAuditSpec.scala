@@ -71,7 +71,7 @@ class PlanAuditSpec extends AnyFunSuite {
       df.queryExecution.executedPlan.toString
     }
     // the final adaptive plan marks codegen stages with the `*(n)` star
-    val p1 = finalPlan("f1_oranumber_long")
+    val p1 = finalPlan("f1_oranum_long")
     assert(p1.contains("*(") &&
       """\*\(\d+\) Project \[.*oranumbertolong""".r.findFirstIn(p1).isDefined,
       s"codec projection must sit inside a codegen stage:\n$p1")
