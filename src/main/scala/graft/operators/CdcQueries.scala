@@ -277,7 +277,7 @@ object CdcQueries {
     // executors; version must bump exactly on effective changes (the
     // noop MODIFY VARCHAR2→CLOB maps to the same Spark type and must
     // NOT bump).
-    "t9_schema_evolution" -> ((s, dir) => {
+    "t9_schema_evo" -> ((s, dir) => {
       import s.implicits._
       nation(s, dir).select(col("n_nationkey").cast("long")).as[Long]
         .map { k =>
@@ -471,7 +471,7 @@ object CdcQueries {
         |CROSS JOIN UNNEST(range(1, (CAST(e.props::JSON->>'k' AS INT) % 3) + 2)) AS t(i)
         |WHERE e.event_type = 'purchase'
         |ORDER BY scn, ssn""".stripMargin,
-    "t9_schema_evolution" ->
+    "t9_schema_evo" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |       CAST(1 + CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END
         |              + CASE WHEN n_nationkey % 3 = 0 THEN 1 ELSE 0 END AS INT) AS version,

@@ -67,7 +67,7 @@ object CodecQueries {
         .orderBy(col("p_partkey"))
     }),
     // F3: 11-byte Oracle TIMESTAMP ⇄ TimestampType roundtrip
-    "f3_oradate_timestamp" -> ((s, dir) => {
+    "f3_oradate" -> ((s, dir) => {
       ord(s, dir)
         .select(col("o_orderkey"),
           oradate_to_timestamp(oratimestamp_from_micros(col("o_orderdate"))).as("odate_rt"))
@@ -245,7 +245,7 @@ object CodecQueries {
         |         || ',' || (p_partkey % 3) || ')'
         |  END AS mapped_type
         |FROM part ORDER BY p_partkey""".stripMargin,
-    "f3_oradate_timestamp" ->
+    "f3_oradate" ->
       "SELECT o_orderkey, o_orderdate AS odate_rt FROM orders ORDER BY o_orderkey",
     "f7_rowid" ->
       """SELECT l_orderkey, l_linenumber,

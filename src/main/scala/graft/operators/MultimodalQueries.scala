@@ -16,7 +16,7 @@ import graft.functions.Multimodal
   * and because PNG is lossless, a hash match proves the whole
   * render→encode→decode pipeline is pixel-exact.
   *
-  * The audio gate (`mm_feature_extract`) is REAL the same way: stereo
+  * The audio gate (`mm_features`) is REAL the same way: stereo
   * 16-bit PCM encoded to a RIFF/WAVE container and decoded back with
   * `javax.sound.sampled` (in the JDK), features stated analytically by
   * the oracle.
@@ -103,7 +103,7 @@ object MultimodalQueries {
 
     // REAL audio feature extraction: javax.sound.sampled WAV decode →
     // per-channel energy / zero-crossings / peak (see wavTable)
-    "mm_feature_extract" -> ((s, dir) => {
+    "mm_features" -> ((s, dir) => {
       sorted(Multimodal.decodeWav(wavTable(s, dir)).toDF(), "doc_id")
     })
   )
@@ -165,7 +165,7 @@ object MultimodalQueries {
     // analytic restatement of the closed-form stereo PCM: a hash match
     // proves the WAV encode→bytes→parse→decode roundtrip sample-exact.
     // sample(ch, t) = (doc_id*31 + ch*17 + t*7919) % 65536 - 32768
-    "mm_feature_extract" ->
+    "mm_features" ->
       """WITH clip AS (
         |  SELECT doc_id, CAST(200 + doc_id % 57 AS BIGINT) AS n
         |  FROM documents),

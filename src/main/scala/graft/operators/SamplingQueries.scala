@@ -37,7 +37,7 @@ object SamplingQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language rebalancing: downsample the dominant language (en → 10%)
     // and keep 30% of everything else.
-    "q_stratified_sample" -> ((s, dir) => {
+    "q_strat_sample" -> ((s, dir) => {
       documents(s, dir)
         .withColumn("pct", expr(pctExpr))
         .filter(col("pct") < when(col("lang") === "en", 10).otherwise(30))
@@ -83,7 +83,7 @@ object SamplingQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_stratified_sample" ->
+    "q_strat_sample" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents
         |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100
