@@ -78,7 +78,7 @@ object Bench {
     // dev loop: SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val heavy = Seq("dedup_exact", "dedup_simhash", "dedup_emb_cosine",
-      "ann_lsh_bucket", "ann_ivf", "ann_bruteforce_topk", "ann_sq8_rerank",
+      "ann_lsh_bucket", "ann_ivf", "ann_brute_topk", "ann_sq8_rerank",
       "ann_ivf_kmeans", "ann_pq_adc", "pipe_curate", "dedup_incr",
       "dedup_minhash_lsh",
       "dedup_jaccard_lsh", "dedup_ngram_jaccard", "dedup_containment",

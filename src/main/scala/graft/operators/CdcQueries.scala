@@ -328,7 +328,7 @@ object CdcQueries {
     }),
 
     // P6/P7: debezium envelope + pseudo-columns, flattened for compare.
-    "p7_debezium_envelope" -> ((s, dir) => {
+    "p7_dbz_envelope" -> ((s, dir) => {
       Envelopes.debezium(ChangeStreams.assembleBatch(redoRecords(s, dir)), "graft")
         .select(col("source.scn").as("scn"), col("source.commit_scn").as("commit_scn"),
           col("source.xid").as("xid"), col("source.row_id").as("row_id"),
@@ -337,7 +337,7 @@ object CdcQueries {
     }),
 
     // M3+M4+M5: lowercase-names, key-to-value, header-to-field SMTs.
-    "m3_m4_m5_smt_chain" -> ((s, dir) => {
+    "m3_m5_smt" -> ((s, dir) => {
       val df = customer(s, dir).select(
         struct(col("c_custkey")).as("key"),
         struct(col("c_name"), col("c_acctbal")).as("value"),
@@ -496,13 +496,13 @@ object CdcQueries {
         |       CASE WHEN user_id % 2 = 0
         |            THEN 'app-' || (user_id % 4) END AS client_id
         |FROM emitted ORDER BY scn""".stripMargin),
-    "p7_debezium_envelope" -> (baseCte +
+    "p7_dbz_envelope" -> (baseCte +
       """SELECT event_id AS scn, commit_scn, CAST(user_id AS VARCHAR) AS xid,
         |       CAST(event_id AS VARCHAR) AS row_id,
         |       CASE op WHEN 1 THEN 'c' WHEN 2 THEN 'd' ELSE 'u' END AS op,
         |       ts_ms
         |FROM emitted ORDER BY scn""".stripMargin),
-    "m3_m4_m5_smt_chain" ->
+    "m3_m5_smt" ->
       """SELECT c_name, c_acctbal, c_nationkey AS hdr_nation, c_custkey
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "m6_lob_transform" ->

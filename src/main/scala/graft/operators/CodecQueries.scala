@@ -100,7 +100,7 @@ object CodecQueries {
     // Element-wise comparison via posexplode: an array-typed output
     // column crashes the driver's pandas hasher (unhashable ndarray),
     // and exploding checks every element positionally anyway.
-    "f10_vector_roundtrip" -> ((s, dir) => {
+    "f10_vector" -> ((s, dir) => {
       embeddings(s, dir)
         .select(col("vec_id"),
           oravector_decode(oravector_encode(col("embedding"))).as("emb_rt"),
@@ -133,7 +133,7 @@ object CodecQueries {
     }),
     // F4: TIMESTAMP WITH TIME ZONE — 13-byte wire form roundtrips the
     // UTC instant and a per-row fixed zone offset independently.
-    "f4_tstz_roundtrip" -> ((s, dir) => {
+    "f4_tstz" -> ((s, dir) => {
       val e = events(s, dir).select(col("event_id"),
         graft.Tables.tsMicros.as("micros"),
         ((col("user_id") % 25 - 12) * 60).cast("int").as("off"))
@@ -199,7 +199,7 @@ object CodecQueries {
     // F6+F14: Oracle charset-name codec + GZIP LOB utility — text
     // roundtrips through a single-byte Oracle charset (WE8ISO8859P1)
     // and through gzip-compressed AL32UTF8 bytes inside one plan.
-    "f6_f14_charset_gzip" -> ((s, dir) => {
+    "f6_f14_gzip" -> ((s, dir) => {
       documents(s, dir).select(col("doc_id"),
           oracharset_decode(
             oracharset_encode(col("text"), "WE8ISO8859P1"),
@@ -260,7 +260,7 @@ object CodecQueries {
         |       l_extendedprice AS price_rt,
         |       CAST(l_discount AS FLOAT) AS disc_rt
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
-    "f10_vector_roundtrip" ->
+    "f10_vector" ->
       """SELECT vec_id,
         |       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
         |       CAST(UNNEST(embedding) AS DOUBLE) AS v,
@@ -272,13 +272,13 @@ object CodecQueries {
         |       CAST(l_quantity * 60000000 AS BIGINT) AS iv_ship,
         |       CAST(l_linenumber * 7 AS INT) AS iv_age_ym
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
-    "f4_tstz_roundtrip" ->
+    "f4_tstz" ->
       """SELECT event_id,
         |       epoch_ns(ts) // 1000 AS micros_rt,
         |       CAST((user_id % 25 - 12) * 60 AS INT) AS off_rt,
         |       13 AS wire_len
         |FROM events ORDER BY event_id""".stripMargin,
-    "f6_f14_charset_gzip" ->
+    "f6_f14_gzip" ->
       """SELECT doc_id, text AS latin_rt, text AS gz_rt
         |FROM documents ORDER BY doc_id""".stripMargin,
     "f8_xml" ->

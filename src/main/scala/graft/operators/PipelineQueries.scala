@@ -11,7 +11,7 @@ import graft.functions.TextFunctions._
   * exact dedup → MinHash-LSH near-dedup (exact-Jaccard verified) →
   * curated manifest. Each stage is the production operator the
   * standalone gates check (`text_normalize`, `text_lang_id`,
-  * `text_quality_score`, `dedup_exact`, `dedup_jaccard_lsh`); this gate
+  * `text_quality`, `dedup_exact`, `dedup_jaccard_lsh`); this gate
   * proves the COMPOSITION end-to-end against one independent DuckDB
   * statement of the whole pipeline.
   *

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions._
+
+/** Ranked retrieval + statistical language-model scoring over the
+  * `documents` corpus — the two text operators a training-data pipeline
+  * runs that the dedup/quality families don't cover:
+  *
+  *  - **BM25 top-k retrieval** (`text_bm25`): the standard sparse
+  *    retrieval scorer (Robertson/Spärck Jones). Used in curation to
+  *    pull topic-relevant subsets out of a web corpus and as the
+  *    retrieval half of decontamination-by-query. 100 TB shape: the
+  *    postings build is ONE shuffle keyed by (doc, term); term
+  *    statistics (df per term — vocabulary-sized, ≪ corpus) and the
+  *    query set BROADCAST; scoring is a broadcast hash join over the
+  *    postings; the final top-k per query runs through the TopKRewrite
+  *    bounded heap, so the rank shuffle carries ≤ k rows per partition
+  *    per query, never the candidate lists.
+  *
+  *  - **Bigram-LM negative log-likelihood** (`text_lm_score`): the
+  *    CCNet-style "train a small LM on the corpus, score every document,
+  *    filter the tail" quality signal, with add-one smoothing. 100 TB
+  *    shape: unigram/bigram count tables are vocabulary-sized aggregates
+  *    (one shuffle each); scoring re-joins counts onto the exploded
+  *    bigram stream by key (equi-joins, postings-shaped — never
+  *    all-pairs); the per-document reduce is the only other shuffle.
+  *
+  * Cross-engine float determinism (same convention as the vector
+  * kernels, `VectorFunctions.scala`): every per-term/per-bigram double
+  * score is quantized to integer micro-units (`floor(x * 1e6)`) BEFORE
+  * aggregation, so the sum is exact integer arithmetic — associative,
+  * order-free — and the only float sensitivity left is `ln`'s last ulp
+  * landing exactly on a floor boundary (~1e-10 per value).
+  *
+  * Reference basis: oracdc has no retrieval surface (it is a CDC
+  * engine); these extend the BASELINE.json LLM-pipeline mandate the way
+  * `text_decontam`/`dedup_*` do.
+  */
+object RetrievalQueries {
+
+  /** Fixed query set: (qid, term) pairs over the synthetic vocabulary.
+    * Literal in BOTH engines so tokenization parity is not part of the
+    * gate (the tokenizer has its own gates).
+    */
+  private val queryTerms: Seq[(Int, String)] = Seq(
+    1 -> "spark", 1 -> "hash", 1 -> "scan",
+    2 -> "table", 2 -> "row", 2 -> "line",
+    3 -> "window", 3 -> "group", 3 -> "merge", 3 -> "fast",
+    4 -> "key", 4 -> "value", 4 -> "sort",
+    5 -> "slow", 5 -> "batch", 5 -> "agg")
+
+  private val queryValuesSql = queryTerms
+    .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  // BM25 with k1 = 1.2, b = 0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+  // The expression TEXT is shared shape with the oracle SQL below so both
+  // engines evaluate the identical IEEE operation tree.
+  private val idfExpr =
+    "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+  private val tffExpr =
+    "(CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))"
+  private val bm25MicroExpr =
+    s"CAST(floor($idfExpr * $tffExpr * 1000000.0) AS BIGINT)"
+
+  // add-one-smoothed bigram NLL in micro-nats: -ln((c2+1)/(c1+V)) * 1e6
+  private val nllMicroExpr =
+    "CAST(floor(-ln((CAST(c2 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0) AS BIGINT)"
+
+  /** BM25 retrieval (see object scaladoc). `materialize = false` skips
+    * the persist/eager-checkpoint so PlanAuditSpec can inspect the lazy
+    * plan (same convention as [[PipelineQueries.curate]]).
+    */
+  def bm25(s: SparkSession, dir: String, materialize: Boolean = true): DataFrame = {
+      import s.implicits._
+      val toks = documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+      // postings: one shuffle keyed by (doc, term); dl rides along (it is
+      // functionally determined by doc_id, so grouping on it adds no keys)
+      val postings = toks
+        .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("t"))
+        .groupBy(col("doc_id"), col("dl"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+      // corpus stats: scalar frame, broadcast to every scorer task
+      val stats = toks.agg(count(lit(1)).as("n_docs"), avg(size(col("tk"))).as("avgdl"))
+      val q = queryTerms.toDF("qid", "t")
+      // the query-term SLICE of the postings — semi-join against the
+      // broadcast term set, then persist: it is query-bounded (≤ |terms|
+      // rows per doc), and persisting it means the corpus-sized
+      // explode+groupBy above runs ONCE for its two consumers (the df
+      // aggregate and the scorer) instead of once each — the same
+      // persist-the-small-frame discipline as minHashStarCandidates
+      val slice0 = postings.join(broadcast(q.select(col("t")).distinct()), "t")
+      val slice = if (materialize) slice0.persist() else slice0
+      // df from the slice: postings are unique per (doc, term), so
+      // COUNT = document frequency; tiny (≤ |terms| rows), broadcasts
+      val df_ = slice.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val scored = slice
+        .join(broadcast(q), "t")
+        .join(broadcast(df_), "t")
+        .crossJoin(broadcast(stats))
+        .withColumn("s_u", expr(bm25MicroExpr))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("s_u")).as("score_u"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score_u").desc, col("doc_id"))
+      val ranked = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("doc_id"), col("score_u"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+      if (!materialize) ranked
+      else {
+        // result is ≤ 10·|queries| rows — eager materialize, release slice
+        val out = ranked.localCheckpoint(true)
+        slice.unpersist(blocking = false)
+        out
+      }
+  }
+
+  /** Bigram-LM scoring (see object scaladoc); `materialize = false` for
+    * plan audits.
+    */
+  def lmScore(s: SparkSession, dir: String, materialize: Boolean = true): DataFrame = {
+
+      // ONE tokenize pass feeds all four consumers (unigram counts,
+      // vocabulary size, bigram-count build, bigram scorer): the token
+      // frame is corpus-bounded (doc_id + array — the same shape
+      // dedup_jaccard_lsh persists) and without it the scan+tokenize
+      // would run once per consumer
+      val toks0 = documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+      val toks = if (materialize) toks0.persist() else toks0
+      // unigram count table (vocabulary-sized aggregate); persisted —
+      // it feeds the V scalar and the scorer join
+      val uni0 = toks.select(explode(col("tk")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+      val uni = if (materialize) uni0.persist() else uni0
+      val vstats = uni.agg(count(lit(1)).as("v"))
+      // bigram stream WITH multiplicity (each occurrence scores) — NOT
+      // persisted: it is the corpus × expansion frame; its two readers
+      // re-explode from the cached tokens, a pure map
+      val bi = toks
+        .select(col("doc_id"), explode(wordShingles(col("tk"), 2)).as("bg"))
+        .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      // counts join back by key: postings-shaped equi-joins; documents
+      // with < 2 tokens have no bigrams and drop out (as in the oracle)
+      val scored = bi.join(c2, "bg")
+        .join(uni.withColumnRenamed("t", "w1"), "w1")
+        .crossJoin(broadcast(vstats))
+        .withColumn("nll", expr(nllMicroExpr))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bi"), sum(col("nll")).as("nll_u"))
+        .withColumn("avg_u", expr("nll_u div n_bi"))
+        .orderBy(col("doc_id"))
+      if (!materialize) scored
+      else {
+        // eager materialize (the per-doc score table IS the operator's
+        // output — it would be written to storage at corpus scale), so
+        // the caches can release immediately
+        val out = scored.localCheckpoint(true)
+        uni.unpersist(blocking = false)
+        toks.unpersist(blocking = false)
+        out
+      }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> ((s, dir) => bm25(s, dir)),
+    "text_lm_score" -> ((s, dir) => lmScore(s, dir))
+  )
+
+  private val toksCte =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      |  FROM documents)
+      |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "text_bm25" -> (toksCte +
+      s""", docs AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+        |postings AS (
+        |  SELECT doc_id, dl, t, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, len(tk) AS dl, UNNEST(tk) AS t FROM docs)
+        |  GROUP BY 1, 2, 3),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(tk)) AS avgdl FROM docs),
+        |q(qid, t) AS (VALUES $queryValuesSql),
+        |qp AS (SELECT q.qid, p.doc_id, p.dl, p.t, p.tf
+        |       FROM postings p JOIN q ON q.t = p.t),
+        |df AS (SELECT t, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, t FROM qp) GROUP BY 1),
+        |scored AS (
+        |  SELECT qid, doc_id,
+        |         CAST(SUM(CAST(floor($idfExpr * $tffExpr * 1000000.0) AS BIGINT)) AS BIGINT) AS score_u
+        |  FROM qp JOIN df USING (t) CROSS JOIN stats
+        |  GROUP BY 1, 2)
+        |SELECT qid, doc_id, score_u, CAST(rn AS INT) AS rn FROM (
+        |  SELECT qid, doc_id, score_u,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY score_u DESC, doc_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin),
+    "text_lm_score" -> (toksCte +
+      s""", uni AS (SELECT t, COUNT(*) AS c1
+        |         FROM (SELECT UNNEST(tk) AS t FROM toks) GROUP BY 1),
+        |vs AS (SELECT COUNT(*) AS v FROM uni),
+        |bi AS (
+        |  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1
+        |  FROM (SELECT doc_id,
+        |               UNNEST(list_transform(range(1, len(tk)),
+        |                      i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |        FROM toks)),
+        |c2t AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, $nllMicroExpr AS nll
+        |  FROM bi JOIN c2t USING (bg) JOIN uni u ON u.t = bi.w1 CROSS JOIN vs)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bi,
+        |       CAST(SUM(nll) AS BIGINT) AS nll_u,
+        |       CAST(CAST(SUM(nll) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_u
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin)
+  )
+}

@@ -53,7 +53,7 @@ object SamplingQueries {
     // aggregate, so each stratum shuffles at most k rows per partition —
     // on a 100 TB corpus the shuffle carries ~k·strata·partitions rows,
     // not the corpus.
-    "q_sample_per_group" -> ((s, dir) => {
+    "q_sample_k" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("lang"), col("source"))
         .orderBy(expr(pctHash), col("doc_id"))
@@ -62,6 +62,43 @@ object SamplingQueries {
         .filter(col("rn") <= 5)
         .select(col("lang"), col("source"), col("doc_id"), col("rn"))
         .orderBy(col("lang"), col("source"), col("rn"))
+    }),
+
+    // Domain mixing under a token budget — the "sampling weights" step
+    // of corpus assembly (e.g. upweight curated sources, downweight raw
+    // web): each source gets a target weight; its keep-rate is
+    // weight_share × budget / source_tokens, capped at 1; documents keep
+    // deterministically via the same Knuth hash as q_strat_sample. All
+    // rate arithmetic is INTEGER (micro-units, floor division) so both
+    // engines agree bit-for-bit. 100 TB shape: two scans (token count +
+    // filtered aggregate) with one vocabulary-of-sources-sized aggregate
+    // broadcast between them — the keep decision itself is map-only.
+    "q_domain_mix" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      // per-source totals + weights (weight = source ordinal % 4 + 1 —
+      // a deterministic stand-in for a curation policy table)
+      val bySrc = toks.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("src_tok"))
+        .withColumn("w", expr("CAST(substring(source, 4) AS BIGINT) % 4 + 1"))
+      val totals = bySrc.agg(sum(col("src_tok")).as("all_tok"), sum(col("w")).as("w_sum"))
+      // budget = 40% of corpus tokens; rate in micro-units with pure
+      // integer arithmetic: floor(w * budget * 1e6 / (w_sum * src_tok)).
+      // int64 bound: w·budget·1e6 overflows past ~2e12 corpus tokens —
+      // the rates are a per-source scalar table (20 rows), so a >2e12
+      // corpus computes them in DECIMAL(38) driver-side; the map-only
+      // keep rule below is what runs at corpus scale and never overflows
+      val rates = bySrc.crossJoin(broadcast(totals))
+        .withColumn("budget", expr("all_tok * 4 div 10"))
+        .withColumn("rate_u", expr(
+          "least(1000000L, w * budget * 1000000 div (w_sum * src_tok))"))
+        .select(col("source"), col("w"), col("src_tok"), col("rate_u"))
+      toks.join(broadcast(rates), "source")
+        .filter(expr(s"$pctHash % 1000000") < col("rate_u"))
+        .groupBy(col("source"), col("w"), col("src_tok"), col("rate_u"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
+        .orderBy(col("source"))
     }),
 
     // Per-language length distribution: exact quartiles of n_chars
@@ -89,7 +126,7 @@ object SamplingQueries {
         |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100
         |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
         |ORDER BY doc_id""".stripMargin,
-    "q_sample_per_group" ->
+    "q_sample_k" ->
       """SELECT lang, source, doc_id, CAST(rn AS INT) AS rn FROM (
         |  SELECT lang, source, doc_id,
         |         ROW_NUMBER() OVER (
@@ -98,6 +135,29 @@ object SamplingQueries {
         |                    doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY lang, source, rn""".stripMargin,
+    "q_domain_mix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                              x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |by_src AS (
+        |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok,
+        |         CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS w
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT SUM(src_tok) AS all_tok, SUM(w) AS w_sum FROM by_src),
+        |rates AS (
+        |  SELECT source, w, src_tok,
+        |         CAST(LEAST(1000000, w * (all_tok * 4 // 10) * 1000000
+        |                        // (w_sum * src_tok)) AS BIGINT) AS rate_u
+        |  FROM by_src CROSS JOIN tot)
+        |SELECT t.source, r.w, r.src_tok, r.rate_u,
+        |       CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |       CAST(SUM(t.n_tok) AS BIGINT) AS tok_kept
+        |FROM toks t JOIN rates r USING (source)
+        |WHERE ((t.doc_id % 2147483648) * 2654435761) % 4294967296 % 1000000
+        |      < r.rate_u
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     "q_quantiles" ->
       """SELECT lang, COUNT(*) AS n,
         |  ROUND(quantile_cont(n_chars, 0.25), 4) AS q25,

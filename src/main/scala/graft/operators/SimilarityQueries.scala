@@ -7,7 +7,7 @@ import graft.functions.VectorFunctions._
 
 /** Similarity search over the `embeddings` table (BASELINE.json mandate).
   *
-  *  - `ann_bruteforce_topk`: exact top-k — the small-query-set baseline.
+  *  - `ann_brute_topk`: exact top-k — the small-query-set baseline.
   *    Queries are broadcast, so the fact side streams once with no
   *    shuffle; cost is |Q|·|N| dot products, embarrassingly parallel.
   *  - `ann_lsh_bucket`: the 100 TB path — random-hyperplane LSH buckets
@@ -41,7 +41,7 @@ object SimilarityQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_bruteforce_topk" -> ((s, dir) => {
+    "ann_brute_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .withColumn("n2", normQ2(col("q")))
@@ -458,7 +458,7 @@ object SimilarityQueries {
       |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
-    "ann_bruteforce_topk" -> (quantCte +
+    "ann_brute_topk" -> (quantCte +
       """SELECT qid, rn, vec_id, dot, cos FROM (
         |  SELECT qid, vec_id,
         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn,

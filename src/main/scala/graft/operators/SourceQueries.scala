@@ -84,7 +84,7 @@ object SourceQueries {
     // spread over three tables G.T0/1/2 with a mixed op profile; the
     // scan keeps tables G.T0 + %T2 and ops INSERT/UPDATE only. Control
     // records (COMMIT) must always pass so transactions still terminate.
-    "p1_p2_scan_filters" -> ((s, dir) => {
+    "p1_p2_filters" -> ((s, dir) => {
       import s.implicits._
       val emptyMap = map().cast("map<string,string>")
       val noMulti = array().cast("array<map<string,string>>")
@@ -299,7 +299,7 @@ object SourceQueries {
     */
   def oracleSql: Map[String, String] = Map(
     "s1_redo_assembly" -> CdcQueries.oracleSql("t1_txn_assembly"),
-    "p1_p2_scan_filters" ->
+    "p1_p2_filters" ->
       """WITH ch AS (
         |  SELECT event_id AS scn, CAST(user_id AS VARCHAR) AS xid,
         |         CASE WHEN event_type = 'signup' THEN 1

@@ -21,7 +21,7 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    "text_quality_score" -> ((s, dir) => {
+    "text_quality" -> ((s, dir) => {
       documents(s, dir)
         .select(col("doc_id"),
           tokenCount(col("text")).as("n_tok"),
@@ -135,7 +135,7 @@ object TextQueries {
       """SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tok,
         |       CAST(length(text) AS INTEGER) AS text_len
         |FROM toks ORDER BY doc_id""".stripMargin),
-    "text_quality_score" -> (toksCte +
+    "text_quality" -> (toksCte +
       """SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tok,
         |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE
         |  (((CAST(length(text) AS DOUBLE) - CAST(len(tk) AS DOUBLE)) + 1.0)

@@ -21,7 +21,7 @@ class AnnRecallSpec extends AnyFunSuite {
     .appName("ann-recall-spec").getOrCreate()
 
   private def recallAt5(dir: String): Double = {
-    val bf = SimilarityQueries.queries("ann_bruteforce_topk")(spark, dir)
+    val bf = SimilarityQueries.queries("ann_brute_topk")(spark, dir)
       .select(col("qid"), col("vec_id"))
     val ivf = SimilarityQueries.queries("ann_ivf")(spark, dir)
       .select(col("qid"), col("vec_id"))
@@ -44,7 +44,7 @@ class AnnRecallSpec extends AnyFunSuite {
     // here, the floor catches a broken training loop (≤ random would
     // be ~0.05)
     val dir = "/root/testdata/sf0.001"
-    val bf = SimilarityQueries.queries("ann_bruteforce_topk")(spark, dir)
+    val bf = SimilarityQueries.queries("ann_brute_topk")(spark, dir)
       .select(col("qid"), col("vec_id"))
     def recall(name: String): Double = {
       val got = SimilarityQueries.queries(name)(spark, dir)
@@ -63,7 +63,7 @@ class AnnRecallSpec extends AnyFunSuite {
     // 2 per subspace (16 distinct reconstructions for the whole corpus),
     // which measures the corpus size, not the operator (0.42 there).
     val dir = "/root/testdata/sf0.01"
-    val bf = SimilarityQueries.queries("ann_bruteforce_topk")(spark, dir)
+    val bf = SimilarityQueries.queries("ann_brute_topk")(spark, dir)
       .select(col("qid"), col("vec_id"))
     val pq = SimilarityQueries.queries("ann_pq_adc")(spark, dir)
       .select(col("qid"), col("vec_id"))
@@ -78,7 +78,7 @@ class AnnRecallSpec extends AnyFunSuite {
 
   test("SQ8 two-stage recall@5 vs brute force stays above the floor") {
     val dir = "/root/testdata/sf0.001"
-    val bf = SimilarityQueries.queries("ann_bruteforce_topk")(spark, dir)
+    val bf = SimilarityQueries.queries("ann_brute_topk")(spark, dir)
       .select(col("qid"), col("vec_id"))
     val sq = SimilarityQueries.queries("ann_sq8_rerank")(spark, dir)
       .select(col("qid"), col("vec_id"))

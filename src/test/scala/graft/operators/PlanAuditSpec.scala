@@ -147,7 +147,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("brute-force top-k uses two-phase object hash aggregation, queries broadcast") {
-    val p = plan("ann_bruteforce_topk")
+    val p = plan("ann_brute_topk")
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
       "partial + final aggregation phases expected")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
@@ -266,6 +266,53 @@ class PlanAuditSpec extends AnyFunSuite {
       s"deterministic sampling must not shuffle:\n$p")
   }
 
+  test("BM25: postings slice cached once; stats/query/df joins broadcast; no cartesian") {
+    // audit the lazy plan (the gate entry eagerly checkpoints); the
+    // scale claims: the corpus-sized explode+groupBy feeds the scorer
+    // through ONE cached slice, every small side (query set, df table,
+    // corpus stats) broadcasts, and nothing degenerates to a cartesian
+    val p = RetrievalQueries.bm25(spark, dir, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"query/df/stats sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"scoring joins must all be broadcast-hash:\n$p")
+  }
+
+  test("BM25 ranking runs through the bounded-heap top-k rewrite") {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
+    val p = RetrievalQueries.bm25(spark, dir, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rowtopk"),
+      s"per-query ranking must use the bounded heap:\n$p")
+  }
+
+  test("LM score: one tokenize pass via cache; count joins equi-only") {
+    val p = RetrievalQueries.lmScore(spark, dir, materialize = false)
+      .queryExecution.executedPlan.toString
+    // without materialize the plan re-derives toks per consumer; the
+    // invariant that must hold either way: the bigram/unigram count
+    // joins are equi-joins (postings-shaped) — never nested-loop over
+    // the corpus — and only the 1-row V frame rides a broadcast
+    // nested loop
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 1, s"only the scalar V frame may cross-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"count joins must be equi-joins:\n$p")
+  }
+
+  test("domain mix: rate table broadcasts; keep filter adds no corpus shuffle") {
+    val p = plan("q_domain_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source rate table must broadcast onto the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"corpus side must never shuffle for the join:\n$p")
+  }
+
   test("per-group sample runs through the bounded-heap top-k rewrite") {
     // the gate sessions (Verify/Bench) install GraftExtensions; here the
     // rule is injected session-side, which also exercises the late-batch
@@ -273,7 +320,7 @@ class PlanAuditSpec extends AnyFunSuite {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
-    val p = plan("q_sample_per_group")
+    val p = plan("q_sample_k")
     assert(p.contains("rowtopk"),
       s"expected the bounded-heap aggregate:\n$p")
     assert(!p.contains("Window ["),
