@@ -76,9 +76,12 @@ object RetrievalQueries {
     */
   def bm25(s: SparkSession, dir: String, materialize: Boolean = true): DataFrame = {
       import s.implicits._
-      val toks = documents(s, dir)
+      // one tokenize pass for both consumers (postings build + corpus
+      // stats) — corpus-bounded doc_id+array frame, released at the end
+      val toks0 = documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .filter(size(col("tk")) > 0)
+      val toks = if (materialize) toks0.persist() else toks0
       // postings: one shuffle keyed by (doc, term); dl rides along (it is
       // functionally determined by doc_id, so grouping on it adds no keys)
       val postings = toks
@@ -114,9 +117,10 @@ object RetrievalQueries {
         .orderBy(col("qid"), col("rn"))
       if (!materialize) ranked
       else {
-        // result is ≤ 10·|queries| rows — eager materialize, release slice
+        // result is ≤ 10·|queries| rows — eager materialize, release caches
         val out = ranked.localCheckpoint(true)
         slice.unpersist(blocking = false)
+        toks.unpersist(blocking = false)
         out
       }
   }
