@@ -162,6 +162,30 @@ object TextHash {
     m
   }
 
+  /** Count of the most frequent value in a long array (0 for empty) —
+    * the per-document "top n-gram count" of the Gopher/MassiveText
+    * repetition rules: sort a copy (primitive dual-pivot quicksort, no
+    * boxing), scan the longest run. Per-row arrays are document-sized,
+    * so the whole repetition signal stays map-only at corpus scale.
+    */
+  def maxDupCount(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    if (n == 0) return 0L
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = hs.getLong(i); i += 1 }
+    java.util.Arrays.sort(a)
+    var best = 1L
+    var run = 1L
+    i = 1
+    while (i < n) {
+      if (a(i) == a(i - 1)) { run += 1; if (run > best) best = run }
+      else run = 1
+      i += 1
+    }
+    best
+  }
+
   /** Distinct values of a long array, first-occurrence order. */
   def distinctLongs(hs: ArrayData): ArrayData = {
     val n = hs.numElements()

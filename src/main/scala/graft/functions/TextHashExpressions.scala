@@ -134,6 +134,19 @@ object TextHashExpressions {
       copy(left = nl, right = nr)
   }
 
+  /** Count of the most frequent value in array<long> (0 for empty). */
+  case class MaxDupCountExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextHash.maxDupCount(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, h => s"graft.functions.TextHash.maxDupCount($h)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
   // ---- Column API ----
   def poly_hash(col: Column): Column = c(PolyStringHash(e(col)))
   def poly_minhash(col: Column, a: Long, b: Long): Column = c(PolyMinHash(e(col), a, b))
@@ -144,4 +157,5 @@ object TextHashExpressions {
   def sorted_distinct_longs(col: Column): Column = c(SortedDistinctLongsExpr(e(col)))
   def intersect_count_sorted(a: Column, b: Column): Column =
     c(IntersectCountSortedExpr(e(a), e(b)))
+  def max_dup_count(col: Column): Column = c(MaxDupCountExpr(e(col)))
 }

@@ -13,10 +13,16 @@ import graft.functions.TextFunctions._
 object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting, both ways the mandate names: whitespace tokens AND
+    // a BPE-ish pretokenizer regex (GPT-2-family shape: letter runs,
+    // digit runs, single non-alnum marks — the piece count a byte-pair
+    // tokenizer's pretokenizer would hand to the merge table). Map-only.
     "text_token_count" -> ((s, dir) => {
       documents(s, dir)
         .select(col("doc_id"),
           tokenCount(col("text")).as("n_tok"),
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+            .as("n_piece"),
           length(col("text")).as("text_len"))
         .orderBy(col("doc_id"))
     }),
@@ -106,6 +112,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Repetition-based quality filter — the Gopher/MassiveText rules:
+    // flag documents whose duplicate-token fraction or top-bigram
+    // fraction is anomalously high (boilerplate, keyword stuffing,
+    // degenerate generations). ENTIRELY MAP-ONLY: both signals are
+    // per-document statistics computed by codegen kernels over the
+    // row's own token array (the top-bigram count is a native
+    // sort+max-run over the shingle hashes, `TextHash.maxDupCount`) —
+    // at 100 TB this runs at parquet-scan speed with zero shuffle,
+    // where the relational formulation (the oracle) pays an
+    // UNNEST + two GROUP BYs over corpus × tokens. Fractions are exact
+    // integer micro-units (floor division), never floats.
+    "text_rep_filter" -> ((s, dir) => {
+      import graft.functions.TextHashExpressions.{distinct_longs, max_dup_count}
+      documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tok"),
+          size(distinct_longs(shingleHashes(col("tk"), 1))).cast("long").as("n_uniq"),
+          max_dup_count(shingleHashes(col("tk"), 2)).as("top2"),
+          (size(col("tk")) - 1).cast("long").as("n_bi"))
+        .withColumn("dup_frac_u", expr("(n_tok - n_uniq) * 1000000 div n_tok"))
+        .withColumn("top2_frac_u", expr("top2 * 1000000 div n_bi"))
+        .withColumn("flagged",
+          col("dup_frac_u") > 620000 || col("top2_frac_u") > 80000)
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-wide frequent terms via the Misra–Gries sketch (bounded
     // state per partial; merge sums shared counters then re-trims to
     // capacity): exact here because the 1024-counter capacity dominates
@@ -133,6 +167,8 @@ object TextQueries {
   def oracleSql: Map[String, String] = Map(
     "text_token_count" -> (toksCte +
       """SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tok,
+        |       CAST(len(regexp_extract_all(text,
+        |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_piece,
         |       CAST(length(text) AS INTEGER) AS text_len
         |FROM toks ORDER BY doc_id""".stripMargin),
     "text_quality" -> (toksCte +
@@ -215,6 +251,35 @@ object TextQueries {
         |       COALESCE(t.n_hit, 0) >= 8 AS contaminated
         |FROM sizes s LEFT JOIN hits t USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // repetition filter: the oracle states the same statistics
+    // relationally (UNNEST + GROUP BY over the same poly-hash domain),
+    // proving the map-only kernels equal the relational semantics
+    "text_rep_filter" -> (toksCte +
+      """, t2 AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 2),
+        |th AS (SELECT doc_id,
+        |  UNNEST(list_transform(tk, t ->
+        |    list_reduce(list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)),
+        |                (a, b) -> (a * 31 + b) % 1000000007))) AS h
+        |  FROM t2),
+        |uniq AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |                CAST(COUNT(DISTINCT h) AS BIGINT) AS n_uniq
+        |         FROM th GROUP BY 1),
+        |bh AS (SELECT doc_id,
+        |  UNNEST(list_transform(range(1, len(tk)), i ->
+        |    list_reduce(list_transform(string_split(tk[i] || ' ' || tk[i+1], ''),
+        |                               c -> CAST(ord(c) AS BIGINT)),
+        |                (a, b) -> (a * 31 + b) % 1000000007))) AS h
+        |  FROM t2),
+        |bi AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2,
+        |              CAST(SUM(c) AS BIGINT) AS n_bi
+        |       FROM (SELECT doc_id, h, COUNT(*) AS c FROM bh GROUP BY 1, 2)
+        |       GROUP BY 1)
+        |SELECT u.doc_id, u.n_tok, u.n_uniq, b.top2, b.n_bi,
+        |  CAST((u.n_tok - u.n_uniq) * 1000000 // u.n_tok AS BIGINT) AS dup_frac_u,
+        |  CAST(b.top2 * 1000000 // b.n_bi AS BIGINT) AS top2_frac_u,
+        |  (CAST((u.n_tok - u.n_uniq) * 1000000 // u.n_tok AS BIGINT) > 620000
+        |   OR CAST(b.top2 * 1000000 // b.n_bi AS BIGINT) > 80000) AS flagged
+        |FROM uniq u JOIN bi b USING (doc_id) ORDER BY doc_id""".stripMargin),
     // exact regime: capacity (1024) >> vocabulary, so the sketch holds
     // every counter and the top-10 equals the exact GROUP BY
     "text_top_terms" -> (toksCte +

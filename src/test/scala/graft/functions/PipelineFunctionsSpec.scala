@@ -139,4 +139,20 @@ class PipelineFunctionsSpec extends AnyFunSuite {
     }.sortBy(f => (f.doc_id, f.frame_idx))
     assert(out.toSeq == expect)
   }
+
+  test("max_dup_count equals the groupBy-max reference on random arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(7)
+    // empty, singleton, all-equal, and 500 random multisets with a
+    // small value domain (forces collisions) and varied lengths
+    val cases = Seq(Array.empty[Long], Array(5L), Array.fill(9)(3L)) ++
+      (1 to 500).map(_ => Array.fill(rnd.nextInt(200))(rnd.nextInt(20).toLong))
+    cases.foreach { a =>
+      val expect =
+        if (a.isEmpty) 0L
+        else a.groupBy(identity).values.map(_.length).max.toLong
+      assert(TextHash.maxDupCount(new GenericArrayData(a)) == expect,
+        s"array ${a.toSeq}")
+    }
+  }
 }
