@@ -147,4 +147,52 @@ class StreamingCsfSpec extends AnyFunSuite {
       r.getString(3))).toSeq === Seq(("tx", 1L, 0, "ABC")))
     q.stop()
   }
+
+  test("randomized fuzz: shuffled chunks, random batch slicing, duplicate redelivery") {
+    // 40 statements over 6 xids with COLLIDING (scn, ssn) pairs across
+    // xids (the statement key is the triple), chunk lengths 1-6; the
+    // full chunk multiset is globally shuffled, sliced into random
+    // micro-batches, and ~10% of chunks are REDELIVERED in a later
+    // batch (a re-mined poll window). Expected: every statement emits
+    // exactly once with its text in seq order — redelivered chunks of
+    // an already-emitted statement may re-open state but must never
+    // produce a SECOND emission unless the full statement is
+    // redelivered (none is, here: we re-deliver strict subsets).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    val stmts = (0 until 40).map { i =>
+      val xid = s"x${i % 6}"
+      val scn = 1000L + (i / 6) // colliding scns across xids
+      val ssn = i % 3 // colliding ssns too: only the triple is unique
+      val n = 1 + rnd.nextInt(6)
+      val parts = (0 until n).map(j => s"s$i-c$j|")
+      ((xid, scn, ssn), parts)
+    }.toMap
+    val allChunks = stmts.toSeq.flatMap { case ((xid, scn, ssn), parts) =>
+      parts.zipWithIndex.map { case (p, j) =>
+        CsfChunk(xid, scn, ssn, j, if (j == parts.length - 1) 0 else 1, p)
+      }
+    }
+    val shuffled = rnd.shuffle(allChunks)
+    // random slicing into 7 batches + subset redelivery appended late
+    val batches = shuffled.grouped(math.max(1, shuffled.size / 7)).toSeq
+    val redelivered = rnd.shuffle(allChunks).take(allChunks.size / 10)
+      .filterNot(_.csf == 0) // strict subsets: never re-complete a statement
+    val input = MemoryStream[CsfChunk]
+    val q = CsfReassembly.reassembleStream(input.toDS())
+      .writeStream.format("memory").queryName("csf_fuzz")
+      .outputMode("append").start()
+    (batches :+ redelivered).foreach { b =>
+      if (b.nonEmpty) input.addData(b: _*)
+      q.processAllAvailable()
+    }
+    val got = spark.table("csf_fuzz").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)) -> r.getString(3))
+      .toSeq
+    assert(got.length === stmts.size, "exactly one emission per statement")
+    assert(got.toMap === stmts.map { case (k, parts) => k -> parts.mkString },
+      "every statement reassembles in seq order under shuffle+slicing")
+    q.stop()
+  }
 }
