@@ -62,6 +62,67 @@ class StreamingAssemblySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("randomized fuzz: streaming assembly ≡ batch assembly under random batch slicing") {
+    // the invariant everything downstream rests on: HOW the redo stream
+    // is sliced into micro-batches must never change what is emitted.
+    // 10 interleaved transactions (random op mixes, ~20% rollback
+    // terminals, clustered SCNs) are sliced at random points — including
+    // mid-transaction, the case example tests pin one at a time — and
+    // the streaming output must equal the one-shot batch assembly of
+    // the same record sequence, for every slicing.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(1234)
+    val txns = (0 until 10).map { t =>
+      val xid = s"fz$t"
+      val base = 100L * t
+      val n = 1 + rnd.nextInt(6)
+      val body = (0 until n).map { i =>
+        val op = rnd.nextInt(3) match {
+          case 0 => Ops.Insert
+          case 1 => Ops.Delete
+          case _ => Ops.Update
+        }
+        RedoRecord(base + i, i, xid, op, s"T${t % 3}", s"r$t-$i",
+          rollback = false, (base + i) * 1000,
+          Map("k" -> s"b$t-$i"), Map("k" -> s"a$t-$i"))
+      }
+      val terminal = if (rnd.nextInt(5) == 0) Ops.Rollback else Ops.Commit
+      body :+ RedoRecord(base + n, 0, xid, terminal, "", "",
+        rollback = false, 0, Map.empty, Map.empty)
+    }
+    // interleave txns round-robin-ish but keep per-xid order (the
+    // source contract), then slice contiguously at random points
+    val interleaved = rnd.shuffle(
+      txns.zipWithIndex.flatMap { case (rs, t) =>
+        rs.zipWithIndex.map { case (r, i) => (r, t, i) }
+      }).sortBy { case (_, t, i) => (i, t) }.map(_._1)
+    val expected = ChangeStreams
+      .assembleBatch(interleaved.toDS())
+      .collect().map(c => (c.xid, c.scn, c.op, c.before, c.after))
+      .sortBy(c => (c._1, c._2))
+
+    (0 until 3).foreach { trial =>
+      val cuts = (1 until interleaved.size)
+        .filter(_ => rnd.nextInt(4) == 0).toList
+      val batches = (List(0) ++ cuts ++ List(interleaved.size))
+        .sliding(2).map { case List(a, b) => interleaved.slice(a, b) }
+        .filter(_.nonEmpty).toSeq
+      val input = MemoryStream[RedoRecord]
+      val q = ChangeStreams.assembleStream(input.toDS())
+        .writeStream.format("memory").queryName(s"asm_fuzz_$trial")
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        val got = spark.table(s"asm_fuzz_$trial").as[EmittedChange]
+          .collect().map(c => (c.xid, c.scn, c.op, c.before, c.after))
+          .sortBy(c => (c._1, c._2))
+        assert(got.toSeq == expected.toSeq,
+          s"slicing at $cuts changed the emitted stream")
+      } finally q.stop()
+    }
+  }
+
   test("xid reuse: records past a COMMIT start a NEW transaction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
