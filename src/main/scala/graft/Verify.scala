@@ -20,8 +20,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev loop (same contract as Bench): SPARK_GRAFT_ONLY=a,b,c restricts
-    // the dump + oracle_sql.json to named queries so check.py iterates
-    // only those; the driver never sets it
+    // the QUERY DUMP to named queries; oracle_sql.json is always written
+    // in full — check.py iterates outDir subdirectories, so a filtered
+    // re-run into a dir holding older full dumps must not downgrade the
+    // untouched gates to unchecked rows-only results
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
@@ -47,7 +49,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

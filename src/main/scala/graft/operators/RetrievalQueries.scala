@@ -71,17 +71,21 @@ object RetrievalQueries {
     "CAST(floor(-ln((CAST(c2 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0) AS BIGINT)"
 
   /** BM25 retrieval (see object scaladoc). `materialize = false` skips
-    * the persist/eager-checkpoint so PlanAuditSpec can inspect the lazy
-    * plan (same convention as [[PipelineQueries.curate]]).
+    * the eager checkpoint + cache release so PlanAuditSpec can inspect
+    * the lazy plan WITH its persists in place (the caller clears the
+    * cache; same convention as [[PipelineQueries.curate]]).
     */
   def bm25(s: SparkSession, dir: String, materialize: Boolean = true): DataFrame = {
       import s.implicits._
       // one tokenize pass for both consumers (postings build + corpus
       // stats) — corpus-bounded doc_id+array frame, released at the end
-      val toks0 = documents(s, dir)
+      // persist unconditionally (it IS the audited plan shape —
+      // PlanAuditSpec asserts the cache); materialize gates only the
+      // eager checkpoint + release
+      val toks = documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .filter(size(col("tk")) > 0)
-      val toks = if (materialize) toks0.persist() else toks0
+        .persist()
       // postings: one shuffle keyed by (doc, term); dl rides along (it is
       // functionally determined by doc_id, so grouping on it adds no keys)
       val postings = toks
@@ -97,8 +101,8 @@ object RetrievalQueries {
       // explode+groupBy above runs ONCE for its two consumers (the df
       // aggregate and the scorer) instead of once each — the same
       // persist-the-small-frame discipline as minHashStarCandidates
-      val slice0 = postings.join(broadcast(q.select(col("t")).distinct()), "t")
-      val slice = if (materialize) slice0.persist() else slice0
+      val slice = postings.join(broadcast(q.select(col("t")).distinct()), "t")
+        .persist()
       // df from the slice: postings are unique per (doc, term), so
       // COUNT = document frequency; tiny (≤ |terms| rows), broadcasts
       val df_ = slice.groupBy(col("t")).agg(count(lit(1)).as("df"))
@@ -135,14 +139,14 @@ object RetrievalQueries {
       // frame is corpus-bounded (doc_id + array — the same shape
       // dedup_jaccard_lsh persists) and without it the scan+tokenize
       // would run once per consumer
-      val toks0 = documents(s, dir)
+      val toks = documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("tk"))
-      val toks = if (materialize) toks0.persist() else toks0
+        .persist()
       // unigram count table (vocabulary-sized aggregate); persisted —
       // it feeds the V scalar and the scorer join
-      val uni0 = toks.select(explode(col("tk")).as("t"))
+      val uni = toks.select(explode(col("tk")).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("c1"))
-      val uni = if (materialize) uni0.persist() else uni0
+        .persist()
       val vstats = uni.agg(count(lit(1)).as("v"))
       // bigram stream WITH multiplicity (each occurrence scores) — NOT
       // persisted: it is the corpus × expansion frame; its two readers

@@ -91,8 +91,12 @@ object SamplingQueries {
       // keep rule below is what runs at corpus scale and never overflows
       val rates = bySrc.crossJoin(broadcast(totals))
         .withColumn("budget", expr("all_tok * 4 div 10"))
+        // zero-token source keeps everything (rate 1): guarded explicitly
+        // in BOTH engines — Spark's div-by-zero NULL and DuckDB's
+        // div-by-zero ERROR would otherwise diverge
         .withColumn("rate_u", expr(
-          "least(1000000L, w * budget * 1000000 div (w_sum * src_tok))"))
+          "CASE WHEN src_tok = 0 THEN 1000000L " +
+            "ELSE least(1000000L, w * budget * 1000000 div (w_sum * src_tok)) END"))
         .select(col("source"), col("w"), col("src_tok"), col("rate_u"))
       toks.join(broadcast(rates), "source")
         .filter(expr(s"$pctHash % 1000000") < col("rate_u"))
@@ -148,8 +152,9 @@ object SamplingQueries {
         |tot AS (SELECT SUM(src_tok) AS all_tok, SUM(w) AS w_sum FROM by_src),
         |rates AS (
         |  SELECT source, w, src_tok,
-        |         CAST(LEAST(1000000, w * (all_tok * 4 // 10) * 1000000
-        |                        // (w_sum * src_tok)) AS BIGINT) AS rate_u
+        |         CAST(CASE WHEN src_tok = 0 THEN 1000000
+        |              ELSE LEAST(1000000, w * (all_tok * 4 // 10) * 1000000
+        |                         // (w_sum * src_tok)) END AS BIGINT) AS rate_u
         |  FROM by_src CROSS JOIN tot)
         |SELECT t.source, r.w, r.src_tok, r.rate_u,
         |       CAST(COUNT(*) AS BIGINT) AS n_kept,

@@ -21,7 +21,11 @@ object TextQueries {
       documents(s, dir)
         .select(col("doc_id"),
           tokenCount(col("text")).as("n_tok"),
-          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          // explicit whitespace class, not \s: Java's \s includes \x0B,
+          // RE2's (DuckDB) does not — the explicit class is identical in
+          // both engines
+          regexp_count(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"))
             .as("n_piece"),
           length(col("text")).as("text_len"))
         .orderBy(col("doc_id"))
@@ -168,7 +172,7 @@ object TextQueries {
     "text_token_count" -> (toksCte +
       """SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tok,
         |       CAST(len(regexp_extract_all(text,
-        |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_piece,
+        |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS INTEGER) AS n_piece,
         |       CAST(length(text) AS INTEGER) AS text_len
         |FROM toks ORDER BY doc_id""".stripMargin),
     "text_quality" -> (toksCte +

@@ -273,11 +273,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus stats) broadcasts, and nothing degenerates to a cartesian
     val p = RetrievalQueries.bm25(spark, dir, materialize = false)
       .queryExecution.executedPlan.toString
-    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
-      s"query/df/stats sides must broadcast:\n$p")
-    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"scoring joins must all be broadcast-hash:\n$p")
+    try {
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        s"token frame and postings slice must be cached:\n$p")
+      assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+        s"query/df/stats sides must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"scoring joins must all be broadcast-hash:\n$p")
+    } finally spark.sharedState.cacheManager.clearCache()
   }
 
   test("BM25 ranking runs through the bounded-heap top-k rewrite") {
@@ -286,23 +290,27 @@ class PlanAuditSpec extends AnyFunSuite {
         spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
     val p = RetrievalQueries.bm25(spark, dir, materialize = false)
       .queryExecution.executedPlan.toString
-    assert(p.contains("rowtopk"),
+    try assert(p.contains("rowtopk"),
       s"per-query ranking must use the bounded heap:\n$p")
+    finally spark.sharedState.cacheManager.clearCache()
   }
 
   test("LM score: one tokenize pass via cache; count joins equi-only") {
     val p = RetrievalQueries.lmScore(spark, dir, materialize = false)
       .queryExecution.executedPlan.toString
-    // without materialize the plan re-derives toks per consumer; the
-    // invariant that must hold either way: the bigram/unigram count
-    // joins are equi-joins (postings-shaped) — never nested-loop over
-    // the corpus — and only the 1-row V frame rides a broadcast
-    // nested loop
-    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
-    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(bnl <= 1, s"only the scalar V frame may cross-join:\n$p")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"), s"count joins must be equi-joins:\n$p")
+    try {
+      // one tokenize pass: every consumer reads the cached token frame;
+      // the bigram/unigram count joins are equi-joins (postings-shaped)
+      // — never nested-loop over the corpus — and only the 1-row V
+      // frame rides a broadcast nested loop
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        s"token frame must be cached:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+      val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnl <= 1, s"only the scalar V frame may cross-join:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"count joins must be equi-joins:\n$p")
+    } finally spark.sharedState.cacheManager.clearCache()
   }
 
   test("domain mix: rate table broadcasts; keep filter adds no corpus shuffle") {

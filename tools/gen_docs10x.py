@@ -6,10 +6,13 @@ sf0.1 documents (50 000 docs), written to
 `SPARK_GRAFT_SF_DIR=/tmp/graft_docs10x_dir SPARK_GRAFT_ONLY=text_bm25
 tools/run.sh Bench` reproduces the 10x point.
 
-The copy k rotates each document's leading k tokens to the end — the
-token MULTISET (so tf/df/unigram/bigram statistics stay corpus-shaped,
-bigrams change only at the rotation seam) while doc_ids shift by
-5000·k, so dedup-style structure does not collapse the copies.
+Copy k=0 is the source corpus verbatim; copy k>0 rotates each
+document's leading k tokens to the end — preserving the token MULTISET
+(so tf/df/unigram/bigram statistics stay corpus-shaped; bigrams change
+only at the rotation seam) while doc_ids shift by 5000·k, so
+dedup-style structure does not collapse the copies. n_chars is
+recomputed from the rewritten text so the column invariant
+(n_chars = length(text)) holds across all copies.
 
 Driver-side tooling only (duckdb is not on the Spark classpath).
 """
@@ -27,15 +30,17 @@ COPY (
     SELECT *, list_filter(regexp_split_to_array(text, '\\s+'),
                           x -> x <> '') AS tk
     FROM '{SRC}')
-  SELECT doc_id + 5000*k.k AS doc_id,
-         CASE WHEN len(tk) = 0 THEN text
-              ELSE array_to_string(
-                     list_concat(tk[(k.k % GREATEST(len(tk), 1)) + 1:],
-                                 tk[1:(k.k % GREATEST(len(tk), 1))]), ' ')
-         END AS text,
-         lang, source, n_chars
-  FROM base
-  CROSS JOIN (SELECT UNNEST(range(0, 10)) AS k) k
+  SELECT doc_id + 5000*k.k AS doc_id, text2 AS text,
+         lang, source, CAST(length(text2) AS BIGINT) AS n_chars
+  FROM (
+    SELECT b.*, k.k,
+           CASE WHEN k.k = 0 OR len(tk) = 0 THEN text
+                ELSE array_to_string(
+                       list_concat(tk[(k.k % len(tk)) + 1:],
+                                   tk[1:(k.k % len(tk))]), ' ')
+           END AS text2
+    FROM base b
+    CROSS JOIN (SELECT UNNEST(range(0, 10)) AS k) k) k
 ) TO '{OUT_DIR}/documents.parquet' (FORMAT PARQUET)
 """)
 n, lo, hi = con.execute(
