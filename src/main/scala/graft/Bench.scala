@@ -80,7 +80,7 @@ object Bench {
     val heavy = Seq("dedup_exact", "dedup_simhash", "dedup_emb_cosine",
       "ann_lsh_bucket", "ann_ivf", "ann_brute_topk", "ann_sq8_rerank",
       "ann_ivf_kmeans", "ann_pq_adc", "pipe_curate", "dedup_incr",
-      "dedup_minhash_lsh",
+      "dedup_semantic", "dedup_minhash_lsh",
       "dedup_jaccard_lsh", "dedup_ngram_jaccard", "dedup_containment",
       "dedup_clusters")
     val heavyOrder = heavy.zipWithIndex.toMap

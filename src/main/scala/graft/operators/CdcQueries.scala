@@ -178,7 +178,7 @@ object CdcQueries {
     // P5: keyless-DELETE skip via assembler options — with no key
     // columns configured a DELETE cannot be applied downstream, so the
     // assembler must drop exactly the deletes and nothing else.
-    "p5_keyless_delete" -> ((s, dir) => {
+    "p5_keyless" -> ((s, dir) => {
       ChangeStreams.assembleBatch(redoRecords(s, dir),
           TransactionAssembler.Options(skipKeylessDelete = true))
         .select(col("xid"), col("commitScn").as("commit_scn"), col("scn"),
@@ -437,7 +437,7 @@ object CdcQueries {
       """SELECT CAST(user_id AS VARCHAR) AS xid, event_id AS scn,
         |       'user_id' AS before_cols, user_id AS uid
         |FROM emitted WHERE op = 2 ORDER BY scn""".stripMargin),
-    "p5_keyless_delete" -> (baseCte +
+    "p5_keyless" -> (baseCte +
       """SELECT CAST(user_id AS VARCHAR) AS xid, commit_scn, event_id AS scn,
         |       op, CAST(event_id AS VARCHAR) AS row_id, value AS val
         |FROM emitted WHERE op <> 2 ORDER BY scn""".stripMargin),

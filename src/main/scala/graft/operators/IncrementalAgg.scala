@@ -58,7 +58,7 @@ object IncrementalAgg {
     // a direct aggregate of the post-change order set — so the gate
     // proves maintenance ≡ recomputation, not that two copies of the
     // same algebra agree.
-    "q_incremental_agg" -> ((s, dir) => {
+    "q_incr_agg" -> ((s, dir) => {
       val cutoff = lit(CUTOFF).cast("timestamp_ntz")
       val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
         col("o_orderdate"),
@@ -80,11 +80,47 @@ object IncrementalAgg {
       maintain(base, inserts.unionByName(deletes).unionByName(updates),
         "o_custkey")
         .orderBy(col("o_custkey"))
+    }),
+
+    // Incremental maintenance of an AGGREGATE-OVER-JOIN view — the
+    // textbook IVM case one step up from q_incr_agg: the materialized
+    // view is (lineitem ⋈ orders) rolled up per order priority, and the
+    // changelog arrives on the FACT side only. Maintenance shape at
+    // 100 TB: the delta joins the dimension FIRST (a delta-bounded
+    // equi-join — the base view's fact scan never re-runs), then the
+    // signed rows flow through the same delta-aggregate + co-partitioned
+    // full-outer merge as q_incr_agg. The oracle recomputes the
+    // post-change join from scratch, so the gate proves
+    // maintenance ≡ recomputation across the join.
+    "q_incr_join" -> ((s, dir) => {
+      val cutoff = lit(CUTOFF).cast("timestamp_ntz")
+      val o = orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      val l = lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      val baseL = l.filter(col("l_shipdate") < cutoff)
+      // the stored view: per-priority rollup of the base join
+      val base = baseL.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+      // fact-side changelog: later shipments insert, key%13 base rows
+      // delete; each delta row picks up its dimension attribute through
+      // a DELTA-SIZED join before signing
+      val inserts = l.filter(col("l_shipdate") >= cutoff)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), lit("c").as("op"),
+          lit(null).cast("long").as("before"), col("cents").as("after"))
+      val deletes = baseL.filter(col("l_orderkey") % 13 === 0)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), lit("d").as("op"),
+          col("cents").as("before"), lit(null).cast("long").as("after"))
+      maintain(base, inserts.unionByName(deletes), "o_orderpriority")
+        .orderBy(col("o_orderpriority"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_incremental_agg" ->
+    "q_incr_agg" ->
       s"""WITH o AS (
          |  SELECT o_orderkey, o_custkey, o_orderdate,
          |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -101,6 +137,22 @@ object IncrementalAgg {
          |  WHERE o_orderdate >= TIMESTAMP '$CUTOFF')
          |SELECT o_custkey, COUNT(*) AS n,
          |       CAST(SUM(cents) AS BIGINT) AS total
-         |FROM post GROUP BY 1 ORDER BY o_custkey""".stripMargin
+         |FROM post GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+    "q_incr_join" ->
+      s"""WITH l AS (
+         |  SELECT l_orderkey, l_shipdate,
+         |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           AS cents
+         |  FROM lineitem),
+         |post AS (
+         |  SELECT l_orderkey, cents FROM l
+         |  WHERE l_shipdate < TIMESTAMP '$CUTOFF' AND l_orderkey % 13 <> 0
+         |  UNION ALL
+         |  SELECT l_orderkey, cents FROM l
+         |  WHERE l_shipdate >= TIMESTAMP '$CUTOFF')
+         |SELECT o.o_orderpriority, COUNT(*) AS n,
+         |       CAST(SUM(p.cents) AS BIGINT) AS total
+         |FROM post p JOIN orders o ON o.o_orderkey = p.l_orderkey
+         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -17,7 +17,7 @@ object LoadQueries {
     // S7: MLOG$-style poll — log rows keyed by (orderkey, linenumber)
     // with DMLTYPE from linenumber%3; master lookup joins orders for
     // I/U rows, deletes carry only the key.
-    "s7_mview_snapshot" -> ((s, dir) => {
+    "s7_mview" -> ((s, dir) => {
       val log = lineitem(s, dir).select(
         col("l_orderkey").as("okey"),
         col("l_linenumber").as("line"),
@@ -64,7 +64,7 @@ object LoadQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
-    "s7_mview_snapshot" ->
+    "s7_mview" ->
       """SELECT CASE WHEN l.l_linenumber % 3 = 0 THEN 'c'
         |            WHEN l.l_linenumber % 3 = 1 THEN 'u'
         |            ELSE 'd' END AS op,

@@ -272,7 +272,7 @@ object RelationalQueries {
     // path): the estimate must land within the documented error envelope,
     // asserted INSIDE the query so the oracle stays exact and
     // engine-independent.
-    "q_approx_distinct" -> ((s, dir) => {
+    "q_approx_nd" -> ((s, dir) => {
       lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.05).as("approx"),
@@ -502,7 +502,7 @@ object RelationalQueries {
         |                   ('p3', '3-MEDIUM'), ('p4', '4-NOT SPECIFIED'),
         |                   ('p5', '5-LOW')) AS p(priority, pr)
         |ORDER BY s.status, p.priority""".stripMargin,
-    "q_approx_distinct" ->
+    "q_approx_nd" ->
       """SELECT l_returnflag, TRUE AS within_3rsd,
         |       COUNT(DISTINCT l_orderkey) AS exact
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

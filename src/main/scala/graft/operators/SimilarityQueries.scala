@@ -129,6 +129,50 @@ object SimilarityQueries {
         .orderBy(col("ia"))
     }),
 
+    // SEMANTIC dedup, the SemDeDup shape (cluster-then-pairwise): assign
+    // every embedding to its nearest centroid (map-only against the
+    // broadcast codebook — the IVF assignment pass), then verify cosine
+    // ONLY within each cluster and drop the higher id of every pair
+    // ≥ τ. The cluster key bounds the pair space exactly the way LSH
+    // bands bound the jaccard sweep: pairwise cost is Σ|cluster|², a
+    // knob (centroid count) — never |N|². Complements dedup_emb_cosine
+    // (LSH-bucket blocked): same verify, different — trainable —
+    // blocking function. At 100 TB: codebook broadcasts, assignment is
+    // one map pass, the only shuffle keys on cluster id; a skewed
+    // cluster is a centroid-count/skew-salt problem, not a plan change.
+    "dedup_semantic" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", normQ2(col("q")))
+      val cents = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+      // corpus-bounded (id, vector, cell) frame feeds both self-join
+      // sides: persist once, release after the pair-sized result
+      // materializes (the jaccard_lsh discipline)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          cosineFromQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
+        .groupBy(col("vec_id"), col("q"), col("n2"))
+        .agg(graft.functions.TopKFunctions
+          .topk_by_score(1, col("ccos"), col("cid"), lit(0L)).as("top"))
+        .select(col("vec_id"), col("q"), col("n2"),
+          col("top").getItem(0).getField("id").as("cell"))
+        .persist()
+      val a = assigned.select(col("cell"), col("vec_id").as("ia"),
+        col("q").as("qa"), col("n2").as("na"))
+      val b = assigned.select(col("cell"), col("vec_id").as("ib"),
+        col("q").as("qb"), col("n2").as("nb"))
+      val out = a.join(b, Seq("cell")).filter(col("ia") < col("ib"))
+        .withColumn("cos",
+          cosineFromQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
+        .filter(col("cos") >= 0.30)
+        .select(col("cell"), col("ia"), col("ib"), col("cos"))
+        .orderBy(col("ia"), col("ib"))
+        .localCheckpoint(true)
+      assigned.unpersist(blocking = false)
+      out
+    }),
+
     // IVF with a TRAINED coarse quantizer — one Lloyd (k-means)
     // iteration over the deterministic seed centroids before the index
     // is built. The refinement loop is the 100 TB training shape: cell
@@ -469,6 +513,27 @@ object SimilarityQueries {
         |                 / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
         |        FROM n a JOIN n b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id))
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+    // SemDeDup: the assigned CTE is the ann_ivf assignment restated;
+    // pairwise cosine only within a cluster, keep-lowest-id policy
+    "dedup_semantic" -> (quantCte +
+      """, cents AS (
+        |  SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 25 = 0),
+        |assigned AS (
+        |  SELECT vec_id, cell, q, n2 FROM (
+        |    SELECT n.vec_id, c.cid AS cell, n.q, n.n2,
+        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |             ORDER BY CAST(list_dot_product(n.q, c.cq) AS DOUBLE)
+        |               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+        |               c.cid) AS crn
+        |    FROM n CROSS JOIN cents c)
+        |  WHERE crn = 1)
+        |SELECT cell, ia, ib, cos FROM (
+        |  SELECT a.cell, a.vec_id AS ia, b.vec_id AS ib,
+        |         CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+        |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |WHERE cos >= 0.30 ORDER BY ia, ib""".stripMargin),
     "ann_ivf" -> (quantCte +
       """, cents AS (
         |  SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 25 = 0),

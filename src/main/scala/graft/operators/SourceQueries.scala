@@ -68,7 +68,7 @@ object SourceQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s1_redo_assembly" -> ((s, dir) => {
+    "s1_redo" -> ((s, dir) => {
       import s.implicits._
       val logDir = writeRedoLogs(CdcQueries.redoRecords(s, dir), nThreads = 8,
         cacheKey = s"s1:$dir")
@@ -160,7 +160,7 @@ object SourceQueries {
     // INSERT whose column holds only the locator marker; after GRL
     // write → source scan → assembly, the reconstructed body must equal
     // the original text.
-    "t8_lob_assembly" -> ((s, dir) => {
+    "t8_lob" -> ((s, dir) => {
       import s.implicits._
       val records = documents(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -205,7 +205,7 @@ object SourceQueries {
     // chunk breaks the parse or the hash. Statement ids deliberately
     // SHARE SCNs pairwise (scn = okey/2, ssn = okey%2) to prove
     // same-SCN statements never interleave.
-    "s4_csf_reassembly" -> ((s, dir) => {
+    "s4_csf" -> ((s, dir) => {
       val stmts = synthesizedRedoSql(s, dir)
         .withColumn("xid", concat(lit("tx"), col("okey") % 97))
         .withColumn("scn", (col("okey") / 2).cast("long"))
@@ -298,7 +298,7 @@ object SourceQueries {
     * redo encode/scan round-trip must be invisible to the result.
     */
   def oracleSql: Map[String, String] = Map(
-    "s1_redo_assembly" -> CdcQueries.oracleSql("t1_txn_assembly"),
+    "s1_redo" -> CdcQueries.oracleSql("t1_txn_assembly"),
     "p1_p2_filters" ->
       """WITH ch AS (
         |  SELECT event_id AS scn, CAST(user_id AS VARCHAR) AS xid,
@@ -329,7 +329,7 @@ object SourceQueries {
         |       CAST(ROW_NUMBER() OVER (PARTITION BY o_orderkey // 8
         |                               ORDER BY o_orderkey) - 1 AS INT) AS ssn
         |FROM orders ORDER BY o_orderkey""".stripMargin,
-    "t8_lob_assembly" ->
+    "t8_lob" ->
       "SELECT doc_id, text AS body FROM documents ORDER BY doc_id",
     "s4_sqlredo_parse" ->
       """SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1
@@ -343,7 +343,7 @@ object SourceQueries {
         |            ELSE o_orderpriority END AS prio
         |FROM orders ORDER BY okey""".stripMargin,
     // chunk → reassemble → parse must land on the identical typed table
-    "s4_csf_reassembly" ->
+    "s4_csf" ->
       """SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1
         |            WHEN o_orderkey % 3 = 1 THEN 3 ELSE 2 END AS op,
         |       o_orderkey AS okey, o_custkey AS custkey,

@@ -37,7 +37,7 @@ class IncrementalSubquerySpec extends AnyFunSuite {
   }
 
   test("maintain gate: maintenance equals recomputation on testdata") {
-    val got = IncrementalAgg.queries("q_incremental_agg")(spark, sf)
+    val got = IncrementalAgg.queries("q_incr_agg")(spark, sf)
     import graft.Tables._
     val cutoff = lit("1997-01-01").cast("timestamp_ntz")
     val o = orders(spark, sf).select(col("o_orderkey"), col("o_custkey"),
