@@ -36,6 +36,44 @@ class IncrementalSubquerySpec extends AnyFunSuite {
     assert(got.toSeq === Seq((2L, 1L, 17L), (3L, 2L, 12L), (4L, 1L, 100L)))
   }
 
+  test("randomized join maintenance: maintained view equals recomputation, 20 changelogs") {
+    // the q_incr_join shape on synthetic frames: a fact table joined to
+    // a dimension, rolled up by the dimension attribute; random fact
+    // changelogs (insert/delete mixes, incl. keys joining nothing and
+    // groups emptying out) maintained incrementally must equal a
+    // from-scratch recompute of the post-change join
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val dim = (1L to 8L).map(k => (k, s"g${k % 3}")).toDF("dk", "grp")
+    (1 to 20).foreach { trial =>
+      val factBase = (1 to 20).map { i =>
+        (rnd.nextLong(10) + 1, rnd.nextLong(50) + 1, i.toLong)
+      } // (dk — 9/10 join, 10 dangles; cents; rowid)
+      val delIds = factBase.map(_._3).filter(_ => rnd.nextInt(3) == 0).toSet
+      val ins = (1 to rnd.nextInt(8)).map { i =>
+        (rnd.nextLong(10) + 1, rnd.nextLong(50) + 1)
+      }
+      val baseDf = factBase.toDF("dk", "cents", "rid")
+      val base = baseDf.join(dim, "dk").groupBy($"grp")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("total"))
+      val delta =
+        baseDf.filter($"rid".isin(delIds.toSeq: _*)).join(dim, "dk")
+          .select($"grp", lit("d").as("op"), $"cents".as("before"),
+            lit(null).cast("long").as("after"))
+          .unionByName(ins.toDF("dk", "cents").join(dim, "dk")
+            .select($"grp", lit("c").as("op"),
+              lit(null).cast("long").as("before"), $"cents".as("after")))
+      val got = IncrementalAgg.maintain(base, delta, "grp")
+        .orderBy($"grp").as[(String, Long, Long)].collect().toSeq
+      val post = factBase.filterNot(r => delIds.contains(r._3))
+        .map(r => (r._1, r._2)) ++ ins
+      val expect = post.toDF("dk", "cents").join(dim, "dk").groupBy($"grp")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("total"))
+        .orderBy($"grp").as[(String, Long, Long)].collect().toSeq
+      assert(got === expect, s"trial $trial: dels=$delIds ins=$ins")
+    }
+  }
+
   test("maintain gate: maintenance equals recomputation on testdata") {
     val got = IncrementalAgg.queries("q_incr_agg")(spark, sf)
     import graft.Tables._
