@@ -160,9 +160,21 @@ object DedupQueries {
     * side once more).
     */
   def incrementalNearDups(corpusHashes: DataFrame, deltaHashes: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    incrementalNearDupsWithIndex(
+      lshBands(corpusHashes).toDF("ia", "band", "h1", "h2"),
+      corpusHashes, deltaHashes, threshold)
+
+  /** [[incrementalNearDups]] against a PRE-BUILT band index — the form a
+    * long-lived corpus actually runs: `saveBandIndex` writes the band
+    * rows + shingle sets once at ingest, every later delta batch
+    * `loadBandIndex`s and probes them without re-shingling the corpus.
+    * `index` columns: (ia, band, h1, h2); `corpusHashes` supplies the
+    * exact-verify sets (doc_id, hs).
+    */
+  def incrementalNearDupsWithIndex(index: DataFrame, corpusHashes: DataFrame,
+      deltaHashes: DataFrame, threshold: Double = 0.5): DataFrame = {
     import graft.functions.TextHashExpressions.{sorted_distinct_longs, intersect_count_sorted}
-    val index = lshBands(corpusHashes).toDF("ia", "band", "h1", "h2")
     val probe = lshBands(deltaHashes).toDF("ib", "band", "h1", "h2")
     val cand = probe.join(index, Seq("band", "h1", "h2"))
       .select(col("ia"), col("ib")).distinct()
@@ -178,6 +190,30 @@ object DedupQueries {
       .select(col("ia"), col("ib"), col("m"), col("jac"))
       .orderBy(col("ia"), col("ib"))
   }
+
+  /** Persist the corpus's dedup index to storage: band rows
+    * (`bands/` — the LSH probe structure, keyed (band, h1, h2)) and
+    * sorted shingle sets (`sets/` — the exact-verify side). Parquet so
+    * a 100 TB corpus's index lives on the lakehouse next to the data,
+    * partition-pruned by the probe join like any other table; appending
+    * a new batch's rows to both directories IS the index update.
+    */
+  def saveBandIndex(corpusHashes: DataFrame, path: String): Unit = {
+    import graft.functions.TextHashExpressions.sorted_distinct_longs
+    lshBands(corpusHashes).write.mode("overwrite").parquet(s"$path/bands")
+    corpusHashes.select(col("doc_id"),
+        sorted_distinct_longs(col("hs")).as("hs"))
+      .write.mode("overwrite").parquet(s"$path/sets")
+  }
+
+  /** Reload a [[saveBandIndex]] index: (band index, verify sets) —
+    * feed both to [[incrementalNearDupsWithIndex]]. The sets come back
+    * already sorted-distinct; `sorted_distinct_longs` inside the verify
+    * is idempotent on them.
+    */
+  def loadBandIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/bands").toDF("ia", "band", "h1", "h2"),
+      spark.read.parquet(s"$path/sets"))
 
   /** PAIRWISE candidate pairs (ia < ib, distinct) — the textbook shape
     * `dedup_minhash_lsh`'s oracle states, shared with the LSH-verified

@@ -57,6 +57,31 @@ class PipelineSpec extends AnyFunSuite {
     hashes.unpersist(blocking = false)
   }
 
+  test("band index survives a parquet roundtrip: save → load → probe ≡ direct probe") {
+    // the production lifecycle the incrementalNearDups scaladoc claims:
+    // the corpus's index is PERSISTED between batches. Write the band
+    // rows + verify sets to parquet, read them back, probe a delta
+    // through incrementalNearDupsWithIndex — the result must equal the
+    // direct (recompute-the-index) probe exactly
+    import graft.functions.TextFunctions._
+    val dir01 = "/root/testdata/sf0.01"
+    val hashes = DedupQueries.docShingleHashes(spark, dir01)
+      .filter(size(col("hs")) > 0).persist()
+    val corpus = hashes.filter(col("doc_id") % 2 === 0)
+    val delta = hashes.filter(col("doc_id") % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("bandidx").toString
+    DedupQueries.saveBandIndex(corpus, path)
+    val (bands, sets) = DedupQueries.loadBandIndex(spark, path)
+    val fromDisk = DedupQueries
+      .incrementalNearDupsWithIndex(bands, sets, delta)
+    val direct = DedupQueries.incrementalNearDups(corpus, delta)
+    assert(fromDisk.exceptAll(direct).count() === 0 &&
+      direct.exceptAll(fromDisk).count() === 0,
+      "parquet-roundtripped index diverges from the recomputed index")
+    assert(fromDisk.count() > 0, "no pairs — vacuous roundtrip")
+    hashes.unpersist(blocking = false)
+  }
+
   test("exact dedup: curated normalized texts are unique") {
     import graft.functions.TextFunctions._
     // recompute norms for the curated ids straight from the source table
