@@ -8,14 +8,15 @@ import graft.functions.TextFunctions._
 /** End-to-end corpus-curation pipeline — the composition a real
   * training-data run executes as ONE job, chaining the individually
   * gated stages: normalize → language-ID filter → quality filter →
-  * exact dedup → MinHash-LSH near-dedup (exact-Jaccard verified) →
-  * curated manifest. Each stage is the production operator the
-  * standalone gates check (`text_normalize`, `text_lang_id`,
-  * `text_quality`, `dedup_exact`, `dedup_jaccard_lsh`); this gate
+  * Gopher repetition filter → exact dedup → MinHash-LSH near-dedup
+  * (exact-Jaccard verified) → curated manifest. Each stage is the
+  * production operator the standalone gates check (`text_normalize`,
+  * `text_lang_id`, `text_quality`, `text_rep_filter`, `dedup_exact`,
+  * `dedup_jaccard_lsh`); this gate
   * proves the COMPOSITION end-to-end against one independent DuckDB
   * statement of the whole pipeline.
   *
-  * Scale design (100 TB): stages 1–3 are map-only projections fused
+  * Scale design (100 TB): stages 1–4 are map-only projections fused
   * into the scan (one WholeStageCodegen pass, no shuffle); exact dedup
   * is one digest-keyed shuffle; near-dedup is the LSH candidate path —
   * cost bounded by near-dup structure, never |docs|² (see
@@ -48,7 +49,16 @@ object PipelineQueries {
         .withColumn("n_tok", size(col("toks")))
         .withColumn("pred", langId(col("toks")))
         .withColumn("q", qualityScore(col("norm")))
-        .filter(col("n_tok") >= 20 && col("q") >= 3.0 && col("pred") === "en")
+        // Gopher-style repetition stage (same kernels + thresholds as
+        // text_rep_filter) — still part of the fused map pass; the
+        // n_tok ≥ 20 guard below keeps the integer divisions non-zero
+        .withColumn("n_uniq", size(graft.functions.TextHashExpressions
+          .distinct_longs(shingleHashes(col("toks"), 1))).cast("long"))
+        .withColumn("top2", graft.functions.TextHashExpressions
+          .max_dup_count(shingleHashes(col("toks"), 2)))
+        .filter(col("n_tok") >= 20 && col("q") >= 3.0 && col("pred") === "en" &&
+          expr("(CAST(n_tok AS BIGINT) - n_uniq) * 1000000 div CAST(n_tok AS BIGINT)") <= 620000 &&
+          expr("top2 * 1000000 div (CAST(n_tok AS BIGINT) - 1)") <= 80000)
         // stage 4: exact dedup on the normalized text digest — keep the
         // minimum doc_id of each digest group (one digest-keyed shuffle)
         .withColumn("digest", md5(to_binary(col("norm"), lit("utf-8"))))
@@ -122,8 +132,31 @@ object PipelineQueries {
         |          len(list_filter(tk, t -> t IN ('window','group','merge'))) AS s_de,
         |          len(list_filter(tk, t -> t IN ('spark','scan','hash'))) AS s_zh
         |        FROM tk)),
+        |rep AS (
+        |  SELECT u.doc_id, u.n_uniq, b.top2 FROM
+        |    (SELECT doc_id, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_uniq
+        |     FROM (SELECT doc_id,
+        |             UNNEST(list_transform(tk, t ->
+        |               list_reduce(list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)),
+        |                           (a, b) -> (a * 31 + b) % 1000000007))) AS h
+        |           FROM tk) GROUP BY 1) u
+        |  JOIN
+        |    (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2 FROM
+        |       (SELECT doc_id, h, COUNT(*) AS c FROM
+        |          (SELECT doc_id,
+        |             UNNEST(list_transform(range(1, len(tk)), i ->
+        |               list_reduce(list_transform(string_split(tk[i] || ' ' || tk[i+1], ''),
+        |                                          c -> CAST(ord(c) AS BIGINT)),
+        |                           (a, b) -> (a * 31 + b) % 1000000007))) AS h
+        |           FROM tk)
+        |        GROUP BY 1, 2) GROUP BY 1) b
+        |  USING (doc_id)),
         |filt AS (
-        |  SELECT * FROM attr WHERE n_tok >= 20 AND q >= 3.0 AND pred = 'en'),
+        |  SELECT attr.* FROM attr JOIN rep USING (doc_id)
+        |  WHERE n_tok >= 20 AND q >= 3.0 AND pred = 'en'
+        |    AND (CAST(n_tok AS BIGINT) - rep.n_uniq) * 1000000
+        |        // CAST(n_tok AS BIGINT) <= 620000
+        |    AND rep.top2 * 1000000 // (CAST(n_tok AS BIGINT) - 1) <= 80000),
         |exact AS (
         |  SELECT f.* FROM filt f
         |  JOIN (SELECT md5(norm) AS dg, MIN(doc_id) AS kid
