@@ -200,10 +200,16 @@ object DedupQueries {
     */
   def saveBandIndex(corpusHashes: DataFrame, path: String): Unit = {
     import graft.functions.TextHashExpressions.sorted_distinct_longs
-    lshBands(corpusHashes).write.mode("overwrite").parquet(s"$path/bands")
-    corpusHashes.select(col("doc_id"),
-        sorted_distinct_longs(col("hs")).as("hs"))
-      .write.mode("overwrite").parquet(s"$path/sets")
+    // two write actions read the hash frame — persist around them so an
+    // unpersisted caller frame (the natural docShingleHashes output)
+    // pays the scan→shingle pipeline once, not per write
+    val cached = corpusHashes.persist()
+    try {
+      lshBands(cached).write.mode("overwrite").parquet(s"$path/bands")
+      cached.select(col("doc_id"),
+          sorted_distinct_longs(col("hs")).as("hs"))
+        .write.mode("overwrite").parquet(s"$path/sets")
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Reload a [[saveBandIndex]] index: (band index, verify sets) —
@@ -212,8 +218,11 @@ object DedupQueries {
     * is idempotent on them.
     */
   def loadBandIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/bands").toDF("ia", "band", "h1", "h2"),
-      spark.read.parquet(s"$path/sets"))
+    // select BY NAME: an appending writer may emit the four columns in
+    // another order, and a positional toDF would silently mis-map them
+    (spark.read.parquet(s"$path/bands")
+        .select(col("doc_id").as("ia"), col("band"), col("h1"), col("h2")),
+      spark.read.parquet(s"$path/sets").select(col("doc_id"), col("hs")))
 
   /** PAIRWISE candidate pairs (ia < ib, distinct) — the textbook shape
     * `dedup_minhash_lsh`'s oracle states, shared with the LSH-verified

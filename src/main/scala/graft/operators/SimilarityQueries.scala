@@ -17,6 +17,62 @@ import graft.functions.VectorFunctions._
   */
 object SimilarityQueries {
 
+  /** Nearest-centroid assignment — the shared kernel of `ann_ivf`,
+    * `ann_ivf_kmeans` seeding and `dedup_semantic`: each source vector
+    * crossJoins the BROADCAST centroid table, cosine-scores every cell,
+    * and the bounded heap keeps the top `keep` BEFORE any shuffle
+    * (map-side partial aggregation collapses |N|·|C| rows to |N|·keep).
+    * ONE definition so a scoring or tie-break change can never
+    * desynchronize the IVF family from the semantic-dedup blocking.
+    * src columns: (idCol, q, n2); cents: (cid, cq, cn2).
+    * Output: (idCol, q, n2, cid) — one row per kept cell.
+    */
+  private[operators] def nearestCells(src: DataFrame, cents: DataFrame,
+      idCol: String, keep: Int): DataFrame =
+    src.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        cosineFromQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
+      .groupBy(col(idCol), col("q"), col("n2"))
+      .agg(graft.functions.TopKFunctions
+        .topk_by_score(keep, col("ccos"), col("cid"), lit(0L)).as("top"))
+      .select(col(idCol), col("q"), col("n2"), explode(col("top")).as("e"))
+      .select(col(idCol), col("q"), col("n2"), col("e.id").as("cid"))
+
+  /** Semantic dedup (the SemDeDup shape) — see the gate scaladoc below.
+    * `materialize = false` returns the lazy plan (PlanAuditSpec audits
+    * the REAL pipeline, not a copy; caller clears the cache).
+    */
+  private[operators] def semanticDedup(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", normQ2(col("q")))
+    val cents = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    // corpus-bounded (id, vector, cell) frame feeds both self-join
+    // sides: persist once, release after the pair-sized result
+    // materializes (the jaccard_lsh discipline)
+    val assigned = nearestCells(e, cents, "vec_id", keep = 1)
+      .withColumnRenamed("cid", "cell")
+      .persist()
+    val a = assigned.select(col("cell"), col("vec_id").as("ia"),
+      col("q").as("qa"), col("n2").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("ib"),
+      col("q").as("qb"), col("n2").as("nb"))
+    val out0 = a.join(b, Seq("cell")).filter(col("ia") < col("ib"))
+      .withColumn("cos",
+        cosineFromQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("cos") >= 0.30)
+      .select(col("cell"), col("ia"), col("ib"), col("cos"))
+      .orderBy(col("ia"), col("ib"))
+    if (!materialize) out0
+    else {
+      val out = out0.localCheckpoint(true)
+      assigned.unpersist(blocking = false)
+      out
+    }
+  }
+
   /** Quantized embeddings blocked by random-hyperplane LSH bucket and
     * joined into within-bucket candidate pairs, with the quantized dot
     * and cosine already computed: (bucket, ia, ib, dot, cos).
@@ -78,26 +134,15 @@ object SimilarityQueries {
         .withColumn("n2", normQ2(col("q")))
       val cents = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
-      // nearest cells via the bounded-heap aggregate: the crossJoin with
-      // the broadcast centroids keeps each vector's candidates in one
-      // partition, so partial aggregation collapses |N|·|C| rows to |N|·k
-      // BEFORE any shuffle (a row_number window would shuffle them all)
-      def nearestCells(src: DataFrame, idCol: String, keep: Int): DataFrame =
-        src.crossJoin(broadcast(cents))
-          .withColumn("ccos",
-            cosineFromQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
-          .groupBy(col(idCol), col("q"), col("n2"))
-          .agg(graft.functions.TopKFunctions
-            .topk_by_score(keep, col("ccos"), col("cid"), lit(0L)).as("top"))
-          .select(col(idCol), col("q"), col("n2"),
-            explode(col("top")).as("e"))
-          .select(col(idCol), col("q"), col("n2"), col("e.id").as("cid"))
-      val assigned = nearestCells(e, "vec_id", keep = 1)
+      // nearest cells via the shared bounded-heap assignment kernel
+      // (see nearestCells above): partial aggregation collapses
+      // |N|·|C| rows to |N|·k BEFORE any shuffle
+      val assigned = nearestCells(e, cents, "vec_id", keep = 1)
         .select(col("vec_id"), col("cid").as("cell"), col("q"), col("n2"))
       val probes = nearestCells(
         e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("qid"), col("q"), col("n2")),
-        "qid", keep = 2)
+        cents, "qid", keep = 2)
         .select(col("qid"), col("cid").as("cell"),
           col("q").as("qq"), col("n2").as("qn2"))
       probes.join(assigned, Seq("cell"))
@@ -140,38 +185,7 @@ object SimilarityQueries {
     // blocking function. At 100 TB: codebook broadcasts, assignment is
     // one map pass, the only shuffle keys on cluster id; a skewed
     // cluster is a centroid-count/skew-salt problem, not a plan change.
-    "dedup_semantic" -> ((s, dir) => {
-      val e = embeddings(s, dir)
-        .select(col("vec_id"), quantize(col("embedding")).as("q"))
-        .withColumn("n2", normQ2(col("q")))
-      val cents = e.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
-      // corpus-bounded (id, vector, cell) frame feeds both self-join
-      // sides: persist once, release after the pair-sized result
-      // materializes (the jaccard_lsh discipline)
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          cosineFromQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
-        .groupBy(col("vec_id"), col("q"), col("n2"))
-        .agg(graft.functions.TopKFunctions
-          .topk_by_score(1, col("ccos"), col("cid"), lit(0L)).as("top"))
-        .select(col("vec_id"), col("q"), col("n2"),
-          col("top").getItem(0).getField("id").as("cell"))
-        .persist()
-      val a = assigned.select(col("cell"), col("vec_id").as("ia"),
-        col("q").as("qa"), col("n2").as("na"))
-      val b = assigned.select(col("cell"), col("vec_id").as("ib"),
-        col("q").as("qb"), col("n2").as("nb"))
-      val out = a.join(b, Seq("cell")).filter(col("ia") < col("ib"))
-        .withColumn("cos",
-          cosineFromQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
-        .filter(col("cos") >= 0.30)
-        .select(col("cell"), col("ia"), col("ib"), col("cos"))
-        .orderBy(col("ia"), col("ib"))
-        .localCheckpoint(true)
-      assigned.unpersist(blocking = false)
-      out
-    }),
+    "dedup_semantic" -> ((s, dir) => semanticDedup(s, dir, materialize = true)),
 
     // IVF with a TRAINED coarse quantizer — one Lloyd (k-means)
     // iteration over the deterministic seed centroids before the index

@@ -48,7 +48,7 @@ class IncrementalSubquerySpec extends AnyFunSuite {
     (1 to 20).foreach { trial =>
       val factBase = (1 to 20).map { i =>
         (rnd.nextLong(10) + 1, rnd.nextLong(50) + 1, i.toLong)
-      } // (dk — 9/10 join, 10 dangles; cents; rowid)
+      } // (dk in [1,10] vs dim keys 1..8 — 9 and 10 dangle; cents; rowid)
       val delIds = factBase.map(_._3).filter(_ => rnd.nextInt(3) == 0).toSet
       val ins = (1 to rnd.nextInt(8)).map { i =>
         (rnd.nextLong(10) + 1, rnd.nextLong(50) + 1)

@@ -317,28 +317,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // the SemDeDup claims: centroid assignment is map-only against a
     // BROADCAST codebook (collapsed by the bounded heap before any
     // shuffle), and the pair stage is an equi-join on the cluster key —
-    // a cartesian would mean the blocking failed. The gate entry
-    // eagerly checkpoints, so audit the plan of a re-derived lazy
-    // equivalent: assignment side only (the checkpointed output plan
-    // reduces to an RDD scan).
-    import graft.functions.VectorFunctions._
-    import org.apache.spark.sql.functions.{broadcast, col, lit}
-    val e = graft.Tables.embeddings(spark, dir)
-      .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .withColumn("n2", normQ2(col("q")))
-    val cents = e.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosineFromQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
-      .groupBy(col("vec_id"))
-      .agg(graft.functions.TopKFunctions
-        .topk_by_score(1, col("ccos"), col("cid"), lit(0L)).as("top"))
-    val p = assigned.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastExchange"),
-      s"codebook must broadcast:\n$p")
-    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
-    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
-      s"assignment heap must partial-aggregate map-side:\n$p")
+    // a cartesian would mean the blocking failed. Audits the REAL
+    // pipeline through the lazy form (the gate entry eagerly
+    // checkpoints, which would reduce the audited plan to an RDD scan).
+    val p = SimilarityQueries.semanticDedup(spark, dir, materialize = false)
+      .queryExecution.executedPlan.toString
+    try {
+      assert(p.contains("BroadcastExchange"),
+        s"codebook must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+      assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"assignment heap must partial-aggregate map-side:\n$p")
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        s"assignment frame must be cached for the two pair sides:\n$p")
+    } finally spark.sharedState.cacheManager.clearCache()
   }
 
   test("domain mix: rate table broadcasts; keep filter adds no corpus shuffle") {
