@@ -81,7 +81,7 @@ object Bench {
       "ann_lsh_bucket", "ann_ivf", "ann_brute_topk", "ann_sq8_rerank",
       "ann_ivf_kmeans", "ann_pq_adc", "pipe_curate", "dedup_incr",
       "dedup_semantic", "dedup_minhash_lsh",
-      "dedup_jaccard_lsh", "dedup_ngram_jaccard", "dedup_containment",
+      "dedup_jaccard_lsh", "dedup_ngram", "dedup_containment",
       "dedup_clusters")
     val heavyOrder = heavy.zipWithIndex.toMap
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -168,7 +168,7 @@ object Bench {
     // ~1-2 s UNTIMED — cheap against the 1-2 s per query being lost.
     // The cheaper heavies share one fresh session as before.
     val soloHeavy = Set("dedup_minhash_lsh", "dedup_jaccard_lsh",
-      "dedup_ngram_jaccard", "dedup_containment", "dedup_clusters")
+      "dedup_ngram", "dedup_containment", "dedup_clusters")
     // light warmup for solo sessions: the JIT/codegen warmup already ran
     // in an earlier session (Janino's cache is process-wide); only the
     // per-session costs remain — file listing and session state — and

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * Usage: tools/run.sh Profile <query> [query ...]
   *
   * Findings log (kept so future rounds don't re-try dead ends):
-  *  - dedup_ngram_jaccard: broadcast-join + packed-long-pair hash agg
+  *  - dedup_ngram: broadcast-join + packed-long-pair hash agg
   *    beats per-shingle collect_list + native pair generation ~4×
   *    (5.4 s vs 20-23 s at sf0.1) — Generate over huge arrays and the
   *    931-group skew dominate; keep the join formulation.
@@ -45,7 +45,7 @@ object Profile {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = if (args.nonEmpty) args.toSeq else Seq("dedup_ngram_jaccard")
+    val names = if (args.nonEmpty) args.toSeq else Seq("dedup_ngram")
     names.foreach { name =>
       if (sys.env.contains("PROFILE_EXPLAIN"))
         SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -333,7 +333,7 @@ object DedupQueries {
     // n-gram Jaccard with the production stop-shingle cap (df ≤ 8% of
     // the corpus). Shuffle join keyed by shingle hash; the cap bounds
     // the per-shingle join fan-out.
-    "dedup_ngram_jaccard" -> ((s, dir) =>
+    "dedup_ngram" -> ((s, dir) =>
       ngramJaccard(s, dir, maxDfFrac = Some(0.08))),
 
     // Directed containment pairs over the same capped postings list.
@@ -821,7 +821,7 @@ object DedupQueries {
         |JOIN sizes nb ON nb.doc_id = i.ib
         |WHERE CAST(i.m AS DOUBLE) / CAST(na.n + nb.n - i.m AS DOUBLE) >= 0.5
         |ORDER BY ia, ib""".stripMargin),
-    "dedup_ngram_jaccard" -> (shinglesCte +
+    "dedup_ngram" -> (shinglesCte +
       """, hd0 AS (SELECT DISTINCT doc_id, h FROM h),
         |stop AS (
         |  SELECT h FROM hd0 GROUP BY h

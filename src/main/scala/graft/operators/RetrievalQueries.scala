@@ -179,7 +179,38 @@ object RetrievalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> ((s, dir) => bm25(s, dir)),
-    "text_lm_score" -> ((s, dir) => lmScore(s, dir))
+    "text_lm_score" -> ((s, dir) => lmScore(s, dir)),
+
+    // Vocabulary encoding — the LAST step before training: map every
+    // token to its id in a frequency-ranked vocabulary (OOV → 0),
+    // emitting the ordered id array per document. 100 TB shape: the
+    // vocabulary is a vocabulary-sized aggregate (one shuffle) whose
+    // ranked head BROADCASTS; encoding is a broadcast left-join over
+    // the exploded token stream and ONE doc-keyed shuffle rebuilds the
+    // ordered arrays (a static production vocab compiles into a
+    // broadcast map and drops even that aggregate). The global
+    // row_number runs on the vocab aggregate, never the corpus. Tiny
+    // vocab (top 10) here so the OOV path carries real traffic.
+    "text_encode" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+      val uni = toks.select(explode(col("tk")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("t"))
+      val vocab = uni.withColumn("id", row_number().over(w))
+        .filter(col("id") <= 10).select(col("t"), col("id"))
+      toks.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+        .join(broadcast(vocab), Seq("t"), "left")
+        .withColumn("id", coalesce(col("id"), lit(0)))
+        .groupBy(col("doc_id"))
+        // ids as a joined string: the driver's pandas comparator cannot
+        // hash raw array cells (the round-2 lesson — array outputs are
+        // stringified for the gate)
+        .agg(expr("array_join(transform(sort_array(collect_list(struct(pos, id)))," +
+          " x -> CAST(x.id AS STRING)), ',')").as("ids"),
+          sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   private val toksCte =
@@ -228,6 +259,23 @@ object RetrievalQueries {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bi,
         |       CAST(SUM(nll) AS BIGINT) AS nll_u,
         |       CAST(CAST(SUM(nll) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_u
-        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin)
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin),
+    "text_encode" -> (toksCte +
+      """, uni AS (SELECT t, COUNT(*) AS cnt
+        |         FROM (SELECT UNNEST(tk) AS t FROM toks) GROUP BY 1),
+        |vocab AS (
+        |  SELECT t, id FROM (
+        |    SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS INTEGER) AS id
+        |    FROM uni)
+        |  WHERE id <= 10),
+        |u AS (SELECT doc_id, UNNEST(tk) AS t,
+        |             generate_subscripts(tk, 1) AS pos FROM toks),
+        |enc AS (
+        |  SELECT doc_id, pos, COALESCE(v.id, 0) AS id
+        |  FROM u LEFT JOIN vocab v USING (t))
+        |SELECT doc_id,
+        |       array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ',') AS ids,
+        |       CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM enc GROUP BY 1 ORDER BY doc_id""".stripMargin)
   )
 }

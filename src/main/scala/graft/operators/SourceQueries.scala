@@ -194,14 +194,14 @@ object SourceQueries {
     // wrappers), parsed back by SqlRedoParser, and the reconstructed
     // typed columns must equal the source rows. op mix by o_orderkey%3:
     // 0→INSERT(values list) 1→UPDATE(set+where) 2→DELETE(where only).
-    "s4_sqlredo_parse" -> ((s, dir) =>
+    "s4_parse" -> ((s, dir) =>
       parseRedoTyped(s, synthesizedRedoSql(s, dir).select(col("sql_redo")))),
 
     // S4 CSF parity: every synthesized statement is CHUNKED into
     // 40-char continuation rows (LogMiner's CSF encoding), shuffled,
     // reassembled by CsfReassembly's statement-keyed ordered concat,
     // and only THEN parsed — the oracle is the same typed decision
-    // table as s4_sqlredo_parse, so a dropped, duplicated or reordered
+    // table as s4_parse, so a dropped, duplicated or reordered
     // chunk breaks the parse or the hash. Statement ids deliberately
     // SHARE SCNs pairwise (scn = okey/2, ssn = okey%2) to prove
     // same-SCN statements never interleave.
@@ -229,7 +229,7 @@ object SourceQueries {
     // [gap_start, gap_end]. The driver-side listing
     // (RedoLogReader.listLogs) throws on the FIRST gap; this is the
     // audit-the-whole-catalog variant (see RedoTopology scaladoc).
-    "s5_gap_detection" -> ((s, dir) => {
+    "s5_gaps" -> ((s, dir) => {
       val topo = orders(s, dir)
         .filter(col("o_custkey") % 10 =!= 3)
         .select(((col("o_orderkey") % 4) + 1).cast("int").as("thread"),
@@ -331,7 +331,7 @@ object SourceQueries {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "t8_lob" ->
       "SELECT doc_id, text AS body FROM documents ORDER BY doc_id",
-    "s4_sqlredo_parse" ->
+    "s4_parse" ->
       """SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1
         |            WHEN o_orderkey % 3 = 1 THEN 3 ELSE 2 END AS op,
         |       o_orderkey AS okey, o_custkey AS custkey,
@@ -354,7 +354,7 @@ object SourceQueries {
         |       CASE WHEN o_orderkey % 3 = 2 THEN NULL
         |            ELSE o_orderpriority END AS prio
         |FROM orders ORDER BY okey""".stripMargin,
-    "s5_gap_detection" ->
+    "s5_gaps" ->
       """WITH topo AS (
         |  SELECT DISTINCT CAST(o_orderkey % 4 + 1 AS INTEGER) AS thread,
         |         o_orderkey // 4 AS seq FROM orders

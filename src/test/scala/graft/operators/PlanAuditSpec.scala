@@ -91,7 +91,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("jaccard stop-shingle list broadcasts into an anti-join before the self-join") {
-    val p = plan("dedup_ngram_jaccard")
+    val p = plan("dedup_ngram")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
   }
 
