@@ -144,6 +144,102 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Line-level GLOBAL exact dedup + document reconstruction — the C4
+    // cleanup rule ("discard every repeated three-sentence span / line
+    // corpus-wide, keeping one occurrence") re-expressed for Spark. The
+    // synthetic docs carry no newlines, so a "line" is an aligned
+    // 8-token chunk; the op is granularity-agnostic. Shape: chunk
+    // map-only → ONE shuffle keyed by the line itself (groupBy + MIN of
+    // a packed (doc_id,line_no) key — map-side combinable, so a
+    // duplicate-heavy 100 TB corpus collapses before the exchange, the
+    // reason this beats the window-function formulation) → ONE shuffle
+    // on doc_id to stitch surviving lines back into documents. Nothing
+    // is pairwise; cost is linear in corpus lines.
+    "text_line_dedup" -> ((s, dir) => {
+      val lines = documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(tk)-1) div 8)," +
+            " i -> concat_ws(' ', slice(tk, i*8+1, 8)))"))
+          .as(Seq("line_no", "line")))
+      // first-occurrence owner per distinct line: packed key keeps the
+      // aggregate a plain MIN (line_no < 1000 by construction: ≤ 553
+      // chars / 8-token lines)
+      val survivors = lines.groupBy(col("line"))
+        .agg(min(col("doc_id") * 1000 + col("line_no")).as("k"))
+      survivors
+        .select(expr("k div 1000").as("doc_id"),
+          expr("CAST(k % 1000 AS INT)").as("line_no"), col("line"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("concat_ws(' ', transform(array_sort(" +
+            "collect_list(struct(line_no, line))), e -> e.line))")
+            .as("new_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Model-based quality filtering — the fastText/CCNet-style linear
+    // classifier pass every production corpus runs (GPT-3's WebText
+    // similarity filter, CCNet's fastText stage): score = Σ over tokens
+    // of w[h(tok) mod D], keep when positive. Weights are a fixed
+    // pseudo-random integer table (Knuth-multiplicative over the bucket
+    // index, milli-units) so both engines state the identical model and
+    // the sum is integer-exact — order-free, partitioning-invariant.
+    // ENTIRELY MAP-ONLY: hashing-trick featurization + dot product run
+    // inside one codegen `aggregate` over the row's token array; at
+    // 100 TB this is a parquet-scan-speed pass, the property that makes
+    // classifier filtering affordable where a real model server isn't.
+    "text_classify" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"),
+          aggregate(col("tk"), lit(0L), (acc, t) =>
+            acc + (((stringHash(t) % 64) * lit(2654435761L)) % 1997 - 998))
+            .as("score"))
+        .withColumn("keep", col("score") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR-style importance reweighting (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // each raw document by how target-like its hashed-n-gram profile
+    // is — per-bigram ratio target-count/raw-count, per-doc mean. The
+    // `lang = 'en'` slice stands in for the target corpus. Ratios are
+    // integer micro-units (floor division) so every engine agrees
+    // bit-for-bit; the log-domain variant changes only the per-feature
+    // arithmetic, not the dataflow. Plan shape: the bigram frame is
+    // computed ONCE (persist/force/release discipline — both count
+    // aggregations and the scoring join read the cache, same as
+    // dedup_jaccard_lsh); ONE map-side-combinable count keyed by bigram
+    // hash (raw and target tallies fused into a single aggregation via
+    // a conditional count — no second pass, no ratio join), then one
+    // scoring join keyed the same way (shuffle-join at corpus scale — a
+    // 100 TB corpus's bigram vocabulary does NOT broadcast), one final
+    // per-doc sum. Linear end to end, two shuffles total.
+    "text_dsir" -> ((s, dir) => {
+      val sh = documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          shingleHashes(tokens(col("text")), 2).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .persist()
+      val occ = sh.select(col("doc_id"), col("lang"), explode(col("hs")).as("h"))
+      val ratio = occ.groupBy(col("h"))
+        .agg(count(lit(1)).as("cr"),
+          count(when(col("lang") === "en", 1)).as("ct"))
+        .select(col("h"), expr("ct * 1000000 div cr").as("r"))
+      val out = occ.join(ratio, "h")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("r")).as("rsum"), count(lit(1)).as("n"))
+        .select(col("doc_id"), expr("rsum div n").as("wt_u"),
+          (expr("rsum div n") > 500000L).as("keep"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      sh.unpersist(blocking = false)
+      out
+    }),
+
     // Corpus-wide frequent terms via the Misra–Gries sketch (bounded
     // state per partial; merge sums shared counters then re-trims to
     // capacity): exact here because the 1024-counter capacity dominates
@@ -284,6 +380,54 @@ object TextQueries {
         |  (CAST((u.n_tok - u.n_uniq) * 1000000 // u.n_tok AS BIGINT) > 620000
         |   OR CAST(b.top2 * 1000000 // b.n_bi AS BIGINT) > 80000) AS flagged
         |FROM uniq u JOIN bi b USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // line dedup: same chunking + first-occurrence-wins stated
+    // relationally; string_agg ORDER BY reproduces the stitch order
+    "text_line_dedup" -> (toksCte +
+      """, t AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+        |lines AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+        |         array_to_string(tk[i*8+1 : i*8+8], ' ') AS line
+        |  FROM (SELECT doc_id, tk,
+        |               UNNEST(range(0, (len(tk)-1)//8 + 1)) AS i FROM t)),
+        |surv AS (
+        |  SELECT line, MIN(doc_id*1000 + line_no) AS k FROM lines GROUP BY 1)
+        |SELECT CAST(k//1000 AS BIGINT) AS doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |       string_agg(line, ' ' ORDER BY k%1000) AS new_text
+        |FROM surv GROUP BY 1 ORDER BY doc_id""".stripMargin),
+    "text_classify" -> (toksCte +
+      """SELECT doc_id, score, score > 0 AS keep FROM (
+        |  SELECT doc_id, CAST(list_sum(list_transform(tk, t ->
+        |    ((list_reduce(list_transform(string_split(t, ''),
+        |                                 c -> CAST(ord(c) AS BIGINT)),
+        |                  (a, b) -> (a * 31 + b) % 1000000007)
+        |      % 64) * 2654435761) % 1997 - 998)) AS BIGINT) AS score
+        |  FROM toks WHERE len(tk) > 0)
+        |ORDER BY doc_id""".stripMargin),
+    // DSIR: same bigram-hash domain as the dedup/decontam family
+    "text_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    UNNEST(list_transform(range(1, len(tk)), i ->
+        |      list_reduce(list_transform(string_split(tk[i] || ' ' || tk[i+1], ''),
+        |                                 c -> CAST(ord(c) AS BIGINT)),
+        |                  (a, b) -> (a * 31 + b) % 1000000007))) AS h
+        |  FROM toks),
+        |raw AS (SELECT h, COUNT(*) AS cr FROM sh GROUP BY 1),
+        |tgt AS (SELECT h, COUNT(*) AS ct FROM sh WHERE lang = 'en' GROUP BY 1),
+        |ratio AS (
+        |  SELECT r.h, COALESCE(t.ct, 0) * 1000000 // r.cr AS r
+        |  FROM raw r LEFT JOIN tgt t USING (h)),
+        |agg AS (
+        |  SELECT s.doc_id, SUM(x.r) AS rsum, COUNT(*) AS n
+        |  FROM sh s JOIN ratio x USING (h) GROUP BY 1)
+        |SELECT doc_id, CAST(rsum // n AS BIGINT) AS wt_u,
+        |       CAST(rsum // n AS BIGINT) > 500000 AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // exact regime: capacity (1024) >> vocabulary, so the sketch holds
     // every counter and the top-10 equals the exact GROUP BY
     "text_top_terms" -> (toksCte +

@@ -1,0 +1,103 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the corpus-curation gates added for the C4/CCNet/DSIR
+  * pipeline stages (`text_line_dedup`, `text_classify`, `text_dsir`) on
+  * hand-built micro corpora where the expected output is computable by
+  * inspection — the oracle gates prove engine equivalence at SF scale,
+  * these prove the operator does what the curation literature says.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", false)
+    .appName("curation-ops-spec").getOrCreate()
+
+  /** Writes a documents.parquet micro-corpus and returns its dir. */
+  private def corpus(rows: Seq[(Long, String, String)]): String = {
+    val dir = Files.createTempDirectory("curation-spec").toFile
+    dir.deleteOnExit()
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    dir.getAbsolutePath
+  }
+
+  // 8 tokens = one line; docs 0 and 1 share their first line verbatim,
+  // doc 2 repeats doc 0's second line AND its own line twice
+  private val lineA = "a b c d e f g h"
+  private val lineB = "p q r s t u v w"
+  private val lineC = "x y z x y z x y"
+
+  test("text_line_dedup keeps first global occurrence and restitches docs") {
+    val dir = corpus(Seq(
+      (0L, s"$lineA $lineB", "en"),
+      (1L, s"$lineA $lineC", "en"),
+      (2L, s"$lineB $lineC $lineC", "en")))
+    val out = TextQueries.queries("text_line_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toMap2
+    // doc 0 owns lineA + lineB; doc 1 loses lineA, keeps lineC;
+    // doc 2 loses everything (lineB → doc 0, lineC → doc 1) and vanishes
+    assert(out === Map(
+      0L -> ((2L, s"$lineA $lineB")),
+      1L -> ((1L, lineC))))
+  }
+
+  test("text_line_dedup dedups repeats WITHIN one document too") {
+    val dir = corpus(Seq((7L, s"$lineB $lineB $lineA", "en")))
+    val Array(row) = TextQueries.queries("text_line_dedup")(spark, dir).collect()
+    assert(row.getLong(1) === 2L)
+    assert(row.getString(2) === s"$lineB $lineA")
+  }
+
+  test("text_classify score is the exact hashed-weight sum") {
+    val dir = corpus(Seq((0L, "a a b", "en")))
+    def w(tok: String): Long = {
+      val h = tok.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+      ((h % 64) * 2654435761L) % 1997L - 998L
+    }
+    val Array(row) = TextQueries.queries("text_classify")(spark, dir).collect()
+    val expected = w("a") + w("a") + w("b")
+    assert(row.getLong(1) === expected)
+    assert(row.getBoolean(2) === (expected > 0))
+  }
+
+  test("text_dsir weights target-only n-grams at 1.0 and off-target at 0") {
+    // en doc and fr doc share NO bigrams: en bigrams get ratio 1e6
+    // (all occurrences are in-target), fr bigrams 0 — so the per-doc
+    // means are exactly 1e6 and 0 and only the en doc is kept
+    val dir = corpus(Seq(
+      (0L, "alpha beta gamma", "en"),
+      (1L, "un deux trois", "fr")))
+    val out = TextQueries.queries("text_dsir")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out === Map(0L -> ((1000000L, true)), 1L -> ((0L, false))))
+  }
+
+  test("text_dsir mixed-ownership n-grams score the occupancy fraction") {
+    // the bigram "shared pair" occurs once in the en doc and once in
+    // the fr doc → ratio 500000; each doc has only that bigram
+    val dir = corpus(Seq(
+      (0L, "shared pair", "en"),
+      (1L, "shared pair", "fr")))
+    val out = TextQueries.queries("text_dsir")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(0L -> 500000L, 1L -> 500000L))
+  }
+
+  private implicit class Tuples3ToMap(rs: Array[(Long, Long, String)]) {
+    def toMap2: Map[Long, (Long, String)] =
+      rs.map(t => t._1 -> ((t._2, t._3))).toMap
+  }
+}
