@@ -77,11 +77,11 @@ object Bench {
 
     // dev loop: SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    val heavy = Seq("dedup_exact", "dedup_simhash", "dedup_emb_cosine",
+    val heavy = Seq("dedup_exact", "dedup_simhash", "dedup_emb_cos",
       "ann_lsh_bucket", "ann_ivf", "ann_brute_topk", "ann_sq8_rerank",
       "ann_ivf_kmeans", "ann_pq_adc", "pipe_curate", "dedup_incr",
-      "dedup_semantic", "dedup_minhash_lsh",
-      "dedup_jaccard_lsh", "dedup_ngram", "dedup_containment",
+      "dedup_semantic", "dedup_mh_lsh",
+      "dedup_jac_lsh", "dedup_ngram", "dedup_contain",
       "dedup_clusters")
     val heavyOrder = heavy.zipWithIndex.toMap
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -167,8 +167,8 @@ object Bench {
     // barriers cannot reach), and session setup + the light warmup is
     // ~1-2 s UNTIMED — cheap against the 1-2 s per query being lost.
     // The cheaper heavies share one fresh session as before.
-    val soloHeavy = Set("dedup_minhash_lsh", "dedup_jaccard_lsh",
-      "dedup_ngram", "dedup_containment", "dedup_clusters")
+    val soloHeavy = Set("dedup_mh_lsh", "dedup_jac_lsh",
+      "dedup_ngram", "dedup_contain", "dedup_clusters")
     // light warmup for solo sessions: the JIT/codegen warmup already ran
     // in an earlier session (Janino's cache is process-wide); only the
     // per-session costs remain — file listing and session state — and

@@ -193,7 +193,7 @@ object CdcQueries {
     // DIFFERENT SCNs is two genuine statements and must survive as-is.
     // Even orderkeys build the one-statement pair, odd ones the
     // two-statement control group.
-    "t5_key_collapse" -> ((s, dir) => {
+    "t5_collapse" -> ((s, dir) => {
       import s.implicits._
       val emptyMap = map().cast("map<string,string>")
       val noMulti = typedLit(Seq.empty[Map[String, String]])
@@ -316,7 +316,7 @@ object CdcQueries {
     // hostname, auditSessionId, clientId) captured from the transaction's
     // audit record and stamped onto every emitted change — ref
     // `OraCdcChangeAudit.java`, `KafkaPseudoColumnsProcessor.java:82-249`.
-    "p7_audit_columns" -> ((s, dir) => {
+    "p7_audit_cols" -> ((s, dir) => {
       Envelopes.withPseudoColumns(ChangeStreams.assembleBatch(redoRecords(s, dir)))
         .select(col("ORA_SCN").as("scn"), col("ORA_XID").as("xid"),
           col("ORA_USERNAME").as("username"),
@@ -354,7 +354,7 @@ object CdcQueries {
     // the output column names ARE the sanitized results (space/#/dash/
     // non-ASCII → '_', leading digit prefixed), stated verbatim as
     // quoted aliases in the oracle.
-    "p8_name_sanitize" -> ((s, dir) => {
+    "p8_name_san" -> ((s, dir) => {
       val dirty = customer(s, dir).select(
         col("c_custkey").as("Cust Key#"),
         col("c_name").as("1name"),
@@ -411,7 +411,7 @@ object CdcQueries {
     // compression — F14) and the user hook decompresses + upper-cases.
     // The oracle states the post-transform value directly from the
     // source text, so the gate proves carrier + hook end-to-end.
-    "m6_lob_transform" -> ((s, dir) => {
+    "m6_lob_xform" -> ((s, dir) => {
       import graft.functions.OracleFunctions._
       val lobbed = documents(s, dir).select(col("doc_id"),
         gzip_compress(to_binary(col("text"), lit("utf-8"))).as("clob"))
@@ -441,7 +441,7 @@ object CdcQueries {
       """SELECT CAST(user_id AS VARCHAR) AS xid, commit_scn, event_id AS scn,
         |       op, CAST(event_id AS VARCHAR) AS row_id, value AS val
         |FROM emitted WHERE op <> 2 ORDER BY scn""".stripMargin),
-    "t5_key_collapse" ->
+    "t5_collapse" ->
       """WITH o AS (
         |  SELECT o_orderkey AS okey,
         |         't' || CAST(o_orderkey % 101 AS VARCHAR) AS xid,
@@ -487,7 +487,7 @@ object CdcQueries {
         |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM emitted)
         |WHERE rn = 1 AND op <> 2 ORDER BY xid""".stripMargin),
-    "p7_audit_columns" -> (baseCte +
+    "p7_audit_cols" -> (baseCte +
       """SELECT event_id AS scn, CAST(user_id AS VARCHAR) AS xid,
         |       'USER_' || (user_id % 7) AS username,
         |       'os' || (user_id % 3) AS os_username,
@@ -505,10 +505,10 @@ object CdcQueries {
     "m3_m5_smt" ->
       """SELECT c_name, c_acctbal, c_nationkey AS hdr_nation, c_custkey
         |FROM customer ORDER BY c_custkey""".stripMargin,
-    "m6_lob_transform" ->
+    "m6_lob_xform" ->
       """SELECT doc_id, UPPER(text) AS clob, LENGTH(UPPER(text)) AS clob_len
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "p8_name_sanitize" ->
+    "p8_name_san" ->
       """SELECT c_custkey AS "Cust_Key_", c_name AS "_1name",
         |       CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS "acct_bal_"
         |FROM customer ORDER BY 1""".stripMargin,

@@ -88,7 +88,7 @@ object CodecQueries {
           orarowid_rowno(col("rid")).as("row_rt"))
     }),
     // F2: BINARY_DOUBLE ⇄ double roundtrip (sign-bit-flip IEEE form)
-    "f2_binary_double" -> ((s, dir) => {
+    "f2_bin_double" -> ((s, dir) => {
       li(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
           orabinarydouble_decode(orabinarydouble_encode(col("l_extendedprice")))
@@ -255,7 +255,7 @@ object CodecQueries {
         |       l_suppkey AS blk_rt,
         |       l_orderkey % 1024 AS row_rt
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
-    "f2_binary_double" ->
+    "f2_bin_double" ->
       """SELECT l_orderkey, l_linenumber,
         |       l_extendedprice AS price_rt,
         |       CAST(l_discount AS FLOAT) AS disc_rt

@@ -31,7 +31,7 @@ object DedupQueries {
     * the bucket's minimum member. The output is therefore membership-
     * sized — ≤ bands·|docs| rows — and feeds [[connectedComponents]]
     * directly. By contrast the PAIRWISE candidate set (the shape
-    * `dedup_minhash_lsh` emits, matching the textbook definition its
+    * `dedup_mh_lsh` emits, matching the textbook definition its
     * oracle states) is Θ(Σ|bucket|²) in the OUTPUT itself: one
     * million-document duplicate group at 100 TB makes the result
     * quadratic (~10^12 rows) before any downstream step runs. Route
@@ -92,7 +92,7 @@ object DedupQueries {
 
   /** LSH-candidate generation + EXACT Jaccard verification over a
     * (doc_id, hs: array&lt;long&gt;) frame — the lazy plan shared by the
-    * `dedup_jaccard_lsh` gate and the plan-audit spec. The caller is
+    * `dedup_jac_lsh` gate and the plan-audit spec. The caller is
     * expected to pass a PERSISTED `hashes` frame: this plan reads it
     * four times (two band self-join sides, two verify-set sides), and
     * without a cache each read re-runs the scan→tokenize→shingle
@@ -225,7 +225,7 @@ object DedupQueries {
       spark.read.parquet(s"$path/sets").select(col("doc_id"), col("hs")))
 
   /** PAIRWISE candidate pairs (ia < ib, distinct) — the textbook shape
-    * `dedup_minhash_lsh`'s oracle states, shared with the LSH-verified
+    * `dedup_mh_lsh`'s oracle states, shared with the LSH-verified
     * exact-Jaccard gate. NO persist: the two self-join sides shuffle
     * identical canonicalized band subplans by (band, h1, h2), so
     * Spark's exchange reuse computes the scan → shingle → minhash →
@@ -258,9 +258,9 @@ object DedupQueries {
     // this definition. Θ(Σ|bucket|²) output: conformance/diagnostic
     // only — production candidate generation goes through
     // [[minHashStarCandidates]] (membership-sized star edges).
-    "dedup_minhash_lsh" -> ((s, dir) => {
+    "dedup_mh_lsh" -> ((s, dir) => {
       // same persist-before-filter + eager-materialize discipline as
-      // dedup_jaccard_lsh below: one parallel shingle pass feeds both
+      // dedup_jac_lsh below: one parallel shingle pass feeds both
       // band self-join sides, and the corpus-sized cache is released as
       // soon as the candidate-sized result is materialized
       val hashes = docShingleHashes(s, dir).persist()
@@ -287,7 +287,7 @@ object DedupQueries {
     // bounded false-negative rate, which the band/row parameters tune.
     // Measured (same code, 3× corpus): all-pairs jaccard 3.9 s → 27.3 s
     // (quadratic pair space), this gate stays near-flat.
-    "dedup_jaccard_lsh" -> ((s, dir) => {
+    "dedup_jac_lsh" -> ((s, dir) => {
       // ONE shingle pass feeds all four consumers (two band self-join
       // sides, two verify-set sides): the hashes frame (doc_id +
       // array<long>, corpus-bounded) is persisted for the query's
@@ -337,7 +337,7 @@ object DedupQueries {
       ngramJaccard(s, dir, maxDfFrac = Some(0.08))),
 
     // Directed containment pairs over the same capped postings list.
-    "dedup_containment" -> ((s, dir) =>
+    "dedup_contain" -> ((s, dir) =>
       containment(s, dir, maxDfFrac = Some(0.08))),
 
     // Candidate graph → duplicate CLUSTERS via min-label propagation
@@ -385,7 +385,7 @@ object DedupQueries {
     // per-block pair space stays bounded as the corpus grows (a label/
     // category key would grow blocks linearly with data and the pair
     // space quadratically).
-    "dedup_emb_cosine" -> ((s, dir) => {
+    "dedup_emb_cos" -> ((s, dir) => {
       SimilarityQueries.lshBucketedPairs(embeddings(s, dir), "vec_id",
           planes = 6)
         .filter(col("ia") < col("ib") && col("cos") > 0.35)
@@ -733,7 +733,7 @@ object DedupQueries {
       """SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id,
         |       COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
-    "dedup_minhash_lsh" -> (shinglesCte +
+    "dedup_mh_lsh" -> (shinglesCte +
       """, sig AS (
         |  SELECT doc_id,
         |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
@@ -752,8 +752,8 @@ object DedupQueries {
         |     AND a.doc_id < b.doc_id
         |ORDER BY ia, ib""".stripMargin),
     // exact Jaccard on LSH candidates: same minhash/band CTE as
-    // dedup_minhash_lsh, then exact set intersection per candidate pair
-    "dedup_jaccard_lsh" -> (shinglesCte +
+    // dedup_mh_lsh, then exact set intersection per candidate pair
+    "dedup_jac_lsh" -> (shinglesCte +
       """, sig AS (
         |  SELECT doc_id,
         |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
@@ -839,7 +839,7 @@ object DedupQueries {
         |JOIN sizes nb ON nb.doc_id = ib
         |WHERE CAST(m AS DOUBLE) / CAST(na.n + nb.n - m AS DOUBLE) >= 0.10
         |ORDER BY ia, ib""".stripMargin),
-    "dedup_containment" -> (shinglesCte +
+    "dedup_contain" -> (shinglesCte +
       """, hd0 AS (SELECT DISTINCT doc_id, h FROM h),
         |stop AS (
         |  SELECT h FROM hd0 GROUP BY h
@@ -909,7 +909,7 @@ object DedupQueries {
         s"  (CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
         .mkString(" +\n") +
       " AS BIGINT) AS sh16\nFROM votes ORDER BY doc_id"),
-    "dedup_emb_cosine" ->
+    "dedup_emb_cos" ->
       """WITH v AS (
         |  SELECT vec_id,
         |         list_transform(embedding,

@@ -115,7 +115,7 @@ object JdbcGateQueries {
     // DDL from the Spark schema), then a wrapped-data partial-update
     // pass touches ONLY the account balance of every 3rd customer and
     // deletes every 7th (K4 semantics: absent columns untouched).
-    "k3_k4_jdbc_apply" -> ((s, dir) => {
+    "k3_k4_apply" -> ((s, dir) => {
       val url = s"jdbc:derby:memory:k34gate${dbSeq.incrementAndGet()};create=true"
       val table = "CUST_TGT"
       val base = customer(s, dir).select(
@@ -161,7 +161,7 @@ object JdbcGateQueries {
       """SELECT o_orderkey, o_custkey AS custkey,
         |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
-    "k3_k4_jdbc_apply" ->
+    "k3_k4_apply" ->
       """SELECT c_custkey AS id, c_name AS name,
         |       CAST(CASE WHEN c_custkey % 3 = 0
         |                 THEN CAST(c_acctbal AS DECIMAL(12,2)) + 100

@@ -21,7 +21,7 @@ import graft.functions.Multimodal
   * `javax.sound.sampled` (in the JDK), features stated analytically by
   * the oracle.
   *
-  * The video gate (`mm_frame_sample`) is REAL too: a multi-frame
+  * The video gate (`mm_frames`) is REAL too: a multi-frame
   * animated-GIF container (the JDK ImageIO GIF sequence writer/reader)
   * whose grayscale frames survive the 256-entry palette losslessly —
   * the gate decodes every 3rd frame and the oracle restates the
@@ -84,7 +84,7 @@ object MultimodalQueries {
 
     // REAL video keyframe sampling: animated-GIF container decode,
     // every 3rd frame rasterized (see gifTable)
-    "mm_frame_sample" -> ((s, dir) => {
+    "mm_frames" -> ((s, dir) => {
       sorted(Multimodal.sampleFrames(gifTable(s, dir)).toDF(),
         "doc_id", "frame_idx")
     }),
@@ -129,7 +129,7 @@ object MultimodalQueries {
     // match proves the GIF-sequence encode→bytes→decode roundtrip
     // frame- and pixel-exact. gray(f,x,y) = (id*31+f*101+y*16+x*7)%256,
     // 16×12 px frames, 6+id%5 frames per clip, every 3rd sampled.
-    "mm_frame_sample" ->
+    "mm_frames" ->
       """WITH clip AS (
         |  SELECT doc_id, CAST(6 + doc_id % 5 AS INTEGER) AS n FROM documents),
         |f AS (SELECT doc_id, n, UNNEST(range(0, n, 3)) AS f FROM clip),

@@ -12,7 +12,7 @@ import graft.functions.TextFunctions._
   * (exact-Jaccard verified) → curated manifest. Each stage is the
   * production operator the standalone gates check (`text_normalize`,
   * `text_lang_id`, `text_quality`, `text_rep_filter`, `dedup_exact`,
-  * `dedup_jaccard_lsh`); this gate
+  * `dedup_jac_lsh`); this gate
   * proves the COMPOSITION end-to-end against one independent DuckDB
   * statement of the whole pipeline.
   *
@@ -41,7 +41,7 @@ object PipelineQueries {
       // stages 1–3: normalize, attribute, filter — one fused map pass.
       // survivors are read by BOTH the shingle pipeline and the final
       // manifest join; persist materializes the scan+normalize+score
-      // pass once (same discipline as dedup_jaccard_lsh).
+      // pass once (same discipline as dedup_jac_lsh).
       val survivors0 = documents(s, dir)
         .select(col("doc_id"), col("source"),
           trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))

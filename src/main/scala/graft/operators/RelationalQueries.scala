@@ -129,7 +129,7 @@ object RelationalQueries {
     // replaces the full per-group shuffle+sort with the bounded-heap
     // aggregate; this gate proves the rewritten plan still matches the
     // oracle's window semantics exactly (ties broken by the full ORDER BY).
-    "q_topn_per_group" -> ((s, dir) => {
+    "q_topn_group" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       orders(s, dir)
@@ -391,7 +391,7 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
-    "q_topn_per_group" ->
+    "q_topn_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey

@@ -137,7 +137,7 @@ object RetrievalQueries {
       // ONE tokenize pass feeds all four consumers (unigram counts,
       // vocabulary size, bigram-count build, bigram scorer): the token
       // frame is corpus-bounded (doc_id + array — the same shape
-      // dedup_jaccard_lsh persists) and without it the scan+tokenize
+      // dedup_jac_lsh persists) and without it the scan+tokenize
       // would run once per consumer
       val toks = documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("tk"))

@@ -77,7 +77,7 @@ object SimilarityQueries {
     * joined into within-bucket candidate pairs, with the quantized dot
     * and cosine already computed: (bucket, ia, ib, dot, cos).
     * ONE definition shared by `ann_lsh_bucket` and
-    * `dedup_emb_cosine` — a plane-count or quantization change in
+    * `dedup_emb_cos` — a plane-count or quantization change in
     * one family must never silently desynchronize the other.
     */
   def lshBucketedPairs(embeddings: DataFrame, idCol: String,
@@ -180,7 +180,7 @@ object SimilarityQueries {
     // ONLY within each cluster and drop the higher id of every pair
     // ≥ τ. The cluster key bounds the pair space exactly the way LSH
     // bands bound the jaccard sweep: pairwise cost is Σ|cluster|², a
-    // knob (centroid count) — never |N|². Complements dedup_emb_cosine
+    // knob (centroid count) — never |N|². Complements dedup_emb_cos
     // (LSH-bucket blocked): same verify, different — trainable —
     // blocking function. At 100 TB: codebook broadcasts, assignment is
     // one map pass, the only shuffle keys on cluster id; a skewed

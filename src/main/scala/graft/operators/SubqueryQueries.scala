@@ -39,7 +39,7 @@ object SubqueryQueries {
     // Correlated scalar aggregates: orders strictly above their own
     // customer's average price. Stated integrally (price·count > sum,
     // in cents) so both engines decide every row exactly.
-    "q_scalar_subquery" -> ((s, dir) => {
+    "q_scalar_subq" -> ((s, dir) => {
       views(s, dir)
       s.sql(
         """SELECT o_orderkey FROM g_orders o
@@ -62,7 +62,7 @@ object SubqueryQueries {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
-    "q_scalar_subquery" ->
+    "q_scalar_subq" ->
       """SELECT o_orderkey FROM orders o
         |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
         |      (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)

@@ -17,7 +17,7 @@ object TextQueries {
     // a BPE-ish pretokenizer regex (GPT-2-family shape: letter runs,
     // digit runs, single non-alnum marks — the piece count a byte-pair
     // tokenizer's pretokenizer would hand to the merge table). Map-only.
-    "text_token_count" -> ((s, dir) => {
+    "text_tok_count" -> ((s, dir) => {
       documents(s, dir)
         .select(col("doc_id"),
           tokenCount(col("text")).as("n_tok"),
@@ -49,7 +49,7 @@ object TextQueries {
     // never yields a row for them. trim(text) ≠ '' is EQUIVALENT to
     // "has a token" (tokens splits on \s+) and avoids running the
     // tokenizer twice (Spark does no CSE across Filter and Project).
-    "text_fingerprint" -> ((s, dir) => {
+    "text_fprint" -> ((s, dir) => {
       documents(s, dir)
         .filter(trim(col("text")) =!= "")
         .select(col("doc_id"),
@@ -212,7 +212,7 @@ object TextQueries {
     // arithmetic, not the dataflow. Plan shape: the bigram frame is
     // computed ONCE (persist/force/release discipline — both count
     // aggregations and the scoring join read the cache, same as
-    // dedup_jaccard_lsh); ONE map-side-combinable count keyed by bigram
+    // dedup_jac_lsh); ONE map-side-combinable count keyed by bigram
     // hash (raw and target tallies fused into a single aggregation via
     // a conditional count — no second pass, no ratio join), then one
     // scoring join keyed the same way (shuffle-join at corpus scale — a
@@ -265,7 +265,7 @@ object TextQueries {
       |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
-    "text_token_count" -> (toksCte +
+    "text_tok_count" -> (toksCte +
       """SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tok,
         |       CAST(len(regexp_extract_all(text,
         |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS INTEGER) AS n_piece,
@@ -294,7 +294,7 @@ object TextQueries {
         |  len(list_filter(tk, t -> t IN ('spark','scan','hash'))) AS s_zh
         |  FROM toks)
         |ORDER BY doc_id""".stripMargin),
-    "text_fingerprint" -> (toksCte +
+    "text_fprint" -> (toksCte +
       """SELECT doc_id,
         |  CAST(SUM(i * list_reduce(list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)),
         |                      (a, b) -> (a * 31 + b) % 1000000007))

@@ -129,7 +129,7 @@ class IncrementalSubquerySpec extends AnyFunSuite {
     val expect = o.join(avgs, "o_custkey")
       .filter(col("cents") * col("cnt") > col("s"))
       .select(col("o_orderkey")).orderBy(col("o_orderkey"))
-    val got = SubqueryQueries.queries("q_scalar_subquery")(spark, sf)
+    val got = SubqueryQueries.queries("q_scalar_subq")(spark, sf)
     assert(got.collect().toSeq === expect.collect().toSeq)
   }
 }

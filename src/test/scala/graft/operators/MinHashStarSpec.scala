@@ -42,7 +42,7 @@ class MinHashStarSpec extends AnyFunSuite {
     val docs = shingled.persist()
     val withHs = docs.filter(size(col("hs")) > 0)
 
-    // pairwise formulation (what dedup_minhash_lsh emits)
+    // pairwise formulation (what dedup_mh_lsh emits)
     val sigs = withHs.select(
       (col("doc_id") +: (0 until 8).map(j =>
         minHash(col("hs"), j).as(s"s$j"))): _*)

@@ -75,7 +75,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p1.contains("*(") &&
       """\*\(\d+\) Project \[.*oranumbertolong""".r.findFirstIn(p1).isDefined,
       s"codec projection must sit inside a codegen stage:\n$p1")
-    assert(finalPlan("f2_binary_double").contains("*("))
+    assert(finalPlan("f2_bin_double").contains("*("))
   }
 
   test("minhash bands come from ONE explode, not a union of branches") {
@@ -137,7 +137,7 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(parquetScans <= cacheRels,
         s"parquet scanned outside the cache ($parquetScans scans, $cacheRels cached):\n$p")
     } finally hashes.unpersist(blocking = true)
-    val gate = graft.SparkEntry.queries("dedup_jaccard_lsh")(spark, dir)
+    val gate = graft.SparkEntry.queries("dedup_jac_lsh")(spark, dir)
     val gp = gate.queryExecution.executedPlan.toString
     // the returned plan must be a scan of the already-materialized
     // result (eager local checkpoint), not the live join pipeline
