@@ -96,6 +96,69 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out === Map(0L -> 500000L, 1L -> 500000L))
   }
 
+  // --- seeded-random reference equivalence -------------------------------
+  // One 300-doc corpus from a tiny vocabulary (forcing heavy line/bigram
+  // collisions), checked exactly against obvious pure-Scala references —
+  // the arrival-order/partitioning-independence evidence a hand-picked
+  // fixture can't give.
+
+  private def randomCorpus(seed: Long): Seq[(Long, String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("a", "b", "c", "dd", "ee", "ff")
+    val langs = Vector("en", "fr", "de")
+    (0L until 300L).map { id =>
+      val n = rnd.nextInt(41) // 0..40 tokens → some docs empty/short
+      val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (id, text, langs(rnd.nextInt(langs.size)))
+    }
+  }
+
+  test("text_line_dedup matches a pure-Scala reference on a random corpus") {
+    val docs = randomCorpus(0xC4L)
+    val dir = corpus(docs)
+    // reference: chunk to 8-token lines, first (doc_id, line_no) wins
+    val lines = for {
+      (id, text, _) <- docs
+      tk = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if tk.nonEmpty
+      (chunk, i) <- tk.grouped(8).zipWithIndex.toSeq
+    } yield (id, i.toLong, chunk.mkString(" "))
+    val owner = lines.groupBy(_._3).map { case (line, occ) =>
+      line -> occ.map(o => o._1 * 1000 + o._2).min
+    }
+    val expected = owner.toSeq
+      .map { case (line, k) => (k / 1000, k % 1000, line) }
+      .groupBy(_._1)
+      .map { case (id, ls) =>
+        id -> ((ls.size.toLong, ls.sortBy(_._2).map(_._3).mkString(" ")))
+      }
+    val got = TextQueries.queries("text_line_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(got === expected)
+  }
+
+  test("text_dsir matches a pure-Scala reference on a random corpus") {
+    val docs = randomCorpus(0xD51AL)
+    val dir = corpus(docs)
+    val occ = for {
+      (id, text, lang) <- docs
+      tk = text.split("\\s+").filter(_.nonEmpty).toSeq
+      bigram <- tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    } yield (id, lang, bigram)
+    val cr = occ.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val ct = occ.filter(_._2 == "en").groupBy(_._3)
+      .view.mapValues(_.size.toLong).toMap
+    val expected = occ.groupBy(_._1).map { case (id, os) =>
+      val rsum = os.map(o =>
+        ct.getOrElse(o._3, 0L) * 1000000L / cr(o._3)).sum
+      val wt = rsum / os.size
+      id -> ((wt, wt > 500000L))
+    }
+    val got = TextQueries.queries("text_dsir")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === expected)
+  }
+
   private implicit class Tuples3ToMap(rs: Array[(Long, Long, String)]) {
     def toMap2: Map[Long, (Long, String)] =
       rs.map(t => t._1 -> ((t._2, t._3))).toMap
