@@ -218,27 +218,7 @@ object TextQueries {
     // scoring join keyed the same way (shuffle-join at corpus scale — a
     // 100 TB corpus's bigram vocabulary does NOT broadcast), one final
     // per-doc sum. Linear end to end, two shuffles total.
-    "text_dsir" -> ((s, dir) => {
-      val sh = documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          shingleHashes(tokens(col("text")), 2).as("hs"))
-        .filter(size(col("hs")) > 0)
-        .persist()
-      val occ = sh.select(col("doc_id"), col("lang"), explode(col("hs")).as("h"))
-      val ratio = occ.groupBy(col("h"))
-        .agg(count(lit(1)).as("cr"),
-          count(when(col("lang") === "en", 1)).as("ct"))
-        .select(col("h"), expr("ct * 1000000 div cr").as("r"))
-      val out = occ.join(ratio, "h")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("r")).as("rsum"), count(lit(1)).as("n"))
-        .select(col("doc_id"), expr("rsum div n").as("wt_u"),
-          (expr("rsum div n") > 500000L).as("keep"))
-        .orderBy(col("doc_id"))
-        .localCheckpoint(true)
-      sh.unpersist(blocking = false)
-      out
-    }),
+    "text_dsir" -> ((s, dir) => dsir(s, dir, materialize = true)),
 
     // Corpus-wide frequent terms via the Misra–Gries sketch (bounded
     // state per partial; merge sums shared counters then re-trims to
@@ -256,6 +236,36 @@ object TextQueries {
         .limit(10)
     })
   )
+
+  /** DSIR plan shared by the gate (materialize = true: persist/force/
+    * release discipline) and `PlanAuditSpec` (false: lazy plan, caller
+    * clears the cache). See the `text_dsir` scaladoc above.
+    */
+  private[operators] def dsir(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
+    val sh = documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        shingleHashes(tokens(col("text")), 2).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist()
+    val occ = sh.select(col("doc_id"), col("lang"), explode(col("hs")).as("h"))
+    val ratio = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+      .select(col("h"), expr("ct * 1000000 div cr").as("r"))
+    val scored = occ.join(ratio, "h")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("r")).as("rsum"), count(lit(1)).as("n"))
+      .select(col("doc_id"), expr("rsum div n").as("wt_u"),
+        (expr("rsum div n") > 500000L).as("keep"))
+      .orderBy(col("doc_id"))
+    if (!materialize) scored
+    else {
+      val out = scored.localCheckpoint(true)
+      sh.unpersist(blocking = false)
+      out
+    }
+  }
 
   private val toksCte =
     """WITH toks AS (

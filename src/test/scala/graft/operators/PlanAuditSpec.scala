@@ -341,6 +341,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus side must never shuffle for the join:\n$p")
   }
 
+  test("classifier filter is map-only: no exchange before the final sort") {
+    val p = plan("text_classify")
+    assert(!p.contains("hashpartitioning"),
+      s"hashing-trick scoring must not shuffle:\n$p")
+  }
+
+  test("line dedup: exactly two hash shuffles (line MIN, doc stitch), both partial-agg") {
+    val p = plan("text_line_dedup")
+    assert("hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected line-key + doc-key exchanges only:\n$p")
+    // the line-key MIN must combine map-side (duplicate-heavy corpora
+    // collapse before the exchange — the 100 TB property)
+    assert(p.contains("partial_min"),
+      s"line-key aggregate must have a partial phase:\n$p")
+  }
+
+  test("DSIR: one cached bigram pass feeds tally and scoring; no cartesian") {
+    val p = TextQueries.dsir(spark, dir, materialize = false)
+      .queryExecution.executedPlan.toString
+    try {
+      // BOTH consumers (ratio tally build side, scoring probe side) must
+      // read the cached bigram frame — each InMemoryTableScan's printout
+      // embeds the cache's build plan, so count the cache reads, not the
+      // FileScan strings inside them
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+        s"both join sides must read the cached bigram frame:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"scoring join must stay an equi-join:\n$p")
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
   test("per-group sample runs through the bounded-heap top-k rewrite") {
     // the gate sessions (Verify/Bench) install GraftExtensions; here the
     // rule is injected session-side, which also exercises the late-batch
