@@ -116,6 +116,53 @@ object IncrementalAgg {
           col("cents").as("before"), lit(null).cast("long").as("after"))
       maintain(base, inserts.unionByName(deletes), "o_orderpriority")
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Incremental SCD2 maintenance — applying a change batch to a
+    // slowly-changing dimension WITHOUT rebuilding it: the pure delta
+    // algorithm a lakehouse MERGE runs nightly. CLOSED history rows are
+    // never touched; only (a) the CURRENT row of each key the batch
+    // mentions gets its valid_to closed to the batch's first change for
+    // that key, and (b) the batch rows are versioned among themselves
+    // (one DELTA-SIZED window shuffle). Every join is delta-bounded —
+    // firstDelta is batch-keys-sized and broadcasts at real scale, so a
+    // 100 TB dimension pays for its change keys only. The oracle
+    // rebuilds the dimension FROM SCRATCH over the full history with
+    // the q_scd2_versions window — the gate proves apply ≡ rebuild.
+    // Assumes in-order arrival (batch changes post-date the current
+    // rows), the CDC commit-order guarantee T3 provides upstream.
+    "q_scd2_apply" -> ((s, dir) => {
+      val cutoff = lit(CUTOFF).cast("timestamp_ntz")
+      val rows = orders(s, dir).select(
+        (col("o_orderkey") % 997).as("k"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"),
+        col("o_orderdate").as("ts"))
+      // the stored dimension: SCD2 over pre-cutoff history
+      val base = CdcQueries.scd2(rows.filter(col("ts") < cutoff),
+        "k", "ts", "o_orderkey")
+      val delta = rows.filter(col("ts") >= cutoff)
+      // batch rows versioned among themselves (delta-sized shuffle)
+      val deltaV = CdcQueries.scd2(delta, "k", "ts", "o_orderkey")
+      // first change per touched key — closes that key's current row
+      val firstDelta = delta.groupBy(col("k"))
+        .agg(min(struct(col("ts"), col("o_orderkey"))).as("f"))
+        .select(col("k"), col("f.ts").as("close_at"))
+      val closed = base.filter(col("is_current"))
+        .join(firstDelta, "k")
+        .withColumn("valid_to", col("close_at"))
+        .withColumn("is_current", lit(false))
+        .drop("close_at")
+      val untouchedCurrent = base.filter(col("is_current"))
+        .join(firstDelta, Seq("k"), "left_anti")
+      val history = base.filter(!col("is_current"))
+      val cols = Seq("k", "o_orderkey", "cents", "valid_from",
+        "valid_to", "is_current").map(col)
+      history.select(cols: _*)
+        .unionByName(closed.select(cols: _*))
+        .unionByName(untouchedCurrent.select(cols: _*))
+        .unionByName(deltaV.select(cols: _*))
+        .orderBy(col("k"), col("valid_from"), col("o_orderkey"))
     })
   )
 
@@ -153,6 +200,20 @@ object IncrementalAgg {
          |SELECT o.o_orderpriority, COUNT(*) AS n,
          |       CAST(SUM(p.cents) AS BIGINT) AS total
          |FROM post p JOIN orders o ON o.o_orderkey = p.l_orderkey
-         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // the oracle is the from-scratch rebuild over the FULL history —
+    // byte-equality proves the delta apply reproduces it exactly
+    "q_scd2_apply" ->
+      """SELECT o_orderkey % 997 AS k, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  o_orderdate AS valid_from,
+        |  LEAD(o_orderdate) OVER (
+        |    PARTITION BY o_orderkey % 997
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  LEAD(o_orderdate) OVER (
+        |    PARTITION BY o_orderkey % 997
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM orders
+        |ORDER BY k, valid_from, o_orderkey""".stripMargin
   )
 }
