@@ -105,6 +105,33 @@ object MultimodalQueries {
     // per-channel energy / zero-crossings / peak (see wavTable)
     "mm_features" -> ((s, dir) => {
       sorted(Multimodal.decodeWav(wavTable(s, dir)).toDF(), "doc_id")
+    }),
+
+    // Perceptual average-hash (aHash) image near-dup bucketing — the
+    // image-side analogue of the text dedup family (what a LAION-style
+    // image-corpus sweep buckets on before pairwise verification). The
+    // hash is computed from REAL decoded pixels: 4×4 box-filter means
+    // of the red channel (the mm_resize kernel at target 4), each cell
+    // thresholded against the image mean (16·cell > Σcells — integer-
+    // exact), packed into 16 bits. The coarse grid makes natural
+    // bucket collisions (birthday-scale at 2^16) so `n_same` exercises
+    // the grouping join on genuinely-similar coarse luminance patterns.
+    // Scale shape: decode+hash map-only at scan speed; the only shuffle
+    // is the hash-keyed count over the FEATURE-sized frame (payloads
+    // released at the checkpoint barrier).
+    "mm_phash" -> ((s, dir) => {
+      val ph = Multimodal.resizePng(pngTable(s, dir), target = 4).toDF()
+        .select(col("doc_id"), col("pixels"))
+        .withColumn("tot", expr("aggregate(pixels, 0L, (a, x) -> a + x)"))
+        .withColumn("ph", expr(
+          "aggregate(transform(sequence(0, 15)," +
+            " i -> IF(element_at(pixels, i + 1) * 16L > tot," +
+            " shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"))
+        .select(col("doc_id"), col("ph"))
+        .localCheckpoint(true)
+      ph.withColumn("n_same", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("ph"))))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -187,6 +214,35 @@ object MultimodalQueries {
         |         THEN 1 ELSE 0 END) AS INTEGER) AS zc1,
         |       CAST(MAX(ABS(s0)) AS INTEGER) AS peak0,
         |       CAST(MAX(ABS(s1)) AS INTEGER) AS peak1
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // analytic restatement of the 4×4 average-hash over the closed-form
+    // image — a hash match proves the decode→box-filter→threshold→pack
+    // pipeline bit-exact on real decoded pixels
+    "mm_phash" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(16 + doc_id % 17 AS BIGINT) AS w,
+        |         CAST(16 + (doc_id * 7) % 13 AS BIGINT) AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id,
+        |    flatten(list_transform(range(0, 4), j ->
+        |      list_transform(range(0, 4), i ->
+        |        list_sum(flatten(
+        |            list_transform(range(j * h // 4, (j + 1) * h // 4), y ->
+        |              list_transform(range(i * w // 4, (i + 1) * w // 4), x ->
+        |                (doc_id + 31 * x + 7 * y) % 256))))
+        |          // (((i + 1) * w // 4 - i * w // 4) *
+        |             ((j + 1) * h // 4 - j * h // 4))))) AS cs
+        |  FROM dims),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 16), i ->
+        |      CASE WHEN cs[i + 1] * 16 > list_sum(cs)
+        |           THEN 1 << i ELSE 0 END)) AS BIGINT) AS ph
+        |  FROM cells)
+        |SELECT doc_id, ph,
+        |       CAST(COUNT(*) OVER (PARTITION BY ph) AS BIGINT) AS n_same
+        |FROM hashes ORDER BY doc_id""".stripMargin
   )
 }
