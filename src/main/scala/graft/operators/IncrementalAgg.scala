@@ -131,40 +131,48 @@ object IncrementalAgg {
     // the q_scd2_versions window — the gate proves apply ≡ rebuild.
     // Assumes in-order arrival (batch changes post-date the current
     // rows), the CDC commit-order guarantee T3 provides upstream.
-    "q_scd2_apply" -> ((s, dir) => {
-      val cutoff = lit(CUTOFF).cast("timestamp_ntz")
-      val rows = orders(s, dir).select(
-        (col("o_orderkey") % 997).as("k"), col("o_orderkey"),
-        (col("o_totalprice").cast("decimal(18,2)") * 100)
-          .cast("long").as("cents"),
-        col("o_orderdate").as("ts"))
-      // the stored dimension: SCD2 over pre-cutoff history
-      val base = CdcQueries.scd2(rows.filter(col("ts") < cutoff),
-        "k", "ts", "o_orderkey")
-      val delta = rows.filter(col("ts") >= cutoff)
-      // batch rows versioned among themselves (delta-sized shuffle)
-      val deltaV = CdcQueries.scd2(delta, "k", "ts", "o_orderkey")
-      // first change per touched key — closes that key's current row
-      val firstDelta = delta.groupBy(col("k"))
-        .agg(min(struct(col("ts"), col("o_orderkey"))).as("f"))
-        .select(col("k"), col("f.ts").as("close_at"))
-      val closed = base.filter(col("is_current"))
-        .join(firstDelta, "k")
-        .withColumn("valid_to", col("close_at"))
-        .withColumn("is_current", lit(false))
-        .drop("close_at")
-      val untouchedCurrent = base.filter(col("is_current"))
-        .join(firstDelta, Seq("k"), "left_anti")
-      val history = base.filter(!col("is_current"))
-      val cols = Seq("k", "o_orderkey", "cents", "valid_from",
-        "valid_to", "is_current").map(col)
-      history.select(cols: _*)
-        .unionByName(closed.select(cols: _*))
-        .unionByName(untouchedCurrent.select(cols: _*))
-        .unionByName(deltaV.select(cols: _*))
-        .orderBy(col("k"), col("valid_from"), col("o_orderkey"))
-    })
+    "q_scd2_apply" -> ((s, dir) => scd2Apply(s, dir, CUTOFF))
   )
+
+  /** The q_scd2_apply plan with the batch boundary as a parameter —
+    * the gate uses CUTOFF; `IncrementalSubquerySpec` proves
+    * apply ≡ rebuild at several other cutoffs (incl. an all-delta and
+    * an all-base split). See the gate scaladoc above.
+    */
+  private[operators] def scd2Apply(s: SparkSession, dir: String,
+      cutoffStr: String): DataFrame = {
+    val cutoff = lit(cutoffStr).cast("timestamp_ntz")
+    val rows = orders(s, dir).select(
+      (col("o_orderkey") % 997).as("k"), col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"),
+      col("o_orderdate").as("ts"))
+    // the stored dimension: SCD2 over pre-cutoff history
+    val base = CdcQueries.scd2(rows.filter(col("ts") < cutoff),
+      "k", "ts", "o_orderkey")
+    val delta = rows.filter(col("ts") >= cutoff)
+    // batch rows versioned among themselves (delta-sized shuffle)
+    val deltaV = CdcQueries.scd2(delta, "k", "ts", "o_orderkey")
+    // first change per touched key — closes that key's current row
+    val firstDelta = delta.groupBy(col("k"))
+      .agg(min(struct(col("ts"), col("o_orderkey"))).as("f"))
+      .select(col("k"), col("f.ts").as("close_at"))
+    val closed = base.filter(col("is_current"))
+      .join(firstDelta, "k")
+      .withColumn("valid_to", col("close_at"))
+      .withColumn("is_current", lit(false))
+      .drop("close_at")
+    val untouchedCurrent = base.filter(col("is_current"))
+      .join(firstDelta, Seq("k"), "left_anti")
+    val history = base.filter(!col("is_current"))
+    val cols = Seq("k", "o_orderkey", "cents", "valid_from",
+      "valid_to", "is_current").map(col)
+    history.select(cols: _*)
+      .unionByName(closed.select(cols: _*))
+      .unionByName(untouchedCurrent.select(cols: _*))
+      .unionByName(deltaV.select(cols: _*))
+      .orderBy(col("k"), col("valid_from"), col("o_orderkey"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_incr_agg" ->

@@ -132,4 +132,27 @@ class IncrementalSubquerySpec extends AnyFunSuite {
     val got = SubqueryQueries.queries("q_scalar_subq")(spark, sf)
     assert(got.collect().toSeq === expect.collect().toSeq)
   }
+
+  test("SCD2 apply equals full rebuild at every batch boundary") {
+    import org.apache.spark.sql.functions._
+    // the rebuild reference: one SCD2 window over the FULL history —
+    // what the q_scd2_apply oracle states in SQL, here in Spark so the
+    // equivalence can be checked at cutoffs the gate doesn't cover,
+    // including the degenerate splits (all-base, all-delta)
+    val rows = graft.Tables.orders(spark, sf).select(
+      (col("o_orderkey") % 997).as("k"), col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"),
+      col("o_orderdate").as("ts"))
+    val rebuild = CdcQueries.scd2(rows, "k", "ts", "o_orderkey")
+      .select(col("k"), col("o_orderkey"), col("cents"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .collect().toSet
+    for (cutoff <- Seq("1992-01-01", "1994-06-15", "1996-01-01",
+        "1997-08-01", "2000-01-01")) {
+      val applied = IncrementalAgg.scd2Apply(spark, sf, cutoff)
+        .collect().toSet
+      assert(applied === rebuild, s"apply != rebuild at cutoff $cutoff")
+    }
+  }
 }
