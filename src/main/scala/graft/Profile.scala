@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   *    3.1 → 2.5 s (the second scan+tokenize was ~20% of wall); the
   *    query-term postings slice is the frame worth caching — it is
   *    query-bounded, while full postings are corpus-sized.
+  *  - floor attribution (r7 s3): AQE re-planning is NOT the floor —
+  *    PROFILE_NO_AQE measured q_having/q_topk/text_quality/q1_agg
+  *    within ±0.05 s of the AQE-on warm numbers. The ~0.4-1.0 s
+  *    per-query floor is scheduler + codegen + scan latency, i.e.
+  *    structural to a Spark job, not a config to shave.
   *  - temporal family at 10× events (1 M rows): per-key window
   *    formulations track DuckDB within 1.1-1.7× in-memory; DuckDB's
   *    IEJoin wins the banded range join on constant factor at this
@@ -42,7 +47,10 @@ object Profile {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      // PROFILE_NO_AQE=1: measure a query without adaptive re-planning
+      // (attribution only — Verify/Bench always run with AQE on)
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.contains("PROFILE_NO_AQE")).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq else Seq("dedup_ngram")
