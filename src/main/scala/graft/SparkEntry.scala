@@ -16,7 +16,8 @@ object SparkEntry {
       TemporalQueries.queries ++ SamplingQueries.queries ++ SkewJoin.queries ++
       SnapshotDiff.queries ++ BloomJoin.queries ++ ZOrderLayout.queries ++
       IncrementalAgg.queries ++ SubqueryQueries.queries ++
-      PipelineQueries.queries ++ RetrievalQueries.queries
+      PipelineQueries.queries ++ RetrievalQueries.queries ++
+      PrefixSum.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       TemporalQueries.oracleSql ++ SamplingQueries.oracleSql ++ SkewJoin.oracleSql ++
       SnapshotDiff.oracleSql ++ BloomJoin.oracleSql ++ ZOrderLayout.oracleSql ++
       IncrementalAgg.oracleSql ++ SubqueryQueries.oracleSql ++
-      PipelineQueries.oracleSql ++ RetrievalQueries.oracleSql
+      PipelineQueries.oracleSql ++ RetrievalQueries.oracleSql ++
+      PrefixSum.oracleSql
 }
