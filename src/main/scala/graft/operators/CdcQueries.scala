@@ -159,7 +159,7 @@ object CdcQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T1+T2+T4: XID grouping, commit/rollback resolution, partial-rollback
     // cancellation — the REAL assembler running as flatMapGroups.
-    "t1_txn_assembly" -> ((s, dir) => {
+    "t1_txn_asm" -> ((s, dir) => {
       ChangeStreams.assembleBatch(redoRecords(s, dir))
         .select(col("xid"), col("commitScn").as("commit_scn"), col("scn"),
           col("op"), col("rowId").as("row_id"),
@@ -300,7 +300,7 @@ object CdcQueries {
     }),
 
     // K2 upsert semantics: committed stream applied latest-wins per key.
-    "k2_upsert_apply" -> ((s, dir) => {
+    "k2_upsert" -> ((s, dir) => {
       val assembled = ChangeStreams.assembleBatch(redoRecords(s, dir))
       val w = Window.partitionBy(col("xid"))
         .orderBy(col("commitScn").desc, col("scn").desc)
@@ -423,7 +423,7 @@ object CdcQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
-    "t1_txn_assembly" -> (baseCte +
+    "t1_txn_asm" -> (baseCte +
       """SELECT CAST(user_id AS VARCHAR) AS xid, commit_scn, event_id AS scn,
         |       op, CAST(event_id AS VARCHAR) AS row_id,
         |       CASE WHEN op = 2 THEN NULL ELSE value END AS val
@@ -480,7 +480,7 @@ object CdcQueries {
         |       CASE WHEN n_nationkey % 3 = 0 THEN '' ELSE ',EXTRA decimal(10,2)' END
         |         AS schema_ddl
         |FROM nation ORDER BY n_nationkey""".stripMargin,
-    "k2_upsert_apply" -> (baseCte +
+    "k2_upsert" -> (baseCte +
       """SELECT xid, last_scn, val FROM (
         |  SELECT CAST(user_id AS VARCHAR) AS xid, event_id AS last_scn,
         |         value AS val, op,

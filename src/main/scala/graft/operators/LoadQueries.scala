@@ -38,7 +38,7 @@ object LoadQueries {
     // the bounded "select * where ORA_ROWSCN < ?" load; the upper half
     // replays as INSERTs and every 5th snapshot key gets an UPDATE;
     // latest-wins per key reconstructs the final state.
-    "s8_initial_load" -> ((s, dir) => {
+    "s8_init_load" -> ((s, dir) => {
       val o = orders(s, dir)
       val cutoff = 75000L // sf-proportional midpoint of o_orderkey space
       val snapshot = o.filter(col("o_orderkey") <= cutoff)
@@ -79,7 +79,7 @@ object LoadQueries {
         |  ON l.l_linenumber % 3 <> 2 AND o.o_orderkey = l.l_orderkey
         |WHERE l.l_linenumber % 3 = 2 OR o.o_orderkey IS NOT NULL
         |ORDER BY okey, line""".stripMargin,
-    "s8_initial_load" ->
+    "s8_init_load" ->
       """SELECT o_orderkey AS okey,
         |       CASE WHEN o_orderkey <= 75000 AND o_orderkey % 5 = 0
         |            THEN o_totalprice * 2 ELSE o_totalprice END AS price

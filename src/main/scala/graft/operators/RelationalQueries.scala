@@ -182,7 +182,7 @@ object RelationalQueries {
     }),
 
     // Explicit GROUPING SETS (disjoint key sets, not a rollup prefix).
-    "q_grouping_sets" -> ((s, dir) => {
+    "q_gsets" -> ((s, dir) => {
       val ev = events(s, dir)
       ev.createOrReplaceTempView("ev_gs")
       ev.sparkSession.sql(
@@ -239,7 +239,7 @@ object RelationalQueries {
 
     // NULL semantics: null-safe equality, NULLIF/COALESCE, and
     // null-aware aggregation (COUNT skips nulls, COUNT(*) does not).
-    "q_null_handling" -> ((s, dir) => {
+    "q_nulls" -> ((s, dir) => {
       val withNulls = orders(s, dir).select(col("o_orderkey"),
         col("o_custkey"),
         // keys %7==0 get a null priority; %3==0 a null status
@@ -436,7 +436,7 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY g_status, g_prio, status, priority""".stripMargin,
-    "q_grouping_sets" ->
+    "q_gsets" ->
       """SELECT COALESCE(event_type, '(all)') AS etype,
         |  COALESCE(CAST(user_id % 7 AS BIGINT), -1) AS ubucket,
         |  COUNT(*) AS n,
@@ -474,7 +474,7 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
-    "q_null_handling" ->
+    "q_nulls" ->
       """WITH n AS (
         |  SELECT o_orderkey,
         |    NULLIF(o_orderpriority, CASE WHEN o_orderkey % 7 = 0

@@ -62,7 +62,7 @@ object SnapshotDiff {
     // same table with deterministic integer edits so both engines state
     // it exactly: keys %11==0 vanish (deletes), keys %7==0 gain 500
     // cents (updates), and negated keys %13==0 appear (inserts).
-    "q_snapshot_diff" -> ((s, dir) => {
+    "q_snap_diff" -> ((s, dir) => {
       val base = orders(s, dir).select(col("o_orderkey").as("k"),
         (col("o_totalprice").cast("decimal(18,2)") * 100)
           .cast("long").as("cents"))
@@ -78,7 +78,7 @@ object SnapshotDiff {
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_snapshot_diff" ->
+    "q_snap_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,
         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents

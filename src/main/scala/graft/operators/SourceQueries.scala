@@ -294,11 +294,11 @@ object SourceQueries {
       .orderBy(col("okey"))
   }
 
-  /** Identical expected emission to t1_txn_assembly — by construction the
+  /** Identical expected emission to t1_txn_asm — by construction the
     * redo encode/scan round-trip must be invisible to the result.
     */
   def oracleSql: Map[String, String] = Map(
-    "s1_redo" -> CdcQueries.oracleSql("t1_txn_assembly"),
+    "s1_redo" -> CdcQueries.oracleSql("t1_txn_asm"),
     "p1_p2_filters" ->
       """WITH ch AS (
         |  SELECT event_id AS scn, CAST(user_id AS VARCHAR) AS xid,
