@@ -136,6 +136,42 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n_events"),
           min(col("t")).as("start_us"), max(col("t")).as("end_us"),
           sum(dec(col("value"))).cast("double").as("total"))
+    }),
+
+    // Time-series top-k similarity search (the EDBT'19/ICDE'21 shape in
+    // PAPERS.md): each entity's first-32-event value series, aligned by
+    // per-entity rank, scored by exact squared Euclidean distance
+    // against a small query set, top-3 per query. Values quantized to
+    // integer milli-units (floor — the same double op in both engines)
+    // so distances are exact longs. Scale shape: ONE per-entity shuffle
+    // builds the series (row_number window, key-partitioned), the query
+    // set BROADCASTS, scoring is map-only over corpus series, and the
+    // per-query ranking runs through the TopKRewrite bounded heap — at
+    // 100 TB nothing pairwise materializes beyond |corpus|·|queries|
+    // scored rows collapsing into k-row heaps map-side.
+    "q_ts_knn" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), tsMicros.as("t"),
+        col("event_id"), expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
+      val ranked = e.withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("t"), col("event_id"))))
+        .filter(col("rn") <= 32)
+      val series = ranked.groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("rn"), col("v")))).as("sv"))
+        .filter(size(col("sv")) === 32)
+        .select(col("user_id"), expr("transform(sv, e -> e.v)").as("vals"))
+      val q = series.filter(col("user_id") % 50 === 0)
+        .select(col("user_id").as("qid"), col("vals").as("qvals"))
+      series.crossJoin(broadcast(q))
+        .filter(col("user_id") =!= col("qid"))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(vals, qvals, (x, y) -> (x - y) * (x - y))," +
+            " 0L, (a, b) -> a + b)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dist"), col("user_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("user_id"), col("dist"))
+        .orderBy(col("qid"), col("rn"))
     })
   )
 
@@ -177,6 +213,29 @@ object TemporalQueries {
         |SELECT user_id, CAST(sess AS BIGINT) AS sess, COUNT(*) AS n_events,
         |  MIN(t) AS start_us, MAX(t) AS end_us,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM g GROUP BY 1, 2 ORDER BY user_id, sess""".stripMargin
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, sess""".stripMargin,
+    "q_ts_knn" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, list(v ORDER BY rn) AS vals
+        |  FROM r WHERE rn <= 32 GROUP BY user_id HAVING COUNT(*) = 32),
+        |q AS (SELECT user_id AS qid, vals AS qvals FROM s
+        |      WHERE user_id % 50 = 0),
+        |d AS (
+        |  SELECT q.qid, s.user_id,
+        |         CAST(list_sum(list_transform(range(0, 32), i ->
+        |             (s.vals[i+1] - q.qvals[i+1])
+        |             * (s.vals[i+1] - q.qvals[i+1]))) AS BIGINT) AS dist
+        |  FROM s CROSS JOIN q WHERE s.user_id <> q.qid)
+        |SELECT qid, CAST(rn AS INTEGER) AS rn, user_id, dist FROM (
+        |  SELECT qid, user_id, dist,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |           ORDER BY dist, user_id) AS rn
+        |  FROM d)
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   )
 }
