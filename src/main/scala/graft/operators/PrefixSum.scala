@@ -40,13 +40,22 @@ object PrefixSum {
     * (ties would make "exclusive prefix" ambiguous); values are summed
     * as longs. Output rows keep the input columns, ordered by
     * `orderCol` within their partitions.
+    *
+    * The range-sorted frame feeds BOTH passes (totals + scan), so it is
+    * persisted — the totals collect forces it, the per-row pass reads
+    * the cache, and without it the parallel sort would run twice (the
+    * dominant cost at corpus scale). `materialize = true` (the gate
+    * path) eagerly checkpoints the result and releases the sort cache;
+    * `false` returns the lazy plan and the CALLER must unpersist (the
+    * spec path — session hygiene clears it).
     */
   def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
-      out: String): DataFrame = {
+      out: String, materialize: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val parted = df
       .repartitionByRange(col(orderCol))
       .sortWithinPartitions(col(orderCol))
+      .persist()
     val schema = StructType(parted.schema.fields :+
       StructField(out, LongType, nullable = false))
     val enc = RowEncoder.encoderFor(schema)
@@ -66,7 +75,7 @@ object PrefixSum {
     val bOffsets = spark.sparkContext.broadcast(offsets)
     // pass 2: one narrow scan per partition, running accumulator seeded
     // with the partition's exclusive offset
-    parted.mapPartitions { it =>
+    val scanned = parted.mapPartitions { it =>
       var run = bOffsets.value(TaskContext.getPartitionId())
       it.map { r =>
         val v = r.getLong(vIdx)
@@ -75,6 +84,12 @@ object PrefixSum {
         row
       }
     }(enc)
+    if (!materialize) scanned
+    else {
+      val outDf = scanned.localCheckpoint(true)
+      parted.unpersist(blocking = false)
+      outDf
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -87,7 +102,8 @@ object PrefixSum {
       val toks = documents(s, dir)
         .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
         .filter(col("n_tok") > 0)
-      withRunningTotal(toks, "doc_id", "n_tok", "cum_before")
+      withRunningTotal(toks, "doc_id", "n_tok", "cum_before",
+          materialize = true)
         .withColumn("blk0", expr("cum_before div 1024"))
         .withColumn("blk1", expr("(cum_before + n_tok - 1) div 1024"))
         .withColumn("n_blocks", col("blk1") - col("blk0") + 1)
