@@ -47,6 +47,9 @@ object Profile {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      // parity with Verify/Bench sessions: profile THROUGH the
+      // TopKRewrite extension, not past it
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // PROFILE_NO_AQE=1: measure a query without adaptive re-planning
       // (attribution only — Verify/Bench always run with AQE on)
       .config("spark.sql.adaptive.enabled",
