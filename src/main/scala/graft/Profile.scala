@@ -51,9 +51,11 @@ object Profile {
       // TopKRewrite extension, not past it
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // PROFILE_NO_AQE=1: measure a query without adaptive re-planning
-      // (attribution only — Verify/Bench always run with AQE on)
+      // (attribution only — Verify/Bench always run with AQE on);
+      // only "1"/"true" disable it, so PROFILE_NO_AQE=0 stays AQE-on
       .config("spark.sql.adaptive.enabled",
-        (!sys.env.contains("PROFILE_NO_AQE")).toString)
+        (!Set("1", "true").contains(
+          sys.env.getOrElse("PROFILE_NO_AQE", "").toLowerCase)).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq else Seq("dedup_ngram")

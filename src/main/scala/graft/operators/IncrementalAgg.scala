@@ -147,10 +147,15 @@ object IncrementalAgg {
       (col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long").as("cents"),
       col("o_orderdate").as("ts"))
-    // the stored dimension: SCD2 over pre-cutoff history
+    // the stored dimension: SCD2 over pre-cutoff history. PERSISTED —
+    // three branches read it (history, closed, untouchedCurrent); the
+    // shuffle-reuse cache only dedupes the exchange write, each branch
+    // would still re-run the dimension-sized window sort. Same
+    // persist/force/release discipline as dedup_jac_lsh. delta is read
+    // twice too (self-versioning + firstDelta) — delta-sized, cached.
     val base = CdcQueries.scd2(rows.filter(col("ts") < cutoff),
-      "k", "ts", "o_orderkey")
-    val delta = rows.filter(col("ts") >= cutoff)
+      "k", "ts", "o_orderkey").persist()
+    val delta = rows.filter(col("ts") >= cutoff).persist()
     // batch rows versioned among themselves (delta-sized shuffle)
     val deltaV = CdcQueries.scd2(delta, "k", "ts", "o_orderkey")
     // first change per touched key — closes that key's current row
@@ -167,11 +172,15 @@ object IncrementalAgg {
     val history = base.filter(!col("is_current"))
     val cols = Seq("k", "o_orderkey", "cents", "valid_from",
       "valid_to", "is_current").map(col)
-    history.select(cols: _*)
+    val out = history.select(cols: _*)
       .unionByName(closed.select(cols: _*))
       .unionByName(untouchedCurrent.select(cols: _*))
       .unionByName(deltaV.select(cols: _*))
       .orderBy(col("k"), col("valid_from"), col("o_orderkey"))
+      .localCheckpoint(true)
+    base.unpersist(blocking = false)
+    delta.unpersist(blocking = false)
+    out
   }
 
   def oracleSql: Map[String, String] = Map(

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.Tables._
@@ -44,13 +44,16 @@ object PrefixSum {
     * The range-sorted frame feeds BOTH passes (totals + scan), so it is
     * persisted — the totals collect forces it, the per-row pass reads
     * the cache, and without it the parallel sort would run twice (the
-    * dominant cost at corpus scale). `materialize = true` (the gate
-    * path) eagerly checkpoints the result and releases the sort cache;
-    * `false` returns the lazy plan and the CALLER must unpersist (the
-    * spec path — session hygiene clears it).
+    * dominant cost at corpus scale). `materialize = true` (the default
+    * and the only EXECUTABLE mode) eagerly checkpoints the result and
+    * releases the sort cache. `materialize = false` is PLAN-INSPECTION
+    * ONLY (the PrefixSumSpec window-absence audit): the returned plan's
+    * broadcast offsets are valid only against the in-cache partitioning
+    * that produced them — executing it after the cache is gone would
+    * re-plan the range partitioning and misalign the offsets, so don't.
     */
   def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
-      out: String, materialize: Boolean = false): DataFrame = {
+      out: String, materialize: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val parted = df
       .repartitionByRange(col(orderCol))
@@ -76,7 +79,13 @@ object PrefixSum {
     // pass 2: one narrow scan per partition, running accumulator seeded
     // with the partition's exclusive offset
     val scanned = parted.mapPartitions { it =>
-      var run = bOffsets.value(TaskContext.getPartitionId())
+      val pid = TaskContext.getPartitionId()
+      // belt for the plan-inspection mode: a re-planned partitioning
+      // can only ever fail loudly, never seed from a wrong offset slot
+      require(pid < bOffsets.value.length,
+        s"prefix-sum executed against a re-planned partitioning " +
+          s"($pid >= ${bOffsets.value.length}) — see withRunningTotal docs")
+      var run = bOffsets.value(pid)
       it.map { r =>
         val v = r.getLong(vIdx)
         val row = Row.fromSeq(r.toSeq :+ run)
@@ -102,8 +111,7 @@ object PrefixSum {
       val toks = documents(s, dir)
         .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
         .filter(col("n_tok") > 0)
-      withRunningTotal(toks, "doc_id", "n_tok", "cum_before",
-          materialize = true)
+      withRunningTotal(toks, "doc_id", "n_tok", "cum_before")
         .withColumn("blk0", expr("cum_before div 1024"))
         .withColumn("blk1", expr("(cum_before + n_tok - 1) div 1024"))
         .withColumn("n_blocks", col("blk1") - col("blk0") + 1)

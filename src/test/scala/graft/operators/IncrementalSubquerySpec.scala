@@ -144,14 +144,18 @@ class IncrementalSubquerySpec extends AnyFunSuite {
       (col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long").as("cents"),
       col("o_orderdate").as("ts"))
-    val rebuild = CdcQueries.scd2(rows, "k", "ts", "o_orderkey")
+    // multiset compare (row -> count), NOT a set: a duplicate emission
+    // from one of the apply's union branches must fail, not vanish
+    def multiset(rs: Array[org.apache.spark.sql.Row]): Map[String, Int] =
+      rs.map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+    val rebuild = multiset(CdcQueries.scd2(rows, "k", "ts", "o_orderkey")
       .select(col("k"), col("o_orderkey"), col("cents"),
         col("valid_from"), col("valid_to"), col("is_current"))
-      .collect().toSet
+      .collect())
     for (cutoff <- Seq("1992-01-01", "1994-06-15", "1996-01-01",
         "1997-08-01", "2000-01-01")) {
-      val applied = IncrementalAgg.scd2Apply(spark, sf, cutoff)
-        .collect().toSet
+      val applied = multiset(
+        IncrementalAgg.scd2Apply(spark, sf, cutoff).collect())
       assert(applied === rebuild, s"apply != rebuild at cutoff $cutoff")
     }
   }

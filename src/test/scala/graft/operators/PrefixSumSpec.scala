@@ -55,11 +55,24 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(results.head === reference(rows).map(t => (t._1, t._3)))
   }
 
-  test("the gate plan contains no single-partition global window") {
-    val p = graft.SparkEntry.queries("text_pack")(spark, "/root/testdata/sf0.001")
+  test("the scan plan contains no single-partition global window") {
+    // audit the LAZY operator plan: the gate's eager checkpoint truncates
+    // lineage, so auditing the gate output would pass vacuously
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS BIGINT) AS v")
+    val p = PrefixSum.withRunningTotal(df, "doc_id", "v", "cum",
+        materialize = false)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("Window ["),
-      s"packing must use the distributed scan, not a global window:\n$p")
+    try {
+      assert(!p.contains("Window ["),
+        s"the scan must not plan a window:\n$p")
+      assert(p.contains("MapPartitions") || p.contains("mapPartitions"),
+        s"expected the per-partition scan stage:\n$p")
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+    }
   }
 
   test("empty input and single-row input") {
