@@ -75,6 +75,24 @@ class PrefixSumSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: 15 seeded-random layouts all agree with the reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2024L)
+    val rows = (0L until 200L).map(k => (k, rnd.nextInt(500).toLong))
+    val want = reference(rows).map(t => (t._1, t._3))
+    (1 to 15).foreach { i =>
+      val shuffled = new scala.util.Random(i.toLong).shuffle(rows.toList)
+      val nPart = 1 + i % 9
+      val df =
+        if (i % 3 == 0) shuffled.toDF("k", "v").repartition(nPart, col("v"))
+        else if (i % 3 == 1) shuffled.toDF("k", "v").repartition(nPart)
+        else shuffled.toDF("k", "v").coalesce(nPart)
+      val got = PrefixSum.withRunningTotal(df, "k", "v", "cum")
+        .select("k", "cum").orderBy("k").as[(Long, Long)].collect().toSeq
+      assert(got === want, s"layout $i ($nPart parts) diverged")
+    }
+  }
+
   test("empty input and single-row input") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("k", "v")
