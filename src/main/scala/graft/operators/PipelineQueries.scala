@@ -56,6 +56,13 @@ object PipelineQueries {
           .distinct_longs(shingleHashes(col("toks"), 1))).cast("long"))
         .withColumn("top2", graft.functions.TextHashExpressions
           .max_dup_count(shingleHashes(col("toks"), 2)))
+        // model-based classifier stage (same hashing-trick linear model
+        // as text_classify, over the normalized tokens) — still fused
+        // into the map pass; the permissive threshold models the
+        // low-bar "obvious junk" cut a production classifier runs first
+        .withColumn("cls", aggregate(col("toks"), lit(0L), (acc, t) =>
+          acc + (((stringHash(t) % 64) * lit(2654435761L)) % 1997 - 998)))
+        .filter(col("cls") > -5000L)
         .filter(col("n_tok") >= 20 && col("q") >= 3.0 && col("pred") === "en" &&
           expr("(CAST(n_tok AS BIGINT) - n_uniq) * 1000000 div CAST(n_tok AS BIGINT)") <= 620000 &&
           expr("top2 * 1000000 div (CAST(n_tok AS BIGINT) - 1)") <= 80000)
@@ -151,9 +158,16 @@ object PipelineQueries {
         |           FROM tk)
         |        GROUP BY 1, 2) GROUP BY 1) b
         |  USING (doc_id)),
+        |cls AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(tk, t ->
+        |      ((list_reduce(list_transform(string_split(t, ''),
+        |                                   c -> CAST(ord(c) AS BIGINT)),
+        |                    (a, b) -> (a * 31 + b) % 1000000007)
+        |        % 64) * 2654435761) % 1997 - 998)) AS BIGINT) AS cls
+        |  FROM tk WHERE len(tk) > 0),
         |filt AS (
-        |  SELECT attr.* FROM attr JOIN rep USING (doc_id)
-        |  WHERE n_tok >= 20 AND q >= 3.0 AND pred = 'en'
+        |  SELECT attr.* FROM attr JOIN rep USING (doc_id) JOIN cls USING (doc_id)
+        |  WHERE cls.cls > -5000 AND n_tok >= 20 AND q >= 3.0 AND pred = 'en'
         |    AND (CAST(n_tok AS BIGINT) - rep.n_uniq) * 1000000
         |        // CAST(n_tok AS BIGINT) <= 620000
         |    AND rep.top2 * 1000000 // (CAST(n_tok AS BIGINT) - 1) <= 80000),
