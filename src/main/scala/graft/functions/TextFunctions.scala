@@ -64,6 +64,25 @@ object TextFunctions {
   def shingleHashes(toks: Column, n: Int): Column =
     TextHashExpressions.shingle_hashes(toks, n)
 
+  /** Hashing-trick linear classifier score over pre-computed token
+    * hashes: Σ w[h mod 64] with the fixed Knuth-multiplicative integer
+    * milli-weight table w[j] = (j·2654435761) mod 1997 − 998. ONE
+    * definition shared by the `text_classify` gate and `pipe_curate`'s
+    * classifier stage (and mirrored by `TextQueries.classifierSql`) so
+    * a model tweak can never desynchronize them.
+    */
+  def classifierScoreFromHashes(hashes: Column): Column =
+    aggregate(hashes, lit(0L), (acc, h) =>
+      acc + (((h % 64) * lit(2654435761L)) % 1997 - 998))
+
+  /** Classifier score straight from the token array — hashes via the
+    * single-pass shingle kernel (n = 1 ≡ per-token polyHash), so a plan
+    * already computing `shingleHashes(toks, 1)` pays the hash pass once
+    * (codegen subexpression elimination collapses the two uses).
+    */
+  def classifierScore(toks: Column): Column =
+    classifierScoreFromHashes(shingleHashes(toks, 1))
+
   /** Language-ID by marker-token voting; deterministic argmax with a
     * fixed tie-break order. Markers are configurable; defaults exercise
     * the mechanism on any vocabulary.

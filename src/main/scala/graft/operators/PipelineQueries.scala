@@ -8,7 +8,8 @@ import graft.functions.TextFunctions._
 /** End-to-end corpus-curation pipeline — the composition a real
   * training-data run executes as ONE job, chaining the individually
   * gated stages: normalize → language-ID filter → quality filter →
-  * Gopher repetition filter → exact dedup → MinHash-LSH near-dedup
+  * hashing-trick classifier filter → Gopher repetition filter →
+  * exact dedup → MinHash-LSH near-dedup
   * (exact-Jaccard verified) → curated manifest. Each stage is the
   * production operator the standalone gates check (`text_normalize`,
   * `text_lang_id`, `text_quality`, `text_rep_filter`, `dedup_exact`,
@@ -16,7 +17,7 @@ import graft.functions.TextFunctions._
   * proves the COMPOSITION end-to-end against one independent DuckDB
   * statement of the whole pipeline.
   *
-  * Scale design (100 TB): stages 1–4 are map-only projections fused
+  * Scale design (100 TB): stages 1–5 are map-only projections fused
   * into the scan (one WholeStageCodegen pass, no shuffle); exact dedup
   * is one digest-keyed shuffle; near-dedup is the LSH candidate path —
   * cost bounded by near-dup structure, never |docs|² (see
@@ -38,7 +39,7 @@ object PipelineQueries {
     */
   private[operators] def curate(s: SparkSession, dir: String,
       materialize: Boolean): DataFrame = {
-      // stages 1–3: normalize, attribute, filter — one fused map pass.
+      // stages 1–5: normalize, attribute, classify, filter — one fused map pass.
       // survivors are read by BOTH the shingle pipeline and the final
       // manifest join; persist materializes the scan+normalize+score
       // pass once (same discipline as dedup_jac_lsh).
@@ -56,17 +57,18 @@ object PipelineQueries {
           .distinct_longs(shingleHashes(col("toks"), 1))).cast("long"))
         .withColumn("top2", graft.functions.TextHashExpressions
           .max_dup_count(shingleHashes(col("toks"), 2)))
-        // model-based classifier stage (same hashing-trick linear model
-        // as text_classify, over the normalized tokens) — still fused
-        // into the map pass; the permissive threshold models the
+        // model-based classifier stage (TextFunctions.classifierScore —
+        // the ONE definition text_classify gates) over the normalized
+        // tokens, still fused into the map pass; derived from the same
+        // single-pass token-hash kernel n_uniq uses, so codegen CSE
+        // hashes each token once. The permissive threshold models the
         // low-bar "obvious junk" cut a production classifier runs first
-        .withColumn("cls", aggregate(col("toks"), lit(0L), (acc, t) =>
-          acc + (((stringHash(t) % 64) * lit(2654435761L)) % 1997 - 998)))
+        .withColumn("cls", classifierScore(col("toks")))
         .filter(col("cls") > -5000L)
         .filter(col("n_tok") >= 20 && col("q") >= 3.0 && col("pred") === "en" &&
           expr("(CAST(n_tok AS BIGINT) - n_uniq) * 1000000 div CAST(n_tok AS BIGINT)") <= 620000 &&
           expr("top2 * 1000000 div (CAST(n_tok AS BIGINT) - 1)") <= 80000)
-        // stage 4: exact dedup on the normalized text digest — keep the
+        // stage 6: exact dedup on the normalized text digest — keep the
         // minimum doc_id of each digest group (one digest-keyed shuffle)
         .withColumn("digest", md5(to_binary(col("norm"), lit("utf-8"))))
         .select(col("doc_id"), col("source"), col("norm"), col("toks"),
@@ -75,7 +77,7 @@ object PipelineQueries {
       val keep = survivors.groupBy(col("digest"))
         .agg(min(col("doc_id")).as("doc_id"))
       val exact = survivors.join(keep, Seq("digest", "doc_id"))
-      // stage 5: near-dedup — MinHash-LSH candidates + exact Jaccard
+      // stage 7: near-dedup — MinHash-LSH candidates + exact Jaccard
       // (≥ 0.5) on the exact-dedup survivors; every doc appearing as
       // the LARGER id of a verified near-dup pair is dropped (the
       // deterministic keep-smallest rule, restated by the oracle as
@@ -86,7 +88,7 @@ object PipelineQueries {
       val drops = DedupQueries.jaccardOnCandidates(
           hashes.filter(size(col("hs")) > 0))
         .select(col("ib")).distinct()
-      // stage 6: curated manifest. One materializing job (eager local
+      // stage 8: curated manifest. One materializing job (eager local
       // checkpoint) covers every read of the cached frames, then both
       // corpus-sized caches are released.
       // the drop list is near-dup-pair-sized (orders of magnitude below
@@ -159,11 +161,7 @@ object PipelineQueries {
         |        GROUP BY 1, 2) GROUP BY 1) b
         |  USING (doc_id)),
         |cls AS (
-        |  SELECT doc_id, CAST(list_sum(list_transform(tk, t ->
-        |      ((list_reduce(list_transform(string_split(t, ''),
-        |                                   c -> CAST(ord(c) AS BIGINT)),
-        |                    (a, b) -> (a * 31 + b) % 1000000007)
-        |        % 64) * 2654435761) % 1997 - 998)) AS BIGINT) AS cls
+        |  SELECT doc_id, <<CLS>> AS cls
         |  FROM tk WHERE len(tk) > 0),
         |filt AS (
         |  SELECT attr.* FROM attr JOIN rep USING (doc_id) JOIN cls USING (doc_id)
@@ -222,5 +220,9 @@ object PipelineQueries {
         |FROM exact
         |WHERE doc_id NOT IN (SELECT ib FROM drops)
         |ORDER BY doc_id""".stripMargin
+        // classifier model stated ONCE per engine: the shared fragment
+        // (TextQueries.classifierSql) is spliced here — a plain replace,
+        // not an s-interpolator, which would reprocess the \s escapes
+        .replace("<<CLS>>", TextQueries.classifierSql("tk"))
   )
 }

@@ -194,10 +194,7 @@ object TextQueries {
       documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .filter(size(col("tk")) > 0)
-        .select(col("doc_id"),
-          aggregate(col("tk"), lit(0L), (acc, t) =>
-            acc + (((stringHash(t) % 64) * lit(2654435761L)) % 1997 - 998))
-            .as("score"))
+        .select(col("doc_id"), classifierScore(col("tk")).as("score"))
         .withColumn("keep", col("score") > 0)
         .orderBy(col("doc_id"))
     }),
@@ -266,6 +263,18 @@ object TextQueries {
       out
     }
   }
+
+  /** SQL statement of the hashing-trick classifier score over a token
+    * list expression — the oracle mirror of
+    * `TextFunctions.classifierScore`, shared by the `text_classify` and
+    * `pipe_curate` oracles so the model is stated exactly once per
+    * engine. */
+  private[operators] def classifierSql(tkExpr: String): String =
+    s"""CAST(list_sum(list_transform($tkExpr, t ->
+       |    ((list_reduce(list_transform(string_split(t, ''),
+       |                                 c -> CAST(ord(c) AS BIGINT)),
+       |                  (a, b) -> (a * 31 + b) % 1000000007)
+       |      % 64) * 2654435761) % 1997 - 998)) AS BIGINT)""".stripMargin
 
   private val toksCte =
     """WITH toks AS (
@@ -406,12 +415,8 @@ object TextQueries {
         |       string_agg(line, ' ' ORDER BY k%1000) AS new_text
         |FROM surv GROUP BY 1 ORDER BY doc_id""".stripMargin),
     "text_classify" -> (toksCte +
-      """SELECT doc_id, score, score > 0 AS keep FROM (
-        |  SELECT doc_id, CAST(list_sum(list_transform(tk, t ->
-        |    ((list_reduce(list_transform(string_split(t, ''),
-        |                                 c -> CAST(ord(c) AS BIGINT)),
-        |                  (a, b) -> (a * 31 + b) % 1000000007)
-        |      % 64) * 2654435761) % 1997 - 998)) AS BIGINT) AS score
+      s"""SELECT doc_id, score, score > 0 AS keep FROM (
+        |  SELECT doc_id, ${classifierSql("tk")} AS score
         |  FROM toks WHERE len(tk) > 0)
         |ORDER BY doc_id""".stripMargin),
     // DSIR: same bigram-hash domain as the dedup/decontam family

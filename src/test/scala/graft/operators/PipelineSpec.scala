@@ -29,6 +29,15 @@ class PipelineSpec extends AnyFunSuite {
     val total = graft.Tables.documents(spark, dir).count()
     assert(n > 0 && n < total, s"curated $n of $total")
     assert(curated.filter(col("n_tok") < 20 || col("q") < 3.0).count() === 0)
+    // classifier-stage invariant: every survivor's recomputed
+    // hashing-trick score clears the pipeline threshold (the manifest
+    // doesn't carry cls, so restate it from the source text)
+    import graft.functions.TextFunctions.{classifierScore, tokens => toks}
+    val cls = graft.Tables.documents(spark, dir)
+      .join(curated.select(col("doc_id")), "doc_id")
+      .select(classifierScore(toks(
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")))).as("cls"))
+    assert(cls.filter(col("cls") <= -5000L).count() === 0)
   }
 
   test("incremental near-dedup ≡ the cross-split slice of the batch sweep") {
