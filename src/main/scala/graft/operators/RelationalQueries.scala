@@ -219,7 +219,7 @@ object RelationalQueries {
     // Window-function battery beyond rank: lag/lead with defaults,
     // ntile, cume_dist, and a running sum — one shuffle on the
     // partition key, every function sharing the same window frame.
-    "q_window_funcs" -> ((s, dir) => {
+    "q_winfuncs" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -304,7 +304,7 @@ object RelationalQueries {
     // split branch is a plain two-phase hash aggregate over only its own
     // 2-3 columns — at 100 TB the Expand's 3x shuffle dwarfs the cost of
     // two extra column-pruned scans. The joins are 3-row broadcasts.
-    "q_distinct_case" -> ((s, dir) => {
+    "q_distcase" -> ((s, dir) => {
       val li = lineitem(s, dir)
       val sums = li
         .groupBy(col("l_returnflag"))
@@ -460,7 +460,7 @@ object RelationalQueries {
         |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
         |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
-    "q_window_funcs" ->
+    "q_winfuncs" ->
       """SELECT o_custkey, o_orderkey,
         |  COALESCE(LAG(o_orderkey) OVER w, -1) AS prev_key,
         |  COALESCE(LEAD(o_orderkey) OVER w, -1) AS next_key,
@@ -514,7 +514,7 @@ object RelationalQueries {
         |SELECT c_custkey, 'no_orders' AS cls FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY cls, c_custkey""".stripMargin,
-    "q_distinct_case" ->
+    "q_distcase" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
         |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,

@@ -149,6 +149,40 @@ object TemporalQueries {
     // per-query ranking runs through the TopKRewrite bounded heap — at
     // 100 TB nothing pairwise materializes beyond |corpus|·|queries|
     // scored rows collapsing into k-row heaps map-side.
+    // Ordered funnel analysis (view → click → purchase): the product-
+    // analytics staple. ONE user-keyed shuffle: each user's events
+    // collect + sort in-array and a single codegen fold walks them once,
+    // threading the (t1, t2, t3) milestone accumulator — strictly-after
+    // semantics per stage. The oracle is the INDEPENDENT relational
+    // formulation (three conditional-min phases joined back), so the
+    // gate proves the fold against a different algorithm entirely. At
+    // 100 TB the fold shape wins: per-user state is 3 longs, nothing
+    // joins, and the shuffle carries each event exactly once.
+    "q_funnel" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), tsMicros.as("t"),
+        col("event_type").as("typ"))
+      ev.groupBy(col("user_id"))
+        .agg(expr("array_sort(collect_list(struct(t, typ)))").as("evs"))
+        .withColumn("f", expr(
+          """aggregate(evs,
+            | named_struct('t1', CAST(NULL AS BIGINT),
+            |              't2', CAST(NULL AS BIGINT),
+            |              't3', CAST(NULL AS BIGINT)),
+            | (a, e) -> named_struct(
+            |  't1', IF(a.t1 IS NULL AND e.typ = 'view', e.t, a.t1),
+            |  't2', IF(a.t2 IS NULL AND a.t1 IS NOT NULL
+            |           AND e.typ = 'click' AND e.t > a.t1, e.t, a.t2),
+            |  't3', IF(a.t3 IS NULL AND a.t2 IS NOT NULL
+            |           AND e.typ = 'purchase' AND e.t > a.t2, e.t, a.t3)))"""
+            .stripMargin))
+        .select(col("user_id"), col("f.t1").as("t1"), col("f.t2").as("t2"),
+          col("f.t3").as("t3"),
+          expr("CAST(CASE WHEN f.t3 IS NOT NULL THEN 3" +
+            " WHEN f.t2 IS NOT NULL THEN 2" +
+            " WHEN f.t1 IS NOT NULL THEN 1 ELSE 0 END AS INT)").as("stage"))
+        .orderBy(col("user_id"))
+    }),
+
     "q_ts_knn" -> ((s, dir) => {
       val e = events(s, dir).select(col("user_id"), tsMicros.as("t"),
         col("event_id"), expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
@@ -219,6 +253,28 @@ object TemporalQueries {
         |  MIN(t) AS start_us, MAX(t) AS end_us,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM g GROUP BY 1, 2 ORDER BY user_id, sess""".stripMargin,
+    // independent formulation: three conditional-min phases, each
+    // bounded by the previous milestone, joined back per user
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+        |           FROM events),
+        |s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.t) AS t2
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.t) AS t3
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1)
+        |SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+        |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+        |            WHEN s2.t2 IS NOT NULL THEN 2
+        |            WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+        |    AS stage
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q_ts_knn" ->
       """WITH r AS (
         |  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v,
