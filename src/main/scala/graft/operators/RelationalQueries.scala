@@ -198,7 +198,7 @@ object RelationalQueries {
     // Event-time window aggregation — the batch shape of the streaming
     // `withWatermark + window()` path (identical grouping semantics; in
     // streaming the watermark only bounds state retention).
-    "q_time_window" -> ((s, dir) => {
+    "q_timewin" -> ((s, dir) => {
       events(s, dir)
         .withColumn("t", timestamp_micros(graft.Tables.tsMicros))
         .groupBy(window(col("t"), "1 hour"), col("event_type"))
@@ -444,7 +444,7 @@ object RelationalQueries {
         |FROM events
         |GROUP BY GROUPING SETS ((event_type), (user_id % 7), ())
         |ORDER BY etype, ubucket""".stripMargin,
-    "q_time_window" ->
+    "q_timewin" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,
         |  CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS wend,
         |  event_type,

@@ -23,7 +23,7 @@ object SubqueryQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EXISTS + NOT EXISTS, both correlated on the customer key.
-    "q_exists_corr" -> ((s, dir) => {
+    "q_exists" -> ((s, dir) => {
       views(s, dir)
       s.sql(
         """SELECT c_custkey, c_name FROM g_customer c
@@ -39,7 +39,7 @@ object SubqueryQueries {
     // Correlated scalar aggregates: orders strictly above their own
     // customer's average price. Stated integrally (price·count > sum,
     // in cents) so both engines decide every row exactly.
-    "q_scalar_subq" -> ((s, dir) => {
+    "q_scalar" -> ((s, dir) => {
       views(s, dir)
       s.sql(
         """SELECT o_orderkey FROM g_orders o
@@ -53,7 +53,7 @@ object SubqueryQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_exists_corr" ->
+    "q_exists" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey
@@ -62,7 +62,7 @@ object SubqueryQueries {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
-    "q_scalar_subq" ->
+    "q_scalar" ->
       """SELECT o_orderkey FROM orders o
         |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
         |      (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)

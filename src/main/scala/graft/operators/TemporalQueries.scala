@@ -149,6 +149,26 @@ object TemporalQueries {
     // per-query ranking runs through the TopKRewrite bounded heap — at
     // 100 TB nothing pairwise materializes beyond |corpus|·|queries|
     // scored rows collapsing into k-row heaps map-side.
+    // Retention cohort analysis — the other product-analytics staple:
+    // users bucketed by first-active day, activity counted per
+    // (cohort, day-offset) cell. Integer day numbers (µs div 86400e6)
+    // keep both engines exactly aligned. Shape: one distinct over
+    // (user, day) — map-side combinable — one user-keyed join to the
+    // per-user minimum, one map-side-combinable cell count; (user, day)
+    // uniqueness makes COUNT(*) the distinct-user count with no
+    // count-distinct shuffle.
+    "q_cohort" -> ((s, dir) => {
+      val act = events(s, dir)
+        .select(col("user_id"), tsMicros.as("t"))
+        .select(col("user_id"), expr("t div 86400000000").as("d"))
+        .distinct()
+      val first = act.groupBy(col("user_id")).agg(min(col("d")).as("cd"))
+      act.join(first, "user_id")
+        .groupBy(col("cd").as("cohort_day"), (col("d") - col("cd")).as("day_off"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_off"))
+    }),
+
     // Ordered funnel analysis (view → click → purchase): the product-
     // analytics staple. ONE user-keyed shuffle: each user's events
     // collect + sort in-array and a single codegen fold walks them once,
@@ -253,6 +273,15 @@ object TemporalQueries {
         |  MIN(t) AS start_us, MAX(t) AS end_us,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM g GROUP BY 1, 2 ORDER BY user_id, sess""".stripMargin,
+    "q_cohort" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(d) AS cd FROM act GROUP BY 1)
+        |SELECT f.cd AS cohort_day, a.d - f.cd AS day_off,
+        |       COUNT(*) AS n_users
+        |FROM act a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_off""".stripMargin,
     // independent formulation: three conditional-min phases, each
     // bounded by the previous milestone, joined back per user
     "q_funnel" ->

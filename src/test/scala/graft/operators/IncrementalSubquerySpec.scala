@@ -113,7 +113,7 @@ class IncrementalSubquerySpec extends AnyFunSuite {
   }
 
   test("correlated EXISTS decorrelates to semi/anti joins") {
-    val df = SubqueryQueries.queries("q_exists_corr")(spark, sf)
+    val df = SubqueryQueries.queries("q_exists")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), s"expected LeftSemi join:\n$plan")
     assert(plan.contains("LeftAnti"), s"expected LeftAnti join:\n$plan")
@@ -129,7 +129,7 @@ class IncrementalSubquerySpec extends AnyFunSuite {
     val expect = o.join(avgs, "o_custkey")
       .filter(col("cents") * col("cnt") > col("s"))
       .select(col("o_orderkey")).orderBy(col("o_orderkey"))
-    val got = SubqueryQueries.queries("q_scalar_subq")(spark, sf)
+    val got = SubqueryQueries.queries("q_scalar")(spark, sf)
     assert(got.collect().toSeq === expect.collect().toSeq)
   }
 
