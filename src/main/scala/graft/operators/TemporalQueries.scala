@@ -138,17 +138,6 @@ object TemporalQueries {
           sum(dec(col("value"))).cast("double").as("total"))
     }),
 
-    // Time-series top-k similarity search (the EDBT'19/ICDE'21 shape in
-    // PAPERS.md): each entity's first-32-event value series, aligned by
-    // per-entity rank, scored by exact squared Euclidean distance
-    // against a small query set, top-3 per query. Values quantized to
-    // integer milli-units (floor — the same double op in both engines)
-    // so distances are exact longs. Scale shape: ONE per-entity shuffle
-    // builds the series (row_number window, key-partitioned), the query
-    // set BROADCASTS, scoring is map-only over corpus series, and the
-    // per-query ranking runs through the TopKRewrite bounded heap — at
-    // 100 TB nothing pairwise materializes beyond |corpus|·|queries|
-    // scored rows collapsing into k-row heaps map-side.
     // Retention cohort analysis — the other product-analytics staple:
     // users bucketed by first-active day, activity counted per
     // (cohort, day-offset) cell. Integer day numbers (µs div 86400e6)
@@ -203,6 +192,17 @@ object TemporalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Time-series top-k similarity search (the EDBT'19/ICDE'21 shape in
+    // PAPERS.md): each entity's first-32-event value series, aligned by
+    // per-entity rank, scored by exact squared Euclidean distance
+    // against a small query set, top-3 per query. Values quantized to
+    // integer milli-units (floor — the same double op in both engines)
+    // so distances are exact longs. Scale shape: ONE per-entity shuffle
+    // builds the series (row_number window, key-partitioned), the query
+    // set BROADCASTS, scoring is map-only over corpus series, and the
+    // per-query ranking runs through the TopKRewrite bounded heap — at
+    // 100 TB nothing pairwise materializes beyond |corpus|·|queries|
+    // scored rows collapsing into k-row heaps map-side.
     "q_ts_knn" -> ((s, dir) => {
       val e = events(s, dir).select(col("user_id"), tsMicros.as("t"),
         col("event_id"), expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
