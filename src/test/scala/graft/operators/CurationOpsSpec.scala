@@ -159,6 +159,51 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q_funnel fold matches a pure-Scala reference on random event streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xF0F0L)
+    val types = Vector("view", "click", "purchase", "error", "signup")
+    // 40 users × random events; distinct (user, t) by construction
+    val events = (for {
+      u <- 0L until 40L
+      i <- 0 until rnd.nextInt(12)
+    } yield (u, u * 100000L + i * 97L + rnd.nextInt(90),
+      types(rnd.nextInt(types.size)))).distinctBy(e => (e._1, e._2))
+    def ref(u: Long): (Option[Long], Option[Long], Option[Long]) = {
+      var t1, t2, t3 = Option.empty[Long]
+      events.filter(_._1 == u).sortBy(_._2).foreach { case (_, t, ty) =>
+        if (t1.isEmpty && ty == "view") t1 = Some(t)
+        else if (t2.isEmpty && t1.exists(t > _) && ty == "click") t2 = Some(t)
+        else if (t3.isEmpty && t2.exists(t > _) && ty == "purchase") t3 = Some(t)
+      }
+      (t1, t2, t3)
+    }
+    // same fold the gate runs, over an in-memory frame (the gate reads
+    // the events parquet; here the SEMANTICS are under test)
+    val df = events.toDF("user_id", "t", "typ")
+      .groupBy(col("user_id"))
+      .agg(expr("array_sort(collect_list(struct(t, typ)))").as("evs"))
+      .withColumn("f", expr(
+        """aggregate(evs,
+          | named_struct('t1', CAST(NULL AS BIGINT),
+          |              't2', CAST(NULL AS BIGINT),
+          |              't3', CAST(NULL AS BIGINT)),
+          | (a, e) -> named_struct(
+          |  't1', IF(a.t1 IS NULL AND e.typ = 'view', e.t, a.t1),
+          |  't2', IF(a.t2 IS NULL AND a.t1 IS NOT NULL
+          |           AND e.typ = 'click' AND e.t > a.t1, e.t, a.t2),
+          |  't3', IF(a.t3 IS NULL AND a.t2 IS NOT NULL
+          |           AND e.typ = 'purchase' AND e.t > a.t2, e.t, a.t3)))"""
+          .stripMargin))
+      .select(col("user_id"), col("f.t1"), col("f.t2"), col("f.t3"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    got.foreach { case (u, f) => assert(f === ref(u), s"user $u") }
+    assert(got.keySet === events.map(_._1).toSet)
+  }
+
   private implicit class Tuples3ToMap(rs: Array[(Long, Long, String)]) {
     def toMap2: Map[Long, (Long, String)] =
       rs.map(t => t._1 -> ((t._2, t._3))).toMap

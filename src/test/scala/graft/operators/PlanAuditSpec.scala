@@ -372,6 +372,24 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.sharedState.cacheManager.clearCache()
   }
 
+  test("funnel folds in one user shuffle: no join, no window") {
+    val p = plan("q_funnel")
+    assert(!p.contains("Join"), s"funnel must not join:\n$p")
+    assert(!p.contains("Window ["), s"funnel must not window:\n$p")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one user-keyed exchange:\n$p")
+  }
+
+  test("cohort: both aggregations have map-side partial phases") {
+    val p = plan("q_cohort")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"per-user first-day must aggregate partially:\n$p")
+    assert(p.contains("partial_count"),
+      s"cell count must aggregate partially:\n$p")
+    assert(!p.contains("distinct_count") && !p.contains("count(distinct"),
+      s"cohort must not pay a count-distinct shuffle:\n$p")
+  }
+
   test("per-group sample runs through the bounded-heap top-k rewrite") {
     // the gate sessions (Verify/Bench) install GraftExtensions; here the
     // rule is injected session-side, which also exercises the late-batch
