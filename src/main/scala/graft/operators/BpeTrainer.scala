@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer TRAINING loop (Sennrich et al. 2016): the
+  * iterated form of the `text_bpe` gate's single step. Each iteration
+  * is ONE corpus-wide map-side-combinable aggregation (adjacent-pair
+  * counts over the current symbol sequences, overlapping occurrences
+  * counted — the exact statistic sequential BPE maximizes), an argmax
+  * reduced to a single row, and one map pass applying the merge
+  * greedily left-to-right. The driver holds only the merge table
+  * (n rows) — PrefixSum-style metadata, never corpus data — so the
+  * loop runs unchanged over a 100 TB corpus: n iterations cost
+  * n scans + n tiny shuffles, and the symbol state lives in the
+  * persisted distributed dataset (lineage truncated per iteration).
+  *
+  * Reference analogue: none — oracdc has no analytics (SURVEY §2.7);
+  * this extends the BASELINE.json text-pipeline mandate.
+  */
+object BpeTrainer {
+
+  /** Greedy non-overlapping left-to-right merge of the adjacent pair
+    * (a, b) in one symbol sequence — the sequential-BPE apply rule.
+    */
+  def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val in = syms.toIndexedSeq
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < in.length) {
+      if (i + 1 < in.length && in(i) == a && in(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += in(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Learn up to `n` merges over a corpus of words (one string column
+    * `t`, one row per word occurrence). Returns the ordered merge table
+    * ((left, right), pairCount). Stops early when no pair occurs twice.
+    */
+  def learn(spark: SparkSession, words: DataFrame, n: Int)
+      : Seq[((String, String), Long)] = {
+    import spark.implicits._
+    val merges = scala.collection.mutable.ArrayBuffer[((String, String), Long)]()
+    // initial symbols = characters (the classic BPE start state)
+    var cur: Dataset[Seq[String]] = words.select(col("t")).as[String]
+      .map(t => t.map(_.toString): Seq[String])
+      .localCheckpoint(true)
+    var it = 0
+    var done = false
+    while (it < n && !done) {
+      val bestRows = cur.toDF("syms")
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms)-1)," +
+            " i -> struct(element_at(syms,i) AS a, element_at(syms,i+1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        .as[(String, String, Long)]
+        // 1-row argmax to the driver — merge-table metadata, not data
+        // (the PrefixSum partition-totals precedent)
+        .collect()
+      if (bestRows.isEmpty) done = true
+      else {
+        val (a, b, c) = bestRows.head
+        merges += (((a, b), c))
+        // localCheckpoint(eager): truncate lineage each iteration so n
+        // merges never stack n map closures on the plan, and release
+        // the previous iteration's blocks
+        val next = cur.map(s => applyMerge(s, a, b)).localCheckpoint(true)
+        cur.unpersist(blocking = false)
+        cur = next
+      }
+      it += 1
+    }
+    cur.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** Sequential reference implementation (whole corpus in memory) — the
+    * spec oracle [[graft.BpeTrainerSpec]] checks `learn` against.
+    */
+  def learnSequential(words: Seq[String], n: Int): Seq[((String, String), Long)] = {
+    var corpus: Seq[Seq[String]] = words.map(_.map(_.toString): Seq[String])
+    val merges = scala.collection.mutable.ArrayBuffer[((String, String), Long)]()
+    var it = 0
+    var done = false
+    while (it < n && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      corpus.foreach { syms =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + 1
+          i += 1
+        }
+      }
+      val candidates = counts.filter(_._2 >= 2)
+      if (candidates.isEmpty) done = true
+      else {
+        val best = candidates.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        merges += best
+        corpus = corpus.map(s => applyMerge(s, best._1._1, best._1._2))
+      }
+      it += 1
+    }
+    merges.toSeq
+  }
+}

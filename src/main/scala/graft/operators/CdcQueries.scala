@@ -167,7 +167,7 @@ object CdcQueries {
     }),
 
     // P3: no-op UPDATE elimination via assembler options.
-    "p3_noop_update" -> ((s, dir) => {
+    "p3_noop" -> ((s, dir) => {
       ChangeStreams.assembleBatch(redoRecords(s, dir),
           TransactionAssembler.Options(emitAllUpdates = false))
         .filter(col("op") === Ops.Update)
@@ -328,7 +328,7 @@ object CdcQueries {
     }),
 
     // P6/P7: debezium envelope + pseudo-columns, flattened for compare.
-    "p7_dbz_envelope" -> ((s, dir) => {
+    "p7_dbz_env" -> ((s, dir) => {
       Envelopes.debezium(ChangeStreams.assembleBatch(redoRecords(s, dir)), "graft")
         .select(col("source.scn").as("scn"), col("source.commit_scn").as("commit_scn"),
           col("source.xid").as("xid"), col("source.row_id").as("row_id"),
@@ -428,7 +428,7 @@ object CdcQueries {
         |       op, CAST(event_id AS VARCHAR) AS row_id,
         |       CASE WHEN op = 2 THEN NULL ELSE value END AS val
         |FROM emitted ORDER BY scn""".stripMargin),
-    "p3_noop_update" -> (baseCte +
+    "p3_noop" -> (baseCte +
       """SELECT CAST(user_id AS VARCHAR) AS xid, event_id AS scn, v5
         |FROM emitted
         |WHERE op = 3 AND v5 <> prev_v5
@@ -496,7 +496,7 @@ object CdcQueries {
         |       CASE WHEN user_id % 2 = 0
         |            THEN 'app-' || (user_id % 4) END AS client_id
         |FROM emitted ORDER BY scn""".stripMargin),
-    "p7_dbz_envelope" -> (baseCte +
+    "p7_dbz_env" -> (baseCte +
       """SELECT event_id AS scn, commit_scn, CAST(user_id AS VARCHAR) AS xid,
         |       CAST(event_id AS VARCHAR) AS row_id,
         |       CASE op WHEN 1 THEN 'c' WHEN 2 THEN 'd' ELSE 'u' END AS op,

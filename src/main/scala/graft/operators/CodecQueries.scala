@@ -212,7 +212,7 @@ object CodecQueries {
     // F12: LOB locator — inline payload round-trips; every 10th doc is
     // out-of-row (locator carries only the LobId, data resolves to NULL
     // until the T8 assembler supplies it)
-    "f12_lob_locator" -> ((s, dir) => {
+    "f12_lob_loc" -> ((s, dir) => {
       val d = documents(s, dir).withColumn("loc",
         when(col("doc_id") % 10 === 0, lob_out_of_row(col("doc_id")))
           .otherwise(lob_inline(to_binary(col("text"), lit("utf-8")))))
@@ -303,7 +303,7 @@ object CodecQueries {
     "f11_tde" ->
       """SELECT doc_id, text AS aes256_rt, text AS aes128_rt
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "f12_lob_locator" ->
+    "f12_lob_loc" ->
       """SELECT doc_id,
         |       doc_id % 10 <> 0 AS is_inline,
         |       CASE WHEN doc_id % 10 = 0 THEN NULL ELSE text END AS text_rt,

@@ -37,7 +37,7 @@ object SamplingQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language rebalancing: downsample the dominant language (en → 10%)
     // and keep 30% of everything else.
-    "q_strat_sample" -> ((s, dir) => {
+    "q_strat" -> ((s, dir) => {
       documents(s, dir)
         .withColumn("pct", expr(pctExpr))
         .filter(col("pct") < when(col("lang") === "en", 10).otherwise(30))
@@ -68,7 +68,7 @@ object SamplingQueries {
     // of corpus assembly (e.g. upweight curated sources, downweight raw
     // web): each source gets a target weight; its keep-rate is
     // weight_share × budget / source_tokens, capped at 1; documents keep
-    // deterministically via the same Knuth hash as q_strat_sample. All
+    // deterministically via the same Knuth hash as q_strat. All
     // rate arithmetic is INTEGER (micro-units, floor division) so both
     // engines agree bit-for-bit. 100 TB shape: two scans (token count +
     // filtered aggregate) with one vocabulary-of-sources-sized aggregate
@@ -124,7 +124,7 @@ object SamplingQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_strat_sample" ->
+    "q_strat" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents
         |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100

@@ -127,7 +127,7 @@ object SourceQueries {
     // per-row INSERTs with rowIds synthesized from (block address, row
     // ordinal) — the reference's RowId(obj, dba, row) — and stamp the
     // block transaction's commit SCN.
-    "t7_direct_load" -> ((s, dir) => {
+    "t7_direct" -> ((s, dir) => {
       import s.implicits._
       val records = orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey")).as[(Long, Long)]
@@ -318,7 +318,7 @@ object SourceQueries {
         |  UNION ALL
         |  SELECT scn, xid, op, tab FROM ctl)
         |ORDER BY scn, xid""".stripMargin,
-    "t7_direct_load" ->
+    "t7_direct" ->
       """SELECT o_orderkey,
         |       o_custkey AS custkey,
         |       1 AS op,

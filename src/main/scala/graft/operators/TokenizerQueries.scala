@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions._
+
+/** Tokenizer-training and corpus-statistics operators — the remaining
+  * text-pipeline family members from the curation literature:
+  *
+  *  - `text_sdedup`: EXACT SUBSTRING dedup (the Lee et al. 2021
+  *    "Deduplicating Training Data Makes Language Models Better" ESD
+  *    pass) re-expressed as fixed-length gram marking: every 8-token
+  *    window that occurs anywhere else in the corpus — except its
+  *    canonical first occurrence — is excised from the document. The
+  *    suffix-array formulation is inherently single-machine; fixed-k
+  *    gram marking is the distributed middle ground (duplicated spans
+  *    ≥ k tokens are exactly the spans covered by duplicated k-grams).
+  *  - `text_bpe`: one BPE tokenizer-TRAINING iteration (Sennrich et al.
+  *    2016), distributed: corpus-wide adjacent-pair statistics, the
+  *    argmax merge, and the greedy merge application — the statistic a
+  *    trainer loop iterates ([[BpeTrainer]] is that loop).
+  *  - `text_pmi`: PMI collocation mining — the classic corpus-analytics
+  *    pass (Church & Hanks 1990) for multi-word-expression discovery.
+  *
+  * Reference analogue: the reference has no text analytics (SURVEY §2.7
+  * — oracdc is a CDC pipeline); these extend the BASELINE.json
+  * LLM-pipeline mandate alongside TextQueries.
+  */
+object TokenizerQueries {
+
+  private val K = 8 // gram length for substring dedup (tokens)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact substring dedup. Plan shape (all equi-keyed, linear):
+    // one persisted scan pass computes tokens + the K-gram hash array
+    // per doc (the jac_lsh lesson: ONE tokenize/hash pass feeds every
+    // consumer); posexplode → one shuffle keyed by gram hash finds each
+    // gram's canonical first occurrence (min packed (doc,pos) —
+    // map-side combinable MIN); non-canonical occurrences expand to
+    // their ≤K covered token positions (constant fan-out), distinct,
+    // and one doc-keyed shuffle rebuilds the excised document. Nothing
+    // pairwise — cost is linear in corpus grams, the property that
+    // makes substring-level dedup runnable at 100 TB where the
+    // suffix-array formulation needs the corpus on one machine.
+    // Positions pack as doc_id*1000+pos (≤ 553-char docs → < 1000
+    // tokens, same packing bound as text_line_dedup).
+    "text_sdedup" -> ((s, dir) => {
+      val base = documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), col("tk"),
+          shingleHashes(col("tk"), K).as("hs"))
+        .persist()
+      val grams = base.select(col("doc_id"),
+        posexplode(col("hs")).as(Seq("pos", "g")))
+      val firsts = grams.groupBy(col("g"))
+        .agg(min(col("doc_id") * 1000 + col("pos")).as("mk"))
+      // a gram with exactly one occurrence IS its own min — only true
+      // duplicates survive the filter, no count needed
+      val covered = grams.join(firsts, "g")
+        .filter(col("doc_id") * 1000 + col("pos") =!= col("mk"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (K - 1))).as("p"))
+        .distinct()
+      val cov = covered.groupBy(col("doc_id"))
+        .agg(collect_list(col("p")).as("cov"))
+      val out = base.join(cov, Seq("doc_id"), "left")
+        .withColumn("cov", coalesce(col("cov"),
+          expr("CAST(array() AS ARRAY<INT>)")))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tok"),
+          size(col("cov")).cast("long").as("n_removed"),
+          concat_ws(" ", expr(
+            "transform(filter(sequence(0, size(tk)-1)," +
+              " i -> NOT array_contains(cov, i))," +
+              " i -> element_at(tk, i+1))")).as("new_text"))
+        .orderBy(col("doc_id"))
+      val res = out.localCheckpoint(true)
+      base.unpersist(blocking = false)
+      res
+    }),
+
+    // One BPE training iteration. The pair statistic counts OVERLAPPING
+    // adjacent occurrences ("aaa" contributes two "aa") — the exact
+    // figure sequential BPE maximizes — and the merge applies greedily
+    // left-to-right (String.replace semantics, identical in DuckDB).
+    // Plan: the exploded token frame persists once (pair counts + the
+    // per-doc symbol sums are its two consumers); the winning pair is a
+    // 1-row aggregate BROADCAST back, so the corpus never moves — at
+    // 100 TB each iteration costs one map-side-combinable count plus
+    // one map pass, and the trainer loop ([[BpeTrainer.learn]]) carries
+    // only the merge table on the driver.
+    "text_bpe" -> ((s, dir) => {
+      val tok = documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .persist()
+      val best = tok.filter(length(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(t)-1), i -> substring(t, i, 2))"))
+          .as("best_pair"))
+        .groupBy(col("best_pair")).agg(count(lit(1)).as("best_cnt"))
+        .orderBy(col("best_cnt").desc, col("best_pair")).limit(1)
+      val out = tok.crossJoin(broadcast(best))
+        .groupBy(col("doc_id"))
+        .agg(sum(length(col("t"))).as("n_sym0"),
+          // the merged pair becomes ONE symbol: a 1-char placeholder
+          // (U+0001, absent from the corpus) keeps string length ==
+          // symbol count
+          sum(length(replace(col("t"), col("best_pair"),
+            lit("\u0001"))))
+            .as("n_sym1"),
+          first(col("best_pair")).as("best_pair"),
+          first(col("best_cnt")).as("best_cnt"))
+        .orderBy(col("doc_id"))
+      val res = out.localCheckpoint(true)
+      tok.unpersist(blocking = false)
+      res
+    }),
+
+    // PMI collocations: score_u = cxy·N·10^6 div (cx·cy) — the PMI
+    // ratio in integer micro-units (log is monotone, so the top-k is
+    // the top-k PMI; integer arithmetic keeps both engines bit-equal).
+    // Plan: one persisted tokenize pass; unigram and bigram counts are
+    // map-side-combinable aggregations; the bigram frame joins the
+    // unigram frame EQUI-KEYED on each word — a 100 TB corpus's
+    // vocabulary does not broadcast (the text_dsir rule) — and N rides
+    // as a broadcast scalar. Ranking is a global top-20 (TakeOrdered,
+    // k rows per partition). min-support cxy ≥ 5 prunes the noise
+    // floor, as in Church & Hanks.
+    "text_pmi" -> ((s, dir) => {
+      val base = documents(s, dir)
+        .select(tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .persist()
+      val uni = base.select(explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .persist()
+      val nTot = uni.agg(sum(col("c")).as("n"))
+      val bi = base.filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk)-1)," +
+            " i -> struct(element_at(tk,i) AS w1, element_at(tk,i+1) AS w2))"))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 5)
+      val out = bi.crossJoin(broadcast(nTot))
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .select(col("w1"), col("w2"), col("cxy"),
+          expr("cxy * n * 1000000 div (c1 * c2)").as("pmi_u"))
+        .orderBy(col("pmi_u").desc, col("w1"), col("w2")).limit(20)
+      val res = out.localCheckpoint(true)
+      uni.unpersist(blocking = false)
+      base.unpersist(blocking = false)
+      res
+    })
+  )
+
+  private val toksCte =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      |  FROM documents)
+      |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    // same poly-hash domain as the dedup family (rep_filter precedent)
+    "text_sdedup" -> (toksCte +
+      """, t AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+        |g AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         list_reduce(list_transform(
+        |             string_split(array_to_string(tk[i : i+7], ' '), ''),
+        |             c -> CAST(ord(c) AS BIGINT)),
+        |           (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM (SELECT doc_id, tk, UNNEST(range(1, len(tk) - 6)) AS i
+        |        FROM t WHERE len(tk) >= 8)),
+        |firsts AS (SELECT h, MIN(doc_id * 1000 + pos) AS mk FROM g GROUP BY 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, UNNEST(range(pos, pos + 8)) AS p
+        |  FROM g JOIN firsts USING (h) WHERE doc_id * 1000 + pos <> mk),
+        |ncov AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY 1),
+        |pos AS (SELECT doc_id, UNNEST(range(0, len(tk))) AS p, tk FROM t),
+        |kept AS (
+        |  SELECT p.doc_id, string_agg(p.tk[p.p + 1], ' ' ORDER BY p.p) AS new_text
+        |  FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.p = p.p
+        |  WHERE c.p IS NULL GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tok,
+        |       CAST(COALESCE(n.n_removed, 0) AS BIGINT) AS n_removed,
+        |       COALESCE(k.new_text, '') AS new_text
+        |FROM t LEFT JOIN ncov n USING (doc_id) LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+    "text_bpe" -> (toksCte +
+      """, tok AS (SELECT doc_id, UNNEST(tk) AS t FROM toks),
+        |pairs AS (
+        |  SELECT t[i : i+1] AS pr
+        |  FROM (SELECT t, UNNEST(range(1, length(t))) AS i
+        |        FROM tok WHERE length(t) >= 2)),
+        |best AS (SELECT pr, COUNT(*) AS c FROM pairs GROUP BY 1
+        |         ORDER BY c DESC, pr LIMIT 1)
+        |SELECT doc_id,
+        |  CAST(SUM(length(t)) AS BIGINT) AS n_sym0,
+        |  CAST(SUM(length(replace(t, b.pr, chr(1)))) AS BIGINT) AS n_sym1,
+        |  ANY_VALUE(b.pr) AS best_pair,
+        |  CAST(ANY_VALUE(b.c) AS BIGINT) AS best_cnt
+        |FROM tok, best b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "text_pmi" -> (toksCte +
+      """, t AS (SELECT tk FROM toks WHERE len(tk) > 0),
+        |uni AS (SELECT t AS w, COUNT(*) AS c
+        |        FROM (SELECT UNNEST(tk) AS t FROM t) GROUP BY 1),
+        |n AS (SELECT SUM(c) AS n FROM uni),
+        |bc AS (
+        |  SELECT w1, w2, COUNT(*) AS cxy
+        |  FROM (SELECT tk[i] AS w1, tk[i+1] AS w2
+        |        FROM (SELECT tk, UNNEST(range(1, len(tk))) AS i
+        |              FROM t WHERE len(tk) >= 2))
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT b.w1, b.w2, CAST(b.cxy AS BIGINT) AS cxy,
+        |       CAST(b.cxy * n.n * 1000000 // (u1.c * u2.c) AS BIGINT) AS pmi_u
+        |FROM bc b, n
+        |JOIN uni u1 ON u1.w = b.w1
+        |JOIN uni u2 ON u2.w = b.w2
+        |ORDER BY pmi_u DESC, w1, w2 LIMIT 20""".stripMargin)
+  )
+}

@@ -259,7 +259,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("stratified sample is map-only: no exchange at all") {
-    val p = plan("q_strat_sample")
+    val p = plan("q_strat")
     // presentation orderBy adds a rangepartitioning; the FILTER itself
     // must not introduce a hash shuffle
     assert(!p.contains("hashpartitioning"),

@@ -94,8 +94,8 @@ class TemporalSamplingSpec extends AnyFunSuite {
       s"null-payload marker must supersede: ${got.toSeq}")
   }
 
-  test("q_strat_sample: en downsampled harder than the rest") {
-    val df = SparkEntry_q("q_strat_sample")
+  test("q_strat: en downsampled harder than the rest") {
+    val df = SparkEntry_q("q_strat")
     val total = graft.Tables.documents(spark, dir)
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

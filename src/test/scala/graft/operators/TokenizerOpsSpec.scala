@@ -1,0 +1,128 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the tokenizer-training / corpus-statistics operators
+  * (`text_sdedup`, `text_bpe`, `text_pmi`, [[BpeTrainer]]) on
+  * micro-corpora where the expected output is computable by inspection,
+  * plus a distributed-vs-sequential equivalence fuzz for the BPE
+  * trainer loop. The oracle gates prove engine equivalence at SF scale;
+  * these prove the operators do what the literature says.
+  */
+class TokenizerOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", false)
+    .appName("tokenizer-ops-spec").getOrCreate()
+
+  private def corpus(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("tok-spec").toFile
+    dir.deleteOnExit()
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    dir.getAbsolutePath
+  }
+
+  private def sdedup(dir: String): Map[Long, (Long, Long, String)] =
+    TokenizerQueries.queries("text_sdedup")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+
+  test("text_sdedup excises a duplicated 8-token span, keeps the first occurrence") {
+    val dir = corpus(Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "z1 z2 a b c d e f g h z3")))
+    val out = sdedup(dir)
+    // doc 0 owns every gram it contains — untouched
+    assert(out(0L) === ((10L, 0L, "a b c d e f g h i j")))
+    // doc 1's copy of the span (pos 2..9) is excised
+    assert(out(1L) === ((11L, 8L, "z1 z2 z3")))
+  }
+
+  test("text_sdedup merges OVERLAPPING duplicated grams into one span") {
+    val dir = corpus(Seq(
+      (0L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i zz")))
+    val out = sdedup(dir)
+    // grams at pos 0 and pos 1 are both duplicated; coverage is the
+    // UNION 0..8 (9 tokens), not 2×8
+    assert(out(2L) === ((10L, 9L, "zz")))
+  }
+
+  test("text_sdedup dedups a repeat WITHIN one document") {
+    val dir = corpus(Seq(
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8 m1 m2 m3 m4 m5 m6 m7 m8")))
+    val out = sdedup(dir)
+    assert(out(3L) === ((16L, 8L, "m1 m2 m3 m4 m5 m6 m7 m8")))
+  }
+
+  test("text_sdedup leaves docs shorter than the gram length intact") {
+    val dir = corpus(Seq((4L, "a b c"), (5L, "a b c")))
+    val out = sdedup(dir)
+    assert(out(4L) === ((3L, 0L, "a b c")))
+    assert(out(5L) === ((3L, 0L, "a b c")))
+  }
+
+  test("text_bpe single step: overlapping pair statistic + greedy merge") {
+    val dir = corpus(Seq((0L, "abab"), (1L, "ab")))
+    // pairs: doc0 "abab" → ab, ba, ab; doc1 → ab. best = ("ab", 3)
+    val rows = TokenizerQueries.queries("text_bpe")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))))
+      .toMap
+    assert(rows(0L) === ((4L, 2L, "ab", 3L)))
+    assert(rows(1L) === ((2L, 1L, "ab", 3L)))
+  }
+
+  test("BpeTrainer.applyMerge is greedy left-to-right and non-overlapping") {
+    assert(BpeTrainer.applyMerge(Seq("a", "a", "a"), "a", "a") ===
+      Seq("aa", "a"))
+    assert(BpeTrainer.applyMerge(Seq("a", "b", "a", "b"), "a", "b") ===
+      Seq("ab", "ab"))
+    assert(BpeTrainer.applyMerge(Seq("x"), "a", "b") === Seq("x"))
+    assert(BpeTrainer.applyMerge(Nil, "a", "b") === Nil)
+  }
+
+  test("BpeTrainer distributed learn equals the sequential reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val words = Seq.fill(300)(
+      (1 to (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val dist = BpeTrainer.learn(spark, words.toDF("t"), 8)
+    val seqr = BpeTrainer.learnSequential(words, 8)
+    assert(dist === seqr)
+    assert(dist.nonEmpty)
+    // merge-apply preserves the underlying text: replaying the merge
+    // table over any word's chars and concatenating reproduces the word
+    words.distinct.foreach { w =>
+      val syms = dist.foldLeft(w.map(_.toString): Seq[String]) {
+        case (s, ((a, b), _)) => BpeTrainer.applyMerge(s, a, b)
+      }
+      assert(syms.mkString === w)
+    }
+  }
+
+  test("text_pmi scores adjacent-pair association in integer micro-units") {
+    val dir = corpus(Seq((0L, "x y x y x y x y x y")))
+    // uni: x=5, y=5, N=10; bigrams: (x,y)=5, (y,x)=4 — only (x,y)
+    // survives min-support 5. pmi_u = 5·10·10^6 div 25 = 2_000_000.
+    val rows = TokenizerQueries.queries("text_pmi")(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)) ===
+      (("x", "y", 5L, 2000000L)))
+  }
+}
