@@ -26,138 +26,160 @@ import graft.functions.TextFunctions._
   * Reference analogue: the reference has no text analytics (SURVEY §2.7
   * — oracdc is a CDC pipeline); these extend the BASELINE.json
   * LLM-pipeline mandate alongside TextQueries.
+  *
+  * Each query has a `materialize = false` builder variant so
+  * `PlanAuditSpec` can assert the physical shape (single parquet scan,
+  * cache reuse, no cartesian) on the lazy plan — the dsir precedent.
   */
 object TokenizerQueries {
 
   private val K = 8 // gram length for substring dedup (tokens)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_sdedup" -> ((s, dir) => sdedup(s, dir, materialize = true)),
+    "text_bpe" -> ((s, dir) => bpe(s, dir, materialize = true)),
+    "text_pmi" -> ((s, dir) => pmi(s, dir, materialize = true))
+  )
 
-    // Exact substring dedup. Plan shape (all equi-keyed, linear):
-    // one persisted scan pass computes tokens + the K-gram hash array
-    // per doc (the jac_lsh lesson: ONE tokenize/hash pass feeds every
-    // consumer); posexplode → one shuffle keyed by gram hash finds each
-    // gram's canonical first occurrence (min packed (doc,pos) —
-    // map-side combinable MIN); non-canonical occurrences expand to
-    // their ≤K covered token positions (constant fan-out), distinct,
-    // and one doc-keyed shuffle rebuilds the excised document. Nothing
-    // pairwise — cost is linear in corpus grams, the property that
-    // makes substring-level dedup runnable at 100 TB where the
-    // suffix-array formulation needs the corpus on one machine.
-    // Positions pack as doc_id*1000+pos (≤ 553-char docs → < 1000
-    // tokens, same packing bound as text_line_dedup).
-    "text_sdedup" -> ((s, dir) => {
-      val base = documents(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .filter(size(col("tk")) > 0)
-        .select(col("doc_id"), col("tk"),
-          shingleHashes(col("tk"), K).as("hs"))
-        .persist()
-      val grams = base.select(col("doc_id"),
-        posexplode(col("hs")).as(Seq("pos", "g")))
-      val firsts = grams.groupBy(col("g"))
-        .agg(min(col("doc_id") * 1000 + col("pos")).as("mk"))
-      // a gram with exactly one occurrence IS its own min — only true
-      // duplicates survive the filter, no count needed
-      val covered = grams.join(firsts, "g")
-        .filter(col("doc_id") * 1000 + col("pos") =!= col("mk"))
-        .select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + (K - 1))).as("p"))
-        .distinct()
-      val cov = covered.groupBy(col("doc_id"))
-        .agg(collect_list(col("p")).as("cov"))
-      val out = base.join(cov, Seq("doc_id"), "left")
-        .withColumn("cov", coalesce(col("cov"),
-          expr("CAST(array() AS ARRAY<INT>)")))
-        .select(col("doc_id"),
-          size(col("tk")).cast("long").as("n_tok"),
-          size(col("cov")).cast("long").as("n_removed"),
-          concat_ws(" ", expr(
-            "transform(filter(sequence(0, size(tk)-1)," +
-              " i -> NOT array_contains(cov, i))," +
-              " i -> element_at(tk, i+1))")).as("new_text"))
-        .orderBy(col("doc_id"))
+  /** Exact substring dedup. Plan shape (all equi-keyed, linear): one
+    * persisted scan pass computes tokens + the K-gram hash array per
+    * doc (the jac_lsh lesson: ONE tokenize/hash pass feeds every
+    * consumer); posexplode → one shuffle keyed by gram hash finds each
+    * gram's canonical first occurrence (min packed (doc,pos) —
+    * map-side-combinable MIN); non-canonical occurrences expand to
+    * their ≤K covered token positions (constant fan-out) and ONE
+    * doc-keyed aggregation dedups them into the per-doc covered set
+    * (collect_set — a distinct() first would add a second shuffle on
+    * (doc_id, p) for nothing); the same shuffle's output joins back to
+    * rebuild the excised document. Nothing pairwise — cost is linear
+    * in corpus grams, the property that makes substring-level dedup
+    * runnable at 100 TB where the suffix-array formulation needs the
+    * corpus on one machine. Positions pack as doc_id*1000+pos
+    * (≤ 553-char docs → < 1000 tokens, same bound as text_line_dedup).
+    */
+  private[operators] def sdedup(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
+    val base = documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        shingleHashes(col("tk"), K).as("hs"))
+      .persist()
+    val grams = base.select(col("doc_id"),
+      posexplode(col("hs")).as(Seq("pos", "g")))
+    val firsts = grams.groupBy(col("g"))
+      .agg(min(col("doc_id") * 1000 + col("pos")).as("mk"))
+    // a gram with exactly one occurrence IS its own min — only true
+    // duplicates survive the filter, no count needed
+    val cov = grams.join(firsts, "g")
+      .filter(col("doc_id") * 1000 + col("pos") =!= col("mk"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (K - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("cov"))
+    val out = base.join(cov, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"),
+        expr("CAST(array() AS ARRAY<INT>)")))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(col("cov")).cast("long").as("n_removed"),
+        concat_ws(" ", expr(
+          "transform(filter(sequence(0, size(tk)-1)," +
+            " i -> NOT array_contains(cov, i))," +
+            " i -> element_at(tk, i+1))")).as("new_text"))
+      .orderBy(col("doc_id"))
+    if (!materialize) out
+    else {
       val res = out.localCheckpoint(true)
       base.unpersist(blocking = false)
       res
-    }),
+    }
+  }
 
-    // One BPE training iteration. The pair statistic counts OVERLAPPING
-    // adjacent occurrences ("aaa" contributes two "aa") — the exact
-    // figure sequential BPE maximizes — and the merge applies greedily
-    // left-to-right (String.replace semantics, identical in DuckDB).
-    // Plan: the exploded token frame persists once (pair counts + the
-    // per-doc symbol sums are its two consumers); the winning pair is a
-    // 1-row aggregate BROADCAST back, so the corpus never moves — at
-    // 100 TB each iteration costs one map-side-combinable count plus
-    // one map pass, and the trainer loop ([[BpeTrainer.learn]]) carries
-    // only the merge table on the driver.
-    "text_bpe" -> ((s, dir) => {
-      val tok = documents(s, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-        .persist()
-      val best = tok.filter(length(col("t")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, length(t)-1), i -> substring(t, i, 2))"))
-          .as("best_pair"))
-        .groupBy(col("best_pair")).agg(count(lit(1)).as("best_cnt"))
-        .orderBy(col("best_cnt").desc, col("best_pair")).limit(1)
-      val out = tok.crossJoin(broadcast(best))
-        .groupBy(col("doc_id"))
-        .agg(sum(length(col("t"))).as("n_sym0"),
-          // the merged pair becomes ONE symbol: a 1-char placeholder
-          // (U+0001, absent from the corpus) keeps string length ==
-          // symbol count
-          sum(length(replace(col("t"), col("best_pair"),
-            lit("\u0001"))))
-            .as("n_sym1"),
-          first(col("best_pair")).as("best_pair"),
-          first(col("best_cnt")).as("best_cnt"))
-        .orderBy(col("doc_id"))
+  /** One BPE training iteration. The pair statistic counts OVERLAPPING
+    * adjacent occurrences ("aaa" contributes two "aa") — the exact
+    * figure sequential BPE maximizes — and the merge applies greedily
+    * left-to-right (String.replace semantics, identical in DuckDB).
+    * Plan: the exploded token frame persists once (pair counts + the
+    * per-doc symbol sums are its two consumers); the winning pair is a
+    * 1-row aggregate BROADCAST back, so the corpus never moves — at
+    * 100 TB each iteration costs one map-side-combinable count plus
+    * one map pass, and the trainer loop ([[BpeTrainer.learn]]) carries
+    * only the merge table on the driver.
+    */
+  private[operators] def bpe(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
+    val tok = documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .persist()
+    val best = tok.filter(length(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(t)-1), i -> substring(t, i, 2))"))
+        .as("best_pair"))
+      .groupBy(col("best_pair")).agg(count(lit(1)).as("best_cnt"))
+      .orderBy(col("best_cnt").desc, col("best_pair")).limit(1)
+    val out = tok.crossJoin(broadcast(best))
+      .groupBy(col("doc_id"))
+      .agg(sum(length(col("t"))).as("n_sym0"),
+        // the merged pair becomes ONE symbol: a 1-char placeholder
+        // (U+0001, absent from the corpus) keeps string length ==
+        // symbol count
+        sum(length(replace(col("t"), col("best_pair"),
+          lit(1.toChar.toString)))).as("n_sym1"),
+        first(col("best_pair")).as("best_pair"),
+        first(col("best_cnt")).as("best_cnt"))
+      .orderBy(col("doc_id"))
+    if (!materialize) out
+    else {
       val res = out.localCheckpoint(true)
       tok.unpersist(blocking = false)
       res
-    }),
+    }
+  }
 
-    // PMI collocations: score_u = cxy·N·10^6 div (cx·cy) — the PMI
-    // ratio in integer micro-units (log is monotone, so the top-k is
-    // the top-k PMI; integer arithmetic keeps both engines bit-equal).
-    // Plan: one persisted tokenize pass; unigram and bigram counts are
-    // map-side-combinable aggregations; the bigram frame joins the
-    // unigram frame EQUI-KEYED on each word — a 100 TB corpus's
-    // vocabulary does not broadcast (the text_dsir rule) — and N rides
-    // as a broadcast scalar. Ranking is a global top-20 (TakeOrdered,
-    // k rows per partition). min-support cxy ≥ 5 prunes the noise
-    // floor, as in Church & Hanks.
-    "text_pmi" -> ((s, dir) => {
-      val base = documents(s, dir)
-        .select(tokens(col("text")).as("tk"))
-        .filter(size(col("tk")) > 0)
-        .persist()
-      val uni = base.select(explode(col("tk")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .persist()
-      val nTot = uni.agg(sum(col("c")).as("n"))
-      val bi = base.filter(size(col("tk")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(tk)-1)," +
-            " i -> struct(element_at(tk,i) AS w1, element_at(tk,i+1) AS w2))"))
-          .as("p"))
-        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
-        .filter(col("cxy") >= 5)
-      val out = bi.crossJoin(broadcast(nTot))
-        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
-        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
-        .select(col("w1"), col("w2"), col("cxy"),
-          expr("cxy * n * 1000000 div (c1 * c2)").as("pmi_u"))
-        .orderBy(col("pmi_u").desc, col("w1"), col("w2")).limit(20)
+  /** PMI collocations: score_u = cxy·N·10^6 div (cx·cy) — the PMI
+    * ratio in integer micro-units (log is monotone, so the top-k is
+    * the top-k PMI; integer arithmetic keeps both engines bit-equal).
+    * Plan: one persisted tokenize pass; unigram and bigram counts are
+    * map-side-combinable aggregations; the bigram frame joins the
+    * unigram frame EQUI-KEYED on each word — a 100 TB corpus's
+    * vocabulary does not broadcast (the text_dsir rule) — and N rides
+    * as a broadcast scalar. Ranking is a global top-20 (TakeOrdered,
+    * k rows per partition). min-support cxy ≥ 5 prunes the noise
+    * floor, as in Church & Hanks.
+    */
+  private[operators] def pmi(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
+    val base = documents(s, dir)
+      .select(tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .persist()
+    val uni = base.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist()
+    val nTot = uni.agg(sum(col("c")).as("n"))
+    val bi = base.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk)-1)," +
+          " i -> struct(element_at(tk,i) AS w1, element_at(tk,i+1) AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 5)
+    val out = bi.crossJoin(broadcast(nTot))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .select(col("w1"), col("w2"), col("cxy"),
+        expr("cxy * n * 1000000 div (c1 * c2)").as("pmi_u"))
+      .orderBy(col("pmi_u").desc, col("w1"), col("w2")).limit(20)
+    if (!materialize) out
+    else {
       val res = out.localCheckpoint(true)
       uni.unpersist(blocking = false)
       base.unpersist(blocking = false)
       res
-    })
-  )
+    }
+  }
 
   private val toksCte =
     """WITH toks AS (

@@ -403,4 +403,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window ["),
       s"window machinery must be rewritten away:\n$p")
   }
+  test("substring dedup: one scan pass, all joins equi, no cartesian") {
+    // the gate entry eagerly checkpoints; audit the lazy plan. Scale
+    // claims: tokens+gram hashes are computed ONCE (both the gram side
+    // and the rebuild side read the cached frame), every join is
+    // equi-keyed (gram hash, doc_id), nothing pairwise
+    val p = TokenizerQueries.sdedup(spark, dir, materialize = false)
+      .queryExecution.executedPlan.toString
+    try {
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+        s"gram side AND rebuild side must read the cached scan:\n$p")
+      // every printed parquet scan must sit INSIDE an InMemoryRelation
+      // cached-plan printout (the jac_lsh audit idiom) — a bare scan
+      // would mean a consumer bypassed the cache
+      assert("FileScan|Scan parquet".r.findAllIn(p).size <=
+        "InMemoryRelation".r.findAllIn(p).size,
+        s"documents scanned outside the cache:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"substring dedup has no non-equi join:\n$p")
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("BPE step: corpus never moves — pair argmax broadcasts back") {
+    val p = TokenizerQueries.bpe(spark, dir, materialize = false)
+      .queryExecution.executedPlan.toString
+    try {
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+        s"pair counts and symbol sums must share one exploded frame:\n$p")
+      assert(p.contains("BroadcastExchange"),
+        s"the 1-row best-pair frame must broadcast:\n$p")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+        s"only the 1-row argmax may cross-join:\n$p")
+      assert(p.contains("partial_count"),
+        s"pair statistic must combine map-side:\n$p")
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("PMI: one tokenize pass; bigram-unigram joins never cartesian") {
+    val p = TokenizerQueries.pmi(spark, dir, materialize = false)
+      .queryExecution.executedPlan.toString
+    try {
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+        s"unigram, bigram and scoring sides must share cached frames:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+      val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnl <= 1, s"only the scalar N frame may cross-join:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"global top-20 must be TakeOrdered (k per partition), not a full sort:\n$p")
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
 }
