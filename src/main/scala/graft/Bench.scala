@@ -78,7 +78,7 @@ object Bench {
     // dev loop: SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val heavy = Seq("dedup_exact", "dedup_simhash", "dedup_emb_cos",
-      "ann_lsh_bucket", "ann_ivf", "ann_brute_topk", "ann_sq8_rerank",
+      "ann_lsh", "ann_ivf", "ann_brute_topk", "ann_sq8",
       "ann_ivf_kmeans", "ann_pq_adc", "pipe_curate", "dedup_incr",
       "dedup_semantic", "dedup_mh_lsh",
       "dedup_jac_lsh", "dedup_ngram", "dedup_contain",

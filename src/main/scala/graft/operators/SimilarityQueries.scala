@@ -10,7 +10,7 @@ import graft.functions.VectorFunctions._
   *  - `ann_brute_topk`: exact top-k — the small-query-set baseline.
   *    Queries are broadcast, so the fact side streams once with no
   *    shuffle; cost is |Q|·|N| dot products, embarrassingly parallel.
-  *  - `ann_lsh_bucket`: the 100 TB path — random-hyperplane LSH buckets
+  *  - `ann_lsh`: the 100 TB path — random-hyperplane LSH buckets
   *    computed map-only, then top-1 neighbor within bucket. The pairwise
   *    space is per-bucket, so the shuffle is keyed by bucket and total
   *    cost scales with Σ|bucket|², tunable by plane count.
@@ -76,7 +76,7 @@ object SimilarityQueries {
   /** Quantized embeddings blocked by random-hyperplane LSH bucket and
     * joined into within-bucket candidate pairs, with the quantized dot
     * and cosine already computed: (bucket, ia, ib, dot, cos).
-    * ONE definition shared by `ann_lsh_bucket` and
+    * ONE definition shared by `ann_lsh` and
     * `dedup_emb_cos` — a plane-count or quantization change in
     * one family must never silently desynchronize the other.
     */
@@ -158,7 +158,7 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
-    "ann_lsh_bucket" -> ((s, dir) => {
+    "ann_lsh" -> ((s, dir) => {
       // top-1 neighbor via the bounded-heap aggregate: the bucket join
       // co-locates each ia's candidates, so the partial aggregate
       // collapses them in place instead of shuffling every pair through
@@ -208,7 +208,7 @@ object SimilarityQueries {
         .select(col("vec_id").as("cid"), col("q").as("cq"),
           col("n2").as("cn2"))
       // Lloyd iteration: assign → integer-mean recompute. Top-1 via
-      // getItem(0) (the ann_lsh_bucket pattern) — an explode generator
+      // getItem(0) (the ann_lsh pattern) — an explode generator
       // stage for a 1-element array is pure codegen surface
       val a0 = e.crossJoin(broadcast(seeds))
         .withColumn("ccos",
@@ -423,7 +423,7 @@ object SimilarityQueries {
         .join(broadcast(qsFull), "qid")
       // stage 2: exact re-rank of the 20 candidates only (the fact side
       // streams once against the broadcast candidate list — same shape
-      // as ann_sq8_rerank)
+      // as ann_sq8)
       e.join(broadcast(cands), Seq("vec_id"))
         .withColumn("cos",
           cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
@@ -448,7 +448,7 @@ object SimilarityQueries {
     // against the fact table, never the reverse. The decoded grid values
     // are integers on the fixed-point domain (mn + ((x-mn) DIV s)·s), so
     // the candidate set is engine-exact and any engine restates it.
-    "ann_sq8_rerank" -> ((s, dir) => {
+    "ann_sq8" -> ((s, dir) => {
       val e = embeddings(s, dir)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .withColumn("n2", normQ2(col("q")))
@@ -580,7 +580,7 @@ object SimilarityQueries {
         |             a.vec_id) AS rn
         |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid)
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
-    "ann_lsh_bucket" -> (quantCte +
+    "ann_lsh" -> (quantCte +
       """, dots AS (
         |  SELECT vec_id, p,
         |         SUM(x * (((p * 131 + (i - 1) * 7919 + 17) % 1000) - 500)) AS dp
@@ -747,7 +747,7 @@ object SimilarityQueries {
     // candidate set is engine-exact), exact re-rank to top-5 — the same
     // statement of the computation as the Spark plan, independently via
     // window functions
-    "ann_sq8_rerank" -> (quantCte +
+    "ann_sq8" -> (quantCte +
       """, dims AS (
         |  SELECT i, MIN(x) AS mn, MAX(x) AS mx
         |  FROM (SELECT UNNEST(q) AS x, generate_subscripts(q, 1) AS i FROM n)

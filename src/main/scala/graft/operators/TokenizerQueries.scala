@@ -38,7 +38,42 @@ object TokenizerQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_sdedup" -> ((s, dir) => sdedup(s, dir, materialize = true)),
     "text_bpe" -> ((s, dir) => bpe(s, dir, materialize = true)),
-    "text_pmi" -> ((s, dir) => pmi(s, dir, materialize = true))
+    "text_pmi" -> ((s, dir) => pmi(s, dir, materialize = true)),
+
+    // T5-style span-corruption sample builder (Raffel et al. 2020) —
+    // the denoising-objective data-generation step between a curated
+    // corpus and the trainer: ~15% of token positions are masked by a
+    // DETERMINISTIC hash rule (Knuth-multiplicative over (doc_id, pos)
+    // — rerunnable byte-identically, the q_strat rule), consecutive
+    // masked positions collapse to ONE sentinel in the input, and the
+    // target emits each span as sentinel + its tokens. Run-collapse
+    // needs only each position's left neighbor — element_at(m, i), no
+    // sequential state — so the whole op is ONE map pass at
+    // parquet-scan speed with zero shuffle at 100 TB.
+    "text_mask" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .withColumn("m", expr(
+          "transform(sequence(0, size(tk)-1)," +
+            " i -> ((doc_id * 1000 + i) * 2654435761) % 1000000007 % 100 < 15)"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tok"),
+          expr("size(filter(m, x -> x))").cast("long").as("n_masked"),
+          // element_at is 1-based: element_at(m, i+1) = mask of pos i,
+          // element_at(m, i) = mask of pos i-1 (the left neighbor)
+          concat_ws(" ", expr(
+            "flatten(transform(sequence(0, size(tk)-1), i -> " +
+              "CASE WHEN NOT element_at(m, i+1) THEN array(element_at(tk, i+1)) " +
+              "WHEN i = 0 OR NOT element_at(m, i) THEN array('<X>') " +
+              "ELSE array() END))")).as("input_text"),
+          concat_ws(" ", expr(
+            "flatten(transform(sequence(0, size(tk)-1), i -> " +
+              "CASE WHEN NOT element_at(m, i+1) THEN array() " +
+              "WHEN i = 0 OR NOT element_at(m, i) THEN array('<X>', element_at(tk, i+1)) " +
+              "ELSE array(element_at(tk, i+1)) END))")).as("target_text"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Exact substring dedup. Plan shape (all equi-keyed, linear): one
@@ -245,6 +280,29 @@ object TokenizerQueries {
         |FROM bc b, n
         |JOIN uni u1 ON u1.w = b.w1
         |JOIN uni u2 ON u2.w = b.w2
-        |ORDER BY pmi_u DESC, w1, w2 LIMIT 20""".stripMargin)
+        |ORDER BY pmi_u DESC, w1, w2 LIMIT 20""".stripMargin),
+    // DuckDB list indexing is 1-based like element_at; m[i+1] = mask of
+    // pos i, m[i] = left neighbor — identical neighbor logic
+    "text_mask" -> (toksCte +
+      """, t AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+        |mk AS (
+        |  SELECT doc_id, tk,
+        |         list_transform(range(0, len(tk)), i ->
+        |           ((doc_id * 1000 + i) * 2654435761) % 1000000007 % 100 < 15) AS m
+        |  FROM t)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+        |  CAST(len(list_filter(m, x -> x)) AS BIGINT) AS n_masked,
+        |  COALESCE(array_to_string(flatten(list_transform(range(0, len(tk)), i ->
+        |    CASE WHEN NOT m[i+1] THEN [tk[i+1]]
+        |         WHEN i = 0 OR NOT m[i] THEN ['<X>']
+        |         ELSE [] END)), ' '), '') AS input_text,
+        |  -- array_to_string([]) is NULL in DuckDB, '' in Spark's
+        |  -- concat_ws: coalesce so a doc with no masked position (or
+        |  -- all masked) states the same empty string in both engines
+        |  COALESCE(array_to_string(flatten(list_transform(range(0, len(tk)), i ->
+        |    CASE WHEN NOT m[i+1] THEN []
+        |         WHEN i = 0 OR NOT m[i] THEN ['<X>', tk[i+1]]
+        |         ELSE [tk[i+1]] END)), ' '), '') AS target_text
+        |FROM mk ORDER BY doc_id""".stripMargin)
   )
 }

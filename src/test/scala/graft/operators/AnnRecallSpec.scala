@@ -80,7 +80,7 @@ class AnnRecallSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val bf = SimilarityQueries.queries("ann_brute_topk")(spark, dir)
       .select(col("qid"), col("vec_id"))
-    val sq = SimilarityQueries.queries("ann_sq8_rerank")(spark, dir)
+    val sq = SimilarityQueries.queries("ann_sq8")(spark, dir)
       .select(col("qid"), col("vec_id"))
     val r = bf.intersect(sq).count().toDouble / bf.count().toDouble
     info(f"SQ8 recall@5 sf0.001 = $r%.3f")

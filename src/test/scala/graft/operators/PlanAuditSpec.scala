@@ -179,7 +179,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // re-rank must never shuffle the fact table on vec_id. (The stage-1
     // crossJoins against broadcast bounds/queries are nested-loop by
     // construction, so the audit pins the re-rank join's operator.)
-    val p = plan("ann_sq8_rerank")
+    val p = plan("ann_sq8")
     assert("BroadcastHashJoin .*vec_id".r.findFirstIn(p).isDefined,
       s"re-rank must equi-join vec_id against the broadcast candidates:\n$p")
     assert(!p.contains("SortMergeJoin"),

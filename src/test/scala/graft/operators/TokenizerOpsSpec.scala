@@ -125,4 +125,30 @@ class TokenizerOpsSpec extends AnyFunSuite {
     assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)) ===
       (("x", "y", 5L, 2000000L)))
   }
+  test("text_mask collapses masked runs to one sentinel, deterministically") {
+    val dir = corpus(Seq((0L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9")))
+    val Array(r) = TokenizerQueries.queries("text_mask")(spark, dir).collect()
+    val (nTok, nMasked) = (r.getLong(1), r.getLong(2))
+    val (input, target) = (r.getString(3), r.getString(4))
+    assert(nTok === 10L)
+    // recompute the hash rule independently
+    val m = (0 until 10).map(i => ((0L * 1000 + i) * 2654435761L) % 1000000007L % 100 < 15)
+    assert(nMasked === m.count(identity).toLong)
+    // input keeps unmasked tokens; each masked RUN is one sentinel
+    val toks = (0 until 10).map(i => s"w$i")
+    val expIn = new scala.collection.mutable.ArrayBuffer[String]
+    val expTg = new scala.collection.mutable.ArrayBuffer[String]
+    (0 until 10).foreach { i =>
+      if (!m(i)) expIn += toks(i)
+      else {
+        if (i == 0 || !m(i - 1)) { expIn += "<X>"; expTg += "<X>" }
+        expTg += toks(i)
+      }
+    }
+    assert(input === expIn.mkString(" "))
+    assert(target === expTg.mkString(" "))
+    // the rule is a pure function of (doc_id, pos): rerun is identical
+    val Array(r2) = TokenizerQueries.queries("text_mask")(spark, dir).collect()
+    assert(r2.getString(3) === input && r2.getString(4) === target)
+  }
 }
