@@ -81,6 +81,28 @@ object BpeTrainer {
     merges.toSeq
   }
 
+  /** Tokenize one word with a learned merge table — the apply side of
+    * the trainer: chars → fold every merge in learned order. Pure
+    * function, usable inside any map pass.
+    */
+  def encodeWord(w: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(w.map(_.toString): Seq[String]) {
+      case (s, (a, b)) => applyMerge(s, a, b)
+    }
+
+  /** Encode a corpus of words (string column `t`) with a learned merge
+    * table in ONE distributed map pass — the merge table rides the
+    * closure (it is driver-side metadata by construction), the fold
+    * over merges happens per word, so n learned merges never cost n
+    * corpus passes at apply time.
+    */
+  def encode(spark: SparkSession, words: DataFrame,
+      merges: Seq[(String, String)]): Dataset[Seq[String]] = {
+    import spark.implicits._
+    val table = merges.toIndexedSeq
+    words.select(col("t")).as[String].map(w => encodeWord(w, table))
+  }
+
   /** Sequential reference implementation (whole corpus in memory) — the
     * spec oracle [[graft.BpeTrainerSpec]] checks `learn` against.
     */

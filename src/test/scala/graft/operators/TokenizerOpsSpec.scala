@@ -151,4 +151,20 @@ class TokenizerOpsSpec extends AnyFunSuite {
     val Array(r2) = TokenizerQueries.queries("text_mask")(spark, dir).collect()
     assert(r2.getString(3) === input && r2.getString(4) === target)
   }
+  test("BpeTrainer.encode applies the learned table in one map pass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val words = Seq.fill(200)(
+      (1 to (1 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    val merges = BpeTrainer.learn(spark, words.toDF("t"), 6).map(_._1)
+    val enc = BpeTrainer.encode(spark, words.toDF("t"), merges).collect()
+    assert(enc.length === words.length)
+    // distributed encode == the pure per-word fold, and the merge table
+    // actually compresses (fewer symbols than chars somewhere)
+    enc.zip(words).foreach { case (syms, w) =>
+      assert(syms === BpeTrainer.encodeWord(w, merges))
+      assert(syms.mkString === w)
+    }
+    assert(enc.map(_.length).sum < words.map(_.length).sum)
+  }
 }
