@@ -11,7 +11,7 @@ import graft.functions.TextFunctions._
   * hashing-trick classifier filter → Gopher repetition filter →
   * exact dedup → MinHash-LSH near-dedup
   * (exact-Jaccard verified) → curated manifest. Each stage is the
-  * production operator the standalone gates check (`text_normalize`,
+  * production operator the standalone gates check (`text_norm`,
   * `text_lang_id`, `text_quality`, `text_rep_filter`, `dedup_exact`,
   * `dedup_jac_lsh`); this gate
   * proves the COMPOSITION end-to-end against one independent DuckDB

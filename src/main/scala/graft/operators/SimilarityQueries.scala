@@ -18,7 +18,7 @@ import graft.functions.VectorFunctions._
 object SimilarityQueries {
 
   /** Nearest-centroid assignment — the shared kernel of `ann_ivf`,
-    * `ann_ivf_kmeans` seeding and `dedup_semantic`: each source vector
+    * `ann_ivf_kmeans` seeding and `dedup_sem`: each source vector
     * crossJoins the BROADCAST centroid table, cosine-scores every cell,
     * and the bounded heap keeps the top `keep` BEFORE any shuffle
     * (map-side partial aggregation collapses |N|·|C| rows to |N|·keep).
@@ -185,7 +185,7 @@ object SimilarityQueries {
     // blocking function. At 100 TB: codebook broadcasts, assignment is
     // one map pass, the only shuffle keys on cluster id; a skewed
     // cluster is a centroid-count/skew-salt problem, not a plan change.
-    "dedup_semantic" -> ((s, dir) => semanticDedup(s, dir, materialize = true)),
+    "dedup_sem" -> ((s, dir) => semanticDedup(s, dir, materialize = true)),
 
     // IVF with a TRAINED coarse quantizer — one Lloyd (k-means)
     // iteration over the deterministic seed centroids before the index
@@ -529,7 +529,7 @@ object SimilarityQueries {
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
     // SemDeDup: the assigned CTE is the ann_ivf assignment restated;
     // pairwise cosine only within a cluster, keep-lowest-id policy
-    "dedup_semantic" -> (quantCte +
+    "dedup_sem" -> (quantCte +
       """, cents AS (
         |  SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 25 = 0),
         |assigned AS (

@@ -63,7 +63,7 @@ object TextQueries {
     // per document (both engines build the identical string) and then
     // proves the masking removed them. Map-only: regex scrub at scan
     // speed, no shuffle.
-    "text_pii_scrub" -> ((s, dir) => {
+    "text_pii" -> ((s, dir) => {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val num = "\\b\\d{7,}\\b"
       documents(s, dir)
@@ -80,7 +80,7 @@ object TextQueries {
 
     // Normalization: lowercase + whitespace collapse + trim — the
     // canonical pre-tokenization cleanup pass. Map-only.
-    "text_normalize" -> ((s, dir) => {
+    "text_norm" -> ((s, dir) => {
       documents(s, dir)
         .select(col("doc_id"),
           trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
@@ -223,7 +223,7 @@ object TextQueries {
     // the vocabulary, approximate with proven bounds when it doesn't —
     // the only way "top tokens over 100 TB" fits in memory at all. See
     // FreqSketchAgg.
-    "text_top_terms" -> ((s, dir) => {
+    "text_terms" -> ((s, dir) => {
       documents(s, dir)
         .select(explode(tokens(col("text"))).as("tok"))
         .agg(graft.functions.FreqSketchOps.freqSketch(col("tok"), 1024).as("fs"))
@@ -322,7 +322,7 @@ object TextQueries {
         |             generate_subscripts(tk, 1) AS i FROM toks)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // NB DuckDB regexp_replace is first-match-only without the 'g' flag
-    "text_pii_scrub" ->
+    "text_pii" ->
       """WITH raw AS (SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com tel '
         |         || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS raw
@@ -337,7 +337,7 @@ object TextQueries {
         |    AS n_emails,
         |  CAST(len(regexp_extract_all(raw, '\b\d{7,}\b')) AS INTEGER) AS n_nums
         |FROM raw ORDER BY doc_id""".stripMargin,
-    "text_normalize" ->
+    "text_norm" ->
       """SELECT doc_id,
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
         |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
@@ -445,7 +445,7 @@ object TextQueries {
         |FROM agg ORDER BY doc_id""".stripMargin,
     // exact regime: capacity (1024) >> vocabulary, so the sketch holds
     // every counter and the top-10 equals the exact GROUP BY
-    "text_top_terms" -> (toksCte +
+    "text_terms" -> (toksCte +
       """SELECT t AS token, COUNT(*) AS cnt
         |FROM (SELECT UNNEST(tk) AS t FROM toks)
         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 10""".stripMargin)

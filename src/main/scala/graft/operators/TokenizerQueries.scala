@@ -73,6 +73,31 @@ object TokenizerQueries {
               "WHEN i = 0 OR NOT element_at(m, i) THEN array('<X>', element_at(tk, i+1)) " +
               "ELSE array(element_at(tk, i+1)) END))")).as("target_text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Sliding-window document chunking — the retrieval/embedding prep
+    // step (RAG indexing, long-doc embedding): 64-token windows at
+    // stride 48 (16-token overlap so no boundary context is lost), a
+    // trailing start is kept only while the previous window has not
+    // already reached the document's end (s = 0 OR s + 16 < n — the
+    // canonical "stop once covered" rule). Entirely MAP-ONLY: window
+    // starts and slices come from the row's own token array, so at
+    // 100 TB chunking runs at parquet-scan speed with zero shuffle and
+    // the output feeds the ANN family's embedding side directly.
+    "text_chunk" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+          explode(expr(
+            "transform(filter(transform(sequence(0, (size(tk)-1) div 48)," +
+              " k -> k*48), s -> s = 0 OR s + 16 < size(tk))," +
+              " s -> struct(s AS start, slice(tk, s+1, 64) AS w))")).as("c"))
+        .select(col("doc_id"), col("n_tok"),
+          col("c.start").cast("long").as("start"),
+          size(col("c.w")).cast("long").as("n_chunk_tok"),
+          concat_ws(" ", col("c.w")).as("chunk_text"))
+        .orderBy(col("doc_id"), col("start"))
     })
   )
 
@@ -303,6 +328,20 @@ object TokenizerQueries {
         |    CASE WHEN NOT m[i+1] THEN []
         |         WHEN i = 0 OR NOT m[i] THEN ['<X>', tk[i+1]]
         |         ELSE [tk[i+1]] END)), ' '), '') AS target_text
-        |FROM mk ORDER BY doc_id""".stripMargin)
+        |FROM mk ORDER BY doc_id""".stripMargin),
+    // DuckDB list slice tk[a : b] is 1-based inclusive and clamps at
+    // the list end — identical to Spark's slice(tk, a, 64) semantics
+    "text_chunk" -> (toksCte +
+      """, t AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+        |st AS (
+        |  SELECT doc_id, tk, UNNEST(list_filter(
+        |    list_transform(range(0, (len(tk)-1)//48 + 1), k -> k*48),
+        |    s -> s = 0 OR s + 16 < len(tk))) AS s
+        |  FROM t)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+        |       CAST(s AS BIGINT) AS start,
+        |       CAST(len(tk[s+1 : s+64]) AS BIGINT) AS n_chunk_tok,
+        |       array_to_string(tk[s+1 : s+64], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, start""".stripMargin)
   )
 }

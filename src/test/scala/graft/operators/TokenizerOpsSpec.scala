@@ -167,4 +167,19 @@ class TokenizerOpsSpec extends AnyFunSuite {
     }
     assert(enc.map(_.length).sum < words.map(_.length).sum)
   }
+  test("text_chunk windows overlap and stop once the doc is covered") {
+    // 100 tokens: starts 0 and 48 keep (48+16 < 100), 96 drops
+    // (96+16 >= 100 — the stride-48 window at 48 already reaches 111)
+    val toks100 = (0 until 100).map(i => s"t$i")
+    val dir = corpus(Seq(
+      (0L, toks100.mkString(" ")),
+      (1L, "a b c")))
+    val rows = TokenizerQueries.queries("text_chunk")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.toSeq === Seq(
+      (0L, 0L, 64L, toks100.slice(0, 64).mkString(" ")),
+      (0L, 48L, 52L, toks100.slice(48, 100).mkString(" ")),
+      (1L, 0L, 3L, "a b c")))
+  }
 }
