@@ -197,9 +197,14 @@ object TokenizerQueries {
     }
   }
 
-  /** PMI collocations: score_u = cxy·N·10^6 div (cx·cy) — the PMI
-    * ratio in integer micro-units (log is monotone, so the top-k is
-    * the top-k PMI; integer arithmetic keeps both engines bit-equal).
+  /** PMI collocations: score_u = ((cxy·10^6 div cx)·N) div cy — the
+    * PMI ratio in integer micro-units (log is monotone, so the top-k
+    * is the top-k PMI; integer arithmetic keeps both engines
+    * bit-equal). The division order is chosen for OVERFLOW SAFETY:
+    * cxy·10^6 ≤ N·10^6 and (cxy·10^6 div cx) ≤ 10^6·(cxy/cx) ≤ 10^6,
+    * so the largest intermediate is ~10^6·N — int64-safe to ~9×10^12
+    * corpus tokens (trillions), where the naive cxy·N·10^6 product
+    * wraps (silently in Spark, an error in DuckDB) at ~10^10 tokens.
     * Plan: one persisted tokenize pass; unigram and bigram counts are
     * map-side-combinable aggregations; the bigram frame joins the
     * unigram frame EQUI-KEYED on each word — a 100 TB corpus's
@@ -230,7 +235,7 @@ object TokenizerQueries {
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .select(col("w1"), col("w2"), col("cxy"),
-        expr("cxy * n * 1000000 div (c1 * c2)").as("pmi_u"))
+        expr("(cxy * 1000000 div c1) * n div c2").as("pmi_u"))
       .orderBy(col("pmi_u").desc, col("w1"), col("w2")).limit(20)
     if (!materialize) out
     else {
@@ -301,7 +306,7 @@ object TokenizerQueries {
         |              FROM t WHERE len(tk) >= 2))
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
         |SELECT b.w1, b.w2, CAST(b.cxy AS BIGINT) AS cxy,
-        |       CAST(b.cxy * n.n * 1000000 // (u1.c * u2.c) AS BIGINT) AS pmi_u
+        |       CAST((b.cxy * 1000000 // u1.c) * n.n // u2.c AS BIGINT) AS pmi_u
         |FROM bc b, n
         |JOIN uni u1 ON u1.w = b.w1
         |JOIN uni u2 ON u2.w = b.w2
