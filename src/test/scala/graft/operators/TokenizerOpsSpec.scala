@@ -182,4 +182,37 @@ class TokenizerOpsSpec extends AnyFunSuite {
       (0L, 48L, 52L, toks100.slice(48, 100).mkString(" ")),
       (1L, 0L, 3L, "a b c")))
   }
+  test("text_sdedup equals a sequential reference on a seeded random corpus") {
+    // independent third formulation (the oracle is the second): plant
+    // heavy 8-gram duplication via a tiny vocabulary, then replay the
+    // spec in plain Scala — mark every non-canonical duplicated-gram
+    // occurrence, excise covered positions
+    val rnd = new scala.util.Random(41L)
+    val docs = (0L until 60L).map { id =>
+      val n = 8 + rnd.nextInt(30)
+      id -> (0 until n).map(_ => "w" + rnd.nextInt(3)).mkString(" ")
+    }
+    val expected = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toIndexedSeq }
+      val owner = scala.collection.mutable.Map[Seq[String], Long]()
+      for ((id, tk) <- toks; i <- 0 to tk.length - 8) {
+        val g = tk.slice(i, i + 8)
+        val packed = id * 1000 + i
+        if (owner.getOrElse(g, Long.MaxValue) > packed) owner(g) = packed
+      }
+      toks.map { case (id, tk) =>
+        val cov = (for {
+          i <- 0 to tk.length - 8
+          if owner(tk.slice(i, i + 8)) != id * 1000 + i
+          p <- i until i + 8
+        } yield p).toSet
+        val kept = tk.indices.filterNot(cov).map(tk)
+        id -> ((tk.length.toLong, cov.size.toLong, kept.mkString(" ")))
+      }.toMap
+    }
+    val dir = corpus(docs)
+    assert(sdedup(dir) === expected)
+    // sanity: the planted vocabulary actually produced duplication
+    assert(expected.values.exists(_._2 > 0))
+  }
 }
