@@ -395,7 +395,7 @@ object CdcQueries {
     // consumer. Key collapses o_orderkey mod 997 so keys carry multiple
     // versions; ties broken on o_orderkey for a total, engine-agnostic
     // order.
-    "q_scd2_versions" -> ((s, dir) => {
+    "q_scd2_vers" -> ((s, dir) => {
       orders(s, dir).select(col("o_orderkey"),
           (col("o_orderkey") % 997).as("k"),
           col("o_orderdate").as("valid_from"),
@@ -524,7 +524,7 @@ object CdcQueries {
         |       regexp_extract(schema_name, '([^.]*)$', 1) AS schema_table,
         |       count(*) AS n
         |FROM t GROUP BY 1, 2 ORDER BY 1""".stripMargin,
-    "q_scd2_versions" ->
+    "q_scd2_vers" ->
       """SELECT o_orderkey % 997 AS k, o_orderkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
         |  o_orderdate AS valid_from,

@@ -128,7 +128,7 @@ object IncrementalAgg {
     // firstDelta is batch-keys-sized and broadcasts at real scale, so a
     // 100 TB dimension pays for its change keys only. The oracle
     // rebuilds the dimension FROM SCRATCH over the full history with
-    // the q_scd2_versions window — the gate proves apply ≡ rebuild.
+    // the q_scd2_vers window — the gate proves apply ≡ rebuild.
     // Assumes in-order arrival (batch changes post-date the current
     // rows), the CDC commit-order guarantee T3 provides upstream.
     "q_scd2_apply" -> ((s, dir) => scd2Apply(s, dir, CUTOFF))

@@ -132,6 +132,41 @@ object MultimodalQueries {
       ph.withColumn("n_same", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("ph"))))
         .orderBy(col("doc_id"))
+    }),
+
+    // Image-text PAIR filtering — the LAION-style CLIP-score curation
+    // step: every multimodal corpus sweep scores (image embedding,
+    // caption) pairs and drops low-alignment pairs before training.
+    // The image side is the embeddings table on the ANN family's exact
+    // integer fixed-point domain (quantize = floor(x·10^6), so the dot
+    // product is exact cross-engine); the caption side is a
+    // hashing-trick bag-of-words vector in the SAME 64-dim space
+    // (integer counts are already fixed-point). Plan: both sides are
+    // map-only projections, ONE equi-join on doc_id, scoring is a
+    // per-row integer dot + one IEEE division — at 100 TB this is scan
+    // + co-partitioned join, nothing quadratic, no broadcast needed.
+    "mm_pairs" -> ((s, dir) => {
+      import graft.functions.VectorFunctions._
+      import graft.functions.TextFunctions._
+      val img = embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"),
+          quantize(col("embedding")).as("q"))
+        .withColumn("n2i", normQ2(col("q")))
+      val txt = documents(s, dir)
+        .select(col("doc_id"),
+          shingleHashes(tokens(col("text")), 1).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .withColumn("tv", expr(
+          "transform(sequence(0, 63)," +
+            " j -> CAST(size(filter(hs, x -> x % 64 = j)) AS BIGINT))"))
+        .withColumn("n2t", normQ2(col("tv")))
+      img.join(txt, "doc_id")
+        .withColumn("dot", dotQ(col("q"), col("tv")))
+        .withColumn("clip",
+          cosineFromQ(col("dot"), col("n2i"), col("n2t")))
+        .select(col("doc_id"), col("dot"),
+          col("clip"), (col("clip") > 0.05).as("keep"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -243,6 +278,42 @@ object MultimodalQueries {
         |  FROM cells)
         |SELECT doc_id, ph,
         |       CAST(COUNT(*) OVER (PARTITION BY ph) AS BIGINT) AS n_same
-        |FROM hashes ORDER BY doc_id""".stripMargin
+        |FROM hashes ORDER BY doc_id""".stripMargin,
+    // same fixed-point domain as the dedup_emb_cos oracle; same
+    // poly-hash as the text family
+    "mm_pairs" ->
+      """WITH v AS (
+        |  SELECT vec_id AS doc_id,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |img AS (SELECT doc_id, q,
+        |               CAST(list_dot_product(q, q) AS BIGINT) AS n2i FROM v),
+        |toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(tk, t ->
+        |           list_reduce(list_transform(string_split(t, ''),
+        |                                      c -> CAST(ord(c) AS BIGINT)),
+        |                       (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+        |  FROM toks WHERE len(tk) > 0),
+        |txt AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 64),
+        |           j -> CAST(len(list_filter(hs, x -> x % 64 = j)) AS BIGINT)) AS tv
+        |  FROM hs),
+        |t2 AS (SELECT doc_id, tv,
+        |              CAST(list_dot_product(tv, tv) AS BIGINT) AS n2t FROM txt)
+        |SELECT i.doc_id,
+        |       CAST(list_dot_product(i.q, t.tv) AS BIGINT) AS dot,
+        |       CAST(list_dot_product(i.q, t.tv) AS DOUBLE)
+        |         / (sqrt(CAST(i.n2i AS DOUBLE)) * sqrt(CAST(t.n2t AS DOUBLE))) AS clip,
+        |       CAST(list_dot_product(i.q, t.tv) AS DOUBLE)
+        |         / (sqrt(CAST(i.n2i AS DOUBLE)) * sqrt(CAST(t.n2t AS DOUBLE))) > 0.05 AS keep
+        |FROM img i JOIN t2 t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -155,7 +155,7 @@ object TextQueries {
     // reason this beats the window-function formulation) → ONE shuffle
     // on doc_id to stitch surviving lines back into documents. Nothing
     // is pairwise; cost is linear in corpus lines.
-    "text_line_dedup" -> ((s, dir) => {
+    "text_ldedup" -> ((s, dir) => {
       val lines = documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .filter(size(col("tk")) > 0)
@@ -401,7 +401,7 @@ object TextQueries {
         |FROM uniq u JOIN bi b USING (doc_id) ORDER BY doc_id""".stripMargin),
     // line dedup: same chunking + first-occurrence-wins stated
     // relationally; string_agg ORDER BY reproduces the stitch order
-    "text_line_dedup" -> (toksCte +
+    "text_ldedup" -> (toksCte +
       """, t AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
         |lines AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS line_no,

@@ -115,7 +115,7 @@ object TokenizerQueries {
     * in corpus grams, the property that makes substring-level dedup
     * runnable at 100 TB where the suffix-array formulation needs the
     * corpus on one machine. Positions pack as doc_id*1000+pos
-    * (≤ 553-char docs → < 1000 tokens, same bound as text_line_dedup).
+    * (≤ 553-char docs → < 1000 tokens, same bound as text_ldedup).
     */
   private[operators] def sdedup(s: SparkSession, dir: String,
       materialize: Boolean): DataFrame = {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Semantics of the corpus-curation gates added for the C4/CCNet/DSIR
-  * pipeline stages (`text_line_dedup`, `text_classify`, `text_dsir`) on
+  * pipeline stages (`text_ldedup`, `text_classify`, `text_dsir`) on
   * hand-built micro corpora where the expected output is computable by
   * inspection — the oracle gates prove engine equivalence at SF scale,
   * these prove the operator does what the curation literature says.
@@ -40,12 +40,12 @@ class CurationOpsSpec extends AnyFunSuite {
   private val lineB = "p q r s t u v w"
   private val lineC = "x y z x y z x y"
 
-  test("text_line_dedup keeps first global occurrence and restitches docs") {
+  test("text_ldedup keeps first global occurrence and restitches docs") {
     val dir = corpus(Seq(
       (0L, s"$lineA $lineB", "en"),
       (1L, s"$lineA $lineC", "en"),
       (2L, s"$lineB $lineC $lineC", "en")))
-    val out = TextQueries.queries("text_line_dedup")(spark, dir)
+    val out = TextQueries.queries("text_ldedup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toMap2
     // doc 0 owns lineA + lineB; doc 1 loses lineA, keeps lineC;
     // doc 2 loses everything (lineB → doc 0, lineC → doc 1) and vanishes
@@ -54,9 +54,9 @@ class CurationOpsSpec extends AnyFunSuite {
       1L -> ((1L, lineC))))
   }
 
-  test("text_line_dedup dedups repeats WITHIN one document too") {
+  test("text_ldedup dedups repeats WITHIN one document too") {
     val dir = corpus(Seq((7L, s"$lineB $lineB $lineA", "en")))
-    val Array(row) = TextQueries.queries("text_line_dedup")(spark, dir).collect()
+    val Array(row) = TextQueries.queries("text_ldedup")(spark, dir).collect()
     assert(row.getLong(1) === 2L)
     assert(row.getString(2) === s"$lineB $lineA")
   }
@@ -113,7 +113,7 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("text_line_dedup matches a pure-Scala reference on a random corpus") {
+  test("text_ldedup matches a pure-Scala reference on a random corpus") {
     val docs = randomCorpus(0xC4L)
     val dir = corpus(docs)
     // reference: chunk to 8-token lines, first (doc_id, line_no) wins
@@ -132,7 +132,7 @@ class CurationOpsSpec extends AnyFunSuite {
       .map { case (id, ls) =>
         id -> ((ls.size.toLong, ls.sortBy(_._2).map(_._3).mkString(" ")))
       }
-    val got = TextQueries.queries("text_line_dedup")(spark, dir)
+    val got = TextQueries.queries("text_ldedup")(spark, dir)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
     assert(got === expected)
   }

@@ -348,7 +348,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("line dedup: exactly two hash shuffles (line MIN, doc stitch), both partial-agg") {
-    val p = plan("text_line_dedup")
+    val p = plan("text_ldedup")
     assert("hashpartitioning".r.findAllIn(p).size == 2,
       s"expected line-key + doc-key exchanges only:\n$p")
     // the line-key MIN must combine map-side (duplicate-heavy corpora
