@@ -244,6 +244,42 @@ object DedupQueries {
       .select(col("ia"), col("ib")).distinct()
   }
 
+  /** [[lshCandidatePairs]] with a BUCKET-SIZE GUARD — the production
+    * knob for duplicate-DENSE corpora. Buckets larger than `maxBucket`
+    * are excluded from pairwise candidate generation: a bucket of m
+    * members yields m² pair rows, so one 100-way duplicate family
+    * costs 10 000 verified pairs — the session-4 100× sweep (500 k
+    * docs, every doc in a 100-way family) measured ~200 M pairs, which
+    * thrashes any bounded-memory pairwise stage and is OUTPUT-bound,
+    * not a plan defect. An oversized bucket is by construction already
+    * a near-duplicate cluster: route its members through the
+    * membership-cost star-edge path ([[minHashStarCandidates]] →
+    * `dedup_clusters`, 12.4 s on that same corpus) instead of
+    * enumerating its pairs. All three consumers of the band frame
+    * (bucket sizes + both self-join sides) shuffle by the same
+    * (band, h1, h2) key, so exchange reuse computes the
+    * scan → shingle → minhash pipeline once — same no-persist
+    * discipline as the uncapped form.
+    */
+  private[operators] def lshCandidatePairsCapped(hashes: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val bands = lshBands(hashes)
+    val ok = bands.groupBy(col("band"), col("h1"), col("h2"))
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= maxBucket)
+      .select(col("band"), col("h1"), col("h2"))
+    // select BY NAME (the loadBandIndex lesson: positional toDF would
+    // silently mis-map if the join reorders columns)
+    val pruned = bands.join(ok, Seq("band", "h1", "h2"))
+    val a = pruned.select(col("band"), col("h1"), col("h2"),
+      col("doc_id").as("ia"))
+    val b = pruned.select(col("band"), col("h1"), col("h2"),
+      col("doc_id").as("ib"))
+    a.join(b, Seq("band", "h1", "h2"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup by content digest (hash-groupBy).
     "dedup_exact" -> ((s, dir) => {

@@ -67,4 +67,28 @@ class MinHashStarSpec extends AnyFunSuite {
     stars.unpersist()
     docs.unpersist()
   }
+  test("capped candidate pairs exclude oversized buckets, keep the rest") {
+    import spark.implicits._
+    // a 20-member identical family (every band bucket size 20) plus one
+    // near-identical pair and one singleton
+    val fam = (0L until 20L).map(i => (i, Seq(1L, 2L, 3L, 4L, 5L)))
+    val pair = Seq((100L, Seq(10L, 11L, 12L, 13L)),
+      (101L, Seq(10L, 11L, 12L, 13L)))
+    val solo = Seq((200L, Seq(77L, 78L, 79L)))
+    val hashes = (fam ++ pair ++ solo).toDF("doc_id", "hs")
+    val uncapped = DedupQueries.lshCandidatePairs(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: the family contributes 20·19/2 = 190 pairs + the pair
+    assert(uncapped.size === 191)
+    assert(uncapped.contains((100L, 101L)))
+    val capped = DedupQueries.lshCandidatePairsCapped(hashes, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capped: the 20-member buckets are excluded — their members are
+    // routed to the star/cluster path — the small pair survives
+    assert(capped === Set((100L, 101L)))
+    // a cap above every bucket size reproduces the uncapped set exactly
+    val wide = DedupQueries.lshCandidatePairsCapped(hashes, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide === uncapped)
+  }
 }
