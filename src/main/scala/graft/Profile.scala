@@ -60,6 +60,20 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq else Seq("dedup_ngram")
     names.foreach { name =>
+      // "bpe_train:N" — time the BpeTrainer loop (N merges) over the
+      // dir's documents token stream; not a SparkEntry query, so it
+      // gets its own arm (reports merges + wall, nothing else)
+      if (name.startsWith("bpe_train:")) {
+        import org.apache.spark.sql.functions.{col, explode}
+        import graft.functions.TextFunctions.tokens
+        val n = name.stripSuffix(":").split(':')(1).toInt
+        val words = graft.Tables.documents(spark, dir)
+          .select(explode(tokens(col("text"))).as("t"))
+        val t0 = System.nanoTime()
+        val merges = graft.operators.BpeTrainer.learn(spark, words, n)
+        println(f"$name ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
+          s"merges=${merges.map { case ((a, b), c) => s"$a+$b:$c" }.mkString(",")}")
+      } else {
       if (sys.env.contains("PROFILE_EXPLAIN"))
         SparkEntry.queries(name)(spark, dir).explain("formatted")
       (1 to 2).foreach { pass =>
@@ -67,6 +81,7 @@ object Profile {
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         println(f"$name pass$pass ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
       }
     }
     spark.stop()
