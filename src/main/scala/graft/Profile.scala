@@ -63,7 +63,21 @@ object Profile {
       // "bpe_train:N" — time the BpeTrainer loop (N merges) over the
       // dir's documents token stream; not a SparkEntry query, so it
       // gets its own arm (reports merges + wall, nothing else)
-      if (name.startsWith("bpe_train:")) {
+      // "jac_capped:B" — time the bucket-capped LSH-verified exact
+      // Jaccard (the duplicate-density guard) over the dir's documents
+      if (name.startsWith("jac_capped:")) {
+        val b = name.split(':')(1).toInt
+        val hashes = graft.operators.DedupQueries
+          .docShingleHashes(spark, dir)
+          .filter(org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.col("hs")) > 0).persist()
+        val t0 = System.nanoTime()
+        val out = graft.operators.DedupQueries
+          .jaccardOnCandidates(hashes, maxBucket = Some(b))
+        out.write.format("noop").mode("overwrite").save()
+        println(f"$name ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        hashes.unpersist(blocking = false)
+      } else if (name.startsWith("bpe_train:")) {
         import org.apache.spark.sql.functions.{col, explode}
         import graft.functions.TextFunctions.tokens
         val n = name.stripSuffix(":").split(':')(1).toInt

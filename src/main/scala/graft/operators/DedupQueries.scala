@@ -86,7 +86,7 @@ object DedupQueries {
   /** doc_id + word-bigram shingle hashes (longs; no shingle strings are
     * materialized — computed by one native codegen pass per document).
     */
-  private[operators] def docShingleHashes(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docShingleHashes(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id"),
       shingleHashes(tokens(col("text")), 2).as("hs"))
 
@@ -99,9 +99,22 @@ object DedupQueries {
     * pipeline — the 4× recompute r6 measured at 6.0 s vs the one-pass
     * 0.93 s oracle (sf0.1).
     */
-  def jaccardOnCandidates(hashes: DataFrame): DataFrame = {
+  def jaccardOnCandidates(hashes: DataFrame): DataFrame =
+    jaccardOnCandidates(hashes, maxBucket = None)
+
+  /** [[jaccardOnCandidates]] with the duplicate-density guard:
+    * `maxBucket = Some(B)` verifies pairs only from band buckets of ≤ B
+    * members (see [[lshCandidatePairsCapped]]) — the form a
+    * duplicate-dense 100 TB sweep runs, with oversized buckets routed
+    * to the star/cluster path instead of pairwise enumeration.
+    */
+  def jaccardOnCandidates(hashes: DataFrame,
+      maxBucket: Option[Int]): DataFrame = {
     import graft.functions.TextHashExpressions.{sorted_distinct_longs, intersect_count_sorted}
-    val cand = lshCandidatePairs(hashes)
+    val cand = maxBucket match {
+      case Some(b) => lshCandidatePairsCapped(hashes, b)
+      case None => lshCandidatePairs(hashes)
+    }
     // distinct shingle sets for exact verification — derived from the
     // cached `hs` arrays (cheap per-row distinct, no re-scan). SORTED
     // sets + a merge-count kernel: Catalyst pushes the jac filter into
