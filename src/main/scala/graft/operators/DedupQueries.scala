@@ -363,6 +363,24 @@ object DedupQueries {
       out
     }),
 
+    // The duplicate-density GUARD as a gate: same LSH-verified exact
+    // Jaccard, but band buckets larger than 8 members are excluded
+    // from pairwise verification (lshCandidatePairsCapped — at sf0.01
+    // the duplicate-heavy corpus has buckets up to 27, so the cap
+    // genuinely bites and the oracle states the same bucket-size
+    // filter). This is the form a duplicate-dense sweep runs: the
+    // session-4 100× corpus (100-way families) thrashed the uncapped
+    // pairwise stage and completes in 13.4 s capped, with oversized
+    // buckets routed to the star/cluster path.
+    "dedup_cap" -> ((s, dir) => {
+      val hashes = docShingleHashes(s, dir).persist()
+      val out = jaccardOnCandidates(hashes.filter(size(col("hs")) > 0),
+          maxBucket = Some(8))
+        .localCheckpoint(true)
+      hashes.unpersist(blocking = false)
+      out
+    }),
+
     // Incremental delta-vs-corpus near-dedup (see incrementalNearDups):
     // even doc_ids stand in for the existing corpus, odd for the newly
     // arrived batch. ONE shingle pass feeds both sides' band builds and
@@ -818,6 +836,45 @@ object DedupQueries {
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
         |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+        |       AND a.doc_id < b.doc_id),
+        |hd AS (SELECT DISTINCT doc_id, h FROM h),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.ia, c.ib, COUNT(*) AS m
+        |  FROM cand c
+        |  JOIN hd a ON a.doc_id = c.ia
+        |  JOIN hd b ON b.doc_id = c.ib AND b.h = a.h
+        |  GROUP BY 1, 2)
+        |SELECT i.ia, i.ib, i.m,
+        |       CAST(i.m AS DOUBLE) / CAST(na.n + nb.n - i.m AS DOUBLE) AS jac
+        |FROM inter i
+        |JOIN sizes na ON na.doc_id = i.ia
+        |JOIN sizes nb ON nb.doc_id = i.ib
+        |WHERE CAST(i.m AS DOUBLE) / CAST(na.n + nb.n - i.m AS DOUBLE) >= 0.5
+        |ORDER BY ia, ib""".stripMargin),
+    // the duplicate-density guard: identical pipeline, candidate join
+    // restricted to band buckets of <= 8 members
+    "dedup_cap" -> (shinglesCte +
+      """, sig AS (
+        |  SELECT doc_id,
+        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
+        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
+        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
+        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
+        |  FROM h GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM sig UNION ALL
+        |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, s6, s7 FROM sig),
+        |ok AS (
+        |  SELECT band, h1, h2 FROM bands GROUP BY 1, 2, 3
+        |  HAVING COUNT(*) <= 8),
+        |okb AS (SELECT b.* FROM bands b JOIN ok USING (band, h1, h2)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM okb a JOIN okb b
         |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
         |       AND a.doc_id < b.doc_id),
         |hd AS (SELECT DISTINCT doc_id, h FROM h),
