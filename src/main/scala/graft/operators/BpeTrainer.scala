@@ -20,6 +20,44 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrainer {
 
+  /** Initial BPE symbols of a word = its Unicode CODE POINTS, not
+    * Java chars: per-char `_.toString` would split a surrogate pair
+    * into two lone surrogates that don't round-trip Spark's UTF-8
+    * encoding, so `learn` and [[learnSequential]] could diverge on
+    * non-BMP corpora (the r7 advice finding).
+    */
+  def codePointSymbols(w: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toSeq
+  }
+
+  /** Unsigned lexicographic UTF-8 byte comparison — Spark's binary
+    * string collation (UTF8String.compareTo), which the distributed
+    * argmax tie-break in [[learn]] follows. Java's String#compareTo
+    * orders by UTF-16 code unit instead, which disagrees above U+FFFF
+    * (supplementary code points sort below U+E000–U+FFFF in UTF-16
+    * order but above them in UTF-8/code-point order), so the
+    * sequential reference must compare the way Spark does.
+    */
+  private[operators] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Greedy non-overlapping left-to-right merge of the adjacent pair
     * (a, b) in one symbol sequence — the sequential-BPE apply rule.
     */
@@ -43,9 +81,10 @@ object BpeTrainer {
       : Seq[((String, String), Long)] = {
     import spark.implicits._
     val merges = scala.collection.mutable.ArrayBuffer[((String, String), Long)]()
-    // initial symbols = characters (the classic BPE start state)
+    // initial symbols = code points (the classic BPE start state;
+    // see codePointSymbols for why not Java chars)
     var cur: Dataset[Seq[String]] = words.select(col("t")).as[String]
-      .map(t => t.map(_.toString): Seq[String])
+      .map(codePointSymbols)
       .localCheckpoint(true)
     var it = 0
     var done = false
@@ -86,7 +125,7 @@ object BpeTrainer {
     * function, usable inside any map pass.
     */
   def encodeWord(w: String, merges: Seq[(String, String)]): Seq[String] =
-    merges.foldLeft(w.map(_.toString): Seq[String]) {
+    merges.foldLeft(codePointSymbols(w)) {
       case (s, (a, b)) => applyMerge(s, a, b)
     }
 
@@ -107,7 +146,7 @@ object BpeTrainer {
     * spec oracle [[graft.BpeTrainerSpec]] checks `learn` against.
     */
   def learnSequential(words: Seq[String], n: Int): Seq[((String, String), Long)] = {
-    var corpus: Seq[Seq[String]] = words.map(_.map(_.toString): Seq[String])
+    var corpus: Seq[Seq[String]] = words.map(codePointSymbols)
     val merges = scala.collection.mutable.ArrayBuffer[((String, String), Long)]()
     var it = 0
     var done = false
@@ -124,8 +163,19 @@ object BpeTrainer {
       val candidates = counts.filter(_._2 >= 2)
       if (candidates.isEmpty) done = true
       else {
-        val best = candidates.toSeq
-          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        // tie-break by UTF-8 byte order (Spark's binary collation) so
+        // this reference matches `learn`'s distributed argmax on
+        // non-ASCII symbols — a plain (a, b) sortBy would use Java's
+        // UTF-16 order, which diverges above the BMP
+        val best = candidates.toSeq.reduceLeft { (x, y) =>
+          val cmp =
+            if (x._2 != y._2) java.lang.Long.compare(y._2, x._2)
+            else {
+              val ca = utf8Compare(x._1._1, y._1._1)
+              if (ca != 0) ca else utf8Compare(x._1._2, y._1._2)
+            }
+          if (cmp <= 0) x else y
+        }
         merges += best
         corpus = corpus.map(s => applyMerge(s, best._1._1, best._1._2))
       }

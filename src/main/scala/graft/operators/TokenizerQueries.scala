@@ -54,9 +54,15 @@ object TokenizerQueries {
       documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .filter(size(col("tk")) > 0)
+        // pre-reduce mod 2^31 BEFORE the Knuth multiply (the q_strat
+        // rule): (doc_id*1000+i) overflows the int64 product for
+        // doc_id ≳ 3.47M — Spark would wrap silently (negative
+        // remainder over-masks), DuckDB would raise — so the reduction
+        // keeps both engines byte-identical at any corpus size
         .withColumn("m", expr(
           "transform(sequence(0, size(tk)-1)," +
-            " i -> ((doc_id * 1000 + i) * 2654435761) % 1000000007 % 100 < 15)"))
+            " i -> (((doc_id * 1000 + i) % 2147483648) * 2654435761)" +
+            " % 1000000007 % 100 < 15)"))
         .select(col("doc_id"),
           size(col("tk")).cast("long").as("n_tok"),
           expr("size(filter(m, x -> x))").cast("long").as("n_masked"),
@@ -318,7 +324,8 @@ object TokenizerQueries {
         |mk AS (
         |  SELECT doc_id, tk,
         |         list_transform(range(0, len(tk)), i ->
-        |           ((doc_id * 1000 + i) * 2654435761) % 1000000007 % 100 < 15) AS m
+        |           (((doc_id * 1000 + i) % 2147483648) * 2654435761)
+        |             % 1000000007 % 100 < 15) AS m
         |  FROM t)
         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
         |  CAST(len(list_filter(m, x -> x)) AS BIGINT) AS n_masked,

@@ -115,6 +115,30 @@ class TokenizerOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BpeTrainer learn == sequential on a NON-BMP corpus (surrogate pairs)") {
+    import spark.implicits._
+    // symbols outside the BMP (surrogate pairs in UTF-16) mixed with
+    // BMP chars that sort ABOVE them in UTF-16 order but BELOW in
+    // UTF-8/code-point order (U+E000 vs U+1F600): the r7 advice
+    // divergence — per-char splitting makes lone surrogates, and a
+    // Java-compareTo tie-break would pick a different argmax
+    val e = "😀" // U+1F600
+    val p = ""       // BMP private-use, UTF-16-sorts above surrogates
+    val words = Seq(e + p, p + e, e + p, p + e, e + e + p, p + p + e,
+      "a" + e, e + "a", "a" + e, e + "a")
+    val dist = BpeTrainer.learn(spark, words.toDF("t"), 6)
+    val seqr = BpeTrainer.learnSequential(words, 6)
+    assert(dist === seqr)
+    assert(dist.nonEmpty)
+    // code-point symbols round-trip: no lone surrogates anywhere
+    words.distinct.foreach { w =>
+      val syms = BpeTrainer.encodeWord(w, dist.map(_._1))
+      assert(syms.mkString === w)
+      syms.foreach(s => assert(!s.exists(c =>
+        Character.isSurrogate(c) && s.length == 1)))
+    }
+  }
+
   test("text_pmi scores adjacent-pair association in integer micro-units") {
     val dir = corpus(Seq((0L, "x y x y x y x y x y")))
     // uni: x=5, y=5, N=10; bigrams: (x,y)=5, (y,x)=4 — only (x,y)

@@ -2,8 +2,10 @@
 """Regenerate the 10x embeddings scaling set used by BASELINE.md's SQ8
 sweep: 10 deterministically jittered copies of the sf0.1 embeddings
 (20 000 vectors), written to /tmp/graft_emb10x_dir/embeddings.parquet so
-`SPARK_GRAFT_SF_DIR=/tmp/graft_emb10x_dir SPARK_GRAFT_ONLY=ann_sq8_rerank
-tools/run.sh Bench` reproduces the 10x point.
+`SPARK_GRAFT_SF_DIR=/tmp/graft_emb10x_dir SPARK_GRAFT_ONLY=ann_sq8
+tools/run.sh Bench` reproduces the 10x point. (Gate keys were renamed
+in r7 — ann_sq8_rerank is now ann_sq8; full old->new mapping in
+BASELINE.md "gate-key renames".)
 
 Driver-side tooling only (duckdb is not on the Spark classpath).
 """
