@@ -77,6 +77,20 @@ object Profile {
         out.write.format("noop").mode("overwrite").save()
         println(f"$name ${(System.nanoTime() - t0) / 1e9}%8.2f s")
         hashes.unpersist(blocking = false)
+      } else if (name == "pq_phases") {
+        // phase attribution for ann_pq_adc: the builder runs its two
+        // driver collects + the qs1 checkpoint eagerly, so timing the
+        // builder vs the final action splits train+LUT from scan+rerank
+        (1 to 2).foreach { pass =>
+          val t0 = System.nanoTime()
+          val df = graft.operators.SimilarityQueries.pqAdc(spark, dir, 8,
+            trace = Some(l => println(f"pq_phases pass$pass $l")))
+          val t1 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          val t2 = System.nanoTime()
+          println(f"pq_phases pass$pass build=${(t1 - t0) / 1e9}%6.2f s " +
+            f"action=${(t2 - t1) / 1e9}%6.2f s")
+        }
       } else if (name.startsWith("bpe_train:")) {
         import org.apache.spark.sql.functions.{col, explode}
         import graft.functions.TextFunctions.tokens

@@ -80,6 +80,125 @@ object VectorNative {
     new GenericArrayData(out)
   }
 
+  /** PQ encode against a FIXED codebook passed as driver metadata
+    * (`cents(m)(j)` = centroid j of subspace m, each `dim/M` longs,
+    * ordered by original seed id within each subspace — the oracle's
+    * `ORDER BY d2, cid` tie-break reduces to first-wins in j order).
+    * Returns M+1 longs: the 1-BASED flat LUT slot per subspace
+    * (base(m) + j + 1, base = running count over sub-codebooks — the
+    * exact layout [[pqLut]] emits) followed by the reconstruction norm
+    * Σ‖c_m‖². d2 drops the ‖sub‖² term — constant within a (row, m)
+    * argmin, so the chosen code is identical to the full L2.
+    */
+  def pqEncode(q: ArrayData, cents: Array[Array[Array[Long]]]): ArrayData =
+    new GenericArrayData(pqEncodeArr(q.toLongArray, cents))
+
+  /** [[pqEncode]] on a plain long array — the form the single-stage
+    * Lloyd pass ([[graft.operators.SimilarityQueries.pqAdc]]) calls
+    * per row inside its mapPartitions accumulator. One definition of
+    * the argmin so the training assignment and the serving encode can
+    * never diverge.
+    */
+  def pqEncodeArr(q: Array[Long], cents: Array[Array[Array[Long]]]): Array[Long] = {
+    val mTot = cents.length
+    val sub = q.length / mTot
+    val out = new Array[Long](mTot + 1)
+    var rn2 = 0L
+    var base = 0
+    var m = 0
+    while (m < mTot) {
+      val cm = cents(m)
+      var bestJ = 0
+      var bestD = Long.MaxValue
+      var bestCn2 = 0L
+      var j = 0
+      while (j < cm.length) {
+        val cv = cm(j)
+        var dot = 0L
+        var cn2 = 0L
+        var i = 0
+        while (i < sub) {
+          val c = cv(i)
+          dot += q(m * sub + i) * c
+          cn2 += c * c
+          i += 1
+        }
+        val d2 = cn2 - 2L * dot
+        if (d2 < bestD) { bestD = d2; bestJ = j; bestCn2 = cn2 }
+        j += 1
+      }
+      out(m) = base + bestJ + 1
+      rn2 += bestCn2
+      base += cm.length
+      m += 1
+    }
+    out(mTot) = rn2
+    out
+  }
+
+  /** Per-query PQ lookup table over the same codebook layout:
+    * lut[base(m) + j] = dot(q's subspace m, cents(m)(j)) — one flat
+    * array whose 1-based slots are exactly what [[pqEncode]] emits, so
+    * the ADC scan scores a pair with M O(1) array lookups.
+    */
+  def pqLut(q: ArrayData, cents: Array[Array[Array[Long]]]): ArrayData = {
+    val mTot = cents.length
+    val sub = q.numElements() / mTot
+    var total = 0
+    var m = 0
+    while (m < mTot) { total += cents(m).length; m += 1 }
+    val out = new Array[Long](total)
+    var base = 0
+    m = 0
+    while (m < mTot) {
+      val cm = cents(m)
+      var j = 0
+      while (j < cm.length) {
+        val cv = cm(j)
+        var dot = 0L
+        var i = 0
+        while (i < sub) { dot += q.getLong(m * sub + i) * cv(i); i += 1 }
+        out(base + j) = dot
+        j += 1
+      }
+      base += cm.length
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class PqEncodeExpr(child: Expression, cents: Seq[Seq[Seq[Long]]])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val centsArr: Array[Array[Array[Long]]] =
+      cents.map(_.map(_.toArray).toArray).toArray
+    override def nullSafeEval(v: Any): Any =
+      VectorNative.pqEncode(v.asInstanceOf[ArrayData], centsArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqCents", centsArr, "long[][][]")
+      defineCodeGen(ctx, ev, a => s"graft.functions.VectorNative.pqEncode($a, $ref)")
+    }
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  case class PqLutExpr(child: Expression, cents: Seq[Seq[Seq[Long]]])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val centsArr: Array[Array[Array[Long]]] =
+      cents.map(_.map(_.toArray).toArray).toArray
+    override def nullSafeEval(v: Any): Any =
+      VectorNative.pqLut(v.asInstanceOf[ArrayData], centsArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqCents", centsArr, "long[][][]")
+      defineCodeGen(ctx, ev, a => s"graft.functions.VectorNative.pqLut($a, $ref)")
+    }
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
   case class QuantizeExpr(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(FloatType))
@@ -139,6 +258,10 @@ object VectorNative {
   private def e(col: Column): Expression = GraftSqlBridge.expression(col)
 
   def quantize_native(col: Column): Column = c(QuantizeExpr(e(col)))
+  def pq_encode_native(q: Column, cents: Seq[Seq[Seq[Long]]]): Column =
+    c(PqEncodeExpr(e(q), cents))
+  def pq_lut_native(q: Column, cents: Seq[Seq[Seq[Long]]]): Column =
+    c(PqLutExpr(e(q), cents))
   def dotq_native(a: Column, b: Column): Column = c(DotQExpr(e(a), e(b)))
   def lsh_bucket_native(q: Column, planes: Int): Column = c(LshBucketExpr(e(q), planes))
   def sq8_decode_native(q: Column, mns: Column, steps: Column): Column =

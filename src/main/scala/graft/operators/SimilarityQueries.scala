@@ -96,6 +96,198 @@ object SimilarityQueries {
       .select(col("bucket"), col("ia"), col("ib"), col("dot"), col("cos"))
   }
 
+  /** PQ-ADC retrieval: (1) TRAIN a product-quantizer codebook — the
+    * vector splits into M disjoint subspaces, each with k = 16
+    * centroids refined by one Lloyd iteration (deterministic seeds,
+    * integer-exact L2 assignment and floor-mean recompute, so the
+    * trained codebook restates engine-exactly in SQL); (2) ENCODE
+    * every vector as M centroid codes — the 100 TB memory story: the
+    * ADC scan touches M packed longs + one norm per doc, never the
+    * full vector; (3) per query, build the M×k LOOKUP TABLE of
+    * subspace dot products once, broadcast it, and score each doc by
+    * M O(1) array lookups (asymmetric distance — exact because
+    * subspaces are disjoint coordinates, so dot/norm decompose
+    * additively with NO cross terms); (4) bounded-heap top-100
+    * candidates, then exact re-rank of those only. The candidate
+    * width is the recall knob (the efSearch analogue): with M = 8 /
+    * k = 16 on this corpus, recall@5 at sf0.01 measured 0.54 @20,
+    * 0.78 @40, 0.90 @80, 0.92 @100 (full trade table in BASELINE.md);
+    * re-rank cost is |Q|·width exact dot products — fixed per query,
+    * independent of corpus size.
+    *
+    * JOB-FLOOR DESIGN (r8): the codebook is M·k = 16·M rows BY
+    * CONSTRUCTION — corpus-INDEPENDENT, the same metadata class as
+    * BPE's merge table and PrefixSum's partition totals — so it lives
+    * on the DRIVER and rides into the codegen kernels
+    * ([[graft.functions.VectorNative.pqEncode]] / `pqLut`) as a
+    * reference object. That turns the former 5-phase join pipeline
+    * (seed join → Lloyd aggregate → codebook checkpoint → encode
+    * aggregate → LUT join) into: one 16-row seed collect, ONE corpus
+    * pass ending in a 64-group sum (the Lloyd step), a shuffle-FREE
+    * query-LUT projection, and the scan+re-rank action — encode is now
+    * a pure map projection with zero joins and zero shuffles. The r7
+    * form cost 2.5 s at sf0.1 against a 0.65 s oracle purely in
+    * job/stage floor (flat 3.0-3.1 s from sf0.001).
+    *
+    * Two PLAN LESSONS carried from r7 (PlanAuditSpec asserts both):
+    * the query LUT must never evaluate per candidate pair — r7 built
+    * it as a join+aggregate frame and Catalyst's projection collapse
+    * inlined the interpreted 64-element scatter into the pair scan
+    * (54 s at the 10× point); now it is a codegen kernel in a DIRECT
+    * scan projection on the broadcast side, evaluated once per query
+    * row during the broadcast build, with nothing for CollapseProject
+    * to merge through the join. And the bounded-heap aggregate input
+    * stays 3 primitive columns — the full-precision query vector
+    * re-joins onto the |Q|·100 candidate list afterwards (riding it
+    * through the pair scan measured 35 s).
+    *
+    * Parallelism: the metadata-sized reads (seeds, LUT, query frame)
+    * are plain scans; ONLY the ADC codes scan keeps tablePar's
+    * normalization, because the cross join fans each doc row out to
+    * |Q| scored pairs — single-partitioned, that one stage serialized
+    * the whole 10× sweep (26 s vs 6.3 s measured).
+    */
+  private[graft] def pqAdc(s: SparkSession, dir: String, M: Int,
+      trace: Option[String => Unit] = None): DataFrame = {
+    import graft.functions.VectorNative.{pq_encode_native, pq_lut_native}
+    val tr0 = System.nanoTime()
+    def tr(l: String): Unit =
+      trace.foreach(f => f(f"$l t=${(System.nanoTime() - tr0) / 1e9}%6.2f"))
+    // PLAIN scan, not tablePar: the PQ kernels are O(M·k·dim/M) ≈ 1k
+    // ops per row — scan-bound, not compute-bound — and this pipeline
+    // reads the table five times (seeds, train, LUT, encode, re-rank),
+    // so the parallelism-normalizing repartition would add five
+    // exchanges for compute that one core clears at scan speed; on a
+    // real lakehouse the scan's own file parallelism applies anyway
+    val e = graft.Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", normQ2(col("q")))
+    // FIXED codebook size — the defining PQ property: the seed rule
+    // (vec_id % 25 = 0, vec_id < 400) yields 16 centroids per subspace
+    // REGARDLESS of corpus size, so this collect is 16 rows forever —
+    // driver metadata by construction, never corpus data.
+    val seedRows = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 400)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    tr("seeds")
+    val dim = seedRows.head._2.length
+    val sub = dim / M
+    val cents0: Seq[Seq[Seq[Long]]] =
+      (0 until M).map(m => seedRows.toSeq.map(_._2.slice(m * sub, m * sub + sub)))
+    // ONE-STAGE Lloyd pass (the treeAggregate shape): the encode
+    // kernel assigns every (row, subspace) to its nearest seed (exact
+    // integer L2, ties to the smaller seed id — the oracle's ORDER BY
+    // d2, cid) and each partition folds its rows into a BOUNDED
+    // accumulator (Σ sub-vector + count per codebook cell: M·k·(dim/M)
+    // longs, corpus-independent); one partials row per partition comes
+    // back and the driver merges P of them — the PrefixSum metadata
+    // pattern. No exchange, no AQE re-plan: training is one stage
+    // ending in a metadata-sized collect.
+    val cents0Arr: Array[Array[Array[Long]]] =
+      cents0.map(_.map(_.toArray).toArray).toArray
+    val total0 = cents0Arr.map(_.length).sum
+    import s.implicits._
+    val partials = e.select(col("q")).as[Seq[Long]]
+      .mapPartitions { it =>
+        val sums = Array.fill(total0)(new Array[Long](sub))
+        val cnts = new Array[Long](total0)
+        it.foreach { qs =>
+          val q = qs.toArray
+          val enc = graft.functions.VectorNative.pqEncodeArr(q, cents0Arr)
+          var m = 0
+          while (m < cents0Arr.length) {
+            val slot = enc(m).toInt - 1
+            val sm = sums(slot)
+            var i = 0
+            while (i < sub) { sm(i) += q(m * sub + i); i += 1 }
+            cnts(slot) += 1
+            m += 1
+          }
+        }
+        Iterator.single((sums.map(_.toSeq).toSeq, cnts.toSeq))
+      }.collect()
+    tr("train")
+    // floor-mean recompute on the driver (exact: the element sums are
+    // < 2^53, so the double division and floor equal the oracle's
+    // floor(CAST(sm AS DOUBLE)/cnt)); empty cells (count 0) drop out,
+    // shrinking that sub-codebook — slot layout stays consistent
+    // because BOTH kernels derive it from the same per-subspace counts
+    val mergedSums = Array.fill(total0)(new Array[Long](sub))
+    val mergedCnts = new Array[Long](total0)
+    partials.foreach { case (ss, cc) =>
+      var t = 0
+      while (t < total0) {
+        val sv = ss(t)
+        var i = 0
+        while (i < sub) { mergedSums(t)(i) += sv(i); i += 1 }
+        mergedCnts(t) += cc(t)
+        t += 1
+      }
+    }
+    val k0 = cents0.head.length
+    val cents1: Seq[Seq[Seq[Long]]] = (0 until M).map { m =>
+      (0 until k0).flatMap { j =>
+        val t = m * k0 + j
+        if (mergedCnts(t) == 0L) None
+        else Some(mergedSums(t).toSeq
+          .map(x => math.floor(x.toDouble / mergedCnts(t)).toLong))
+      }
+    }
+    // query LUT frame: shuffle-free map projection (qid, qn2, lut) —
+    // materialized BEFORE broadcast (plan lesson 1, see scaladoc)
+    val qs1 = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("n2").as("qn2"),
+        pq_lut_native(col("q"), cents1).as("lut"))
+    val qsFull = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("n2").as("qn2"))
+    // encode is a pure MAP projection against the driver codebook —
+    // no join, no shuffle, no aggregate: enc = M 1-based LUT slots +
+    // the reconstruction norm Σ‖c_m‖² (exact: disjoint coordinates).
+    // THIS scan keeps the parallelism normalization: the ADC cross
+    // join fans each doc row out to |Q| scored pairs, so a
+    // single-partition scan serializes the one genuinely
+    // pair-proportional stage (measured 26 s vs 4 s at the 10×
+    // corpus); the metadata-sized reads above stay plain scans.
+    val codes = embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), pq_encode_native(col("q"), cents1).as("enc"))
+    // stage 1: ADC scan — approx cosine from M array-index lookups
+    // against the broadcast flat LUT; candidates through the bounded
+    // heap with a 3-primitive-column input (plan lesson 2)
+    val cands = codes.crossJoin(broadcast(qs1))
+      .filter(col("vec_id") =!= col("qid"))
+      // static M-term sum of O(1) array lookups (M is a fixed design
+      // constant): stays whole-stage codegen — the `aggregate` HOF
+      // interprets its lambda per element per row
+      .withColumn("lutsum", (0 until M).map(m =>
+        element_at(col("lut"), col("enc").getItem(m).cast("int")))
+        .reduce(_ + _))
+      .withColumn("approx",
+        cosineFromQ(col("lutsum"), col("qn2"), col("enc").getItem(M)))
+      .select(col("qid"), col("approx"), col("vec_id"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKFunctions
+        .topk_by_score(100, col("approx"), col("vec_id"), lit(0L)).as("top"))
+      .select(col("qid"), explode(col("top")).as("cand"))
+      .select(col("qid"), col("cand.id").as("vec_id"))
+      .join(broadcast(qsFull), "qid")
+    // stage 2: exact re-rank of the 20 candidates only (the fact side
+    // streams once against the broadcast candidate list — same shape
+    // as ann_sq8)
+    e.join(broadcast(cands), Seq("vec_id"))
+      .withColumn("cos",
+        cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKFunctions
+        .topk_by_score(5, col("cos"), col("vec_id"), lit(0L)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
+        col("e.id").as("vec_id"), col("e.score").as("cos"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -264,177 +456,8 @@ object SimilarityQueries {
     }),
 
     // PQ-ADC two-stage retrieval — the OTHER faiss serving shape (IVFPQ's
-    // code side): (1) TRAIN a product-quantizer codebook — the vector
-    // splits into M=4 disjoint subspaces, each with its own centroid set
-    // refined by one Lloyd iteration (deterministic seeds, integer-exact
-    // L2 assignment and floor-mean recompute, so the trained codebook
-    // restates engine-exactly in SQL); (2) ENCODE every vector as M
-    // centroid codes — the 100 TB memory story: the ADC scan touches
-    // M packed longs + one norm per doc, never the 64-dim vector; (3)
-    // per query, build the M×k LOOKUP TABLE of subspace dot products
-    // once, broadcast it, and score each doc by M map lookups
-    // (asymmetric distance: exact query · reconstructed doc — exact
-    // because subspaces are disjoint coordinates, so dot/norm decompose
-    // additively with NO cross terms); (4) bounded-heap top-20
-    // candidates, then exact re-rank of those only. Stage-1 traffic is
-    // ≤ 20 rows per (partition, query); the fact table is never
-    // shuffled and never read at full precision until the re-rank.
-    "ann_pq_adc" -> ((s, dir) => {
-      val M = 4
-      val e = embeddings(s, dir)
-        .select(col("vec_id"), quantize(col("embedding")).as("q"))
-        .withColumn("n2", normQ2(col("q")))
-      // sub-vectors: one explode into (vec_id, m, sq, sn2) — M rows per
-      // vector, sub-dim = dim/M (64/4 = 16 on this corpus)
-      val subs = e.select(col("vec_id"),
-          posexplode(array((0 until M).map(m =>
-            expr(s"slice(q, $m * (size(q) DIV $M) + 1, size(q) DIV $M)")): _*))
-            .as(Seq("m", "sq")))
-        .withColumn("sn2", normQ2(col("sq")))
-      // FIXED codebook size — the defining PQ property: k = 16 centroids
-      // per subspace (4-bit codes) regardless of corpus size. A
-      // corpus-proportional seed set (the IVF convention) would make the
-      // training join volume quadratic-ish in |N| and the LUT grow with
-      // the data; fixed k keeps training at |N|·M·k rows and the LUT at
-      // M·k entries forever.
-      val seeds = subs.filter(col("vec_id") % 25 === 0 && col("vec_id") < 400)
-        .select(col("m").as("cm"), col("vec_id").as("cid"),
-          col("sq").as("ccq"), col("sn2").as("ccn2"))
-      // nearest centroid per (vec_id, m) by exact integer L2 (the PQ
-      // metric) via min_by over a (d2, cid) struct — a total order
-      // (cid unique), so ties resolve to the smaller cid exactly like
-      // the oracle's ORDER BY d2, cid; d2 stays an exact long. min_by
-      // is a declarative aggregate over PRIMITIVE group keys
-      // (vec_id, m) — grouping by the sub-vector array instead
-      // measured ~3× the CPU (UnsafeRow array hashing per candidate).
-      def assign(cents: DataFrame, src: DataFrame): DataFrame =
-        src.join(broadcast(cents), col("m") === col("cm"))
-          .withColumn("d2", col("sn2") + col("ccn2") -
-            lit(2L) * dotQ(col("sq"), col("ccq")))
-          .groupBy(col("vec_id"), col("m"))
-          .agg(min_by(struct(col("cid"), col("ccn2")),
-            struct(col("d2"), col("cid"))).as("best"),
-            // the member sub-vector rides through the aggregate —
-            // functionally dependent on the (vec_id, m) group key, so
-            // first() is deterministic in value and saves the
-            // join-back shuffle a separate sq lookup would cost
-            first(col("sq")).as("sq"))
-          .select(col("vec_id"), col("m"), col("sq"),
-            col("best.cid").as("cid"), col("best.ccn2").as("ccn2"))
-      // one Lloyd iteration per subspace: integer floor-mean recompute
-      // (same mergeable element-wise sum aggregate as ann_ivf_kmeans —
-      // no dim-multiplying explode). The trained codebook is M·k rows
-      // and feeds TWO consumers (encode, query LUTs), so it
-      // materializes once.
-      val cents1 = assign(seeds, subs)
-        .groupBy(col("m"), col("cid"))
-        .agg(graft.functions.VecBoundsFunctions.vec_sum(col("sq")).as("sm"),
-          count(lit(1)).as("cnt"))
-        .select(col("m").as("cm"), col("cid"), expr(
-          "transform(sm, x -> CAST(floor(CAST(x AS DOUBLE) / cnt) AS BIGINT))")
-          .as("ccq"))
-        .withColumn("ccn2", normQ2(col("ccq")))
-        // materialized once: the codebook feeds two broadcast builds
-        // whose jobs would each re-run the corpus-sized training join
-        // (A/B measured: dropping the checkpoint did not help — the
-        // recomputes cost what the one materialization job costs)
-        .localCheckpoint(true)
-      // encode: M DENSE code slots per doc + the reconstruction norm
-      // Σ‖c_m‖² (exact: disjoint coordinates). The seed rule makes
-      // centroid ids dense (cid = 25·j, j < 16), so each (m, cid) maps
-      // to the flat LUT slot m·16 + cid/25 — exactly faiss's layout,
-      // where a PQ code IS an index into the codebook, never a label
-      // needing a map lookup. ONE aggregation does the per-subspace
-      // argmin AND the per-doc packing: M is a fixed design constant,
-      // so each subspace gets its own FILTERed min_by over the shared
-      // (vec_id) group — this replaces a (vec_id, m) aggregate + a
-      // second collect_list pack aggregate (and its sort) with a
-      // single hash-aggregate pass.
-      val codes = subs.join(broadcast(cents1), col("m") === col("cm"))
-        .withColumn("d2", col("sn2") + col("ccn2") -
-          lit(2L) * dotQ(col("sq"), col("ccq")))
-        .groupBy(col("vec_id"))
-        .agg(
-          expr("min_by(struct(cid, ccn2), struct(d2, cid)) " +
-            "FILTER (WHERE m = 0)").as("b0"),
-          expr("min_by(struct(cid, ccn2), struct(d2, cid)) " +
-            "FILTER (WHERE m = 1)").as("b1"),
-          expr("min_by(struct(cid, ccn2), struct(d2, cid)) " +
-            "FILTER (WHERE m = 2)").as("b2"),
-          expr("min_by(struct(cid, ccn2), struct(d2, cid)) " +
-            "FILTER (WHERE m = 3)").as("b3"))
-        .select(col("vec_id"),
-          // 1-based flat LUT slots, ready for element_at
-          array((0 until M).map(m =>
-            (lit(m * 16 + 1) + (col(s"b$m.cid") / 25).cast("int"))): _*)
-            .as("pks"),
-          (0 until M).map(m => col(s"b$m.ccn2")).reduce(_ + _).as("rn2"))
-      // per-query LUT: dot(q_m, c_{m,j}) for every (m, j), scattered
-      // into a FLAT 64-slot array by dense slot id — the per-pair
-      // lookup in the scan below is then O(1) array indexing, not an
-      // O(k) map probe (measured 22.5 s → dominated by map scans at
-      // the 10× corpus point). Dead cells leave zero-filled slots that
-      // no code ever references.
-      val luts = subs.filter(col("vec_id") % 50 === 0)
-        .join(broadcast(cents1), col("m") === col("cm"))
-        .select(col("vec_id").as("qid"),
-          (col("m") * 16 + (col("cid") / 25).cast("int")).as("slot"),
-          dotQ(col("sq"), col("ccq")).as("ld"))
-        .groupBy(col("qid"))
-        .agg(map_from_entries(collect_list(struct(col("slot"), col("ld"))))
-          .as("lutm"))
-        // 64 map probes ONCE per query row, not per candidate pair
-        .select(col("qid"), expr(
-          "transform(sequence(0, 63), p -> " +
-            "coalesce(element_at(lutm, p), CAST(0 AS BIGINT)))").as("lut"))
-      val qsFull = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("q").as("qq"),
-          col("n2").as("qn2"))
-      // stage 1: ADC scan — approx cosine from M array-index lookups
-      // against the broadcast flat LUT; candidates through the bounded
-      // heap. The heap groups on the primitive qid key; the query
-      // vector rides through first() (functionally dependent on qid)
-      // so no re-join is needed before the re-rank.
-      // materialized: without it Catalyst's projection collapse inlines
-      // the 64-element LUT-scatter transform into the per-pair scan —
-      // the interpreted HOF then runs per candidate row (measured 54 s
-      // at the 10× point); checkpointed, the |Q|-row frame carries the
-      // flat arrays by value into the broadcast. Only (qid, qn2, lut)
-      // ride the scan — the full-precision query vector re-joins onto
-      // the |Q|·20 candidate list afterwards, so the 8M-row aggregate
-      // input stays 3 primitive columns wide.
-      val qs1 = qsFull.select(col("qid"), col("qn2")).join(luts, "qid")
-        .localCheckpoint(true)
-      val cands = codes.crossJoin(broadcast(qs1))
-        .filter(col("vec_id") =!= col("qid"))
-        // static M-term sum of O(1) array lookups (M is a fixed design
-        // constant): stays whole-stage codegen — the `aggregate` HOF
-        // interprets its lambda per element per row
-        .withColumn("lutsum", (0 until M).map(m =>
-          element_at(col("lut"), col("pks").getItem(m))).reduce(_ + _))
-        .withColumn("approx",
-          cosineFromQ(col("lutsum"), col("qn2"), col("rn2")))
-        .select(col("qid"), col("approx"), col("vec_id"))
-        .groupBy(col("qid"))
-        .agg(graft.functions.TopKFunctions
-          .topk_by_score(20, col("approx"), col("vec_id"), lit(0L)).as("top"))
-        .select(col("qid"), explode(col("top")).as("cand"))
-        .select(col("qid"), col("cand.id").as("vec_id"))
-        .join(broadcast(qsFull), "qid")
-      // stage 2: exact re-rank of the 20 candidates only (the fact side
-      // streams once against the broadcast candidate list — same shape
-      // as ann_sq8)
-      e.join(broadcast(cands), Seq("vec_id"))
-        .withColumn("cos",
-          cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
-        .groupBy(col("qid"))
-        .agg(graft.functions.TopKFunctions
-          .topk_by_score(5, col("cos"), col("vec_id"), lit(0L)).as("top"))
-        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
-        .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
-          col("e.id").as("vec_id"), col("e.score").as("cos"))
-        .orderBy(col("qid"), col("rn"))
-    }),
+    // code side). See [[pqAdc]] for the plan.
+    "ann_pq_adc" -> ((s, dir) => pqAdc(s, dir, M = 8)),
 
     // SQ8 two-stage retrieval — the faiss-style serving shape: (1) learn
     // per-dimension scalar-quantizer bounds from the data (one tiny
@@ -667,11 +690,13 @@ object SimilarityQueries {
     // independently — subspace slices, L2 seed assignment + floor-mean
     // Lloyd step, code assignment, LUT join in place of the broadcast
     // map, window-function top-k in place of the bounded heap
+    // M = 8 subspaces (r8: raised from 4 — recall@5 0.68 → see
+    // AnnRecallSpec; the ADC scan still does M O(1) lookups)
     "ann_pq_adc" -> (quantCte +
       """, subs AS (
         |  SELECT vec_id, m,
-        |         list_slice(q, m * (len(q) // 4) + 1, (m + 1) * (len(q) // 4)) AS sq
-        |  FROM n CROSS JOIN (SELECT UNNEST(range(0, 4)) AS m)),
+        |         list_slice(q, m * (len(q) // 8) + 1, (m + 1) * (len(q) // 8)) AS sq
+        |  FROM n CROSS JOIN (SELECT UNNEST(range(0, 8)) AS m)),
         |sn AS (
         |  SELECT vec_id, m, sq,
         |         CAST(list_dot_product(sq, sq) AS BIGINT) AS sn2 FROM subs),
@@ -729,7 +754,7 @@ object SimilarityQueries {
         |    FROM approx a JOIN n qn ON qn.vec_id = a.qid
         |    JOIN recon r ON r.vec_id = a.vec_id
         |    WHERE a.vec_id <> a.qid)
-        |  WHERE rn <= 20)
+        |  WHERE rn <= 100)
         |SELECT qid, rn, vec_id, cos FROM (
         |  SELECT c.qid, c.vec_id,
         |         CAST(list_dot_product(qa.q, qb.q) AS DOUBLE)

@@ -69,11 +69,13 @@ class AnnRecallSpec extends AnyFunSuite {
       .select(col("qid"), col("vec_id"))
     val r = bf.intersect(pq).count().toDouble / bf.count().toDouble
     info(f"PQ-ADC recall@5 sf0.01 = $r%.3f")
-    // PQ reconstructs each doc from 4 subspace centroids, so its
-    // approximation is coarser than SQ8's per-dim grid; the exact
-    // re-rank recovers any true neighbor inside the approximate
-    // top-20. A broken codebook or LUT would land near random (~0.01).
-    assert(r >= 0.6, f"PQ-ADC recall@5 degraded to $r%.3f")
+    // r8 operating point: M = 8 subspaces, k = 16, candidate width
+    // 100 before the exact re-rank — measured 0.92 here (the full
+    // M × width trade table is in BASELINE.md; width is the efSearch
+    // analogue and the re-rank is exact, so recall rises directly
+    // with it). A broken codebook or LUT would land near random
+    // (~0.01); 0.85 catches any regression of the shipped point.
+    assert(r >= 0.85, f"PQ-ADC recall@5 degraded to $r%.3f")
   }
 
   test("SQ8 two-stage recall@5 vs brute force stays above the floor") {

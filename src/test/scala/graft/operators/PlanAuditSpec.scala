@@ -186,19 +186,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"re-rank must not shuffle the fact table:\n$p")
   }
 
-  test("PQ-ADC: codebook and LUTs broadcast; ADC scan never shuffles full vectors") {
-    // the PQ serving claims: every centroid join (training assignment,
-    // encode, LUT build) broadcasts the M·k codebook — the corpus is
-    // never shuffled on a centroid key — and the stage-2 re-rank
-    // equi-joins the broadcast candidate list against the fact table
-    // (same contract as SQ8). SortMergeJoin anywhere would mean a
-    // corpus-sized shuffle crept into the serving path.
-    val p = plan("ann_pq_adc")
-    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
-      s"assignment/encode/LUT joins must broadcast the codebook:\n$p")
-    assert("BroadcastHashJoin .*vec_id".r.findFirstIn(p).isDefined,
+  test("PQ-ADC: encode is one map projection; LUT materialized; heap input narrow") {
+    // the r8 PQ serving claims: the codebook is driver metadata, so
+    // ENCODE is a single map projection (pqencodeexpr appears exactly
+    // once — on the stream side BELOW the cross join, evaluated once
+    // per corpus row, never per candidate pair), and the stage-2
+    // re-rank equi-joins the broadcast candidate list against the
+    // fact table (same contract as SQ8). SortMergeJoin anywhere would
+    // mean a corpus-sized shuffle crept into the serving path.
+    val p = plan("ann_pq_adc").toLowerCase
+    assert("pqencodeexpr".r.findAllIn(p).size == 1,
+      s"PQ encode must be ONE stream-side projection, not per-pair:\n$p")
+    // r7 plan lesson 1, r8 form: the LUT must NEVER evaluate per
+    // candidate pair (the r7 join+aggregate-built LUT frame got
+    // projection-collapsed into the pair scan — 54 s at the 10×
+    // point). Now the LUT is a codegen kernel in a DIRECT scan
+    // projection on the broadcast side, so it appears exactly once —
+    // and never in the per-pair `approx` projection.
+    assert("pqlutexpr".r.findAllIn(p).size == 1,
+      s"query LUT must be one broadcast-side projection:\n$p")
+    // r7 plan lesson 2: the bounded-heap aggregate input stays 3
+    // primitive columns (qid, approx, vec_id) — the full-precision
+    // query vector re-joins onto the candidate list afterwards
+    // (riding it through the pair scan measured 35 s at 10×). The
+    // per-pair projection computing `approx` must not carry qq.
+    val approxLines = p.linesIterator.filter(_.contains("as approx#")).toSeq
+    assert(approxLines.nonEmpty, s"ADC approx projection not found:\n$p")
+    assert(approxLines.forall(l => !l.contains("qq#")),
+      s"query vector must not ride the pair scan into the heap:\n$p")
+    assert(approxLines.forall(l => !l.contains("pqlutexpr")),
+      s"LUT build must not run per candidate pair (r7: 54 s at 10x):\n$p")
+    assert("broadcasthashjoin .*vec_id".r.findFirstIn(p).isDefined,
       s"re-rank must equi-join vec_id against the broadcast candidates:\n$p")
-    assert(!p.contains("SortMergeJoin"),
+    assert(!p.contains("sortmergejoin"),
       s"no corpus-sized shuffle join in the PQ path:\n$p")
   }
 
