@@ -77,6 +77,28 @@ object Profile {
         out.write.format("noop").mode("overwrite").save()
         println(f"$name ${(System.nanoTime() - t0) / 1e9}%8.2f s")
         hashes.unpersist(blocking = false)
+      } else if (name == "lsh_parts") {
+        // stage attribution for the LSH dedup pair: cache populate vs
+        // candidate generation vs exact verify
+        import org.apache.spark.sql.functions.{col, size}
+        (1 to 2).foreach { pass =>
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          val hashes = graft.operators.DedupQueries.docShingleHashes(spark, dir).persist()
+          val n = hashes.count()
+          val t1 = System.nanoTime()
+          val cand = graft.operators.DedupQueries
+            .lshCandidatePairs(hashes.filter(size(col("hs")) > 0)).count()
+          val t2 = System.nanoTime()
+          graft.operators.DedupQueries
+            .jaccardOnCandidates(hashes.filter(size(col("hs")) > 0))
+            .write.format("noop").mode("overwrite").save()
+          val t3 = System.nanoTime()
+          hashes.unpersist(blocking = true)
+          println(f"lsh_parts pass$pass docs=$n cands=$cand " +
+            f"cache=${(t1 - t0) / 1e9}%5.2f cand=${(t2 - t1) / 1e9}%5.2f " +
+            f"jac=${(t3 - t2) / 1e9}%5.2f")
+        }
       } else if (name == "pq_phases") {
         // phase attribution for ann_pq_adc: the builder runs its two
         // driver collects + the qs1 checkpoint eagerly, so timing the

@@ -248,7 +248,7 @@ object DedupQueries {
     * (the leak shape r5's review fixed in [[minHashStarCandidates]]),
     * and the frame stays LAZY for explain/schema callers.
     */
-  private[operators] def lshCandidatePairs(hashes: DataFrame): DataFrame = {
+  private[graft] def lshCandidatePairs(hashes: DataFrame): DataFrame = {
     val bands = lshBands(hashes)
     val a = bands.toDF("ia", "band", "h1", "h2")
     val b = bands.toDF("ib", "band", "h1", "h2")
@@ -258,28 +258,34 @@ object DedupQueries {
   }
 
   /** [[lshCandidatePairs]] with a BUCKET-SIZE GUARD — the production
-    * knob for duplicate-DENSE corpora. Buckets larger than `maxBucket`
-    * are excluded from pairwise candidate generation: a bucket of m
-    * members yields m² pair rows, so one 100-way duplicate family
-    * costs 10 000 verified pairs — the session-4 100× sweep (500 k
-    * docs, every doc in a 100-way family) measured ~200 M pairs, which
-    * thrashes any bounded-memory pairwise stage and is OUTPUT-bound,
-    * not a plan defect. An oversized bucket is by construction already
-    * a near-duplicate cluster: route its members through the
-    * membership-cost star-edge path ([[minHashStarCandidates]] →
-    * `dedup_clusters`, 12.4 s on that same corpus) instead of
-    * enumerating its pairs. All three consumers of the band frame
-    * (bucket sizes + both self-join sides) shuffle by the same
-    * (band, h1, h2) key, so exchange reuse computes the
-    * scan → shingle → minhash pipeline once — same no-persist
-    * discipline as the uncapped form.
+    * knob for duplicate-DENSE corpora. Buckets of ≤ `maxBucket`
+    * members enumerate pairwise as usual; LARGER buckets are ROUTED
+    * through the membership-cost STAR path instead — every member
+    * paired with the bucket's minimum member only. A bucket of m
+    * members yields m² pair rows pairwise, so one 100-way duplicate
+    * family costs 10 000 verified pairs — the r7 100× sweep (500 k
+    * docs, every doc in a 100-way family) measured ~200 M pairs,
+    * which thrashes any bounded-memory pairwise stage and is
+    * OUTPUT-bound, not a plan defect. An oversized bucket is by
+    * construction already a near-duplicate cluster, and a cluster's
+    * members are drop-decidable against its representative alone (the
+    * [[minHashStarCandidates]] argument), so the star edges keep the
+    * DROP semantics — a verified family member is still found and
+    * dropped — at m−1 rows per bucket instead of m². (r8: earlier the
+    * guard EXCLUDED oversized buckets entirely, which silently leaked
+    * whole duplicate families through a capped sweep.) All consumers
+    * of the band frame shuffle by the same (band, h1, h2) key, so
+    * exchange reuse computes the scan → shingle → minhash pipeline
+    * once — same no-persist discipline as the uncapped form.
     */
   private[operators] def lshCandidatePairsCapped(hashes: DataFrame,
       maxBucket: Int): DataFrame = {
     val bands = lshBands(hashes)
-    val ok = bands.groupBy(col("band"), col("h1"), col("h2"))
+    val sized = bands.groupBy(col("band"), col("h1"), col("h2"))
       .agg(count(lit(1)).as("bc"))
-      .filter(col("bc") <= maxBucket)
+    val ok = sized.filter(col("bc") <= maxBucket)
+      .select(col("band"), col("h1"), col("h2"))
+    val big = sized.filter(col("bc") > maxBucket)
       .select(col("band"), col("h1"), col("h2"))
     // select BY NAME (the loadBandIndex lesson: positional toDF would
     // silently mis-map if the join reorders columns)
@@ -288,9 +294,18 @@ object DedupQueries {
       col("doc_id").as("ia"))
     val b = pruned.select(col("band"), col("h1"), col("h2"),
       col("doc_id").as("ib"))
-    a.join(b, Seq("band", "h1", "h2"))
+    val pairs = a.join(b, Seq("band", "h1", "h2"))
       .filter(col("ia") < col("ib"))
-      .select(col("ia"), col("ib")).distinct()
+      .select(col("ia"), col("ib"))
+    // star edges for oversized buckets: rep = min member; (rep, other)
+    // — membership-sized, ia < ib by construction
+    val bigb = bands.join(big, Seq("band", "h1", "h2"))
+    val reps = bigb.groupBy(col("band"), col("h1"), col("h2"))
+      .agg(min(col("doc_id")).as("ia"))
+    val stars = bigb.join(reps, Seq("band", "h1", "h2"))
+      .filter(col("doc_id") =!= col("ia"))
+      .select(col("ia"), col("doc_id").as("ib"))
+    pairs.unionByName(stars).distinct()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -308,21 +323,16 @@ object DedupQueries {
     // only — production candidate generation goes through
     // [[minHashStarCandidates]] (membership-sized star edges).
     "dedup_mh_lsh" -> ((s, dir) => {
-      // same persist-before-filter + eager-materialize discipline as
-      // dedup_jac_lsh below: one parallel shingle pass feeds both
-      // band self-join sides, and the corpus-sized cache is released as
-      // soon as the candidate-sized result is materialized
+      // same persist-before-filter discipline as dedup_jac_lsh below:
+      // one parallel shingle pass feeds both band self-join sides. r8:
+      // the frame returns LAZY — the caller's write is the ONE
+      // materializing job (the r7 eager localCheckpoint added a second
+      // materialization: checkpoint job + a rescan of its blocks); the
+      // corpus-sized cache is reclaimed by session hygiene (the
+      // Bench/Verify per-query barrier unpersists it).
       val hashes = docShingleHashes(s, dir).persist()
-      val out = lshCandidatePairs(hashes.filter(size(col("hs")) > 0))
+      lshCandidatePairs(hashes.filter(size(col("hs")) > 0))
         .orderBy(col("ia"), col("ib"))
-        // eager local checkpoint = the one materializing job (a persist+
-        // count pair costs an extra job + columnar cache build); the
-        // candidate-sized result is consumed immediately, so executor-
-        // local blocks are the right durability here — the corpus-sized
-        // `hashes` frame stays on recoverable persist+lineage
-        .localCheckpoint(true)
-      hashes.unpersist(blocking = false)
-      out
     }),
 
     // PRODUCTION-SHAPE exact Jaccard: verification restricted to the
@@ -353,14 +363,11 @@ object DedupQueries {
       // pipeline runs once across all cores and the filter reads the
       // cached arrays
       val hashes = docShingleHashes(s, dir).persist()
-      val out = jaccardOnCandidates(hashes.filter(size(col("hs")) > 0))
-        // eager local checkpoint: one job materializes the result (every
-        // read of `hashes` lands inside it), then the corpus-sized cache
-        // is released; the near-dup-pair-sized result is consumed
-        // immediately, so executor-local blocks are the right durability
-        .localCheckpoint(true)
-      hashes.unpersist(blocking = false)
-      out
+      // LAZY return (r8): the caller's write is the one materializing
+      // job — every read of `hashes` lands inside it, populated on
+      // first touch; the cache is reclaimed by the Bench/Verify
+      // per-query barrier (the r7 eager checkpoint double-materialized)
+      jaccardOnCandidates(hashes.filter(size(col("hs")) > 0))
     }),
 
     // The duplicate-density GUARD as a gate: same LSH-verified exact
@@ -872,11 +879,22 @@ object DedupQueries {
         |  SELECT band, h1, h2 FROM bands GROUP BY 1, 2, 3
         |  HAVING COUNT(*) <= 8),
         |okb AS (SELECT b.* FROM bands b JOIN ok USING (band, h1, h2)),
+        |big AS (
+        |  SELECT band, h1, h2 FROM bands GROUP BY 1, 2, 3
+        |  HAVING COUNT(*) > 8),
+        |bigb AS (SELECT b.* FROM bands b JOIN big USING (band, h1, h2)),
+        |reps AS (
+        |  SELECT band, h1, h2, MIN(doc_id) AS rep FROM bigb GROUP BY 1, 2, 3),
+        |stars AS (
+        |  SELECT r.rep AS ia, b.doc_id AS ib FROM bigb b
+        |  JOIN reps r USING (band, h1, h2) WHERE b.doc_id <> r.rep),
         |cand AS (
-        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-        |  FROM okb a JOIN okb b
-        |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
-        |       AND a.doc_id < b.doc_id),
+        |  SELECT DISTINCT ia, ib FROM (
+        |    SELECT a.doc_id AS ia, b.doc_id AS ib
+        |    FROM okb a JOIN okb b
+        |      ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+        |         AND a.doc_id < b.doc_id
+        |    UNION ALL SELECT ia, ib FROM stars)),
         |hd AS (SELECT DISTINCT doc_id, h FROM h),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
         |inter AS (

@@ -81,12 +81,23 @@ object PipelineQueries {
       // (≥ 0.5) on the exact-dedup survivors; every doc appearing as
       // the LARGER id of a verified near-dup pair is dropped (the
       // deterministic keep-smallest rule, restated by the oracle as
-      // doc_id NOT IN (SELECT ib …)).
+      // doc_id NOT IN (SELECT ib …)). The candidate join runs CAPPED
+      // (maxBucket = 8, the dedup_cap guard): a band bucket of m
+      // members yields m² pairs, so one 100-way duplicate family
+      // would hand the verify stage 10 000 pairs — the r7 100× sweep
+      // measured ~200 M pairs thrashing the uncapped stage while the
+      // capped form finished in 13.4 s. Oversized buckets are by
+      // construction already near-duplicate clusters, so the guard
+      // routes them through membership-sized STAR edges (member vs the
+      // bucket's minimum member, exact-verified like every other
+      // candidate) — duplicates in huge families are still dropped,
+      // never silently leaked. The oracle states the same bucket-size
+      // split, so the gate checks the capped+routed semantics.
       val hashes0 = exact
         .select(col("doc_id"), shingleHashes(col("toks"), 2).as("hs"))
       val hashes = if (materialize) hashes0.persist() else hashes0
       val drops = DedupQueries.jaccardOnCandidates(
-          hashes.filter(size(col("hs")) > 0))
+          hashes.filter(size(col("hs")) > 0), maxBucket = Some(8))
         .select(col("ib")).distinct()
       // stage 8: curated manifest. One materializing job (eager local
       // checkpoint) covers every read of the cached frames, then both
@@ -196,11 +207,26 @@ object PipelineQueries {
         |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
         |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
         |  SELECT doc_id, 3, s6, s7 FROM sig),
+        |ok AS (
+        |  SELECT band, h1, h2 FROM bands GROUP BY 1, 2, 3
+        |  HAVING COUNT(*) <= 8),
+        |okb AS (SELECT b.* FROM bands b JOIN ok USING (band, h1, h2)),
+        |big AS (
+        |  SELECT band, h1, h2 FROM bands GROUP BY 1, 2, 3
+        |  HAVING COUNT(*) > 8),
+        |bigb AS (SELECT b.* FROM bands b JOIN big USING (band, h1, h2)),
+        |reps AS (
+        |  SELECT band, h1, h2, MIN(doc_id) AS rep FROM bigb GROUP BY 1, 2, 3),
+        |stars AS (
+        |  SELECT r.rep AS ia, b.doc_id AS ib FROM bigb b
+        |  JOIN reps r USING (band, h1, h2) WHERE b.doc_id <> r.rep),
         |cand AS (
-        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
-        |       AND a.doc_id < b.doc_id),
+        |  SELECT DISTINCT ia, ib FROM (
+        |    SELECT a.doc_id AS ia, b.doc_id AS ib
+        |    FROM okb a JOIN okb b
+        |      ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+        |         AND a.doc_id < b.doc_id
+        |    UNION ALL SELECT ia, ib FROM stars)),
         |hd AS (SELECT DISTINCT doc_id, h FROM h),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
         |inter AS (

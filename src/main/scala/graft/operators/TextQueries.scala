@@ -97,24 +97,7 @@ object TextQueries {
     // map-only (explode + broadcast semi-join + partial count) — the
     // only shuffle carries ≤ one row per document. doc_id % 97 = 0
     // stands in for the benchmark set.
-    "text_decontam" -> ((s, dir) => {
-      import graft.functions.TextHashExpressions.distinct_longs
-      val h = documents(s, dir)
-        .select(col("doc_id"), distinct_longs(
-          shingleHashes(tokens(col("text")), 2)).as("ds"))
-        .filter(size(col("ds")) > 0)
-      val benchSh = h.filter(col("doc_id") % 97 === 0)
-        .select(explode(col("ds")).as("s")).distinct()
-      val corpus = h.filter(col("doc_id") % 97 =!= 0)
-      val hits = corpus.select(col("doc_id"), explode(col("ds")).as("s"))
-        .join(broadcast(benchSh), "s")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-      corpus.select(col("doc_id"), size(col("ds")).cast("long").as("n"))
-        .join(hits, Seq("doc_id"), "left")
-        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
-        .withColumn("contaminated", col("n_hit") >= 8)
-        .orderBy(col("doc_id"))
-    }),
+    "text_decontam" -> ((s, dir) => decontam(s, dir)),
 
     // Repetition-based quality filter — the Gopher/MassiveText rules:
     // flag documents whose duplicate-token fraction or top-bigram
@@ -233,6 +216,44 @@ object TextQueries {
         .limit(10)
     })
   )
+
+  /** Benchmark DECONTAMINATION — the eval-overlap sweep every serious
+    * training corpus runs (the GPT-3/LLaMA n-gram overlap rule):
+    * documents sharing ≥ 8 distinct word-bigram shingles with the
+    * held-out benchmark set are flagged before training. doc_id
+    * % 97 = 0 stands in for the benchmark set.
+    *
+    * 100 TB plan shape (r8): the benchmark's shingle inventory is
+    * BENCHMARK-sized by construction (a fixed eval suite), never
+    * corpus-sized — the same metadata class as the BPE merge table and
+    * the PQ codebook — so it collects to the driver once and rides
+    * into the corpus pass as a sorted literal array. The whole sweep
+    * is then ONE map-only pass: per document, an allocation-free
+    * sorted-set intersect (`intersect_count_sorted`) against the
+    * benchmark array — no explode, no hit-count shuffle, no join, at
+    * parquet-scan speed. The r7 form (explode → broadcast semi-join →
+    * count → left join) paid three exchanges and sat at 4.0× its
+    * oracle (2.1 s vs 0.53 s); this form is the shape a production
+    * decontaminator runs (a set/bloom probe per document).
+    */
+  private[operators] def decontam(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHashExpressions.{sorted_distinct_longs, intersect_count_sorted}
+    val base = documents(s, dir)
+      .select(col("doc_id"), sorted_distinct_longs(
+        shingleHashes(tokens(col("text")), 2)).as("ds"))
+      .filter(size(col("ds")) > 0)
+    // benchmark inventory to the driver: the doc_id filter evaluates
+    // before the shingle projection, so this job tokenizes ONLY the
+    // benchmark slice (~1% of the corpus)
+    val bench: Array[Long] = base.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("ds")).as("sh")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    base.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("ds")).cast("long").as("n"),
+        intersect_count_sorted(col("ds"), lit(bench)).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") >= 8)
+      .orderBy(col("doc_id"))
+  }
 
   /** DSIR plan shared by the gate (materialize = true: persist/force/
     * release discipline) and `PlanAuditSpec` (false: lazy plan, caller

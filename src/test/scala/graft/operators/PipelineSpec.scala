@@ -111,4 +111,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.count() === 0, "curated set still contains near-dup pairs")
     hashes.unpersist(blocking = false)
   }
+
+  test("duplicate-dense family: capped stage 7 routes big buckets, keeps one") {
+    // a 100-way near-duplicate family (token rotations of one base doc,
+    // the gen_docs100x recipe) floods every LSH band bucket far past the
+    // maxBucket = 8 cap. The r7 exclusion-only guard would silently pass
+    // ALL 100 variants into the manifest (they differ textually, so
+    // exact dedup keeps them; capped-out buckets contributed no pairs);
+    // the r8 star routing must still collapse the family to its minimum
+    // member — the safety rail keeps the DROP semantics.
+    import spark.implicits._
+    // fillers chosen (offline, same poly-hash as the engine) so the
+    // hashing-trick classifier sum is positive and the doc clears every
+    // stage-1-5 filter: 100 tokens, half of/and stopwords (q = 3.33),
+    // all fillers distinct (dup_frac 0.48, top2 1), cls sum = +1364
+    val fillers = Seq("r1", "h2", "k3", "j4", "w5", "b6", "x7", "c8",
+      "z9", "k10", "j11", "s12", "h13", "g14", "z15", "y16", "x17",
+      "w18", "v19", "w20", "v21", "h22", "g23", "f24", "e25", "d26",
+      "z27", "y28", "x29", "w30", "v31", "k32", "j33", "s34", "h35",
+      "g36", "z37", "y38", "x39", "v40", "x41", "w42", "v43", "h44",
+      "g45", "f46", "e47", "d48", "z49", "y50")
+    val words = fillers.zipWithIndex.flatMap { case (w, i) =>
+      Seq(if (i % 2 == 1) "of" else "and", w)
+    }
+    val toks = words.toArray
+    def rot(k: Int) = (toks.drop(k) ++ toks.take(k)).mkString(" ")
+    val family = (0 until 100).map(k => (1000L + k, rot(k)))
+    val fx = java.nio.file.Files.createTempDirectory("pipe-dense").toFile
+    fx.deleteOnExit()
+    family.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${fx.getAbsolutePath}/documents.parquet")
+    val out = PipelineQueries.queries("pipe_curate")(spark, fx.getAbsolutePath)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(out.contains(1000L), "family representative must survive")
+    val leaked = out.intersect((1001L to 1099L).toSet)
+    assert(leaked.isEmpty,
+      s"capped near-dedup must still drop family members, kept $leaked")
+  }
 }

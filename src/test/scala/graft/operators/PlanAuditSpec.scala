@@ -137,12 +137,17 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(parquetScans <= cacheRels,
         s"parquet scanned outside the cache ($parquetScans scans, $cacheRels cached):\n$p")
     } finally hashes.unpersist(blocking = true)
+    // the gate returns the LIVE plan (r8: the caller's write is the one
+    // materializing job — no eager checkpoint double-materialization),
+    // but its shingle pipeline must still be cached: parquet appears
+    // only inside the InMemoryRelation printout
     val gate = graft.SparkEntry.queries("dedup_jac_lsh")(spark, dir)
     val gp = gate.queryExecution.executedPlan.toString
-    // the returned plan must be a scan of the already-materialized
-    // result (eager local checkpoint), not the live join pipeline
-    assert(gp.contains("ExistingRDD") && !gp.contains("Join"),
-      s"gate must return the eagerly-materialized result:\n$gp")
+    assert("InMemoryTableScan".r.findAllIn(gp).size >= 3,
+      s"gate consumers must read the persisted shingle frame:\n$gp")
+    assert("FileScan|Scan parquet".r.findAllIn(gp).size <=
+      "InMemoryRelation".r.findAllIn(gp).size,
+      s"gate must not re-scan parquet outside the cache:\n$gp")
     spark.sharedState.cacheManager.clearCache()
   }
 
