@@ -200,4 +200,23 @@ object TextHash {
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, k))
   }
+
+  /** Residue-class histogram: out[j] = |{x ∈ hs : x mod m = j}| — the
+    * hashing-trick bag-of-words featurizer (`mm_pairs`). One pass over
+    * the array; the HOF formulation (transform(sequence(0,m-1),
+    * j -> size(filter(hs, …)))) evaluates an interpreted lambda
+    * m·|hs| times per row (measured 4.5 s vs 1.9 s at the 10×
+    * corpus). Hash values are non-negative (mod 1e9+7 domain), so
+    * `%` equals the oracle's mathematical mod.
+    */
+  def modCounts(hs: ArrayData, m: Int): ArrayData = {
+    val out = new Array[Long](m)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      out((hs.getLong(i) % m).toInt) += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

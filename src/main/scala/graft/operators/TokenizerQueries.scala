@@ -39,6 +39,7 @@ object TokenizerQueries {
     "text_sdedup" -> ((s, dir) => sdedup(s, dir, materialize = true)),
     "text_bpe" -> ((s, dir) => bpe(s, dir, materialize = true)),
     "text_pmi" -> ((s, dir) => pmi(s, dir, materialize = true)),
+    "pipe_tok" -> ((s, dir) => pipeTok(s, dir)),
 
     // T5-style span-corruption sample builder (Raffel et al. 2020) —
     // the denoising-objective data-generation step between a curated
@@ -162,6 +163,107 @@ object TokenizerQueries {
     }
   }
 
+  /** END-TO-END tokenizer chain — the corpus → training-tensors path as
+    * ONE gate, composing the individually gated stages: tokenize →
+    * BPE-TRAIN three merges (the iterated `text_bpe` statistic) →
+    * ENCODE every document with the learned table → sequence-PACK the
+    * symbol counts into 1024-symbol blocks (the `text_pack` prefix-sum
+    * operator). The r7 trio proved the pieces; this proves the
+    * composition against one independent DuckDB statement.
+    *
+    * Mechanics: merged pairs become PLACEHOLDER chars (U+0001..U+0003,
+    * absent from the corpus — the `text_bpe` trick), so iteration k's
+    * state is k chained `replace` calls over the original token — and
+    * greedy left-to-right `replace` IS the sequential-BPE apply rule
+    * for single-char symbols. Pair statistics are computed per TOKEN
+    * (substring windows; pairs never contain a space), so applying the
+    * replaces to the whole space-joined document text is equivalent to
+    * per-token application — encode is ONE map pass over documents:
+    * n_sym = length(enc_text) − (n_tok − 1) separators.
+    *
+    * Plan shape: ONE persisted tokenize pass feeds training, encode
+    * and packing (PlanAuditSpec asserts the cache reuse). Each of the
+    * three training iterations is one map-side-combinable pair count
+    * ending in a 1-ROW argmax collect (the BpeTrainer/PrefixSum
+    * metadata pattern — the merge table lives on the driver, the
+    * corpus never moves); encode rides the learned pairs as literals
+    * at parquet-scan speed; packing is the two-pass distributed
+    * exclusive scan ([[PrefixSum.withRunningTotal]]), never a
+    * single-partition window. At 100 TB: 3 aggregation passes + 1 map
+    * pass + the O(P) scan step.
+    */
+  private[operators] def pipeTok(s: SparkSession, dir: String): DataFrame = {
+    val tok = documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .persist()
+    val merges = learnChainMerges(tok, n = 3)
+    val out = packEncoded(tok, merges, materialize = true)
+    tok.unpersist(blocking = false)
+    out
+  }
+
+  /** The three placeholder chars the chain's merges collapse to —
+    * absent from the corpus by construction (the `text_bpe` trick).
+    */
+  private val placeholders = Seq("\u0001", "\u0002", "\u0003")
+
+  /** Pair statistics over the current symbol state (prior merges
+    * applied as chained literal replaces) — the LAZY frame one
+    * training iteration aggregates; exposed so PlanAuditSpec can
+    * assert it reads the persisted tokenize pass.
+    */
+  private[operators] def pairStats(tok: DataFrame,
+      applied: Seq[(String, String)]): DataFrame = {
+    val st = applied.foldLeft(col("t")) { case (c, (p, ch)) =>
+      replace(c, lit(p), lit(ch))
+    }
+    tok.select(explode(col("tk")).as("t"))
+      .select(st.as("st"))
+      .filter(length(col("st")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(st)-1), i -> substring(st, i, 2))"))
+        .as("pr"))
+      .groupBy(col("pr")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("pr")).limit(1)
+  }
+
+  /** n training iterations, each one map-side-combinable pair count
+    * ending in a 1-ROW argmax collect (the BpeTrainer metadata
+    * pattern — the merge table lives on the driver).
+    */
+  private[operators] def learnChainMerges(tok: DataFrame, n: Int): Seq[String] =
+    (0 until n).foldLeft(Seq.empty[String]) { (acc, _) =>
+      acc :+ pairStats(tok, acc.zip(placeholders))
+        .collect()(0).getString(0)
+    }
+
+  /** Encode with the learned merges (one map pass over the
+    * space-joined document — see the pipeTok scaladoc for why this
+    * equals per-token apply) and sequence-pack the symbol counts via
+    * the distributed exclusive scan. `materialize = false` returns
+    * the lazy pre-scan plan for PlanAuditSpec.
+    */
+  private[operators] def packEncoded(tok: DataFrame, merges: Seq[String],
+      materialize: Boolean): DataFrame = {
+    val enc = merges.zip(placeholders).foldLeft(concat_ws(" ", col("tk"))) {
+      case (c, (p, ch)) => replace(c, lit(p), lit(ch))
+    }
+    val perDoc = tok.select(col("doc_id"),
+      size(col("tk")).cast("long").as("n_tok"),
+      (length(enc) - (size(col("tk")) - 1)).cast("long").as("n_sym"))
+    if (!materialize) perDoc
+    else PrefixSum.withRunningTotal(perDoc, "doc_id", "n_sym", "cum_before")
+      .withColumn("blk0", expr("cum_before div 1024"))
+      .withColumn("blk1", expr("(cum_before + n_sym - 1) div 1024"))
+      .withColumn("n_blocks", col("blk1") - col("blk0") + 1)
+      // the learned merge table rides in the manifest — the gate's
+      // output proves the TRAIN stage, not just the packing
+      .withColumn("m1", lit(merges(0))).withColumn("m2", lit(merges(1)))
+      .withColumn("m3", lit(merges(2)))
+      .orderBy(col("doc_id"))
+  }
+
   /** One BPE training iteration. The pair statistic counts OVERLAPPING
     * adjacent occurrences ("aaa" contributes two "aa") — the exact
     * figure sequential BPE maximizes — and the merge applies greedily
@@ -260,6 +362,54 @@ object TokenizerQueries {
       |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // the whole chain stated independently: three unrolled training
+    // iterations (pair stats → argmax → replace-with-placeholder),
+    // whole-text encode, window-function prefix sum for the packing
+    "pipe_tok" -> (toksCte +
+      """, t AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+        |tok AS (SELECT UNNEST(tk) AS w FROM t),
+        |p1 AS (
+        |  SELECT pr FROM (
+        |    SELECT w[i : i+1] AS pr
+        |    FROM (SELECT w, UNNEST(range(1, length(w))) AS i
+        |          FROM tok WHERE length(w) >= 2))
+        |  GROUP BY pr ORDER BY COUNT(*) DESC, pr LIMIT 1),
+        |s1 AS (SELECT replace(w, (SELECT pr FROM p1), chr(1)) AS w FROM tok),
+        |p2 AS (
+        |  SELECT pr FROM (
+        |    SELECT w[i : i+1] AS pr
+        |    FROM (SELECT w, UNNEST(range(1, length(w))) AS i
+        |          FROM s1 WHERE length(w) >= 2))
+        |  GROUP BY pr ORDER BY COUNT(*) DESC, pr LIMIT 1),
+        |s2 AS (SELECT replace(w, (SELECT pr FROM p2), chr(2)) AS w FROM s1),
+        |p3 AS (
+        |  SELECT pr FROM (
+        |    SELECT w[i : i+1] AS pr
+        |    FROM (SELECT w, UNNEST(range(1, length(w))) AS i
+        |          FROM s2 WHERE length(w) >= 2))
+        |  GROUP BY pr ORDER BY COUNT(*) DESC, pr LIMIT 1),
+        |enc AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+        |         CAST(length(replace(replace(replace(array_to_string(tk, ' '),
+        |             (SELECT pr FROM p1), chr(1)),
+        |             (SELECT pr FROM p2), chr(2)),
+        |             (SELECT pr FROM p3), chr(3)))
+        |           - (len(tk) - 1) AS BIGINT) AS n_sym
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, n_tok, n_sym,
+        |         COALESCE(SUM(n_sym) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cum_before
+        |  FROM enc)
+        |SELECT doc_id, n_tok, n_sym, CAST(cum_before AS BIGINT) AS cum_before,
+        |       CAST(cum_before // 1024 AS BIGINT) AS blk0,
+        |       CAST((cum_before + n_sym - 1) // 1024 AS BIGINT) AS blk1,
+        |       CAST((cum_before + n_sym - 1) // 1024
+        |            - cum_before // 1024 + 1 AS BIGINT) AS n_blocks,
+        |       (SELECT pr FROM p1) AS m1, (SELECT pr FROM p2) AS m2,
+        |       (SELECT pr FROM p3) AS m3
+        |FROM c ORDER BY doc_id""".stripMargin),
     // same poly-hash domain as the dedup family (rep_filter precedent)
     "text_sdedup" -> (toksCte +
       """, t AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),

@@ -67,7 +67,7 @@ class MinHashStarSpec extends AnyFunSuite {
     stars.unpersist()
     docs.unpersist()
   }
-  test("capped candidate pairs exclude oversized buckets, keep the rest") {
+  test("capped candidate pairs route oversized buckets via star edges") {
     import spark.implicits._
     // a 20-member identical family (every band bucket size 20) plus one
     // near-identical pair and one singleton
@@ -83,9 +83,11 @@ class MinHashStarSpec extends AnyFunSuite {
     assert(uncapped.contains((100L, 101L)))
     val capped = DedupQueries.lshCandidatePairsCapped(hashes, maxBucket = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // capped: the 20-member buckets are excluded — their members are
-    // routed to the star/cluster path — the small pair survives
-    assert(capped === Set((100L, 101L)))
+    // capped (r8 routing semantics): the 20-member buckets contribute
+    // STAR edges only — every member paired with the bucket minimum
+    // (19 rows, not 190) — so verified family members are still
+    // droppable; the small pair survives pairwise as before
+    assert(capped === ((1L until 20L).map(i => (0L, i)).toSet + ((100L, 101L))))
     // a cap above every bucket size reproduces the uncapped set exactly
     val wide = DedupQueries.lshCandidatePairsCapped(hashes, maxBucket = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -450,6 +450,39 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.sharedState.cacheManager.clearCache()
   }
 
+  test("pipe_tok: one tokenize pass feeds training, encode and packing") {
+    // the chain's scale claim: the persisted tokenize frame is the ONLY
+    // corpus read — every training iteration's pair statistic and the
+    // encode+pack projection consume the cache, never a fresh parquet
+    // scan of documents
+    import org.apache.spark.sql.functions.{col, size}
+    import graft.functions.TextFunctions.tokens
+    val tok = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .persist()
+    try {
+      val stats = TokenizerQueries.pairStats(tok, Seq(("ab", "")))
+        .queryExecution.executedPlan.toString
+      assert(stats.contains("InMemoryTableScan"),
+        s"training pair stats must read the cached tokenize pass:\n$stats")
+      assert("FileScan|Scan parquet".r.findAllIn(stats).size <=
+        "InMemoryRelation".r.findAllIn(stats).size,
+        s"training re-scans parquet outside the cache:\n$stats")
+      val pack = TokenizerQueries
+        .packEncoded(tok, Seq("ab", "cd", "ef"), materialize = false)
+        .queryExecution.executedPlan.toString
+      assert(pack.contains("InMemoryTableScan"),
+        s"encode+pack must read the cached tokenize pass:\n$pack")
+      // map-only ABOVE the cache: any Exchange in the printout belongs
+      // to the cached subtree (the input repartition inside the
+      // InMemoryRelation), never to the encode projection itself
+      assert(!pack.substring(0, pack.indexOf("InMemoryRelation"))
+        .contains("Exchange"),
+        s"encode is a map-only projection — no shuffle above the cache:\n$pack")
+    } finally tok.unpersist(blocking = true)
+  }
+
   test("BPE step: corpus never moves — pair argmax broadcasts back") {
     val p = TokenizerQueries.bpe(spark, dir, materialize = false)
       .queryExecution.executedPlan.toString

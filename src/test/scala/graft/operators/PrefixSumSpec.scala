@@ -55,6 +55,38 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(results.head === reference(rows).map(t => (t._1, t._3)))
   }
 
+  test("AQE cannot re-plan between the two passes: persist pins the partitioning") {
+    // the r7 verdict belt item: pass 1 collects per-PARTITION totals
+    // and pass 2 seeds each partition from its offset slot — an AQE
+    // coalesce between the passes would mis-seed (the require() belt
+    // fails loudly). This spec PROVES the pinning: a dedicated session
+    // with AQE fully armed to coalesce (tiny advisory sizes, high
+    // initial partition count) must still produce the exact reference
+    // scan, because the persisted range-partitioned frame materializes
+    // under pass 1's action and both passes read the SAME cached
+    // partitioning.
+    // isolated child session (own SQLConf, shared context — safe to
+    // configure without touching the suite session or stopping it)
+    val aq = spark.newSession()
+    aq.conf.set("spark.sql.shuffle.partitions", 64)
+    aq.conf.set("spark.sql.adaptive.enabled", "true")
+    aq.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    aq.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
+    aq.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64b")
+    aq.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "64")
+    import aq.implicits._
+    val rnd = new scala.util.Random(23L)
+    val rows = new scala.util.Random(29L)
+      .shuffle((0L until 400L).toList)
+      .map(k => (k, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("k", "v").repartition(32)
+    val got = PrefixSum.withRunningTotal(df, "k", "v", "cum")
+      .select("k", "v", "cum").orderBy("k")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === reference(rows),
+      "prefix sum diverged under aggressive AQE coalescing")
+  }
+
   test("the scan plan contains no single-partition global window") {
     // audit the LAZY operator plan: the gate's eager checkpoint truncates
     // lineage, so auditing the gate output would pass vacuously

@@ -139,6 +139,50 @@ class TokenizerOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe_tok chain: merges == sequential BPE; n_sym == encodeWord; packing consistent") {
+    import org.apache.spark.sql.functions.{col, size}
+    import graft.functions.TextFunctions.tokens
+    // corpus rich enough that the first three merges all have count ≥ 2
+    val docs = Seq(
+      (0L, "aaab aab aaab banana"),
+      (1L, "banana bandana aaab aab"),
+      (2L, "an an banana aaab"))
+    val dir = corpus(docs)
+    val tok = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0).persist()
+    val chain = TokenizerQueries.learnChainMerges(tok, 3)
+    // decode the chain's placeholder chars back to SYMBOL PAIRS — the
+    // BpeTrainer merge-table format. (Note the chain's tie-break
+    // compares the placeholder strings, not the expanded symbols, so
+    // on exact count ties it may pick a different — equally maximal —
+    // pair than learnSequential; the oracle states the same rule, and
+    // the encodeWord equivalence below is the semantic contract.)
+    val sym = scala.collection.mutable.Map[Char, String]()
+    val chainPairs = chain.zipWithIndex.map { case (p, k) =>
+      assert(p.length === 2, s"chain merge is a 2-symbol pair: '$p'")
+      val pair = (sym.getOrElse(p(0), p(0).toString),
+        sym.getOrElse(p(1), p(1).toString))
+      sym((k + 1).toChar) = pair._1 + pair._2
+      pair
+    }
+    // gate output: the replace-chain encode must equal BpeTrainer's
+    // symbol-level greedy applyMerge (encodeWord) with the decoded
+    // table, and the packing must be the exact prefix sum
+    val out = TokenizerQueries.queries("pipe_tok")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    var cum = 0L
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val expected = docs.find(_._1 == id).get._2.split(" ")
+        .map(w => BpeTrainer.encodeWord(w, chainPairs).length.toLong).sum
+      assert(r.getAs[Long]("n_sym") === expected, s"doc $id n_sym")
+      assert(r.getAs[Long]("cum_before") === cum, s"doc $id cum_before")
+      cum += expected
+    }
+    tok.unpersist(blocking = true)
+  }
+
   test("text_pmi scores adjacent-pair association in integer micro-units") {
     val dir = corpus(Seq((0L, "x y x y x y x y x y")))
     // uni: x=5, y=5, N=10; bigrams: (x,y)=5, (y,x)=4 — only (x,y)
