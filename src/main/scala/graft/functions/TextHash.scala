@@ -57,6 +57,35 @@ object TextHash {
     out
   }
 
+  /** 60-bit SimHash for the hamming-neighbor dedup (Manku et al.
+    * WWW'07): bit j's vote derives from the affine-rehash parity
+    * ((h·(2j+3) + 17j + 11) mod P) mod 2 — the base poly-hash has
+    * only ~30 usable bits, so each bit needs its own rehash (the
+    * minHash affine-family convention). 60 bits keep the result
+    * positive in both engines (shift/floor-div extraction is
+    * sign-safe), and 4 × 15-bit bands give exact recall for
+    * hamming ≤ 3 by pigeonhole.
+    */
+  def simHash60(hs: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 60) {
+        if ((h * (2 * j + 3) + 17 * j + 11) % P % 2 == 1L) votes(j) += 1
+        else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
   /** Order-sensitive fingerprint: Σ position·polyHash(token) mod P,
     * positions 1-based (matches TextFunctions.docFingerprint contract).
     */

@@ -153,6 +153,19 @@ object TextHashExpressions {
   def simhash16(col: Column): Column = c(SimHash16Expr(e(col)))
   def fingerprint(col: Column): Column = c(FingerprintExpr(e(col)))
   def shingle_hashes(col: Column, n: Int): Column = c(ShingleHashesExpr(e(col), n))
+  /** 60-bit SimHash over array<long> (see TextHash.simHash60). */
+  case class SimHash60Expr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextHash.simHash60(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, h => s"graft.functions.TextHash.simHash60($h)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
   /** Residue-class histogram over array<long> (see TextHash.modCounts). */
   case class ModCountsExpr(child: Expression, m: Int)
       extends UnaryExpression with ExpectsInputTypes {
@@ -172,4 +185,5 @@ object TextHashExpressions {
     c(IntersectCountSortedExpr(e(a), e(b)))
   def max_dup_count(col: Column): Column = c(MaxDupCountExpr(e(col)))
   def mod_counts(col: Column, m: Int): Column = c(ModCountsExpr(e(col), m))
+  def sim_hash60(col: Column): Column = c(SimHash60Expr(e(col)))
 }

@@ -452,6 +452,41 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SimHash HAMMING-NEIGHBOR dedup — the Manku-Das-Sarma WWW'07
+    // web-crawl design: 60-bit SimHash per document, candidate pairs
+    // from 4 × 15-bit band buckets (pigeonhole: hamming ≤ 3 ⟹ at
+    // least one band is IDENTICAL, so band blocking has EXACT recall
+    // at the threshold), verified by one popcount of the XOR. The
+    // third near-dup blocking function alongside MinHash bands
+    // (set-overlap) and embedding-LSH (cosine): SimHash responds to
+    // weighted token DISTRIBUTION, catching light edits that shift
+    // few bits. Same scale shape as dedup_mh_lsh: band-keyed shuffle,
+    // pair space bounded by collisions; the bucket-cap/star guard
+    // applies unchanged on duplicate-dense corpora.
+    "dedup_sh_ham" -> ((s, dir) => {
+      import graft.functions.TextHashExpressions.sim_hash60
+      val h = documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"),
+          sim_hash60(shingleHashes(col("tk"), 1)).as("sh"))
+      val banded = h.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until 4).map(b =>
+          (shiftrightunsigned(col("sh"), 15 * b) bitwiseAND lit(0x7FFFL))): _*))
+          .as(Seq("b", "k")))
+      val a = banded.select(col("b"), col("k"),
+        col("doc_id").as("ia"), col("sh").as("sha"))
+      val bb = banded.select(col("b"), col("k"),
+        col("doc_id").as("ib"), col("sh").as("shb"))
+      a.join(bb, Seq("b", "k"))
+        .filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          expr("CAST(bit_count(sha ^ shb) AS BIGINT)").as("ham"))
+        .distinct()
+        .filter(col("ham") <= 3)
+        .orderBy(col("ia"), col("ib"))
+    }),
+
     // Embedding-cosine near-dup blocked by random-hyperplane LSH bucket
     // (exact quantized dot within block). The block key is the LSH
     // bucket — near-identical vectors land in the same bucket by
@@ -1012,6 +1047,40 @@ object DedupQueries {
         |  SELECT r.node, u.dst FROM reach r JOIN und u ON r.via = u.src)
         |SELECT node AS doc_id, MIN(via) AS cluster
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+    // 60-bit SimHash + 4x15-bit band candidates + XOR popcount verify,
+    // generated like the dedup_simhash oracle (60 vote columns)
+    "dedup_sh_ham" -> (
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)),
+        |                     (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM (SELECT doc_id, UNNEST(tk) AS t FROM toks)),
+        |votes AS (
+        |  SELECT doc_id,
+        |""".stripMargin +
+      (0 until 60).map(j =>
+        s"    SUM(CASE WHEN ((h * ${2 * j + 3} + ${17 * j + 11}) % 1000000007) % 2 = 1" +
+          s" THEN 1 ELSE -1 END) AS v$j")
+        .mkString(",\n") +
+      "\n  FROM th GROUP BY doc_id),\nsh AS (SELECT doc_id,\nCAST(\n" +
+      (0 until 60).map(j =>
+        s"  (CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" +\n") +
+      """ AS BIGINT) AS sh
+        |FROM votes),
+        |bands AS (
+        |  SELECT doc_id, sh, b, (sh >> (15 * b)) & 32767 AS k
+        |  FROM sh CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b))
+        |SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+        |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS ham
+        |FROM bands a JOIN bands b
+        |  ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY ia, ib""".stripMargin),
     "dedup_simhash" -> (
       """WITH toks AS (
         |  SELECT doc_id,
