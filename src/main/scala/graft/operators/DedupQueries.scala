@@ -281,12 +281,16 @@ object DedupQueries {
   private[operators] def lshCandidatePairsCapped(hashes: DataFrame,
       maxBucket: Int): DataFrame = {
     val bands = lshBands(hashes)
+    // ONE aggregation yields both the size filter and each bucket's
+    // representative (min member) — a separate rep groupBy would add a
+    // shuffle and a second big-bucket join for data the size pass
+    // already touches
     val sized = bands.groupBy(col("band"), col("h1"), col("h2"))
-      .agg(count(lit(1)).as("bc"))
+      .agg(count(lit(1)).as("bc"), min(col("doc_id")).as("rep"))
     val ok = sized.filter(col("bc") <= maxBucket)
       .select(col("band"), col("h1"), col("h2"))
     val big = sized.filter(col("bc") > maxBucket)
-      .select(col("band"), col("h1"), col("h2"))
+      .select(col("band"), col("h1"), col("h2"), col("rep"))
     // select BY NAME (the loadBandIndex lesson: positional toDF would
     // silently mis-map if the join reorders columns)
     val pruned = bands.join(ok, Seq("band", "h1", "h2"))
@@ -297,14 +301,11 @@ object DedupQueries {
     val pairs = a.join(b, Seq("band", "h1", "h2"))
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib"))
-    // star edges for oversized buckets: rep = min member; (rep, other)
-    // — membership-sized, ia < ib by construction
-    val bigb = bands.join(big, Seq("band", "h1", "h2"))
-    val reps = bigb.groupBy(col("band"), col("h1"), col("h2"))
-      .agg(min(col("doc_id")).as("ia"))
-    val stars = bigb.join(reps, Seq("band", "h1", "h2"))
-      .filter(col("doc_id") =!= col("ia"))
-      .select(col("ia"), col("doc_id").as("ib"))
+    // star edges for oversized buckets: (rep, other member) —
+    // membership-sized, ia < ib by construction (rep is the min)
+    val stars = bands.join(big, Seq("band", "h1", "h2"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("ia"), col("doc_id").as("ib"))
     pairs.unionByName(stars).distinct()
   }
 
