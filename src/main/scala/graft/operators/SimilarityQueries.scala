@@ -147,93 +147,219 @@ object SimilarityQueries {
     * |Q| scored pairs — single-partitioned, that one stage serialized
     * the whole 10× sweep (26 s vs 6.3 s measured).
     */
+  /** The quantized embeddings frame on a PLAIN scan (not tablePar):
+    * the PQ kernels are O(M·k·dim/M) ≈ 1k ops per row — scan-bound,
+    * not compute-bound — and the PQ pipelines read the table five
+    * times (seeds, train, LUT, encode, re-rank), so the
+    * parallelism-normalizing repartition would add five exchanges for
+    * compute that one core clears at scan speed; on a real lakehouse
+    * the scan's own file parallelism applies anyway.
+    */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", normQ2(col("q")))
+
+  /** Seed codebook to the DRIVER: the seed rule (vec_id % 25 = 0,
+    * vec_id < 400) yields 16 centroids per subspace REGARDLESS of
+    * corpus size, so this collect is 16 rows forever — driver
+    * metadata by construction, never corpus data. Returns the M
+    * sub-codebooks plus the sub-dimension.
+    */
+  private def seedCodebook(e: DataFrame, M: Int): (Seq[Seq[Seq[Long]]], Int) = {
+    val seedRows = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 400)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    val dim = seedRows.head._2.length
+    val sub = dim / M
+    ((0 until M).map(m => seedRows.toSeq.map(_._2.slice(m * sub, m * sub + sub))),
+      sub)
+  }
+
+  /** ONE-STAGE Lloyd pass (the treeAggregate shape): the encode
+    * kernel assigns every (row, subspace) to its nearest seed (exact
+    * integer L2, ties to the smaller seed id — the oracle's ORDER BY
+    * d2, cid) and each partition folds its rows into a BOUNDED
+    * accumulator (Σ sub-vector + count per codebook cell: M·k·(dim/M)
+    * longs, corpus-independent); one partials row per partition comes
+    * back and the driver merges P of them — the PrefixSum metadata
+    * pattern. No exchange, no AQE re-plan: training is one stage
+    * ending in a metadata-sized collect. Floor-mean recompute on the
+    * driver is exact (element sums < 2^53, so the double division and
+    * floor equal the oracle's floor(CAST(sm AS DOUBLE)/cnt)); empty
+    * cells (count 0) drop out, shrinking that sub-codebook — slot
+    * layout stays consistent because the kernels derive it from the
+    * same per-subspace counts. Works for any M, including M = 1 (the
+    * IVF-PQ coarse quantizer).
+    */
+  private def lloydStep(s: SparkSession, e: DataFrame,
+      cents0: Seq[Seq[Seq[Long]]], sub: Int): Seq[Seq[Seq[Long]]] =
+    lloydStepMulti(s, e, Seq((cents0, sub))).head
+
+  /** [[lloydStep]] for SEVERAL codebooks at once — ONE corpus pass
+    * accumulates every codebook's cell sums (the IVF-PQ case trains
+    * the coarse and fine quantizers together instead of paying two
+    * scans + two stage floors).
+    */
+  private def lloydStepMulti(s: SparkSession, e: DataFrame,
+      books: Seq[(Seq[Seq[Seq[Long]]], Int)]): Seq[Seq[Seq[Seq[Long]]]] = {
+    val arrs: Array[(Array[Array[Array[Long]]], Int)] = books.map { case (c, sub) =>
+      (c.map(_.map(_.toArray).toArray).toArray, sub)
+    }.toArray
+    val totals = arrs.map(_._1.map(_.length).sum)
+    import s.implicits._
+    val partials = e.select(col("q")).as[Seq[Long]]
+      .mapPartitions { it =>
+        val sums = arrs.zip(totals).map { case ((_, sub), t) =>
+          Array.fill(t)(new Array[Long](sub))
+        }
+        val cnts = totals.map(new Array[Long](_))
+        it.foreach { qs =>
+          val q = qs.toArray
+          var b = 0
+          while (b < arrs.length) {
+            val (cb, sub) = arrs(b)
+            val enc = graft.functions.VectorNative.pqEncodeArr(q, cb)
+            var m = 0
+            while (m < cb.length) {
+              val slot = enc(m).toInt - 1
+              val sm = sums(b)(slot)
+              var i = 0
+              while (i < sub) { sm(i) += q(m * sub + i); i += 1 }
+              cnts(b)(slot) += 1
+              m += 1
+            }
+            b += 1
+          }
+        }
+        Iterator.single((sums.map(_.map(_.toSeq).toSeq).toSeq,
+          cnts.map(_.toSeq).toSeq))
+      }.collect()
+    books.indices.map { b =>
+      val (cents0, sub) = books(b)
+      val total0 = totals(b)
+      val mergedSums = Array.fill(total0)(new Array[Long](sub))
+      val mergedCnts = new Array[Long](total0)
+      partials.foreach { case (ss, cc) =>
+        var t = 0
+        while (t < total0) {
+          val sv = ss(b)(t)
+          var i = 0
+          while (i < sub) { mergedSums(t)(i) += sv(i); i += 1 }
+          mergedCnts(t) += cc(b)(t)
+          t += 1
+        }
+      }
+      val mTot = cents0.length
+      val k0 = cents0.head.length
+      (0 until mTot).map { m =>
+        (0 until k0).flatMap { j =>
+          val t = m * k0 + j
+          if (mergedCnts(t) == 0L) None
+          else Some(mergedSums(t).toSeq
+            .map(x => math.floor(x.toDouble / mergedCnts(t)).toLong))
+        }
+      }
+    }
+  }
+
+  /** IVF-PQ serving index — the faiss IVFPQ composition: a COARSE
+    * quantizer (16 full-dimension cells, one Lloyd step — the same
+    * trained-codebook machinery with M = 1) partitions the corpus, and
+    * the PQ-ADC machinery scores candidates ONLY inside each query's
+    * `nprobe` nearest cells. Both codebooks are driver metadata (16 and
+    * 16·M rows, corpus-independent); the candidate join is an
+    * EQUI-join on the cell id — queries explode into nprobe rows and
+    * broadcast, so the pair space is Σ probed-cell sizes ≈
+    * |N|·|Q|·nprobe/k, never the full ADC cross product. Encode,
+    * probe selection (a 16-element sort per query row) and LUT build
+    * are all map-only; candidates go through the bounded heap and the
+    * exact re-rank exactly like [[pqAdc]]. This is the shape a corpus
+    * too big for a flat ADC scan serves from at 100 TB: the coarse
+    * cell is the partition key, and raising k keeps per-query scan
+    * cost flat as the corpus grows.
+    */
+  private[graft] def ivfPq(s: SparkSession, dir: String, M: Int,
+      nprobe: Int): DataFrame = {
+    import graft.functions.VectorNative.{pq_encode_native, pq_lut_native}
+    val e = quantized(s, dir)
+    // ONE seed collect serves both codebooks (identical seed rule:
+    // the coarse book is the unsliced rows, the fine book the M
+    // sub-slices), and ONE fused Lloyd pass trains both — 2 actions
+    // for the whole double-training instead of 4
+    val (fine0, subF) = seedCodebook(e, M)
+    val dimC = subF * M
+    val coarse0: Seq[Seq[Seq[Long]]] =
+      Seq((0 until fine0.head.length).map(j =>
+        (0 until M).flatMap(m => fine0(m)(j))))
+    val Seq(coarse, fine) =
+      lloydStepMulti(s, e, Seq((coarse0, dimC), (fine0, subF)))
+    val kC = coarse(0).length
+    val cn2 = coarse(0).map(c => c.map(x => x * x).sum)
+    val cn2Lit = array(cn2.map(v => lit(v)): _*)
+    // probe selection per query row: d2_j = ‖c_j‖² − 2·dot(q, c_j)
+    // (+‖q‖², constant under the argmin) from the coarse LUT; a
+    // 16-element struct sort — HOFs, but evaluated once per QUERY row
+    // on the broadcast side, never per pair
+    val lc = pq_lut_native(col("q"), coarse)
+    val scored = transform(sequence(lit(0), lit(kC - 1)), j =>
+      struct((element_at(cn2Lit, j + 1) - lit(2L) * element_at(lc, j + 1))
+        .as("d2"), j.as("cell")))
+    val cells = transform(slice(array_sort(scored), 1, nprobe),
+      x => x.getField("cell") + 1)
+    val qsx = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("n2").as("qn2"),
+        pq_lut_native(col("q"), fine).as("lut"), cells.as("cells"))
+      .select(col("qid"), col("qn2"), col("lut"),
+        explode(col("cells")).as("cell"))
+    val qsFull = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("n2").as("qn2"))
+    // index: coarse cell + fine codes, one map projection (tablePar —
+    // the probed-cell join is the pair-proportional stage)
+    val codes = embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .select(col("vec_id"),
+        pq_encode_native(col("q"), coarse).getItem(0).cast("int").as("cell"),
+        pq_encode_native(col("q"), fine).as("enc"))
+    val cands = codes.join(broadcast(qsx), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("lutsum", (0 until M).map(m =>
+        element_at(col("lut"), col("enc").getItem(m).cast("int")))
+        .reduce(_ + _))
+      .withColumn("approx",
+        cosineFromQ(col("lutsum"), col("qn2"), col("enc").getItem(M)))
+      .select(col("qid"), col("approx"), col("vec_id"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKFunctions
+        .topk_by_score(100, col("approx"), col("vec_id"), lit(0L)).as("top"))
+      .select(col("qid"), explode(col("top")).as("cand"))
+      .select(col("qid"), col("cand.id").as("vec_id"))
+      .join(broadcast(qsFull), "qid")
+    e.join(broadcast(cands), Seq("vec_id"))
+      .withColumn("cos",
+        cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKFunctions
+        .topk_by_score(5, col("cos"), col("vec_id"), lit(0L)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
+        col("e.id").as("vec_id"), col("e.score").as("cos"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   private[graft] def pqAdc(s: SparkSession, dir: String, M: Int,
       trace: Option[String => Unit] = None): DataFrame = {
     import graft.functions.VectorNative.{pq_encode_native, pq_lut_native}
     val tr0 = System.nanoTime()
     def tr(l: String): Unit =
       trace.foreach(f => f(f"$l t=${(System.nanoTime() - tr0) / 1e9}%6.2f"))
-    // PLAIN scan, not tablePar: the PQ kernels are O(M·k·dim/M) ≈ 1k
-    // ops per row — scan-bound, not compute-bound — and this pipeline
-    // reads the table five times (seeds, train, LUT, encode, re-rank),
-    // so the parallelism-normalizing repartition would add five
-    // exchanges for compute that one core clears at scan speed; on a
-    // real lakehouse the scan's own file parallelism applies anyway
-    val e = graft.Tables.table(s, dir, "embeddings")
-      .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .withColumn("n2", normQ2(col("q")))
-    // FIXED codebook size — the defining PQ property: the seed rule
-    // (vec_id % 25 = 0, vec_id < 400) yields 16 centroids per subspace
-    // REGARDLESS of corpus size, so this collect is 16 rows forever —
-    // driver metadata by construction, never corpus data.
-    val seedRows = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 400)
-      .select(col("vec_id"), col("q")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1)))
-      .sortBy(_._1)
+    val e = quantized(s, dir)
+    val (cents0, sub) = seedCodebook(e, M)
     tr("seeds")
-    val dim = seedRows.head._2.length
-    val sub = dim / M
-    val cents0: Seq[Seq[Seq[Long]]] =
-      (0 until M).map(m => seedRows.toSeq.map(_._2.slice(m * sub, m * sub + sub)))
-    // ONE-STAGE Lloyd pass (the treeAggregate shape): the encode
-    // kernel assigns every (row, subspace) to its nearest seed (exact
-    // integer L2, ties to the smaller seed id — the oracle's ORDER BY
-    // d2, cid) and each partition folds its rows into a BOUNDED
-    // accumulator (Σ sub-vector + count per codebook cell: M·k·(dim/M)
-    // longs, corpus-independent); one partials row per partition comes
-    // back and the driver merges P of them — the PrefixSum metadata
-    // pattern. No exchange, no AQE re-plan: training is one stage
-    // ending in a metadata-sized collect.
-    val cents0Arr: Array[Array[Array[Long]]] =
-      cents0.map(_.map(_.toArray).toArray).toArray
-    val total0 = cents0Arr.map(_.length).sum
-    import s.implicits._
-    val partials = e.select(col("q")).as[Seq[Long]]
-      .mapPartitions { it =>
-        val sums = Array.fill(total0)(new Array[Long](sub))
-        val cnts = new Array[Long](total0)
-        it.foreach { qs =>
-          val q = qs.toArray
-          val enc = graft.functions.VectorNative.pqEncodeArr(q, cents0Arr)
-          var m = 0
-          while (m < cents0Arr.length) {
-            val slot = enc(m).toInt - 1
-            val sm = sums(slot)
-            var i = 0
-            while (i < sub) { sm(i) += q(m * sub + i); i += 1 }
-            cnts(slot) += 1
-            m += 1
-          }
-        }
-        Iterator.single((sums.map(_.toSeq).toSeq, cnts.toSeq))
-      }.collect()
+    val cents1 = lloydStep(s, e, cents0, sub)
     tr("train")
-    // floor-mean recompute on the driver (exact: the element sums are
-    // < 2^53, so the double division and floor equal the oracle's
-    // floor(CAST(sm AS DOUBLE)/cnt)); empty cells (count 0) drop out,
-    // shrinking that sub-codebook — slot layout stays consistent
-    // because BOTH kernels derive it from the same per-subspace counts
-    val mergedSums = Array.fill(total0)(new Array[Long](sub))
-    val mergedCnts = new Array[Long](total0)
-    partials.foreach { case (ss, cc) =>
-      var t = 0
-      while (t < total0) {
-        val sv = ss(t)
-        var i = 0
-        while (i < sub) { mergedSums(t)(i) += sv(i); i += 1 }
-        mergedCnts(t) += cc(t)
-        t += 1
-      }
-    }
-    val k0 = cents0.head.length
-    val cents1: Seq[Seq[Seq[Long]]] = (0 until M).map { m =>
-      (0 until k0).flatMap { j =>
-        val t = m * k0 + j
-        if (mergedCnts(t) == 0L) None
-        else Some(mergedSums(t).toSeq
-          .map(x => math.floor(x.toDouble / mergedCnts(t)).toLong))
-      }
-    }
     // query LUT frame: shuffle-free map projection (qid, qn2, lut) —
     // materialized BEFORE broadcast (plan lesson 1, see scaladoc)
     val qs1 = e.filter(col("vec_id") % 50 === 0)
@@ -458,6 +584,9 @@ object SimilarityQueries {
     // PQ-ADC two-stage retrieval — the OTHER faiss serving shape (IVFPQ's
     // code side). See [[pqAdc]] for the plan.
     "ann_pq_adc" -> ((s, dir) => pqAdc(s, dir, M = 8)),
+
+    // IVF-PQ — the composed faiss serving index; see [[ivfPq]].
+    "ann_ivfpq" -> ((s, dir) => ivfPq(s, dir, M = 8, nprobe = 4)),
 
     // SQ8 two-stage retrieval — the faiss-style serving shape: (1) learn
     // per-dimension scalar-quantizer bounds from the data (one tiny
@@ -743,6 +872,132 @@ object SimilarityQueries {
         |approx AS (
         |  SELECT l.qid, k.vec_id, SUM(l.ld) AS lutsum
         |  FROM codes k JOIN luts l ON l.m = k.m AND l.cid = k.cid
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT a.qid, a.vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY a.qid
+        |             ORDER BY CAST(a.lutsum AS DOUBLE)
+        |               / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(r.rn2 AS DOUBLE)))
+        |               DESC, a.vec_id) AS rn
+        |    FROM approx a JOIN n qn ON qn.vec_id = a.qid
+        |    JOIN recon r ON r.vec_id = a.vec_id
+        |    WHERE a.vec_id <> a.qid)
+        |  WHERE rn <= 100)
+        |SELECT qid, rn, vec_id, cos FROM (
+        |  SELECT c.qid, c.vec_id,
+        |         CAST(list_dot_product(qa.q, qb.q) AS DOUBLE)
+        |           / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+        |           AS cos,
+        |         ROW_NUMBER() OVER (PARTITION BY c.qid
+        |           ORDER BY CAST(list_dot_product(qa.q, qb.q) AS DOUBLE)
+        |             / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+        |             DESC, c.vec_id) AS rn
+        |  FROM cand c JOIN n qa ON qa.vec_id = c.qid
+        |  JOIN n qb ON qb.vec_id = c.vec_id)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+    // IVF-PQ: the coarse quantizer stated as full-vector L2 CTEs
+    // (seed assign -> floor-mean Lloyd -> doc cells + 4-probe query
+    // cells), then the ann_pq_adc PQ pipeline with the approx scan
+    // restricted to probed cells
+    "ann_ivfpq" -> (quantCte +
+      """, cseeds AS (
+        |  SELECT vec_id AS cid, q AS cq, n2 AS cn2
+        |  FROM n WHERE vec_id % 25 = 0 AND vec_id < 400),
+        |ca0 AS (
+        |  SELECT vec_id, q, cid FROM (
+        |    SELECT n.vec_id, n.q, c.cid,
+        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |             ORDER BY n.n2 + c.cn2
+        |               - 2 * CAST(list_dot_product(n.q, c.cq) AS BIGINT),
+        |               c.cid) AS rn
+        |    FROM n CROSS JOIN cseeds c)
+        |  WHERE rn = 1),
+        |ccellsum AS (
+        |  SELECT cid, i, SUM(x) AS sm, COUNT(*) AS cnt
+        |  FROM (SELECT cid, UNNEST(q) AS x, generate_subscripts(q, 1) AS i
+        |        FROM ca0)
+        |  GROUP BY cid, i),
+        |cc1 AS (
+        |  SELECT cid,
+        |         list(CAST(floor(CAST(sm AS DOUBLE) / cnt) AS BIGINT)
+        |              ORDER BY i) AS cq
+        |  FROM ccellsum GROUP BY cid),
+        |cc AS (
+        |  SELECT cid, cq, CAST(list_dot_product(cq, cq) AS BIGINT) AS cn2
+        |  FROM cc1),
+        |dcell AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT n.vec_id, c.cid AS cell,
+        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |             ORDER BY n.n2 + c.cn2
+        |               - 2 * CAST(list_dot_product(n.q, c.cq) AS BIGINT),
+        |               c.cid) AS rn
+        |    FROM n CROSS JOIN cc c)
+        |  WHERE rn = 1),
+        |qcell AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT n.vec_id AS qid, c.cid AS cell,
+        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |             ORDER BY n.n2 + c.cn2
+        |               - 2 * CAST(list_dot_product(n.q, c.cq) AS BIGINT),
+        |               c.cid) AS rn
+        |    FROM n CROSS JOIN cc c
+        |    WHERE n.vec_id % 50 = 0)
+        |  WHERE rn <= 4),
+        |subs AS (
+        |  SELECT vec_id, m,
+        |         list_slice(q, m * (len(q) // 8) + 1, (m + 1) * (len(q) // 8)) AS sq
+        |  FROM n CROSS JOIN (SELECT UNNEST(range(0, 8)) AS m)),
+        |sn AS (
+        |  SELECT vec_id, m, sq,
+        |         CAST(list_dot_product(sq, sq) AS BIGINT) AS sn2 FROM subs),
+        |seeds AS (
+        |  SELECT m, vec_id AS cid, sq AS cq, sn2 AS cn2
+        |  FROM sn WHERE vec_id % 25 = 0 AND vec_id < 400),
+        |a0 AS (
+        |  SELECT vec_id, m, sq, cid FROM (
+        |    SELECT s.vec_id, s.m, s.sq, c.cid,
+        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+        |             ORDER BY s.sn2 + c.cn2
+        |               - 2 * CAST(list_dot_product(s.sq, c.cq) AS BIGINT),
+        |               c.cid) AS rn
+        |    FROM sn s JOIN seeds c ON c.m = s.m)
+        |  WHERE rn = 1),
+        |cellsum AS (
+        |  SELECT m, cid, i, SUM(x) AS sm, COUNT(*) AS cnt
+        |  FROM (SELECT m, cid, UNNEST(sq) AS x,
+        |               generate_subscripts(sq, 1) AS i FROM a0)
+        |  GROUP BY m, cid, i),
+        |cents1 AS (
+        |  SELECT m, cid,
+        |         list(CAST(floor(CAST(sm AS DOUBLE) / cnt) AS BIGINT)
+        |              ORDER BY i) AS cq
+        |  FROM cellsum GROUP BY m, cid),
+        |c1 AS (
+        |  SELECT m, cid, cq,
+        |         CAST(list_dot_product(cq, cq) AS BIGINT) AS cn2 FROM cents1),
+        |codes AS (
+        |  SELECT vec_id, m, cid, cn2 FROM (
+        |    SELECT s.vec_id, s.m, c.cid, c.cn2,
+        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+        |             ORDER BY s.sn2 + c.cn2
+        |               - 2 * CAST(list_dot_product(s.sq, c.cq) AS BIGINT),
+        |               c.cid) AS rn
+        |    FROM sn s JOIN c1 c ON c.m = s.m)
+        |  WHERE rn = 1),
+        |recon AS (SELECT vec_id, SUM(cn2) AS rn2 FROM codes GROUP BY vec_id),
+        |luts AS (
+        |  SELECT s.vec_id AS qid, s.m, c.cid,
+        |         CAST(list_dot_product(s.sq, c.cq) AS BIGINT) AS ld
+        |  FROM sn s JOIN c1 c ON c.m = s.m
+        |  WHERE s.vec_id % 50 = 0),
+        |approx AS (
+        |  SELECT l.qid, k.vec_id, SUM(l.ld) AS lutsum
+        |  FROM codes k
+        |  JOIN luts l ON l.m = k.m AND l.cid = k.cid
+        |  JOIN dcell d ON d.vec_id = k.vec_id
+        |  JOIN qcell qc ON qc.qid = l.qid AND qc.cell = d.cell
         |  GROUP BY 1, 2),
         |cand AS (
         |  SELECT qid, vec_id FROM (

@@ -78,6 +78,21 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.85, f"PQ-ADC recall@5 degraded to $r%.3f")
   }
 
+  test("IVF-PQ composed recall@5 stays above the floor") {
+    // nprobe = 4 of 16 coarse cells composed with the PQ-ADC width-100
+    // candidate stage: measured 0.84 at sf0.01 — the probe misses cost
+    // ~0.08 vs flat PQ-ADC's 0.92, the standard IVF trade (nprobe is
+    // the knob). 0.75 catches a broken cell assignment or probe set.
+    val dir = "/root/testdata/sf0.01"
+    val bf = SimilarityQueries.queries("ann_brute_topk")(spark, dir)
+      .select(col("qid"), col("vec_id"))
+    val iv = SimilarityQueries.queries("ann_ivfpq")(spark, dir)
+      .select(col("qid"), col("vec_id"))
+    val r = bf.intersect(iv).count().toDouble / bf.count().toDouble
+    info(f"IVF-PQ recall@5 sf0.01 = $r%.3f")
+    assert(r >= 0.75, f"IVF-PQ recall@5 degraded to $r%.3f")
+  }
+
   test("SQ8 two-stage recall@5 vs brute force stays above the floor") {
     val dir = "/root/testdata/sf0.001"
     val bf = SimilarityQueries.queries("ann_brute_topk")(spark, dir)
