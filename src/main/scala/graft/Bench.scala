@@ -109,10 +109,13 @@ object Bench {
         qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
         alwaysGc: Boolean): Seq[(String, Double)] =
       qs.map { case (name, fn) =>
-        // untimed codegen pre-run (heavy blocks only — the floor
-        // queries share most generated classes with the warmup and an
-        // ~80-query pre-run pass would double the bench's wall)
-        if (alwaysGc) prewarmDir.foreach { d =>
+        // untimed codegen pre-run for EVERY query (r8: formerly heavy
+        // blocks only — but floor-session telemetry showed 20-30 s of
+        // process CPU per timed window on compiler threads, i.e. C2 +
+        // Janino compiling each query's generated classes INSIDE its
+        // timed run; a sf0.001 pre-run costs ~0.3 s untimed and buys
+        // the steady-state number a long-lived session would show)
+        prewarmDir.foreach { d =>
           try fn(spark, d).write.format("noop").mode("overwrite").save()
           catch { case _: Throwable => () }
         }
