@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.VectorFunctions._
@@ -155,7 +155,7 @@ object SimilarityQueries {
     * compute that one core clears at scan speed; on a real lakehouse
     * the scan's own file parallelism applies anyway.
     */
-  private def quantized(s: SparkSession, dir: String): DataFrame =
+  private[graft] def quantized(s: SparkSession, dir: String): DataFrame =
     graft.Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("n2", normQ2(col("q")))
@@ -280,46 +280,67 @@ object SimilarityQueries {
     * cell is the partition key, and raising k keeps per-query scan
     * cost flat as the corpus grows.
     */
-  private[graft] def ivfPq(s: SparkSession, dir: String, M: Int,
-      nprobe: Int): DataFrame = {
-    import graft.functions.VectorNative.{pq_encode_native, pq_lut_native}
-    val e = quantized(s, dir)
-    // ONE seed collect serves both codebooks (identical seed rule:
-    // the coarse book is the unsliced rows, the fine book the M
-    // sub-slices), and ONE fused Lloyd pass trains both — 2 actions
-    // for the whole double-training instead of 4
-    val (fine0, subF) = seedCodebook(e, M)
-    val dimC = subF * M
-    val coarse0: Seq[Seq[Seq[Long]]] =
-      Seq((0 until fine0.head.length).map(j =>
-        (0 until M).flatMap(m => fine0(m)(j))))
+  /** A trained IVF-PQ index: both codebooks are driver metadata
+    * (16 + 16·M rows, corpus-independent — the [[pqAdc]] argument).
+    */
+  case class IvfPqIndex(coarse: Seq[Seq[Seq[Long]]], fine: Seq[Seq[Seq[Long]]])
+
+  /** Train the composed index on `corpus` (a quantized (vec_id, q, n2)
+    * frame): ONE seed collect serves both codebooks (the coarse book
+    * is the unsliced seed rows, the fine book the M sub-slices), and
+    * ONE fused Lloyd pass refines both — 2 actions for the whole
+    * double-training. `seedPred` selects the FIXED-size seed set
+    * (corpus-independent by construction).
+    */
+  private[graft] def trainIvfPq(s: SparkSession, corpus: DataFrame, M: Int,
+      seedPred: Column): IvfPqIndex = {
+    val seedRows = corpus.filter(seedPred)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    val dim = seedRows.head._2.length
+    val subF = dim / M
+    val fine0: Seq[Seq[Seq[Long]]] =
+      (0 until M).map(m => seedRows.toSeq.map(_._2.slice(m * subF, m * subF + subF)))
+    val coarse0: Seq[Seq[Seq[Long]]] = Seq(seedRows.toSeq.map(_._2))
     val Seq(coarse, fine) =
-      lloydStepMulti(s, e, Seq((coarse0, dimC), (fine0, subF)))
+      lloydStepMulti(s, corpus, Seq((coarse0, dim), (fine0, subF)))
+    IvfPqIndex(coarse, fine)
+  }
+
+  /** Serve top-5 neighbors from a trained index: `queries` explode
+    * into `nprobe` probed cells (16-element struct sort per query row,
+    * on the broadcast side), `corpusCodes` carries the map-only
+    * (vec_id, cell, enc) projection (pass the tablePar-normalized
+    * frame — the cell equi-join is the pair-proportional stage), and
+    * `corpus` supplies the full-precision rows for the exact re-rank.
+    */
+  private[graft] def ivfPqSearch(index: IvfPqIndex, corpus: DataFrame,
+      corpusCodes: DataFrame, queries: DataFrame, nprobe: Int): DataFrame = {
+    import graft.functions.VectorNative.{pq_encode_native, pq_lut_native}
+    val coarse = index.coarse
+    val fine = index.fine
+    val M = fine.length
     val kC = coarse(0).length
     val cn2 = coarse(0).map(c => c.map(x => x * x).sum)
     val cn2Lit = array(cn2.map(v => lit(v)): _*)
     // probe selection per query row: d2_j = ‖c_j‖² − 2·dot(q, c_j)
-    // (+‖q‖², constant under the argmin) from the coarse LUT; a
-    // 16-element struct sort — HOFs, but evaluated once per QUERY row
-    // on the broadcast side, never per pair
+    // (+‖q‖², constant under the argmin) from the coarse LUT
     val lc = pq_lut_native(col("q"), coarse)
     val scored = transform(sequence(lit(0), lit(kC - 1)), j =>
       struct((element_at(cn2Lit, j + 1) - lit(2L) * element_at(lc, j + 1))
         .as("d2"), j.as("cell")))
     val cells = transform(slice(array_sort(scored), 1, nprobe),
       x => x.getField("cell") + 1)
-    val qsx = e.filter(col("vec_id") % 50 === 0)
+    val qsx = queries
       .select(col("vec_id").as("qid"), col("n2").as("qn2"),
         pq_lut_native(col("q"), fine).as("lut"), cells.as("cells"))
       .select(col("qid"), col("qn2"), col("lut"),
         explode(col("cells")).as("cell"))
-    val qsFull = e.filter(col("vec_id") % 50 === 0)
+    val qsFull = queries
       .select(col("vec_id").as("qid"), col("q").as("qq"),
         col("n2").as("qn2"))
-    // index: coarse cell + fine codes, one map projection (tablePar —
-    // the probed-cell join is the pair-proportional stage)
-    val codes = embeddings(s, dir)
-      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val codes = corpusCodes
       .select(col("vec_id"),
         pq_encode_native(col("q"), coarse).getItem(0).cast("int").as("cell"),
         pq_encode_native(col("q"), fine).as("enc"))
@@ -337,7 +358,7 @@ object SimilarityQueries {
       .select(col("qid"), explode(col("top")).as("cand"))
       .select(col("qid"), col("cand.id").as("vec_id"))
       .join(broadcast(qsFull), "qid")
-    e.join(broadcast(cands), Seq("vec_id"))
+    corpus.join(broadcast(cands), Seq("vec_id"))
       .withColumn("cos",
         cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
       .groupBy(col("qid"))
@@ -347,6 +368,139 @@ object SimilarityQueries {
       .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
         col("e.id").as("vec_id"), col("e.score").as("cos"))
       .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Persist a trained index to the lakehouse: `codebooks/` (book,
+    * m, j, cq) + `codes/` (vec_id, cell, enc) — appending a delta
+    * batch's code rows IS the index update, exactly the
+    * `saveBandIndex` lifecycle of the LSH family. Codebooks are
+    * metadata-sized; codes are one row per corpus vector (M+1 longs),
+    * the PQ memory story.
+    */
+  private[graft] def saveIvfPqIndex(s: SparkSession, index: IvfPqIndex,
+      corpusCodes: DataFrame, path: String): Unit = {
+    import graft.functions.VectorNative.pq_encode_native
+    import s.implicits._
+    val books =
+      index.coarse.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (v, j) => ("coarse", m, j, v) } } ++
+      index.fine.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (v, j) => ("fine", m, j, v) } }
+    books.toDF("book", "m", "j", "cq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    corpusCodes
+      .select(col("vec_id"),
+        pq_encode_native(col("q"), index.coarse).getItem(0).cast("int").as("cell"),
+        pq_encode_native(col("q"), index.fine).as("enc"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Reload a [[saveIvfPqIndex]] index: the codebooks come back to the
+    * driver (metadata-sized by construction); the code rows stay a
+    * DataFrame. The returned codes frame plugs into [[ivfPqSearch]]'s
+    * `corpusCodes`-derived join via [[ivfPqSearchPrecoded]].
+    */
+  private[graft] def loadIvfPqIndex(spark: SparkSession,
+      path: String): (IvfPqIndex, DataFrame) = {
+    val books = spark.read.parquet(s"$path/codebooks")
+      .select(col("book"), col("m"), col("j"), col("cq")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getSeq[Long](3)))
+    def side(b: String): Seq[Seq[Seq[Long]]] = {
+      val rows = books.filter(_._1 == b)
+      (0 to rows.map(_._2).max).map(m =>
+        rows.filter(_._2 == m).sortBy(_._3).map(_._4).toSeq)
+    }
+    (IvfPqIndex(side("coarse"), side("fine")),
+      spark.read.parquet(s"$path/codes")
+        .select(col("vec_id"), col("cell"), col("enc")))
+  }
+
+  /** [[ivfPqSearch]] against PRE-ENCODED code rows (the loaded index) —
+    * the production serving path: nothing re-encodes the corpus.
+    */
+  private[graft] def ivfPqSearchPrecoded(index: IvfPqIndex, corpus: DataFrame,
+      codes: DataFrame, queries: DataFrame, nprobe: Int): DataFrame = {
+    import graft.functions.VectorNative.pq_lut_native
+    val coarse = index.coarse
+    val fine = index.fine
+    val M = fine.length
+    val kC = coarse(0).length
+    val cn2 = coarse(0).map(c => c.map(x => x * x).sum)
+    val cn2Lit = array(cn2.map(v => lit(v)): _*)
+    val lc = pq_lut_native(col("q"), coarse)
+    val scored = transform(sequence(lit(0), lit(kC - 1)), j =>
+      struct((element_at(cn2Lit, j + 1) - lit(2L) * element_at(lc, j + 1))
+        .as("d2"), j.as("cell")))
+    val cells = transform(slice(array_sort(scored), 1, nprobe),
+      x => x.getField("cell") + 1)
+    val qsx = queries
+      .select(col("vec_id").as("qid"), col("n2").as("qn2"),
+        pq_lut_native(col("q"), fine).as("lut"), cells.as("cells"))
+      .select(col("qid"), col("qn2"), col("lut"),
+        explode(col("cells")).as("cell"))
+    val qsFull = queries
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("n2").as("qn2"))
+    val cands = codes.join(broadcast(qsx), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("lutsum", (0 until M).map(m =>
+        element_at(col("lut"), col("enc").getItem(m).cast("int")))
+        .reduce(_ + _))
+      .withColumn("approx",
+        cosineFromQ(col("lutsum"), col("qn2"), col("enc").getItem(M)))
+      .select(col("qid"), col("approx"), col("vec_id"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKFunctions
+        .topk_by_score(100, col("approx"), col("vec_id"), lit(0L)).as("top"))
+      .select(col("qid"), explode(col("top")).as("cand"))
+      .select(col("qid"), col("cand.id").as("vec_id"))
+      .join(broadcast(qsFull), "qid")
+    corpus.join(broadcast(cands), Seq("vec_id"))
+      .withColumn("cos",
+        cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKFunctions
+        .topk_by_score(5, col("cos"), col("vec_id"), lit(0L)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
+        col("e.id").as("vec_id"), col("e.score").as("cos"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  private[graft] def ivfPq(s: SparkSession, dir: String, M: Int,
+      nprobe: Int): DataFrame = {
+    val e = quantized(s, dir)
+    val index = trainIvfPq(s, e, M,
+      col("vec_id") % 25 === 0 && col("vec_id") < 400)
+    val codesSrc = embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+    ivfPqSearch(index, e, codesSrc,
+      e.filter(col("vec_id") % 50 === 0), nprobe)
+  }
+
+  /** INCREMENTAL delta-vs-corpus ANN probe — the production lifecycle
+    * of a growing embedded corpus (the [[DedupQueries.incrementalNearDups]]
+    * analog): the index is trained on the EXISTING corpus (even
+    * vec_ids; seeds drawn from it), and a newly arrived DELTA batch
+    * (odd vec_ids) probes it for nearest existing neighbors before
+    * insertion — near-dup screening, recommendation backfill, or
+    * assignment of new items to existing clusters. Per batch only the
+    * delta pays the probe (cell sort + LUT per delta row); the corpus
+    * side serves from its code rows — in production from the
+    * [[saveIvfPqIndex]] parquet (spec-proven equal), so nothing
+    * re-encodes or re-trains per batch.
+    */
+  private[graft] def ivfPqIncr(s: SparkSession, dir: String, M: Int,
+      nprobe: Int): DataFrame = {
+    val e = quantized(s, dir)
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+    val delta = e.filter(col("vec_id") % 2 === 1)
+    val index = trainIvfPq(s, corpus, M,
+      col("vec_id") % 50 === 0 && col("vec_id") < 800)
+    val codesSrc = embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .filter(col("vec_id") % 2 === 0)
+    ivfPqSearch(index, corpus, codesSrc, delta, nprobe)
   }
 
   private[graft] def pqAdc(s: SparkSession, dir: String, M: Int,
@@ -587,6 +741,9 @@ object SimilarityQueries {
 
     // IVF-PQ — the composed faiss serving index; see [[ivfPq]].
     "ann_ivfpq" -> ((s, dir) => ivfPq(s, dir, M = 8, nprobe = 4)),
+
+    // incremental delta-vs-corpus ANN probe; see [[ivfPqIncr]].
+    "ann_incr" -> ((s, dir) => ivfPqIncr(s, dir, M = 8, nprobe = 4)),
 
     // SQ8 two-stage retrieval — the faiss-style serving shape: (1) learn
     // per-dimension scalar-quantizer bounds from the data (one tiny
@@ -872,6 +1029,135 @@ object SimilarityQueries {
         |approx AS (
         |  SELECT l.qid, k.vec_id, SUM(l.ld) AS lutsum
         |  FROM codes k JOIN luts l ON l.m = k.m AND l.cid = k.cid
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT a.qid, a.vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY a.qid
+        |             ORDER BY CAST(a.lutsum AS DOUBLE)
+        |               / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(r.rn2 AS DOUBLE)))
+        |               DESC, a.vec_id) AS rn
+        |    FROM approx a JOIN n qn ON qn.vec_id = a.qid
+        |    JOIN recon r ON r.vec_id = a.vec_id
+        |    WHERE a.vec_id <> a.qid)
+        |  WHERE rn <= 100)
+        |SELECT qid, rn, vec_id, cos FROM (
+        |  SELECT c.qid, c.vec_id,
+        |         CAST(list_dot_product(qa.q, qb.q) AS DOUBLE)
+        |           / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+        |           AS cos,
+        |         ROW_NUMBER() OVER (PARTITION BY c.qid
+        |           ORDER BY CAST(list_dot_product(qa.q, qb.q) AS DOUBLE)
+        |             / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+        |             DESC, c.vec_id) AS rn
+        |  FROM cand c JOIN n qa ON qa.vec_id = c.qid
+        |  JOIN n qb ON qb.vec_id = c.vec_id)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+    // incremental ANN probe: the ann_ivfpq chain with the index
+    // population restricted to the corpus (even ids, even-id seeds)
+    // and the query side to the delta batch (odd ids)
+    "ann_incr" -> (quantCte +
+      """, cseeds AS (
+        |  SELECT vec_id AS cid, q AS cq, n2 AS cn2
+        |  FROM n WHERE vec_id % 50 = 0 AND vec_id < 800),
+        |ca0 AS (
+        |  SELECT vec_id, q, cid FROM (
+        |    SELECT n.vec_id, n.q, c.cid,
+        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |             ORDER BY n.n2 + c.cn2
+        |               - 2 * CAST(list_dot_product(n.q, c.cq) AS BIGINT),
+        |               c.cid) AS rn
+        |    FROM n CROSS JOIN cseeds c
+        |    WHERE n.vec_id % 2 = 0)
+        |  WHERE rn = 1),
+        |ccellsum AS (
+        |  SELECT cid, i, SUM(x) AS sm, COUNT(*) AS cnt
+        |  FROM (SELECT cid, UNNEST(q) AS x, generate_subscripts(q, 1) AS i
+        |        FROM ca0)
+        |  GROUP BY cid, i),
+        |cc1 AS (
+        |  SELECT cid,
+        |         list(CAST(floor(CAST(sm AS DOUBLE) / cnt) AS BIGINT)
+        |              ORDER BY i) AS cq
+        |  FROM ccellsum GROUP BY cid),
+        |cc AS (
+        |  SELECT cid, cq, CAST(list_dot_product(cq, cq) AS BIGINT) AS cn2
+        |  FROM cc1),
+        |dcell AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT n.vec_id, c.cid AS cell,
+        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |             ORDER BY n.n2 + c.cn2
+        |               - 2 * CAST(list_dot_product(n.q, c.cq) AS BIGINT),
+        |               c.cid) AS rn
+        |    FROM n CROSS JOIN cc c
+        |    WHERE n.vec_id % 2 = 0)
+        |  WHERE rn = 1),
+        |qcell AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT n.vec_id AS qid, c.cid AS cell,
+        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |             ORDER BY n.n2 + c.cn2
+        |               - 2 * CAST(list_dot_product(n.q, c.cq) AS BIGINT),
+        |               c.cid) AS rn
+        |    FROM n CROSS JOIN cc c
+        |    WHERE n.vec_id % 2 = 1)
+        |  WHERE rn <= 4),
+        |subs AS (
+        |  SELECT vec_id, m,
+        |         list_slice(q, m * (len(q) // 8) + 1, (m + 1) * (len(q) // 8)) AS sq
+        |  FROM n CROSS JOIN (SELECT UNNEST(range(0, 8)) AS m)),
+        |sn AS (
+        |  SELECT vec_id, m, sq,
+        |         CAST(list_dot_product(sq, sq) AS BIGINT) AS sn2 FROM subs),
+        |seeds AS (
+        |  SELECT m, vec_id AS cid, sq AS cq, sn2 AS cn2
+        |  FROM sn WHERE vec_id % 50 = 0 AND vec_id < 800),
+        |a0 AS (
+        |  SELECT vec_id, m, sq, cid FROM (
+        |    SELECT s.vec_id, s.m, s.sq, c.cid,
+        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+        |             ORDER BY s.sn2 + c.cn2
+        |               - 2 * CAST(list_dot_product(s.sq, c.cq) AS BIGINT),
+        |               c.cid) AS rn
+        |    FROM sn s JOIN seeds c ON c.m = s.m
+        |    WHERE s.vec_id % 2 = 0)
+        |  WHERE rn = 1),
+        |cellsum AS (
+        |  SELECT m, cid, i, SUM(x) AS sm, COUNT(*) AS cnt
+        |  FROM (SELECT m, cid, UNNEST(sq) AS x,
+        |               generate_subscripts(sq, 1) AS i FROM a0)
+        |  GROUP BY m, cid, i),
+        |cents1 AS (
+        |  SELECT m, cid,
+        |         list(CAST(floor(CAST(sm AS DOUBLE) / cnt) AS BIGINT)
+        |              ORDER BY i) AS cq
+        |  FROM cellsum GROUP BY m, cid),
+        |c1 AS (
+        |  SELECT m, cid, cq,
+        |         CAST(list_dot_product(cq, cq) AS BIGINT) AS cn2 FROM cents1),
+        |codes AS (
+        |  SELECT vec_id, m, cid, cn2 FROM (
+        |    SELECT s.vec_id, s.m, c.cid, c.cn2,
+        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+        |             ORDER BY s.sn2 + c.cn2
+        |               - 2 * CAST(list_dot_product(s.sq, c.cq) AS BIGINT),
+        |               c.cid) AS rn
+        |    FROM sn s JOIN c1 c ON c.m = s.m
+        |    WHERE s.vec_id % 2 = 0)
+        |  WHERE rn = 1),
+        |recon AS (SELECT vec_id, SUM(cn2) AS rn2 FROM codes GROUP BY vec_id),
+        |luts AS (
+        |  SELECT s.vec_id AS qid, s.m, c.cid,
+        |         CAST(list_dot_product(s.sq, c.cq) AS BIGINT) AS ld
+        |  FROM sn s JOIN c1 c ON c.m = s.m
+        |  WHERE s.vec_id % 2 = 1),
+        |approx AS (
+        |  SELECT l.qid, k.vec_id, SUM(l.ld) AS lutsum
+        |  FROM codes k
+        |  JOIN luts l ON l.m = k.m AND l.cid = k.cid
+        |  JOIN dcell d ON d.vec_id = k.vec_id
+        |  JOIN qcell qc ON qc.qid = l.qid AND qc.cell = d.cell
         |  GROUP BY 1, 2),
         |cand AS (
         |  SELECT qid, vec_id FROM (

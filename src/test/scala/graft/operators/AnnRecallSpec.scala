@@ -106,4 +106,31 @@ class AnnRecallSpec extends AnyFunSuite {
     // pinned testdata — 0.9 still catches a broken quantizer
     assert(r >= 0.9, f"SQ8 recall@5 degraded to $r%.3f")
   }
+
+  test("IVF-PQ index survives a parquet roundtrip: save -> load -> probe == direct") {
+    // the production lifecycle the ivfPqIncr scaladoc claims: codebooks
+    // + code rows persist to the lakehouse at build time; a later delta
+    // batch loads them and probes WITHOUT re-training or re-encoding
+    // the corpus. The loaded-index probe must equal the direct
+    // (train-in-memory) probe exactly.
+    val dir = "/root/testdata/sf0.001"
+    val e = SimilarityQueries.quantized(spark, dir)
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+    val delta = e.filter(col("vec_id") % 2 === 1)
+    val index = SimilarityQueries.trainIvfPq(spark, corpus, 8,
+      col("vec_id") % 50 === 0 && col("vec_id") < 800)
+    val codesSrc = corpus.select(col("vec_id"), col("q"))
+    val direct = SimilarityQueries
+      .ivfPqSearch(index, corpus, codesSrc, delta, nprobe = 4)
+    val path = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    SimilarityQueries.saveIvfPqIndex(spark, index, codesSrc, path)
+    val (loaded, codes) = SimilarityQueries.loadIvfPqIndex(spark, path)
+    assert(loaded === index, "codebooks must round-trip exactly")
+    val fromDisk = SimilarityQueries
+      .ivfPqSearchPrecoded(loaded, corpus, codes, delta, nprobe = 4)
+    assert(fromDisk.exceptAll(direct).count() === 0 &&
+      direct.exceptAll(fromDisk).count() === 0,
+      "parquet-roundtripped index diverges from the in-memory index")
+    assert(fromDisk.count() > 0, "no probe results - vacuous roundtrip")
+  }
 }
