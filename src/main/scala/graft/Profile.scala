@@ -77,6 +77,14 @@ object Profile {
         out.write.format("noop").mode("overwrite").save()
         println(f"$name ${(System.nanoTime() - t0) / 1e9}%8.2f s")
         hashes.unpersist(blocking = false)
+      } else if (name.startsWith("shham_capped:")) {
+        // capped simhash-hamming sweep (the duplicate-density guard)
+        val b = name.split(':')(1).toInt
+        val t0 = System.nanoTime()
+        graft.operators.DedupQueries
+          .simhashHamming(spark, dir, maxBucket = Some(b))
+          .write.format("noop").mode("overwrite").save()
+        println(f"$name ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       } else if (name == "lsh_parts") {
         // stage attribution for the LSH dedup pair: cache populate vs
         // candidate generation vs exact verify

@@ -309,6 +309,75 @@ object DedupQueries {
     pairs.unionByName(stars).distinct()
   }
 
+  /** SimHash hamming-neighbor pairs (the `dedup_sh_ham` gate; see its
+    * map-entry scaladoc). `maxBucket = Some(B)` is the same
+    * duplicate-density guard as [[lshCandidatePairsCapped]]: band
+    * buckets over B members contribute STAR edges (member vs bucket
+    * minimum) instead of m² pairwise rows — identical-signature
+    * families at 100× would otherwise hand the verify stage a
+    * quadratic candidate set, exactly the MinHash failure mode. The
+    * exact-recall pigeonhole property (every pair at hamming ≤ 3
+    * shares a band) holds for the UNCAPPED form; capped, an oversized
+    * bucket keeps drop-decidability through its representative — the
+    * [[minHashStarCandidates]] argument.
+    */
+  private[graft] def simhashHamming(s: SparkSession, dir: String,
+      maxBucket: Option[Int]): DataFrame = {
+    import graft.functions.TextHashExpressions.sim_hash60
+    val h = documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        sim_hash60(shingleHashes(col("tk"), 1)).as("sh"))
+    val banded = h.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        (shiftrightunsigned(col("sh"), 15 * b) bitwiseAND lit(0x7FFFL))): _*))
+        .as(Seq("b", "k")))
+    val cand = maxBucket match {
+      case None =>
+        val a = banded.select(col("b"), col("k"),
+          col("doc_id").as("ia"), col("sh").as("sha"))
+        val bb = banded.select(col("b"), col("k"),
+          col("doc_id").as("ib"), col("sh").as("shb"))
+        a.join(bb, Seq("b", "k"))
+          .filter(col("ia") < col("ib"))
+          .select(col("ia"), col("ib"), col("sha"), col("shb"))
+      case Some(cap) =>
+        // one aggregation yields the size filter AND the bucket rep
+        // (the lshCandidatePairsCapped r8 fusion)
+        val sized = banded.groupBy(col("b"), col("k"))
+          .agg(count(lit(1)).as("bc"), min(col("doc_id")).as("rep"))
+        val ok = sized.filter(col("bc") <= cap).select(col("b"), col("k"))
+        val big = sized.filter(col("bc") > cap)
+          .select(col("b"), col("k"), col("rep"))
+        val pruned = banded.join(ok, Seq("b", "k"))
+        val a = pruned.select(col("b"), col("k"),
+          col("doc_id").as("ia"), col("sh").as("sha"))
+        val bb = pruned.select(col("b"), col("k"),
+          col("doc_id").as("ib"), col("sh").as("shb"))
+        val pairs = a.join(bb, Seq("b", "k"))
+          .filter(col("ia") < col("ib"))
+          .select(col("ia"), col("ib"), col("sha"), col("shb"))
+        // star edges need both signatures: the rep's sh joins back from
+        // the (tiny) big-bucket table via the banded frame
+        val reps = banded.join(big, Seq("b", "k"))
+          .filter(col("doc_id") === col("rep"))
+          .select(col("b"), col("k"), col("rep"), col("sh").as("sha"))
+          .distinct()
+        val stars = banded.join(reps, Seq("b", "k"))
+          .filter(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("ia"), col("doc_id").as("ib"),
+            col("sha"), col("sh").as("shb"))
+        pairs.unionByName(stars)
+    }
+    cand
+      .select(col("ia"), col("ib"),
+        expr("CAST(bit_count(sha ^ shb) AS BIGINT)").as("ham"))
+      .distinct()
+      .filter(col("ham") <= 3)
+      .orderBy(col("ia"), col("ib"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup by content digest (hash-groupBy).
     "dedup_exact" -> ((s, dir) => {
@@ -464,29 +533,7 @@ object DedupQueries {
     // few bits. Same scale shape as dedup_mh_lsh: band-keyed shuffle,
     // pair space bounded by collisions; the bucket-cap/star guard
     // applies unchanged on duplicate-dense corpora.
-    "dedup_sh_ham" -> ((s, dir) => {
-      import graft.functions.TextHashExpressions.sim_hash60
-      val h = documents(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .filter(size(col("tk")) > 0)
-        .select(col("doc_id"),
-          sim_hash60(shingleHashes(col("tk"), 1)).as("sh"))
-      val banded = h.select(col("doc_id"), col("sh"),
-        posexplode(array((0 until 4).map(b =>
-          (shiftrightunsigned(col("sh"), 15 * b) bitwiseAND lit(0x7FFFL))): _*))
-          .as(Seq("b", "k")))
-      val a = banded.select(col("b"), col("k"),
-        col("doc_id").as("ia"), col("sh").as("sha"))
-      val bb = banded.select(col("b"), col("k"),
-        col("doc_id").as("ib"), col("sh").as("shb"))
-      a.join(bb, Seq("b", "k"))
-        .filter(col("ia") < col("ib"))
-        .select(col("ia"), col("ib"),
-          expr("CAST(bit_count(sha ^ shb) AS BIGINT)").as("ham"))
-        .distinct()
-        .filter(col("ham") <= 3)
-        .orderBy(col("ia"), col("ib"))
-    }),
+    "dedup_sh_ham" -> ((s, dir) => simhashHamming(s, dir, maxBucket = None)),
 
     // Embedding-cosine near-dup blocked by random-hyperplane LSH bucket
     // (exact quantized dot within block). The block key is the LSH

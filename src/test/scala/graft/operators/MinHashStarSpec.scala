@@ -118,4 +118,40 @@ class MinHashStarSpec extends AnyFunSuite {
       s"banded candidates diverge from brute force (${banded.size} vs ${brute.size})")
     assert(brute.nonEmpty, "no hamming-neighbor pairs at sf0.001 - vacuous")
   }
+
+  test("capped simhash hamming routes identical-signature families via stars") {
+    import spark.implicits._
+    // 30 identical docs: identical SimHash => every band bucket has 30
+    // members (> cap 10), so pairwise would emit 435 pairs; the capped
+    // form emits 29 star edges and the family stays drop-decidable
+    // (ham = 0 against the representative). Two near-identical docs in
+    // small buckets keep the pairwise path exercised.
+    val fam = (0 until 30).map(i => (1000L + i, "w1 w2 w3 w4 w5 w6 w7 w8"))
+    val pair = Seq((100L, "p1 p2 p3 p4 p5 p6 p7"), (101L, "p1 p2 p3 p4 p5 p6 p7"))
+    val solo = Seq((200L, "z1 z2 z3 z4 q9 q8 q7"))
+    val fx = java.nio.file.Files.createTempDirectory("shham-dense").toFile
+    fx.deleteOnExit()
+    (fam ++ pair ++ solo).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${fx.getAbsolutePath}/documents.parquet")
+    val capped = DedupQueries
+      .simhashHamming(spark, fx.getAbsolutePath, maxBucket = Some(10))
+      .select(col("ia"), col("ib")).as[(Long, Long)].collect().toSet
+    // family: exactly the 29 star edges from the minimum member
+    val famStars = (1001L to 1029L).map(i => (1000L, i)).toSet
+    assert(capped.intersect(famStars) === famStars,
+      "every family member must pair with the representative")
+    assert(!capped.exists { case (a, b) =>
+      a >= 1001L && a <= 1029L && b >= 1001L && b <= 1029L },
+      "no pairwise edges inside the oversized family")
+    assert(capped.contains((100L, 101L)),
+      "small-bucket pairwise candidates must survive the cap")
+    // the uncapped form on the same fixture is clique-quadratic
+    val uncapped = DedupQueries
+      .simhashHamming(spark, fx.getAbsolutePath, maxBucket = None)
+      .count()
+    assert(uncapped >= 435L + 1L, s"uncapped should be pairwise ($uncapped)")
+  }
 }
