@@ -167,6 +167,51 @@ object VectorNative {
     new GenericArrayData(out)
   }
 
+  /** Max cosine of `q` against a FIXED inventory of vectors (driver
+    * metadata — e.g. a benchmark embedding set): per candidate the
+    * quotient is computed exactly as the SQL oracle states it
+    * (dot / (sqrt(‖q‖²)·sqrt(‖b‖²)), one double division per pair),
+    * so the max is bit-identical across engines. One map-only kernel
+    * call replaces a crossJoin fan of |inventory| rows per document.
+    */
+  def maxCos(q: ArrayData, bench: Array[Array[Long]]): Double = {
+    val qa = q.toLongArray
+    var n2 = 0L
+    var i = 0
+    while (i < qa.length) { n2 += qa(i) * qa(i); i += 1 }
+    val sq = math.sqrt(n2.toDouble)
+    var best = Double.NegativeInfinity
+    var j = 0
+    while (j < bench.length) {
+      val b = bench(j)
+      var dot = 0L
+      var bn2 = 0L
+      var k = 0
+      val n = math.min(qa.length, b.length)
+      while (k < n) { dot += qa(k) * b(k); bn2 += b(k) * b(k); k += 1 }
+      val c = dot.toDouble / (sq * math.sqrt(bn2.toDouble))
+      if (c > best) best = c
+      j += 1
+    }
+    best
+  }
+
+  case class MaxCosExpr(child: Expression, bench: Seq[Seq[Long]])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val benchArr: Array[Array[Long]] =
+      bench.map(_.toArray).toArray
+    override def nullSafeEval(v: Any): Any =
+      VectorNative.maxCos(v.asInstanceOf[ArrayData], benchArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("benchVecs", benchArr, "long[][]")
+      defineCodeGen(ctx, ev, a => s"graft.functions.VectorNative.maxCos($a, $ref)")
+    }
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
   case class PqEncodeExpr(child: Expression, cents: Seq[Seq[Seq[Long]]])
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(LongType))
@@ -258,6 +303,8 @@ object VectorNative {
   private def e(col: Column): Expression = GraftSqlBridge.expression(col)
 
   def quantize_native(col: Column): Column = c(QuantizeExpr(e(col)))
+  def max_cos_native(q: Column, bench: Seq[Seq[Long]]): Column =
+    c(MaxCosExpr(e(q), bench))
   def pq_encode_native(q: Column, cents: Seq[Seq[Seq[Long]]]): Column =
     c(PqEncodeExpr(e(q), cents))
   def pq_lut_native(q: Column, cents: Seq[Seq[Seq[Long]]]): Column =

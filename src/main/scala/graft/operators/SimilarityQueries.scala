@@ -739,6 +739,43 @@ object SimilarityQueries {
     // code side). See [[pqAdc]] for the plan.
     "ann_pq_adc" -> ((s, dir) => pqAdc(s, dir, M = 8)),
 
+    // SEMANTIC benchmark decontamination — the embedding-space
+    // complement of text_decontam (the n-gram rule): eval-set items
+    // that were PARAPHRASED into the training corpus share no
+    // shingles but sit next to their source in embedding space, so
+    // contamination sweeps over modern corpora also flag documents
+    // whose max cosine against the benchmark embedding inventory
+    // clears a threshold. Plan shape: the benchmark inventory is
+    // BENCHMARK-sized (a fixed eval suite — the text_decontam
+    // argument) and broadcasts; the corpus streams once against it
+    // (map-side partial MAX collapses the |bench| scored rows per doc
+    // before the exchange), so the only shuffle carries one row per
+    // document. vec_id % 97 = 0 stands in for the benchmark set.
+    // The benchmark inventory is BENCHMARK-sized (fixed eval suite) —
+    // driver metadata, the text_decontam argument — so it collects
+    // once and rides into a per-row max-cosine kernel: the sweep is
+    // ONE map pass at scan speed, no crossJoin fan, no shuffle (the
+    // r8 first cut crossJoined the broadcast inventory and paid a
+    // |bench|-fan + aggregate: 3.2 s vs 0.74 s at 10×).
+    "emb_decontam" -> ((s, dir) => {
+      import graft.functions.VectorNative.max_cos_native
+      val e = quantized(s, dir)
+      val bench: Seq[Seq[Long]] = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id"), col("q")).collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Long](1)).toSeq
+      // the corpus pass keeps tablePar's normalization: per-row cost
+      // is |bench|·dim multiply-adds — benchmark-proportional compute
+      // that a single-partition scan would serialize (the pqAdc codes
+      // lesson)
+      embeddings(s, dir)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .filter(col("vec_id") % 97 =!= 0)
+        .select(col("vec_id"),
+          max_cos_native(col("q"), bench).as("max_cos"))
+        .withColumn("contaminated", col("max_cos") >= 0.35)
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF-PQ — the composed faiss serving index; see [[ivfPq]].
     "ann_ivfpq" -> ((s, dir) => ivfPq(s, dir, M = 8, nprobe = 4)),
 
@@ -1053,6 +1090,20 @@ object SimilarityQueries {
         |  FROM cand c JOIN n qa ON qa.vec_id = c.qid
         |  JOIN n qb ON qb.vec_id = c.vec_id)
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+    // semantic decontamination: max cosine of each corpus vector
+    // against the broadcastable benchmark inventory
+    "emb_decontam" -> (quantCte +
+      """SELECT c.vec_id, MAX(
+        |         CAST(list_dot_product(c.q, b.q) AS DOUBLE)
+        |           / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))))
+        |       AS max_cos,
+        |       MAX(CAST(list_dot_product(c.q, b.q) AS DOUBLE)
+        |           / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))))
+        |         >= 0.35 AS contaminated
+        |FROM n c CROSS JOIN n b
+        |WHERE c.vec_id % 97 <> 0 AND b.vec_id % 97 = 0
+        |GROUP BY c.vec_id
+        |ORDER BY c.vec_id""".stripMargin),
     // incremental ANN probe: the ann_ivfpq chain with the index
     // population restricted to the corpus (even ids, even-id seeds)
     // and the query side to the delta batch (odd ids)
