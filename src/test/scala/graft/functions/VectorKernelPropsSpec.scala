@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property checks for the PQ / max-cosine kernels against naive
+  * references: the codegen fast paths must equal the obvious
+  * formulation on seeded-random inputs (the OraNumberProps pattern —
+  * the oracle gates prove engine equivalence at SF scale, these prove
+  * the kernels compute what their scaladoc claims on arbitrary data).
+  */
+class VectorKernelPropsSpec extends AnyFunSuite {
+
+  private def arr(xs: Array[Long]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(xs)
+
+  test("pqEncodeArr: slots are in-range, argmin matches naive L2, rn2 exact") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 200).foreach { _ =>
+      val m = 1 + rnd.nextInt(4)
+      val sub = 1 + rnd.nextInt(6)
+      val dim = m * sub
+      val ks = Array.fill(m)(1 + rnd.nextInt(5))
+      val cents: Array[Array[Array[Long]]] = ks.map(k =>
+        Array.fill(k)(Array.fill(sub)(rnd.nextInt(2000).toLong - 1000)))
+      val q = Array.fill(dim)(rnd.nextInt(2000).toLong - 1000)
+      val enc = VectorNative.pqEncodeArr(q, cents)
+      assert(enc.length === m + 1)
+      var base = 0
+      var rn2 = 0L
+      (0 until m).foreach { mm =>
+        val slot = enc(mm).toInt
+        assert(slot >= base + 1 && slot <= base + ks(mm),
+          s"slot $slot out of range for subspace $mm")
+        val j = slot - base - 1
+        // naive argmin by full L2 (including the ||sub||^2 term the
+        // kernel drops as constant), first-wins on ties
+        val subv = q.slice(mm * sub, mm * sub + sub)
+        def l2(c: Array[Long]): Long =
+          subv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        val naive = cents(mm).zipWithIndex.minBy { case (c, idx) => (l2(c), idx) }._2
+        assert(j === naive, s"kernel argmin $j != naive $naive (subspace $mm)")
+        rn2 += cents(mm)(j).map(x => x * x).sum
+        base += ks(mm)
+      }
+      assert(enc(m) === rn2, "reconstruction norm must be the sum of chosen cells")
+      // pqLut layout agreement: the chosen slot's LUT entry is the dot
+      // product of the query's subspace with the chosen centroid
+      val lut = VectorNative.pqLut(arr(q), cents)
+      (0 until m).foreach { mm =>
+        val slot = enc(mm).toInt
+        val j = slot - (0 until mm).map(ks).sum - 1
+        val subv = q.slice(mm * sub, mm * sub + sub)
+        val expect = subv.zip(cents(mm)(j)).map { case (a, b) => a * b }.sum
+        assert(lut.getLong(slot - 1) === expect,
+          "pqLut slot layout must match pqEncode")
+      }
+    }
+  }
+
+  test("maxCos equals the naive per-pair maximum, bit-for-bit") {
+    val rnd = new scala.util.Random(7L)
+    (1 to 200).foreach { _ =>
+      val dim = 1 + rnd.nextInt(8)
+      val nb = 1 + rnd.nextInt(6)
+      val q = Array.fill(dim)(rnd.nextInt(2000).toLong - 1000 + 1)
+      val bench = Array.fill(nb)(Array.fill(dim)(rnd.nextInt(2000).toLong - 1000 + 1))
+      val got = VectorNative.maxCos(arr(q), bench)
+      val n2 = q.map(x => x * x).sum
+      val naive = bench.map { b =>
+        val dot = q.zip(b).map { case (a, c) => a * c }.sum
+        val bn2 = b.map(x => x * x).sum
+        dot.toDouble / (math.sqrt(n2.toDouble) * math.sqrt(bn2.toDouble))
+      }.max
+      assert(java.lang.Double.compare(got, naive) === 0,
+        s"maxCos $got != naive $naive")
+    }
+  }
+}
