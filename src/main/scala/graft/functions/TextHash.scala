@@ -86,6 +86,48 @@ object TextHash {
     out
   }
 
+  /** WINNOWING fingerprint selection (Schleimer et al. SIGMOD'03, the
+    * MOSS scheme): the minimum gram hash of every w-length window,
+    * deduplicated and sorted — the guarantee is that any shared
+    * substring of at least w + k − 1 tokens yields at least one
+    * shared fingerprint, while the selected set is ~2/(w+1) of the
+    * grams. One native pass (O(n·w) with w a small constant); the HOF
+    * formulation (transform + slice + array_min per window) evaluates
+    * interpreted lambdas n·w times per row.
+    */
+  def winnow(hs: ArrayData, w: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i <= n - w) {
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < w) {
+        val v = hs.getLong(i + j)
+        if (v < mn) mn = v
+        j += 1
+      }
+      sel.add(mn)
+      i += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Σ over a long array — exact (callers keep elements < 2^30 and
+    * counts corpus-bounded, so the sum stays far inside int64). */
+  def sumLongs(hs: ArrayData): Long = {
+    var acc = 0L
+    var i = 0
+    val n = hs.numElements()
+    while (i < n) { acc += hs.getLong(i); i += 1 }
+    acc
+  }
+
   /** Order-sensitive fingerprint: Σ position·polyHash(token) mod P,
     * positions 1-based (matches TextFunctions.docFingerprint contract).
     */

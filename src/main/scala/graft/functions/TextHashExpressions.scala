@@ -166,6 +166,32 @@ object TextHashExpressions {
     override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
   }
 
+  /** Winnowing fingerprint selection (see TextHash.winnow). */
+  case class WinnowExpr(child: Expression, w: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextHash.winnow(v.asInstanceOf[ArrayData], w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, h => s"graft.functions.TextHash.winnow($h, $w)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
+  /** Exact Σ over array<long> (see TextHash.sumLongs). */
+  case class SumLongsExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextHash.sumLongs(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, h => s"graft.functions.TextHash.sumLongs($h)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
   /** Residue-class histogram over array<long> (see TextHash.modCounts). */
   case class ModCountsExpr(child: Expression, m: Int)
       extends UnaryExpression with ExpectsInputTypes {
@@ -186,4 +212,6 @@ object TextHashExpressions {
   def max_dup_count(col: Column): Column = c(MaxDupCountExpr(e(col)))
   def mod_counts(col: Column, m: Int): Column = c(ModCountsExpr(e(col), m))
   def sim_hash60(col: Column): Column = c(SimHash60Expr(e(col)))
+  def winnow(col: Column, w: Int): Column = c(WinnowExpr(e(col), w))
+  def sum_longs(col: Column): Column = c(SumLongsExpr(e(col)))
 }

@@ -200,6 +200,29 @@ object TextQueries {
     // per-doc sum. Linear end to end, two shuffles total.
     "text_dsir" -> ((s, dir) => dsir(s, dir, materialize = true)),
 
+    // WINNOWING fingerprints (Schleimer et al. SIGMOD'03 — the MOSS
+    // scheme, the local fingerprinting rule code/plagiarism dedup
+    // uses): per document, the minimum 3-gram hash of every 4-gram
+    // window, deduplicated — guaranteeing any shared span of ≥ 6
+    // tokens yields a shared fingerprint while keeping ~2/(w+1) of
+    // the grams. ENTIRELY MAP-ONLY via one native kernel pass
+    // (TextHash.winnow — the HOF window formulation would run n·w
+    // interpreted lambdas per row); at 100 TB this is a
+    // parquet-scan-speed pass whose output feeds any of the
+    // inverted-index dedup paths in place of full shingle sets.
+    "text_winnow" -> ((s, dir) => {
+      import graft.functions.TextHashExpressions.{winnow, sum_longs}
+      documents(s, dir)
+        .select(col("doc_id"), shingleHashes(tokens(col("text")), 3).as("g"))
+        .filter(size(col("g")) >= 4)
+        .select(col("doc_id"), size(col("g")).cast("long").as("n_gram"),
+          winnow(col("g"), 4).as("fp"))
+        .select(col("doc_id"), col("n_gram"),
+          size(col("fp")).cast("long").as("n_fp"),
+          sum_longs(col("fp")).as("fp_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-wide frequent terms via the Misra–Gries sketch (bounded
     // state per partial; merge sums shared counters then re-trims to
     // capacity): exact here because the 1024-counter capacity dominates
@@ -464,6 +487,26 @@ object TextQueries {
         |SELECT doc_id, CAST(rsum // n AS BIGINT) AS wt_u,
         |       CAST(rsum // n AS BIGINT) > 500000 AS keep
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // winnowing stated relationally: 3-gram poly-hashes, min per
+    // 4-window, distinct, count + exact sum
+    "text_winnow" -> (toksCte +
+      """, g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(tk) - 1), i ->
+        |           list_reduce(list_transform(
+        |               string_split(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2], ''),
+        |               c -> CAST(ord(c) AS BIGINT)),
+        |             (a, b) -> (a * 31 + b) % 1000000007)) AS g
+        |  FROM toks),
+        |f AS (
+        |  SELECT doc_id, len(g) AS n_gram,
+        |         list_distinct(list_transform(range(1, len(g) - 2), i ->
+        |           list_min(g[i : i + 3]))) AS fp
+        |  FROM g WHERE len(g) >= 4)
+        |SELECT doc_id, CAST(n_gram AS BIGINT) AS n_gram,
+        |       CAST(len(fp) AS BIGINT) AS n_fp,
+        |       CAST(list_sum(fp) AS BIGINT) AS fp_sum
+        |FROM f ORDER BY doc_id""".stripMargin),
     // exact regime: capacity (1024) >> vocabulary, so the sketch holds
     // every counter and the top-10 equals the exact GROUP BY
     "text_terms" -> (toksCte +

@@ -75,4 +75,34 @@ class VectorKernelPropsSpec extends AnyFunSuite {
         s"maxCos $got != naive $naive")
     }
   }
+
+  test("winnow: shared span guarantee and selection-density property") {
+    // the Schleimer guarantee: any two hash arrays sharing a contiguous
+    // run of >= w grams share at least one selected fingerprint; and
+    // the selected set is a subset of the input's values
+    val rnd = new scala.util.Random(31L)
+    (1 to 200).foreach { _ =>
+      val w = 2 + rnd.nextInt(4)
+      val n = w + rnd.nextInt(40)
+      val a = Array.fill(n)(rnd.nextInt(1000000).toLong)
+      val shared = Array.fill(w)(rnd.nextInt(1000000).toLong)
+      val b = Array.fill(rnd.nextInt(20))(rnd.nextInt(1000000).toLong) ++ shared ++
+        Array.fill(rnd.nextInt(20))(rnd.nextInt(1000000).toLong)
+      val withShared = a ++ shared
+      def fps(xs: Array[Long]) = TextHash.winnow(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(xs), w)
+        .toLongArray().toSet
+      val fa = fps(withShared)
+      val fb = fps(b)
+      assert(fa.subsetOf(withShared.toSet) && fb.subsetOf(b.toSet),
+        "fingerprints must be input hash values")
+      // the shared w-run contains a full window in both arrays, whose
+      // min is selected in both
+      val sharedMin = shared.min
+      assert(fa.contains(sharedMin) || fa.intersect(fb).nonEmpty,
+        "a shared w-gram span must yield a shared fingerprint")
+      assert(fa.intersect(fb).nonEmpty,
+        s"no shared fingerprint despite a shared $w-run")
+    }
+  }
 }
