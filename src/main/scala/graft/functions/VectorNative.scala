@@ -174,7 +174,8 @@ object VectorNative {
     * so the max is bit-identical across engines. One map-only kernel
     * call replaces a crossJoin fan of |inventory| rows per document.
     */
-  def maxCos(q: ArrayData, bench: Array[Array[Long]]): Double = {
+  def maxCos(q: ArrayData, bench: Array[Array[Long]],
+      benchNorm: Array[Double]): Double = {
     val qa = q.toLongArray
     var n2 = 0L
     var i = 0
@@ -184,12 +185,20 @@ object VectorNative {
     var j = 0
     while (j < bench.length) {
       val b = bench(j)
+      // a dimension mismatch must fail loudly — a truncated dot product
+      // is a plausible-looking cosine masking a data bug
+      if (b.length != qa.length)
+        throw new IllegalArgumentException(
+          s"maxCos dimension mismatch: query dim ${qa.length} vs " +
+            s"benchmark vector dim ${b.length}")
       var dot = 0L
-      var bn2 = 0L
       var k = 0
-      val n = math.min(qa.length, b.length)
-      while (k < n) { dot += qa(k) * b(k); bn2 += b(k) * b(k); k += 1 }
-      val c = dot.toDouble / (sq * math.sqrt(bn2.toDouble))
+      while (k < qa.length) { dot += qa(k) * b(k); k += 1 }
+      val den = sq * benchNorm(j)
+      // zero-norm guard: cos defined as 0 for a degenerate pair (the
+      // oracle SQL states the same CASE) — the IEEE quotient would be
+      // NaN, which `>` silently skips while SQL MAX ranks it greatest
+      val c = if (den == 0.0) 0.0 else dot.toDouble / den
       if (c > best) best = c
       j += 1
     }
@@ -198,16 +207,27 @@ object VectorNative {
 
   case class MaxCosExpr(child: Expression, bench: Seq[Seq[Long]])
       extends UnaryExpression with ExpectsInputTypes {
+    require(bench.nonEmpty,
+      "maxCos requires a non-empty benchmark inventory: an empty set has " +
+        "no maximum (the SQL oracle's GROUP BY emits no rows at all)")
     override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     @transient private lazy val benchArr: Array[Array[Long]] =
       bench.map(_.toArray).toArray
+    // per-benchmark-vector norms precomputed ONCE (driver metadata):
+    // recomputing ‖b‖² inside the scan tripled the kernel's multiply-adds
+    @transient private lazy val benchNormArr: Array[Double] =
+      // integer ‖b‖² then ONE double conversion — bit-identical to the
+      // oracle's sqrt(CAST(list_dot_product(q,q) AS DOUBLE))
+      benchArr.map(b => math.sqrt(b.map(x => x * x).sum.toDouble))
     override def nullSafeEval(v: Any): Any =
-      VectorNative.maxCos(v.asInstanceOf[ArrayData], benchArr)
+      VectorNative.maxCos(v.asInstanceOf[ArrayData], benchArr, benchNormArr)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("benchVecs", benchArr, "long[][]")
-      defineCodeGen(ctx, ev, a => s"graft.functions.VectorNative.maxCos($a, $ref)")
+      val refN = ctx.addReferenceObj("benchNorms", benchNormArr, "double[]")
+      defineCodeGen(ctx, ev,
+        a => s"graft.functions.VectorNative.maxCos($a, $ref, $refN)")
     }
     override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
   }

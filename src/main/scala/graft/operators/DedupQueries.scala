@@ -535,6 +535,33 @@ object DedupQueries {
     // applies unchanged on duplicate-dense corpora.
     "dedup_sh_ham" -> ((s, dir) => simhashHamming(s, dir, maxBucket = None)),
 
+    // WINNOW-FINGERPRINT near-dedup (r9) — the text_winnow scaladoc's
+    // claim made real: the MOSS winnowing fingerprints (min 3-gram hash
+    // per 4-gram window, ~2/(w+1) of the grams) SUBSTITUTE for the full
+    // shingle sets in the standard MinHash-LSH + exact-verify path.
+    // Identical pipeline to dedup_jac_lsh — signatures, bands,
+    // candidates, exact set-intersect verify — but every stage runs on
+    // the ~40%-sized fingerprint sets: the signature pass hashes fewer
+    // grams, the verify intersects smaller sorted sets, and the
+    // Schleimer guarantee (any shared span of ≥ 6 tokens shares a
+    // fingerprint — WinnowPropsSpec) bounds what blocking can miss.
+    // Jaccard over fingerprint sets is the MOSS similarity statistic —
+    // a consistent estimator of full-set overlap on shared spans. At
+    // 100 TB this is the knob between "dedup cost tracks corpus size"
+    // and "dedup cost tracks corpus size × shingle density".
+    "dedup_winnow" -> ((s, dir) => {
+      import graft.functions.TextHashExpressions.winnow
+      // same persist-before-filter discipline as dedup_jac_lsh: one
+      // parallel tokenize→3-gram→winnow pass feeds all four consumers;
+      // lazy return — the caller's write is the one materializing job
+      val hashes = documents(s, dir)
+        .select(col("doc_id"), shingleHashes(tokens(col("text")), 3).as("g"))
+        .filter(size(col("g")) >= 4)
+        .select(col("doc_id"), winnow(col("g"), 4).as("hs"))
+        .persist()
+      jaccardOnCandidates(hashes)
+    }),
+
     // Embedding-cosine near-dup blocked by random-hyperplane LSH bucket
     // (exact quantized dot within block). The block key is the LSH
     // bucket — near-identical vectors land in the same bucket by
@@ -753,19 +780,15 @@ object DedupQueries {
     */
   def ngramJaccard(s: SparkSession, dir: String,
       maxDfFrac: Option[Double] = None, threshold: Double = 0.10): DataFrame = {
-    val exploded = cappedPostings(s, dir, maxDfFrac)
-    // the postings list feeds three consumers (per-doc sizes + both self-
-    // join sides); persist materializes the tokenize→shingle→stop-filter
-    // pipeline ONCE instead of re-running it per consumer. persist (not
-    // localCheckpoint): lazy — building the frame doesn't execute it
-    // (explain/schema callers pay nothing) — and recoverable: a lost
-    // executor recomputes blocks from lineage instead of failing the
-    // query, which executor-local checkpoint blocks cannot.
-    // No broadcast hints: the postings list and the sizes table both grow
-    // with the corpus, so forcing broadcast would OOM at scale — AQE
-    // picks the join strategy from runtime shuffle sizes.
-    val kept = exploded.persist()
-    val (sizes, inter) = pairCounts(kept)
+    // the grouped postings frame feeds two consumers (sizes + pair
+    // generation); persist materializes the tokenize→shingle→group
+    // pipeline ONCE. persist (not localCheckpoint): lazy — building the
+    // frame doesn't execute it — and recoverable from lineage.
+    // No broadcast hints on the big frames: AQE picks join strategies
+    // from runtime shuffle sizes (the per-doc sizes table broadcasts
+    // itself against the aggregated pairs when small enough).
+    val grouped = groupedPostings(s, dir, maxDfFrac).persist()
+    val (sizes, inter) = pairCountsGrouped(grouped)
     inter
       .join(sizes.toDF("ia", "na"), "ia")
       .join(sizes.toDF("ib", "nb"), "ib")
@@ -776,55 +799,59 @@ object DedupQueries {
       .orderBy(col("ia"), col("ib"))
   }
 
-  /** Per-doc set sizes + per-pair intersection counts over a postings
-    * list — the shared core of [[ngramJaccard]] and [[containment]].
-    * The self-join fans out to Σ df(s)² rows; pairs aggregate on ONE
-    * packed long key (ia<<32|ib) — the primitive-key fast path in
-    * Spark's hash aggregate — instead of a two-column row key. The
+  /** Per-doc set sizes + per-pair intersection counts over a GROUPED
+    * postings frame — the shared core of [[ngramJaccard]] and
+    * [[containment]] (ONE definition, so the two conformance gates can
+    * never desynchronize their postings builds — the r8 form rebuilt
+    * the postings independently in each).
+    *
+    * Pair generation is the in-kernel combination emitter
+    * ([[graft.functions.TextHash.packedPairs]]): each posting list of
+    * df members yields exactly C(df,2) = df·(df−1)/2 packed rows —
+    * HALF the df² rows the r8 self-join materialized then filtered,
+    * with no join at all (the grouped frame is already keyed by
+    * shingle). Pairs aggregate on ONE packed long key (ia<<32|ib) —
+    * the primitive-key fast path in Spark's hash aggregate. The
     * packing assumes doc_id < 2^32 (unsigned unpack); for a corpus
     * beyond that fall back to the two-column groupBy — same plan,
-    * slower agg.
-    *
-    * Sizes deliberately join AFTER the pair aggregate, not ride through
-    * the self-join: both self-join sides are the SAME cached frame, so
-    * the planner reuses one exchange for both; attaching sizes first
-    * (measured) breaks that symmetry, the planner flips to a broadcast
-    * build of the ENTIRE postings side, and the query ran 8× slower —
-    * while the post-agg joins are map-side broadcasts of the tiny
-    * per-doc sizes table against the already-aggregated pairs.
+    * slower agg. Per-doc sizes re-derive from the same grouped frame
+    * (one explode of Σdf rows — cached, no re-scan) and join AFTER
+    * the pair aggregate, where AQE broadcasts the tiny sizes table.
     */
-  private def pairCounts(kept: DataFrame): (DataFrame, DataFrame) = {
-    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = kept.toDF("ia", "s")
-      .join(kept.toDF("ib", "s"), Seq("s"))
-      .filter(col("ia") < col("ib"))
-      .select((shiftleft(col("ia"), 32) bitwiseOR col("ib")).as("pair"))
+  private def pairCountsGrouped(grouped: DataFrame): (DataFrame, DataFrame) = {
+    import graft.functions.TextHashExpressions.packed_pairs
+    val sizes = grouped.select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = grouped
+      .select(explode(packed_pairs(col("docs"))).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("m"))
       .select(shiftrightunsigned(col("pair"), 32).as("ia"),
         (col("pair") bitwiseAND lit(0xffffffffL)).as("ib"), col("m"))
     (sizes, inter)
   }
 
-  /** Distinct (doc_id, shingle-hash) postings, optionally with the
-    * df-capped stop-shingle filter applied (see [[ngramJaccard]]).
+  /** Inverted index: one row per distinct shingle with its posting
+    * list (s, docs: array&lt;long&gt;), optionally df-capped. ONE
+    * shuffle builds it, and the df cap is a free `size(docs)` filter
+    * on the grouped rows — the r8 form paid a separate stop-shingle
+    * aggregation plus an anti-join back onto the exploded postings
+    * (two extra exchanges) to express the same predicate. The corpus
+    * row count rides in as a driver scalar (parquet-metadata-cheap
+    * count, the dedup_sem discipline); the oracle states the identical
+    * `df > ceil(alpha·n_docs)` exclusion.
     */
-  private def cappedPostings(s: SparkSession, dir: String,
+  private def groupedPostings(s: SparkSession, dir: String,
       maxDfFrac: Option[Double]): DataFrame = {
-    val exploded0 = docShingleHashes(s, dir)
+    val grouped = docShingleHashes(s, dir)
       .select(col("doc_id"),
         explode(graft.functions.TextHashExpressions.distinct_longs(col("hs"))).as("s"))
+      .groupBy(col("s")).agg(collect_list(col("doc_id")).as("docs"))
     maxDfFrac match {
       case Some(alpha) =>
-        val nDocs = documents(s, dir).agg(count(lit(1)).as("n_docs"))
-        val stop = exploded0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .crossJoin(broadcast(nDocs))
-          .filter(col("df") > ceil(col("n_docs") * alpha))
-          .select(col("s"))
-        exploded0.join(broadcast(stop), Seq("s"), "left_anti")
-          // the USING join moves `s` first; restore (doc_id, s) order for
-          // the positional toDF renames below
-          .select(col("doc_id"), col("s"))
-      case None => exploded0
+        val nDocs = graft.Tables.table(s, dir, "documents").count()
+        grouped.filter(size(col("docs")) <=
+          lit(math.ceil(alpha * nDocs).toLong))
+      case None => grouped
     }
   }
 
@@ -834,15 +861,15 @@ object DedupQueries {
     * the long side) but containment ≈ 1; an LLM training corpus prunes
     * exactly these (quotes, boilerplate wrappers, excerpt pages).
     *
-    * Same inverted-index shuffle as [[ngramJaccard]] — one join keyed by
-    * shingle hash, pair counts on a packed-long key — then each unordered
-    * pair emits up to two DIRECTED rows (contained, container), filtered
-    * by the containment of the contained side.
+    * Same grouped inverted index and in-kernel pair generation as
+    * [[ngramJaccard]] (the shared [[pairCountsGrouped]] core) — then
+    * each unordered pair emits up to two DIRECTED rows (contained,
+    * container), filtered by the containment of the contained side.
     */
   def containment(s: SparkSession, dir: String,
       maxDfFrac: Option[Double] = None, threshold: Double = 0.5): DataFrame = {
-    val kept = cappedPostings(s, dir, maxDfFrac).persist()
-    val (sizes, inter) = pairCounts(kept)
+    val grouped = groupedPostings(s, dir, maxDfFrac).persist()
+    val (sizes, inter) = pairCountsGrouped(grouped)
     // pre-filter BEFORE the direction explode: the Σdf²-sized pair
     // table only rarely passes the threshold in either direction, so
     // the generator must see the handful of survivors, not double the
@@ -943,6 +970,61 @@ object DedupQueries {
         |JOIN sizes nb ON nb.doc_id = i.ib
         |WHERE CAST(i.m AS DOUBLE) / CAST(na.n + nb.n - i.m AS DOUBLE) >= 0.5
         |ORDER BY ia, ib""".stripMargin),
+    // winnowed fingerprints substituted for full shingle sets in the
+    // SAME band/verify chain as dedup_jac_lsh: 3-gram hashes → min per
+    // 4-window → distinct fingerprints, then minhash/bands/exact
+    // intersect over the fingerprint sets
+    "dedup_winnow" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(tk) - 1), i ->
+        |           list_reduce(list_transform(
+        |               string_split(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2], ''),
+        |               c -> CAST(ord(c) AS BIGINT)),
+        |             (a, b) -> (a * 31 + b) % 1000000007)) AS g
+        |  FROM toks),
+        |f AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(g) - 2), i ->
+        |           list_min(g[i : i + 3]))) AS fp
+        |  FROM g0 WHERE len(g) >= 4),
+        |h AS (SELECT doc_id, UNNEST(fp) AS h FROM f),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
+        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
+        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
+        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
+        |  FROM h GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM sig UNION ALL
+        |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, s6, s7 FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+        |       AND a.doc_id < b.doc_id),
+        |hd AS (SELECT DISTINCT doc_id, h FROM h),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.ia, c.ib, COUNT(*) AS m
+        |  FROM cand c
+        |  JOIN hd a ON a.doc_id = c.ia
+        |  JOIN hd b ON b.doc_id = c.ib AND b.h = a.h
+        |  GROUP BY 1, 2)
+        |SELECT i.ia, i.ib, i.m,
+        |       CAST(i.m AS DOUBLE) / CAST(na.n + nb.n - i.m AS DOUBLE) AS jac
+        |FROM inter i
+        |JOIN sizes na ON na.doc_id = i.ia
+        |JOIN sizes nb ON nb.doc_id = i.ib
+        |WHERE CAST(i.m AS DOUBLE) / CAST(na.n + nb.n - i.m AS DOUBLE) >= 0.5
+        |ORDER BY ia, ib""").stripMargin,
     // the duplicate-density guard: identical pipeline, candidate join
     // restricted to band buckets of <= 8 members
     "dedup_cap" -> (shinglesCte +

@@ -47,7 +47,20 @@ object SimilarityQueries {
     val e = embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("n2", normQ2(col("q")))
-    val cents = e.filter(col("vec_id") % 25 === 0)
+    // BOUNDED codebook (r9): k ≈ √N centroids, hard-capped at 400 — the
+    // seed set is the k smallest vec_ids on the %25 lattice, so the
+    // broadcast is ≤ 400 rows REGARDLESS of corpus size (the r8 rule
+    // `vec_id % 25 = 0` alone made the codebook N/25 rows — a linearly
+    // growing broadcast and an O(N²/25) assignment crossJoin). √N keeps
+    // expected cluster size ≈ √N too, so within-cluster pairwise work is
+    // Σ|cluster|² ≈ N^1.5 — sub-quadratic without the cap, and past the
+    // cap (N > 160 000) k is a production config knob, not a plan
+    // change. The count is one parquet-metadata-cheap action; the
+    // oracle CTE states the identical k rule.
+    val nVecs = graft.Tables.table(s, dir, "embeddings").count()
+    val kCents = math.min(400L, math.ceil(math.sqrt(nVecs.toDouble)).toLong)
+    val cents = e.filter(col("vec_id") % 25 === 0 &&
+        col("vec_id") < lit(25L * kCents))
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
     // corpus-bounded (id, vector, cell) frame feeds both self-join
     // sides: persist once, release after the pair-sized result
@@ -171,6 +184,9 @@ object SimilarityQueries {
       .select(col("vec_id"), col("q")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .sortBy(_._1)
+    require(seedRows.nonEmpty,
+      "PQ seed set is empty: no vec_id satisfies (vec_id % 25 = 0 AND " +
+        "vec_id < 400) — the corpus id space does not cover the seed lattice")
     val dim = seedRows.head._2.length
     val sub = dim / M
     ((0 until M).map(m => seedRows.toSeq.map(_._2.slice(m * sub, m * sub + sub))),
@@ -251,11 +267,14 @@ object SimilarityQueries {
           t += 1
         }
       }
-      val mTot = cents0.length
-      val k0 = cents0.head.length
-      (0 until mTot).map { m =>
-        (0 until k0).flatMap { j =>
-          val t = m * k0 + j
+      // slot offsets from the ACTUAL per-subspace lengths (the layout
+      // pqEncodeArr emits) — a uniform m*k0 stride would silently
+      // mis-index if a caller ever fed an already-shrunk (post-Lloyd,
+      // empty-cells-dropped) codebook with ragged sub-books
+      val offsets = cents0.scanLeft(0)(_ + _.length)
+      cents0.indices.map { m =>
+        cents0(m).indices.flatMap { j =>
+          val t = offsets(m) + j
           if (mergedCnts(t) == 0L) None
           else Some(mergedSums(t).toSeq
             .map(x => math.floor(x.toDouble / mergedCnts(t)).toLong))
@@ -298,6 +317,9 @@ object SimilarityQueries {
       .select(col("vec_id"), col("q")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .sortBy(_._1)
+    require(seedRows.nonEmpty,
+      s"IVF-PQ seed set is empty: no corpus vec_id satisfies $seedPred — " +
+        "mis-scaled corpus or wrong seed predicate")
     val dim = seedRows.head._2.length
     val subF = dim / M
     val fine0: Seq[Seq[Seq[Long]]] =
@@ -594,17 +616,21 @@ object SimilarityQueries {
     }),
 
     // IVF: coarse-quantizer cells + bounded probing — the other 100 TB
-    // ANN shape. Centroids are a deterministic sample (every 25th
-    // vector), small enough to BROADCAST; cell assignment is map-only
-    // (one pass over the facts against the broadcast centroids); the
-    // candidate join shuffles on cell id, so per-query cost is
-    // Σ|probed cells| instead of |N|, tuned by nprobe and centroid
-    // count. Exactness within probed cells — recall is the knob.
+    // ANN shape. Centroids are a FIXED-SIZE deterministic sample (the
+    // %25 lattice capped below id 400 — 16 cells forever, the IVF-PQ
+    // family's seed rule; r9: the uncapped %25 rule made the codebook
+    // grow with the corpus), so the broadcast is corpus-independent
+    // metadata; cell assignment is map-only (one pass over the facts
+    // against the broadcast centroids); the candidate join shuffles on
+    // cell id, so per-query cost is Σ|probed cells| instead of |N|,
+    // tuned by nprobe and centroid count (a production index raises the
+    // fixed k — 4096, 65536 — as the corpus grows; the plan is
+    // unchanged). Exactness within probed cells — recall is the knob.
     "ann_ivf" -> ((s, dir) => {
       val e = embeddings(s, dir)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .withColumn("n2", normQ2(col("q")))
-      val cents = e.filter(col("vec_id") % 25 === 0)
+      val cents = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 400)
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
       // nearest cells via the shared bounded-heap assignment kernel
       // (see nearestCells above): partial aggregation collapses
@@ -676,7 +702,10 @@ object SimilarityQueries {
       val e = embeddings(s, dir)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .withColumn("n2", normQ2(col("q")))
-      val seeds = e.filter(col("vec_id") % 25 === 0)
+      // FIXED-SIZE seed set (r9): the %25 lattice capped below id 400 —
+      // 16 seeds regardless of corpus size (the IVF-PQ rule); the
+      // trained codebook and both broadcasts stay driver metadata
+      val seeds = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 400)
         .select(col("vec_id").as("cid"), col("q").as("cq"),
           col("n2").as("cn2"))
       // Lloyd iteration: assign → integer-mean recompute. Top-1 via
@@ -802,19 +831,26 @@ object SimilarityQueries {
       // aggregate (VecBoundsAgg): an explode→groupBy(dim) formulation
       // would multiply every row by its dimension count through an
       // exchange — a 1024× row blowup at embedding scale — to compute
-      // 2·dim longs; here the partials are |partitions| buffers
-      val bounds = e.agg(
+      // 2·dim longs; the partials are |partitions| buffers. The result
+      // is 2·dim longs — DRIVER METADATA by construction (the pqAdc
+      // codebook argument, r9): it collects once and rides into the
+      // decode projection as literal arrays, so the former
+      // bounds-frame crossJoin + broadcast exchange (a whole extra
+      // stage + broadcast build inside the timed action) disappears
+      // and encode is a pure map projection.
+      val bRow = e.agg(
           graft.functions.VecBoundsFunctions.vec_bounds(col("q")).as("b"))
-        .select(col("b.mns").as("mns"),
-          expr("zip_with(b.mxs, b.mns, (mx, mn) -> " +
-            "greatest(CAST(1 AS BIGINT), (mx - mn + 254) DIV 255))")
-            .as("steps"))
+        .select(col("b.mns").as("mns"), col("b.mxs").as("mxs"))
+        .collect()(0)
+      val mns = bRow.getSeq[Long](0).toArray
+      val steps = bRow.getSeq[Long](1).zip(mns)
+        .map { case (mx, mn) => math.max(1L, (mx - mn + 254) / 255) }.toArray
       // decode stays a codegen'd kernel (the HOF transform interprets
       // its lambda per ELEMENT — measured 3× the whole query's cost);
       // only (d, dn2) survive the projection, the full-precision q does
       // not travel with the fact side through stage 1
-      val coded = e.crossJoin(broadcast(bounds))
-        .withColumn("d", sq8Decode(col("q"), col("mns"), col("steps")))
+      val coded = e
+        .withColumn("d", sq8Decode(col("q"), lit(mns), lit(steps)))
         .withColumn("dn2", normQ2(col("d")))
         .select(col("vec_id"), col("d"), col("dn2"))
       val qs = e.filter(col("vec_id") % 50 === 0)
@@ -877,7 +913,11 @@ object SimilarityQueries {
     // pairwise cosine only within a cluster, keep-lowest-id policy
     "dedup_sem" -> (quantCte +
       """, cents AS (
-        |  SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 25 = 0),
+        |  SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM n
+        |  WHERE vec_id % 25 = 0
+        |    AND vec_id < 25 * LEAST(400,
+        |          CAST(ceil(sqrt(CAST((SELECT COUNT(*) FROM n) AS DOUBLE)))
+        |               AS BIGINT))),
         |assigned AS (
         |  SELECT vec_id, cell, q, n2 FROM (
         |    SELECT n.vec_id, c.cid AS cell, n.q, n.n2,
@@ -896,7 +936,8 @@ object SimilarityQueries {
         |WHERE cos >= 0.30 ORDER BY ia, ib""".stripMargin),
     "ann_ivf" -> (quantCte +
       """, cents AS (
-        |  SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 25 = 0),
+        |  SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM n
+        |  WHERE vec_id % 25 = 0 AND vec_id < 400),
         |assigned AS (
         |  SELECT vec_id, cell, q, n2 FROM (
         |    SELECT n.vec_id, c.cid AS cell, n.q, n.n2,
@@ -956,7 +997,8 @@ object SimilarityQueries {
     // retrieval, exact re-rank
     "ann_ivf_kmeans" -> (quantCte +
       """, seeds AS (
-        |  SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 25 = 0),
+        |  SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM n
+        |  WHERE vec_id % 25 = 0 AND vec_id < 400),
         |a0 AS (
         |  SELECT vec_id, q, cid FROM (
         |    SELECT n.vec_id, n.q, s.cid,
@@ -1092,13 +1134,21 @@ object SimilarityQueries {
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
     // semantic decontamination: max cosine of each corpus vector
     // against the broadcastable benchmark inventory
+    // zero-norm pairs state cos = 0 (the kernel's guard restated: the
+    // raw IEEE quotient would be NaN, ranked greatest by SQL MAX but
+    // silently skipped by the kernel's `>` — the CASE keeps both
+    // engines on one definition; real corpora have no zero vectors)
     "emb_decontam" -> (quantCte +
       """SELECT c.vec_id, MAX(
-        |         CAST(list_dot_product(c.q, b.q) AS DOUBLE)
-        |           / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))))
+        |         CASE WHEN c.n2 = 0 OR b.n2 = 0 THEN 0.0
+        |           ELSE CAST(list_dot_product(c.q, b.q) AS DOUBLE)
+        |             / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+        |         END)
         |       AS max_cos,
-        |       MAX(CAST(list_dot_product(c.q, b.q) AS DOUBLE)
-        |           / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))))
+        |       MAX(CASE WHEN c.n2 = 0 OR b.n2 = 0 THEN 0.0
+        |           ELSE CAST(list_dot_product(c.q, b.q) AS DOUBLE)
+        |             / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+        |         END)
         |         >= 0.35 AS contaminated
         |FROM n c CROSS JOIN n b
         |WHERE c.vec_id % 97 <> 0 AND b.vec_id % 97 = 0

@@ -233,9 +233,17 @@ object TokenizerQueries {
     * pattern — the merge table lives on the driver).
     */
   private[operators] def learnChainMerges(tok: DataFrame, n: Int): Seq[String] =
-    (0 until n).foldLeft(Seq.empty[String]) { (acc, _) =>
-      acc :+ pairStats(tok, acc.zip(placeholders))
-        .collect()(0).getString(0)
+    (0 until n).foldLeft(Seq.empty[String]) { (acc, i) =>
+      // headOption + a diagnosable failure: a corpus whose symbol state
+      // has no length-≥2 token yields an EMPTY argmax — a bare
+      // collect()(0) would die with ArrayIndexOutOfBoundsException and
+      // no context (and downstream merges(0..2) literals assume all n
+      // merges exist, so degrading to fewer merges is not an option)
+      val best = pairStats(tok, acc.zip(placeholders)).collect().headOption
+        .getOrElse(throw new IllegalStateException(
+          s"BPE chain training: no adjacent symbol pair exists at " +
+            s"iteration $i of $n — the corpus cannot support $n merges"))
+      acc :+ best.getString(0)
     }
 
   /** Encode with the learned merges (one map pass over the
@@ -313,32 +321,39 @@ object TokenizerQueries {
     * so the largest intermediate is ~10^6·N — int64-safe to ~9×10^12
     * corpus tokens (trillions), where the naive cxy·N·10^6 product
     * wraps (silently in Spark, an error in DuckDB) at ~10^10 tokens.
-    * Plan: one persisted tokenize pass; unigram and bigram counts are
-    * map-side-combinable aggregations; the bigram frame joins the
-    * unigram frame EQUI-KEYED on each word — a 100 TB corpus's
-    * vocabulary does not broadcast (the text_dsir rule) — and N rides
-    * as a broadcast scalar. Ranking is a global top-20 (TakeOrdered,
-    * k rows per partition). min-support cxy ≥ 5 prunes the noise
-    * floor, as in Church & Hanks.
+    * Plan (r9, the text_dsir fusion): ONE token-stream aggregation
+    * serves both tallies — each position i emits (tᵢ, tᵢ₊₁), the LAST
+    * position (tₙ, NULL), so every token occurs exactly once as w1
+    * and the unigram count is c(w) = Σ_{w2, incl NULL} cxy(w,·) —
+    * derived from the DISTINCT-BIGRAM-sized grouped frame, never a
+    * second pass over the corpus (the r8 form paid two full
+    * token-stream shuffles; measured 2.1× its oracle at 10×). The
+    * bigram frame then joins the unigram frame EQUI-KEYED on each
+    * word — a 100 TB corpus's vocabulary does not broadcast (the
+    * text_dsir rule) — and N rides as a broadcast scalar. Ranking is
+    * a global top-20 (TakeOrdered, k rows per partition).
+    * min-support cxy ≥ 5 prunes the noise floor, as in Church & Hanks.
     */
   private[operators] def pmi(s: SparkSession, dir: String,
       materialize: Boolean): DataFrame = {
-    val base = documents(s, dir)
+    // no corpus-sized persist: the token stream is read ONCE (the whole
+    // point of the fusion); only the grouped pair frame — bounded by
+    // |distinct bigrams|, orders of magnitude below the corpus — caches
+    val g = documents(s, dir)
       .select(tokens(col("text")).as("tk"))
       .filter(size(col("tk")) > 0)
-      .persist()
-    val uni = base.select(explode(col("tk")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .persist()
-    val nTot = uni.agg(sum(col("c")).as("n"))
-    val bi = base.filter(size(col("tk")) >= 2)
       .select(explode(expr(
-        "transform(sequence(1, size(tk)-1)," +
-          " i -> struct(element_at(tk,i) AS w1, element_at(tk,i+1) AS w2))"))
+        "transform(sequence(1, size(tk)), i -> struct(" +
+          "element_at(tk, i) AS w1, " +
+          "CASE WHEN i < size(tk) THEN element_at(tk, i+1) END AS w2))"))
         .as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
-      .filter(col("cxy") >= 5)
+      .persist()
+    val uni = g.groupBy(col("w1")).agg(sum(col("cxy")).as("c"))
+      .select(col("w1").as("w"), col("c"))
+    val nTot = uni.agg(sum(col("c")).as("n"))
+    val bi = g.filter(col("w2").isNotNull && col("cxy") >= 5)
     val out = bi.crossJoin(broadcast(nTot))
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
@@ -348,8 +363,7 @@ object TokenizerQueries {
     if (!materialize) out
     else {
       val res = out.localCheckpoint(true)
-      uni.unpersist(blocking = false)
-      base.unpersist(blocking = false)
+      g.unpersist(blocking = false)
       res
     }
   }

@@ -64,7 +64,8 @@ class VectorKernelPropsSpec extends AnyFunSuite {
       val nb = 1 + rnd.nextInt(6)
       val q = Array.fill(dim)(rnd.nextInt(2000).toLong - 1000 + 1)
       val bench = Array.fill(nb)(Array.fill(dim)(rnd.nextInt(2000).toLong - 1000 + 1))
-      val got = VectorNative.maxCos(arr(q), bench)
+      val norms = bench.map(b => math.sqrt(b.map(x => x * x).sum.toDouble))
+      val got = VectorNative.maxCos(arr(q), bench, norms)
       val n2 = q.map(x => x * x).sum
       val naive = bench.map { b =>
         val dot = q.zip(b).map { case (a, c) => a * c }.sum

@@ -39,10 +39,12 @@ class AnnRecallSpec extends AnyFunSuite {
 
   test("k-means-refined IVF recall@5 stays above the floor") {
     // refinement re-balances cells around the data (the skew story);
-    // recall at fixed nprobe on this tiny 20-seed set measured 0.88 vs
-    // the sampled seeds' 0.96 — boundary moves cost a little recall
-    // here, the floor catches a broken training loop (≤ random would
-    // be ~0.05)
+    // recall at fixed nprobe measured 0.88 on the r8 20-seed set and
+    // 0.78 after r9 bounded the seed rule to 16 corpus-independent
+    // seeds (fewer, coarser cells at fixed nprobe ⟹ slightly lower
+    // recall at this tiny SF — the production knob is raising the
+    // fixed k, not growing it with the corpus). The floor catches a
+    // broken training loop (≤ random would be ~0.05)
     val dir = "/root/testdata/sf0.001"
     val bf = SimilarityQueries.queries("ann_brute_topk")(spark, dir)
       .select(col("qid"), col("vec_id"))
@@ -54,7 +56,7 @@ class AnnRecallSpec extends AnyFunSuite {
     val seedIvf = recall("ann_ivf")
     val kmIvf = recall("ann_ivf_kmeans")
     info(f"IVF recall@5: sampled seeds $seedIvf%.3f, k-means refined $kmIvf%.3f")
-    assert(kmIvf >= 0.8, f"refined IVF recall degraded to $kmIvf%.3f")
+    assert(kmIvf >= 0.7, f"refined IVF recall degraded to $kmIvf%.3f")
   }
 
   test("PQ-ADC two-stage recall@5 vs brute force stays above the floor") {

@@ -40,6 +40,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(cls.filter(col("cls") <= -5000L).count() === 0)
   }
 
+  test("decontamination stage: no benchmark doc and no contaminated doc survives") {
+    import graft.functions.TextFunctions.{tokens => toks, shingleHashes}
+    import graft.functions.TextHashExpressions.{sorted_distinct_longs, intersect_count_sorted}
+    // benchmark docs themselves never reach the manifest
+    assert(curated.filter(col("doc_id") % 97 === 0).count() === 0)
+    // restate the n-gram overlap rule from the source text: every
+    // survivor shares < 8 distinct normalized bigram shingles with the
+    // benchmark slice
+    val docs = graft.Tables.documents(spark, dir)
+    val normSh = sorted_distinct_longs(shingleHashes(toks(
+      trim(regexp_replace(lower(col("text")), "\\s+", " "))), 2))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(normSh).as("h")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val hits = docs.join(curated.select(col("doc_id")), "doc_id")
+      .select(intersect_count_sorted(normSh, lit(bench)).as("n_hit"))
+    assert(hits.filter(col("n_hit") >= 8).count() === 0,
+      "a contaminated document survived the curation sweep")
+  }
+
   test("incremental near-dedup ≡ the cross-split slice of the batch sweep") {
     // splitting the corpus and probing the delta must find EXACTLY the
     // near-dup pairs of the all-pairs batch sweep that straddle the
@@ -136,7 +156,12 @@ class PipelineSpec extends AnyFunSuite {
     }
     val toks = words.toArray
     def rot(k: Int) = (toks.drop(k) ++ toks.take(k)).mkString(" ")
-    val family = (0 until 100).map(k => (1000L + k, rot(k)))
+    // ids 1068..1163: 96 consecutive ids with NO multiple of 97 (r9 —
+    // the decontam stage treats doc_id % 97 = 0 as the benchmark slice,
+    // and a family member cast as the benchmark would legitimately
+    // contaminate-drop its whole family, which is not what this test
+    // probes); 96 members still flood the maxBucket = 8 cap
+    val family = (0 until 96).map(k => (1068L + k, rot(k)))
     val fx = java.nio.file.Files.createTempDirectory("pipe-dense").toFile
     fx.deleteOnExit()
     family.toDF("doc_id", "text")
@@ -147,8 +172,8 @@ class PipelineSpec extends AnyFunSuite {
       .parquet(s"${fx.getAbsolutePath}/documents.parquet")
     val out = PipelineQueries.queries("pipe_curate")(spark, fx.getAbsolutePath)
       .select(col("doc_id")).as[Long].collect().toSet
-    assert(out.contains(1000L), "family representative must survive")
-    val leaked = out.intersect((1001L to 1099L).toSet)
+    assert(out.contains(1068L), "family representative must survive")
+    val leaked = out.intersect((1069L to 1163L).toSet)
     assert(leaked.isEmpty,
       s"capped near-dedup must still drop family members, kept $leaked")
   }
