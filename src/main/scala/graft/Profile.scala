@@ -107,6 +107,40 @@ object Profile {
             f"cache=${(t1 - t0) / 1e9}%5.2f cand=${(t2 - t1) / 1e9}%5.2f " +
             f"jac=${(t3 - t2) / 1e9}%5.2f")
         }
+      } else if (name == "winnow_parts") {
+        // the dedup_winnow receipt: same corpus, same LSH+verify path,
+        // full shingle sets vs winnowed fingerprint sets — set volume,
+        // candidate volume, and end-to-end wall side by side
+        import org.apache.spark.sql.functions.{col, size, sum}
+        import graft.functions.TextFunctions.{tokens, shingleHashes}
+        import graft.functions.TextHashExpressions.winnow
+        import graft.operators.DedupQueries.{lshCandidatePairs, jaccardOnCandidates}
+        (1 to 2).foreach { pass =>
+          spark.sharedState.cacheManager.clearCache()
+          Seq(
+            "full" -> graft.Tables.documents(spark, dir)
+              .select(col("doc_id"), shingleHashes(tokens(col("text")), 3).as("hs"))
+              .filter(size(col("hs")) > 0),
+            "winnow" -> graft.Tables.documents(spark, dir)
+              .select(col("doc_id"), shingleHashes(tokens(col("text")), 3).as("g"))
+              .filter(size(col("g")) >= 4)
+              .select(col("doc_id"), winnow(col("g"), 4).as("hs"))
+          ).foreach { case (label, frame) =>
+            val hashes = frame.persist()
+            val t0 = System.nanoTime()
+            val vol = hashes.agg(sum(size(col("hs")))).collect()(0).getLong(0)
+            val t1 = System.nanoTime()
+            val cand = lshCandidatePairs(hashes).count()
+            val t2 = System.nanoTime()
+            jaccardOnCandidates(hashes)
+              .write.format("noop").mode("overwrite").save()
+            val t3 = System.nanoTime()
+            hashes.unpersist(blocking = true)
+            println(f"winnow_parts pass$pass $label%6s setvol=$vol cands=$cand " +
+              f"cache=${(t1 - t0) / 1e9}%5.2f cand=${(t2 - t1) / 1e9}%5.2f " +
+              f"jac=${(t3 - t2) / 1e9}%5.2f")
+          }
+        }
       } else if (name == "pq_phases") {
         // phase attribution for ann_pq_adc: the builder runs its two
         // driver collects + the qs1 checkpoint eagerly, so timing the

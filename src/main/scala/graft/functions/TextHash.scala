@@ -118,31 +118,6 @@ object TextHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** All C(n,2) unordered pairs of a doc-id array, each packed as
-    * (min << 32) | max — the inverted-index pair generator: per
-    * posting list of df members it emits exactly df·(df−1)/2 rows,
-    * where the r8 self-join formulation generated df² join rows and
-    * filtered half away AFTER materializing them. Ids are sorted
-    * in-kernel so ia < ib by construction; callers guarantee
-    * distinct non-negative ids < 2^32 (the packed-key contract the
-    * pair aggregate already assumes).
-    */
-  def packedPairs(ids: ArrayData): ArrayData = {
-    val n = ids.numElements()
-    val a = ids.toLongArray
-    java.util.Arrays.sort(a)
-    val out = new Array[Long](n * (n - 1) / 2)
-    var k = 0
-    var i = 0
-    while (i < n) {
-      val hi = a(i) << 32
-      var j = i + 1
-      while (j < n) { out(k) = hi | a(j); k += 1; j += 1 }
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
-
   /** Σ over a long array — exact (callers keep elements < 2^30 and
     * counts corpus-bounded, so the sum stays far inside int64). */
   def sumLongs(hs: ArrayData): Long = {

@@ -192,21 +192,6 @@ object TextHashExpressions {
     override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
   }
 
-  /** All C(n,2) packed unordered pairs over array<long> doc ids (see
-    * TextHash.packedPairs — the inverted-index pair generator).
-    */
-  case class PackedPairsExpr(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes {
-    override def inputTypes = Seq(ArrayType(LongType))
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullIntolerant: Boolean = true
-    override def nullSafeEval(v: Any): Any =
-      TextHash.packedPairs(v.asInstanceOf[ArrayData])
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, h => s"graft.functions.TextHash.packedPairs($h)")
-    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
-  }
-
   /** Residue-class histogram over array<long> (see TextHash.modCounts). */
   case class ModCountsExpr(child: Expression, m: Int)
       extends UnaryExpression with ExpectsInputTypes {
@@ -226,7 +211,6 @@ object TextHashExpressions {
     c(IntersectCountSortedExpr(e(a), e(b)))
   def max_dup_count(col: Column): Column = c(MaxDupCountExpr(e(col)))
   def mod_counts(col: Column, m: Int): Column = c(ModCountsExpr(e(col), m))
-  def packed_pairs(col: Column): Column = c(PackedPairsExpr(e(col)))
   def sim_hash60(col: Column): Column = c(SimHash60Expr(e(col)))
   def winnow(col: Column, w: Int): Column = c(WinnowExpr(e(col), w))
   def sum_longs(col: Column): Column = c(SumLongsExpr(e(col)))

@@ -780,15 +780,19 @@ object DedupQueries {
     */
   def ngramJaccard(s: SparkSession, dir: String,
       maxDfFrac: Option[Double] = None, threshold: Double = 0.10): DataFrame = {
-    // the grouped postings frame feeds two consumers (sizes + pair
-    // generation); persist materializes the tokenize→shingle→group
-    // pipeline ONCE. persist (not localCheckpoint): lazy — building the
-    // frame doesn't execute it — and recoverable from lineage.
-    // No broadcast hints on the big frames: AQE picks join strategies
-    // from runtime shuffle sizes (the per-doc sizes table broadcasts
-    // itself against the aggregated pairs when small enough).
-    val grouped = groupedPostings(s, dir, maxDfFrac).persist()
-    val (sizes, inter) = pairCountsGrouped(grouped)
+    val exploded = cappedPostings(s, dir, maxDfFrac)
+    // the postings list feeds three consumers (per-doc sizes + both self-
+    // join sides); persist materializes the tokenize→shingle→stop-filter
+    // pipeline ONCE instead of re-running it per consumer. persist (not
+    // localCheckpoint): lazy — building the frame doesn't execute it
+    // (explain/schema callers pay nothing) — and recoverable: a lost
+    // executor recomputes blocks from lineage instead of failing the
+    // query, which executor-local checkpoint blocks cannot.
+    // No broadcast hints: the postings list and the sizes table both grow
+    // with the corpus, so forcing broadcast would OOM at scale — AQE
+    // picks the join strategy from runtime shuffle sizes.
+    val kept = exploded.persist()
+    val (sizes, inter) = pairCounts(kept)
     inter
       .join(sizes.toDF("ia", "na"), "ia")
       .join(sizes.toDF("ib", "nb"), "ib")
@@ -799,59 +803,65 @@ object DedupQueries {
       .orderBy(col("ia"), col("ib"))
   }
 
-  /** Per-doc set sizes + per-pair intersection counts over a GROUPED
-    * postings frame — the shared core of [[ngramJaccard]] and
-    * [[containment]] (ONE definition, so the two conformance gates can
-    * never desynchronize their postings builds — the r8 form rebuilt
-    * the postings independently in each).
-    *
-    * Pair generation is the in-kernel combination emitter
-    * ([[graft.functions.TextHash.packedPairs]]): each posting list of
-    * df members yields exactly C(df,2) = df·(df−1)/2 packed rows —
-    * HALF the df² rows the r8 self-join materialized then filtered,
-    * with no join at all (the grouped frame is already keyed by
-    * shingle). Pairs aggregate on ONE packed long key (ia<<32|ib) —
-    * the primitive-key fast path in Spark's hash aggregate. The
+  /** Per-doc set sizes + per-pair intersection counts over a postings
+    * list — the shared core of [[ngramJaccard]] and [[containment]]
+    * (ONE definition and ONE postings build, so the two conformance
+    * gates can never desynchronize).
+    * The self-join fans out to Σ df(s)² rows; pairs aggregate on ONE
+    * packed long key (ia<<32|ib) — the primitive-key fast path in
+    * Spark's hash aggregate — instead of a two-column row key. The
     * packing assumes doc_id < 2^32 (unsigned unpack); for a corpus
     * beyond that fall back to the two-column groupBy — same plan,
-    * slower agg. Per-doc sizes re-derive from the same grouped frame
-    * (one explode of Σdf rows — cached, no re-scan) and join AFTER
-    * the pair aggregate, where AQE broadcasts the tiny sizes table.
+    * slower agg.
+    *
+    * Sizes deliberately join AFTER the pair aggregate, not ride through
+    * the self-join: both self-join sides are the SAME cached frame, so
+    * the planner reuses one exchange for both; attaching sizes first
+    * (measured) breaks that symmetry, the planner flips to a broadcast
+    * build of the ENTIRE postings side, and the query ran 8× slower —
+    * while the post-agg joins are map-side broadcasts of the tiny
+    * per-doc sizes table against the already-aggregated pairs.
+    *
+    * r9 re-measured the per-shingle collect_list + in-kernel C(df,2)
+    * emitter alternative (one shuffle, half the pair rows): 6.0 s vs
+    * this form's 3.9-4.2 s at sf0.1 — the object-hash collect_list
+    * aggregate, the 80 k-element array materializations and Generate's
+    * per-element copy cost more than the join's extra df²/2 codegen
+    * rows (consistent with the r6 Profile finding, 20-23 s for the
+    * first-cut grouped form). The join formulation stays.
     */
-  private def pairCountsGrouped(grouped: DataFrame): (DataFrame, DataFrame) = {
-    import graft.functions.TextHashExpressions.packed_pairs
-    val sizes = grouped.select(explode(col("docs")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = grouped
-      .select(explode(packed_pairs(col("docs"))).as("pair"))
+  private def pairCounts(kept: DataFrame): (DataFrame, DataFrame) = {
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = kept.toDF("ia", "s")
+      .join(kept.toDF("ib", "s"), Seq("s"))
+      .filter(col("ia") < col("ib"))
+      .select((shiftleft(col("ia"), 32) bitwiseOR col("ib")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("m"))
       .select(shiftrightunsigned(col("pair"), 32).as("ia"),
         (col("pair") bitwiseAND lit(0xffffffffL)).as("ib"), col("m"))
     (sizes, inter)
   }
 
-  /** Inverted index: one row per distinct shingle with its posting
-    * list (s, docs: array&lt;long&gt;), optionally df-capped. ONE
-    * shuffle builds it, and the df cap is a free `size(docs)` filter
-    * on the grouped rows — the r8 form paid a separate stop-shingle
-    * aggregation plus an anti-join back onto the exploded postings
-    * (two extra exchanges) to express the same predicate. The corpus
-    * row count rides in as a driver scalar (parquet-metadata-cheap
-    * count, the dedup_sem discipline); the oracle states the identical
-    * `df > ceil(alpha·n_docs)` exclusion.
+  /** Distinct (doc_id, shingle-hash) postings, optionally with the
+    * df-capped stop-shingle filter applied (see [[ngramJaccard]]).
     */
-  private def groupedPostings(s: SparkSession, dir: String,
+  private def cappedPostings(s: SparkSession, dir: String,
       maxDfFrac: Option[Double]): DataFrame = {
-    val grouped = docShingleHashes(s, dir)
+    val exploded0 = docShingleHashes(s, dir)
       .select(col("doc_id"),
         explode(graft.functions.TextHashExpressions.distinct_longs(col("hs"))).as("s"))
-      .groupBy(col("s")).agg(collect_list(col("doc_id")).as("docs"))
     maxDfFrac match {
       case Some(alpha) =>
-        val nDocs = graft.Tables.table(s, dir, "documents").count()
-        grouped.filter(size(col("docs")) <=
-          lit(math.ceil(alpha * nDocs).toLong))
-      case None => grouped
+        val nDocs = documents(s, dir).agg(count(lit(1)).as("n_docs"))
+        val stop = exploded0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") > ceil(col("n_docs") * alpha))
+          .select(col("s"))
+        exploded0.join(broadcast(stop), Seq("s"), "left_anti")
+          // the USING join moves `s` first; restore (doc_id, s) order for
+          // the positional toDF renames below
+          .select(col("doc_id"), col("s"))
+      case None => exploded0
     }
   }
 
@@ -861,15 +871,16 @@ object DedupQueries {
     * the long side) but containment ≈ 1; an LLM training corpus prunes
     * exactly these (quotes, boilerplate wrappers, excerpt pages).
     *
-    * Same grouped inverted index and in-kernel pair generation as
-    * [[ngramJaccard]] (the shared [[pairCountsGrouped]] core) — then
-    * each unordered pair emits up to two DIRECTED rows (contained,
-    * container), filtered by the containment of the contained side.
+    * Same inverted-index shuffle as [[ngramJaccard]] — the shared
+    * [[pairCounts]] core (one join keyed by shingle hash, pair counts
+    * on a packed-long key) — then each unordered pair emits up to two
+    * DIRECTED rows (contained, container), filtered by the containment
+    * of the contained side.
     */
   def containment(s: SparkSession, dir: String,
       maxDfFrac: Option[Double] = None, threshold: Double = 0.5): DataFrame = {
-    val grouped = groupedPostings(s, dir, maxDfFrac).persist()
-    val (sizes, inter) = pairCountsGrouped(grouped)
+    val kept = cappedPostings(s, dir, maxDfFrac).persist()
+    val (sizes, inter) = pairCounts(kept)
     // pre-filter BEFORE the direction explode: the Σdf²-sized pair
     // table only rarely passes the threshold in either direction, so
     // the generator must see the handful of survivors, not double the

