@@ -40,6 +40,15 @@ import org.apache.spark.sql.functions._
   *    IEJoin wins the banded range join on constant factor at this
   *    scale — the banded equi-join shape is kept because it partitions
   *    (IEJoin is a single-node sort structure).
+  *  - dedup_ngram/dedup_contain (r9): re-formulating the pair
+  *    generation as grouped postings (collect_list per shingle) + an
+  *    in-kernel C(df,2) pair emitter measured ~1.5× SLOWER than the
+  *    posting-list self-JOIN (6.0/5.0 s vs 4.2/4.2 s isolated at
+  *    sf0.1) despite halving pair rows and saving two exchanges —
+  *    the Generate over df-sized arrays serializes on the skewed
+  *    shingle groups, same failure mode as the r-early collect_list
+  *    attempt above. Reverted; the join formulation stays, and the
+  *    100 TB route for both remains the capped/star LSH path.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
