@@ -82,7 +82,7 @@ object Bench {
       "ann_ivf_kmeans", "ann_pq_adc", "ann_ivfpq", "ann_incr", "pipe_curate", "pipe_tok", "dedup_incr",
       "dedup_sem", "dedup_cap", "dedup_sh_ham", "dedup_winnow",
       "dedup_mh_lsh", "dedup_jac_lsh", "dedup_ngram", "dedup_contain",
-      "dedup_clusters")
+      "pipe_split", "dedup_clusters")
     val heavyOrder = heavy.zipWithIndex.toMap
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }

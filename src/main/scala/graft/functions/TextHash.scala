@@ -290,4 +290,24 @@ object TextHash {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Adjacent-pair emitter over array<string> tokens: one struct row per
+    * position i — (tᵢ, tᵢ₊₁), with the LAST position emitting (tₙ, NULL)
+    * — the fused bigram+unigram tally input (`text_pmi`). The HOF
+    * formulation (transform(sequence(1, size(tk)), i -> struct(...)))
+    * evaluates an interpreted lambda per element and re-resolves
+    * element_at twice per position; this is one pass, one allocation
+    * per pair row.
+    */
+  def adjacentPairs(tk: ArrayData): ArrayData = {
+    val n = tk.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val w2 = if (i + 1 < n) tk.getUTF8String(i + 1) else null
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(tk.getUTF8String(i), w2)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -205,7 +205,25 @@ object TextHashExpressions {
     override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
   }
 
+  /** Adjacent-pair emitter over array<string> (see TextHash.adjacentPairs):
+    * one (w1, w2) struct per position, last position (wₙ, NULL).
+    */
+  case class AdjacentPairsExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = true))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextHash.adjacentPairs(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.TextHash.adjacentPairs($t)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
   def distinct_longs(col: Column): Column = c(DistinctLongsExpr(e(col)))
+  def adjacent_pairs(col: Column): Column = c(AdjacentPairsExpr(e(col)))
   def sorted_distinct_longs(col: Column): Column = c(SortedDistinctLongsExpr(e(col)))
   def intersect_count_sorted(a: Column, b: Column): Column =
     c(IntersectCountSortedExpr(e(a), e(b)))

@@ -510,6 +510,32 @@ object DedupQueries {
       out
     }),
 
+    // LEAKAGE-SAFE train/test split (r9) — the composition every
+    // training-data pipeline runs after near-dedup: hash-split the
+    // corpus 90/10, but assign the split by the document's NEAR-DUP
+    // CLUSTER representative, never the document itself — a near-dup
+    // family can therefore never straddle the boundary (the
+    // train-on-test leakage mode random splits have; Lee et al. 2021
+    // measure the resulting eval inflation). Plan: the dedup_clusters
+    // component pass unchanged (star-edge candidates → contraction +
+    // delta-iteration CC — membership-sized shuffles), then the split
+    // is ONE map-side expression on the cluster label: the Knuth
+    // multiplicative hash (the q_strat convention, 31-bit-masked so
+    // the product stays int64-exact at 100 TB id ranges) mod 100
+    // against the 90% threshold. Zero additional shuffles on top of
+    // the clustering; at 100 TB the split column is free.
+    "pipe_split" -> ((s, dir) => {
+      val pairs = minHashStarCandidates(docShingleHashes(s, dir))
+      val vertices = documents(s, dir).select(col("doc_id"))
+      val out = connectedComponents(vertices, pairs)
+        .withColumn("split",
+          when(expr("pmod((cluster % 2147483648) * 2654435761, 4294967296) % 100")
+            < 90, lit("train")).otherwise(lit("test")))
+        .orderBy(col("doc_id"))
+      pairs.unpersist(blocking = false)
+      out
+    }),
+
     // Per-document 16-bit SimHash (near-dup docs collide). Token-less
     // documents are dropped — the oracle's per-token GROUP BY never
     // produces a row for them. trim ≠ '' ⟺ has a token, and avoids
@@ -923,6 +949,41 @@ object DedupQueries {
       |  FROM sh)
       |""".stripMargin
 
+  /** MinHash-band candidate pairs → transitive closure → min-label
+    * clusters, through a `clusters(doc_id, cluster)` CTE — shared by the
+    * `dedup_clusters` and `pipe_split` oracles.
+    */
+  private val clustersRecursiveCte =
+    "WITH RECURSIVE " + shinglesCte.stripPrefix("WITH ") +
+      """, sig AS (
+        |  SELECT doc_id,
+        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
+        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
+        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
+        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
+        |  FROM h GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM sig UNION ALL
+        |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, s6, s7 FROM sig),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+        |       AND a.doc_id < b.doc_id),
+        |und AS (
+        |  SELECT ia AS src, ib AS dst FROM pairs
+        |  UNION ALL SELECT ib, ia FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS node, doc_id AS via FROM documents
+        |  UNION
+        |  SELECT r.node, u.dst FROM reach r JOIN und u ON r.via = u.src),
+        |clusters AS (
+        |  SELECT node AS doc_id, MIN(via) AS cluster
+        |  FROM reach GROUP BY node)
+        |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id,
@@ -1161,33 +1222,17 @@ object DedupQueries {
         |FROM directed
         |WHERE CAST(m AS DOUBLE) / CAST(n_contained AS DOUBLE) >= 0.5
         |ORDER BY contained, container""".stripMargin),
-    "dedup_clusters" -> ("WITH RECURSIVE " + shinglesCte.stripPrefix("WITH ") +
-      """, sig AS (
-        |  SELECT doc_id,
-        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
-        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
-        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
-        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
-        |  FROM h GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM sig UNION ALL
-        |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
-        |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
-        |  SELECT doc_id, 3, s6, s7 FROM sig),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
-        |       AND a.doc_id < b.doc_id),
-        |und AS (
-        |  SELECT ia AS src, ib AS dst FROM pairs
-        |  UNION ALL SELECT ib, ia FROM pairs),
-        |reach AS (
-        |  SELECT doc_id AS node, doc_id AS via FROM documents
-        |  UNION
-        |  SELECT r.node, u.dst FROM reach r JOIN und u ON r.via = u.src)
-        |SELECT node AS doc_id, MIN(via) AS cluster
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+    "dedup_clusters" -> (clustersRecursiveCte +
+      """SELECT doc_id, cluster FROM clusters ORDER BY doc_id""".stripMargin),
+
+    // the dedup_clusters chain + the q_strat Knuth hash on the CLUSTER
+    // label (shared CTE, so the two gates can never state different
+    // clusterings)
+    "pipe_split" -> (clustersRecursiveCte +
+      """SELECT doc_id, cluster,
+        |       CASE WHEN ((cluster % 2147483648) * 2654435761) % 4294967296 % 100 < 90
+        |            THEN 'train' ELSE 'test' END AS split
+        |FROM clusters ORDER BY doc_id""".stripMargin),
     // 60-bit SimHash + 4x15-bit band candidates + XOR popcount verify,
     // generated like the dedup_simhash oracle (60 vote columns)
     "dedup_sh_ham" -> (

@@ -177,9 +177,65 @@ object RetrievalQueries {
       }
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (`retr_rrf`) — the
+    * standard production pattern (Cormack & Clarke SIGIR'09; every
+    * BM25+vector "hybrid search" stack): run the sparse BM25 arm and a
+    * dense cosine arm for the same query set, then fuse per-document
+    * ranks as Σ 1/(60 + rank) and keep the top 5. Query q's dense
+    * vector is embedding (q−1)·100 — a fixed deterministic pairing, so
+    * both engines see the same query set without a learned encoder.
+    *
+    * 100 TB shape: each arm is its own already-scale-proven plan (BM25:
+    * broadcast query slice + bounded-heap ranks; dense: the
+    * ann_brute_topk bounded-heap scan — swap in the IVF-PQ index for
+    * the 100 TB dense arm, the fusion is rank-only and never sees the
+    * change). The fusion itself joins two ≤ k·|queries|-row frames —
+    * driver-scale metadata, broadcast-joined, zero corpus shuffles.
+    * Ranks fuse in integer micro-units (1e6 div (60+r)) so the fused
+    * ordering is bit-identical cross-engine.
+    */
+  private[operators] def rrf(s: SparkSession, dir: String,
+      materialize: Boolean = true): DataFrame = {
+    import graft.functions.VectorFunctions._
+    // sparse arm: BM25 top-10 (≤ 10·|queries| rows, checkpointed)
+    val sp = bm25(s, dir, materialize)
+      .select(col("qid"), col("doc_id"), col("rn").as("rs"))
+    // dense arm: exact cosine top-10 via the bounded-heap aggregate —
+    // map-side partials keep the shuffle at ≤ k rows per partition per
+    // query (the ann_brute_topk formulation)
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", normQ2(col("q")))
+    val qs = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
+      .select(expr("CAST(vec_id div 100 + 1 AS INT)").as("qid"),
+        col("q").as("qq"), col("n2").as("qn2"))
+    val dn = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= (col("qid") - 1).cast("long") * 100)
+      .withColumn("cos",
+        cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKFunctions
+        .topk_by_score(10, col("cos"), col("vec_id"), lit(0L)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.id").as("doc_id"), (col("pos") + 1).as("rd"))
+    // fusion: two rank lists, full-outer on (qid, doc) — a missing arm
+    // contributes 0, exactly the RRF convention
+    val fused = sp.join(dn, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(expr("1000000 div (60 + rs)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rd)"), lit(0L))).as("rrf_u"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_u").desc, col("doc_id"))
+    fused.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("doc_id"), col("rrf_u"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> ((s, dir) => bm25(s, dir)),
     "text_lm_score" -> ((s, dir) => lmScore(s, dir)),
+    "retr_rrf" -> ((s, dir) => rrf(s, dir)),
 
     // Vocabulary encoding — the LAST step before training: map every
     // token to its id in a frequency-ranked vocabulary (OOV → 0),
@@ -219,29 +275,72 @@ object RetrievalQueries {
       |  FROM documents)
       |""".stripMargin
 
+  /** BM25 CTE chain through the ranked top-10 — shared verbatim between
+    * the `text_bm25` and `retr_rrf` oracles so the two gates can never
+    * state different sparse arms.
+    */
+  private val bm25RankedCte = toksCte +
+    s""", docs AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+      |postings AS (
+      |  SELECT doc_id, dl, t, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, len(tk) AS dl, UNNEST(tk) AS t FROM docs)
+      |  GROUP BY 1, 2, 3),
+      |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(tk)) AS avgdl FROM docs),
+      |q(qid, t) AS (VALUES $queryValuesSql),
+      |qp AS (SELECT q.qid, p.doc_id, p.dl, p.t, p.tf
+      |       FROM postings p JOIN q ON q.t = p.t),
+      |df AS (SELECT t, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, t FROM qp) GROUP BY 1),
+      |scored AS (
+      |  SELECT qid, doc_id,
+      |         CAST(SUM(CAST(floor($idfExpr * $tffExpr * 1000000.0) AS BIGINT)) AS BIGINT) AS score_u
+      |  FROM qp JOIN df USING (t) CROSS JOIN stats
+      |  GROUP BY 1, 2),
+      |sprank AS (
+      |  SELECT qid, doc_id, score_u,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |                            ORDER BY score_u DESC, doc_id) AS rn
+      |  FROM scored)
+      |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "text_bm25" -> (toksCte +
-      s""", docs AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
-        |postings AS (
-        |  SELECT doc_id, dl, t, COUNT(*) AS tf
-        |  FROM (SELECT doc_id, len(tk) AS dl, UNNEST(tk) AS t FROM docs)
-        |  GROUP BY 1, 2, 3),
-        |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(tk)) AS avgdl FROM docs),
-        |q(qid, t) AS (VALUES $queryValuesSql),
-        |qp AS (SELECT q.qid, p.doc_id, p.dl, p.t, p.tf
-        |       FROM postings p JOIN q ON q.t = p.t),
-        |df AS (SELECT t, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, t FROM qp) GROUP BY 1),
-        |scored AS (
-        |  SELECT qid, doc_id,
-        |         CAST(SUM(CAST(floor($idfExpr * $tffExpr * 1000000.0) AS BIGINT)) AS BIGINT) AS score_u
-        |  FROM qp JOIN df USING (t) CROSS JOIN stats
-        |  GROUP BY 1, 2)
-        |SELECT qid, doc_id, score_u, CAST(rn AS INT) AS rn FROM (
-        |  SELECT qid, doc_id, score_u,
-        |         ROW_NUMBER() OVER (PARTITION BY qid
-        |                            ORDER BY score_u DESC, doc_id) AS rn
-        |  FROM scored)
+    "text_bm25" -> (bm25RankedCte +
+      """SELECT qid, doc_id, score_u, CAST(rn AS INT) AS rn FROM sprank
         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin),
+    "retr_rrf" -> (bm25RankedCte +
+      """, v AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, q,
+        |             CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM v),
+        |qv AS (SELECT CAST(vec_id // 100 + 1 AS INT) AS qid, q AS qq, n2 AS qn2
+        |       FROM n WHERE vec_id % 100 = 0 AND vec_id < 500),
+        |dn AS (
+        |  SELECT qid, vec_id AS doc_id, rn FROM (
+        |    SELECT qid, vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY qid
+        |                              ORDER BY cos DESC, vec_id) AS rn
+        |    FROM (SELECT qv.qid, b.vec_id,
+        |                 CAST(list_dot_product(qv.qq, b.q) AS DOUBLE)
+        |                   / (sqrt(CAST(qv.qn2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+        |          FROM qv CROSS JOIN n b
+        |          WHERE b.vec_id <> (qv.qid - 1) * 100))
+        |  WHERE rn <= 10),
+        |sp10 AS (SELECT qid, doc_id, rn FROM sprank WHERE rn <= 10),
+        |fused AS (
+        |  SELECT COALESCE(s.qid, d.qid) AS qid,
+        |         COALESCE(s.doc_id, d.doc_id) AS doc_id,
+        |         CAST(COALESCE(1000000 // (60 + s.rn), 0)
+        |            + COALESCE(1000000 // (60 + d.rn), 0) AS BIGINT) AS rrf_u
+        |  FROM sp10 s FULL OUTER JOIN dn d
+        |    ON s.qid = d.qid AND s.doc_id = d.doc_id)
+        |SELECT qid, doc_id, rrf_u, CAST(rn AS INT) AS rn FROM (
+        |  SELECT qid, doc_id, rrf_u,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY rrf_u DESC, doc_id) AS rn
+        |  FROM fused)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
     "text_lm_score" -> (toksCte +
       s""", uni AS (SELECT t, COUNT(*) AS c1
         |         FROM (SELECT UNNEST(tk) AS t FROM toks) GROUP BY 1),
