@@ -150,6 +150,36 @@ object Profile {
               f"jac=${(t3 - t2) / 1e9}%5.2f")
           }
         }
+      } else if (name.startsWith("ann_serve:")) {
+        // bounded-batch serving receipt: the IVF-PQ index is trained and
+        // persisted ONCE over the dir's full corpus, then a FIXED-size
+        // query batch (corpus-independent — the production micro-batch
+        // shape, vs the ann_incr gate's delta = N/2 conformance
+        // formulation) probes the loaded index. Serve wall vs corpus
+        // size with |Q| pinned is the 100 TB serving receipt.
+        import graft.operators.SimilarityQueries._
+        val batch = name.split(':')(1).toInt
+        val e = quantized(spark, dir).persist()
+        val n = e.count()
+        val step = math.max(1L, n / batch)
+        val queries = e.filter(pmod(col("vec_id"), lit(step)) === 1)
+          .limit(batch)
+        val t0 = System.nanoTime()
+        val index = trainIvfPq(spark, e, 8,
+          col("vec_id") % 25 === 0 && col("vec_id") < 400)
+        val path = java.nio.file.Files.createTempDirectory("annserve").toString
+        saveIvfPqIndex(spark, index, e.select(col("vec_id"), col("q")), path)
+        val t1 = System.nanoTime()
+        val (idx2, codes) = loadIvfPqIndex(spark, path)
+        (1 to 2).foreach { pass =>
+          val s0 = System.nanoTime()
+          ivfPqSearchPrecoded(idx2, e, codes, queries, 4)
+            .write.format("noop").mode("overwrite").save()
+          println(f"$name pass$pass n=$n batch=$batch " +
+            f"build=${(t1 - t0) / 1e9}%6.2f s " +
+            f"serve=${(System.nanoTime() - s0) / 1e9}%6.2f s")
+        }
+        e.unpersist(blocking = false)
       } else if (name == "pq_phases") {
         // phase attribution for ann_pq_adc: the builder runs its two
         // driver collects + the qs1 checkpoint eagerly, so timing the

@@ -330,16 +330,40 @@ object SimilarityQueries {
     IvfPqIndex(coarse, fine)
   }
 
-  /** Serve top-5 neighbors from a trained index: `queries` explode
-    * into `nprobe` probed cells (16-element struct sort per query row,
-    * on the broadcast side), `corpusCodes` carries the map-only
-    * (vec_id, cell, enc) projection (pass the tablePar-normalized
-    * frame — the cell equi-join is the pair-proportional stage), and
-    * `corpus` supplies the full-precision rows for the exact re-rank.
+  /** Largest query batch served through the BROADCAST plan. The
+    * binding frame is the probe LUT frame — |Q|·nprobe rows each
+    * carrying an M·16-slot LUT (~1 KiB at M = 8), so 1 M queries
+    * ≈ 4 GiB, the last size safely under Spark's 8 GiB broadcast
+    * ceiling (the skinny candidate list is k·|Q| 16 B rows ≈ 1.6 GiB
+    * and the query-vector frame ~0.6 GiB at the same point). A serving
+    * batch (even a generous streaming micro-batch) sits far below
+    * this; only a corpus-proportional "probe half the corpus"
+    * formulation crosses it — past the bound the serve pivots to the
+    * salted shuffle join below instead of dying on the ceiling (the
+    * r9 100× sweep killed a session exactly that way).
     */
-  private[graft] def ivfPqSearch(index: IvfPqIndex, corpus: DataFrame,
-      corpusCodes: DataFrame, queries: DataFrame, nprobe: Int): DataFrame = {
-    import graft.functions.VectorNative.{pq_encode_native, pq_lut_native}
+  private val MaxBroadcastQueries = 1000000L
+
+  /** Serve top-5 neighbors from a trained index: `queries` explode
+    * into `nprobe` probed cells (16-element struct sort per query row),
+    * `codes` carries the pre-encoded (vec_id, cell, enc) rows (the
+    * cell equi-join is the pair-proportional stage), and `corpus`
+    * supplies the full-precision rows for the exact re-rank.
+    *
+    * Join strategy is picked by the ACTUAL query-batch size (one
+    * column-pruned count action): a bounded serving batch broadcasts
+    * its probe/LUT frames against the corpus scan (zero corpus
+    * shuffles — the production path); a corpus-proportional batch
+    * (the ann_incr gate's delta = N/2 conformance shape) would
+    * overrun the broadcast ceiling, so it degrades to a salted
+    * shuffle join on (cell, salt) — kC coarse cells alone would hash
+    * to ≤ 16 shuffle partitions, so the code side fans out over 64
+    * salts to restore parallelism. Same rows either way; only the
+    * physical strategy pivots.
+    */
+  private def ivfPqServe(index: IvfPqIndex, corpus: DataFrame,
+      codes: DataFrame, queries: DataFrame, nprobe: Int): DataFrame = {
+    import graft.functions.VectorNative.pq_lut_native
     val coarse = index.coarse
     val fine = index.fine
     val M = fine.length
@@ -362,11 +386,29 @@ object SimilarityQueries {
     val qsFull = queries
       .select(col("vec_id").as("qid"), col("q").as("qq"),
         col("n2").as("qn2"))
-    val codes = corpusCodes
-      .select(col("vec_id"),
-        pq_encode_native(col("q"), coarse).getItem(0).cast("int").as("cell"),
-        pq_encode_native(col("q"), fine).as("enc"))
-    val cands = codes.join(broadcast(qsx), "cell")
+    // `graft.ann.maxBroadcastQueries` overrides the pivot (tests force
+    // the salted path on tiny frames; a deployment with more executor
+    // memory can raise it)
+    val maxB = queries.sparkSession.conf
+      .getOption("graft.ann.maxBroadcastQueries")
+      .map(_.toLong).getOrElse(MaxBroadcastQueries)
+    val smallBatch = queries.count() <= maxB
+    val probed =
+      if (smallBatch) codes.join(broadcast(qsx), "cell")
+      else {
+        // every big-path join pins an explicit non-broadcast strategy:
+        // planner-side size ESTIMATES for aggregate/generate outputs
+        // under-count here (the candidate frame is k·|Q| rows — the r9
+        // 100× run had the stats-driven planner pick a broadcast that
+        // overran the 8 GiB ceiling 600 s into the job)
+        val nSalt = 64
+        val qsxS = qsx.withColumn("salt", pmod(hash(col("qid")), lit(nSalt)))
+        val codesS = codes.withColumn("salt",
+          explode(array((0 until nSalt).map(lit(_)): _*)))
+        codesS.join(qsxS.hint("shuffle_hash"), Seq("cell", "salt"))
+          .drop("salt")
+      }
+    val approxTop = probed
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("lutsum", (0 until M).map(m =>
         element_at(col("lut"), col("enc").getItem(m).cast("int")))
@@ -379,8 +421,21 @@ object SimilarityQueries {
         .topk_by_score(100, col("approx"), col("vec_id"), lit(0L)).as("top"))
       .select(col("qid"), explode(col("top")).as("cand"))
       .select(col("qid"), col("cand.id").as("vec_id"))
-      .join(broadcast(qsFull), "qid")
-    corpus.join(broadcast(cands), Seq("vec_id"))
+    // re-rank joins stay SKINNY: the candidate list broadcasts as bare
+    // (qid, vec_id) pairs (16 B/row — k·|Q| rows broadcast fine to
+    // ~1 M queries) and the full query vectors ride in as a SECOND
+    // |Q|-row broadcast joined after the corpus probe. The r8 shape
+    // joined qq onto the candidates FIRST and broadcast the fat
+    // result — k·|Q| rows × ~550 B overran the 8 GiB ceiling at a
+    // 100 k-row delta.
+    val joined =
+      if (smallBatch)
+        corpus.join(broadcast(approxTop), Seq("vec_id"))
+          .join(broadcast(qsFull), "qid")
+      else
+        corpus.hint("shuffle_hash").join(approxTop, Seq("vec_id"))
+          .join(qsFull.hint("shuffle_hash"), "qid")
+    joined
       .withColumn("cos",
         cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
       .groupBy(col("qid"))
@@ -390,6 +445,20 @@ object SimilarityQueries {
       .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
         col("e.id").as("vec_id"), col("e.score").as("cos"))
       .orderBy(col("qid"), col("rn"))
+  }
+
+  /** [[ivfPqServe]] over a raw quantized frame: `corpusCodes` carries
+    * (vec_id, q) and the map-only PQ encode against the driver-side
+    * codebooks happens inline — no join, no shuffle, no aggregate.
+    */
+  private[graft] def ivfPqSearch(index: IvfPqIndex, corpus: DataFrame,
+      corpusCodes: DataFrame, queries: DataFrame, nprobe: Int): DataFrame = {
+    import graft.functions.VectorNative.pq_encode_native
+    val codes = corpusCodes
+      .select(col("vec_id"),
+        pq_encode_native(col("q"), index.coarse).getItem(0).cast("int").as("cell"),
+        pq_encode_native(col("q"), index.fine).as("enc"))
+    ivfPqServe(index, corpus, codes, queries, nprobe)
   }
 
   /** Persist a trained index to the lakehouse: `codebooks/` (book,
@@ -441,53 +510,8 @@ object SimilarityQueries {
     * the production serving path: nothing re-encodes the corpus.
     */
   private[graft] def ivfPqSearchPrecoded(index: IvfPqIndex, corpus: DataFrame,
-      codes: DataFrame, queries: DataFrame, nprobe: Int): DataFrame = {
-    import graft.functions.VectorNative.pq_lut_native
-    val coarse = index.coarse
-    val fine = index.fine
-    val M = fine.length
-    val kC = coarse(0).length
-    val cn2 = coarse(0).map(c => c.map(x => x * x).sum)
-    val cn2Lit = array(cn2.map(v => lit(v)): _*)
-    val lc = pq_lut_native(col("q"), coarse)
-    val scored = transform(sequence(lit(0), lit(kC - 1)), j =>
-      struct((element_at(cn2Lit, j + 1) - lit(2L) * element_at(lc, j + 1))
-        .as("d2"), j.as("cell")))
-    val cells = transform(slice(array_sort(scored), 1, nprobe),
-      x => x.getField("cell") + 1)
-    val qsx = queries
-      .select(col("vec_id").as("qid"), col("n2").as("qn2"),
-        pq_lut_native(col("q"), fine).as("lut"), cells.as("cells"))
-      .select(col("qid"), col("qn2"), col("lut"),
-        explode(col("cells")).as("cell"))
-    val qsFull = queries
-      .select(col("vec_id").as("qid"), col("q").as("qq"),
-        col("n2").as("qn2"))
-    val cands = codes.join(broadcast(qsx), "cell")
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("lutsum", (0 until M).map(m =>
-        element_at(col("lut"), col("enc").getItem(m).cast("int")))
-        .reduce(_ + _))
-      .withColumn("approx",
-        cosineFromQ(col("lutsum"), col("qn2"), col("enc").getItem(M)))
-      .select(col("qid"), col("approx"), col("vec_id"))
-      .groupBy(col("qid"))
-      .agg(graft.functions.TopKFunctions
-        .topk_by_score(100, col("approx"), col("vec_id"), lit(0L)).as("top"))
-      .select(col("qid"), explode(col("top")).as("cand"))
-      .select(col("qid"), col("cand.id").as("vec_id"))
-      .join(broadcast(qsFull), "qid")
-    corpus.join(broadcast(cands), Seq("vec_id"))
-      .withColumn("cos",
-        cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
-      .groupBy(col("qid"))
-      .agg(graft.functions.TopKFunctions
-        .topk_by_score(5, col("cos"), col("vec_id"), lit(0L)).as("top"))
-      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
-      .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
-        col("e.id").as("vec_id"), col("e.score").as("cos"))
-      .orderBy(col("qid"), col("rn"))
-  }
+      codes: DataFrame, queries: DataFrame, nprobe: Int): DataFrame =
+    ivfPqServe(index, corpus, codes, queries, nprobe)
 
   private[graft] def ivfPq(s: SparkSession, dir: String, M: Int,
       nprobe: Int): DataFrame = {

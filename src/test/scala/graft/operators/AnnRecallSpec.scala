@@ -37,6 +37,26 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.8, f"IVF recall@5 degraded to $r%.3f")
   }
 
+  test("salted shuffle serve path is row-identical to the broadcast path") {
+    // ivfPqServe pivots from the broadcast plan to a salted shuffle
+    // join when the query batch exceeds graft.ann.maxBroadcastQueries
+    // (the r9 fix for the 100× delta = N/2 broadcast blow-up). Forcing
+    // the pivot on the tiny SF proves the two physical strategies
+    // produce the same rows — only the plan may differ.
+    val dir = "/root/testdata/sf0.001"
+    def run(): Array[String] =
+      SimilarityQueries.queries("ann_ivfpq")(spark, dir)
+        .collect().map(_.toString).sorted
+    val viaBroadcast = run()
+    spark.conf.set("graft.ann.maxBroadcastQueries", "0")
+    try {
+      val viaSalted = run()
+      assert(viaSalted.length == viaBroadcast.length &&
+        viaSalted.sameElements(viaBroadcast),
+        "salted serve path diverged from the broadcast path")
+    } finally spark.conf.unset("graft.ann.maxBroadcastQueries")
+  }
+
   test("k-means-refined IVF recall@5 stays above the floor") {
     // refinement re-balances cells around the data (the skew story);
     // recall at fixed nprobe measured 0.88 on the r8 20-seed set and
