@@ -159,11 +159,20 @@ object Profile {
         // size with |Q| pinned is the 100 TB serving receipt.
         import graft.operators.SimilarityQueries._
         val batch = name.split(':')(1).toInt
+        // GRAFT_SERVE_MAXB overrides the broadcast-pivot bound (set 0
+        // to force the salted-shuffle path — the past-the-ceiling
+        // receipt at corpus sizes whose query batches can't reach it)
+        sys.env.get("GRAFT_SERVE_MAXB").foreach(v =>
+          spark.conf.set("graft.ann.maxBroadcastQueries", v))
         val e = quantized(spark, dir).persist()
         val n = e.count()
         val step = math.max(1L, n / batch)
-        val queries = e.filter(pmod(col("vec_id"), lit(step)) === 1)
+        // pmod === 0 (not 1): at step = 1 (batch ≥ corpus) residue 1
+        // matches nothing and the arm would time an EMPTY batch
+        val queries = e.filter(pmod(col("vec_id"), lit(step)) === 0)
           .limit(batch)
+        val qn = queries.count()
+        require(qn > 0, s"ann_serve: empty query batch (n=$n batch=$batch)")
         val t0 = System.nanoTime()
         val index = trainIvfPq(spark, e, 8,
           col("vec_id") % 25 === 0 && col("vec_id") < 400)
@@ -173,9 +182,10 @@ object Profile {
         val (idx2, codes) = loadIvfPqIndex(spark, path)
         (1 to 2).foreach { pass =>
           val s0 = System.nanoTime()
-          ivfPqSearchPrecoded(idx2, e, codes, queries, 4)
+          ivfPqSearchPrecoded(idx2, e, codes, queries, 4,
+              knownBatch = Some(qn))
             .write.format("noop").mode("overwrite").save()
-          println(f"$name pass$pass n=$n batch=$batch " +
+          println(f"$name pass$pass n=$n batch=$batch qn=$qn " +
             f"build=${(t1 - t0) / 1e9}%6.2f s " +
             f"serve=${(System.nanoTime() - s0) / 1e9}%6.2f s")
         }

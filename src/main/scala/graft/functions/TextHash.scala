@@ -304,8 +304,13 @@ object TextHash {
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      val w2 = if (i + 1 < n) tk.getUTF8String(i + 1) else null
-      out(i) = org.apache.spark.sql.catalyst.InternalRow(tk.getUTF8String(i), w2)
+      // clone() both strings: an UnsafeArrayData input under a
+      // buffering operator (sort/window) reuses its backing buffer
+      // across input-row advances, so stored references would go stale
+      // — one small copy per token removes the hazard
+      val w2 = if (i + 1 < n) tk.getUTF8String(i + 1).clone() else null
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        tk.getUTF8String(i).clone(), w2)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

@@ -34,7 +34,45 @@ import graft.functions.TextFunctions._
 object PipelineQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipe_curate" -> ((s, dir) => curate(s, dir, materialize = true)))
+    "pipe_curate" -> ((s, dir) => curate(s, dir, materialize = true)),
+
+    // FULL pipeline (r10): curate → cluster-keyed leakage-safe split —
+    // the end-to-end composition a training run actually executes
+    // (pipe_curate then pipe_split on the curated subset). The near-dup
+    // clustering runs ONCE over the RAW corpus (the production shape —
+    // labels are computed at ingest and reused), the curated manifest
+    // restricts it, and each cluster is RE-KEYED by its SURVIVING
+    // minimum doc_id: the raw label is the cluster's global minimum,
+    // which curation may have DROPPED (quality/language/decontam/
+    // near-dedup) — hashing a dangling label would still split safely
+    // but keys the split to a document that no longer exists, so the
+    // manifest restates the label as min(doc_id) over the survivors
+    // (the dropped-representative edge; PipelineSpec covers it).
+    // Scale shape: curate is the pipe_curate plan (two shuffles + one
+    // broadcast anti-join), clustering is the contraction+delta CC
+    // pass, and the re-key adds ONE cluster-keyed aggregate over the
+    // curated subset + one join — both bounded by the curated set, and
+    // the split itself stays the map-side Knuth-hash expression.
+    "pipe_full" -> ((s, dir) => {
+      val curated = curate(s, dir, materialize = true)
+        .select(col("doc_id"))
+      val pairs = DedupQueries.minHashStarCandidates(
+        DedupQueries.docShingleHashes(s, dir))
+      val vertices = documents(s, dir).select(col("doc_id"))
+      val clusters = DedupQueries.connectedComponents(vertices, pairs)
+      val surv = curated.join(clusters, "doc_id")
+      val lbl = surv.groupBy(col("cluster"))
+        .agg(min(col("doc_id")).as("lbl"))
+      val out = surv.join(lbl, "cluster")
+        .withColumn("split",
+          when(expr("pmod((lbl % 2147483648) * 2654435761, 4294967296) % 100")
+            < 90, lit("train")).otherwise(lit("test")))
+        .select(col("doc_id"), col("lbl").as("cluster"), col("split"))
+        .orderBy(col("doc_id"))
+      val res = out.localCheckpoint(true)
+      pairs.unpersist(blocking = false)
+      res
+    }))
 
   /** The curation pipeline as one plan. `materialize = true` (the gate /
     * production path) persists the shared frames, eagerly materializes
@@ -146,12 +184,13 @@ object PipelineQueries {
       }
   }
 
-  def oracleSql: Map[String, String] = Map(
-    // the whole pipeline as one independent CTE chain: normalize →
-    // attrs (token count, marker-vote language, quality score) →
-    // filters → digest dedup → minhash/band candidates → exact-Jaccard
-    // verify → drop larger ids → manifest
-    "pipe_curate" ->
+  /** The whole curation pipeline as one independent CTE chain through
+    * `drops` (normalize → attrs → filters → digest dedup → minhash/band
+    * candidates → exact-Jaccard verify → drop list) — shared VERBATIM
+    * between the `pipe_curate` and `pipe_full` oracles so the two gates
+    * can never state different curation semantics.
+    */
+  private val curateCtes =
       """WITH norm0 AS (
         |  SELECT doc_id, source,
         |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
@@ -293,14 +332,76 @@ object PipelineQueries {
         |  JOIN sizes na ON na.doc_id = i.ia
         |  JOIN sizes nb ON nb.doc_id = i.ib
         |  WHERE CAST(i.m AS DOUBLE) / CAST(na.n + nb.n - i.m AS DOUBLE) >= 0.5)
-        |SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok, q,
-        |       CAST(length(norm) AS INTEGER) AS norm_len
-        |FROM exact
-        |WHERE doc_id NOT IN (SELECT ib FROM drops)
-        |ORDER BY doc_id""".stripMargin
+        |""".stripMargin
         // classifier model stated ONCE per engine: the shared fragment
         // (TextQueries.classifierSql) is spliced here — a plain replace,
         // not an s-interpolator, which would reprocess the \s escapes
         .replace("<<CLS>>", TextQueries.classifierSql("tk"))
+
+  def oracleSql: Map[String, String] = Map(
+    "pipe_curate" -> (curateCtes +
+      """SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok, q,
+        |       CAST(length(norm) AS INTEGER) AS norm_len
+        |FROM exact
+        |WHERE doc_id NOT IN (SELECT ib FROM drops)
+        |ORDER BY doc_id""".stripMargin),
+
+    // curate → cluster-keyed split: the curate chain, then the
+    // dedup_clusters/pipe_split recursive-closure chain over the RAW
+    // corpus (g_-prefixed — the two chains share CTE names otherwise),
+    // restricted to the curated survivors and re-keyed by each
+    // cluster's surviving minimum before the Knuth-hash split
+    "pipe_full" -> ("WITH RECURSIVE " + curateCtes.stripPrefix("WITH ") +
+      """, curated AS (
+        |  SELECT doc_id FROM exact
+        |  WHERE doc_id NOT IN (SELECT ib FROM drops)),
+        |g_sh AS (
+        |  SELECT doc_id,
+        |         UNNEST(list_distinct(list_transform(range(1, len(tk)),
+        |                i -> tk[i] || ' ' || tk[i+1]))) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |        FROM documents)),
+        |g_h AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT)),
+        |                     (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM g_sh),
+        |g_sig AS (
+        |  SELECT doc_id,
+        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
+        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
+        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
+        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
+        |  FROM g_h GROUP BY doc_id),
+        |g_bands AS (
+        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM g_sig UNION ALL
+        |  SELECT doc_id, 1, s2, s3 FROM g_sig UNION ALL
+        |  SELECT doc_id, 2, s4, s5 FROM g_sig UNION ALL
+        |  SELECT doc_id, 3, s6, s7 FROM g_sig),
+        |g_pairs AS (
+        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM g_bands a JOIN g_bands b
+        |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+        |       AND a.doc_id < b.doc_id),
+        |g_und AS (
+        |  SELECT ia AS src, ib AS dst FROM g_pairs
+        |  UNION ALL SELECT ib, ia FROM g_pairs),
+        |g_reach AS (
+        |  SELECT doc_id AS node, doc_id AS via FROM documents
+        |  UNION
+        |  SELECT r.node, u.dst FROM g_reach r JOIN g_und u ON r.via = u.src),
+        |g_clusters AS (
+        |  SELECT node AS doc_id, MIN(via) AS cluster
+        |  FROM g_reach GROUP BY node),
+        |surv AS (
+        |  SELECT c.doc_id, c.cluster FROM g_clusters c JOIN curated USING (doc_id)),
+        |lbl AS (
+        |  SELECT cluster, MIN(doc_id) AS lbl FROM surv GROUP BY cluster)
+        |SELECT s.doc_id, l.lbl AS cluster,
+        |       CASE WHEN ((l.lbl % 2147483648) * 2654435761) % 4294967296 % 100 < 90
+        |            THEN 'train' ELSE 'test' END AS split
+        |FROM surv s JOIN lbl l ON l.cluster = s.cluster
+        |ORDER BY s.doc_id""".stripMargin)
   )
 }

@@ -185,39 +185,65 @@ object RetrievalQueries {
     * vector is embedding (q−1)·100 — a fixed deterministic pairing, so
     * both engines see the same query set without a learned encoder.
     *
-    * 100 TB shape: each arm is its own already-scale-proven plan (BM25:
-    * broadcast query slice + bounded-heap ranks; dense: the
-    * ann_brute_topk bounded-heap scan — swap in the IVF-PQ index for
-    * the 100 TB dense arm, the fusion is rank-only and never sees the
-    * change). The fusion itself joins two ≤ k·|queries|-row frames —
-    * driver-scale metadata, broadcast-joined, zero corpus shuffles.
-    * Ranks fuse in integer micro-units (1e6 div (60+r)) so the fused
-    * ordering is bit-identical cross-engine.
+    * 100 TB shape: each arm is its own already-scale-proven plan.
+    * BM25: broadcast query slice + bounded-heap ranks. Dense (r10):
+    * served from the PERSISTED IVF-PQ index — train once, save the
+    * codebooks + code rows ([[SimilarityQueries.saveIvfPqIndex]]),
+    * reload, and probe through [[SimilarityQueries.ivfPqSearchPrecoded]]
+    * (nprobe-bounded cell equi-join + LUT candidates + exact re-rank),
+    * exactly the production serving path — per-query cost is
+    * Σ|probed cells|, never |N|, and the fusion below is UNCHANGED
+    * from the brute-force arm it replaced (the arms-swap property a
+    * hybrid stack lives on; HybridSplitSpec proves it against the
+    * brute arm with a recall floor). The fusion itself joins two
+    * ≤ k·|queries|-row frames — driver-scale metadata,
+    * broadcast-joined, zero corpus shuffles. Ranks fuse in integer
+    * micro-units (1e6 div (60+r)) so the fused ordering is
+    * bit-identical cross-engine.
     */
   private[operators] def rrf(s: SparkSession, dir: String,
       materialize: Boolean = true): DataFrame = {
-    import graft.functions.VectorFunctions._
-    // sparse arm: BM25 top-10 (≤ 10·|queries| rows, checkpointed)
+    // sparse arm: BM25 top-10 (≤ 10·|queries| rows, checkpointed).
+    // The arms are independent plans and COULD run as two concurrent
+    // job groups, but measured on local[32] the overlap loses badly
+    // (31.9 s vs 5.9 s sequential — the lloyd mapPartitions pass and
+    // the checkpoint actions thrash each other's task slots), so they
+    // run sequentially.
     val sp = bm25(s, dir, materialize)
       .select(col("qid"), col("doc_id"), col("rn").as("rs"))
-    // dense arm: exact cosine top-10 via the bounded-heap aggregate —
-    // map-side partials keep the shuffle at ≤ k rows per partition per
-    // query (the ann_brute_topk formulation)
-    val e = embeddings(s, dir)
-      .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .withColumn("n2", normQ2(col("q")))
-    val qs = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
-      .select(expr("CAST(vec_id div 100 + 1 AS INT)").as("qid"),
-        col("q").as("qq"), col("n2").as("qn2"))
-    val dn = e.crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= (col("qid") - 1).cast("long") * 100)
-      .withColumn("cos",
-        cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
-      .groupBy(col("qid"))
-      .agg(graft.functions.TopKFunctions
-        .topk_by_score(10, col("cos"), col("vec_id"), lit(0L)).as("top"))
-      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("qid"), col("t.id").as("doc_id"), (col("pos") + 1).as("rd"))
+    // dense arm: IVF-PQ index-served cosine top-10. Queries are the
+    // five vec_id % 100 = 0 lattice vectors (query q ↔ embedding
+    // (q−1)·100, the fixed pairing); self-matches drop inside the
+    // serve (vec_id <> qid on the raw ids).
+    fuse(sp, denseTop10(s, dir))
+  }
+
+  /** The dense arm of [[rrf]] — top-10 cosine neighbors of the five
+    * query vectors, served from a freshly persisted IVF-PQ index
+    * (train → save → load → probe; the save/load roundtrip is exact on
+    * the integer domain, spec-proven in StreamingAnnSpec). Exposed for
+    * HybridSplitSpec's arm-swap + recall-floor assertions.
+    */
+  private[graft] def denseTop10(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SimilarityQueries._
+    val eq = quantized(s, dir)
+    val index = trainIvfPq(s, eq, 8,
+      col("vec_id") % 25 === 0 && col("vec_id") < 400)
+    val path = java.nio.file.Files.createTempDirectory("graft-rrf-idx").toString
+    saveIvfPqIndex(s, index, eq.select(col("vec_id"), col("q")), path)
+    val (idx2, codes) = loadIvfPqIndex(s, path)
+    val qs = eq.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
+    ivfPqSearchPrecoded(idx2, eq, codes, qs, nprobe = 4, k = 10,
+        knownBatch = Some(5L))
+      .select(expr("CAST(qid div 100 + 1 AS INT)").as("qid"),
+        col("vec_id").as("doc_id"), col("rn").as("rd"))
+  }
+
+  /** RRF fusion of a sparse (qid, doc_id, rs) and dense (qid, doc_id,
+    * rd) rank frame — rank-only, arm-agnostic (the property the r10
+    * index-served arm swap relies on).
+    */
+  private[graft] def fuse(sp: DataFrame, dn: DataFrame): DataFrame = {
     // fusion: two rank lists, full-outer on (qid, doc) — a missing arm
     // contributes 0, exactly the RRF convention
     val fused = sp.join(dn, Seq("qid", "doc_id"), "full_outer")
@@ -306,26 +332,25 @@ object RetrievalQueries {
     "text_bm25" -> (bm25RankedCte +
       """SELECT qid, doc_id, score_u, CAST(rn AS INT) AS rn FROM sprank
         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin),
+    // dense arm = the shared IVF-PQ probed-cell chain (ann_ivfpq's
+    // oracle text, query set restated as the % 100 lattice), so the
+    // gate checks the INDEX-SERVED computation the Spark side runs —
+    // the brute-force CROSS JOIN arm it replaced (r10) lives on as
+    // the HybridSplitSpec recall baseline
     "retr_rrf" -> (bm25RankedCte +
-      """, v AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding,
-        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, q,
-        |             CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM v),
-        |qv AS (SELECT CAST(vec_id // 100 + 1 AS INT) AS qid, q AS qq, n2 AS qn2
-        |       FROM n WHERE vec_id % 100 = 0 AND vec_id < 500),
-        |dn AS (
-        |  SELECT qid, vec_id AS doc_id, rn FROM (
-        |    SELECT qid, vec_id,
-        |           ROW_NUMBER() OVER (PARTITION BY qid
-        |                              ORDER BY cos DESC, vec_id) AS rn
-        |    FROM (SELECT qv.qid, b.vec_id,
-        |                 CAST(list_dot_product(qv.qq, b.q) AS DOUBLE)
-        |                   / (sqrt(CAST(qv.qn2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
-        |          FROM qv CROSS JOIN n b
-        |          WHERE b.vec_id <> (qv.qid - 1) * 100))
+      SimilarityQueries.quantCteCont +
+      SimilarityQueries.ivfPqOracleCand(
+        c => s"$c % 100 = 0 AND $c < 500", nprobe = 4) +
+      """, dn AS (
+        |  SELECT CAST(qid // 100 + 1 AS INT) AS qid, vec_id AS doc_id, rn
+        |  FROM (
+        |    SELECT c.qid, c.vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY c.qid
+        |             ORDER BY CAST(list_dot_product(qa.q, qb.q) AS DOUBLE)
+        |               / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+        |               DESC, c.vec_id) AS rn
+        |    FROM cand c JOIN n qa ON qa.vec_id = c.qid
+        |    JOIN n qb ON qb.vec_id = c.vec_id)
         |  WHERE rn <= 10),
         |sp10 AS (SELECT qid, doc_id, rn FROM sprank WHERE rn <= 10),
         |fused AS (

@@ -330,39 +330,52 @@ object SimilarityQueries {
     IvfPqIndex(coarse, fine)
   }
 
-  /** Largest query batch served through the BROADCAST plan. The
-    * binding frame is the probe LUT frame — |Q|·nprobe rows each
-    * carrying an M·16-slot LUT (~1 KiB at M = 8), so 1 M queries
-    * ≈ 4 GiB, the last size safely under Spark's 8 GiB broadcast
+  /** Byte budget for the BROADCAST serving plan. The binding frame is
+    * the probe LUT frame — |Q|·nprobe rows each carrying an M·16-slot
+    * LUT of longs (~1 KiB at M = 8), so the largest broadcastable
+    * batch is budget / (nprobe · lutRowBytes): 1 M queries at the
+    * M = 8 / nprobe = 4 defaults, safely under Spark's 8 GiB broadcast
     * ceiling (the skinny candidate list is k·|Q| 16 B rows ≈ 1.6 GiB
-    * and the query-vector frame ~0.6 GiB at the same point). A serving
-    * batch (even a generous streaming micro-batch) sits far below
-    * this; only a corpus-proportional "probe half the corpus"
-    * formulation crosses it — past the bound the serve pivots to the
-    * salted shuffle join below instead of dying on the ceiling (the
-    * r9 100× sweep killed a session exactly that way).
+    * and the query-vector frame ~0.6 GiB at the same point). Deriving
+    * the row bound from nprobe and M (r10, was a fixed 1 M rows)
+    * keeps a wider-LUT or deeper-probe caller from crossing the
+    * ceiling while the pivot still picks broadcast. A serving batch
+    * (even a generous streaming micro-batch) sits far below this;
+    * only a corpus-proportional "probe half the corpus" formulation
+    * crosses it — past the bound the serve pivots to the salted
+    * shuffle join below instead of dying on the ceiling (the r9 100×
+    * sweep killed a session exactly that way).
     */
-  private val MaxBroadcastQueries = 1000000L
+  private val BroadcastByteBudget = 4L * 1024 * 1024 * 1024
 
-  /** Serve top-5 neighbors from a trained index: `queries` explode
+  /** Serve top-`k` neighbors from a trained index: `queries` explode
     * into `nprobe` probed cells (16-element struct sort per query row),
     * `codes` carries the pre-encoded (vec_id, cell, enc) rows (the
     * cell equi-join is the pair-proportional stage), and `corpus`
     * supplies the full-precision rows for the exact re-rank.
     *
-    * Join strategy is picked by the ACTUAL query-batch size (one
-    * column-pruned count action): a bounded serving batch broadcasts
-    * its probe/LUT frames against the corpus scan (zero corpus
-    * shuffles — the production path); a corpus-proportional batch
-    * (the ann_incr gate's delta = N/2 conformance shape) would
-    * overrun the broadcast ceiling, so it degrades to a salted
-    * shuffle join on (cell, salt) — kC coarse cells alone would hash
-    * to ≤ 16 shuffle partitions, so the code side fans out over 64
-    * salts to restore parallelism. Same rows either way; only the
-    * physical strategy pivots.
+    * Join strategy is picked by the query-batch size. NOTE: absent
+    * `knownBatch` this is ONE EAGER column-pruned count action at
+    * plan-construction time — an uncached query lineage recomputes
+    * fully, so callers that already know the batch size (streaming
+    * micro-batches do) should pass it via `knownBatch` to keep plan
+    * construction lazy. A bounded serving batch broadcasts its
+    * probe/LUT frames against the corpus scan (zero corpus shuffles —
+    * the production path); a corpus-proportional batch (the ann_incr
+    * gate's delta = N/2 conformance shape) would overrun the
+    * broadcast ceiling, so it degrades to a salted shuffle join on
+    * (cell, salt) — kC coarse cells alone would hash to ≤ 16 shuffle
+    * partitions, so one side fans out over 64 salts to restore
+    * parallelism. The REPLICATED (×64) side is whichever frame is
+    * smaller (r10 — the r9 cut always exploded the codes side, which
+    * replicates the corpus 64× in the true big-batch |N| ≫ |Q|
+    * serve): both counts are already in hand or one cheap
+    * column-pruned action. Same rows either way; only the physical
+    * strategy pivots.
     */
   private def ivfPqServe(index: IvfPqIndex, corpus: DataFrame,
-      codes: DataFrame, queries: DataFrame, nprobe: Int): DataFrame = {
+      codes: DataFrame, queries: DataFrame, nprobe: Int,
+      k: Int = 5, knownBatch: Option[Long] = None): DataFrame = {
     import graft.functions.VectorNative.pq_lut_native
     val coarse = index.coarse
     val fine = index.fine
@@ -389,10 +402,13 @@ object SimilarityQueries {
     // `graft.ann.maxBroadcastQueries` overrides the pivot (tests force
     // the salted path on tiny frames; a deployment with more executor
     // memory can raise it)
+    val lutRowBytes = (M.toLong * 16 + 4) * 8 // M·16 LUT slots + row overhead
     val maxB = queries.sparkSession.conf
       .getOption("graft.ann.maxBroadcastQueries")
-      .map(_.toLong).getOrElse(MaxBroadcastQueries)
-    val smallBatch = queries.count() <= maxB
+      .map(_.toLong)
+      .getOrElse(BroadcastByteBudget / (nprobe.toLong * lutRowBytes))
+    val qCount = knownBatch.getOrElse(queries.count())
+    val smallBatch = qCount <= maxB
     val probed =
       if (smallBatch) codes.join(broadcast(qsx), "cell")
       else {
@@ -402,11 +418,24 @@ object SimilarityQueries {
         // 100× run had the stats-driven planner pick a broadcast that
         // overran the 8 GiB ceiling 600 s into the job)
         val nSalt = 64
-        val qsxS = qsx.withColumn("salt", pmod(hash(col("qid")), lit(nSalt)))
-        val codesS = codes.withColumn("salt",
-          explode(array((0 until nSalt).map(lit(_)): _*)))
-        codesS.join(qsxS.hint("shuffle_hash"), Seq("cell", "salt"))
-          .drop("salt")
+        // replicate the SMALLER side ×nSalt; the bigger side takes one
+        // hash-salt per row (one column-pruned count on codes — the
+        // query count is already in hand)
+        val qsxRows = qCount * nprobe
+        if (codes.select(col("vec_id")).count() <= qsxRows) {
+          val qsxS = qsx.withColumn("salt", pmod(hash(col("qid")), lit(nSalt)))
+          val codesS = codes.withColumn("salt",
+            explode(array((0 until nSalt).map(lit(_)): _*)))
+          codesS.join(qsxS.hint("shuffle_hash"), Seq("cell", "salt"))
+            .drop("salt")
+        } else {
+          val codesS = codes.withColumn("salt",
+            pmod(hash(col("vec_id")), lit(nSalt)))
+          val qsxS = qsx.withColumn("salt",
+            explode(array((0 until nSalt).map(lit(_)): _*)))
+          codesS.hint("shuffle_hash").join(qsxS, Seq("cell", "salt"))
+            .drop("salt")
+        }
       }
     val approxTop = probed
       .filter(col("vec_id") =!= col("qid"))
@@ -440,7 +469,7 @@ object SimilarityQueries {
         cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
       .groupBy(col("qid"))
       .agg(graft.functions.TopKFunctions
-        .topk_by_score(5, col("cos"), col("vec_id"), lit(0L)).as("top"))
+        .topk_by_score(k, col("cos"), col("vec_id"), lit(0L)).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
         col("e.id").as("vec_id"), col("e.score").as("cos"))
@@ -452,13 +481,14 @@ object SimilarityQueries {
     * codebooks happens inline — no join, no shuffle, no aggregate.
     */
   private[graft] def ivfPqSearch(index: IvfPqIndex, corpus: DataFrame,
-      corpusCodes: DataFrame, queries: DataFrame, nprobe: Int): DataFrame = {
+      corpusCodes: DataFrame, queries: DataFrame, nprobe: Int,
+      k: Int = 5, knownBatch: Option[Long] = None): DataFrame = {
     import graft.functions.VectorNative.pq_encode_native
     val codes = corpusCodes
       .select(col("vec_id"),
         pq_encode_native(col("q"), index.coarse).getItem(0).cast("int").as("cell"),
         pq_encode_native(col("q"), index.fine).as("enc"))
-    ivfPqServe(index, corpus, codes, queries, nprobe)
+    ivfPqServe(index, corpus, codes, queries, nprobe, k, knownBatch)
   }
 
   /** Persist a trained index to the lakehouse: `codebooks/` (book,
@@ -508,10 +538,13 @@ object SimilarityQueries {
 
   /** [[ivfPqSearch]] against PRE-ENCODED code rows (the loaded index) —
     * the production serving path: nothing re-encodes the corpus.
+    * Without `knownBatch` the strategy pivot runs one eager count on
+    * `queries` at plan time (see [[ivfPqServe]]).
     */
   private[graft] def ivfPqSearchPrecoded(index: IvfPqIndex, corpus: DataFrame,
-      codes: DataFrame, queries: DataFrame, nprobe: Int): DataFrame =
-    ivfPqServe(index, corpus, codes, queries, nprobe)
+      codes: DataFrame, queries: DataFrame, nprobe: Int,
+      k: Int = 5, knownBatch: Option[Long] = None): DataFrame =
+    ivfPqServe(index, corpus, codes, queries, nprobe, k, knownBatch)
 
   private[graft] def ivfPq(s: SparkSession, dir: String, M: Int,
       nprobe: Int): DataFrame = {
@@ -910,6 +943,145 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rn"))
     })
   )
+
+  /** The full IVF-PQ computation as a DuckDB CTE chain — coarse seed
+    * assign → floor-mean Lloyd → doc cells + nprobe-probed query
+    * cells, then the PQ pipeline (subspace slices, seed assign, Lloyd,
+    * code assign, LUT join) with the approx scan restricted to probed
+    * cells, ending in the `cand` CTE (top-100 approximate candidates
+    * per query). Shared VERBATIM between the `ann_ivfpq` oracle and
+    * the `retr_rrf` dense arm (r10 — the index-served arm) so the two
+    * gates can never state different index computations. `queryPred`
+    * renders the query-set filter for a given vec_id column reference;
+    * callers append their own exact re-rank over `cand` (joining `n`
+    * for full precision).
+    */
+  private[operators] def ivfPqOracleCand(queryPred: String => String,
+      nprobe: Int): String =
+    s""", cseeds AS (
+      |  SELECT vec_id AS cid, q AS cq, n2 AS cn2
+      |  FROM n WHERE vec_id % 25 = 0 AND vec_id < 400),
+      |ca0 AS (
+      |  SELECT vec_id, q, cid FROM (
+      |    SELECT n.vec_id, n.q, c.cid,
+      |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+      |             ORDER BY n.n2 + c.cn2
+      |               - 2 * CAST(list_dot_product(n.q, c.cq) AS BIGINT),
+      |               c.cid) AS rn
+      |    FROM n CROSS JOIN cseeds c)
+      |  WHERE rn = 1),
+      |ccellsum AS (
+      |  SELECT cid, i, SUM(x) AS sm, COUNT(*) AS cnt
+      |  FROM (SELECT cid, UNNEST(q) AS x, generate_subscripts(q, 1) AS i
+      |        FROM ca0)
+      |  GROUP BY cid, i),
+      |cc1 AS (
+      |  SELECT cid,
+      |         list(CAST(floor(CAST(sm AS DOUBLE) / cnt) AS BIGINT)
+      |              ORDER BY i) AS cq
+      |  FROM ccellsum GROUP BY cid),
+      |cc AS (
+      |  SELECT cid, cq, CAST(list_dot_product(cq, cq) AS BIGINT) AS cn2
+      |  FROM cc1),
+      |dcell AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT n.vec_id, c.cid AS cell,
+      |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+      |             ORDER BY n.n2 + c.cn2
+      |               - 2 * CAST(list_dot_product(n.q, c.cq) AS BIGINT),
+      |               c.cid) AS rn
+      |    FROM n CROSS JOIN cc c)
+      |  WHERE rn = 1),
+      |qcell AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT n.vec_id AS qid, c.cid AS cell,
+      |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+      |             ORDER BY n.n2 + c.cn2
+      |               - 2 * CAST(list_dot_product(n.q, c.cq) AS BIGINT),
+      |               c.cid) AS rn
+      |    FROM n CROSS JOIN cc c
+      |    WHERE ${queryPred("n.vec_id")})
+      |  WHERE rn <= $nprobe),
+      |subs AS (
+      |  SELECT vec_id, m,
+      |         list_slice(q, m * (len(q) // 8) + 1, (m + 1) * (len(q) // 8)) AS sq
+      |  FROM n CROSS JOIN (SELECT UNNEST(range(0, 8)) AS m)),
+      |sn AS (
+      |  SELECT vec_id, m, sq,
+      |         CAST(list_dot_product(sq, sq) AS BIGINT) AS sn2 FROM subs),
+      |seeds AS (
+      |  SELECT m, vec_id AS cid, sq AS cq, sn2 AS cn2
+      |  FROM sn WHERE vec_id % 25 = 0 AND vec_id < 400),
+      |a0 AS (
+      |  SELECT vec_id, m, sq, cid FROM (
+      |    SELECT s.vec_id, s.m, s.sq, c.cid,
+      |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+      |             ORDER BY s.sn2 + c.cn2
+      |               - 2 * CAST(list_dot_product(s.sq, c.cq) AS BIGINT),
+      |               c.cid) AS rn
+      |    FROM sn s JOIN seeds c ON c.m = s.m)
+      |  WHERE rn = 1),
+      |cellsum AS (
+      |  SELECT m, cid, i, SUM(x) AS sm, COUNT(*) AS cnt
+      |  FROM (SELECT m, cid, UNNEST(sq) AS x,
+      |               generate_subscripts(sq, 1) AS i FROM a0)
+      |  GROUP BY m, cid, i),
+      |cents1 AS (
+      |  SELECT m, cid,
+      |         list(CAST(floor(CAST(sm AS DOUBLE) / cnt) AS BIGINT)
+      |              ORDER BY i) AS cq
+      |  FROM cellsum GROUP BY m, cid),
+      |c1 AS (
+      |  SELECT m, cid, cq,
+      |         CAST(list_dot_product(cq, cq) AS BIGINT) AS cn2 FROM cents1),
+      |codes AS (
+      |  SELECT vec_id, m, cid, cn2 FROM (
+      |    SELECT s.vec_id, s.m, c.cid, c.cn2,
+      |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+      |             ORDER BY s.sn2 + c.cn2
+      |               - 2 * CAST(list_dot_product(s.sq, c.cq) AS BIGINT),
+      |               c.cid) AS rn
+      |    FROM sn s JOIN c1 c ON c.m = s.m)
+      |  WHERE rn = 1),
+      |recon AS (SELECT vec_id, SUM(cn2) AS rn2 FROM codes GROUP BY vec_id),
+      |luts AS (
+      |  SELECT s.vec_id AS qid, s.m, c.cid,
+      |         CAST(list_dot_product(s.sq, c.cq) AS BIGINT) AS ld
+      |  FROM sn s JOIN c1 c ON c.m = s.m
+      |  WHERE ${queryPred("s.vec_id")}),
+      |approx AS (
+      |  SELECT l.qid, k.vec_id, SUM(l.ld) AS lutsum
+      |  FROM codes k
+      |  JOIN luts l ON l.m = k.m AND l.cid = k.cid
+      |  JOIN dcell d ON d.vec_id = k.vec_id
+      |  JOIN qcell qc ON qc.qid = l.qid AND qc.cell = d.cell
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT a.qid, a.vec_id,
+      |           ROW_NUMBER() OVER (PARTITION BY a.qid
+      |             ORDER BY CAST(a.lutsum AS DOUBLE)
+      |               / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(r.rn2 AS DOUBLE)))
+      |               DESC, a.vec_id) AS rn
+      |    FROM approx a JOIN n qn ON qn.vec_id = a.qid
+      |    JOIN recon r ON r.vec_id = a.vec_id
+      |    WHERE a.vec_id <> a.qid)
+      |  WHERE rn <= 100)
+      |""".stripMargin
+
+  /** [[quantCte]] for splicing into another gate's chain: the v/n
+    * quantization CTEs as a continuation (", v AS …") instead of a
+    * chain head.
+    */
+  private[operators] val quantCteCont =
+    """, v AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q,
+      |             CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM v)
+      |""".stripMargin
 
   private val quantCte =
     """WITH v AS (
@@ -1310,118 +1482,11 @@ object SimilarityQueries {
     // IVF-PQ: the coarse quantizer stated as full-vector L2 CTEs
     // (seed assign -> floor-mean Lloyd -> doc cells + 4-probe query
     // cells), then the ann_pq_adc PQ pipeline with the approx scan
-    // restricted to probed cells
+    // restricted to probed cells — the shared ivfPqOracleCand chain
+    // (also the retr_rrf dense arm), then the exact re-rank
     "ann_ivfpq" -> (quantCte +
-      """, cseeds AS (
-        |  SELECT vec_id AS cid, q AS cq, n2 AS cn2
-        |  FROM n WHERE vec_id % 25 = 0 AND vec_id < 400),
-        |ca0 AS (
-        |  SELECT vec_id, q, cid FROM (
-        |    SELECT n.vec_id, n.q, c.cid,
-        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
-        |             ORDER BY n.n2 + c.cn2
-        |               - 2 * CAST(list_dot_product(n.q, c.cq) AS BIGINT),
-        |               c.cid) AS rn
-        |    FROM n CROSS JOIN cseeds c)
-        |  WHERE rn = 1),
-        |ccellsum AS (
-        |  SELECT cid, i, SUM(x) AS sm, COUNT(*) AS cnt
-        |  FROM (SELECT cid, UNNEST(q) AS x, generate_subscripts(q, 1) AS i
-        |        FROM ca0)
-        |  GROUP BY cid, i),
-        |cc1 AS (
-        |  SELECT cid,
-        |         list(CAST(floor(CAST(sm AS DOUBLE) / cnt) AS BIGINT)
-        |              ORDER BY i) AS cq
-        |  FROM ccellsum GROUP BY cid),
-        |cc AS (
-        |  SELECT cid, cq, CAST(list_dot_product(cq, cq) AS BIGINT) AS cn2
-        |  FROM cc1),
-        |dcell AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT n.vec_id, c.cid AS cell,
-        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
-        |             ORDER BY n.n2 + c.cn2
-        |               - 2 * CAST(list_dot_product(n.q, c.cq) AS BIGINT),
-        |               c.cid) AS rn
-        |    FROM n CROSS JOIN cc c)
-        |  WHERE rn = 1),
-        |qcell AS (
-        |  SELECT qid, cell FROM (
-        |    SELECT n.vec_id AS qid, c.cid AS cell,
-        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
-        |             ORDER BY n.n2 + c.cn2
-        |               - 2 * CAST(list_dot_product(n.q, c.cq) AS BIGINT),
-        |               c.cid) AS rn
-        |    FROM n CROSS JOIN cc c
-        |    WHERE n.vec_id % 50 = 0)
-        |  WHERE rn <= 4),
-        |subs AS (
-        |  SELECT vec_id, m,
-        |         list_slice(q, m * (len(q) // 8) + 1, (m + 1) * (len(q) // 8)) AS sq
-        |  FROM n CROSS JOIN (SELECT UNNEST(range(0, 8)) AS m)),
-        |sn AS (
-        |  SELECT vec_id, m, sq,
-        |         CAST(list_dot_product(sq, sq) AS BIGINT) AS sn2 FROM subs),
-        |seeds AS (
-        |  SELECT m, vec_id AS cid, sq AS cq, sn2 AS cn2
-        |  FROM sn WHERE vec_id % 25 = 0 AND vec_id < 400),
-        |a0 AS (
-        |  SELECT vec_id, m, sq, cid FROM (
-        |    SELECT s.vec_id, s.m, s.sq, c.cid,
-        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-        |             ORDER BY s.sn2 + c.cn2
-        |               - 2 * CAST(list_dot_product(s.sq, c.cq) AS BIGINT),
-        |               c.cid) AS rn
-        |    FROM sn s JOIN seeds c ON c.m = s.m)
-        |  WHERE rn = 1),
-        |cellsum AS (
-        |  SELECT m, cid, i, SUM(x) AS sm, COUNT(*) AS cnt
-        |  FROM (SELECT m, cid, UNNEST(sq) AS x,
-        |               generate_subscripts(sq, 1) AS i FROM a0)
-        |  GROUP BY m, cid, i),
-        |cents1 AS (
-        |  SELECT m, cid,
-        |         list(CAST(floor(CAST(sm AS DOUBLE) / cnt) AS BIGINT)
-        |              ORDER BY i) AS cq
-        |  FROM cellsum GROUP BY m, cid),
-        |c1 AS (
-        |  SELECT m, cid, cq,
-        |         CAST(list_dot_product(cq, cq) AS BIGINT) AS cn2 FROM cents1),
-        |codes AS (
-        |  SELECT vec_id, m, cid, cn2 FROM (
-        |    SELECT s.vec_id, s.m, c.cid, c.cn2,
-        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-        |             ORDER BY s.sn2 + c.cn2
-        |               - 2 * CAST(list_dot_product(s.sq, c.cq) AS BIGINT),
-        |               c.cid) AS rn
-        |    FROM sn s JOIN c1 c ON c.m = s.m)
-        |  WHERE rn = 1),
-        |recon AS (SELECT vec_id, SUM(cn2) AS rn2 FROM codes GROUP BY vec_id),
-        |luts AS (
-        |  SELECT s.vec_id AS qid, s.m, c.cid,
-        |         CAST(list_dot_product(s.sq, c.cq) AS BIGINT) AS ld
-        |  FROM sn s JOIN c1 c ON c.m = s.m
-        |  WHERE s.vec_id % 50 = 0),
-        |approx AS (
-        |  SELECT l.qid, k.vec_id, SUM(l.ld) AS lutsum
-        |  FROM codes k
-        |  JOIN luts l ON l.m = k.m AND l.cid = k.cid
-        |  JOIN dcell d ON d.vec_id = k.vec_id
-        |  JOIN qcell qc ON qc.qid = l.qid AND qc.cell = d.cell
-        |  GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT qid, vec_id FROM (
-        |    SELECT a.qid, a.vec_id,
-        |           ROW_NUMBER() OVER (PARTITION BY a.qid
-        |             ORDER BY CAST(a.lutsum AS DOUBLE)
-        |               / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(r.rn2 AS DOUBLE)))
-        |               DESC, a.vec_id) AS rn
-        |    FROM approx a JOIN n qn ON qn.vec_id = a.qid
-        |    JOIN recon r ON r.vec_id = a.vec_id
-        |    WHERE a.vec_id <> a.qid)
-        |  WHERE rn <= 100)
-        |SELECT qid, rn, vec_id, cos FROM (
+      ivfPqOracleCand(c => s"$c % 50 = 0", nprobe = 4) +
+      """SELECT qid, rn, vec_id, cos FROM (
         |  SELECT c.qid, c.vec_id,
         |         CAST(list_dot_product(qa.q, qb.q) AS DOUBLE)
         |           / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))

@@ -8,9 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Invariants of the round-9 composition gates beyond the DuckDB gate:
   *
   *  - `retr_rrf`: the fused ranking must EQUAL an independently-computed
-  *    fusion of the two arms (sparse arm re-read from bm25's public
-  *    output; dense arm re-ranked through a row_number window instead of
-  *    the bounded-heap aggregate — a genuinely different code path).
+  *    fusion of the two arms — the ARM-SWAP property (r10): the fusion
+  *    is rank-only, so serving the dense arm from the persisted IVF-PQ
+  *    index instead of a brute scan changes the fused output ONLY
+  *    through the rank lists the arm hands over. Plus a recall floor:
+  *    the index-served arm must recover most of the brute-force
+  *    top-10 (nprobe = 4 of 16 cells — approximate by design).
   *
   *  - `pipe_split`: the leakage guarantee itself — no near-dup cluster
   *    may straddle the train/test boundary, ever; exact-duplicate
@@ -32,27 +35,17 @@ class HybridSplitSpec extends AnyFunSuite {
     .appName("hybrid-split-spec").getOrCreate()
 
   test("retr_rrf equals an independently fused ranking of the two arms") {
-    import graft.functions.VectorFunctions._
     val s = spark
     // sparse arm ranks from the public bm25 output
     val sp = RetrievalQueries.bm25(s, dir)
       .select(col("qid"), col("doc_id"), col("rn")).collect()
       .map(r => ((r.getInt(0), r.getLong(1)), r.getInt(2))).toMap
-    // dense arm re-ranked via a window (not the heap the gate uses)
-    val e = graft.Tables.embeddings(s, dir)
-      .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .withColumn("n2", normQ2(col("q")))
-    val qs = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
-      .select(expr("CAST(vec_id div 100 + 1 AS INT)").as("qid"),
-        col("q").as("qq"), col("n2").as("qn2"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    val dn = e.crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= (col("qid") - 1).cast("long") * 100)
-      .withColumn("cos",
-        cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
-      .select(col("qid"), col("vec_id"), col("rn")).collect()
-      .map(r => ((r.getInt(0), r.getLong(1)), r.getInt(2))).toMap
+    // dense arm = the SAME index-served rank list the gate consumes
+    // (train→save→load→probe); the fusion below is plain Scala, so the
+    // assertion pins the arm-swap property: fusion(arms) == gate output
+    // no matter which machinery produced the rank lists
+    val dn = RetrievalQueries.denseTop10(s, dir).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
     // fuse in plain Scala
     val expected = (sp.keySet ++ dn.keySet).toSeq
       .map { case k @ (qid, doc) =>
@@ -69,6 +62,39 @@ class HybridSplitSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(got == expected)
     assert(got.groupBy(_._1).size == 5) // all five queries answered
+  }
+
+  test("index-served dense arm recovers the brute-force top-10 above the recall floor") {
+    import graft.functions.VectorFunctions._
+    val s = spark
+    // ground truth: exact cosine top-10 via a window over the full
+    // cross product — the brute arm the r10 index serve replaced
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", normQ2(col("q")))
+    val qs = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
+      .select(expr("CAST(vec_id div 100 + 1 AS INT)").as("qid"),
+        col("q").as("qq"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val truth = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= (col("qid") - 1).cast("long") * 100)
+      .withColumn("cos",
+        cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val served = RetrievalQueries.denseTop10(s, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(served.keySet == truth.keySet)
+    val recalls = truth.map { case (qid, t) =>
+      served(qid).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    // nprobe = 4 of 16 cells is approximate by design; the floor
+    // asserts the index is RETRIEVING, not that it is exact
+    assert(mean >= 0.5, s"mean recall@10 $mean below floor (per-q: $recalls)")
   }
 
   test("pipe_split never splits a near-dup cluster across train/test") {

@@ -177,4 +177,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(leaked.isEmpty,
       s"capped near-dedup must still drop family members, kept $leaked")
   }
+
+  test("pipe_full re-keys a cluster whose representative was dropped by curation") {
+    // the dropped-representative edge (r10): doc 3 is the GLOBAL
+    // minimum of its near-dup cluster but fails the n_tok >= 20 stage
+    // filter, while its band-colliding superset doc 57 survives. The
+    // raw cluster label (3) now names a document that is not in the
+    // curated set — pipe_full must key the split by the SURVIVING
+    // minimum (57), not the dangling global label.
+    import spark.implicits._
+    val b = "the data keeps the value fast and the group holds the table " +
+      "well so the batch moves fast while the line ends today now"
+    val a = b.split(' ').take(19).mkString(" ") // 19 tokens -> dropped
+    val f1 = "the rows merge under the index while a scan reads the heap " +
+      "and a cost model picks the fast path for the small probe today"
+    val f2 = "the planner walks a tree and the bytes stream into a sink " +
+      "while the pool keeps a slot open for the tiny task ahead now"
+    val docs = Seq((3L, a), (57L, b), (10L, f1), (11L, f2),
+      (194L, "zz yy xx ww vv")) // 194 = 2*97: the benchmark slice
+    val fx = java.nio.file.Files.createTempDirectory("pipe-full-edge").toFile
+    fx.deleteOnExit()
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${fx.getAbsolutePath}/documents.parquet")
+    val dir2 = fx.getAbsolutePath
+    // precondition: the RAW clustering really does put 3 and 57 in one
+    // cluster labeled by the soon-dropped global min 3 (band collision
+    // between the 18-shingle prefix and its 23-shingle superset)
+    val raw = DedupQueries.queries("pipe_split")(spark, dir2)
+      .select(col("doc_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(raw(57L) == 3L && raw(3L) == 3L,
+      s"precondition: 3 and 57 must band-collide into cluster 3, got $raw")
+    val full = PipelineQueries.queries("pipe_full")(spark, dir2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = full.map(r => r._1 -> r).toMap
+    // dropped docs stay dropped: 3 (length filter), 194 (benchmark)
+    assert(!byId.contains(3L) && !byId.contains(194L), full.mkString(","))
+    // the edge itself: 57's label is the surviving minimum, not 3
+    assert(byId(57L)._2 == 57L,
+      s"cluster label must be the SURVIVING min, got ${byId(57L)}")
+    // split = Knuth hash of the surviving label, for every row
+    full.foreach { case (_, c, split) =>
+      val pct = (c % 2147483648L) * 2654435761L % 4294967296L % 100
+      assert(split == (if (pct < 90) "train" else "test"))
+    }
+    // and no cluster straddles
+    full.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $c straddles")
+    }
+  }
 }
