@@ -410,8 +410,22 @@ object SimilarityQueries {
     val qCount = knownBatch.getOrElse(queries.count())
     val smallBatch = qCount <= maxB
     val probed =
-      if (smallBatch) codes.join(broadcast(qsx), "cell")
-      else {
+      if (smallBatch) {
+        // the pair-proportional LUT-sum stage is COMPUTE-bound
+        // (|N|·|Q|·nprobe/kC scored rows) and fuses into the codes
+        // scan under the broadcast join — an under-split scan (one
+        // row group → one task) serializes it (measured 28.6 s vs
+        // 5.4 s for the shuffle plan at 200 k × 1 k, r10). Spread a
+        // low-partition codes frame to the session's parallelism
+        // first; a real lakehouse scan already has file parallelism,
+        // so the guard makes this a no-op there (the tablePar rule).
+        val target = codes.sparkSession.sparkContext.defaultParallelism
+        val codesPar =
+          if (codes.rdd.getNumPartitions < math.max(2, target / 2))
+            codes.repartition(target)
+          else codes
+        codesPar.join(broadcast(qsx), "cell")
+      } else {
         // every big-path join pins an explicit non-broadcast strategy:
         // planner-side size ESTIMATES for aggregate/generate outputs
         // under-count here (the candidate frame is k·|Q| rows — the r9
