@@ -258,6 +258,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"incremental probe must stay equi-join only:\n$p")
   }
 
+  test("IVF-PQ serving: broadcast probe/LUT/candidate frames, no sort-merge") {
+    // the bounded-batch serving claim (r10): the probe LUT frame, the
+    // skinny candidate list and the query-vector frame all BROADCAST
+    // against the codes/corpus scans — a SortMergeJoin or cartesian
+    // anywhere means the serve shuffles the corpus per batch. Audited
+    // on the index-served retr_rrf dense arm (train/save/load run
+    // eagerly; the returned frame is the lazy serve plan).
+    val p = RetrievalQueries.denseTop10(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      s"probe LUT + candidates + query vectors must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"serving joins must be broadcast-hash only:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"candidate/re-rank top-k must run the bounded heap:\n$p")
+  }
+
   test("as-of join is union+window: no join operator, one key shuffle") {
     val p = plan("q_asof_join")
     assert(!p.contains("Join"), s"as-of must not materialize a join:\n$p")
