@@ -48,12 +48,26 @@ class AnnRecallSpec extends AnyFunSuite {
       SimilarityQueries.queries("ann_ivfpq")(spark, dir)
         .collect().map(_.toString).sorted
     val viaBroadcast = run()
+    // ann_ivfpq's 4-query set is far smaller than its 200-row code
+    // side, so the r10 smaller-side pick salts the CODES and
+    // replicates the query/LUT frame ×64; ann_incr's delta = N/2
+    // shape (|Q|·nprobe = 400 > 100 code rows) drives the OTHER
+    // branch — codes replicated, queries hash-salted. Both must be
+    // row-identical to their broadcast plans.
+    def runIncr(): Array[String] =
+      SimilarityQueries.queries("ann_incr")(spark, dir)
+        .collect().map(_.toString).sorted
+    val incrBroadcast = runIncr()
     spark.conf.set("graft.ann.maxBroadcastQueries", "0")
     try {
       val viaSalted = run()
       assert(viaSalted.length == viaBroadcast.length &&
         viaSalted.sameElements(viaBroadcast),
-        "salted serve path diverged from the broadcast path")
+        "salted serve path (codes-salted branch) diverged from broadcast")
+      val incrSalted = runIncr()
+      assert(incrSalted.length == incrBroadcast.length &&
+        incrSalted.sameElements(incrBroadcast),
+        "salted serve path (codes-replicated branch) diverged from broadcast")
     } finally spark.conf.unset("graft.ann.maxBroadcastQueries")
   }
 
