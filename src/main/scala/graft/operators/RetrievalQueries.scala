@@ -229,7 +229,11 @@ object RetrievalQueries {
     val eq = quantized(s, dir)
     val index = trainIvfPq(s, eq, 8,
       col("vec_id") % 25 === 0 && col("vec_id") < 400)
-    val path = java.nio.file.Files.createTempDirectory("graft-rrf-idx").toString
+    // stable per-dataset location + overwrite writes: repeated gate
+    // runs REPLACE the artifact (the production index lifecycle)
+    // instead of littering one temp dir per invocation
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-rrf-idx-" +
+      java.lang.Integer.toHexString(dir.hashCode)
     saveIvfPqIndex(s, index, eq.select(col("vec_id"), col("q")), path)
     val (idx2, codes) = loadIvfPqIndex(s, path)
     val qs = eq.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
