@@ -72,37 +72,101 @@ object PipelineQueries {
       val res = out.localCheckpoint(true)
       pairs.unpersist(blocking = false)
       res
+    }),
+
+    // INCREMENTAL curation (r10): curate an arriving DELTA batch
+    // against the IMMUTABLE already-curated corpus — the composition
+    // that fuses this engine's two halves: the CDC side delivers a
+    // change stream, the pipeline side admits it into the training
+    // corpus. Base = even doc_ids, already curated (in production: the
+    // stored manifest); delta = odd doc_ids arriving. Delta docs pass
+    // the same fused stage-1–6 map pass, then drop if (a) their digest
+    // already exists among base survivors or a smaller delta doc
+    // (append-only exact dedup — the base is never retracted, so ties
+    // go to the base, unlike batch curate's global keep-min), or
+    // (b) they near-dup-verify (jac ≥ 0.5, capped LSH) against ANY
+    // base survivor (drop the delta member regardless of id order) or
+    // a smaller admitted delta doc. Output: the admitted delta
+    // manifest. 100 TB shape: stages 1–6 cost ONLY the delta (map
+    // pass); the base side contributes its survivor hashes — in
+    // production served from the persisted band index
+    // (saveBandIndex/incrementalNearDups, spec-proven equal), so per
+    // batch the corpus pays nothing and the delta pays candidates +
+    // verify, exactly the dedup_incr lifecycle.
+    "pipe_incr" -> ((s, dir) => {
+      val bench = benchShingles(s, dir)
+      val b16 = stage16(s, dir, bench, col("doc_id") % 2 === 0).persist()
+      val bKeep = b16.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+      val bExact = b16.join(bKeep, Seq("digest", "doc_id"))
+      val bHashes = bExact
+        .select(col("doc_id"), col("digest"), shingleHashes(col("toks"), 2).as("hs"))
+        .persist()
+      val bDrops = DedupQueries.jaccardOnCandidates(
+          bHashes.filter(size(col("hs")) > 0), maxBucket = Some(8))
+        .select(col("ib")).distinct()
+      // base survivors: (doc_id, digest, hs) — all three downstream
+      // reads (digest anti-join, union hashes) come from the cached
+      // bHashes, so the base text is tokenized exactly once
+      val bSurv = bHashes.join(broadcast(bDrops),
+        bHashes("doc_id") === bDrops("ib"), "left_anti")
+      val d16 = stage16(s, dir, bench, col("doc_id") % 2 === 1).persist()
+      val dKeep = d16.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+      val dAdm = d16.join(dKeep, Seq("digest", "doc_id"))
+        .join(bSurv.select(col("digest")), Seq("digest"), "left_anti")
+      val uHashes = bSurv.select(col("doc_id"), col("hs"))
+        .unionByName(dAdm.select(col("doc_id"),
+          shingleHashes(col("toks"), 2).as("hs")))
+        .persist()
+      val pairs = DedupQueries.jaccardOnCandidates(
+        uHashes.filter(size(col("hs")) > 0), maxBucket = Some(8))
+      // parity rule: a {base, delta} pair drops the DELTA member
+      // whichever side is larger; a {delta, delta} pair drops the
+      // larger (the batch keep-min rule); {base, base} pairs are
+      // base-internal noise from union-shifted bucket caps — ignored
+      val dropD = pairs
+        .filter(!(col("ia") % 2 === 0 && col("ib") % 2 === 0))
+        .select(when(col("ia") % 2 === 1 && col("ib") % 2 === 0,
+          col("ia")).otherwise(col("ib")).as("vid"))
+        .distinct()
+      val out = dAdm.join(broadcast(dropD),
+          dAdm("doc_id") === dropD("vid"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_tok"), col("q"),
+          length(col("norm")).as("norm_len"))
+        .orderBy(col("doc_id"))
+      val res = out.localCheckpoint(true)
+      Seq(b16, bHashes, d16, uHashes).foreach(_.unpersist(blocking = false))
+      res
     }))
 
-  /** The curation pipeline as one plan. `materialize = true` (the gate /
-    * production path) persists the shared frames, eagerly materializes
-    * the manifest and releases the caches; `materialize = false` returns
-    * the LAZY plan — the full tree stays visible for plan audits and
-    * explain() (an eager localCheckpoint would reduce the audited plan
-    * to a cached-RDD scan).
+  /** The benchmark's NORMALIZED shingle inventory (r9) — doc_id
+    * % 97 = 0 stands in for the held-out eval suite. The doc_id filter
+    * evaluates before the shingle projection, so this small job
+    * tokenizes only the ~1% benchmark slice; the result is
+    * benchmark-sized driver metadata riding into the corpus pass as a
+    * sorted literal array (the text_decontam plan shape).
     */
-  private[operators] def curate(s: SparkSession, dir: String,
-      materialize: Boolean): DataFrame = {
+  private def benchShingles(s: SparkSession, dir: String): Array[Long] = {
+    import graft.functions.TextHashExpressions.sorted_distinct_longs
+    documents(s, dir)
+      .filter(col("doc_id") % 97 === 0)
+      .select(explode(sorted_distinct_longs(shingleHashes(tokens(
+        trim(regexp_replace(lower(col("text")), "\\s+", " "))), 4))).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+  }
+
+  /** Stages 1–6 of the curation pipeline (normalize, attribute,
+    * classify, decontaminate, filter — one fused map pass) plus the
+    * digest projection, over the corpus slice selected by `pred`
+    * (benchmark docs always leave up front — they are the eval suite,
+    * not train data). Returns (doc_id, source, norm, toks, n_tok, q,
+    * digest). Shared by [[curate]] (pred = true) and the `pipe_incr`
+    * gate (parity-split base/delta slices).
+    */
+  private def stage16(s: SparkSession, dir: String, benchSh: Array[Long],
+      pred: org.apache.spark.sql.Column): DataFrame = {
       import graft.functions.TextHashExpressions.{sorted_distinct_longs, intersect_count_sorted}
-      // stage 0 (r9): the benchmark's NORMALIZED shingle inventory —
-      // doc_id % 97 = 0 stands in for the held-out eval suite. The
-      // doc_id filter evaluates before the shingle projection, so this
-      // small job tokenizes only the ~1% benchmark slice; the result
-      // is benchmark-sized driver metadata riding into the corpus pass
-      // as a sorted literal array (the text_decontam plan shape).
-      val benchSh: Array[Long] = documents(s, dir)
-        .filter(col("doc_id") % 97 === 0)
-        .select(explode(sorted_distinct_longs(shingleHashes(tokens(
-          trim(regexp_replace(lower(col("text")), "\\s+", " "))), 2))).as("h"))
-        .distinct().collect().map(_.getLong(0)).sorted
-      // stages 1–6: normalize, attribute, classify, decontaminate,
-      // filter — one fused map pass. survivors are read by BOTH the
-      // shingle pipeline and the final manifest join; persist
-      // materializes the scan+normalize+score pass once (same
-      // discipline as dedup_jac_lsh). Benchmark docs themselves leave
-      // the corpus up front (they are the eval suite, not train data).
-      val survivors0 = documents(s, dir)
-        .filter(col("doc_id") % 97 =!= 0)
+      documents(s, dir)
+        .filter(col("doc_id") % 97 =!= 0 && pred)
         .select(col("doc_id"), col("source"),
           trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
         .withColumn("toks", tokens(col("norm")))
@@ -123,13 +187,21 @@ object PipelineQueries {
         // hashes each token once. The permissive threshold models the
         // low-bar "obvious junk" cut a production classifier runs first
         .withColumn("cls", classifierScore(col("toks")))
-        // benchmark decontamination (the text_decontam rule, ≥ 8 shared
-        // distinct normalized bigram shingles ⟹ drop) — one more
-        // predicate in the fused pass, zero shuffles
+        // benchmark decontamination — contaminated iff ≥ 2 shared
+        // distinct normalized 4-GRAM shingles. The 4-gram move is the
+        // r10 scale fix: the r9 bigram-overlap rule degenerates as the
+        // eval suite grows with the corpus — at sf0.1 the %97 slice's
+        // bigram inventory saturates the corpus's bigram space
+        // (survivors shared 80-100% of their bigrams) and emptied the
+        // manifest, and no threshold rescues a saturated feature. Long
+        // n-grams only collide on verbatim spans (measured at sf0.1:
+        // 76 of 4 948 docs share ≥ 2 bench 4-grams, max 80 — the real
+        // copies; the GPT-3 13-gram convention is this same idea).
+        // Still one more predicate in the fused pass, zero shuffles.
         .withColumn("n_hit", intersect_count_sorted(
-          sorted_distinct_longs(shingleHashes(col("toks"), 2)),
+          sorted_distinct_longs(shingleHashes(col("toks"), 4)),
           lit(benchSh)))
-        .filter(col("cls") > -5000L && col("n_hit") < 8)
+        .filter(col("cls") > -5000L && col("n_hit") < 2)
         .filter(col("n_tok") >= 20 && col("q") >= 3.0 && col("pred") === "en" &&
           expr("(CAST(n_tok AS BIGINT) - n_uniq) * 1000000 div CAST(n_tok AS BIGINT)") <= 620000 &&
           expr("top2 * 1000000 div (CAST(n_tok AS BIGINT) - 1)") <= 80000)
@@ -138,6 +210,22 @@ object PipelineQueries {
         .withColumn("digest", md5(to_binary(col("norm"), lit("utf-8"))))
         .select(col("doc_id"), col("source"), col("norm"), col("toks"),
           col("n_tok"), col("q"), col("digest"))
+  }
+
+  /** The curation pipeline as one plan. `materialize = true` (the gate /
+    * production path) persists the shared frames, eagerly materializes
+    * the manifest and releases the caches; `materialize = false` returns
+    * the LAZY plan — the full tree stays visible for plan audits and
+    * explain() (an eager localCheckpoint would reduce the audited plan
+    * to a cached-RDD scan).
+    */
+  private[operators] def curate(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
+      // stages 1–6 + digest: one fused map pass (see stage16); the
+      // survivors frame is read by BOTH the shingle pipeline and the
+      // final manifest join — persist materializes the
+      // scan+normalize+score pass once (the dedup_jac_lsh discipline)
+      val survivors0 = stage16(s, dir, benchShingles(s, dir), lit(true))
       val survivors = if (materialize) survivors0.persist() else survivors0
       val keep = survivors.groupBy(col("digest"))
         .agg(min(col("doc_id")).as("doc_id"))
@@ -184,45 +272,48 @@ object PipelineQueries {
       }
   }
 
-  /** The whole curation pipeline as one independent CTE chain through
-    * `drops` (normalize → attrs → filters → digest dedup → minhash/band
-    * candidates → exact-Jaccard verify → drop list) — shared VERBATIM
-    * between the `pipe_curate` and `pipe_full` oracles so the two gates
-    * can never state different curation semantics.
+  /** Stages 1–7 of the curation pipeline as a DuckDB CTE chain through
+    * `${p}exact` (normalize → attrs → filters → digest keep-min),
+    * parameterized by a CTE-name prefix and an extra corpus predicate —
+    * shared VERBATIM between the `pipe_curate`, `pipe_full` and
+    * `pipe_incr` oracles so the gates can never state different
+    * curation semantics. The raw string (not an s-interpolator) keeps
+    * the \s regex escapes literal; prefixes/predicates splice via
+    * plain replace.
     */
-  private val curateCtes =
-      """WITH norm0 AS (
+  private def stageChainCtes(p: String, extraWhere: String): String =
+      """@norm0 AS (
         |  SELECT doc_id, source,
         |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-        |  FROM documents WHERE doc_id % 97 <> 0),
-        |tk AS (
+        |  FROM documents WHERE doc_id % 97 <> 0<<W>>),
+        |@tk AS (
         |  SELECT doc_id, source, norm,
         |         list_filter(regexp_split_to_array(norm, '\s+'), x -> x <> '') AS tk
-        |  FROM norm0),
-        |btk AS (
+        |  FROM @norm0),
+        |@btk AS (
         |  SELECT list_filter(regexp_split_to_array(
         |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
         |         x -> x <> '') AS tk
         |  FROM documents WHERE doc_id % 97 = 0),
-        |bsh AS (
+        |@bsh AS (
         |  SELECT DISTINCT
         |         list_reduce(list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT)),
         |                     (a, b) -> (a * 31 + b) % 1000000007) AS h
-        |  FROM (SELECT UNNEST(list_distinct(list_transform(range(1, len(tk)),
-        |               i -> tk[i] || ' ' || tk[i+1]))) AS s
-        |        FROM btk)),
-        |dsh AS (
+        |  FROM (SELECT UNNEST(list_distinct(list_transform(range(1, len(tk) - 2),
+        |               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS s
+        |        FROM @btk WHERE len(tk) >= 4)),
+        |@dsh AS (
         |  SELECT DISTINCT doc_id,
         |         list_reduce(list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT)),
         |                     (a, b) -> (a * 31 + b) % 1000000007) AS h
         |  FROM (SELECT doc_id,
-        |               UNNEST(list_distinct(list_transform(range(1, len(tk)),
-        |                 i -> tk[i] || ' ' || tk[i+1]))) AS s
-        |        FROM tk)),
-        |hits AS (
-        |  SELECT doc_id, COUNT(*) AS n_hit FROM dsh JOIN bsh USING (h)
+        |               UNNEST(list_distinct(list_transform(range(1, len(tk) - 2),
+        |                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS s
+        |        FROM @tk WHERE len(tk) >= 4)),
+        |@hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_hit FROM @dsh JOIN @bsh USING (h)
         |  GROUP BY 1),
-        |attr AS (
+        |@attr AS (
         |  SELECT doc_id, source, norm, tk, len(tk) AS n_tok,
         |    CASE GREATEST(s_en, s_fr, s_es, s_de, s_zh)
         |      WHEN s_en THEN 'en' WHEN s_fr THEN 'fr' WHEN s_es THEN 'es'
@@ -240,15 +331,15 @@ object PipelineQueries {
         |          len(list_filter(tk, t -> t IN ('value','part','batch'))) AS s_es,
         |          len(list_filter(tk, t -> t IN ('window','group','merge'))) AS s_de,
         |          len(list_filter(tk, t -> t IN ('spark','scan','hash'))) AS s_zh
-        |        FROM tk)),
-        |rep AS (
+        |        FROM @tk)),
+        |@rep AS (
         |  SELECT u.doc_id, u.n_uniq, b.top2 FROM
         |    (SELECT doc_id, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_uniq
         |     FROM (SELECT doc_id,
         |             UNNEST(list_transform(tk, t ->
         |               list_reduce(list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)),
         |                           (a, b) -> (a * 31 + b) % 1000000007))) AS h
-        |           FROM tk) GROUP BY 1) u
+        |           FROM @tk) GROUP BY 1) u
         |  JOIN
         |    (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2 FROM
         |       (SELECT doc_id, h, COUNT(*) AS c FROM
@@ -257,86 +348,128 @@ object PipelineQueries {
         |               list_reduce(list_transform(string_split(tk[i] || ' ' || tk[i+1], ''),
         |                                          c -> CAST(ord(c) AS BIGINT)),
         |                           (a, b) -> (a * 31 + b) % 1000000007))) AS h
-        |           FROM tk)
+        |           FROM @tk)
         |        GROUP BY 1, 2) GROUP BY 1) b
         |  USING (doc_id)),
-        |cls AS (
+        |@cls AS (
         |  SELECT doc_id, <<CLS>> AS cls
-        |  FROM tk WHERE len(tk) > 0),
-        |filt AS (
-        |  SELECT attr.* FROM attr JOIN rep USING (doc_id) JOIN cls USING (doc_id)
-        |  LEFT JOIN hits USING (doc_id)
-        |  WHERE cls.cls > -5000 AND COALESCE(hits.n_hit, 0) < 8
+        |  FROM @tk WHERE len(tk) > 0),
+        |@filt AS (
+        |  SELECT @attr.* FROM @attr JOIN @rep USING (doc_id) JOIN @cls USING (doc_id)
+        |  LEFT JOIN @hits USING (doc_id)
+        |  WHERE @cls.cls > -5000 AND COALESCE(@hits.n_hit, 0) < 2
         |    AND n_tok >= 20 AND q >= 3.0 AND pred = 'en'
-        |    AND (CAST(n_tok AS BIGINT) - rep.n_uniq) * 1000000
+        |    AND (CAST(n_tok AS BIGINT) - @rep.n_uniq) * 1000000
         |        // CAST(n_tok AS BIGINT) <= 620000
-        |    AND rep.top2 * 1000000 // (CAST(n_tok AS BIGINT) - 1) <= 80000),
-        |exact AS (
-        |  SELECT f.* FROM filt f
+        |    AND @rep.top2 * 1000000 // (CAST(n_tok AS BIGINT) - 1) <= 80000),
+        |@exact AS (
+        |  SELECT f.* FROM @filt f
         |  JOIN (SELECT md5(norm) AS dg, MIN(doc_id) AS kid
-        |        FROM filt GROUP BY 1) k
-        |    ON md5(f.norm) = k.dg AND f.doc_id = k.kid),
-        |sh AS (
-        |  SELECT doc_id,
-        |         UNNEST(list_distinct(list_transform(range(1, len(tk)),
-        |                i -> tk[i] || ' ' || tk[i+1]))) AS s
-        |  FROM exact),
-        |h AS (
-        |  SELECT doc_id,
-        |         list_reduce(list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT)),
-        |                     (a, b) -> (a * 31 + b) % 1000000007) AS h
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id,
-        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
-        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
-        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
-        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
-        |  FROM h GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM sig UNION ALL
-        |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
-        |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
-        |  SELECT doc_id, 3, s6, s7 FROM sig),
-        |ok AS (
-        |  SELECT band, h1, h2 FROM bands GROUP BY 1, 2, 3
-        |  HAVING COUNT(*) <= 8),
-        |okb AS (SELECT b.* FROM bands b JOIN ok USING (band, h1, h2)),
-        |big AS (
-        |  SELECT band, h1, h2 FROM bands GROUP BY 1, 2, 3
-        |  HAVING COUNT(*) > 8),
-        |bigb AS (SELECT b.* FROM bands b JOIN big USING (band, h1, h2)),
-        |reps AS (
-        |  SELECT band, h1, h2, MIN(doc_id) AS rep FROM bigb GROUP BY 1, 2, 3),
-        |stars AS (
-        |  SELECT r.rep AS ia, b.doc_id AS ib FROM bigb b
-        |  JOIN reps r USING (band, h1, h2) WHERE b.doc_id <> r.rep),
-        |cand AS (
-        |  SELECT DISTINCT ia, ib FROM (
-        |    SELECT a.doc_id AS ia, b.doc_id AS ib
-        |    FROM okb a JOIN okb b
-        |      ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
-        |         AND a.doc_id < b.doc_id
-        |    UNION ALL SELECT ia, ib FROM stars)),
-        |hd AS (SELECT DISTINCT doc_id, h FROM h),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
-        |inter AS (
-        |  SELECT c.ia, c.ib, COUNT(*) AS m
-        |  FROM cand c
-        |  JOIN hd a ON a.doc_id = c.ia
-        |  JOIN hd b ON b.doc_id = c.ib AND b.h = a.h
-        |  GROUP BY 1, 2),
-        |drops AS (
-        |  SELECT DISTINCT i.ib
-        |  FROM inter i
-        |  JOIN sizes na ON na.doc_id = i.ia
-        |  JOIN sizes nb ON nb.doc_id = i.ib
-        |  WHERE CAST(i.m AS DOUBLE) / CAST(na.n + nb.n - i.m AS DOUBLE) >= 0.5)
+        |        FROM @filt GROUP BY 1) k
+        |    ON md5(f.norm) = k.dg AND f.doc_id = k.kid)
         |""".stripMargin
         // classifier model stated ONCE per engine: the shared fragment
         // (TextQueries.classifierSql) is spliced here — a plain replace,
         // not an s-interpolator, which would reprocess the \s escapes
         .replace("<<CLS>>", TextQueries.classifierSql("tk"))
+        .replace("<<W>>", extraWhere)
+        .replace("@", p)
+
+  /** The capped MinHash-LSH near-dup chain (signatures → bands →
+    * ≤ 8-member buckets pairwise + oversized buckets star-routed →
+    * exact set-intersect counts) from a `(doc_id, tk)` source CTE
+    * through `${p}inter`/`${p}sizes` — callers state their own drop
+    * rule over the verified pairs.
+    */
+  private def nearDupCtes(p: String, src: String): String =
+      """@sh AS (
+        |  SELECT doc_id,
+        |         UNNEST(list_distinct(list_transform(range(1, len(tk)),
+        |                i -> tk[i] || ' ' || tk[i+1]))) AS s
+        |  FROM <<SRC>>),
+        |@h AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT)),
+        |                     (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM @sh),
+        |@sig AS (
+        |  SELECT doc_id,
+        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
+        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
+        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
+        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
+        |  FROM @h GROUP BY doc_id),
+        |@bands AS (
+        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM @sig UNION ALL
+        |  SELECT doc_id, 1, s2, s3 FROM @sig UNION ALL
+        |  SELECT doc_id, 2, s4, s5 FROM @sig UNION ALL
+        |  SELECT doc_id, 3, s6, s7 FROM @sig),
+        |@ok AS (
+        |  SELECT band, h1, h2 FROM @bands GROUP BY 1, 2, 3
+        |  HAVING COUNT(*) <= 8),
+        |@okb AS (SELECT b.* FROM @bands b JOIN @ok USING (band, h1, h2)),
+        |@big AS (
+        |  SELECT band, h1, h2 FROM @bands GROUP BY 1, 2, 3
+        |  HAVING COUNT(*) > 8),
+        |@bigb AS (SELECT b.* FROM @bands b JOIN @big USING (band, h1, h2)),
+        |@reps AS (
+        |  SELECT band, h1, h2, MIN(doc_id) AS rep FROM @bigb GROUP BY 1, 2, 3),
+        |@stars AS (
+        |  SELECT r.rep AS ia, b.doc_id AS ib FROM @bigb b
+        |  JOIN @reps r USING (band, h1, h2) WHERE b.doc_id <> r.rep),
+        |@cand AS (
+        |  SELECT DISTINCT ia, ib FROM (
+        |    SELECT a.doc_id AS ia, b.doc_id AS ib
+        |    FROM @okb a JOIN @okb b
+        |      ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+        |         AND a.doc_id < b.doc_id
+        |    UNION ALL SELECT ia, ib FROM @stars)),
+        |@hd AS (SELECT DISTINCT doc_id, h FROM @h),
+        |@sizes AS (SELECT doc_id, COUNT(*) AS n FROM @hd GROUP BY doc_id),
+        |@inter AS (
+        |  SELECT c.ia, c.ib, COUNT(*) AS m
+        |  FROM @cand c
+        |  JOIN @hd a ON a.doc_id = c.ia
+        |  JOIN @hd b ON b.doc_id = c.ib AND b.h = a.h
+        |  GROUP BY 1, 2)
+        |""".stripMargin
+        .replace("<<SRC>>", src)
+        .replace("@", p)
+
+  /** The batch keep-smallest drop rule over a [[nearDupCtes]] chain:
+    * every doc appearing as the LARGER id of a verified (jac ≥ 0.5)
+    * pair drops.
+    */
+  private def dropsCte(p: String): String =
+      """@drops AS (
+        |  SELECT DISTINCT i.ib
+        |  FROM @inter i
+        |  JOIN @sizes na ON na.doc_id = i.ia
+        |  JOIN @sizes nb ON nb.doc_id = i.ib
+        |  WHERE CAST(i.m AS DOUBLE) / CAST(na.n + nb.n - i.m AS DOUBLE) >= 0.5)
+        |""".stripMargin.replace("@", p)
+
+  /** Rewrites every CTE header of a generated chain to
+    * `AS MATERIALIZED` — DuckDB inlines plain CTEs per reference, so a
+    * statement combining several chains re-evaluates shared nodes
+    * combinatorially (the pipe_incr oracle exhausts file descriptors
+    * without it). Semantics-neutral.
+    */
+  private def materialized(chain: String): String =
+    chain.replaceAll("(?m)^([A-Za-z_][A-Za-z0-9_]*) AS \\(",
+      "$1 AS MATERIALIZED (")
+
+  /** The full batch-curation chain (stages + near-dedup + drop list) —
+    * the `pipe_curate`/`pipe_full` shared prefix. MATERIALIZED like
+    * the pipe_incr chains (r10): DuckDB's per-reference CTE inlining
+    * re-evaluates tk/exact per consumer, and the strongest reasonable
+    * statement of the oracle is the one the baseline deserves —
+    * materializing took the sf0.1 pipe_curate oracle 48 s → 1.2 s, and
+    * the recorded ratios use the fast form.
+    */
+  private val curateCtes: String =
+    "WITH " + materialized(stageChainCtes("", "") + "," +
+      nearDupCtes("", "exact") + "," + dropsCte(""))
 
   def oracleSql: Map[String, String] = Map(
     "pipe_curate" -> (curateCtes +
@@ -344,6 +477,47 @@ object PipelineQueries {
         |       CAST(length(norm) AS INTEGER) AS norm_len
         |FROM exact
         |WHERE doc_id NOT IN (SELECT ib FROM drops)
+        |ORDER BY doc_id""".stripMargin),
+
+    // incremental curation: the base chain (b_, even ids) through its
+    // batch drop list, the delta chain (d_, odd ids) through exact
+    // keep-min, the append-only digest anti-join, then ONE near-dup
+    // chain (u_) over base survivors ∪ admitted delta with the parity
+    // drop rule — a {base, delta} pair drops the delta member
+    // whichever side is larger, a {delta, delta} pair drops the
+    // larger. Every chain CTE is MATERIALIZED: DuckDB inlines plain
+    // CTEs per reference, and the doubled chain re-evaluates the
+    // document scan combinatorially — the un-materialized statement
+    // exhausts the box's 20 000 file descriptors before returning.
+    "pipe_incr" -> ("WITH " +
+      materialized(stageChainCtes("b_", " AND doc_id % 2 = 0")) + "," +
+      materialized(nearDupCtes("b_", "b_exact")) + "," +
+      materialized(dropsCte("b_")) +
+      """, b_surv AS MATERIALIZED (
+        |  SELECT * FROM b_exact
+        |  WHERE doc_id NOT IN (SELECT ib FROM b_drops)),
+        |""".stripMargin +
+      materialized(stageChainCtes("d_", " AND doc_id % 2 = 1")) +
+      """, d_adm AS MATERIALIZED (
+        |  SELECT d.* FROM d_exact d
+        |  WHERE md5(d.norm) NOT IN (SELECT md5(norm) FROM b_surv)),
+        |u_src AS MATERIALIZED (
+        |  SELECT doc_id, tk FROM b_surv
+        |  UNION ALL SELECT doc_id, tk FROM d_adm),
+        |""".stripMargin +
+      materialized(nearDupCtes("u_", "u_src")) +
+      """, u_dropd AS (
+        |  SELECT DISTINCT CASE WHEN i.ia % 2 = 1 AND i.ib % 2 = 0
+        |                       THEN i.ia ELSE i.ib END AS vid
+        |  FROM u_inter i
+        |  JOIN u_sizes na ON na.doc_id = i.ia
+        |  JOIN u_sizes nb ON nb.doc_id = i.ib
+        |  WHERE CAST(i.m AS DOUBLE) / CAST(na.n + nb.n - i.m AS DOUBLE) >= 0.5
+        |    AND NOT (i.ia % 2 = 0 AND i.ib % 2 = 0))
+        |SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok, q,
+        |       CAST(length(norm) AS INTEGER) AS norm_len
+        |FROM d_adm
+        |WHERE doc_id NOT IN (SELECT vid FROM u_dropd)
         |ORDER BY doc_id""".stripMargin),
 
     // curate → cluster-keyed split: the curate chain, then the
