@@ -190,6 +190,55 @@ object Profile {
             f"serve=${(System.nanoTime() - s0) / 1e9}%6.2f s")
         }
         e.unpersist(blocking = false)
+      } else if (name == "incr_parts") {
+        // stage attribution for pipe_incr: bench collect, the two
+        // stage16 passes, base near-dedup, union near-dedup
+        import graft.operators.{PipelineQueries => PQ, DedupQueries => DQ}
+        import graft.functions.TextFunctions.shingleHashes
+        (1 to 2).foreach { pass =>
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          val bench = PQ.benchShingles(spark, dir)
+          val t1 = System.nanoTime()
+          val b16 = PQ.stage16(spark, dir, bench, col("doc_id") % 2 === 0).persist()
+          val nb = b16.count()
+          val t2 = System.nanoTime()
+          val bKeep = b16.groupBy(col("digest"))
+            .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+          val bHashes = b16.join(bKeep, Seq("digest", "doc_id"))
+            .select(col("doc_id"), col("digest"),
+              shingleHashes(col("toks"), 2).as("hs")).persist()
+          val bDrops = DQ.jaccardOnCandidates(
+              bHashes.filter(org.apache.spark.sql.functions.size(col("hs")) > 0),
+              maxBucket = Some(8))
+            .select(col("ib")).distinct()
+          val nd = bDrops.count()
+          val t3 = System.nanoTime()
+          val d16 = PQ.stage16(spark, dir, bench, col("doc_id") % 2 === 1).persist()
+          val ndd = d16.count()
+          val t4 = System.nanoTime()
+          val bSurv = bHashes.join(
+            org.apache.spark.sql.functions.broadcast(bDrops),
+            bHashes("doc_id") === bDrops("ib"), "left_anti")
+          val dKeep = d16.groupBy(col("digest"))
+            .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+          val dAdm = d16.join(dKeep, Seq("digest", "doc_id"))
+            .join(bSurv.select(col("digest")), Seq("digest"), "left_anti")
+          val uHashes = bSurv.select(col("doc_id"), col("hs"))
+            .unionByName(dAdm.select(col("doc_id"),
+              shingleHashes(col("toks"), 2).as("hs"))).persist()
+          val nu = uHashes.count()
+          val t5 = System.nanoTime()
+          val np = DQ.jaccardOnCandidates(
+            uHashes.filter(org.apache.spark.sql.functions.size(col("hs")) > 0),
+            maxBucket = Some(8)).count()
+          val t6 = System.nanoTime()
+          println(f"incr_parts pass$pass bench=${(t1 - t0) / 1e9}%5.2f " +
+            f"b16($nb)=${(t2 - t1) / 1e9}%5.2f bjac($nd)=${(t3 - t2) / 1e9}%5.2f " +
+            f"d16($ndd)=${(t4 - t3) / 1e9}%5.2f union($nu)=${(t5 - t4) / 1e9}%5.2f " +
+            f"ujac($np)=${(t6 - t5) / 1e9}%5.2f")
+          Seq(b16, bHashes, d16, uHashes).foreach(_.unpersist(blocking = true))
+        }
       } else if (name == "pq_phases") {
         // phase attribution for ann_pq_adc: the builder runs its two
         // driver collects + the qs1 checkpoint eagerly, so timing the

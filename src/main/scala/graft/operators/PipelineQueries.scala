@@ -104,11 +104,23 @@ object PipelineQueries {
       val bDrops = DedupQueries.jaccardOnCandidates(
           bHashes.filter(size(col("hs")) > 0), maxBucket = Some(8))
         .select(col("ib")).distinct()
-      // base survivors: (doc_id, digest, hs) — all three downstream
-      // reads (digest anti-join, union hashes) come from the cached
-      // bHashes, so the base text is tokenized exactly once
+      // base survivors: (doc_id, digest, hs), EAGERLY checkpointed —
+      // not just cached. bSurv's lineage contains the whole base
+      // jaccard pipeline, and the union near-dedup below SELF-JOINS
+      // its reader four ways: with a plain persist every branch
+      // carries (and Catalyst re-optimizes) the full nested tree —
+      // measured 13.8 s of DRIVER-side planning on 1 039 rows at
+      // sf0.1, vs 3.3 s for the same machinery over a flat frame.
+      // The checkpoint truncates the plan to a scan; the frame is
+      // manifest-sized. In production this boundary is physical
+      // anyway — the stored manifest + band index.
       val bSurv = bHashes.join(broadcast(bDrops),
-        bHashes("doc_id") === bDrops("ib"), "left_anti")
+          bHashes("doc_id") === bDrops("ib"), "left_anti")
+        .localCheckpoint(true)
+      // the checkpoint above materialized everything the base side
+      // needs — release the base caches before the delta work starts
+      b16.unpersist(blocking = false)
+      bHashes.unpersist(blocking = false)
       val d16 = stage16(s, dir, bench, col("doc_id") % 2 === 1).persist()
       val dKeep = d16.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
       val dAdm = d16.join(dKeep, Seq("digest", "doc_id"))
@@ -134,7 +146,8 @@ object PipelineQueries {
           length(col("norm")).as("norm_len"))
         .orderBy(col("doc_id"))
       val res = out.localCheckpoint(true)
-      Seq(b16, bHashes, d16, uHashes).foreach(_.unpersist(blocking = false))
+      d16.unpersist(blocking = false)
+      uHashes.unpersist(blocking = false)
       res
     }))
 
@@ -145,7 +158,7 @@ object PipelineQueries {
     * benchmark-sized driver metadata riding into the corpus pass as a
     * sorted literal array (the text_decontam plan shape).
     */
-  private def benchShingles(s: SparkSession, dir: String): Array[Long] = {
+  private[graft] def benchShingles(s: SparkSession, dir: String): Array[Long] = {
     import graft.functions.TextHashExpressions.sorted_distinct_longs
     documents(s, dir)
       .filter(col("doc_id") % 97 === 0)
@@ -162,7 +175,7 @@ object PipelineQueries {
     * digest). Shared by [[curate]] (pred = true) and the `pipe_incr`
     * gate (parity-split base/delta slices).
     */
-  private def stage16(s: SparkSession, dir: String, benchSh: Array[Long],
+  private[graft] def stage16(s: SparkSession, dir: String, benchSh: Array[Long],
       pred: org.apache.spark.sql.Column): DataFrame = {
       import graft.functions.TextHashExpressions.{sorted_distinct_longs, intersect_count_sorted}
       documents(s, dir)

@@ -106,4 +106,33 @@ class VectorKernelPropsSpec extends AnyFunSuite {
         s"no shared fingerprint despite a shared $w-run")
     }
   }
+
+  test("sortedIntersectCount: adaptive search path equals the plain merge") {
+    // the r10 asymmetric fast path (walk small, binary-search large)
+    // must match min-multiplicity merge semantics on arbitrary sorted
+    // inputs — duplicates included, both asymmetry directions, and
+    // sizes straddling the 32x switchover
+    def merge(a: Array[Long], b: Array[Long]): Long = {
+      var i = 0; var j = 0; var m = 0L
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { m += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1 else j += 1
+      }
+      m
+    }
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 500).foreach { k =>
+      val na = rnd.nextInt(12)
+      val nb = if (k % 3 == 0) rnd.nextInt(12) else rnd.nextInt(800) + 1
+      def gen(n: Int) =
+        Array.fill(n)(rnd.nextInt(60).toLong).sorted // dense -> dups likely
+      val (a, b) = (gen(na), gen(nb))
+      val got = graft.functions.TextHash.sortedIntersectCount(
+        arr(a), arr(b))
+      assert(got === merge(a, b), s"a=${a.mkString(",")} b=${b.mkString(",")}")
+      val got2 = graft.functions.TextHash.sortedIntersectCount(
+        arr(b), arr(a))
+      assert(got2 === merge(a, b), "symmetric direction diverged")
+    }
+  }
 }
