@@ -144,7 +144,7 @@ object DedupQueries {
     * docs first. Bands via one explode, NOT a 4-way union: each union
     * branch would recompute the whole scan+signature subtree.
     */
-  private[operators] def lshBands(hashes: DataFrame): DataFrame = {
+  private[graft] def lshBands(hashes: DataFrame): DataFrame = {
     val sigs = hashes.select(
       (col("doc_id") +: (0 until 8).map(j =>
         minHash(col("hs"), j).as(s"s$j"))): _*)

@@ -176,10 +176,19 @@ object PipelineQueries {
     * gate (parity-split base/delta slices).
     */
   private[graft] def stage16(s: SparkSession, dir: String, benchSh: Array[Long],
-      pred: org.apache.spark.sql.Column): DataFrame = {
+      pred: org.apache.spark.sql.Column): DataFrame =
+    stage16Of(documents(s, dir).filter(pred), benchSh)
+
+  /** [[stage16]] over an arbitrary (doc_id, source, text) frame — the
+    * form a STREAMING admission path runs per micro-batch
+    * (StreamingCurationSpec): the batch is already in hand, so the
+    * fused stage pass applies directly instead of re-reading storage.
+    */
+  private[graft] def stage16Of(docs: DataFrame,
+      benchSh: Array[Long]): DataFrame = {
       import graft.functions.TextHashExpressions.{sorted_distinct_longs, intersect_count_sorted}
-      documents(s, dir)
-        .filter(col("doc_id") % 97 =!= 0 && pred)
+      docs
+        .filter(col("doc_id") % 97 =!= 0)
         .select(col("doc_id"), col("source"),
           trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
         .withColumn("toks", tokens(col("norm")))
