@@ -161,9 +161,14 @@ object Profile {
         val batch = name.split(':')(1).toInt
         // GRAFT_SERVE_MAXB overrides the broadcast-pivot bound (set 0
         // to force the salted-shuffle path — the past-the-ceiling
-        // receipt at corpus sizes whose query batches can't reach it)
+        // receipt at corpus sizes whose query batches can't reach it).
+        // Saved + restored after the block (AnnRecallSpec's try/finally
+        // convention): the session conf would otherwise leak the
+        // override into every later profiled section's pivot decision.
+        val priorMaxB = spark.conf.getOption("graft.ann.maxBroadcastQueries")
         sys.env.get("GRAFT_SERVE_MAXB").foreach(v =>
           spark.conf.set("graft.ann.maxBroadcastQueries", v))
+        try {
         val e = quantized(spark, dir).persist()
         val n = e.count()
         val step = math.max(1L, n / batch)
@@ -190,6 +195,10 @@ object Profile {
             f"serve=${(System.nanoTime() - s0) / 1e9}%6.2f s")
         }
         e.unpersist(blocking = false)
+        } finally priorMaxB match {
+          case Some(v) => spark.conf.set("graft.ann.maxBroadcastQueries", v)
+          case None => spark.conf.unset("graft.ann.maxBroadcastQueries")
+        }
       } else if (name == "incr_parts") {
         // stage attribution for pipe_incr: bench collect, the two
         // stage16 passes, base near-dedup, union near-dedup
@@ -238,6 +247,49 @@ object Profile {
             f"d16($ndd)=${(t4 - t3) / 1e9}%5.2f union($nu)=${(t5 - t4) / 1e9}%5.2f " +
             f"ujac($np)=${(t6 - t5) / 1e9}%5.2f")
           Seq(b16, bHashes, d16, uHashes).foreach(_.unpersist(blocking = true))
+        }
+      } else if (name == "idx_parts") {
+        // stage attribution for pipe_incr_idx: artifact load, delta
+        // stage pass, admission, delta-internal near-dup, index probe
+        import graft.operators.{PipelineQueries => PQ, DedupQueries => DQ}
+        import graft.functions.TextFunctions.shingleHashes
+        import org.apache.spark.sql.functions.{broadcast, size, min, length}
+        (1 to 2).foreach { pass =>
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          val path = PQ.ensureCuratedBase(spark, dir)
+          val bench = spark.read.parquet(s"$path/bench")
+            .collect().map(_.getLong(0)).sorted
+          val manifest = spark.read.parquet(s"$path/manifest")
+          val (bands, sets) = DQ.loadBandIndex(spark, s"$path/index")
+          val t1 = System.nanoTime()
+          val d16 = PQ.stage16(spark, dir, bench, col("doc_id") % 2 === 1).persist()
+          val nd = d16.count()
+          val t2 = System.nanoTime()
+          val dKeep = d16.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+          val dAdm = d16.join(dKeep, Seq("digest", "doc_id"))
+            .join(manifest.select(col("digest")), Seq("digest"), "left_anti")
+            .select(col("doc_id"), col("source"), col("n_tok"), col("q"),
+              length(col("norm")).as("norm_len"),
+              shingleHashes(col("toks"), 2).as("hs"))
+            .localCheckpoint(true)
+          val na = dAdm.count()
+          val t3 = System.nanoTime()
+          val dHashes = dAdm.select(col("doc_id"), col("hs"))
+            .filter(size(col("hs")) > 0)
+          val ndd = DQ.batchAdmissionDrops(bands, sets, dHashes).count()
+          val t4 = System.nanoTime()
+          val nOut = dAdm.join(
+              broadcast(DQ.batchAdmissionDrops(bands, sets, dHashes)),
+              dAdm("doc_id") === col("vid"), "left_anti")
+            .select(col("doc_id"), col("source"), col("n_tok"), col("q"),
+              col("norm_len"))
+            .orderBy(col("doc_id")).localCheckpoint(true).count()
+          val t5 = System.nanoTime()
+          println(f"idx_parts pass$pass load=${(t1 - t0) / 1e9}%5.2f " +
+            f"d16($nd)=${(t2 - t1) / 1e9}%5.2f adm($na)=${(t3 - t2) / 1e9}%5.2f " +
+            f"drops($ndd)=${(t4 - t3) / 1e9}%5.2f fin($nOut)=${(t5 - t4) / 1e9}%5.2f")
+          d16.unpersist(blocking = true)
         }
       } else if (name == "pq_phases") {
         // phase attribution for ann_pq_adc: the builder runs its two

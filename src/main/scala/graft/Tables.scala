@@ -63,4 +63,46 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+
+  /** Stable per-dataset artifact location under the JVM temp dir:
+    * `<tmp>/<prefix>-<sha256(canonical dir) first 16 hex>`. The digest of
+    * the CANONICAL path is collision-resistant where `String.hashCode`
+    * is not (two datasets with colliding hashCodes would silently share
+    * one artifact). Writers publish via [[publishDir]].
+    */
+  def artifactPath(prefix: String, dir: String): String = {
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val hex = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canonical.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    s"${System.getProperty("java.io.tmpdir")}/$prefix-$hex"
+  }
+
+  /** Publish a freshly written artifact directory over its stable
+    * location: the stale target (if any) moves aside and the temp dir
+    * renames into place — a same-filesystem rename, so a concurrent
+    * reader sees either the old artifact or the new one, never a
+    * half-written mix (the write-to-temp-and-rename lifecycle).
+    */
+  def publishDir(tmp: String, target: String): Unit = {
+    import java.nio.file.{Files, Paths, Path}
+    import java.nio.file.StandardCopyOption.ATOMIC_MOVE
+    def rmTree(p: Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+    }
+    val t = Paths.get(target)
+    val old = Paths.get(target + ".old-" + ProcessHandle.current().pid())
+    rmTree(old)
+    if (Files.exists(t)) Files.move(t, old)
+    try Files.move(Paths.get(tmp), t, ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.AccessDeniedException =>
+      // a concurrent publisher won the rename — its artifact is
+      // complete and equivalent; keep it and drop ours
+      rmTree(Paths.get(tmp))
+    }
+    rmTree(old)
+  }
 }

@@ -204,6 +204,60 @@ object DedupQueries {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** Admission drop list for a DELTA batch against a persisted corpus
+    * index — the two near-dup rules of incremental curation in ONE
+    * candidate join + ONE verify chain. The batch's band rows probe
+    * (corpus band index ∪ the batch's own bands): a {corpus, delta}
+    * collision verifies against the stored corpus set and drops the
+    * delta member regardless of id order (the corpus is immutable); a
+    * {delta, delta} collision (ia < ib) verifies within the batch and
+    * drops the LARGER id (the batch keep-min rule). The two-sweep
+    * formulation (within-batch capped LSH, then a separate corpus
+    * probe) computes the same drops through two full candidate/verify
+    * chains — measured ~2× the wall of this fused pass at the
+    * `pipe_incr_idx` gate scale.
+    *
+    * 100 TB shape: probe cost scales with the batch's size and
+    * collision structure, never the corpus (the corpus side enters
+    * only through index rows the equi-join touches). The delta-internal
+    * arm is UNCAPPED pairwise — a delta batch is a bounded micro-batch
+    * by construction, so Σ|bucket ∩ batch|² is batch-bounded (the
+    * maxBucket/star guard exists for corpus-scale sweeps, not
+    * admission batches).
+    *
+    * `index`: (ia, band, h1, h2) from [[loadBandIndex]]; `corpusSets`:
+    * (doc_id, hs) verify sets; `deltaHashes`: (doc_id, hs) — pass a
+    * flat (checkpointed/persisted) frame, it is read three times.
+    * Returns distinct delta ids to drop, column `vid`.
+    */
+  def batchAdmissionDrops(index: DataFrame, corpusSets: DataFrame,
+      deltaHashes: DataFrame, threshold: Double = 0.5): DataFrame = {
+    import graft.functions.TextHashExpressions.{sorted_distinct_longs, intersect_count_sorted}
+    val dBands = lshBands(deltaHashes)
+    val probe = dBands.toDF("ib", "band", "h1", "h2")
+    val allIdx = index
+      .select(col("ia"), lit(true).as("corp"),
+        col("band"), col("h1"), col("h2"))
+      .unionByName(dBands.toDF("ia", "band", "h1", "h2")
+        .select(col("ia"), lit(false).as("corp"),
+          col("band"), col("h1"), col("h2")))
+    val cand = probe.join(allIdx, Seq("band", "h1", "h2"))
+      .filter(col("corp") || col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    val setsA = corpusSets.select(col("doc_id").as("ia"),
+        sorted_distinct_longs(col("hs")).as("sa"))
+      .unionByName(deltaHashes.select(col("doc_id").as("ia"),
+        sorted_distinct_longs(col("hs")).as("sa")))
+    val setsB = deltaHashes.select(col("doc_id").as("ib"),
+      sorted_distinct_longs(col("hs")).as("sb"))
+    cand.join(setsA, "ia").join(setsB, "ib")
+      .withColumn("m", intersect_count_sorted(col("sa"), col("sb")))
+      .withColumn("jac", col("m").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("m")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("ib").as("vid")).distinct()
+  }
+
   /** Persist the corpus's dedup index to storage: band rows
     * (`bands/` — the LSH probe structure, keyed (band, h1, h2)) and
     * sorted shingle sets (`sets/` — the exact-verify side). Parquet so

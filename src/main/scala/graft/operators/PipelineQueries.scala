@@ -149,7 +149,144 @@ object PipelineQueries {
       d16.unpersist(blocking = false)
       uHashes.unpersist(blocking = false)
       res
+    }),
+
+    // INCREMENTAL curation ON THE PRODUCTION PATH (r11): the same
+    // admission decision as `pipe_incr`, but the base side is the
+    // PERSISTED curated-base artifact — stored manifest (doc_id,
+    // digest), stored band index + verify sets (the
+    // saveBandIndex/incrementalNearDupsWithIndex lifecycle
+    // StreamingCurationSpec proves), stored benchmark inventory — so
+    // the measured gate pays ONLY what a production delta batch pays:
+    // the fused stage-1–6 map pass over the delta, the digest
+    // anti-join against the manifest, a delta-internal capped
+    // LSH+verify, and the delta-vs-base index probe. The base corpus
+    // is NEVER re-curated, re-shingled or re-signed (the r10 gate's
+    // structural flaw — it recomputed the whole base curation inline,
+    // ~2× the batch machinery for a delta-sized answer). Artifacts
+    // build once per dataset on first touch (the ingest-time write a
+    // production pipeline does when the base corpus is curated) and
+    // every later run serves from them; the oracle reads the SAME
+    // stored manifest/sets via read_parquet, so the gate checks the
+    // served computation end-to-end.
+    //
+    // Semantics vs `pipe_incr`: the union formulation caps LSH buckets
+    // in (base ∪ delta) space; the production split runs the cap
+    // delta-internally and probes the base index UNCAPPED (a delta doc
+    // colliding with a huge base family still verifies against every
+    // member — the index probe is membership-cost, dedup_incr's
+    // argument). Both drop rules are stated by their own oracles.
+    "pipe_incr_idx" -> ((s, dir) => {
+      val path = ensureCuratedBase(s, dir)
+      val bench = s.read.parquet(s"$path/bench")
+        .collect().map(_.getLong(0)).sorted
+      val manifest = s.read.parquet(s"$path/manifest")
+      val (bands, sets) = DedupQueries.loadBandIndex(s, s"$path/index")
+      val d16 = stage16(s, dir, bench, col("doc_id") % 2 === 1).persist()
+      val dKeep = d16.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+      // append-only exact dedup: the stored manifest's digests anti-join
+      // the delta (manifest is curated-corpus-sized — at 100 TB this is
+      // a digest-keyed shuffle; AQE broadcasts it at gate scale).
+      // EAGER checkpoint at the admission boundary, with the shingle
+      // projection FOLDED IN: dAdm is read by the near-dup probe (3×)
+      // and the final manifest join — with a lazy lineage every branch
+      // re-optimizes the whole stage16 + join tree (the r10 pipe_incr
+      // planning pathology); checkpointed, downstream reads a flat
+      // delta-sized scan already carrying (attrs, hs). In production
+      // this boundary is physical anyway (the batch after exact
+      // admission).
+      val dAdm = d16.join(dKeep, Seq("digest", "doc_id"))
+        .join(manifest.select(col("digest")), Seq("digest"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_tok"), col("q"),
+          length(col("norm")).as("norm_len"),
+          shingleHashes(col("toks"), 2).as("hs"))
+        .localCheckpoint(true)
+      d16.unpersist(blocking = false)
+      val dHashes = dAdm.select(col("doc_id"), col("hs"))
+        .filter(size(col("hs")) > 0)
+      // near-dup admission: ONE probe of the batch's bands against
+      // (stored index ∪ batch bands) — {base, delta} drops the delta
+      // member, {delta, delta} drops the larger id
+      val dropD = DedupQueries.batchAdmissionDrops(bands, sets, dHashes)
+      val out = dAdm.join(broadcast(dropD),
+          dAdm("doc_id") === dropD("vid"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_tok"), col("q"),
+          col("norm_len"))
+        .orderBy(col("doc_id"))
+      out.localCheckpoint(true)
     }))
+
+  /** Version tag of the persisted curated-base artifact (layout +
+    * curation semantics). Bump whenever [[stage16]] / the base drop
+    * rules / the band-index layout change, so a stale on-disk artifact
+    * from an older code version can never feed the `pipe_incr_idx`
+    * gate. (Staleness is a conformance concern only — the ORACLE reads
+    * the same stored artifact, so both engines always see one base.)
+    */
+  private val CurBaseVersion = "curbase1"
+
+  /** Artifact root of the last [[ensureCuratedBase]] call — read by
+    * [[oracleSql]] so the dumped `pipe_incr_idx` oracle points at the
+    * same stored manifest the gate served from (Verify runs every
+    * query before dumping oracle_sql.json, so this is always set on
+    * the driver's path; the fallback covers a filtered dev run).
+    */
+  @volatile private var lastCuratedBase: Option[String] = None
+
+  /** Build-if-absent the persisted curated-base artifacts for `dir` —
+    * the ingest-time write a production pipeline performs ONCE when the
+    * base corpus is curated, and which every later delta batch serves
+    * from (`pipe_incr_idx`, StreamingCurationSpec). Layout under the
+    * returned root:
+    *
+    *   manifest/    (doc_id, digest) — the base survivors (stored manifest)
+    *   index/bands  (doc_id, band, h1, h2) — LSH probe structure
+    *   index/sets   (doc_id, hs)     — sorted-distinct verify sets
+    *   bench/       (h)              — benchmark 4-gram inventory
+    *
+    * Base = the even-doc_id half curated by the same machinery as the
+    * `pipe_incr` gate's inline base (PipelineSpec asserts equality).
+    * Written to a temp dir and atomically published
+    * ([[graft.Tables.publishDir]]); `_GRAFT_OK` marks a complete write.
+    */
+  private[graft] def ensureCuratedBase(s: SparkSession, dir: String,
+      rebuild: Boolean = false): String = {
+    val path = graft.Tables.artifactPath(s"graft-$CurBaseVersion", dir)
+    if (!rebuild && new java.io.File(s"$path/_GRAFT_OK").exists()) {
+      lastCuratedBase = Some(path)
+      return path
+    }
+    val tmp = path + ".tmp-" + ProcessHandle.current().pid()
+    val bench = benchShingles(s, dir)
+    val b16 = stage16(s, dir, bench, col("doc_id") % 2 === 0).persist()
+    val bKeep = b16.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+    val bHashes = b16.join(bKeep, Seq("digest", "doc_id"))
+      .select(col("doc_id"), col("digest"), shingleHashes(col("toks"), 2).as("hs"))
+      .persist()
+    val bDrops = DedupQueries.jaccardOnCandidates(
+        bHashes.filter(size(col("hs")) > 0), maxBucket = Some(8))
+      .select(col("ib")).distinct()
+    // eager checkpoint at the manifest boundary (the pipe_incr lesson:
+    // the band-index writes below would otherwise each re-plan the
+    // whole base jaccard lineage)
+    val bSurv = bHashes.join(broadcast(bDrops),
+        bHashes("doc_id") === bDrops("ib"), "left_anti")
+      .localCheckpoint(true)
+    b16.unpersist(blocking = false)
+    bHashes.unpersist(blocking = false)
+    bSurv.select(col("doc_id"), col("digest"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
+    DedupQueries.saveBandIndex(
+      bSurv.select(col("doc_id"), col("hs")), s"$tmp/index")
+    import s.implicits._
+    bench.toSeq.toDF("h")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/bench")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/_GRAFT_OK"), CurBaseVersion)
+    graft.Tables.publishDir(tmp, path)
+    lastCuratedBase = Some(path)
+    path
+  }
 
   /** The benchmark's NORMALIZED shingle inventory (r9) — doc_id
     * % 97 = 0 stands in for the held-out eval suite. The doc_id filter
@@ -541,6 +678,98 @@ object PipelineQueries {
         |FROM d_adm
         |WHERE doc_id NOT IN (SELECT vid FROM u_dropd)
         |ORDER BY doc_id""".stripMargin),
+
+    // incremental curation on the PRODUCTION path: the delta chain is
+    // recomputed from `documents`, but the base side is the STORED
+    // artifact — manifest digests for the append-only exact rule,
+    // stored verify sets for the near-dup rule, with the base band
+    // structure restated from those sets by the same MIN formulas
+    // (minhash of the distinct set ≡ minhash of the raw multiset, so
+    // the oracle independently re-derives the probe structure rather
+    // than trusting the stored bands). ONE unified admission chain:
+    // the batch's bands probe (base bands ∪ batch bands); a base hit
+    // drops the delta member, a delta-internal hit (ia < ib) drops
+    // the larger — the batchAdmissionDrops semantics. Paths are
+    // spliced at dump time: Verify runs the gate (which builds/locates
+    // the artifact) before dumping oracle_sql.json.
+    "pipe_incr_idx" -> {
+      val base = lastCuratedBase.getOrElse(
+        graft.Tables.artifactPath(s"graft-$CurBaseVersion",
+          "/root/testdata/sf0.01"))
+      ("WITH " +
+        materialized(stageChainCtes("d_", " AND doc_id % 2 = 1")) +
+        s""", bman AS MATERIALIZED (
+          |  SELECT doc_id, digest
+          |  FROM read_parquet('$base/manifest/*.parquet')),
+          |d_adm AS MATERIALIZED (
+          |  SELECT d.* FROM d_exact d
+          |  WHERE md5(d.norm) NOT IN (SELECT digest FROM bman)),
+          |x_sh AS (
+          |  SELECT doc_id,
+          |         UNNEST(list_distinct(list_transform(range(1, len(tk)),
+          |                i -> tk[i] || ' ' || tk[i+1]))) AS s
+          |  FROM d_adm),
+          |x_h AS MATERIALIZED (
+          |  SELECT doc_id,
+          |         list_reduce(list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT)),
+          |                     (a, b) -> (a * 31 + b) % 1000000007) AS h
+          |  FROM x_sh),
+          |x_sig AS (
+          |  SELECT doc_id,
+          |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
+          |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
+          |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
+          |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
+          |  FROM x_h GROUP BY doc_id),
+          |x_bands AS MATERIALIZED (
+          |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM x_sig UNION ALL
+          |  SELECT doc_id, 1, s2, s3 FROM x_sig UNION ALL
+          |  SELECT doc_id, 2, s4, s5 FROM x_sig UNION ALL
+          |  SELECT doc_id, 3, s6, s7 FROM x_sig),
+          |x_hd AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM x_h),
+          |x_sizes AS (SELECT doc_id, COUNT(*) AS n FROM x_hd GROUP BY doc_id),
+          |b_h AS MATERIALIZED (
+          |  SELECT doc_id, UNNEST(hs) AS h
+          |  FROM read_parquet('$base/index/sets/*.parquet')),
+          |b_sig AS (
+          |  SELECT doc_id,
+          |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
+          |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
+          |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
+          |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
+          |  FROM b_h GROUP BY doc_id),
+          |all_bands AS (
+          |  SELECT doc_id AS ia, TRUE AS corp, 0 AS band, s0 AS h1, s1 AS h2 FROM b_sig UNION ALL
+          |  SELECT doc_id, TRUE, 1, s2, s3 FROM b_sig UNION ALL
+          |  SELECT doc_id, TRUE, 2, s4, s5 FROM b_sig UNION ALL
+          |  SELECT doc_id, TRUE, 3, s6, s7 FROM b_sig UNION ALL
+          |  SELECT doc_id, FALSE, band, h1, h2 FROM x_bands),
+          |cand AS MATERIALIZED (
+          |  SELECT DISTINCT a.ia, d.doc_id AS ib
+          |  FROM all_bands a JOIN x_bands d USING (band, h1, h2)
+          |  WHERE a.corp OR a.ia < d.doc_id),
+          |all_hd AS MATERIALIZED (
+          |  SELECT doc_id, h FROM b_h
+          |  UNION ALL SELECT doc_id, h FROM x_hd),
+          |all_sizes AS (SELECT doc_id, COUNT(*) AS n FROM all_hd GROUP BY doc_id),
+          |inter AS (
+          |  SELECT c.ia, c.ib, COUNT(*) AS m
+          |  FROM cand c
+          |  JOIN all_hd a ON a.doc_id = c.ia
+          |  JOIN x_hd b ON b.doc_id = c.ib AND b.h = a.h
+          |  GROUP BY 1, 2),
+          |drp AS (
+          |  SELECT DISTINCT i.ib
+          |  FROM inter i
+          |  JOIN all_sizes na ON na.doc_id = i.ia
+          |  JOIN x_sizes nb ON nb.doc_id = i.ib
+          |  WHERE CAST(i.m AS DOUBLE) / CAST(na.n + nb.n - i.m AS DOUBLE) >= 0.5)
+          |SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok, q,
+          |       CAST(length(norm) AS INTEGER) AS norm_len
+          |FROM d_adm
+          |WHERE doc_id NOT IN (SELECT ib FROM drp)
+          |ORDER BY doc_id""".stripMargin)
+    },
 
     // curate → cluster-keyed split: the curate chain, then the
     // dedup_clusters/pipe_split recursive-closure chain over the RAW

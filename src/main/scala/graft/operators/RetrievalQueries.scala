@@ -224,21 +224,31 @@ object RetrievalQueries {
     * the integer domain, spec-proven in StreamingAnnSpec). Exposed for
     * HybridSplitSpec's arm-swap + recall-floor assertions.
     */
+  /** The dense query-id lattice: embedding (q−1)·100 for q in 1..5 —
+    * ONE definition feeds the filter, the knownBatch pivot constant and
+    * (by restatement) the oracle's `% 100 = 0 AND < 500` predicate, so
+    * the pivot can never run on a stale count if the lattice changes.
+    */
+  private val denseQueryIds: Seq[Long] = 0L until 500L by 100L
+
   private[graft] def denseTop10(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.SimilarityQueries._
     val eq = quantized(s, dir)
     val index = trainIvfPq(s, eq, 8,
       col("vec_id") % 25 === 0 && col("vec_id") < 400)
-    // stable per-dataset location + overwrite writes: repeated gate
-    // runs REPLACE the artifact (the production index lifecycle)
-    // instead of littering one temp dir per invocation
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-rrf-idx-" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    saveIvfPqIndex(s, index, eq.select(col("vec_id"), col("q")), path)
+    // stable per-dataset location (collision-resistant digest of the
+    // CANONICAL path — dir.hashCode collides across datasets), written
+    // via temp-dir-then-rename so repeated gate runs REPLACE the
+    // artifact without a concurrent reader ever seeing a half-written
+    // index (the production index-publish lifecycle)
+    val path = graft.Tables.artifactPath("graft-rrf-idx", dir)
+    val tmp = path + ".tmp-" + ProcessHandle.current().pid()
+    saveIvfPqIndex(s, index, eq.select(col("vec_id"), col("q")), tmp)
+    graft.Tables.publishDir(tmp, path)
     val (idx2, codes) = loadIvfPqIndex(s, path)
-    val qs = eq.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
+    val qs = eq.filter(col("vec_id").isInCollection(denseQueryIds))
     ivfPqSearchPrecoded(idx2, eq, codes, qs, nprobe = 4, k = 10,
-        knownBatch = Some(5L))
+        knownBatch = Some(denseQueryIds.size.toLong))
       .select(expr("CAST(qid div 100 + 1 AS INT)").as("qid"),
         col("vec_id").as("doc_id"), col("rn").as("rd"))
   }

@@ -330,6 +330,64 @@ object SimilarityQueries {
     IvfPqIndex(coarse, fine)
   }
 
+  /** Production coarse-cell count: kC ≈ √N clamped to [16, 4096] — the
+    * faiss IVF convention. The conformance gates pin kC = 16 (their
+    * oracles restate the trained codebook), which makes probed-cell
+    * volume corpus-PROPORTIONAL: at a fixed nprobe the serve scans
+    * nprobe·N/16 rows, so the recorded serve wall grew 1.9× across the
+    * r10 100× sweep. With kC = √N the per-query scan is nprobe·√N and
+    * the codebook stays driver metadata (√N rows — 2.9 k vectors even
+    * at N = 10⁹, far below any broadcast ceiling).
+    */
+  private[graft] def scaledCellCount(n: Long): Int =
+    math.max(16, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+
+  /** Probe width for a scaled quantizer: nprobe ≈ √kC (floor 4). At
+    * kC = 16 this is the conformance gates' nprobe = 4; as cells
+    * shrink, the probed FRACTION falls like 1/√kC while the probed
+    * row count nprobe·N/kC ≈ N/√kC keeps shrinking relative to the
+    * corpus — the standard recall/cost compromise (AnnRecallSpec pins
+    * the floor at a scaled kC).
+    */
+  private[graft] def scaledNprobe(kC: Int): Int =
+    math.max(4, math.ceil(math.sqrt(kC.toDouble)).toInt)
+
+  /** [[trainIvfPq]] with the coarse codebook SCALED to the corpus —
+    * the production rule (r11; the conformance gates keep fixed 16).
+    * Seeds: a deterministic Knuth-hash-ranked ~kC-subset of the corpus
+    * (the q_strat keep rule — content-independent, size-dependent), so
+    * the seed set is reproducible across runs and partitionings; the
+    * fine codebook stays 16 per subspace (PQ codebook size is a
+    * precision knob, not a corpus knob), seeded from the first 16
+    * selected rows. ONE fused Lloyd pass refines both books
+    * ([[lloydStepMulti]] already trains arbitrary kC); total driver
+    * metadata is kC + 16·M rows.
+    */
+  private[graft] def trainIvfPqScaled(s: SparkSession, corpus: DataFrame,
+      M: Int, knownN: Option[Long] = None): IvfPqIndex = {
+    val n = knownN.getOrElse(corpus.count())
+    val kC = scaledCellCount(n)
+    val keep = math.max(1L, n / kC)
+    val seedRows = corpus
+      .filter(pmod((col("vec_id") % 2147483648L) * 2654435761L, lit(4294967296L))
+        % keep === 0)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    require(seedRows.length >= 16,
+      s"scaled seed rule selected ${seedRows.length} rows (n=$n, kC=$kC) — " +
+        "corpus too small for the scaled quantizer; use trainIvfPq")
+    val dim = seedRows.head._2.length
+    val subF = dim / M
+    val fineSeeds = seedRows.take(16)
+    val fine0: Seq[Seq[Seq[Long]]] = (0 until M).map(m =>
+      fineSeeds.toSeq.map(_._2.slice(m * subF, m * subF + subF)))
+    val coarse0: Seq[Seq[Seq[Long]]] = Seq(seedRows.toSeq.map(_._2))
+    val Seq(coarse, fine) =
+      lloydStepMulti(s, corpus, Seq((coarse0, dim), (fine0, subF)))
+    IvfPqIndex(coarse, fine)
+  }
+
   /** Byte budget for the BROADCAST serving plan. The binding frame is
     * the probe LUT frame — |Q|·nprobe rows each carrying an M·16-slot
     * LUT of longs (~1 KiB at M = 8), so the largest broadcastable
@@ -375,7 +433,8 @@ object SimilarityQueries {
     */
   private def ivfPqServe(index: IvfPqIndex, corpus: DataFrame,
       codes: DataFrame, queries: DataFrame, nprobe: Int,
-      k: Int = 5, knownBatch: Option[Long] = None): DataFrame = {
+      k: Int = 5, knownBatch: Option[Long] = None,
+      knownCodes: Option[Long] = None): DataFrame = {
     import graft.functions.VectorNative.pq_lut_native
     val coarse = index.coarse
     val fine = index.fine
@@ -436,7 +495,13 @@ object SimilarityQueries {
         // hash-salt per row (one column-pruned count on codes — the
         // query count is already in hand)
         val qsxRows = qCount * nprobe
-        if (codes.select(col("vec_id")).count() <= qsxRows) {
+        // corpus-row count for the replicate-the-smaller-side pivot:
+        // knownCodes short-circuits the column-pruned scan action the
+        // same way knownBatch does for the query side (a loaded index
+        // knows its row count; a streaming caller knows its corpus)
+        val codesCount = knownCodes.getOrElse(
+          codes.select(col("vec_id")).count())
+        if (codesCount <= qsxRows) {
           val qsxS = qsx.withColumn("salt", pmod(hash(col("qid")), lit(nSalt)))
           val codesS = codes.withColumn("salt",
             explode(array((0 until nSalt).map(lit(_)): _*)))
@@ -557,8 +622,9 @@ object SimilarityQueries {
     */
   private[graft] def ivfPqSearchPrecoded(index: IvfPqIndex, corpus: DataFrame,
       codes: DataFrame, queries: DataFrame, nprobe: Int,
-      k: Int = 5, knownBatch: Option[Long] = None): DataFrame =
-    ivfPqServe(index, corpus, codes, queries, nprobe, k, knownBatch)
+      k: Int = 5, knownBatch: Option[Long] = None,
+      knownCodes: Option[Long] = None): DataFrame =
+    ivfPqServe(index, corpus, codes, queries, nprobe, k, knownBatch, knownCodes)
 
   private[graft] def ivfPq(s: SparkSession, dir: String, M: Int,
       nprobe: Int): DataFrame = {

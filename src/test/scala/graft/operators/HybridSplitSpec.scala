@@ -84,8 +84,9 @@ class HybridSplitSpec extends AnyFunSuite {
       .select(col("qid"), col("vec_id")).collect()
       .map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
-    val served = RetrievalQueries.denseTop10(s, dir).collect()
-      .map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+    val servedRows = RetrievalQueries.denseTop10(s, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val served = servedRows.map(r => (r._1, r._2)).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
     assert(served.keySet == truth.keySet)
     val recalls = truth.map { case (qid, t) =>
@@ -95,6 +96,27 @@ class HybridSplitSpec extends AnyFunSuite {
     // nprobe = 4 of 16 cells is approximate by design; the floor
     // asserts the index is RETRIEVING, not that it is exact
     assert(mean >= 0.5, s"mean recall@10 $mean below floor (per-q: $recalls)")
+    // independent dense-RANK check (r11 — the recall floor alone lets a
+    // rank bug inside the serve pass): the serve ends in an exact
+    // cosine re-rank of its candidates, so within each query the
+    // served order must equal an exact re-rank of exactly those
+    // documents, computed HERE from the raw quantized vectors with the
+    // serve's own tie-break (cos desc, vec_id asc) — independent of
+    // every rank the serve emitted
+    val vecs = e.select(col("vec_id"), col("q"), col("n2")).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1).toArray, r.getLong(2)))
+      .toMap
+    servedRows.groupBy(_._1).foreach { case (qid, rows) =>
+      val (qq, qn2) = vecs((qid - 1).toLong * 100)
+      val gotOrder = rows.sortBy(_._3).map(_._2).toSeq
+      val expOrder = rows.map { case (_, doc, _) =>
+        val (dq, dn2) = vecs(doc)
+        val dot = qq.indices.map(i => qq(i) * dq(i)).sum
+        (doc, dot.toDouble / (math.sqrt(qn2.toDouble) * math.sqrt(dn2.toDouble)))
+      }.sortBy { case (doc, cos) => (-cos, doc) }.map(_._1).toSeq
+      assert(gotOrder == expOrder,
+        s"qid $qid served rank order $gotOrder != exact re-rank $expOrder")
+    }
   }
 
   test("pipe_split never splits a near-dup cluster across train/test") {

@@ -225,6 +225,52 @@ class PipelineSpec extends AnyFunSuite {
       s"base docs must pass the batch sweep, got $batch")
   }
 
+  test("pipe_incr_idx serves the same admission from the PERSISTED base artifacts") {
+    // same corpus shape as the pipe_incr edge test: base (even) = two
+    // clean docs; delta (odd) = exact copy, near-dup, novel, fragment
+    import spark.implicits._
+    val a = "the data keeps the value fast and the group holds the table " +
+      "well so the batch moves fast while the line ends today now"
+    val b = "the rows merge under the index while a scan reads the heap " +
+      "and a cost model picks the fast path for the small probe today"
+    val novel = "today the path under cost and the heap picks a model " +
+      "while the scan reads rows for the fast merge index a small probe the"
+    val docs = Seq(
+      (2L, a), (4L, b),
+      (3L, a), (5L, a + " with two extras"), (7L, novel),
+      (9L, "the tiny short doc stops here now so soon done"))
+    val fx = java.nio.file.Files.createTempDirectory("pipe-incr-idx").toFile
+    fx.deleteOnExit()
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${fx.getAbsolutePath}/documents.parquet")
+    // ingest-time artifact write, forced fresh: the stored manifest
+    // must equal the INLINE base curation (provenance of the artifact
+    // the idx gate and its oracle both read)
+    val path = PipelineQueries.ensureCuratedBase(spark, fx.getAbsolutePath,
+      rebuild = true)
+    val stored = spark.read.parquet(s"$path/manifest")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(stored == Set(2L, 4L),
+      s"stored manifest must be the curated base survivors, got $stored")
+    // stored verify sets: one row per manifest doc, sorted-distinct
+    val sets = spark.read.parquet(s"$path/index/sets")
+      .select(col("doc_id"), col("hs")).as[(Long, Seq[Long])].collect()
+    assert(sets.map(_._1).toSet == stored)
+    sets.foreach { case (id, hs) =>
+      assert(hs == hs.distinct.sorted, s"set of $id not sorted-distinct")
+    }
+    // the production gate applies the same incremental rules as the
+    // inline pipe_incr gate on this corpus: only the novel doc enters
+    val admitted = PipelineQueries.queries("pipe_incr_idx")(
+        spark, fx.getAbsolutePath)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(admitted == Set(7L),
+      s"expected only the novel delta doc admitted, got $admitted")
+  }
+
   test("pipe_full re-keys a cluster whose representative was dropped by curation") {
     // the dropped-representative edge (r10): doc 3 is the GLOBAL
     // minimum of its near-dup cluster but fails the n_tok >= 20 stage
