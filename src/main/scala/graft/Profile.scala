@@ -199,6 +199,66 @@ object Profile {
           case Some(v) => spark.conf.set("graft.ann.maxBroadcastQueries", v)
           case None => spark.conf.unset("graft.ann.maxBroadcastQueries")
         }
+      } else if (name.startsWith("ann_serve_sc:")) {
+        // scaled-quantizer serving receipt (r11): same harness as
+        // ann_serve but the coarse codebook follows the PRODUCTION
+        // cell rule kC ≈ √N (trainIvfPqScaled) with nprobe ≈ √kC —
+        // the receipt that shows the serve wall near-flat across a
+        // 100× corpus sweep where fixed kC = 16 grows linearly. Also
+        // measures recall@5 of the scaled serve against the brute
+        // exact top-5 for the same batch, so the wall receipt carries
+        // its accuracy cost alongside.
+        import graft.operators.SimilarityQueries._
+        import org.apache.spark.sql.expressions.Window
+        val batch = name.split(':')(1).toInt
+        val e = quantized(spark, dir).persist()
+        val n = e.count()
+        val step = math.max(1L, n / batch)
+        val queries = e.filter(pmod(col("vec_id"), lit(step)) === 0)
+          .limit(batch)
+        val qn = queries.count()
+        require(qn > 0, s"ann_serve_sc: empty query batch (n=$n batch=$batch)")
+        val t0 = System.nanoTime()
+        val index = trainIvfPqScaled(spark, e, 8, knownN = Some(n))
+        val kC = index.coarse(0).length
+        val np = scaledNprobe(kC)
+        val path = java.nio.file.Files.createTempDirectory("annservesc").toString
+        saveIvfPqIndex(spark, index, e.select(col("vec_id"), col("q")), path)
+        val t1 = System.nanoTime()
+        val (idx2, codes) = loadIvfPqIndex(spark, path)
+        (1 to 2).foreach { pass =>
+          val s0 = System.nanoTime()
+          ivfPqSearchPrecoded(idx2, e, codes, queries, np,
+              knownBatch = Some(qn), knownCodes = Some(n))
+            .write.format("noop").mode("overwrite").save()
+          println(f"$name pass$pass n=$n kC=$kC nprobe=$np qn=$qn " +
+            f"build=${(t1 - t0) / 1e9}%6.2f s " +
+            f"serve=${(System.nanoTime() - s0) / 1e9}%6.2f s")
+        }
+        // recall@5 vs the exact brute top-5 of the same batch
+        val served = ivfPqSearchPrecoded(idx2, e, codes, queries, np,
+            knownBatch = Some(qn), knownCodes = Some(n))
+          .select(col("qid"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+        import graft.functions.VectorFunctions._
+        val qs = queries.select(col("vec_id").as("qid"),
+          col("q").as("qq"), col("n2").as("qn2"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val truth = e.join(org.apache.spark.sql.functions.broadcast(qs),
+            col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+        val recalls = truth.map { case (q, t) =>
+          served.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+        println(f"$name recall@5=${recalls.sum / recalls.size}%.3f over ${recalls.size} queries")
+        e.unpersist(blocking = false)
       } else if (name == "incr_parts") {
         // stage attribution for pipe_incr: bench collect, the two
         // stage16 passes, base near-dedup, union near-dedup

@@ -435,21 +435,17 @@ object SimilarityQueries {
       codes: DataFrame, queries: DataFrame, nprobe: Int,
       k: Int = 5, knownBatch: Option[Long] = None,
       knownCodes: Option[Long] = None): DataFrame = {
-    import graft.functions.VectorNative.pq_lut_native
+    import graft.functions.VectorNative.{pq_lut_native, pq_probe_native}
     val coarse = index.coarse
     val fine = index.fine
     val M = fine.length
-    val kC = coarse(0).length
-    val cn2 = coarse(0).map(c => c.map(x => x * x).sum)
-    val cn2Lit = array(cn2.map(v => lit(v)): _*)
-    // probe selection per query row: d2_j = ‖c_j‖² − 2·dot(q, c_j)
-    // (+‖q‖², constant under the argmin) from the coarse LUT
-    val lc = pq_lut_native(col("q"), coarse)
-    val scored = transform(sequence(lit(0), lit(kC - 1)), j =>
-      struct((element_at(cn2Lit, j + 1) - lit(2L) * element_at(lc, j + 1))
-        .as("d2"), j.as("cell")))
-    val cells = transform(slice(array_sort(scored), 1, nprobe),
-      x => x.getField("cell") + 1)
+    // probe selection per query row: the nprobe cells minimizing
+    // d2_j = ‖c_j‖² − 2·dot(q, c_j) (+‖q‖², constant under the argmin),
+    // ties to the smaller cell id — one native bounded-insertion kernel
+    // (r11; the struct-array_sort HOF it replaces ran an interpreted
+    // kC-element sort per query row, which dominated the serve at a
+    // scaled kC ≈ √N)
+    val cells = pq_probe_native(col("q"), coarse(0), nprobe)
     val qsx = queries
       .select(col("vec_id").as("qid"), col("n2").as("qn2"),
         pq_lut_native(col("q"), fine).as("lut"), cells.as("cells"))
@@ -561,13 +557,14 @@ object SimilarityQueries {
     */
   private[graft] def ivfPqSearch(index: IvfPqIndex, corpus: DataFrame,
       corpusCodes: DataFrame, queries: DataFrame, nprobe: Int,
-      k: Int = 5, knownBatch: Option[Long] = None): DataFrame = {
+      k: Int = 5, knownBatch: Option[Long] = None,
+      knownCodes: Option[Long] = None): DataFrame = {
     import graft.functions.VectorNative.pq_encode_native
     val codes = corpusCodes
       .select(col("vec_id"),
         pq_encode_native(col("q"), index.coarse).getItem(0).cast("int").as("cell"),
         pq_encode_native(col("q"), index.fine).as("enc"))
-    ivfPqServe(index, corpus, codes, queries, nprobe, k, knownBatch)
+    ivfPqServe(index, corpus, codes, queries, nprobe, k, knownBatch, knownCodes)
   }
 
   /** Persist a trained index to the lakehouse: `codebooks/` (book,

@@ -71,6 +71,54 @@ class AnnRecallSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.ann.maxBroadcastQueries")
   }
 
+  test("scaled coarse quantizer (kC ~ sqrt(N)) serves above the recall floor") {
+    // the production cell rule (r11): kC ≈ √N, nprobe ≈ √kC — probed
+    // fraction shrinks as the corpus grows so the serve wall stays
+    // near-flat (the 2 k/20 k/200 k receipts in BASELINE.md). This
+    // pins (a) the scaled codebook really is corpus-sized driver
+    // metadata, (b) recall against the exact brute top-5 stays above
+    // a floor at the thin 2 k corpus — the WORST case for small cells
+    // (measured 0.47; the 20 k/200 k family-structured sweeps measure
+    // 1.00), so the floor catches a probe/assignment regression
+    // without encoding the data's clustering luck.
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.1"
+    val e = SimilarityQueries.quantized(spark, dir).persist()
+    val n = e.count()
+    val index = SimilarityQueries.trainIvfPqScaled(spark, e, 8, Some(n))
+    val kC = index.coarse(0).length
+    val expect = SimilarityQueries.scaledCellCount(n)
+    // Lloyd drops empty cells, so trained kC can sit slightly under
+    // the rule's target but must stay corpus-scaled
+    assert(kC <= expect && kC >= expect / 2,
+      s"scaled kC $kC not in (${expect / 2}, $expect] for n=$n")
+    val queries = e.filter(col("vec_id") % 100 === 0)
+    val served = SimilarityQueries.ivfPqSearch(index, e, e, queries,
+        SimilarityQueries.scaledNprobe(kC), k = 5,
+        knownBatch = Some(20L), knownCodes = Some(n))
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val qs = queries.select(col("vec_id").as("qid"),
+      col("q").as("qq"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val truth = e.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        cosineFromQ(dotQ(col("qq"), col("q")), col("qn2"), col("n2")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      served.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    info(f"scaled-kC recall@5 sf0.1 = $mean%.3f (kC=$kC)")
+    e.unpersist(blocking = false)
+    assert(mean >= 0.35, f"scaled-quantizer recall@5 degraded to $mean%.3f")
+  }
+
   test("k-means-refined IVF recall@5 stays above the floor") {
     // refinement re-balances cells around the data (the skew story);
     // recall at fixed nprobe measured 0.88 on the r8 20-seed set and
