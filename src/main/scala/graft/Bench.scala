@@ -44,6 +44,10 @@ object Bench {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
+        // split-per-core scan normalization for single-file-per-table
+        // inputs; clamps to the stock 128 MB on real many-file dirs
+        .config("spark.sql.files.maxPartitionBytes",
+          Tables.autoSplitBytes(sfDir, cpus.toInt))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")

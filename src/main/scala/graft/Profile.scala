@@ -55,6 +55,10 @@ object Profile {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // split-per-core scan normalization (see Tables.autoSplitBytes) —
+      // parity with the Bench/Verify sessions so profiled walls match
+      .config("spark.sql.files.maxPartitionBytes",
+        Tables.autoSplitBytes(dir, 32))
       .config("spark.sql.session.timeZone", "UTC")
       // parity with Verify/Bench sessions: profile THROUGH the
       // TopKRewrite extension, not past it

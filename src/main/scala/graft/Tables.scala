@@ -78,6 +78,26 @@ object Tables {
     s"${System.getProperty("java.io.tmpdir")}/$prefix-$hex"
   }
 
+  /** Parquet split size that yields at least ~one scan task per core
+    * over the session's input directory: `totalInputBytes / cores`,
+    * clamped to [16 MB, 128 MB]. The driver testdata is one FILE per
+    * table, so at bench scale (a ~1.2 GB fact file on 32 cores) the
+    * stock 128 MB split leaves the scan 3-4× under-parallel — the
+    * map side of every join/agg above it idles 24 of 32 cores. On a
+    * real lakehouse the clamp returns the 128 MB default long before
+    * the data reaches 100 TB (any dir > cores×128 MB), so this is a
+    * small-file-count normalization, not a task-explosion knob: it
+    * can only LOWER the split size when the whole input would
+    * otherwise produce fewer splits than cores.
+    */
+  def autoSplitBytes(sfDir: String, cores: Int): Long = {
+    val files = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val total = files.map(_.length()).sum
+    math.max(16L << 20, math.min(128L << 20, total / math.max(1, cores)))
+  }
+
   /** Publish a freshly written artifact directory over its stable
     * location: the stale target (if any) moves aside and the temp dir
     * renames into place — a same-filesystem rename, so a concurrent

@@ -213,7 +213,12 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("n_tok"), col("q"),
           col("norm_len"))
         .orderBy(col("doc_id"))
-      out.localCheckpoint(true)
+      // returned LAZY: dAdm is already checkpointed and dropD rides a
+      // broadcast of the checkpointed dHashes, so the consumer's single
+      // materialization (Verify's parquet write / Bench's noop sink)
+      // sees a shallow plan — a final eager checkpoint here would pay
+      // the whole admission pass twice
+      out
     }))
 
   /** Version tag of the persisted curated-base artifact (layout +
