@@ -84,7 +84,16 @@ object Bench {
       // window measuring the delta-admission query, not a one-time
       // ingest the production path never repeats per batch.
       try graft.operators.PipelineQueries.ensureCuratedBase(spark, sfDir)
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // do NOT fail the bench, but do not swallow silently either:
+        // if the ingest-time build failed here, the first timed
+        // pipe_incr* run rebuilds it INSIDE its timed window and the
+        // recorded wall is silently inflated — leave a marker on
+        // stderr so that wall is explainable
+        System.err.println(
+          s"[bench] warmup curated-base build failed (first timed " +
+          s"pipe_incr* wall will include the rebuild): ${e.getMessage}")
+      }
     }
 
     // dev loop: SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries

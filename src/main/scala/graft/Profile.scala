@@ -341,10 +341,14 @@ object Profile {
           val t3 = System.nanoTime()
           val dHashes = dAdm.select(col("doc_id"), col("hs"))
             .filter(size(col("hs")) > 0)
-          val ndd = DQ.batchAdmissionDrops(bands, sets, dHashes).count()
+          // checkpoint so the fin stage reuses THIS probe result —
+          // a lazy re-reference would re-run the whole probe inside
+          // fin and double-count it in the attribution
+          val drops = DQ.batchAdmissionDrops(bands, sets, dHashes)
+            .localCheckpoint(true)
+          val ndd = drops.count()
           val t4 = System.nanoTime()
-          val nOut = dAdm.join(
-              broadcast(DQ.batchAdmissionDrops(bands, sets, dHashes)),
+          val nOut = dAdm.join(broadcast(drops),
               dAdm("doc_id") === col("vid"), "left_anti")
             .select(col("doc_id"), col("source"), col("n_tok"), col("q"),
               col("norm_len"))

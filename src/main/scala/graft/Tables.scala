@@ -91,21 +91,35 @@ object Tables {
     * otherwise produce fewer splits than cores.
     */
   def autoSplitBytes(sfDir: String, cores: Int): Long = {
-    val files = Option(new java.io.File(sfDir).listFiles())
+    // tables can be single files OR Spark-written directories
+    // (name.parquet/part-*.parquet) — sum both, or a directory-shaped
+    // dataset would read as total = 0 and land on the 16 MB floor,
+    // the opposite of the documented many-file clamp
+    def sizeOf(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
+    val total = Option(new java.io.File(sfDir).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    val total = files.map(_.length()).sum
+      .filter(_.getName.endsWith(".parquet"))
+      .map(sizeOf).sum
     math.max(16L << 20, math.min(128L << 20, total / math.max(1, cores)))
   }
 
   /** Publish a freshly written artifact directory over its stable
     * location: the stale target (if any) moves aside and the temp dir
-    * renames into place — a same-filesystem rename, so a concurrent
-    * reader sees either the old artifact or the new one, never a
-    * half-written mix (the write-to-temp-and-rename lifecycle).
+    * renames into place — a same-filesystem rename, so a reader never
+    * sees a half-written mix (the write-to-temp-and-rename lifecycle).
+    * Between the two renames there is a brief no-target window; every
+    * consumer treats a missing/incomplete artifact (no completeness
+    * marker) as build-if-absent, so the window degrades to a rebuild,
+    * never to reading a partial artifact. If a concurrent publisher
+    * wins any of the races, its artifact is complete and equivalent —
+    * ours is dropped.
     */
   def publishDir(tmp: String, target: String): Unit = {
-    import java.nio.file.{Files, Paths, Path}
+    import java.nio.file.{Files, Paths, Path, NoSuchFileException,
+      DirectoryNotEmptyException, FileAlreadyExistsException,
+      AccessDeniedException}
     import java.nio.file.StandardCopyOption.ATOMIC_MOVE
     def rmTree(p: Path): Unit = if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -115,13 +129,20 @@ object Tables {
     val t = Paths.get(target)
     val old = Paths.get(target + ".old-" + ProcessHandle.current().pid())
     rmTree(old)
-    if (Files.exists(t)) Files.move(t, old)
+    // a concurrent publisher may move t aside between the exists()
+    // check and our move — that race means a publish is in flight
+    try { if (Files.exists(t)) Files.move(t, old) }
+    catch { case _: NoSuchFileException => }
     try Files.move(Paths.get(tmp), t, ATOMIC_MOVE)
-    catch { case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.AccessDeniedException =>
-      // a concurrent publisher won the rename — its artifact is
-      // complete and equivalent; keep it and drop ours
-      rmTree(Paths.get(tmp))
+    catch {
+      // Linux reports a rename onto an existing non-empty directory
+      // as ENOTEMPTY (DirectoryNotEmptyException), not
+      // FileAlreadyExistsException — catch both plus the
+      // permission-shaped variant; all mean a concurrent publisher
+      // won the rename, so keep theirs and drop ours
+      case _: FileAlreadyExistsException | _: DirectoryNotEmptyException |
+           _: AccessDeniedException =>
+        rmTree(Paths.get(tmp))
     }
     rmTree(old)
   }

@@ -27,6 +27,10 @@ object Verify {
     // in full — check.py iterates outDir subdirectories, so a filtered
     // re-run into a dir holding older full dumps must not downgrade the
     // untouched gates to unchecked rows-only results
+    // pin the stored-artifact oracle paths to THIS dataset before any
+    // query (or none, on a filtered run) gets a chance to — the oracle
+    // dump below always rewrites oracle_sql.json in full
+    graft.operators.PipelineQueries.oracleDatasetDir = sfDir
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>

@@ -230,13 +230,41 @@ object PipelineQueries {
     */
   private val CurBaseVersion = "curbase1"
 
-  /** Artifact root of the last [[ensureCuratedBase]] call — read by
-    * [[oracleSql]] so the dumped `pipe_incr_idx` oracle points at the
-    * same stored manifest the gate served from (Verify runs every
-    * query before dumping oracle_sql.json, so this is always set on
-    * the driver's path; the fallback covers a filtered dev run).
+  /** Dataset directory whose stored-artifact path the dumped oracle
+    * states. The artifact location is DETERMINISTIC in the dataset dir
+    * ([[graft.Tables.artifactPath]]), so the oracle needs only the
+    * dir, not the artifact-build side effect: Verify pins this to its
+    * sfDir argument up front, which keeps a FILTERED run
+    * (SPARK_GRAFT_ONLY skipping the pipe gates, oracle_sql.json still
+    * dumped in full) from pointing an existing full dump's
+    * `pipe_incr_idx` oracle at another scale factor's base.
+    * [[ensureCuratedBase]] also keeps it current whenever a gate runs.
     */
-  @volatile private var lastCuratedBase: Option[String] = None
+  @volatile private[graft] var oracleDatasetDir: String =
+    "/root/testdata/sf0.01"
+
+  /** Content fingerprint of the dataset's documents table (paths,
+    * sizes, mtimes — file- or directory-shaped), stamped into the
+    * artifact's completeness marker: a dataset REGENERATED IN PLACE
+    * (same path, new data — every /tmp fixture generator does this)
+    * invalidates the stored base instead of silently serving a stale
+    * curation. A false rebuild on an mtime-only touch is cheap; a
+    * stale serve is a silent wrong answer for `pipe_incr` (oracle
+    * recomputes from raw docs → unexplained mismatch) and an
+    * invisible one for `pipe_incr_idx` (gate and oracle both read the
+    * stale store → conformance passes on wrong data).
+    */
+  private def sourceFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles()).getOrElse(Array.empty).toSeq
+        .sortBy(_.getName).flatMap(walk)
+    val desc = walk(new java.io.File(s"$dir/documents.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(desc.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+  }
 
   /** Build-if-absent the persisted curated-base artifacts for `dir` —
     * the ingest-time write a production pipeline performs ONCE when the
@@ -257,8 +285,14 @@ object PipelineQueries {
   private[graft] def ensureCuratedBase(s: SparkSession, dir: String,
       rebuild: Boolean = false): String = {
     val path = graft.Tables.artifactPath(s"graft-$CurBaseVersion", dir)
-    if (!rebuild && new java.io.File(s"$path/_GRAFT_OK").exists()) {
-      lastCuratedBase = Some(path)
+    oracleDatasetDir = dir
+    // reuse only a COMPLETE artifact whose marker matches both the
+    // curation-semantics version AND the source-data fingerprint — a
+    // version bump or an in-place dataset regeneration both rebuild
+    val stamp = s"$CurBaseVersion:${sourceFingerprint(dir)}"
+    val ok = java.nio.file.Paths.get(s"$path/_GRAFT_OK")
+    if (!rebuild && java.nio.file.Files.exists(ok) &&
+        java.nio.file.Files.readString(ok) == stamp) {
       return path
     }
     val tmp = path + ".tmp-" + ProcessHandle.current().pid()
@@ -287,9 +321,8 @@ object PipelineQueries {
     bench.toSeq.toDF("h")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/bench")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$tmp/_GRAFT_OK"), CurBaseVersion)
+      java.nio.file.Paths.get(s"$tmp/_GRAFT_OK"), stamp)
     graft.Tables.publishDir(tmp, path)
-    lastCuratedBase = Some(path)
     path
   }
 
@@ -694,13 +727,13 @@ object PipelineQueries {
     // than trusting the stored bands). ONE unified admission chain:
     // the batch's bands probe (base bands ∪ batch bands); a base hit
     // drops the delta member, a delta-internal hit (ia < ib) drops
-    // the larger — the batchAdmissionDrops semantics. Paths are
-    // spliced at dump time: Verify runs the gate (which builds/locates
-    // the artifact) before dumping oracle_sql.json.
+    // the larger — the batchAdmissionDrops semantics. The artifact
+    // path is DETERMINISTIC in the dataset dir, spliced at dump time
+    // from [[oracleDatasetDir]] (pinned by Verify to its sfDir up
+    // front, so even a filtered run dumps the right dataset's path).
     "pipe_incr_idx" -> {
-      val base = lastCuratedBase.getOrElse(
-        graft.Tables.artifactPath(s"graft-$CurBaseVersion",
-          "/root/testdata/sf0.01"))
+      val base = graft.Tables.artifactPath(
+        s"graft-$CurBaseVersion", oracleDatasetDir)
       ("WITH " +
         materialized(stageChainCtes("d_", " AND doc_id % 2 = 1")) +
         s""", bman AS MATERIALIZED (

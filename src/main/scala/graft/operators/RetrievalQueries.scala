@@ -218,12 +218,6 @@ object RetrievalQueries {
     fuse(sp, denseTop10(s, dir))
   }
 
-  /** The dense arm of [[rrf]] — top-10 cosine neighbors of the five
-    * query vectors, served from a freshly persisted IVF-PQ index
-    * (train → save → load → probe; the save/load roundtrip is exact on
-    * the integer domain, spec-proven in StreamingAnnSpec). Exposed for
-    * HybridSplitSpec's arm-swap + recall-floor assertions.
-    */
   /** The dense query-id lattice: embedding (q−1)·100 for q in 1..5 —
     * ONE definition feeds the filter, the knownBatch pivot constant and
     * (by restatement) the oracle's `% 100 = 0 AND < 500` predicate, so
@@ -231,6 +225,12 @@ object RetrievalQueries {
     */
   private val denseQueryIds: Seq[Long] = 0L until 500L by 100L
 
+  /** The dense arm of [[rrf]] — top-10 cosine neighbors of the five
+    * query vectors, served from a freshly persisted IVF-PQ index
+    * (train → save → load → probe; the save/load roundtrip is exact on
+    * the integer domain, spec-proven in StreamingAnnSpec). Exposed for
+    * HybridSplitSpec's arm-swap + recall-floor assertions.
+    */
   private[graft] def denseTop10(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.SimilarityQueries._
     val eq = quantized(s, dir)
