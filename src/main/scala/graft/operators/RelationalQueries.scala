@@ -106,12 +106,25 @@ object RelationalQueries {
       val o = orders(s, dir).filter(col("o_orderdate") >= ts("1995-01-01") &&
         col("o_orderdate") < ts("1997-01-01"))
       val l = lineitem(s, dir)
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .join(c, col("o_custkey") === col("c_custkey") &&
-          col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      // dim-first star order (the q3 rationale): customers restrict to
+      // the ASIA nations (1 of 5 regions) through the two constant
+      // dims, THEN prune orders — the orders side of the orderkey
+      // exchange with lineitem drops ~5× before it happens, and when
+      // customer is NOT broadcastable (the cluster case — it grows
+      // with SF) the custkey exchange moves off the fat post-lineitem
+      // frame (old order: joined c LAST, shuffling 60 M wide rows by
+      // custkey at 100×) onto the thin orders frame. Locally c
+      // broadcasts either way, so measured walls are ~equal (100×
+      // steady 5.0 → 4.6–5.2 s; small SFs pay ~0.3 s for the extra
+      // dim stage — the floor, not the plan). The c↔s same-nation
+      // condition lands on the supplier join once c_nationkey is in
+      // hand; inner-join reordering, same result.
+      val cAsia = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      o.join(cAsia, col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
           .cast("double").as("revenue"),

@@ -177,4 +177,100 @@ class RedoCurationE2ESpec extends AnyFunSuite {
     val run2 = runPipeline()
     assert(run2 == run1, s"replay diverged: $run2 != $run1")
   }
+
+  test("mid-stream restart from checkpoint: offsets, txn state and the " +
+      "admission store all resume exactly-once") {
+    import spark.implicits._
+    val novel1 = "today the path under cost and the heap picks a model " +
+      "while the scan reads rows for the fast merge index a small probe the"
+    val novel2 = "now the table holds the value and the group keeps the " +
+      "batch while fast data moves the line so fast well today ends the"
+    val novel3 = "value lines group the fast table so now the data holds " +
+      "the batch and keeps it well while the ends move fast today the the"
+    // same shape as the main test, but the stream is STOPPED after the
+    // first two logs and restarted from the SAME checkpoint once the
+    // third arrives. What only the restart can check: (a) recovered
+    // offsets skip the already-processed logs (no re-admission of doc
+    // 5 — it would violate exactly-once at the manifest), (b) txn S's
+    // rows from log 2 are restored from the checkpointed state store
+    // so its log-3 commit still emits doc 11, (c) txn R's restored
+    // rows are discarded by its log-3 rollback.
+    val redoDir = Files.createTempDirectory("redo_rst_grl").toFile
+    def writeLog(i: Int, recs: Seq[RedoRecord]): Unit = {
+      val w = new RedoLogWriter(new File(redoDir, s"log_$i.grl"), 1024, seq = i)
+      recs.foreach(w.append)
+      w.close()
+    }
+    writeLog(1, Seq(ins(1, "D1", 5, novel1), ctl(2, "D1", Ops.Commit)))
+    writeLog(2, Seq(ins(3, "S", 11, novel2), ins(4, "R", 15, novel3)))
+
+    val idxDir = Files.createTempDirectory("redo_rst_idx").toString
+    val digDir = Files.createTempDirectory("redo_rst_dig").toString
+    // empty curated base: digests dir seeded with an empty frame of the
+    // right schema, band index built from zero docs
+    val bench = Array.empty[Long]
+    val empty = PipelineQueries.stage16Of(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")
+        .withColumn("source", lit("src0")), bench)
+    DedupQueries.saveBandIndex(
+      empty.select(col("doc_id"), shingleHashes(col("toks"), 2).as("hs")),
+      idxDir)
+    empty.select(col("digest")).write.mode("overwrite").parquet(digDir)
+
+    val ckpt = Files.createTempDirectory("redo_rst_ckpt").toFile.getAbsolutePath
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    def runOnce(): Unit = {
+      val records = spark.readStream.format("graft-redo")
+        .option("maxFilesPerTrigger", 1)
+        .load(redoDir.getAbsolutePath)
+        .as[RedoRecord]
+      val q = ChangeStreams.assembleStream(records)
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val docs = df
+            .filter(col("table") === "G.DOCS" && col("op") === Ops.Insert)
+            .select(
+              element_at(col("after"), "doc_id").cast("long").as("doc_id"),
+              element_at(col("after"), "source").as("source"),
+              element_at(col("after"), "text").as("text"))
+          val filtered = PipelineQueries.stage16Of(docs, bench)
+            .localCheckpoint(true)
+          val known = spark.read.parquet(digDir)
+          val fresh = filtered.join(known,
+            filtered("digest") === known("digest"), "left_anti")
+          val (bands, sets) = DedupQueries.loadBandIndex(spark, idxDir)
+          val freshHashes = fresh
+            .select(col("doc_id"), shingleHashes(col("toks"), 2).as("hs"))
+            .localCheckpoint(true)
+          val drops = DedupQueries.batchAdmissionDrops(bands, sets, freshHashes)
+          val adm = freshHashes.join(drops,
+              freshHashes("doc_id") === drops("vid"), "left_anti")
+            .localCheckpoint(true)
+          DedupQueries.lshBands(adm).write.mode("append").parquet(s"$idxDir/bands")
+          adm.select(col("doc_id"),
+              graft.functions.TextHashExpressions
+                .sorted_distinct_longs(col("hs")).as("hs"))
+            .write.mode("append").parquet(s"$idxDir/sets")
+          fresh.join(adm.select(col("doc_id")), "doc_id")
+            .select(col("digest")).write.mode("append").parquet(digDir)
+          admitted ++= adm.select(col("doc_id")).as[Long].collect().sorted
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+    }
+
+    runOnce() // processes logs 1-2: admits 5; S and R still pending
+    assert(admitted.toSeq == Seq(5L),
+      s"before restart: $admitted — doc 5 only (S/R uncommitted)")
+    writeLog(3, Seq(ctl(5, "S", Ops.Commit), ctl(6, "R", Ops.Rollback)))
+    runOnce() // restart from the SAME checkpoint: only log 3 is new
+    assert(admitted.toSeq == Seq(5L, 11L),
+      s"after restart: $admitted — doc 11 exactly once (spanning txn " +
+        "state recovered across restart), doc 5 NOT re-admitted, " +
+        "rolled-back doc 15 absent")
+  }
 }
