@@ -84,7 +84,10 @@ object Bench {
       // window measuring the delta-admission query, not a one-time
       // ingest the production path never repeats per batch.
       try graft.operators.PipelineQueries.ensureCuratedBase(spark, sfDir)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // fatal errors (OOM, interrupts) must kill the run — timed
+        // walls on a thrashing heap would record garbage that LOOKS
+        // like a clean bench
         // do NOT fail the bench, but do not swallow silently either:
         // if the ingest-time build failed here, the first timed
         // pipe_incr* run rebuilds it INSIDE its timed window and the

@@ -72,11 +72,27 @@ object Tables {
     */
   def artifactPath(prefix: String, dir: String): String = {
     val canonical = new java.io.File(dir).getCanonicalPath
-    val hex = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(canonical.getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
-    s"${System.getProperty("java.io.tmpdir")}/$prefix-$hex"
+    s"${System.getProperty("java.io.tmpdir")}/$prefix-${hex8(canonical)}"
   }
+
+  /** First 8 bytes of SHA-256(s), lowercase hex — the shared digest for
+    * artifact keying ([[artifactPath]]) and content fingerprints; one
+    * definition so a width change can never desynchronize them.
+    */
+  def hex8(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+
+  /** All regular files under `f` (itself, if a file), child-name-sorted
+    * at each level — the one definition of "what counts as dataset
+    * content" shared by [[autoSplitBytes]] and the artifact
+    * fingerprints, so size math and staleness detection can never
+    * disagree on it.
+    */
+  def walkFiles(f: java.io.File): Seq[java.io.File] =
+    if (f.isFile) Seq(f)
+    else Option(f.listFiles()).getOrElse(Array.empty).toSeq
+      .sortBy(_.getName).flatMap(walkFiles)
 
   /** Parquet split size that yields at least ~one scan task per core
     * over the session's input directory: `totalInputBytes / cores`,
@@ -95,13 +111,10 @@ object Tables {
     // (name.parquet/part-*.parquet) — sum both, or a directory-shaped
     // dataset would read as total = 0 and land on the 16 MB floor,
     // the opposite of the documented many-file clamp
-    def sizeOf(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
     val total = Option(new java.io.File(sfDir).listFiles())
       .getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
-      .map(sizeOf).sum
+      .flatMap(walkFiles).map(_.length()).sum
     math.max(16L << 20, math.min(128L << 20, total / math.max(1, cores)))
   }
 

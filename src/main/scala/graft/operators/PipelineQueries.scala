@@ -254,17 +254,11 @@ object PipelineQueries {
     * invisible one for `pipe_incr_idx` (gate and oracle both read the
     * stale store → conformance passes on wrong data).
     */
-  private def sourceFingerprint(dir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isFile) Seq(f)
-      else Option(f.listFiles()).getOrElse(Array.empty).toSeq
-        .sortBy(_.getName).flatMap(walk)
-    val desc = walk(new java.io.File(s"$dir/documents.parquet"))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|")
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(desc.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-  }
+  private def sourceFingerprint(dir: String): String =
+    graft.Tables.hex8(
+      graft.Tables.walkFiles(new java.io.File(s"$dir/documents.parquet"))
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|"))
 
   /** Build-if-absent the persisted curated-base artifacts for `dir` —
     * the ingest-time write a production pipeline performs ONCE when the
@@ -291,8 +285,15 @@ object PipelineQueries {
     // version bump or an in-place dataset regeneration both rebuild
     val stamp = s"$CurBaseVersion:${sourceFingerprint(dir)}"
     val ok = java.nio.file.Paths.get(s"$path/_GRAFT_OK")
-    if (!rebuild && java.nio.file.Files.exists(ok) &&
-        java.nio.file.Files.readString(ok) == stamp) {
+    // the marker can vanish between exists() and read — a concurrent
+    // publishDir's no-target window; a missing/unreadable marker means
+    // build-if-absent, never an error
+    val marker = try {
+      if (java.nio.file.Files.exists(ok))
+        Some(java.nio.file.Files.readString(ok))
+      else None
+    } catch { case _: java.io.IOException => None }
+    if (!rebuild && marker.contains(stamp)) {
       return path
     }
     val tmp = path + ".tmp-" + ProcessHandle.current().pid()
