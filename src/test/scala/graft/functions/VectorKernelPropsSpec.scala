@@ -135,4 +135,27 @@ class VectorKernelPropsSpec extends AnyFunSuite {
       assert(got2 === merge(a, b), "symmetric direction diverged")
     }
   }
+
+  test("pqProbe: equals the full (d2, cell) sort on random inputs, " +
+      "including d2 ties, nprobe >= kC and tiny kC") {
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 400).foreach { t =>
+      val dim = 1 + rnd.nextInt(6)
+      val kC = 1 + rnd.nextInt(12)
+      val nprobe = 1 + rnd.nextInt(kC + 3) // sometimes > kC
+      // small value range so distinct cells collide on d2 often — the
+      // tie-break path the insertion kernel must order by cell id
+      val cents = Array.fill(kC)(Array.fill(dim)(rnd.nextInt(5).toLong - 2))
+      val q = Array.fill(dim)(rnd.nextInt(5).toLong - 2)
+      val cn2 = cents.map(_.map(x => x * x).sum)
+      val naive = cents.zipWithIndex.map { case (c, j) =>
+          val dot = q.zip(c).map { case (a, b) => a * b }.sum
+          (cn2(j) - 2L * dot, j)
+        }.sortBy(identity).take(math.min(nprobe, kC)).map(_._2 + 1L)
+      val got = VectorNative.pqProbe(arr(q), cents, cn2, nprobe)
+        .toLongArray().toSeq
+      assert(got === naive.toSeq,
+        s"t=$t kC=$kC nprobe=$nprobe dim=$dim: kernel $got != sort ${naive.toSeq}")
+    }
+  }
 }
