@@ -83,6 +83,15 @@ object RelationalQueries {
       // the 100× fixture: 3.8 → 3.4 s steady locally; the shuffled
       // orders bytes — the term that matters on a real cluster's
       // network — drop ~5×).
+      // (Tried and reverted: pre-aggregating lineitem revenue by
+      // l_orderkey BELOW the join — the group keys are functionally
+      // dependent on l_orderkey, so it is value-identical — measured
+      // 2× SLOWER at 100× (6.0–6.4 s vs 3.4 s): the pushed-down agg
+      // pays the decimal arithmetic and a multi-million-key hash table
+      // on ALL date-filtered lineitems, where join-first lets the
+      // broadcast customer semi-filter drop ~80 % of rows before any
+      // aggregation. Group-by pushdown only wins when the join does
+      // NOT filter.)
       o.join(c, col("o_custkey") === col("c_custkey"))
         .join(l, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
