@@ -36,6 +36,12 @@ class EndToEndPipelineSpec extends AnyFunSuite {
     RedoRecord(scn, 0, xid, op, if (op == Ops.Commit || op == Ops.Rollback) ""
       else "G.ACCTS", rowId, rollback = false, scn, Map.empty, after)
 
+  // per-batch emitted rows, captured by the foreachBatch diagnostic —
+  // printed on assertion failure so the flake (seen twice in full-suite
+  // runs, never in 180 isolated iterations) localizes itself
+  private val seen =
+    scala.collection.mutable.Map.empty[Long, List[String]]
+
   test("redo logs → streaming assembly → Derby upsert, txns span batches") {
     val dir = Files.createTempDirectory("e2e_grl").toFile
     // log 1: txA inserts k=1,k=2 (NO commit yet), txB inserts k=3 + commits
@@ -75,7 +81,13 @@ class EndToEndPipelineSpec extends AnyFunSuite {
       .writeStream
       .option("checkpointLocation",
         Files.createTempDirectory("e2e_ckpt").toFile.getAbsolutePath)
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        // diagnostic capture for a full-suite-only flake (one observed
+        // run delivered all 8 source rows yet Derby ended with one key):
+        // pin the batch's content so a failure says WHICH side lost
+        // rows — the assembler's emission or the JDBC write
+        val rows = df.collect()
+        seen.synchronized { seen += (bid -> rows.map(_.toString).toList) }
         sink.writeBatch(df)
       }
       .trigger(Trigger.AvailableNow())
@@ -94,6 +106,11 @@ class EndToEndPipelineSpec extends AnyFunSuite {
 
     // txB committed (k=3); txA committed in batch 2 with the UPDATE
     // applied AFTER the insert (k=1 → a1v2, k=2 → a2); txC rolled back.
-    assert(got === List((1, "a1v2"), (2, "a2"), (3, "b1")))
+    val want = List((1, "a1v2"), (2, "a2"), (3, "b1"))
+    assert(got === want,
+      s"Derby=$got want=$want; emitted per batch: " +
+        seen.synchronized(seen.toSeq.sortBy(_._1))
+          .map { case (b, rs) => s"batch $b: ${rs.mkString("; ")}" }
+          .mkString(" | "))
   }
 }
