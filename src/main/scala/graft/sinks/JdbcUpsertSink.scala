@@ -97,16 +97,25 @@ case class JdbcUpsertSink(
     val plan = deduped.select(
       (dataCols.map(col) :+ col(opCol)): _*)
 
+    // Buffered for transient-error replay: the slice is one shuffle
+    // partition of an already key-deduped micro-batch (the JDBC driver
+    // would hold the same rows in its addBatch buffers anyway), and
+    // upserts/deletes are key-idempotent, so replaying the partition
+    // after a rollback is exactly-once in effect.
     plan.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.nonEmpty) {
+      val buf = rows.toArray
+      var attempt = 0
+      var done = buf.isEmpty
+      while (!done) {
         val conn = connect()
         conn.setAutoCommit(false)
         val up = conn.prepareStatement(upsertSqlText)
         val del = conn.prepareStatement(deleteSqlText)
-        var nUp = 0
-        var nDel = 0
+        var failure: Throwable = null
         try {
-          rows.foreach { r =>
+          var nUp = 0
+          var nDel = 0
+          buf.foreach { r =>
             val isDelete = r.get(dataCols.length) match {
               case i: Int => i == graft.cdc.Ops.Delete
               case s: String => s == "DELETE" || s == "d"
@@ -129,8 +138,43 @@ case class JdbcUpsertSink(
           up.executeBatch()
           del.executeBatch()
           conn.commit()
+          done = true
+        } catch {
+          case e: Throwable =>
+            failure = e
+            // roll back BEFORE close: Derby's close() throws "Cannot
+            // close a connection while a transaction is still active"
+            // on an un-ended transaction, which would REPLACE the real
+            // error (it cost a debugging session as a full-suite-only
+            // "flake"). Any rollback/close failure rides along as a
+            // suppressed exception instead.
+            try conn.rollback()
+            catch { case s: Exception => e.addSuppressed(s) }
+            val transient = e match {
+              case t: java.sql.SQLException =>
+                t.isInstanceOf[java.sql.SQLTransientException] ||
+                  Option(t.getSQLState).exists(_.startsWith("40"))
+              case _ => false
+            }
+            // deadlock / lock-timeout victims (SQLState class 40,
+            // SQLTransientException) are retried in-task with a short
+            // backoff — the reference surfaces the SQLException to the
+            // Connect framework whose task retry replays the same put
+            // (solutions/a2/kafka/sink/JdbcSinkTask.java:175-186);
+            // Spark's task-level retry would replay the whole batch
+            // tree, so the bounded in-task replay is the Spark-first
+            // shape. Non-transient errors propagate unmasked.
+            if (transient && attempt < 3) {
+              attempt += 1
+              JdbcUpsertSink.lastRetryCount = attempt
+              Thread.sleep(50L * attempt)
+            } else throw e
         } finally {
-          up.close(); del.close(); conn.close()
+          def quiet(c: AutoCloseable): Unit =
+            try c.close()
+            catch { case s: Exception =>
+              if (failure != null) failure.addSuppressed(s) else throw s }
+          quiet(up); quiet(del); quiet(conn)
         }
       }
     }
@@ -143,4 +187,11 @@ object JdbcUpsertSink {
     */
   private val ensured =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Highest transient-retry attempt of the most recent retried
+    * partition — a local-mode test observability hook (the
+    * PartialUpsertSink.lastStatementCacheSize precedent); executors
+    * share the JVM there.
+    */
+  @volatile var lastRetryCount: Int = 0
 }

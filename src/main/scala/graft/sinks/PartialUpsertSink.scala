@@ -120,10 +120,22 @@ case class PartialUpsertSink(
           }
           conn.commit()
           PartialUpsertSink.lastStatementCacheSize = updCache.size
+        } catch {
+          case e: Throwable =>
+            // roll back before close — Derby refuses to close a
+            // connection with an open transaction, and that close
+            // error would REPLACE the real failure (the JdbcUpsertSink
+            // masking bug, fixed there with in-task transient retry;
+            // this sink keeps the simpler propagate-unmasked shape)
+            try conn.rollback()
+            catch { case s: Exception => e.addSuppressed(s) }
+            throw e
         } finally {
-          (updCache.values ++ insCache.values).foreach(_.close())
-          del.close()
-          conn.close()
+          def quiet(c: AutoCloseable): Unit =
+            try c.close() catch { case _: Exception => }
+          (updCache.values ++ insCache.values).foreach(quiet)
+          quiet(del)
+          quiet(conn)
         }
       }
     }

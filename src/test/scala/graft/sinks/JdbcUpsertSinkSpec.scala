@@ -57,4 +57,52 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
     conn2.close()
     assert(rows2 == List((1L, "a-v2"), (2L, "b-v2"), (3L, "c-v2")))
   }
+
+  test("transient lock-timeout victims roll back, retry in-task and land") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:retrytest;create=true"
+    val setup = DriverManager.getConnection(url)
+    // 1-second lock timeout, scoped to THIS database (not engine-wide)
+    setup.createStatement().execute(
+      "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY('derby.locks.waitTimeout','1')")
+    setup.close()
+
+    val sink = JdbcUpsertSink(url, "rt_t", keyCols = Seq("id"),
+      dialect = DerbyDialect)
+    // first write auto-creates the table and seeds id=1
+    sink.writeBatch(
+      Seq((1L, "old", 3, 100L, 10L)).toDF("id", "name", "op", "commitScn", "scn"))
+
+    // an out-of-band writer holds an exclusive row lock on id=1 long
+    // enough that the sink's first MERGE attempt (and, margins willing,
+    // its second) is a Derby lock-timeout VICTIM — SQLState 40XL1, a
+    // SQLTransactionRollbackException the sink must classify transient
+    val holder = DriverManager.getConnection(url)
+    holder.setAutoCommit(false)
+    holder.createStatement()
+      .executeUpdate("UPDATE rt_t SET name = 'held' WHERE id = 1")
+    val releaser = new Thread(() => {
+      Thread.sleep(2500)
+      holder.commit(); holder.close()
+    })
+    releaser.start()
+
+    JdbcUpsertSink.lastRetryCount = 0
+    // one partition so the retried attempt is the observed one
+    sink.writeBatch(
+      Seq((1L, "new", 3, 200L, 20L)).toDF("id", "name", "op", "commitScn", "scn")
+        .coalesce(1))
+    releaser.join()
+
+    val conn = DriverManager.getConnection(url)
+    val rs = conn.createStatement()
+      .executeQuery("SELECT name FROM rt_t WHERE id = 1")
+    assert(rs.next()); val got = rs.getString(1)
+    conn.close()
+    assert(got == "new",
+      s"retried upsert must land after the lock releases (got '$got')")
+    assert(JdbcUpsertSink.lastRetryCount >= 1,
+      "the first attempt must have been a timed-out victim that retried " +
+        "(raise the holder sleep if this box times out locks slowly)")
+  }
 }
