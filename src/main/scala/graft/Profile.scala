@@ -225,7 +225,7 @@ object Profile {
         val t0 = System.nanoTime()
         val index = trainIvfPqScaled(spark, e, 8, knownN = Some(n))
         val kC = index.coarse(0).length
-        val np = scaledNprobe(kC)
+        val np = scaledNprobe(kC, n)
         val path = java.nio.file.Files.createTempDirectory("annservesc").toString
         saveIvfPqIndex(spark, index, e.select(col("vec_id"), col("q")), path)
         val t1 = System.nanoTime()

@@ -241,16 +241,20 @@ object DedupQueries {
       .unionByName(dBands.toDF("ia", "band", "h1", "h2")
         .select(col("ia"), lit(false).as("corp"),
           col("band"), col("h1"), col("h2")))
+    // candidates and verify sets both carry the corp flag and join on
+    // (ia, corp): corpus and delta id spaces may legally overlap (a
+    // re-ingested doc_id), and without the flag an id present in both
+    // would produce duplicate join rows verified against the wrong set
     val cand = probe.join(allIdx, Seq("band", "h1", "h2"))
       .filter(col("corp") || col("ia") < col("ib"))
-      .select(col("ia"), col("ib")).distinct()
+      .select(col("ia"), col("corp"), col("ib")).distinct()
     val setsA = corpusSets.select(col("doc_id").as("ia"),
-        sorted_distinct_longs(col("hs")).as("sa"))
+        lit(true).as("corp"), sorted_distinct_longs(col("hs")).as("sa"))
       .unionByName(deltaHashes.select(col("doc_id").as("ia"),
-        sorted_distinct_longs(col("hs")).as("sa")))
+        lit(false).as("corp"), sorted_distinct_longs(col("hs")).as("sa")))
     val setsB = deltaHashes.select(col("doc_id").as("ib"),
       sorted_distinct_longs(col("hs")).as("sb"))
-    cand.join(setsA, "ia").join(setsB, "ib")
+    cand.join(setsA, Seq("ia", "corp")).join(setsB, "ib")
       .withColumn("m", intersect_count_sorted(col("sa"), col("sb")))
       .withColumn("jac", col("m").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("m")).cast("double"))

@@ -243,6 +243,11 @@ object PipelineQueries {
   @volatile private[graft] var oracleDatasetDir: String =
     "/root/testdata/sf0.01"
 
+  /** Per-invocation suffix for [[ensureCuratedBase]] temp dirs — pid
+    * alone collides across threads of one JVM.
+    */
+  private val tmpNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Content fingerprint of the dataset's documents table (paths,
     * sizes, mtimes — file- or directory-shaped), stamped into the
     * artifact's completeness marker: a dataset REGENERATED IN PLACE
@@ -296,7 +301,11 @@ object PipelineQueries {
     if (!rebuild && marker.contains(stamp)) {
       return path
     }
-    val tmp = path + ".tmp-" + ProcessHandle.current().pid()
+    // pid alone is not unique within a JVM — two concurrent callers
+    // (parallel suites, Bench warmup racing a gate) would interleave
+    // writes into one .tmp dir before publishDir; the nonce isolates them
+    val tmp = path + ".tmp-" + ProcessHandle.current().pid() + "-" +
+      PipelineQueries.tmpNonce.incrementAndGet()
     val bench = benchShingles(s, dir)
     val b16 = stage16(s, dir, bench, col("doc_id") % 2 === 0).persist()
     val bKeep = b16.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))

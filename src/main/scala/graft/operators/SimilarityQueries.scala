@@ -338,9 +338,19 @@ object SimilarityQueries {
     * r10 100× sweep. With kC = √N the per-query scan is nprobe·√N and
     * the codebook stays driver metadata (√N rows — 2.9 k vectors even
     * at N = 10⁹, far below any broadcast ceiling).
+    *
+    * The N/64 term is the MIN-POINTS-PER-CELL clamp (r12): below
+    * N ≈ 4 096 the √N rule over-partitions a thin corpus (45 cells on
+    * 2 000 vectors measured recall@5 0.47 at r11 — true neighbors
+    * scatter into unprobed slivers), so cells are never allowed to
+    * hold fewer than ~64 points; a small corpus degrades toward the
+    * conformance kC = 16 shape instead of over-partitioned probing.
+    * Past N = 16 k the √N term is the binding one and the clamp is
+    * inert.
     */
   private[graft] def scaledCellCount(n: Long): Int =
-    math.max(16, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+    math.max(16, math.min(4096,
+      math.min(math.round(math.sqrt(n.toDouble)), n / 64).toInt))
 
   /** Probe width for a scaled quantizer: nprobe ≈ √kC (floor 4). At
     * kC = 16 this is the conformance gates' nprobe = 4; as cells
@@ -348,15 +358,32 @@ object SimilarityQueries {
     * row count nprobe·N/kC ≈ N/√kC keeps shrinking relative to the
     * corpus — the standard recall/cost compromise (AnnRecallSpec pins
     * the floor at a scaled kC).
+    *
+    * The third term is the MIN-POINTS-PROBED floor (r12): probe at
+    * least ⌈2048·kC/N⌉ cells (capped at kC) so every query scans
+    * ~2048 expected rows. On a thin corpus this degrades the serve to
+    * a near-flat scan (N ≤ 2048 probes every cell — recall 1.0 where
+    * the r11 rule measured 0.47 at N = 2 000) at a cost that is
+    * CONSTANT by construction; past N ≈ 64 k the √kC term dominates
+    * and the floor is inert (N = 200 k: ⌈2048·447/200 000⌉ = 5 ≪ 22).
     */
-  private[graft] def scaledNprobe(kC: Int): Int =
-    math.max(4, math.ceil(math.sqrt(kC.toDouble)).toInt)
+  private[graft] def scaledNprobe(kC: Int, n: Long): Int =
+    math.min(kC, math.max(
+      math.max(4, math.ceil(math.sqrt(kC.toDouble)).toInt),
+      ((2048L * kC + n - 1) / n).toInt))
 
   /** [[trainIvfPq]] with the coarse codebook SCALED to the corpus —
     * the production rule (r11; the conformance gates keep fixed 16).
-    * Seeds: a deterministic Knuth-hash-ranked ~kC-subset of the corpus
-    * (the q_strat keep rule — content-independent, size-dependent), so
-    * the seed set is reproducible across runs and partitionings; the
+    * Seeds: a deterministic double-Knuth-hash-ranked subset of the
+    * corpus, CAPPED at kC rows (content-independent, size-dependent),
+    * so the seed set is reproducible across runs and partitionings and
+    * the trained codebook can never exceed the rule's target (the
+    * selection count is ~binomial around kC; uncapped it overshoots on
+    * roughly half of all fixtures). The hash is two multiplicative
+    * rounds with a 16-bit downshift between them — one round mixes too
+    * poorly on short contiguous id ranges (2 of an expected 16 seeds
+    * selected on the 500-row fixture) and the shift keeps the second
+    * multiply inside int64 so any SQL engine restates it exactly. The
     * fine codebook stays 16 per subspace (PQ codebook size is a
     * precision knob, not a corpus knob), seeded from the first 16
     * selected rows. ONE fused Lloyd pass refines both books
@@ -368,12 +395,15 @@ object SimilarityQueries {
     val n = knownN.getOrElse(corpus.count())
     val kC = scaledCellCount(n)
     val keep = math.max(1L, n / kC)
+    val h1 = pmod((col("vec_id") % 2147483648L) * 2654435761L,
+      lit(4294967296L))
+    val h2 = pmod(shiftright(h1, 16) * 2654435761L, lit(4294967296L))
     val seedRows = corpus
-      .filter(pmod((col("vec_id") % 2147483648L) * 2654435761L, lit(4294967296L))
-        % keep === 0)
+      .filter(h2 % keep === 0)
       .select(col("vec_id"), col("q")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .sortBy(_._1)
+      .take(kC)
     require(seedRows.length >= 16,
       s"scaled seed rule selected ${seedRows.length} rows (n=$n, kC=$kC) — " +
         "corpus too small for the scaled quantizer; use trainIvfPq")
@@ -632,6 +662,29 @@ object SimilarityQueries {
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
     ivfPqSearch(index, e, codesSrc,
       e.filter(col("vec_id") % 50 === 0), nprobe)
+  }
+
+  /** [[ivfPq]] under the PRODUCTION cell rule — kC ≈ √N with the
+    * min-points-per-cell clamp ([[scaledCellCount]]), nprobe ≈ √kC
+    * ([[scaledNprobe]]), seeds from the capped double-Knuth rule
+    * ([[trainIvfPqScaled]]). The conformance `ann_ivfpq` gate pins
+    * kC = 16; this gate pins the SCALED quantizer itself — the shape
+    * whose 2 k/20 k/200 k serve receipts BASELINE.md records — so a
+    * regression in the cell rule, the seed hash, or the probe kernel
+    * breaks a hash-checked gate, not just a spec floor. nprobe derives
+    * from the RULE's kC (not the trained count, which Lloyd may shrink
+    * by dropping empty cells) so both engines compute it identically.
+    */
+  private[graft] def ivfPqScaled(s: SparkSession, dir: String,
+      M: Int): DataFrame = {
+    val e = quantized(s, dir)
+    val n = e.count()
+    val index = trainIvfPqScaled(s, e, M, Some(n))
+    val codesSrc = embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+    ivfPqSearch(index, e, codesSrc,
+      e.filter(col("vec_id") % 50 === 0),
+      scaledNprobe(scaledCellCount(n), n), knownCodes = Some(n))
   }
 
   /** INCREMENTAL delta-vs-corpus ANN probe — the production lifecycle
@@ -942,6 +995,9 @@ object SimilarityQueries {
     // IVF-PQ — the composed faiss serving index; see [[ivfPq]].
     "ann_ivfpq" -> ((s, dir) => ivfPq(s, dir, M = 8, nprobe = 4)),
 
+    // IVF-PQ under the production √N cell rule; see [[ivfPqScaled]].
+    "ann_ivfpq_scaled" -> ((s, dir) => ivfPqScaled(s, dir, M = 8)),
+
     // incremental delta-vs-corpus ANN probe; see [[ivfPqIncr]].
     "ann_incr" -> ((s, dir) => ivfPqIncr(s, dir, M = 8, nprobe = 4)),
 
@@ -1035,9 +1091,26 @@ object SimilarityQueries {
     */
   private[operators] def ivfPqOracleCand(queryPred: String => String,
       nprobe: Int): String =
-    s""", cseeds AS (
-      |  SELECT vec_id AS cid, q AS cq, n2 AS cn2
-      |  FROM n WHERE vec_id % 25 = 0 AND vec_id < 400),
+    ivfPqOracleCandG(queryPred, nprobe.toString,
+      coarseSeedPred = "vec_id % 25 = 0 AND vec_id < 400",
+      kcSql = "16")
+
+  /** Generalized form: `coarseSeedPred` selects the seed candidates,
+    * `kcSql` caps them (applied in vec_id order — the Scala side's
+    * sortBy+take), `nprobeSql` is the probe width; all three are SQL
+    * fragments so the scaled gate can derive them from COUNT(*) in a
+    * `prm` CTE the caller prepends. The fine codebook is seeded from
+    * the FIRST 16 coarse seeds in both regimes (the conformance
+    * %25-lattice selects exactly 16, so its fine seeds are unchanged).
+    */
+  private[operators] def ivfPqOracleCandG(queryPred: String => String,
+      nprobeSql: String, coarseSeedPred: String, kcSql: String): String =
+    s""", cseedr AS (
+      |  SELECT vec_id AS cid, q AS cq, n2 AS cn2,
+      |         ROW_NUMBER() OVER (ORDER BY vec_id) AS srn
+      |  FROM n WHERE $coarseSeedPred),
+      |cseeds AS (
+      |  SELECT cid, cq, cn2 FROM cseedr WHERE srn <= $kcSql),
       |ca0 AS (
       |  SELECT vec_id, q, cid FROM (
       |    SELECT n.vec_id, n.q, c.cid,
@@ -1078,7 +1151,7 @@ object SimilarityQueries {
       |               c.cid) AS rn
       |    FROM n CROSS JOIN cc c
       |    WHERE ${queryPred("n.vec_id")})
-      |  WHERE rn <= $nprobe),
+      |  WHERE rn <= $nprobeSql),
       |subs AS (
       |  SELECT vec_id, m,
       |         list_slice(q, m * (len(q) // 8) + 1, (m + 1) * (len(q) // 8)) AS sq
@@ -1087,8 +1160,8 @@ object SimilarityQueries {
       |  SELECT vec_id, m, sq,
       |         CAST(list_dot_product(sq, sq) AS BIGINT) AS sn2 FROM subs),
       |seeds AS (
-      |  SELECT m, vec_id AS cid, sq AS cq, sn2 AS cn2
-      |  FROM sn WHERE vec_id % 25 = 0 AND vec_id < 400),
+      |  SELECT s.m, s.vec_id AS cid, s.sq AS cq, s.sn2 AS cn2
+      |  FROM sn s JOIN cseedr r ON r.cid = s.vec_id AND r.srn <= 16),
       |a0 AS (
       |  SELECT vec_id, m, sq, cid FROM (
       |    SELECT s.vec_id, s.m, s.sq, c.cid,
@@ -1563,6 +1636,40 @@ object SimilarityQueries {
     // (also the retr_rrf dense arm), then the exact re-rank
     "ann_ivfpq" -> (quantCte +
       ivfPqOracleCand(c => s"$c % 50 = 0", nprobe = 4) +
+      """SELECT qid, rn, vec_id, cos FROM (
+        |  SELECT c.qid, c.vec_id,
+        |         CAST(list_dot_product(qa.q, qb.q) AS DOUBLE)
+        |           / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+        |           AS cos,
+        |         ROW_NUMBER() OVER (PARTITION BY c.qid
+        |           ORDER BY CAST(list_dot_product(qa.q, qb.q) AS DOUBLE)
+        |             / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+        |             DESC, c.vec_id) AS rn
+        |  FROM cand c JOIN n qa ON qa.vec_id = c.qid
+        |  JOIN n qb ON qb.vec_id = c.vec_id)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+    // the SCALED cell rule restated from COUNT(*): kC = √N clamped by
+    // [16,4096] and the N/64 min-points-per-cell bound, keep = N//kC,
+    // nprobe = √kC — the prm CTE derives all three, the seed predicate
+    // is the double-Knuth mix with the 16-bit downshift, and the
+    // capped seed ladder feeds the SAME shared chain as ann_ivfpq
+    "ann_ivfpq_scaled" -> (quantCte +
+      """, prm AS (
+        |  SELECT kc, GREATEST(1, nn // kc) AS keep,
+        |         LEAST(kc, GREATEST(4,
+        |           CAST(ceil(sqrt(CAST(kc AS DOUBLE))) AS BIGINT),
+        |           (2048 * kc + nn - 1) // nn)) AS npr
+        |  FROM (SELECT nn, GREATEST(16, LEAST(4096,
+        |            CAST(round(sqrt(CAST(nn AS DOUBLE))) AS BIGINT),
+        |            nn // 64)) AS kc
+        |        FROM (SELECT COUNT(*) AS nn FROM n)))
+        |""".stripMargin +
+      ivfPqOracleCandG(c => s"$c % 50 = 0",
+        nprobeSql = "(SELECT npr FROM prm)",
+        coarseSeedPred =
+          "((((((vec_id % 2147483648) * 2654435761) % 4294967296) // 65536)" +
+            " * 2654435761) % 4294967296) % (SELECT keep FROM prm) = 0",
+        kcSql = "(SELECT kc FROM prm)") +
       """SELECT qid, rn, vec_id, cos FROM (
         |  SELECT c.qid, c.vec_id,
         |         CAST(list_dot_product(qa.q, qb.q) AS DOUBLE)

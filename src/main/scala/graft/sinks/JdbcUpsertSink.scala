@@ -97,85 +97,101 @@ case class JdbcUpsertSink(
     val plan = deduped.select(
       (dataCols.map(col) :+ col(opCol)): _*)
 
-    // Buffered for transient-error replay: the slice is one shuffle
-    // partition of an already key-deduped micro-batch (the JDBC driver
-    // would hold the same rows in its addBatch buffers anyway), and
-    // upserts/deletes are key-idempotent, so replaying the partition
-    // after a rollback is exactly-once in effect.
+    // Chunked for transient-error replay: each chunk is at most
+    // batchSize rows of an already key-deduped micro-batch and commits
+    // as its OWN transaction, so the replay buffer is O(batchSize) —
+    // never the whole shuffle partition (a large micro-batch partition
+    // must stream, not accumulate on the task heap). Upserts/deletes
+    // are key-idempotent and the batch is key-deduped, so replaying a
+    // rolled-back chunk is exactly-once in effect.
     plan.foreachPartition { (rows: Iterator[Row]) =>
-      val buf = rows.toArray
-      var attempt = 0
-      var done = buf.isEmpty
-      while (!done) {
-        val conn = connect()
+      var conn: Connection = null
+      var up: PreparedStatement = null
+      var del: PreparedStatement = null
+      def open(): Unit = {
+        conn = connect()
         conn.setAutoCommit(false)
-        val up = conn.prepareStatement(upsertSqlText)
-        val del = conn.prepareStatement(deleteSqlText)
-        var failure: Throwable = null
-        try {
-          var nUp = 0
-          var nDel = 0
-          buf.foreach { r =>
-            val isDelete = r.get(dataCols.length) match {
-              case i: Int => i == graft.cdc.Ops.Delete
-              case s: String => s == "DELETE" || s == "d"
-              case _ => false
-            }
-            if (isDelete) {
-              keyCols.zipWithIndex.foreach { case (k, i) =>
-                del.setObject(i + 1, r.get(dataCols.indexOf(k)))
-              }
-              del.addBatch(); nDel += 1
-              if (nDel % bs == 0) del.executeBatch()
-            } else {
-              bindCols.zipWithIndex.foreach { case (srcIdx, i) =>
-                up.setObject(i + 1, r.get(srcIdx))
-              }
-              up.addBatch(); nUp += 1
-              if (nUp % bs == 0) up.executeBatch()
-            }
-          }
-          up.executeBatch()
-          del.executeBatch()
-          conn.commit()
-          done = true
-        } catch {
-          case e: Throwable =>
-            failure = e
-            // roll back BEFORE close: Derby's close() throws "Cannot
-            // close a connection while a transaction is still active"
-            // on an un-ended transaction, which would REPLACE the real
-            // error (it cost a debugging session as a full-suite-only
-            // "flake"). Any rollback/close failure rides along as a
-            // suppressed exception instead.
-            try conn.rollback()
-            catch { case s: Exception => e.addSuppressed(s) }
-            val transient = e match {
-              case t: java.sql.SQLException =>
-                t.isInstanceOf[java.sql.SQLTransientException] ||
-                  Option(t.getSQLState).exists(_.startsWith("40"))
-              case _ => false
-            }
-            // deadlock / lock-timeout victims (SQLState class 40,
-            // SQLTransientException) are retried in-task with a short
-            // backoff — the reference surfaces the SQLException to the
-            // Connect framework whose task retry replays the same put
-            // (solutions/a2/kafka/sink/JdbcSinkTask.java:175-186);
-            // Spark's task-level retry would replay the whole batch
-            // tree, so the bounded in-task replay is the Spark-first
-            // shape. Non-transient errors propagate unmasked.
-            if (transient && attempt < 3) {
-              attempt += 1
-              JdbcUpsertSink.lastRetryCount = attempt
-              Thread.sleep(50L * attempt)
-            } else throw e
-        } finally {
-          def quiet(c: AutoCloseable): Unit =
+        up = conn.prepareStatement(upsertSqlText)
+        del = conn.prepareStatement(deleteSqlText)
+      }
+      // roll back BEFORE close: Derby's close() throws "Cannot close a
+      // connection while a transaction is still active" on an un-ended
+      // transaction, which would REPLACE the real error (it cost a
+      // debugging session as a full-suite-only "flake"). Any
+      // rollback/close failure rides along as a suppressed exception.
+      def shut(failure: Throwable): Unit = {
+        def quiet(c: AutoCloseable): Unit =
+          if (c != null) {
             try c.close()
             catch { case s: Exception =>
               if (failure != null) failure.addSuppressed(s) else throw s }
-          quiet(up); quiet(del); quiet(conn)
+          }
+        if (conn != null && failure != null) {
+          try conn.rollback()
+          catch { case s: Exception => failure.addSuppressed(s) }
         }
+        quiet(up); quiet(del); quiet(conn)
+        up = null; del = null; conn = null
+      }
+      try {
+        rows.grouped(bs).foreach { chunk =>
+          var attempt = 0
+          var done = false
+          while (!done) {
+            if (conn == null) open()
+            try {
+              chunk.foreach { r =>
+                val isDelete = r.get(dataCols.length) match {
+                  case i: Int => i == graft.cdc.Ops.Delete
+                  case s: String => s == "DELETE" || s == "d"
+                  case _ => false
+                }
+                if (isDelete) {
+                  keyCols.zipWithIndex.foreach { case (k, i) =>
+                    del.setObject(i + 1, r.get(dataCols.indexOf(k)))
+                  }
+                  del.addBatch()
+                } else {
+                  bindCols.zipWithIndex.foreach { case (srcIdx, i) =>
+                    up.setObject(i + 1, r.get(srcIdx))
+                  }
+                  up.addBatch()
+                }
+              }
+              up.executeBatch()
+              del.executeBatch()
+              conn.commit()
+              done = true
+            } catch {
+              case e: Throwable =>
+                // close (with rollback) and reconnect on retry — a
+                // transient failure may have poisoned the connection
+                shut(e)
+                val transient = e match {
+                  case t: java.sql.SQLException =>
+                    t.isInstanceOf[java.sql.SQLTransientException] ||
+                      Option(t.getSQLState).exists(_.startsWith("40"))
+                  case _ => false
+                }
+                // deadlock / lock-timeout victims (SQLState class 40,
+                // SQLTransientException) are retried in-task with a short
+                // backoff — the reference surfaces the SQLException to the
+                // Connect framework whose task retry replays the same put
+                // (solutions/a2/kafka/sink/JdbcSinkTask.java:175-186);
+                // Spark's task-level retry would replay the whole batch
+                // tree, so the bounded in-task replay is the Spark-first
+                // shape. Non-transient errors propagate unmasked.
+                if (transient && attempt < 3) {
+                  attempt += 1
+                  JdbcUpsertSink.lastRetryCount = attempt
+                  Thread.sleep(50L * attempt)
+                } else throw e
+            }
+          }
+        }
+      } finally {
+        // clean path: last chunk committed, nothing to roll back
+        shut(null)
       }
     }
   }

@@ -71,32 +71,29 @@ class AnnRecallSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.ann.maxBroadcastQueries")
   }
 
-  test("scaled coarse quantizer (kC ~ sqrt(N)) serves above the recall floor") {
-    // the production cell rule (r11): kC ≈ √N, nprobe ≈ √kC — probed
-    // fraction shrinks as the corpus grows so the serve wall stays
-    // near-flat (the 2 k/20 k/200 k receipts in BASELINE.md). This
-    // pins (a) the scaled codebook really is corpus-sized driver
-    // metadata, (b) recall against the exact brute top-5 stays above
-    // a floor at the thin 2 k corpus — the WORST case for small cells
-    // (measured 0.47; the 20 k/200 k family-structured sweeps measure
-    // 1.00), so the floor catches a probe/assignment regression
-    // without encoding the data's clustering luck.
+  /** Recall@5 of the scaled-rule serve vs the exact brute top-5 over
+    * the same query set. Returns (mean recall, trained kC).
+    */
+  private def scaledRecall(e0: org.apache.spark.sql.DataFrame,
+      queryMod: Int): (Double, Int) = {
     import graft.functions.VectorFunctions._
     import org.apache.spark.sql.expressions.Window
-    val dir = "/root/testdata/sf0.1"
-    val e = SimilarityQueries.quantized(spark, dir).persist()
+    val e = e0.persist()
     val n = e.count()
     val index = SimilarityQueries.trainIvfPqScaled(spark, e, 8, Some(n))
     val kC = index.coarse(0).length
     val expect = SimilarityQueries.scaledCellCount(n)
-    // Lloyd drops empty cells, so trained kC can sit slightly under
-    // the rule's target but must stay corpus-scaled
+    // the seed rule CAPS selection at the target (so kC <= expect is
+    // structural, not luck); Lloyd drops empty cells, so trained kC
+    // can sit under the target but must stay corpus-scaled
     assert(kC <= expect && kC >= expect / 2,
       s"scaled kC $kC not in (${expect / 2}, $expect] for n=$n")
-    val queries = e.filter(col("vec_id") % 100 === 0)
+    val queries = e.filter(col("vec_id") % queryMod === 0)
+    val qn = queries.count()
     val served = SimilarityQueries.ivfPqSearch(index, e, e, queries,
-        SimilarityQueries.scaledNprobe(kC), k = 5,
-        knownBatch = Some(20L), knownCodes = Some(n))
+        SimilarityQueries.scaledNprobe(
+          SimilarityQueries.scaledCellCount(n), n), k = 5,
+        knownBatch = Some(qn), knownCodes = Some(n))
       .select(col("qid"), col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
@@ -113,10 +110,49 @@ class AnnRecallSpec extends AnyFunSuite {
       .view.mapValues(_.map(_._2).toSet).toMap
     val recalls = truth.map { case (q, t) =>
       served.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
-    val mean = recalls.sum / recalls.size
-    info(f"scaled-kC recall@5 sf0.1 = $mean%.3f (kC=$kC)")
     e.unpersist(blocking = false)
-    assert(mean >= 0.35, f"scaled-quantizer recall@5 degraded to $mean%.3f")
+    (recalls.sum / recalls.size, kC)
+  }
+
+  test("scaled coarse quantizer (kC ~ sqrt(N)) serves above the recall floor") {
+    // the production cell rule: kC ≈ √N with the N/64 min-points-per-
+    // cell clamp, nprobe ≈ √kC with the ~2048 min-points-PROBED floor
+    // (r12) — probed fraction shrinks as the corpus grows so the serve
+    // wall stays near-flat (the 2 k/20 k/200 k receipts in
+    // BASELINE.md), while a thin corpus degrades to a FULL flat scan
+    // (N = 2 000 ≤ 2 048 ⟹ nprobe = kC) instead of over-partitioned
+    // probing. Measured here: 0.57, up from the r11 rule's 0.47 — and
+    // with every cell probed the residual loss is by construction the
+    // PQ top-100 candidate stage on this UNSTRUCTURED corpus (the
+    // precision knob is M, not the cell rule); the family-structured
+    // 20 k test below and the 200 k receipt both read 1.000. The floor
+    // pins the full-probe degradation path.
+    val (mean, kC) = scaledRecall(
+      SimilarityQueries.quantized(spark, "/root/testdata/sf0.1"), 100)
+    info(f"scaled-kC recall@5 sf0.1 = $mean%.3f (kC=$kC)")
+    assert(mean >= 0.5, f"scaled-quantizer recall@5 degraded to $mean%.3f")
+  }
+
+  test("scaled quantizer holds recall >= 0.9 at the 20k corpus") {
+    // the 20 k corpus where partial probing is REAL (kC = 141,
+    // nprobe = 15 — the min-points-probed floor binds just above the
+    // √kC term): 10 deterministically jittered copies of the sf0.1
+    // embeddings, the same construction as tools/gen_emb10x.py's
+    // BASELINE.md sweep fixture, synthesized in-session so the spec
+    // does not depend on a /tmp fixture existing.
+    import graft.functions.VectorFunctions._
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val e20k = base.crossJoin(spark.range(0, 10).toDF("k"))
+      .select((col("vec_id") + col("k") * 2000).as("vec_id"),
+        expr("transform(embedding, x -> cast(x + 0.0001d * k * " +
+          "(cast(vec_id % 13 as double) - 6.0d) as float))")
+          .as("embedding"))
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", normQ2(col("q")))
+    val (mean, kC) = scaledRecall(e20k, 1000)
+    info(f"scaled-kC recall@5 20k = $mean%.3f (kC=$kC)")
+    assert(mean >= 0.9, f"scaled-quantizer 20k recall@5 degraded to $mean%.3f")
   }
 
   test("k-means-refined IVF recall@5 stays above the floor") {
