@@ -75,6 +75,24 @@ object Tables {
     s"${System.getProperty("java.io.tmpdir")}/$prefix-${hex8(canonical)}"
   }
 
+  /** Unique temp-dir suffix for artifact writers: pid alone collides
+    * across threads of one JVM (parallel suites, Bench warmup racing a
+    * gate), so a per-invocation nonce rides along.
+    */
+  private val tmpNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+  def tmpSuffix(): String =
+    ".tmp-" + ProcessHandle.current().pid() + "-" + tmpNonce.incrementAndGet()
+
+  /** Content fingerprint of one dataset table (paths, sizes, mtimes —
+    * file- or directory-shaped), for artifact completeness markers: a
+    * dataset regenerated IN PLACE changes the fingerprint and forces a
+    * rebuild even though the path is unchanged.
+    */
+  def tableFingerprint(dir: String, tableFile: String): String =
+    hex8(walkFiles(new java.io.File(s"$dir/$tableFile"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|"))
+
   /** First 8 bytes of SHA-256(s), lowercase hex — the shared digest for
     * artifact keying ([[artifactPath]]) and content fingerprints; one
     * definition so a width change can never desynchronize them.

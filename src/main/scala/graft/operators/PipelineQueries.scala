@@ -243,10 +243,6 @@ object PipelineQueries {
   @volatile private[graft] var oracleDatasetDir: String =
     "/root/testdata/sf0.01"
 
-  /** Per-invocation suffix for [[ensureCuratedBase]] temp dirs — pid
-    * alone collides across threads of one JVM.
-    */
-  private val tmpNonce = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Content fingerprint of the dataset's documents table (paths,
     * sizes, mtimes — file- or directory-shaped), stamped into the
@@ -260,10 +256,7 @@ object PipelineQueries {
     * stale store → conformance passes on wrong data).
     */
   private def sourceFingerprint(dir: String): String =
-    graft.Tables.hex8(
-      graft.Tables.walkFiles(new java.io.File(s"$dir/documents.parquet"))
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString("|"))
+    graft.Tables.tableFingerprint(dir, "documents.parquet")
 
   /** Build-if-absent the persisted curated-base artifacts for `dir` —
     * the ingest-time write a production pipeline performs ONCE when the
@@ -301,11 +294,7 @@ object PipelineQueries {
     if (!rebuild && marker.contains(stamp)) {
       return path
     }
-    // pid alone is not unique within a JVM — two concurrent callers
-    // (parallel suites, Bench warmup racing a gate) would interleave
-    // writes into one .tmp dir before publishDir; the nonce isolates them
-    val tmp = path + ".tmp-" + ProcessHandle.current().pid() + "-" +
-      PipelineQueries.tmpNonce.incrementAndGet()
+    val tmp = path + graft.Tables.tmpSuffix()
     val bench = benchShingles(s, dir)
     val b16 = stage16(s, dir, bench, col("doc_id") % 2 === 0).persist()
     val bKeep = b16.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))

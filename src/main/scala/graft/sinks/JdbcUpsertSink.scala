@@ -51,27 +51,64 @@ case class JdbcUpsertSink(
   private def presentOrderCols(df: DataFrame): Seq[String] =
     orderCols.filter(df.columns.contains)
 
+  /** The sink's effective key columns: `keyCols` when supplied; when a
+    * record stream arrives KEYLESS, discovered from the TARGET
+    * database's catalog like the reference sink
+    * (`solutions/a2/kafka/sink/JdbcSinkTableBase.java:200` →
+    * `PgRdbmsInfo.getPkColumnsFromDict`, `PgRdbmsInfo.java:58-158`):
+    * the declared PRIMARY KEY first, else the first UNIQUE index
+    * whose columns are all NOT NULL (the reference's well-defined-key
+    * fallback), both via the portable `DatabaseMetaData` surface.
+    * Discovered names map back to the stream's columns
+    * case-insensitively (catalogs typically store identifiers
+    * upper-cased; the stream schema is the writer's casing).
+    * Cached per (url, table) — one catalog probe per sink target,
+    * not per micro-batch.
+    */
+  private def resolvedKeyCols(frameCols: Seq[String]): Seq[String] = {
+    if (keyCols.nonEmpty) return keyCols
+    val discovered = JdbcUpsertSink.discoveredKeys.computeIfAbsent(
+      (url, table), _ => {
+        val conn = connect()
+        try JdbcUpsertSink.discoverKeyCols(conn, table)
+        finally conn.close()
+      })
+    require(discovered.nonEmpty,
+      s"sink target $table declares no primary key and no non-null " +
+        "unique index, and the stream supplied no keyCols")
+    discovered.map { k =>
+      frameCols.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"target $table key column $k is absent from the stream " +
+            s"schema (${frameCols.mkString(",")})"))
+    }
+  }
+
   /** Dedup within batch: latest change per key wins (K2 barrier). */
-  def dedupBatch(df: DataFrame): DataFrame = {
+  def dedupBatch(df: DataFrame): DataFrame =
+    dedupBatch(df, resolvedKeyCols(df.columns.toSeq))
+
+  private def dedupBatch(df: DataFrame, keys: Seq[String]): DataFrame = {
     val present = presentOrderCols(df)
     require(present.nonEmpty,
       s"dedupBatch needs at least one ordering column of ${orderCols.mkString(",")} " +
         s"in the batch frame (got columns: ${df.columns.mkString(",")})")
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(present.map(c => col(c).desc): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
 
   def writeBatch(df: DataFrame): Unit = {
+    val keys = resolvedKeyCols(df.columns.toSeq)
     val dataCols = df.columns.filterNot(c =>
       c == opCol || orderCols.contains(c)).toSeq
-    val deduped = dedupBatch(df)
+    val deduped = dedupBatch(df, keys)
 
     if (autoCreate && !JdbcUpsertSink.ensured.contains((url, table))) {
       val schema = org.apache.spark.sql.types.StructType(
         df.schema.fields.filter(f => dataCols.contains(f.name)))
-      val ddl = dialect.createTableSql(table, schema, keyCols)
+      val ddl = dialect.createTableSql(table, schema, keys)
       val conn = connect()
       try {
         val st = conn.createStatement()
@@ -86,9 +123,9 @@ case class JdbcUpsertSink(
       } finally conn.close()
     }
 
-    val upsertSqlText = dialect.upsertSql(table, dataCols, keyCols)
-    val deleteSqlText = dialect.deleteSql(table, keyCols)
-    val bindCols = dialect.upsertParams(dataCols, keyCols)
+    val upsertSqlText = dialect.upsertSql(table, dataCols, keys)
+    val deleteSqlText = dialect.deleteSql(table, keys)
+    val bindCols = dialect.upsertParams(dataCols, keys)
       .map(c => dataCols.indexOf(c))
     val bs = batchSize
 
@@ -147,7 +184,7 @@ case class JdbcUpsertSink(
                   case _ => false
                 }
                 if (isDelete) {
-                  keyCols.zipWithIndex.foreach { case (k, i) =>
+                  keys.zipWithIndex.foreach { case (k, i) =>
                     del.setObject(i + 1, r.get(dataCols.indexOf(k)))
                   }
                   del.addBatch()
@@ -210,4 +247,75 @@ object JdbcUpsertSink {
     * share the JVM there.
     */
   @volatile var lastRetryCount: Int = 0
+
+  /** Discovered target-key cache: (url, table) → key columns in
+    * KEY_SEQ order. Populated once per sink target by
+    * [[discoverKeyCols]].
+    */
+  private val discoveredKeys = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[String]]()
+
+  /** Read the target table's key from the database catalog: the
+    * declared PRIMARY KEY (ordered by KEY_SEQ), else the first UNIQUE
+    * index all of whose columns are NOT NULL — the reference's
+    * well-defined-key ladder (`PgRdbmsInfo.java:58-158`) on the
+    * portable `DatabaseMetaData` surface. `table` may be
+    * schema-qualified; unquoted identifiers are probed as-written
+    * first, then upper-cased (how Derby/Oracle/DB2 store them), then
+    * lower-cased (PostgreSQL).
+    */
+  private[sinks] def discoverKeyCols(conn: Connection,
+      table: String): Seq[String] = {
+    val md = conn.getMetaData
+    val (schema0, name0) = table.split('.') match {
+      case Array(s, n) => (Option(s), n)
+      case _ => (None, table)
+    }
+    val forms = Seq(identity[String] _, (s: String) => s.toUpperCase,
+      (s: String) => s.toLowerCase)
+    forms.iterator.map { f =>
+      val schema = schema0.map(f).orNull
+      val name = f(name0)
+      val pk = {
+        val rs = md.getPrimaryKeys(null, schema, name)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
+        try while (rs.next())
+          buf += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+        finally rs.close()
+        buf.sortBy(_._1).map(_._2).toSeq
+      }
+      if (pk.nonEmpty) pk
+      else {
+        // nullability per column, for the well-defined (NOT NULL) test
+        val nullable = {
+          val rs = md.getColumns(null, schema, name, null)
+          val m = scala.collection.mutable.Map.empty[String, Boolean]
+          try while (rs.next())
+            m(rs.getString("COLUMN_NAME")) =
+              rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls
+          finally rs.close()
+          m
+        }
+        val uniq = {
+          val rs = md.getIndexInfo(null, schema, name, true, false)
+          val m = scala.collection.mutable.LinkedHashMap
+            .empty[String, scala.collection.mutable.ArrayBuffer[(Short, String)]]
+          try while (rs.next()) {
+            val idx = rs.getString("INDEX_NAME")
+            val c = rs.getString("COLUMN_NAME")
+            if (idx != null && c != null)
+              m.getOrElseUpdate(idx,
+                scala.collection.mutable.ArrayBuffer.empty) +=
+                ((rs.getShort("ORDINAL_POSITION"), c))
+          } finally rs.close()
+          m
+        }
+        uniq.values
+          .map(cols => cols.sortBy(_._1).map(_._2).toSeq)
+          .find(cols => cols.nonEmpty &&
+            cols.forall(c => !nullable.getOrElse(c, true)))
+          .getOrElse(Seq.empty)
+      }
+    }.find(_.nonEmpty).getOrElse(Seq.empty)
+  }
 }

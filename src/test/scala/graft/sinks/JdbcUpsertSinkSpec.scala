@@ -58,6 +58,69 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
     assert(rows2 == List((1L, "a-v2"), (2L, "b-v2"), (3L, "c-v2")))
   }
 
+  test("keyless stream discovers the target's PRIMARY KEY from the catalog") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:pkdisc;create=true"
+    val setup = DriverManager.getConnection(url)
+    setup.createStatement().execute(
+      "CREATE TABLE keyed_t (id BIGINT NOT NULL PRIMARY KEY, name VARCHAR(32))")
+    setup.close()
+
+    // the CDC stream arrived keyless — the reference sink reads the
+    // PK from the target dictionary (JdbcSinkTableBase.java:200);
+    // here keyCols = Nil must resolve to the table's declared PK,
+    // case-insensitively (Derby stores ID upper-case, the stream says id)
+    val sink = JdbcUpsertSink(url, "keyed_t", keyCols = Nil,
+      dialect = DerbyDialect, autoCreate = false)
+    val batch = Seq(
+      (1L, "a-v1", 3, 100L, 10L),
+      (1L, "a-v2", 3, 100L, 11L),
+      (2L, "b", 3, 100L, 12L)
+    ).toDF("id", "name", "op", "commitScn", "scn")
+    sink.writeBatch(batch)
+    // second write updates through the discovered key (cache path)
+    sink.writeBatch(Seq((2L, "b-v2", 3, 200L, 20L))
+      .toDF("id", "name", "op", "commitScn", "scn"))
+
+    val conn = DriverManager.getConnection(url)
+    val rs = conn.createStatement()
+      .executeQuery("SELECT id, name FROM keyed_t ORDER BY id")
+    val rows = Iterator.continually(rs)
+      .takeWhile(_.next()).map(r => (r.getLong(1), r.getString(2))).toList
+    conn.close()
+    assert(rows == List((1L, "a-v2"), (2L, "b-v2")))
+  }
+
+  test("keyless stream falls back to a NOT-NULL unique index as the key") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:uqdisc;create=true"
+    val setup = DriverManager.getConnection(url)
+    // no PK; one nullable unique index (must be skipped — not
+    // well-defined) and one NOT NULL unique index (the key)
+    setup.createStatement().execute(
+      "CREATE TABLE uq_t (id BIGINT NOT NULL UNIQUE, " +
+        "alt VARCHAR(8), name VARCHAR(32))")
+    setup.createStatement().execute(
+      "CREATE UNIQUE INDEX uq_alt ON uq_t(alt)")
+    setup.close()
+
+    val sink = JdbcUpsertSink(url, "uq_t", keyCols = Nil,
+      dialect = DerbyDialect, autoCreate = false)
+    val batch = Seq(
+      (1L, "x", "a-v1", 3, 100L, 10L),
+      (1L, "x", "a-v2", 3, 100L, 11L)
+    ).toDF("id", "alt", "name", "op", "commitScn", "scn")
+    sink.writeBatch(batch)
+
+    val conn = DriverManager.getConnection(url)
+    val rs = conn.createStatement()
+      .executeQuery("SELECT id, name FROM uq_t ORDER BY id")
+    val rows = Iterator.continually(rs)
+      .takeWhile(_.next()).map(r => (r.getLong(1), r.getString(2))).toList
+    conn.close()
+    assert(rows == List((1L, "a-v2")))
+  }
+
   test("transient lock-timeout victims roll back, retry in-task and land") {
     import spark.implicits._
     val url = "jdbc:derby:memory:retrytest;create=true"
