@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed lakehouse layout for the star-join fact tables — the
+  * storage answer to the one cost the q3/q5 100× receipts still paid:
+  * every run re-shuffled orders and lineitem on orderkey before the
+  * fact-fact join, conceding ~8-10× to a single-node hash probe that
+  * pays no exchange (BASELINE.md r11 receipts). A lakehouse writes the
+  * co-location ONCE: both facts bucketed by orderkey into the same
+  * bucket count, so every later orderkey equi-join plans with ZERO
+  * Exchange on either side (PlanAuditSpec asserts it) — the join cost
+  * becomes a co-partitioned local merge at any scale, which is exactly
+  * how a 1000-executor cluster keeps the N-million-row fact shuffle
+  * off the network for its hottest join key.
+  *
+  * Lifecycle is the `ensureCuratedBase` pattern: build into a temp
+  * dir, stamp a versioned + source-fingerprinted `_GRAFT_OK` marker,
+  * atomically publish ([[graft.Tables.publishDir]]). Spark's bucketing
+  * metadata lives in the catalog, not the files, so each session
+  * (re-)registers EXTERNAL tables over the published files via
+  * `CREATE TABLE ... CLUSTERED BY ... LOCATION` — registration is
+  * metadata-only and idempotent.
+  *
+  * The writer repartitions each fact by the bucket expression into
+  * exactly `Buckets` partitions first, so every task holds exactly one
+  * bucket (repartition and bucketBy share Murmur3 hashing) and each
+  * bucket lands as ONE sorted file.
+  */
+object BucketedLayout {
+  private val Version = "bkt1"
+
+  /** Bucket count — matches the session shuffle parallelism the local
+    * harness runs (32); a production lakehouse sizes this to cluster
+    * fan-out once at layout time.
+    */
+  val Buckets = 32
+
+  private def layoutPath(dir: String): String =
+    graft.Tables.artifactPath(s"graft-$Version", dir)
+
+  private def tableName(which: String, dir: String): String = {
+    val canonical = new java.io.File(dir).getCanonicalPath
+    s"grf_${Version}_${which}_${graft.Tables.hex8(canonical)}"
+  }
+
+  private def stamp(dir: String): String =
+    s"$Version:${graft.Tables.tableFingerprint(dir, "orders.parquet")}:" +
+      graft.Tables.tableFingerprint(dir, "lineitem.parquet")
+
+  /** Register the external bucketed table over published files —
+    * metadata-only; `force` replaces an existing registration (after a
+    * rebuild, whose files just moved under the same location).
+    */
+  private def register(s: SparkSession, name: String, loc: String,
+      key: String, force: Boolean): Unit = synchronized {
+    if (force) s.sql(s"DROP TABLE IF EXISTS $name")
+    if (!s.catalog.tableExists(name)) {
+      val schema = s.read.parquet(loc).schema.toDDL
+      s.sql(
+        s"""CREATE TABLE $name ($schema) USING parquet
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $Buckets BUCKETS
+           |LOCATION '$loc'""".stripMargin)
+    }
+  }
+
+  /** Build-if-absent the bucketed orders + lineitem layout for `dir`
+    * and return the catalog table names `(orders, lineitem)`. The
+    * build is the one-time ingest write; every later call is a marker
+    * read + catalog registration.
+    */
+  def ensureStarLayout(s: SparkSession, dir: String): (String, String) =
+    synchronized {
+    val path = layoutPath(dir)
+    val oTbl = tableName("orders", dir)
+    val lTbl = tableName("lineitem", dir)
+    val want = stamp(dir)
+    val ok = java.nio.file.Paths.get(s"$path/_GRAFT_OK")
+    val marker = try {
+      if (java.nio.file.Files.exists(ok))
+        Some(java.nio.file.Files.readString(ok))
+      else None
+    } catch { case _: java.io.IOException => None }
+    if (marker.contains(want)) {
+      register(s, oTbl, s"$path/orders", "o_orderkey", force = false)
+      register(s, lTbl, s"$path/lineitem", "l_orderkey", force = false)
+      return (oTbl, lTbl)
+    }
+    val tmp = path + graft.Tables.tmpSuffix()
+    def writeBucketed(df: DataFrame, key: String, loc: String,
+        bldTbl: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $bldTbl")
+      df.repartition(Buckets, col(key))
+        .write.format("parquet")
+        .bucketBy(Buckets, key).sortBy(key)
+        .option("path", loc)
+        .mode("overwrite")
+        .saveAsTable(bldTbl)
+      // drop the build-time registration (external — files stay); the
+      // durable registration points at the PUBLISHED location below
+      s.sql(s"DROP TABLE IF EXISTS $bldTbl")
+    }
+    writeBucketed(graft.Tables.orders(s, dir), "o_orderkey",
+      s"$tmp/orders", oTbl + "_bld")
+    writeBucketed(graft.Tables.lineitem(s, dir), "l_orderkey",
+      s"$tmp/lineitem", lTbl + "_bld")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/_GRAFT_OK"), want)
+    graft.Tables.publishDir(tmp, path)
+    register(s, oTbl, s"$path/orders", "o_orderkey", force = true)
+    register(s, lTbl, s"$path/lineitem", "l_orderkey", force = true)
+    (oTbl, lTbl)
+  }
+
+  /** The bucketed facts as DataFrames — the star-join entry point. */
+  def star(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (oTbl, lTbl) = ensureStarLayout(s, dir)
+    (s.table(oTbl), s.table(lTbl))
+  }
+}

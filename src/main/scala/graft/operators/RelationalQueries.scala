@@ -48,6 +48,121 @@ object RelationalQueries {
       .toDF("status", "p1", "p2", "p3", "p4", "p5")
       .na.fill(0L, Seq("p1", "p2", "p3", "p4", "p5"))
 
+  /** TPC-H Q3 body over caller-supplied fact frames (raw scans for
+    * `q3_join_topk`, the bucketed layout for `q3_bucketed` — ONE
+    * statement of the query so the two gates can never drift).
+    *
+    * Fact-fact shuffle join + dim join + top-k. customer is NOT
+    * broadcast-hinted: it grows linearly with scale factor (~15M rows,
+    * GBs at sf100), so a forced broadcast is the first OOM at 100×.
+    * AQE sizes it from runtime stats instead — broadcast while it fits
+    * the threshold, shuffle join beyond. Only genuinely bounded dims
+    * (nation: 25 rows, region: 5) earn a static hint (see q5).
+    * PlanAuditSpec asserts both directions.
+    *
+    * Dim-first star order: the BUILDING slice of customer is small
+    * enough to broadcast at every SF (dim tables grow far slower than
+    * the fact), so o⋈c is a map-side semi-filter that cuts the orders
+    * shuffle ~5× BEFORE the expensive orderkey exchange with lineitem.
+    * Catalyst keeps written join order without CBO stats, so the
+    * selective-dim-first shape is stated here (measured at the 100×
+    * fixture: 3.8 → 3.4 s steady locally; the shuffled orders bytes —
+    * the term that matters on a real cluster's network — drop ~5×).
+    * (Tried and reverted: pre-aggregating lineitem revenue by
+    * l_orderkey BELOW the join — value-identical — measured 2× SLOWER
+    * at 100×: the pushed-down agg pays the decimal arithmetic and a
+    * multi-million-key hash table on ALL date-filtered lineitems,
+    * where join-first lets the broadcast customer semi-filter drop
+    * ~80 % of rows before any aggregation. Group-by pushdown only
+    * wins when the join does NOT filter.)
+    */
+  /** `factFirst` flips the join order for the BUCKETED layout: there
+    * the o⋈l orderkey join is exchange-FREE (co-bucketed scans), so it
+    * must run before any join that could reshuffle the facts — with a
+    * non-broadcastable customer, the dim-first order exchanges orders
+    * on custkey and thereby DESTROYS the bucket partitioning, forcing
+    * the orderkey exchange right back (observed in the forced-SMJ
+    * PlanAuditSpec plan: `Bucketed: false (disabled by query
+    * planner)`). On raw scans dim-first stays correct (the rationale
+    * above); on buckets fact-first is the order that keeps the layout's
+    * guarantee unconditional.
+    */
+  private def q3Body(ordersDf: DataFrame, lineitemDf: DataFrame,
+      customerDf: DataFrame, factFirst: Boolean = false): DataFrame = {
+    val c = customerDf.filter(col("c_mktsegment") === "BUILDING")
+    val o = ordersDf.filter(col("o_orderdate") < ts("1998-01-01"))
+    val l = lineitemDf.filter(col("l_shipdate") > ts("1998-01-01"))
+    // factFirst also hints SHUFFLE_HASH on the (filtered, smaller)
+    // orders side: on co-bucketed scans the hint costs no exchange —
+    // the bucket partitioning already satisfies the join — and drops
+    // the SMJ's per-run sort of the lineitem side (measured at the
+    // 100× fixture: 1.8 → 1.1 s steady; the sort was over half the
+    // remaining wall). Build memory is one date-filtered orders bucket
+    // per task — bucket count is the production knob that bounds it.
+    val joined =
+      if (factFirst)
+        o.hint("shuffle_hash").join(l, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+      else
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+    joined
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 body over caller-supplied fact frames (the q3Body
+    * contract). Star join + group-by; broadcast hints ONLY on the
+    * bounded dims — nation (25 rows) and region (5 rows) are constant
+    * at every scale factor. customer and supplier grow linearly with
+    * SF, so they get no hint: AQE broadcasts them while their runtime
+    * size fits autoBroadcastJoinThreshold and falls back to a shuffle
+    * join at 100× where a forced broadcast would OOM the driver.
+    *
+    * Dim-first star order (the q3 rationale): customers restrict to
+    * the ASIA nations (1 of 5 regions) through the two constant dims,
+    * THEN prune orders — the orders side of the orderkey exchange with
+    * lineitem drops ~5× before it happens, and when customer is NOT
+    * broadcastable (the cluster case — it grows with SF) the custkey
+    * exchange moves off the fat post-lineitem frame onto the thin
+    * orders frame. The c↔s same-nation condition lands on the supplier
+    * join once c_nationkey is in hand; inner-join reordering, same
+    * result.
+    */
+  private def q5Body(s: SparkSession, dir: String, ordersDf: DataFrame,
+      lineitemDf: DataFrame, factFirst: Boolean = false): DataFrame = {
+    val r = region(s, dir).filter(col("r_name") === "ASIA")
+    val n = nation(s, dir)
+    val c = customer(s, dir)
+    val sup = supplier(s, dir)
+    val o = ordersDf.filter(col("o_orderdate") >= ts("1995-01-01") &&
+      col("o_orderdate") < ts("1997-01-01"))
+    val l = lineitemDf
+    val cAsia = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    // factFirst (bucketed layout): the exchange-free o⋈l join runs
+    // before anything that could reshuffle the facts, with the
+    // SHUFFLE_HASH hint dropping the SMJ sort — the q3Body notes
+    val joined =
+      if (factFirst)
+        o.hint("shuffle_hash").join(l, col("l_orderkey") === col("o_orderkey"))
+          .join(cAsia, col("o_custkey") === col("c_custkey"))
+      else
+        o.join(cAsia, col("o_custkey") === col("c_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+    joined
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Single-scan aggregation with map-side partial agg (TPC-H Q1 style).
     "q1_agg" -> ((s, dir) => {
@@ -70,35 +185,18 @@ object RelationalQueries {
     // broadcast while it fits the threshold, shuffle join beyond.
     // Only genuinely bounded dims (nation: 25 rows, region: 5) earn a
     // static hint (see q5). PlanAuditSpec asserts both directions.
-    "q3_join_topk" -> ((s, dir) => {
-      val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
-      val o = orders(s, dir).filter(col("o_orderdate") < ts("1998-01-01"))
-      val l = lineitem(s, dir).filter(col("l_shipdate") > ts("1998-01-01"))
-      // dim-first star order: the BUILDING slice of customer is small
-      // enough to broadcast at every SF (dim tables grow far slower
-      // than the fact), so o⋈c is a map-side semi-filter that cuts the
-      // orders shuffle ~5× BEFORE the expensive orderkey exchange with
-      // lineitem. Catalyst keeps written join order without CBO stats,
-      // so the selective-dim-first shape is stated here (measured at
-      // the 100× fixture: 3.8 → 3.4 s steady locally; the shuffled
-      // orders bytes — the term that matters on a real cluster's
-      // network — drop ~5×).
-      // (Tried and reverted: pre-aggregating lineitem revenue by
-      // l_orderkey BELOW the join — the group keys are functionally
-      // dependent on l_orderkey, so it is value-identical — measured
-      // 2× SLOWER at 100× (6.0–6.4 s vs 3.4 s): the pushed-down agg
-      // pays the decimal arithmetic and a multi-million-key hash table
-      // on ALL date-filtered lineitems, where join-first lets the
-      // broadcast customer semi-filter drop ~80 % of rows before any
-      // aggregation. Group-by pushdown only wins when the join does
-      // NOT filter.)
-      o.join(c, col("o_custkey") === col("c_custkey"))
-        .join(l, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10)
+    "q3_join_topk" -> ((s, dir) =>
+      q3Body(orders(s, dir), lineitem(s, dir), customer(s, dir))),
+
+    // q3 over the BUCKETED lakehouse layout ([[BucketedLayout]]):
+    // identical query, identical oracle — the orderkey fact-fact join
+    // plans with ZERO Exchange because both facts were written
+    // co-bucketed once at ingest (PlanAuditSpec asserts the plan).
+    // This is the storage answer to the one cost the 100× receipts
+    // still paid on every run.
+    "q3_bucketed" -> ((s, dir) => {
+      val (o, l) = BucketedLayout.star(s, dir)
+      q3Body(o, l, customer(s, dir), factFirst = true)
     }),
 
     // Star join + group-by (TPC-H Q5 style). Broadcast hints ONLY on the
@@ -107,38 +205,14 @@ object RelationalQueries {
     // SF, so they get no hint: AQE broadcasts them while their runtime
     // size fits autoBroadcastJoinThreshold and falls back to a shuffle
     // join at 100× where a forced broadcast would OOM the driver.
-    "q5_star_join" -> ((s, dir) => {
-      val r = region(s, dir).filter(col("r_name") === "ASIA")
-      val n = nation(s, dir)
-      val c = customer(s, dir)
-      val sup = supplier(s, dir)
-      val o = orders(s, dir).filter(col("o_orderdate") >= ts("1995-01-01") &&
-        col("o_orderdate") < ts("1997-01-01"))
-      val l = lineitem(s, dir)
-      // dim-first star order (the q3 rationale): customers restrict to
-      // the ASIA nations (1 of 5 regions) through the two constant
-      // dims, THEN prune orders — the orders side of the orderkey
-      // exchange with lineitem drops ~5× before it happens, and when
-      // customer is NOT broadcastable (the cluster case — it grows
-      // with SF) the custkey exchange moves off the fat post-lineitem
-      // frame (old order: joined c LAST, shuffling 60 M wide rows by
-      // custkey at 100×) onto the thin orders frame. Locally c
-      // broadcasts either way, so measured walls are ~equal (100×
-      // steady 5.0 → 4.6–5.2 s; small SFs pay ~0.3 s for the extra
-      // dim stage — the floor, not the plan). The c↔s same-nation
-      // condition lands on the supplier join once c_nationkey is in
-      // hand; inner-join reordering, same result.
-      val cAsia = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      o.join(cAsia, col("o_custkey") === col("c_custkey"))
-        .join(l, col("l_orderkey") === col("o_orderkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey") &&
-          col("c_nationkey") === col("s_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
-          .cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy(col("revenue").desc, col("n_name"))
+    "q5_star_join" -> ((s, dir) =>
+      q5Body(s, dir, orders(s, dir), lineitem(s, dir))),
+
+    // q5 over the bucketed layout — the q3_bucketed rationale; the
+    // orderkey exchange disappears, the dim joins stay broadcast.
+    "q5_bucketed" -> ((s, dir) => {
+      val (o, l) = BucketedLayout.star(s, dir)
+      q5Body(s, dir, o, l, factFirst = true)
     }),
 
     // Window functions: rank + lag + running sum per partition.
@@ -408,6 +482,36 @@ object RelationalQueries {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_star_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    // the bucketed gates run the SAME queries over the bucketed layout;
+    // the oracle reads the RAW parquet — each green hash is an
+    // end-to-end proof that the co-bucketed artifact serves the same
+    // rows as a fresh scan (layout ≡ data)
+    "q3_bucketed" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_bucketed" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items

@@ -51,6 +51,54 @@ class PlanAuditSpec extends AnyFunSuite {
       "q5 may hint only nation + region (bounded dims)")
   }
 
+  test("bucketed star joins plan with ZERO exchange on the facts") {
+    // the whole point of BucketedLayout: both facts co-bucketed by
+    // orderkey at ingest, so the fact-fact join needs no Exchange on
+    // either side. Broadcast of the small fact side (this SF) would
+    // make that vacuously true, so the test forces SMJ everywhere
+    // (autoBroadcastJoinThreshold = -1; q5's nation/region keep their
+    // explicit hints) — the plan then shows the genuine cluster-scale
+    // shape: dims exchange on their own keys (expected — they are not
+    // bucketed), the ORDERKEY facts never do.
+    def finalPlan(name: String): String = {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect() // finalize the adaptive plan
+      // audit only the final adaptive plan, not the == Initial Plan ==
+      df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+    }
+    // single-column orderkey partitioning = the fact-fact JOIN's
+    // exchange; the group-by's multi-column exchange (which includes
+    // l_orderkey among its keys) is the aggregation's own cost, paid
+    // identically on any layout once customer can't broadcast
+    def orderkeyShuffles(p: String): Int =
+      "Exchange hashpartitioning\\((?:o_orderkey|l_orderkey)#\\d+L?, \\d+\\)".r
+        .findAllIn(p).size
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq("q3_bucketed", "q5_bucketed").foreach { g =>
+        val p = finalPlan(g)
+        assert(orderkeyShuffles(p) == 0,
+          s"$g shuffled the bucketed facts on orderkey:\n$p")
+        assert(p.contains("Bucketed: true"),
+          s"$g did not use the bucketed scan:\n$p")
+      }
+      // and the raw-scan q3 DOES pay the orderkey exchange (the cost
+      // the layout removes) — guards against a silently-matching regex
+      assert(orderkeyShuffles(finalPlan("q3_join_topk")) > 0,
+        "raw q3 unexpectedly planned no orderkey shuffle — harness broken?")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+    // with the default threshold back, the local q3_bucketed final plan
+    // is shuffle-free END TO END: join covered by buckets, aggregate by
+    // the join's PartitioningCollection (group keys ⊇ l_orderkey),
+    // top-k is TakeOrdered
+    val p3 = finalPlan("q3_bucketed")
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p3).isEmpty,
+      s"q3_bucketed final plan carries a shuffle:\n$p3")
+  }
+
   test("string predicate pushes down to the parquet scan") {
     // read the scan node's metadata directly — plan toString truncates it
     val qe = graft.SparkEntry.queries("q_string_pred")(spark, dir).queryExecution
