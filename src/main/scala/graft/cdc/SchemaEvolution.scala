@@ -227,4 +227,61 @@ class SchemaRegistry {
     tables(table) = next
     next.version
   }
+
+  /** Apply one micro-batch of COMMITTED changes in commit order: DDL
+    * records bump their table's version (appending the statement to
+    * `history` when given — the durable schema story: the reference
+    * persists per-version Connect schemas and bumps on DDL,
+    * `OraCdcTableBase.java:528,598,616`; here the history file is the
+    * restart authority, see [[SchemaRegistry.replay]]); data changes
+    * return stamped with their table's version AT THEIR COMMIT — a row
+    * committed before the batch's DDL carries the old version, after
+    * it the new. DDL processing is inherently serial per table (the
+    * reference single-threads it the same way), so this is a
+    * driver-side pass over the batch's DDL boundaries — data rows
+    * between boundaries stay distributed in the caller's frame.
+    */
+  def stampBatch(changes: Seq[EmittedChange],
+      history: Option[java.nio.file.Path] = None): Seq[(EmittedChange, Int)] =
+    changes.sortBy(c => (c.commitScn, c.scn, c.ssn)).flatMap { c =>
+      if (c.op == Ops.Ddl) {
+        val ddl = c.after.getOrElse("ddl",
+          throw new IllegalArgumentException(
+            s"DDL record without statement text: $c"))
+        applyDdl(c.table, ddl)
+        history.foreach { h =>
+          java.nio.file.Files.writeString(h, s"${c.table}\t$ddl\n",
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        }
+        None
+      } else {
+        Some((c, tables.get(c.table).map(_.version).getOrElse(0)))
+      }
+    }
+}
+
+object SchemaRegistry {
+  /** Rebuild a registry from base schemas + the persisted DDL history —
+    * the restart path: recovered stream offsets skip the already-
+    * processed micro-batches, so their DDL records never replay; the
+    * history file carries the schema state across the boundary instead
+    * (the reference stores versioned schemas externally for the same
+    * reason). Replaying the full history is idempotent by
+    * [[SchemaEvolution.applyDdl]]'s duplicate guards.
+    */
+  def replay(base: Map[String, StructType],
+      history: Option[java.nio.file.Path] = None): SchemaRegistry = {
+    val reg = new SchemaRegistry
+    base.foreach { case (t, s) => reg.register(t, s) }
+    history.filter(java.nio.file.Files.exists(_)).foreach { h =>
+      java.nio.file.Files.readAllLines(h).forEach { line =>
+        if (line.nonEmpty) {
+          val Array(t, ddl) = line.split("\t", 2)
+          reg.applyDdl(t, ddl)
+        }
+      }
+    }
+    reg
+  }
 }
