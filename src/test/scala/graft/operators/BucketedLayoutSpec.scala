@@ -1,0 +1,83 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lifecycle of the bucketed star layout (the `ensureCuratedBase`
+  * contract applied to storage layout): build-once, marker-gated reuse,
+  * fingerprint-forced rebuild when the source data is regenerated in
+  * place, and correct results served through the registered external
+  * bucketed tables either way.
+  */
+class BucketedLayoutSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", false)
+    .appName("bucketed-layout-spec").getOrCreate()
+
+  test("build once, reuse via marker, rebuild on in-place regeneration") {
+    import org.apache.spark.sql.functions._
+    // private dataset dir so marker/fingerprint churn cannot interfere
+    // with the real testdata artifacts
+    val dir = Files.createTempDirectory("bkt_spec_ds").toString
+    val src = "/root/testdata/sf0.001"
+    for (t <- Seq("orders", "lineitem")) {
+      val f = new java.io.File(s"$src/$t.parquet")
+      Files.copy(f.toPath, Paths.get(s"$dir/$t.parquet"))
+    }
+
+    val (oT, lT) = BucketedLayout.ensureStarLayout(spark, dir)
+    val rows1 = spark.table(oT).count()
+    val expected = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(rows1 == expected, "bucketed orders must hold every source row")
+
+    // reuse: the marker matches, so a second call must NOT rewrite the
+    // artifact (mtime of the published marker is the witness)
+    val marker = Paths.get(
+      graft.Tables.artifactPath("graft-bkt1", dir) + "/_GRAFT_OK")
+    val t1 = Files.getLastModifiedTime(marker)
+    val (oT2, lT2) = BucketedLayout.ensureStarLayout(spark, dir)
+    assert((oT2, lT2) == (oT, lT))
+    assert(Files.getLastModifiedTime(marker) == t1,
+      "matching marker must short-circuit the build")
+
+    // the bucketed fact join returns the same rows as the raw join
+    val viaBuckets = spark.table(oT)
+      .join(spark.table(lT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey")).count()
+      .orderBy(col("o_orderkey")).collect().toSeq
+    val viaRaw = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey")).count()
+      .orderBy(col("o_orderkey")).collect().toSeq
+    assert(viaBuckets == viaRaw)
+
+    // in-place regeneration: rewrite orders with one row dropped — the
+    // fingerprint changes, the next ensure MUST rebuild and the
+    // registered table must serve the new data (a stale artifact here
+    // would silently serve deleted rows forever)
+    val shrunk = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") =!= 1L).cache()
+    val shrunkN = shrunk.count()
+    val tmpDs = Files.createTempDirectory("bkt_spec_regen").toString
+    shrunk.coalesce(1).write.mode("overwrite").parquet(s"$tmpDs/orders.parquet")
+    shrunk.unpersist(blocking = false)
+    // the copied source is a single parquet FILE; the regenerated one is
+    // a directory — both are legal dataset shapes for the fingerprint
+    Files.delete(Paths.get(s"$dir/orders.parquet"))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(s"$tmpDs/orders.parquet"),
+      new java.io.File(s"$dir/orders.parquet"))
+
+    val (oT3, _) = BucketedLayout.ensureStarLayout(spark, dir)
+    assert(spark.table(oT3).count() == shrunkN,
+      "regenerated source must force a rebuild (fingerprint mismatch)")
+    assert(Files.getLastModifiedTime(marker) != t1, "marker must be restamped")
+  }
+}
