@@ -229,19 +229,20 @@ object Profile {
         val path = java.nio.file.Files.createTempDirectory("annservesc").toString
         saveIvfPqIndex(spark, index, e.select(col("vec_id"), col("q")), path)
         val t1 = System.nanoTime()
+        val rr = scaledRerank(n)
         val (idx2, codes) = loadIvfPqIndex(spark, path)
         (1 to 2).foreach { pass =>
           val s0 = System.nanoTime()
           ivfPqSearchPrecoded(idx2, e, codes, queries, np,
-              knownBatch = Some(qn), knownCodes = Some(n))
+              knownBatch = Some(qn), knownCodes = Some(n), rerank = rr)
             .write.format("noop").mode("overwrite").save()
-          println(f"$name pass$pass n=$n kC=$kC nprobe=$np qn=$qn " +
+          println(f"$name pass$pass n=$n kC=$kC nprobe=$np rerank=$rr qn=$qn " +
             f"build=${(t1 - t0) / 1e9}%6.2f s " +
             f"serve=${(System.nanoTime() - s0) / 1e9}%6.2f s")
         }
         // recall@5 vs the exact brute top-5 of the same batch
         val served = ivfPqSearchPrecoded(idx2, e, codes, queries, np,
-            knownBatch = Some(qn), knownCodes = Some(n))
+            knownBatch = Some(qn), knownCodes = Some(n), rerank = rr)
           .select(col("qid"), col("vec_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
           .view.mapValues(_.map(_._2).toSet).toMap

@@ -372,6 +372,20 @@ object SimilarityQueries {
       math.max(4, math.ceil(math.sqrt(kC.toDouble)).toInt),
       ((2048L * kC + n - 1) / n).toInt))
 
+  /** Exact re-rank budget for the scaled serve: min(N, 2048) candidates
+    * per query (r12; the conformance gates keep the fixed 100). A
+    * CONSTANT budget makes the degradation story complete: below
+    * N = 2 048 every probed row re-ranks at full precision, so the
+    * serve IS brute-force-exact (the r11 thin-corpus caveat — PQ
+    * top-100 capped recall at 0.57 even with every cell probed —
+    * disappears by construction); at scale the budget is a vanishing
+    * fraction (N = 100 M: the PQ stage filters the ~N/√kC probed rows
+    * ~750× before the 2 048 full-precision dots), and the exact-stage
+    * cost per query never grows with the corpus.
+    */
+  private[graft] def scaledRerank(n: Long): Int =
+    math.min(n, 2048L).toInt
+
   /** [[trainIvfPq]] with the coarse codebook SCALED to the corpus —
     * the production rule (r11; the conformance gates keep fixed 16).
     * Seeds: a deterministic double-Knuth-hash-ranked subset of the
@@ -464,7 +478,7 @@ object SimilarityQueries {
   private def ivfPqServe(index: IvfPqIndex, corpus: DataFrame,
       codes: DataFrame, queries: DataFrame, nprobe: Int,
       k: Int = 5, knownBatch: Option[Long] = None,
-      knownCodes: Option[Long] = None): DataFrame = {
+      knownCodes: Option[Long] = None, rerank: Int = 100): DataFrame = {
     import graft.functions.VectorNative.{pq_lut_native, pq_probe_native}
     val coarse = index.coarse
     val fine = index.fine
@@ -488,10 +502,16 @@ object SimilarityQueries {
     // the salted path on tiny frames; a deployment with more executor
     // memory can raise it)
     val lutRowBytes = (M.toLong * 16 + 4) * 8 // M·16 LUT slots + row overhead
+    // two broadcasts bound the small-batch path: the LUT frame
+    // (|Q|·nprobe rows × lutRowBytes) and the candidate list
+    // (|Q|·rerank bare (qid, vec_id) pairs, ~32 B with row overhead) —
+    // the scaled re-rank budget widens the second, so both bound maxB
     val maxB = queries.sparkSession.conf
       .getOption("graft.ann.maxBroadcastQueries")
       .map(_.toLong)
-      .getOrElse(BroadcastByteBudget / (nprobe.toLong * lutRowBytes))
+      .getOrElse(math.min(
+        BroadcastByteBudget / (nprobe.toLong * lutRowBytes),
+        BroadcastByteBudget / (rerank.toLong * 32)))
     val qCount = knownBatch.getOrElse(queries.count())
     val smallBatch = qCount <= maxB
     val probed =
@@ -552,7 +572,7 @@ object SimilarityQueries {
       .select(col("qid"), col("approx"), col("vec_id"))
       .groupBy(col("qid"))
       .agg(graft.functions.TopKFunctions
-        .topk_by_score(100, col("approx"), col("vec_id"), lit(0L)).as("top"))
+        .topk_by_score(rerank, col("approx"), col("vec_id"), lit(0L)).as("top"))
       .select(col("qid"), explode(col("top")).as("cand"))
       .select(col("qid"), col("cand.id").as("vec_id"))
     // re-rank joins stay SKINNY: the candidate list broadcasts as bare
@@ -588,13 +608,14 @@ object SimilarityQueries {
   private[graft] def ivfPqSearch(index: IvfPqIndex, corpus: DataFrame,
       corpusCodes: DataFrame, queries: DataFrame, nprobe: Int,
       k: Int = 5, knownBatch: Option[Long] = None,
-      knownCodes: Option[Long] = None): DataFrame = {
+      knownCodes: Option[Long] = None, rerank: Int = 100): DataFrame = {
     import graft.functions.VectorNative.pq_encode_native
     val codes = corpusCodes
       .select(col("vec_id"),
         pq_encode_native(col("q"), index.coarse).getItem(0).cast("int").as("cell"),
         pq_encode_native(col("q"), index.fine).as("enc"))
-    ivfPqServe(index, corpus, codes, queries, nprobe, k, knownBatch, knownCodes)
+    ivfPqServe(index, corpus, codes, queries, nprobe, k, knownBatch,
+      knownCodes, rerank)
   }
 
   /** Persist a trained index to the lakehouse: `codebooks/` (book,
@@ -650,8 +671,9 @@ object SimilarityQueries {
   private[graft] def ivfPqSearchPrecoded(index: IvfPqIndex, corpus: DataFrame,
       codes: DataFrame, queries: DataFrame, nprobe: Int,
       k: Int = 5, knownBatch: Option[Long] = None,
-      knownCodes: Option[Long] = None): DataFrame =
-    ivfPqServe(index, corpus, codes, queries, nprobe, k, knownBatch, knownCodes)
+      knownCodes: Option[Long] = None, rerank: Int = 100): DataFrame =
+    ivfPqServe(index, corpus, codes, queries, nprobe, k, knownBatch,
+      knownCodes, rerank)
 
   private[graft] def ivfPq(s: SparkSession, dir: String, M: Int,
       nprobe: Int): DataFrame = {
@@ -684,7 +706,8 @@ object SimilarityQueries {
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
     ivfPqSearch(index, e, codesSrc,
       e.filter(col("vec_id") % 50 === 0),
-      scaledNprobe(scaledCellCount(n), n), knownCodes = Some(n))
+      scaledNprobe(scaledCellCount(n), n), knownCodes = Some(n),
+      rerank = scaledRerank(n))
   }
 
   /** INCREMENTAL delta-vs-corpus ANN probe — the production lifecycle
@@ -1097,14 +1120,16 @@ object SimilarityQueries {
 
   /** Generalized form: `coarseSeedPred` selects the seed candidates,
     * `kcSql` caps them (applied in vec_id order — the Scala side's
-    * sortBy+take), `nprobeSql` is the probe width; all three are SQL
-    * fragments so the scaled gate can derive them from COUNT(*) in a
-    * `prm` CTE the caller prepends. The fine codebook is seeded from
-    * the FIRST 16 coarse seeds in both regimes (the conformance
-    * %25-lattice selects exactly 16, so its fine seeds are unchanged).
+    * sortBy+take), `nprobeSql` is the probe width, `rerankSql` the
+    * exact-re-rank candidate budget; all four are SQL fragments so the
+    * scaled gate can derive them from COUNT(*) in a `prm` CTE the
+    * caller prepends. The fine codebook is seeded from the FIRST 16
+    * coarse seeds in both regimes (the conformance %25-lattice selects
+    * exactly 16, so its fine seeds are unchanged).
     */
   private[operators] def ivfPqOracleCandG(queryPred: String => String,
-      nprobeSql: String, coarseSeedPred: String, kcSql: String): String =
+      nprobeSql: String, coarseSeedPred: String, kcSql: String,
+      rerankSql: String = "100"): String =
     s""", cseedr AS (
       |  SELECT vec_id AS cid, q AS cq, n2 AS cn2,
       |         ROW_NUMBER() OVER (ORDER BY vec_id) AS srn
@@ -1216,7 +1241,7 @@ object SimilarityQueries {
       |    FROM approx a JOIN n qn ON qn.vec_id = a.qid
       |    JOIN recon r ON r.vec_id = a.vec_id
       |    WHERE a.vec_id <> a.qid)
-      |  WHERE rn <= 100)
+      |  WHERE rn <= $rerankSql)
       |""".stripMargin
 
   /** [[quantCte]] for splicing into another gate's chain: the v/n
@@ -1658,7 +1683,8 @@ object SimilarityQueries {
         |  SELECT kc, GREATEST(1, nn // kc) AS keep,
         |         LEAST(kc, GREATEST(4,
         |           CAST(ceil(sqrt(CAST(kc AS DOUBLE))) AS BIGINT),
-        |           (2048 * kc + nn - 1) // nn)) AS npr
+        |           (2048 * kc + nn - 1) // nn)) AS npr,
+        |         LEAST(nn, 2048) AS rr
         |  FROM (SELECT nn, GREATEST(16, LEAST(4096,
         |            CAST(round(sqrt(CAST(nn AS DOUBLE))) AS BIGINT),
         |            nn // 64)) AS kc
@@ -1669,7 +1695,8 @@ object SimilarityQueries {
         coarseSeedPred =
           "((((((vec_id % 2147483648) * 2654435761) % 4294967296) // 65536)" +
             " * 2654435761) % 4294967296) % (SELECT keep FROM prm) = 0",
-        kcSql = "(SELECT kc FROM prm)") +
+        kcSql = "(SELECT kc FROM prm)",
+        rerankSql = "(SELECT rr FROM prm)") +
       """SELECT qid, rn, vec_id, cos FROM (
         |  SELECT c.qid, c.vec_id,
         |         CAST(list_dot_product(qa.q, qb.q) AS DOUBLE)

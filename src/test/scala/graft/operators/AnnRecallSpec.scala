@@ -93,7 +93,8 @@ class AnnRecallSpec extends AnyFunSuite {
     val served = SimilarityQueries.ivfPqSearch(index, e, e, queries,
         SimilarityQueries.scaledNprobe(
           SimilarityQueries.scaledCellCount(n), n), k = 5,
-        knownBatch = Some(qn), knownCodes = Some(n))
+        knownBatch = Some(qn), knownCodes = Some(n),
+        rerank = SimilarityQueries.scaledRerank(n))
       .select(col("qid"), col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
@@ -116,21 +117,20 @@ class AnnRecallSpec extends AnyFunSuite {
 
   test("scaled coarse quantizer (kC ~ sqrt(N)) serves above the recall floor") {
     // the production cell rule: kC ≈ √N with the N/64 min-points-per-
-    // cell clamp, nprobe ≈ √kC with the ~2048 min-points-PROBED floor
-    // (r12) — probed fraction shrinks as the corpus grows so the serve
-    // wall stays near-flat (the 2 k/20 k/200 k receipts in
-    // BASELINE.md), while a thin corpus degrades to a FULL flat scan
-    // (N = 2 000 ≤ 2 048 ⟹ nprobe = kC) instead of over-partitioned
-    // probing. Measured here: 0.57, up from the r11 rule's 0.47 — and
-    // with every cell probed the residual loss is by construction the
-    // PQ top-100 candidate stage on this UNSTRUCTURED corpus (the
-    // precision knob is M, not the cell rule); the family-structured
-    // 20 k test below and the 200 k receipt both read 1.000. The floor
-    // pins the full-probe degradation path.
+    // cell clamp, nprobe ≈ √kC with the ~2048 min-points-PROBED floor,
+    // and the min(N, 2048) exact-re-rank budget (all r12) — probed
+    // fraction shrinks as the corpus grows so the serve wall stays
+    // near-flat (the 2 k/20 k/200 k receipts in BASELINE.md), while a
+    // thin corpus degrades to BRUTE-FORCE-EXACT serving: at
+    // N = 2 000 ≤ 2 048 every cell is probed AND every probed row
+    // re-ranks at full precision, so the result must EQUAL the exact
+    // top-5 (same tie order). The r11 rule measured 0.47 here; the
+    // probe floor alone 0.57 (PQ top-100 capped the candidates); the
+    // full ladder reads 1.000 by construction.
     val (mean, kC) = scaledRecall(
       SimilarityQueries.quantized(spark, "/root/testdata/sf0.1"), 100)
     info(f"scaled-kC recall@5 sf0.1 = $mean%.3f (kC=$kC)")
-    assert(mean >= 0.5, f"scaled-quantizer recall@5 degraded to $mean%.3f")
+    assert(mean >= 0.99, f"scaled-quantizer recall@5 degraded to $mean%.3f")
   }
 
   test("scaled quantizer holds recall >= 0.9 at the 20k corpus") {
