@@ -123,6 +123,34 @@ case class JdbcUpsertSink(
       } finally conn.close()
     }
 
+    if (autoCreate) {
+      // K3 sink schema evolution (reference: new record field → ALTER
+      // TABLE ADD on the target, `JdbcSinkTableBase`/`TargetDbSqlUtils`
+      // alter path): columns the stream carries but the target lacks
+      // are added before the batch binds. Added columns are forced
+      // nullable — pre-evolution rows have no value for them, and a
+      // NOT NULL add on a non-empty table fails on every dialect.
+      val needed = df.schema.fields.filter(f => dataCols.contains(f.name))
+      val known = JdbcUpsertSink.knownCols.get((url, table))
+      if (known == null ||
+          needed.exists(f => !known.contains(f.name.toLowerCase))) {
+        val conn = connect()
+        try {
+          val current = JdbcUpsertSink.targetColumns(conn, table)
+          val missing = needed.filterNot(f =>
+            current.contains(f.name.toLowerCase))
+          if (missing.nonEmpty) {
+            val st = conn.createStatement()
+            try missing.foreach { f =>
+              st.execute(dialect.addColumnSql(table, f.copy(nullable = true)))
+            } finally st.close()
+          }
+          JdbcUpsertSink.knownCols.put((url, table),
+            current ++ missing.map(_.name.toLowerCase))
+        } finally conn.close()
+      }
+    }
+
     val upsertSqlText = dialect.upsertSql(table, dataCols, keys)
     val deleteSqlText = dialect.deleteSql(table, keys)
     val bindCols = dialect.upsertParams(dataCols, keys)
@@ -254,6 +282,35 @@ object JdbcUpsertSink {
     */
   private val discoveredKeys = new java.util.concurrent.ConcurrentHashMap[
     (String, String), Seq[String]]()
+
+  /** Known target columns per (url, table), lower-cased — the schema-
+    * evolution fast path: a batch whose columns are all known skips the
+    * catalog probe entirely; a new column (post-DDL stream) triggers
+    * one probe + the missing ALTERs.
+    */
+  private val knownCols = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Set[String]]()
+
+  /** The target table's column names from the catalog, lower-cased —
+    * same identifier-form ladder as [[discoverKeyCols]].
+    */
+  private[sinks] def targetColumns(conn: Connection,
+      table: String): Set[String] = {
+    val md = conn.getMetaData
+    val (schema0, name0) = table.split('.') match {
+      case Array(s, n) => (Option(s), n)
+      case _ => (None, table)
+    }
+    val forms = Seq(identity[String] _, (s: String) => s.toUpperCase,
+      (s: String) => s.toLowerCase)
+    forms.iterator.map { f =>
+      val rs = md.getColumns(null, schema0.map(f).orNull, f(name0), null)
+      val buf = Set.newBuilder[String]
+      try while (rs.next()) buf += rs.getString("COLUMN_NAME").toLowerCase
+      finally rs.close()
+      buf.result()
+    }.find(_.nonEmpty).getOrElse(Set.empty)
+  }
 
   /** Read the target table's key from the database catalog: the
     * declared PRIMARY KEY (ordered by KEY_SEQ), else the first UNIQUE

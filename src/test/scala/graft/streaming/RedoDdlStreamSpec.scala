@@ -158,4 +158,82 @@ class RedoDdlStreamSpec extends AnyFunSuite {
     assert(q2.awaitTermination(300000), "replay stream did not finish")
     assert(out.toSeq == out1, s"replay diverged: $out vs $out1")
   }
+
+  test("DDL-evolved stream auto-evolves the JDBC sink target (T9 ∘ K3 ∘ K2)") {
+    import spark.implicits._
+    // the full operational composition: binary redo → assembly →
+    // schema registry → JDBC upsert sink. The DDL that widened the
+    // stream must widen the TARGET too — the sink diffs the batch's
+    // columns against the target catalog and issues the reference's
+    // ALTER TABLE ADD path (`TargetDbSqlUtils` alter; K3) before
+    // binding, so pre-DDL rows land with the old shape, post-DDL rows
+    // with the new, in ONE streaming query.
+    val redoDir = Files.createTempDirectory("redo_ddlk3_grl").toFile
+    def writeLog(i: Int, recs: Seq[RedoRecord]): Unit = {
+      val w = new RedoLogWriter(new File(redoDir, s"log_$i.grl"), 1024, seq = i)
+      recs.foreach(w.append)
+      w.close()
+    }
+    writeLog(1, Seq(
+      ins(1, "T1", Map("ID" -> "1", "NAME" -> "a")),
+      ctl(2, "T1", Ops.Commit)))
+    writeLog(2, Seq(
+      ddl(3, "D1", "ALTER TABLE G.T ADD (EXTRA NUMBER(10,2))"),
+      ctl(4, "D1", Ops.Commit),
+      ins(5, "T2", Map("ID" -> "2", "NAME" -> "b", "EXTRA" -> "1.50")),
+      ctl(6, "T2", Ops.Commit)))
+
+    val url = "jdbc:derby:memory:ddlsink;create=true"
+    val sink = graft.sinks.JdbcUpsertSink(url, "G_T", keyCols = Seq("ID"),
+      dialect = graft.sinks.DerbyDialect)
+    val history = Files.createTempDirectory("redo_ddlk3_hist")
+      .resolve("history.tsv")
+    val reg = SchemaRegistry.replay(Map("G.T" -> baseSchema), Some(history))
+    val q = ChangeStreams.assembleStream(
+        spark.readStream.format("graft-redo")
+          .option("maxFilesPerTrigger", 1)
+          .load(redoDir.getAbsolutePath)
+          .as[RedoRecord])
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("redo_ddlk3_ckpt").toFile.getAbsolutePath)
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[graft.cdc.EmittedChange],
+         _: Long) =>
+        // per version slice, write with that slice's schema — the
+        // second slice carries EXTRA and triggers the sink's ALTER
+        reg.stampBatch(ds.collect().toSeq, Some(history))
+          .groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+            val hasExtra = rows.exists(_._1.after.contains("EXTRA"))
+            val frame =
+              if (hasExtra)
+                rows.map { case (c, _) =>
+                  (c.after("ID").toLong, c.after("NAME"),
+                    c.after.getOrElse("EXTRA", null), c.op,
+                    c.commitScn, c.scn)
+                }.toDF("ID", "NAME", "EXTRA", "op", "commitScn", "scn")
+              else
+                rows.map { case (c, _) =>
+                  (c.after("ID").toLong, c.after("NAME"), c.op,
+                    c.commitScn, c.scn)
+                }.toDF("ID", "NAME", "op", "commitScn", "scn")
+            sink.writeBatch(frame)
+          }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000), "stream did not finish within 300s")
+
+    val conn = java.sql.DriverManager.getConnection(url)
+    val rs = conn.createStatement()
+      .executeQuery("SELECT ID, NAME, EXTRA FROM G_T ORDER BY ID")
+    val rows = Iterator.continually(rs).takeWhile(_.next())
+      .map(r => (r.getLong(1), r.getString(2), Option(r.getString(3))))
+      .toList
+    conn.close()
+    assert(rows == List((1L, "a", None), (2L, "b", Some("1.50"))),
+      s"sink target after DDL-evolved stream: $rows — row 1 predates the " +
+        "DDL (EXTRA must be NULL), row 2 must land WITH the added column")
+  }
 }
