@@ -120,7 +120,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val heavy = Seq("dedup_exact", "dedup_simhash", "dedup_emb_cos",
       "ann_lsh", "ann_ivf", "ann_brute_topk", "ann_sq8",
-      "ann_ivf_kmeans", "ann_pq_adc", "ann_ivfpq", "ann_incr", "pipe_curate", "pipe_incr", "pipe_incr_idx", "retr_rrf", "pipe_tok", "dedup_incr",
+      "ann_ivf_kmeans", "ann_pq_adc", "ann_ivfpq", "ann_ivfpq_scaled",
+      "ann_incr", "pipe_curate", "pipe_incr", "pipe_incr_idx", "retr_rrf", "pipe_tok", "dedup_incr",
       "dedup_sem", "dedup_cap", "dedup_sh_ham", "dedup_winnow",
       "dedup_mh_lsh", "dedup_jac_lsh", "dedup_ngram", "dedup_contain",
       "pipe_split", "pipe_full", "dedup_clusters")
