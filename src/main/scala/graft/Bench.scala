@@ -63,6 +63,14 @@ object Bench {
     // absorbed by whichever query runs first otherwise). Janino's
     // generated-class cache is process-wide, so the second session keeps
     // the warmup's compiled kernels.
+    // parsed here (not just at query selection below) so the warmup can
+    // skip ingest-artifact builds no selected gate reads — a dev-loop
+    // SPARK_GRAFT_ONLY=q1_agg run against a 100x fixture must not pay a
+    // multi-GB bucketed-layout write it never uses
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    def wantsAny(names: String*): Boolean =
+      only.forall(o => names.exists(o.contains))
+
     def warmup(spark: SparkSession): Unit = {
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
@@ -83,7 +91,8 @@ object Bench {
       // here (a no-op when it already exists on disk) keeps the timed
       // window measuring the delta-admission query, not a one-time
       // ingest the production path never repeats per batch.
-      try graft.operators.PipelineQueries.ensureCuratedBase(spark, sfDir)
+      try if (wantsAny("pipe_incr", "pipe_incr_idx"))
+        graft.operators.PipelineQueries.ensureCuratedBase(spark, sfDir)
       catch { case scala.util.control.NonFatal(e) =>
         // fatal errors (OOM, interrupts) must kill the run — timed
         // walls on a thrashing heap would record garbage that LOOKS
@@ -100,7 +109,8 @@ object Bench {
       // same lifecycle for retr_rrf's dense-arm index (r12): train once
       // at ingest, every serve loads + probes — the timed gate measures
       // the production query shape, not a per-run re-train
-      try graft.operators.RetrievalQueries.ensureRrfIndex(spark, sfDir)
+      try if (wantsAny("retr_rrf"))
+        graft.operators.RetrievalQueries.ensureRrfIndex(spark, sfDir)
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"[bench] warmup rrf-index build failed (first timed " +
@@ -108,7 +118,8 @@ object Bench {
       }
       // and the bucketed star layout (r12): written once at ingest,
       // the q3/q5_bucketed gates measure the exchange-free join
-      try graft.operators.BucketedLayout.ensureStarLayout(spark, sfDir)
+      try if (wantsAny("q3_bucketed", "q5_bucketed"))
+        graft.operators.BucketedLayout.ensureStarLayout(spark, sfDir)
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"[bench] warmup bucketed-layout build failed (first timed " +
@@ -117,7 +128,7 @@ object Bench {
     }
 
     // dev loop: SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // (`only` parsed above the warmup so artifact builds gate on it too)
     val heavy = Seq("dedup_exact", "dedup_simhash", "dedup_emb_cos",
       "ann_lsh", "ann_ivf", "ann_brute_topk", "ann_sq8",
       "ann_ivf_kmeans", "ann_pq_adc", "ann_ivfpq", "ann_ivfpq_scaled",

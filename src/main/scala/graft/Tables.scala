@@ -93,6 +93,35 @@ object Tables {
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .mkString("|"))
 
+  /** The marker-gated build-once artifact lifecycle, shared by every
+    * artifact writer (curated base, RRF index, bucketed layout): if
+    * `path/_GRAFT_OK` already holds `stamp`, the build short-circuits
+    * (returns false); otherwise `build` runs into a fresh unique temp
+    * dir, the marker is stamped LAST inside it, and the whole dir is
+    * atomically published over `path` (returns true). The stamp should
+    * carry a semantics version + a source-data fingerprint
+    * ([[tableFingerprint]]) so code changes and in-place dataset
+    * regeneration both force a rebuild. The marker can vanish between
+    * exists() and read — a concurrent [[publishDir]]'s no-target
+    * window; a missing/unreadable marker means build, never an error.
+    */
+  def ensureArtifact(path: String, stamp: String, force: Boolean = false)(
+      build: String => Unit): Boolean = {
+    val ok = java.nio.file.Paths.get(s"$path/_GRAFT_OK")
+    val marker = try {
+      if (java.nio.file.Files.exists(ok))
+        Some(java.nio.file.Files.readString(ok))
+      else None
+    } catch { case _: java.io.IOException => None }
+    if (!force && marker.contains(stamp)) return false
+    val tmp = path + tmpSuffix()
+    build(tmp)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/_GRAFT_OK"), stamp)
+    publishDir(tmp, path)
+    true
+  }
+
   /** First 8 bytes of SHA-256(s), lowercase hex — the shared digest for
     * artifact keying ([[artifactPath]]) and content fingerprints; one
     * definition so a width change can never desynchronize them.

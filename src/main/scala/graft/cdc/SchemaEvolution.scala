@@ -210,36 +210,84 @@ object SchemaEvolution {
 
 /** Per-table schema registry driven by DDL records in the change stream —
   * the foreachBatch-side authority for value-schema versions.
+  *
+  * The registry keeps each table's version TIMELINE — (fromCommitScn,
+  * TableVersion), ascending — not just the latest version: stamping a
+  * data row looks up the version in force AT ITS COMMIT SCN, so a
+  * micro-batch REPLAYED by foreachBatch's at-least-once contract (or
+  * re-processed after a crash-restart whose history file already holds
+  * the batch's DDL) stamps its pre-DDL rows with the OLD version, not
+  * whatever the registry's head happens to be. DDL application is
+  * keyed by commit SCN too: a replayed DDL record whose commit SCN is
+  * already on the timeline is a no-op (and is NOT re-appended to the
+  * history file).
   */
 class SchemaRegistry {
-  private val tables = collection.mutable.Map[String, SchemaEvolution.TableVersion]()
+  private val tables = collection.mutable.Map[
+    String, Vector[(Long, SchemaEvolution.TableVersion)]]()
 
   def register(table: String, schema: StructType): Unit =
-    tables(table) = SchemaEvolution.TableVersion(schema, 1)
+    tables(table) =
+      Vector((Long.MinValue, SchemaEvolution.TableVersion(schema, 1)))
 
-  def get(table: String): Option[SchemaEvolution.TableVersion] = tables.get(table)
+  /** The LATEST version (the head of the timeline). */
+  def get(table: String): Option[SchemaEvolution.TableVersion] =
+    tables.get(table).map(_.last._2)
 
-  /** Returns the new version; bumps only on effective change. */
+  /** The version in force at `commitScn` (floor lookup on the timeline). */
+  def versionAt(table: String, commitScn: Long): Option[SchemaEvolution.TableVersion] =
+    tables.get(table).flatMap { tl =>
+      tl.takeWhile(_._1 <= commitScn).lastOption.map(_._2)
+    }
+
+  /** Apply DDL at the timeline head (no commit coordinates — the
+    * batch-side/test surface). Returns the new version; bumps only on
+    * effective change.
+    */
   def applyDdl(table: String, ddl: String): Int = {
-    val cur = tables.getOrElse(table,
+    val tl = timeline(table)
+    val scn = math.max(tl.last._1 + 1, 0L)
+    applyDdlAt(table, ddl, scn)._1
+  }
+
+  private def timeline(table: String) =
+    tables.getOrElse(table,
       throw new NoSuchElementException(s"unknown table $table"))
-    val next = SchemaEvolution.applyDdl(cur, ddl)
-    tables(table) = next
-    next.version
+
+  /** Apply DDL that committed at `commitScn`. Returns (version, newly
+    * applied) — a commit SCN already on the timeline is a replay and
+    * applies nothing. Every applied DDL lands on the timeline, version
+    * bump or not, so the replay check holds for no-op DDL too.
+    */
+  def applyDdlAt(table: String, ddl: String,
+      commitScn: Long): (Int, Boolean) = {
+    val tl = timeline(table)
+    tl.find(_._1 == commitScn) match {
+      case Some((_, tv)) => (tv.version, false)
+      case None =>
+        require(commitScn > tl.last._1,
+          s"DDL at commitScn $commitScn arrives before the timeline head " +
+            s"${tl.last._1} of $table — out-of-order schema history")
+        val next = SchemaEvolution.applyDdl(tl.last._2, ddl)
+        tables(table) = tl :+ (commitScn, next)
+        (next.version, true)
+    }
   }
 
   /** Apply one micro-batch of COMMITTED changes in commit order: DDL
     * records bump their table's version (appending the statement to
-    * `history` when given — the durable schema story: the reference
-    * persists per-version Connect schemas and bumps on DDL,
+    * `history` when NEWLY applied — the durable schema story: the
+    * reference persists per-version Connect schemas and bumps on DDL,
     * `OraCdcTableBase.java:528,598,616`; here the history file is the
     * restart authority, see [[SchemaRegistry.replay]]); data changes
-    * return stamped with their table's version AT THEIR COMMIT — a row
-    * committed before the batch's DDL carries the old version, after
-    * it the new. DDL processing is inherently serial per table (the
-    * reference single-threads it the same way), so this is a
-    * driver-side pass over the batch's DDL boundaries — data rows
-    * between boundaries stay distributed in the caller's frame.
+    * return stamped with their table's version AT THEIR COMMIT SCN —
+    * a row committed before the batch's DDL carries the old version,
+    * after it the new, and the stamping is IDEMPOTENT under batch
+    * replay (the timeline lookup, not the registry head). DDL
+    * processing is inherently serial per table (the reference
+    * single-threads it the same way), so this is a driver-side pass
+    * over the batch's DDL boundaries — data rows between boundaries
+    * stay distributed in the caller's frame.
     */
   def stampBatch(changes: Seq[EmittedChange],
       history: Option[java.nio.file.Path] = None): Seq[(EmittedChange, Int)] =
@@ -248,27 +296,57 @@ class SchemaRegistry {
         val ddl = c.after.getOrElse("ddl",
           throw new IllegalArgumentException(
             s"DDL record without statement text: $c"))
-        applyDdl(c.table, ddl)
-        history.foreach { h =>
-          java.nio.file.Files.writeString(h, s"${c.table}\t$ddl\n",
+        val (_, newlyApplied) = applyDdlAt(c.table, ddl, c.commitScn)
+        if (newlyApplied) history.foreach { h =>
+          java.nio.file.Files.writeString(h,
+            s"${c.table}\t${c.commitScn}\t${SchemaRegistry.encode(ddl)}\n",
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.APPEND)
         }
         None
       } else {
-        Some((c, tables.get(c.table).map(_.version).getOrElse(0)))
+        Some((c, versionAt(c.table, c.commitScn).map(_.version).getOrElse(0)))
       }
     }
 }
 
 object SchemaRegistry {
+  /** One-line encoding for history records — DDL text may legally span
+    * lines ("ALTER TABLE t ADD (\n  c NUMBER\n)") and the history file
+    * is line-oriented, so tab/newline/backslash are escaped.
+    */
+  private[cdc] def encode(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '\t' => "\\t"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case c => c.toString
+  }
+
+  private[cdc] def decode(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        b.append(s(i + 1) match {
+          case '\\' => '\\'
+          case 't' => '\t'
+          case 'n' => '\n'
+          case 'r' => '\r'
+          case c => c
+        })
+        i += 2
+      } else { b.append(s(i)); i += 1 }
+    }
+    b.result()
+  }
+
   /** Rebuild a registry from base schemas + the persisted DDL history —
     * the restart path: recovered stream offsets skip the already-
     * processed micro-batches, so their DDL records never replay; the
-    * history file carries the schema state across the boundary instead
-    * (the reference stores versioned schemas externally for the same
-    * reason). Replaying the full history is idempotent by
-    * [[SchemaEvolution.applyDdl]]'s duplicate guards.
+    * history file carries the schema state (version timeline INCLUDING
+    * commit SCNs) across the boundary instead — the reference stores
+    * versioned schemas externally for the same reason.
     */
   def replay(base: Map[String, StructType],
       history: Option[java.nio.file.Path] = None): SchemaRegistry = {
@@ -277,8 +355,8 @@ object SchemaRegistry {
     history.filter(java.nio.file.Files.exists(_)).foreach { h =>
       java.nio.file.Files.readAllLines(h).forEach { line =>
         if (line.nonEmpty) {
-          val Array(t, ddl) = line.split("\t", 2)
-          reg.applyDdl(t, ddl)
+          val Array(t, scn, ddl) = line.split("\t", 3)
+          reg.applyDdlAt(t, decode(ddl), scn.toLong)
         }
       }
     }

@@ -75,19 +75,6 @@ object BucketedLayout {
     val path = layoutPath(dir)
     val oTbl = tableName("orders", dir)
     val lTbl = tableName("lineitem", dir)
-    val want = stamp(dir)
-    val ok = java.nio.file.Paths.get(s"$path/_GRAFT_OK")
-    val marker = try {
-      if (java.nio.file.Files.exists(ok))
-        Some(java.nio.file.Files.readString(ok))
-      else None
-    } catch { case _: java.io.IOException => None }
-    if (marker.contains(want)) {
-      register(s, oTbl, s"$path/orders", "o_orderkey", force = false)
-      register(s, lTbl, s"$path/lineitem", "l_orderkey", force = false)
-      return (oTbl, lTbl)
-    }
-    val tmp = path + graft.Tables.tmpSuffix()
     def writeBucketed(df: DataFrame, key: String, loc: String,
         bldTbl: String): Unit = {
       s.sql(s"DROP TABLE IF EXISTS $bldTbl")
@@ -101,15 +88,16 @@ object BucketedLayout {
       // durable registration points at the PUBLISHED location below
       s.sql(s"DROP TABLE IF EXISTS $bldTbl")
     }
-    writeBucketed(graft.Tables.orders(s, dir), "o_orderkey",
-      s"$tmp/orders", oTbl + "_bld")
-    writeBucketed(graft.Tables.lineitem(s, dir), "l_orderkey",
-      s"$tmp/lineitem", lTbl + "_bld")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$tmp/_GRAFT_OK"), want)
-    graft.Tables.publishDir(tmp, path)
-    register(s, oTbl, s"$path/orders", "o_orderkey", force = true)
-    register(s, lTbl, s"$path/lineitem", "l_orderkey", force = true)
+    val rebuilt = graft.Tables.ensureArtifact(path, stamp(dir)) { tmp =>
+      writeBucketed(graft.Tables.orders(s, dir), "o_orderkey",
+        s"$tmp/orders", oTbl + "_bld")
+      writeBucketed(graft.Tables.lineitem(s, dir), "l_orderkey",
+        s"$tmp/lineitem", lTbl + "_bld")
+    }
+    // after a rebuild the registration must be replaced — the files
+    // under the (unchanged) location are new
+    register(s, oTbl, s"$path/orders", "o_orderkey", force = rebuilt)
+    register(s, lTbl, s"$path/lineitem", "l_orderkey", force = rebuilt)
     (oTbl, lTbl)
   }
 

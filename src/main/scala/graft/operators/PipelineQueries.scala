@@ -282,46 +282,32 @@ object PipelineQueries {
     // curation-semantics version AND the source-data fingerprint — a
     // version bump or an in-place dataset regeneration both rebuild
     val stamp = s"$CurBaseVersion:${sourceFingerprint(dir)}"
-    val ok = java.nio.file.Paths.get(s"$path/_GRAFT_OK")
-    // the marker can vanish between exists() and read — a concurrent
-    // publishDir's no-target window; a missing/unreadable marker means
-    // build-if-absent, never an error
-    val marker = try {
-      if (java.nio.file.Files.exists(ok))
-        Some(java.nio.file.Files.readString(ok))
-      else None
-    } catch { case _: java.io.IOException => None }
-    if (!rebuild && marker.contains(stamp)) {
-      return path
+    graft.Tables.ensureArtifact(path, stamp, force = rebuild) { tmp =>
+      val bench = benchShingles(s, dir)
+      val b16 = stage16(s, dir, bench, col("doc_id") % 2 === 0).persist()
+      val bKeep = b16.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+      val bHashes = b16.join(bKeep, Seq("digest", "doc_id"))
+        .select(col("doc_id"), col("digest"), shingleHashes(col("toks"), 2).as("hs"))
+        .persist()
+      val bDrops = DedupQueries.jaccardOnCandidates(
+          bHashes.filter(size(col("hs")) > 0), maxBucket = Some(8))
+        .select(col("ib")).distinct()
+      // eager checkpoint at the manifest boundary (the pipe_incr lesson:
+      // the band-index writes below would otherwise each re-plan the
+      // whole base jaccard lineage)
+      val bSurv = bHashes.join(broadcast(bDrops),
+          bHashes("doc_id") === bDrops("ib"), "left_anti")
+        .localCheckpoint(true)
+      b16.unpersist(blocking = false)
+      bHashes.unpersist(blocking = false)
+      bSurv.select(col("doc_id"), col("digest"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
+      DedupQueries.saveBandIndex(
+        bSurv.select(col("doc_id"), col("hs")), s"$tmp/index")
+      import s.implicits._
+      bench.toSeq.toDF("h")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/bench")
     }
-    val tmp = path + graft.Tables.tmpSuffix()
-    val bench = benchShingles(s, dir)
-    val b16 = stage16(s, dir, bench, col("doc_id") % 2 === 0).persist()
-    val bKeep = b16.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
-    val bHashes = b16.join(bKeep, Seq("digest", "doc_id"))
-      .select(col("doc_id"), col("digest"), shingleHashes(col("toks"), 2).as("hs"))
-      .persist()
-    val bDrops = DedupQueries.jaccardOnCandidates(
-        bHashes.filter(size(col("hs")) > 0), maxBucket = Some(8))
-      .select(col("ib")).distinct()
-    // eager checkpoint at the manifest boundary (the pipe_incr lesson:
-    // the band-index writes below would otherwise each re-plan the
-    // whole base jaccard lineage)
-    val bSurv = bHashes.join(broadcast(bDrops),
-        bHashes("doc_id") === bDrops("ib"), "left_anti")
-      .localCheckpoint(true)
-    b16.unpersist(blocking = false)
-    bHashes.unpersist(blocking = false)
-    bSurv.select(col("doc_id"), col("digest"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
-    DedupQueries.saveBandIndex(
-      bSurv.select(col("doc_id"), col("hs")), s"$tmp/index")
-    import s.implicits._
-    bench.toSeq.toDF("h")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/bench")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$tmp/_GRAFT_OK"), stamp)
-    graft.Tables.publishDir(tmp, path)
     path
   }
 

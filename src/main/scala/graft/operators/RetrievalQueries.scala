@@ -248,24 +248,12 @@ object RetrievalQueries {
     val path = graft.Tables.artifactPath(s"graft-$RrfIdxVersion", dir)
     val stamp =
       s"$RrfIdxVersion:${graft.Tables.tableFingerprint(dir, "embeddings.parquet")}"
-    val ok = java.nio.file.Paths.get(s"$path/_GRAFT_OK")
-    // the marker can vanish between exists() and read — a concurrent
-    // publishDir's no-target window; missing/unreadable means
-    // build-if-absent, never an error
-    val marker = try {
-      if (java.nio.file.Files.exists(ok))
-        Some(java.nio.file.Files.readString(ok))
-      else None
-    } catch { case _: java.io.IOException => None }
-    if (marker.contains(stamp)) return path
-    val eq = quantized(s, dir)
-    val index = trainIvfPq(s, eq, 8,
-      col("vec_id") % 25 === 0 && col("vec_id") < 400)
-    val tmp = path + graft.Tables.tmpSuffix()
-    saveIvfPqIndex(s, index, eq.select(col("vec_id"), col("q")), tmp)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$tmp/_GRAFT_OK"), stamp)
-    graft.Tables.publishDir(tmp, path)
+    graft.Tables.ensureArtifact(path, stamp) { tmp =>
+      val eq = quantized(s, dir)
+      val index = trainIvfPq(s, eq, 8,
+        col("vec_id") % 25 === 0 && col("vec_id") < 400)
+      saveIvfPqIndex(s, index, eq.select(col("vec_id"), col("q")), tmp)
+    }
     path
   }
 

@@ -67,12 +67,23 @@ case class JdbcUpsertSink(
     */
   private def resolvedKeyCols(frameCols: Seq[String]): Seq[String] = {
     if (keyCols.nonEmpty) return keyCols
-    val discovered = JdbcUpsertSink.discoveredKeys.computeIfAbsent(
-      (url, table), _ => {
+    // NEVER cache an empty discovery: the target may gain its PK after
+    // the stream starts (table created late, constraint added by the
+    // DBA) — a poisoned empty cache would require a JVM restart to
+    // recover; re-probing until the key appears costs one catalog read
+    // per failing batch, which is already the failure path
+    val cached = JdbcUpsertSink.discoveredKeys.get((url, table))
+    val discovered =
+      if (cached != null) cached
+      else {
         val conn = connect()
-        try JdbcUpsertSink.discoverKeyCols(conn, table)
-        finally conn.close()
-      })
+        val found =
+          try JdbcUpsertSink.discoverKeyCols(conn, table)
+          finally conn.close()
+        if (found.nonEmpty)
+          JdbcUpsertSink.discoveredKeys.putIfAbsent((url, table), found)
+        found
+      }
     require(discovered.nonEmpty,
       s"sink target $table declares no primary key and no non-null " +
         "unique index, and the stream supplied no keyCols")
@@ -291,26 +302,36 @@ object JdbcUpsertSink {
   private val knownCols = new java.util.concurrent.ConcurrentHashMap[
     (String, String), Set[String]]()
 
-  /** The target table's column names from the catalog, lower-cased —
-    * same identifier-form ladder as [[discoverKeyCols]].
+  /** Identifier-form probe shared by the catalog readers: unquoted
+    * identifiers are stored upper-cased by Derby/Oracle/DB2 and
+    * lower-cased by PostgreSQL, so a (schema, table) read is tried
+    * as-written, then upper-, then lower-cased; first non-empty result
+    * wins. (Three-part catalog.schema.table names are not parsed —
+    * they fall through as one opaque name; none of the supported
+    * dialects need them for the sink surface.)
     */
-  private[sinks] def targetColumns(conn: Connection,
-      table: String): Set[String] = {
-    val md = conn.getMetaData
+  private def probeForms[A](table: String)(
+      read: (String, String) => A)(nonEmpty: A => Boolean, empty: A): A = {
     val (schema0, name0) = table.split('.') match {
       case Array(s, n) => (Option(s), n)
       case _ => (None, table)
     }
-    val forms = Seq(identity[String] _, (s: String) => s.toUpperCase,
-      (s: String) => s.toLowerCase)
-    forms.iterator.map { f =>
-      val rs = md.getColumns(null, schema0.map(f).orNull, f(name0), null)
+    Seq(identity[String] _, (s: String) => s.toUpperCase,
+        (s: String) => s.toLowerCase)
+      .iterator.map(f => read(schema0.map(f).orNull, f(name0)))
+      .find(nonEmpty).getOrElse(empty)
+  }
+
+  /** The target table's column names from the catalog, lower-cased. */
+  private[sinks] def targetColumns(conn: Connection,
+      table: String): Set[String] =
+    probeForms(table) { (schema, name) =>
+      val rs = conn.getMetaData.getColumns(null, schema, name, null)
       val buf = Set.newBuilder[String]
       try while (rs.next()) buf += rs.getString("COLUMN_NAME").toLowerCase
       finally rs.close()
       buf.result()
-    }.find(_.nonEmpty).getOrElse(Set.empty)
-  }
+    }(_.nonEmpty, Set.empty)
 
   /** Read the target table's key from the database catalog: the
     * declared PRIMARY KEY (ordered by KEY_SEQ), else the first UNIQUE
@@ -324,15 +345,7 @@ object JdbcUpsertSink {
   private[sinks] def discoverKeyCols(conn: Connection,
       table: String): Seq[String] = {
     val md = conn.getMetaData
-    val (schema0, name0) = table.split('.') match {
-      case Array(s, n) => (Option(s), n)
-      case _ => (None, table)
-    }
-    val forms = Seq(identity[String] _, (s: String) => s.toUpperCase,
-      (s: String) => s.toLowerCase)
-    forms.iterator.map { f =>
-      val schema = schema0.map(f).orNull
-      val name = f(name0)
+    probeForms(table) { (schema, name) =>
       val pk = {
         val rs = md.getPrimaryKeys(null, schema, name)
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
@@ -373,6 +386,6 @@ object JdbcUpsertSink {
             cols.forall(c => !nullable.getOrElse(c, true)))
           .getOrElse(Seq.empty)
       }
-    }.find(_.nonEmpty).getOrElse(Seq.empty)
+    }(_.nonEmpty, Seq.empty)
   }
 }

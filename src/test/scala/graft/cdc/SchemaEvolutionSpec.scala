@@ -132,6 +132,42 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     intercept[NoSuchElementException] { reg.applyDdl("S.X", "ALTER TABLE S.X ADD A DATE") }
   }
 
+  test("stampBatch is idempotent under micro-batch replay") {
+    // foreachBatch is at-least-once: the SAME batch [row@10, DDL@11,
+    // row@12] can run twice (sink failure after the registry mutated,
+    // or a crash between the history append and the checkpoint
+    // commit). The replay must stamp the pre-DDL row with the OLD
+    // version both times — the version-at-commit timeline, not the
+    // registry head — and must not re-append the DDL to the history.
+    val hist = java.nio.file.Files
+      .createTempDirectory("stamp_replay").resolve("h.tsv")
+    def ch(commit: Long, scn: Long, op: Int,
+        after: Map[String, String]): EmittedChange =
+      EmittedChange("x", commit, scn, 0, "S.T", op, s"r$scn", scn,
+        Map.empty, after)
+    val batch = Seq(
+      ch(10, 1, Ops.Insert, Map("ID" -> "1")),
+      // DDL text spans lines — the history encoding must survive it
+      ch(11, 2, Ops.Ddl,
+        Map("ddl" -> "ALTER TABLE S.T ADD (\n  C9 NUMBER(4)\n)")),
+      ch(12, 3, Ops.Insert, Map("ID" -> "2", "C9" -> "7")))
+    val reg = new SchemaRegistry
+    reg.register("S.T", base.schema)
+    val first = reg.stampBatch(batch, Some(hist)).map(_._2)
+    assert(first === Seq(1, 2), "pre-DDL row v1, post-DDL row v2")
+    val replay = reg.stampBatch(batch, Some(hist)).map(_._2)
+    assert(replay === Seq(1, 2),
+      s"replayed batch stamped $replay — the pre-DDL row must keep v1")
+    assert(java.nio.file.Files.readAllLines(hist).size === 1,
+      "replay must not duplicate the history record")
+    // restart path: a registry rebuilt from the history file stamps
+    // the same replayed batch identically (multi-line DDL decoded)
+    val reg2 = SchemaRegistry.replay(Map("S.T" -> base.schema), Some(hist))
+    assert(reg2.get("S.T").get.version === 2)
+    assert(reg2.stampBatch(batch, Some(hist)).map(_._2) === Seq(1, 2))
+    assert(java.nio.file.Files.readAllLines(hist).size === 1)
+  }
+
   test("modify without effective change does not bump") {
     val m = applyDdl(base, "ALTER TABLE S.T MODIFY NAME VARCHAR2(4000)")
     assert(m.version === 1)
