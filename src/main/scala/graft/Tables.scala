@@ -115,9 +115,18 @@ object Tables {
     } catch { case _: java.io.IOException => None }
     if (!force && marker.contains(stamp)) return false
     val tmp = path + tmpSuffix()
-    build(tmp)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$tmp/_GRAFT_OK"), stamp)
+    try {
+      build(tmp)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/_GRAFT_OK"), stamp)
+    } catch { case e: Throwable =>
+      // a failed/interrupted build must not strand its temp dir (these
+      // can be multi-GB; the nonce guarantees every retry would orphan
+      // another one) — clean up, then surface the original error
+      try rmTree(java.nio.file.Paths.get(tmp))
+      catch { case c: Exception => e.addSuppressed(c) }
+      throw e
+    }
     publishDir(tmp, path)
     true
   }
@@ -176,16 +185,18 @@ object Tables {
     * wins any of the races, its artifact is complete and equivalent —
     * ours is dropped.
     */
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   def publishDir(tmp: String, target: String): Unit = {
-    import java.nio.file.{Files, Paths, Path, NoSuchFileException,
+    import java.nio.file.{Files, Paths, NoSuchFileException,
       DirectoryNotEmptyException, FileAlreadyExistsException,
       AccessDeniedException}
     import java.nio.file.StandardCopyOption.ATOMIC_MOVE
-    def rmTree(p: Path): Unit = if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(Files.deleteIfExists(_))
-    }
     val t = Paths.get(target)
     val old = Paths.get(target + ".old-" + ProcessHandle.current().pid())
     rmTree(old)

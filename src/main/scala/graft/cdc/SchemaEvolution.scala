@@ -223,21 +223,27 @@ object SchemaEvolution {
   * history file).
   */
 class SchemaRegistry {
-  private val tables = collection.mutable.Map[
-    String, Vector[(Long, SchemaEvolution.TableVersion)]]()
+  /** One timeline entry: the commit SCN the DDL landed at, the DDL
+    * text itself (replay-conflict detection — empty for the base
+    * registration), and the resulting version.
+    */
+  private case class Entry(commitScn: Long, ddl: String,
+      tv: SchemaEvolution.TableVersion)
+
+  private val tables = collection.mutable.Map[String, Vector[Entry]]()
 
   def register(table: String, schema: StructType): Unit =
     tables(table) =
-      Vector((Long.MinValue, SchemaEvolution.TableVersion(schema, 1)))
+      Vector(Entry(Long.MinValue, "", SchemaEvolution.TableVersion(schema, 1)))
 
   /** The LATEST version (the head of the timeline). */
   def get(table: String): Option[SchemaEvolution.TableVersion] =
-    tables.get(table).map(_.last._2)
+    tables.get(table).map(_.last.tv)
 
   /** The version in force at `commitScn` (floor lookup on the timeline). */
   def versionAt(table: String, commitScn: Long): Option[SchemaEvolution.TableVersion] =
     tables.get(table).flatMap { tl =>
-      tl.takeWhile(_._1 <= commitScn).lastOption.map(_._2)
+      tl.takeWhile(_.commitScn <= commitScn).lastOption.map(_.tv)
     }
 
   /** Apply DDL at the timeline head (no commit coordinates — the
@@ -246,7 +252,7 @@ class SchemaRegistry {
     */
   def applyDdl(table: String, ddl: String): Int = {
     val tl = timeline(table)
-    val scn = math.max(tl.last._1 + 1, 0L)
+    val scn = math.max(tl.last.commitScn + 1, 0L)
     applyDdlAt(table, ddl, scn)._1
   }
 
@@ -262,14 +268,22 @@ class SchemaRegistry {
   def applyDdlAt(table: String, ddl: String,
       commitScn: Long): (Int, Boolean) = {
     val tl = timeline(table)
-    tl.find(_._1 == commitScn) match {
-      case Some((_, tv)) => (tv.version, false)
+    tl.find(_.commitScn == commitScn) match {
+      case Some(e) =>
+        // replay detection must compare the TEXT too: a different DDL
+        // arriving at an already-seen commit SCN is not a replay — it
+        // is a coordinate collision, and silently discarding it would
+        // leave the registry's schema permanently wrong
+        require(e.ddl == ddl,
+          s"conflicting DDL at commitScn $commitScn of $table: " +
+            s"'${e.ddl}' already applied, now '$ddl'")
+        (e.tv.version, false)
       case None =>
-        require(commitScn > tl.last._1,
+        require(commitScn > tl.last.commitScn,
           s"DDL at commitScn $commitScn arrives before the timeline head " +
-            s"${tl.last._1} of $table — out-of-order schema history")
-        val next = SchemaEvolution.applyDdl(tl.last._2, ddl)
-        tables(table) = tl :+ (commitScn, next)
+            s"${tl.last.commitScn} of $table — out-of-order schema history")
+        val next = SchemaEvolution.applyDdl(tl.last.tv, ddl)
+        tables(table) = tl :+ Entry(commitScn, ddl, next)
         (next.version, true)
     }
   }
@@ -355,8 +369,18 @@ object SchemaRegistry {
     history.filter(java.nio.file.Files.exists(_)).foreach { h =>
       java.nio.file.Files.readAllLines(h).forEach { line =>
         if (line.nonEmpty) {
-          val Array(t, scn, ddl) = line.split("\t", 3)
-          reg.applyDdlAt(t, decode(ddl), scn.toLong)
+          line.split("\t", 3) match {
+            case Array(t, scn, ddl) if scn.nonEmpty && scn.forall(_.isDigit) =>
+              reg.applyDdlAt(t, decode(ddl), scn.toLong)
+            case parts if parts.length >= 2 =>
+              // legacy record without a commit SCN (pre-timeline
+              // format): apply at the head — order within the file is
+              // commit order, which is all the old format carried
+              reg.applyDdl(parts(0), decode(parts.drop(1).mkString("\t")))
+            case _ =>
+              throw new IllegalArgumentException(
+                s"unparseable schema-history record: '$line'")
+          }
         }
       }
     }

@@ -138,9 +138,10 @@ case class JdbcUpsertSink(
       // K3 sink schema evolution (reference: new record field → ALTER
       // TABLE ADD on the target, `JdbcSinkTableBase`/`TargetDbSqlUtils`
       // alter path): columns the stream carries but the target lacks
-      // are added before the batch binds. Added columns are forced
-      // nullable — pre-evolution rows have no value for them, and a
-      // NOT NULL add on a non-empty table fails on every dialect.
+      // are added before the batch binds. Columns land nullable —
+      // pre-evolution rows have no value for them, and no addColumnSql
+      // dialect emits a constraint (a NOT NULL add on a non-empty
+      // table fails everywhere).
       val needed = df.schema.fields.filter(f => dataCols.contains(f.name))
       val known = JdbcUpsertSink.knownCols.get((url, table))
       if (known == null ||
@@ -148,16 +149,32 @@ case class JdbcUpsertSink(
         val conn = connect()
         try {
           val current = JdbcUpsertSink.targetColumns(conn, table)
-          val missing = needed.filterNot(f =>
-            current.contains(f.name.toLowerCase))
-          if (missing.nonEmpty) {
-            val st = conn.createStatement()
-            try missing.foreach { f =>
-              st.execute(dialect.addColumnSql(table, f.copy(nullable = true)))
-            } finally st.close()
+          // an EMPTY probe for a table we can otherwise reach means the
+          // catalog read failed (quoted mixed-case name outside the
+          // probe ladder, permissions) — treat as UNKNOWN and skip
+          // evolution rather than trying to ADD every column (which
+          // would fail on the first one that already exists); the
+          // binds below behave exactly as before this feature existed
+          if (current.nonEmpty) {
+            val missing = needed.filterNot(f =>
+              current.contains(f.name.toLowerCase))
+            if (missing.nonEmpty) {
+              val st = conn.createStatement()
+              try missing.foreach { f =>
+                try st.execute(dialect.addColumnSql(table, f))
+                catch { case e: java.sql.SQLException =>
+                  // a concurrent writer may have added it between the
+                  // probe and the ALTER (two sinks racing one widened
+                  // stream) — duplicate-column is success, anything
+                  // else surfaces
+                  if (!JdbcUpsertSink.targetColumns(conn, table)
+                        .contains(f.name.toLowerCase)) throw e
+                }
+              } finally st.close()
+            }
+            JdbcUpsertSink.knownCols.put((url, table),
+              current ++ missing.map(_.name.toLowerCase))
           }
-          JdbcUpsertSink.knownCols.put((url, table),
-            current ++ missing.map(_.name.toLowerCase))
         } finally conn.close()
       }
     }
@@ -322,11 +339,42 @@ object JdbcUpsertSink {
       .find(nonEmpty).getOrElse(empty)
   }
 
+  /** getColumns' schema/table arguments are LIKE patterns (unlike the
+    * exact-name getPrimaryKeys/getIndexInfo): an unescaped `_` in a
+    * table name like G_T matches G0T/GXT too, polluting the result
+    * with another table's columns. Escape the metacharacters with the
+    * driver's declared escape string.
+    */
+  private def likeEscape(conn: Connection, s: String): String = {
+    val esc = conn.getMetaData.getSearchStringEscape
+    if (esc == null || esc.isEmpty) s
+    else s.replace(esc, esc + esc)
+      .replace("_", esc + "_").replace("%", esc + "%")
+  }
+
+  /** The schema to probe: the parsed schema part if the sink was
+    * configured with one, else the CONNECTION's current schema — a
+    * null schema criterion means "any schema" and would match a
+    * same-named table elsewhere. Unescaped (for the exact-name
+    * getPrimaryKeys/getIndexInfo APIs); getColumns callers wrap it in
+    * [[likeEscape]].
+    */
+  private def schemaOrCurrent(conn: Connection, schema: String): String =
+    if (schema != null) schema
+    else try conn.getSchema catch { case _: Exception => null }
+
+  /** [[schemaOrCurrent]] escaped for the LIKE-pattern APIs. */
+  private def schemaPattern(conn: Connection, schema: String): String = {
+    val s = schemaOrCurrent(conn, schema)
+    if (s == null) null else likeEscape(conn, s)
+  }
+
   /** The target table's column names from the catalog, lower-cased. */
   private[sinks] def targetColumns(conn: Connection,
       table: String): Set[String] =
     probeForms(table) { (schema, name) =>
-      val rs = conn.getMetaData.getColumns(null, schema, name, null)
+      val rs = conn.getMetaData.getColumns(null,
+        schemaPattern(conn, schema), likeEscape(conn, name), null)
       val buf = Set.newBuilder[String]
       try while (rs.next()) buf += rs.getString("COLUMN_NAME").toLowerCase
       finally rs.close()
@@ -347,7 +395,7 @@ object JdbcUpsertSink {
     val md = conn.getMetaData
     probeForms(table) { (schema, name) =>
       val pk = {
-        val rs = md.getPrimaryKeys(null, schema, name)
+        val rs = md.getPrimaryKeys(null, schemaOrCurrent(conn, schema), name)
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
         try while (rs.next())
           buf += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
@@ -357,8 +405,10 @@ object JdbcUpsertSink {
       if (pk.nonEmpty) pk
       else {
         // nullability per column, for the well-defined (NOT NULL) test
+        // (getColumns takes LIKE patterns — escape, see likeEscape)
         val nullable = {
-          val rs = md.getColumns(null, schema, name, null)
+          val rs = md.getColumns(null,
+            schemaPattern(conn, schema), likeEscape(conn, name), null)
           val m = scala.collection.mutable.Map.empty[String, Boolean]
           try while (rs.next())
             m(rs.getString("COLUMN_NAME")) =
@@ -367,7 +417,8 @@ object JdbcUpsertSink {
           m
         }
         val uniq = {
-          val rs = md.getIndexInfo(null, schema, name, true, false)
+          val rs = md.getIndexInfo(null, schemaOrCurrent(conn, schema),
+            name, true, false)
           val m = scala.collection.mutable.LinkedHashMap
             .empty[String, scala.collection.mutable.ArrayBuffer[(Short, String)]]
           try while (rs.next()) {
