@@ -206,7 +206,15 @@ class RedoLogWriter(file: File, blockSize: Int = 1024, seq: Int = 1,
     val payloadPerBlock = blockSize - HeaderBytes
     val nBlocks = math.max(1, (data.length + payloadPerBlock - 1) / payloadPerBlock)
 
-    val f = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(file)))
+    // written to a temp name and renamed into place: a log directory
+    // consumer (the graft-redo source lists it every trigger) must
+    // never observe a half-written segment. The reference solves the
+    // same problem from the READER side because Oracle's writer works
+    // in place (`utils/file/OpenFileChecker.java` — lsof/nio probes for
+    // a log still held open); an atomic-appearance writer makes the
+    // race structurally impossible instead.
+    val tmp = new File(file.getPath + ".inprogress")
+    val f = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
     try {
       // file header block
       val hdr = ByteBuffer.allocate(blockSize).order(ByteOrder.LITTLE_ENDIAN)
@@ -242,6 +250,8 @@ class RedoLogWriter(file: File, blockSize: Int = 1024, seq: Int = 1,
         blockNo += 1
       }
     } finally f.close()
+    java.nio.file.Files.move(tmp.toPath, file.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 }
 
