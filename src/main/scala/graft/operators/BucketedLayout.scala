@@ -106,4 +106,23 @@ object BucketedLayout {
     val (oTbl, lTbl) = ensureStarLayout(s, dir)
     (s.table(oTbl), s.table(lTbl))
   }
+
+  /** Append a micro-batch INTO the bucketed layout — how the layout is
+    * MAINTAINED, not just written once: a CDC ingest stream lands each
+    * committed batch via `foreachBatch(appendBatch(...))` and the
+    * fact-fact join stays exchange-free as the table grows (each
+    * append adds one file per touched bucket; Spark's bucketed scan
+    * unions a bucket's files per task, so co-partitioning — the
+    * property the join needs — survives any number of appends; only
+    * per-file sortedness, which the join does not rely on, degrades).
+    * The batch is repartitioned to the bucket spec first so each task
+    * writes exactly its one bucket file (the ensureStarLayout writer's
+    * rule). Compaction of many small per-batch files is the
+    * Compaction operator's job (SURVEY §2.21), same as any streamed
+    * lakehouse table.
+    */
+  def appendBatch(s: SparkSession, tableName: String, key: String,
+      batch: DataFrame): Unit =
+    batch.repartition(Buckets, col(key))
+      .write.mode("append").insertInto(tableName)
 }

@@ -80,4 +80,53 @@ class BucketedLayoutSpec extends AnyFunSuite {
       "regenerated source must force a rebuild (fingerprint mismatch)")
     assert(Files.getLastModifiedTime(marker) != t1, "marker must be restamped")
   }
+
+  test("streamed appends keep the layout co-partitioned and exchange-free") {
+    import org.apache.spark.sql.functions._
+    // micro-batch ingest into the bucketed facts (foreachBatch's write
+    // path): after appends on BOTH sides, the orderkey join must still
+    // plan with zero exchange — the property a one-time layout write
+    // alone cannot give a GROWING table
+    val dir = Files.createTempDirectory("bkt_append_ds").toString
+    val src = "/root/testdata/sf0.001"
+    for (t <- Seq("orders", "lineitem"))
+      Files.copy(new java.io.File(s"$src/$t.parquet").toPath,
+        Paths.get(s"$dir/$t.parquet"))
+    val (oT, lT) = BucketedLayout.ensureStarLayout(spark, dir)
+    val n0 = spark.table(oT).count()
+
+    // two "micro-batches": key-shifted copies of a slice of each fact
+    (1 to 2).foreach { k =>
+      BucketedLayout.appendBatch(spark, oT, "o_orderkey",
+        spark.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + k * 10000000L))
+      BucketedLayout.appendBatch(spark, lT, "l_orderkey",
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .filter(col("l_orderkey") % 10 === 0)
+          .withColumn("l_orderkey", col("l_orderkey") + k * 10000000L))
+    }
+    assert(spark.table(oT).count() > n0, "appends must land")
+
+    // appended keys join appended keys; original keys join originals —
+    // and the whole thing plans without an orderkey exchange
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table(oT)
+        .join(spark.table(lT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_orderkey") >= 10000000L).as("appended"))
+        .agg(count(lit(1)).as("n"))
+      val rows = joined.collect().map(r => (r.getBoolean(0), r.getLong(1))).toMap
+      assert(rows.getOrElse(true, 0L) > 0, "appended rows must join")
+      assert(rows.getOrElse(false, 0L) > 0, "original rows must still join")
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert("Exchange hashpartitioning\\((?:o_orderkey|l_orderkey)#\\d+L?, \\d+\\)".r
+        .findAllIn(plan).isEmpty,
+        s"appended layout lost co-partitioning:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"join did not use the bucketed scan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }
