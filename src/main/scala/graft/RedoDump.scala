@@ -24,31 +24,49 @@ import graft.redo.{RedoLogReader, RedoLogWriter}
   *  - --xid / --scn: filter records (both may combine)
   *  - --extract: write the filtered records as a standalone GRL log
   *    (sequence/thread inherited from the source header) instead of
-  *    printing them — the incident-file roundtrip
+  *    printing them — the incident-file roundtrip. The target must
+  *    live OUTSIDE the dumped directory: it inherits the source's
+  *    sequence number, and a duplicate (thread, seq) in a watched log
+  *    directory would break the per-thread continuity check for every
+  *    consumer listing it.
   *  - --counts: per-(table, op) record counts instead of per-record
   *    lines (the first thing support looks at on a multi-GiB segment)
+  *
+  * Everything streams: records are consumed one segment at a time
+  * through the reader's iterator — no mode materializes a segment's
+  * (let alone a directory's) parsed records in memory.
   */
 object RedoDump {
 
-  private case class Args(path: String, xid: Option[String],
+  private val Usage =
+    "usage: RedoDump <file.grl|dir> [--xid X] [--scn lo:hi] " +
+      "[--extract out.grl] [--counts]"
+
+  private[graft] case class Args(path: String, xid: Option[String],
       scn: Option[(Long, Long)], extract: Option[String], counts: Boolean)
 
-  private def parse(argv: Array[String]): Args = {
-    require(argv.nonEmpty,
-      "usage: RedoDump <file.grl|dir> [--xid X] [--scn lo:hi] " +
-        "[--extract out.grl] [--counts]")
+  private[graft] def parse(argv: Array[String]): Args = {
+    require(argv.nonEmpty, Usage)
     var a = Args(argv(0), None, None, None, counts = false)
     var i = 1
+    def value(flag: String): String = {
+      require(i + 1 < argv.length, s"$flag needs a value\n$Usage")
+      argv(i + 1)
+    }
     while (i < argv.length) {
       argv(i) match {
-        case "--xid" => a = a.copy(xid = Some(argv(i + 1))); i += 2
+        case "--xid" => a = a.copy(xid = Some(value("--xid"))); i += 2
         case "--scn" =>
-          val Array(lo, hi) = argv(i + 1).split(":", 2)
-          a = a.copy(scn = Some((lo.toLong, hi.toLong))); i += 2
-        case "--extract" => a = a.copy(extract = Some(argv(i + 1))); i += 2
+          val v = value("--scn")
+          val parts = v.split(":", 2)
+          require(parts.length == 2 && parts.forall(p =>
+              p.nonEmpty && p.forall(_.isDigit)),
+            s"--scn expects lo:hi, got '$v'\n$Usage")
+          a = a.copy(scn = Some((parts(0).toLong, parts(1).toLong))); i += 2
+        case "--extract" => a = a.copy(extract = Some(value("--extract"))); i += 2
         case "--counts" => a = a.copy(counts = true); i += 1
         case other =>
-          throw new IllegalArgumentException(s"unknown flag $other")
+          throw new IllegalArgumentException(s"unknown flag $other\n$Usage")
       }
     }
     a
@@ -63,8 +81,9 @@ object RedoDump {
     */
   private def logFiles(path: String): Seq[File] = {
     val f = new File(path)
-    if (f.isFile) Seq(f)
-    else RedoLogReader.listLogs(f).map(_._1)
+    val files = if (f.isFile) Seq(f) else RedoLogReader.listLogs(f).map(_._1)
+    require(files.nonEmpty, s"no .grl logs under $path")
+    files
   }
 
   private def fmt(r: RedoRecord): String =
@@ -72,44 +91,64 @@ object RedoDump {
       f"op=${Ops.name(r.op)}%-12s table=${r.table}%-16s rowId=${r.rowId}" +
       (if (r.rollback) " ROLLBACK-ENTRY" else "")
 
-  /** Library surface (the CLI body, println-free for specs): returns
-    * the filtered records after optionally extracting them.
+  /** Lazy filtered record stream over already-listed files (one
+    * listing serves the banner, the stream and the extract).
     */
-  private[graft] def run(a: Args): Seq[RedoRecord] = {
-    val files = logFiles(a.path)
-    val records = files.flatMap(f => RedoLogReader.records(f))
-      .filter(keep(a))
-    a.extract.foreach { out =>
-      val hdr = RedoLogReader.readHeader(files.head)
-      val w = new RedoLogWriter(new File(out), hdr.blockSize,
-        seq = hdr.seq, thread = hdr.thread)
-      records.foreach(w.append)
-      w.close()
-    }
-    records
+  private def stream(a: Args, files: Seq[File]): Iterator[RedoRecord] =
+    files.iterator.flatMap(f => RedoLogReader.records(f)).filter(keep(a))
+
+  /** Library surface for filters (specs; eager — spec-sized inputs). */
+  private[graft] def run(argv: Array[String]): Seq[RedoRecord] = {
+    val a = parse(argv)
+    stream(a, logFiles(a.path)).toSeq
   }
 
-  private[graft] def run(argv: Array[String]): Seq[RedoRecord] =
-    run(parse(argv))
+  /** Extract the filtered records into a standalone incident log;
+    * returns the record count. Streams — never holds the records.
+    */
+  private[graft] def extractTo(a: Args, files: Seq[File],
+      out: String): Long = {
+    val outFile = new File(out).getCanonicalFile
+    files.foreach { f =>
+      require(f.getCanonicalFile.getParentFile != outFile.getParentFile,
+        s"extract target $out must live OUTSIDE the dumped log " +
+          "directory: it inherits the source's sequence number, and a " +
+          "duplicate (thread, seq) would break the directory's " +
+          "continuity check for every consumer")
+    }
+    val hdr = RedoLogReader.readHeader(files.head)
+    val w = new RedoLogWriter(outFile, hdr.blockSize,
+      seq = hdr.seq, thread = hdr.thread)
+    var n = 0L
+    stream(a, files).foreach { r => w.append(r); n += 1 }
+    w.close()
+    n
+  }
 
   def main(argv: Array[String]): Unit = {
     val a = parse(argv)
-    logFiles(a.path).foreach { f =>
+    val files = logFiles(a.path)
+    files.foreach { f =>
       val h = RedoLogReader.readHeader(f)
       println(s"${f.getPath}: blockSize=${h.blockSize} seq=${h.seq} " +
         s"thread=${h.thread} firstScn=${h.firstScn} nextScn=${h.nextScn}")
     }
-    val records = run(a)
-    if (a.counts) {
-      records.groupBy(r => (r.table, Ops.name(r.op)))
-        .toSeq.sortBy { case ((t, o), _) => (t, o) }
-        .foreach { case ((t, o), rs) =>
-          println(f"$t%-20s $o%-12s ${rs.size}%8d")
+    a.extract match {
+      case Some(out) =>
+        val n = extractTo(a, files, out)
+        println(s"extracted $n records to $out")
+      case None if a.counts =>
+        // incremental fold — constant memory over any segment count
+        val counts = collection.mutable.Map.empty[(String, String), Long]
+        stream(a, files).foreach { r =>
+          val k = (r.table, Ops.name(r.op))
+          counts(k) = counts.getOrElse(k, 0L) + 1
         }
-    } else if (a.extract.isEmpty) {
-      records.foreach(r => println(fmt(r)))
-    } else {
-      println(s"extracted ${records.size} records to ${a.extract.get}")
+        counts.toSeq.sortBy(_._1).foreach { case ((t, o), n) =>
+          println(f"$t%-20s $o%-12s $n%8d")
+        }
+      case None =>
+        stream(a, files).foreach(r => println(fmt(r)))
     }
   }
 }

@@ -107,22 +107,51 @@ object BucketedLayout {
     (s.table(oTbl), s.table(lTbl))
   }
 
-  /** Append a micro-batch INTO the bucketed layout — how the layout is
-    * MAINTAINED, not just written once: a CDC ingest stream lands each
-    * committed batch via `foreachBatch(appendBatch(...))` and the
+  /** Create-if-absent an EMPTY STREAM-OWNED bucketed table — the
+    * companion to [[appendBatch]] for tables whose source of truth is
+    * the STREAM: no source fingerprint, no [[graft.Tables.ensureArtifact]]
+    * lifecycle — the appends ARE the data. The [[ensureStarLayout]]
+    * tables are the opposite contract: SNAPSHOTS of source parquet
+    * whose fingerprint-forced rebuild discards anything foreign in the
+    * location — never append to those (and appending to a GATE
+    * dataset's layout would also desynchronize it from the raw-parquet
+    * oracle the gates hash against).
+    */
+  def streamTable(s: SparkSession, name: String, loc: String,
+      schema: org.apache.spark.sql.types.StructType,
+      key: String): Unit = synchronized {
+    if (!s.catalog.tableExists(name)) {
+      // no SORTED BY: appends do not maintain per-file sort, and the
+      // exchange-free join needs only the bucket CLUSTERING
+      s.sql(
+        s"""CREATE TABLE $name (${schema.toDDL}) USING parquet
+           |CLUSTERED BY ($key) INTO $Buckets BUCKETS
+           |LOCATION '$loc'""".stripMargin)
+    }
+  }
+
+  /** Append a micro-batch INTO a bucketed table — how a stream-owned
+    * layout ([[streamTable]]) is MAINTAINED: a CDC ingest stream lands
+    * each committed batch via `foreachBatch(appendBatch(...))` and the
     * fact-fact join stays exchange-free as the table grows (each
     * append adds one file per touched bucket; Spark's bucketed scan
     * unions a bucket's files per task, so co-partitioning — the
     * property the join needs — survives any number of appends; only
     * per-file sortedness, which the join does not rely on, degrades).
-    * The batch is repartitioned to the bucket spec first so each task
-    * writes exactly its one bucket file (the ensureStarLayout writer's
-    * rule). Compaction of many small per-batch files is the
+    * Columns are aligned to the TABLE's schema BY NAME first —
+    * `insertInto` binds by position, and a CDC batch whose projection
+    * orders columns differently would otherwise be silently written
+    * into the wrong columns (and the wrong buckets). The batch is then
+    * repartitioned to the bucket spec so each task writes exactly its
+    * one bucket file. Compaction of many small per-batch files is the
     * Compaction operator's job (SURVEY §2.21), same as any streamed
     * lakehouse table.
     */
   def appendBatch(s: SparkSession, tableName: String, key: String,
-      batch: DataFrame): Unit =
-    batch.repartition(Buckets, col(key))
+      batch: DataFrame): Unit = {
+    val tableCols = s.table(tableName).schema.fieldNames
+    batch.select(tableCols.map(col): _*)
+      .repartition(Buckets, col(key))
       .write.mode("append").insertInto(tableName)
+  }
 }

@@ -214,6 +214,7 @@ class RedoLogWriter(file: File, blockSize: Int = 1024, seq: Int = 1,
     // a log still held open); an atomic-appearance writer makes the
     // race structurally impossible instead.
     val tmp = new File(file.getPath + ".inprogress")
+    var failed = true
     val f = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp)))
     try {
       // file header block
@@ -249,9 +250,20 @@ class RedoLogWriter(file: File, blockSize: Int = 1024, seq: Int = 1,
         pos += take
         blockNo += 1
       }
-    } finally f.close()
+      failed = false
+    } finally {
+      f.close()
+      // a write that died mid-stream (disk full, interrupt) must not
+      // orphan its temp file — invisible to the .grl listings, it
+      // would accumulate silently across retries
+      if (failed) tmp.delete()
+    }
+    // REPLACE_EXISTING alongside ATOMIC_MOVE: renaming onto an existing
+    // target with ATOMIC_MOVE alone is implementation-specific (a
+    // retried task re-publishing the same segment relies on it)
     java.nio.file.Files.move(tmp.toPath, file.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 }
 

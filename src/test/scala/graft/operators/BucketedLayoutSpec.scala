@@ -83,32 +83,47 @@ class BucketedLayoutSpec extends AnyFunSuite {
 
   test("streamed appends keep the layout co-partitioned and exchange-free") {
     import org.apache.spark.sql.functions._
-    // micro-batch ingest into the bucketed facts (foreachBatch's write
-    // path): after appends on BOTH sides, the orderkey join must still
-    // plan with zero exchange — the property a one-time layout write
-    // alone cannot give a GROWING table
-    val dir = Files.createTempDirectory("bkt_append_ds").toString
+    // micro-batch ingest into STREAM-OWNED bucketed facts (foreachBatch's
+    // write path; streamTable — no fingerprint lifecycle, the appends
+    // ARE the data): after appends on BOTH sides, the orderkey join
+    // must still plan with zero exchange — the property a one-time
+    // layout write alone cannot give a GROWING table
     val src = "/root/testdata/sf0.001"
-    for (t <- Seq("orders", "lineitem"))
-      Files.copy(new java.io.File(s"$src/$t.parquet").toPath,
-        Paths.get(s"$dir/$t.parquet"))
-    val (oT, lT) = BucketedLayout.ensureStarLayout(spark, dir)
-    val n0 = spark.table(oT).count()
+    val loc = Files.createTempDirectory("bkt_stream_tbl").toString
+    val oSrc = spark.read.parquet(s"$src/orders.parquet")
+    val lSrc = spark.read.parquet(s"$src/lineitem.parquet")
+    val oT = "grf_spec_stream_orders"
+    val lT = "grf_spec_stream_lineitem"
+    spark.sql(s"DROP TABLE IF EXISTS $oT")
+    spark.sql(s"DROP TABLE IF EXISTS $lT")
+    BucketedLayout.streamTable(spark, oT, s"$loc/orders",
+      oSrc.schema, "o_orderkey")
+    BucketedLayout.streamTable(spark, lT, s"$loc/lineitem",
+      lSrc.schema, "l_orderkey")
 
-    // two "micro-batches": key-shifted copies of a slice of each fact
-    (1 to 2).foreach { k =>
+    // micro-batches: batch 0 = the base slice, 1..2 = key-shifted
+    // copies; the orders batches arrive with REVERSED column order —
+    // appendBatch must align by name, not position
+    (0 to 2).foreach { k =>
       BucketedLayout.appendBatch(spark, oT, "o_orderkey",
-        spark.read.parquet(s"$dir/orders.parquet")
-          .filter(col("o_orderkey") % 10 === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + k * 10000000L))
+        oSrc.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + k * 10000000L)
+          .select(oSrc.columns.reverse.map(col): _*))
       BucketedLayout.appendBatch(spark, lT, "l_orderkey",
-        spark.read.parquet(s"$dir/lineitem.parquet")
-          .filter(col("l_orderkey") % 10 === 0)
+        lSrc.filter(col("l_orderkey") % 10 === 0)
           .withColumn("l_orderkey", col("l_orderkey") + k * 10000000L))
     }
-    assert(spark.table(oT).count() > n0, "appends must land")
+    // by-name alignment proof: a sample row's columns carry their own
+    // values, not a positional scramble
+    val sample = spark.table(oT)
+      .filter(col("o_orderkey") < 10000000L).limit(1).collect()(0)
+    val orig = oSrc.filter(col("o_orderkey") === sample.getLong(
+      spark.table(oT).schema.fieldIndex("o_orderkey"))).collect()(0)
+    assert(sample.getAs[Any]("o_custkey") == orig.getAs[Any]("o_custkey") &&
+      sample.getAs[Any]("o_orderstatus") == orig.getAs[Any]("o_orderstatus"),
+      "append scrambled column order")
 
-    // appended keys join appended keys; original keys join originals —
+    // appended keys join appended keys; base keys join base keys —
     // and the whole thing plans without an orderkey exchange
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -119,7 +134,7 @@ class BucketedLayoutSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"))
       val rows = joined.collect().map(r => (r.getBoolean(0), r.getLong(1))).toMap
       assert(rows.getOrElse(true, 0L) > 0, "appended rows must join")
-      assert(rows.getOrElse(false, 0L) > 0, "original rows must still join")
+      assert(rows.getOrElse(false, 0L) > 0, "base rows must still join")
       val plan = joined.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
       assert("Exchange hashpartitioning\\((?:o_orderkey|l_orderkey)#\\d+L?, \\d+\\)".r

@@ -47,11 +47,17 @@ class RedoDumpSpec extends AnyFunSuite {
     val mid = RedoDump.run(Array(dir.getPath, "--scn", "11:14"))
     assert(mid.map(_.scn) == Seq(11L, 12L, 14L))
 
-    // extract A as a standalone incident log; the normal reader must
-    // return the identical records (the replay contract)
-    val out = new File(dir, "incident_A.grl")
-    RedoDump.run(Array(dir.getPath, "--xid", "A",
+    // extract A as a standalone incident log — into a DIFFERENT
+    // directory (the tool refuses the dumped dir: the extract inherits
+    // the source's sequence number, and a duplicate (thread, seq)
+    // would break the directory's continuity check); the normal reader
+    // must return the identical records (the replay contract)
+    val outDir = Files.createTempDirectory("redodump_out").toFile
+    val out = new File(outDir, "incident_A.grl")
+    val a = RedoDump.parse(Array(dir.getPath, "--xid", "A",
       "--extract", out.getPath))
+    val n = RedoDump.extractTo(a, Seq(new File(dir, "log_1.grl")), out.getPath)
+    assert(n == 3)
     val replayed = RedoLogReader.records(out).toSeq
     assert(replayed == onlyA,
       "extracted incident log must replay byte-identically")
@@ -59,6 +65,13 @@ class RedoDumpSpec extends AnyFunSuite {
     // sequence inherited from the source
     val h = RedoLogReader.readHeader(out)
     assert(h.seq == 1 && h.firstScn == 10 && h.nextScn >= 14)
+
+    // the in-source-dir extract is REFUSED (it would poison the
+    // directory's per-thread sequence continuity for every consumer)
+    intercept[IllegalArgumentException] {
+      RedoDump.extractTo(a, Seq(new File(dir, "log_1.grl")),
+        new File(dir, "incident_bad.grl").getPath)
+    }
   }
 
   test("writer appearance is atomic: no .grl visible before close") {
