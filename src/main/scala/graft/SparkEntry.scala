@@ -17,7 +17,7 @@ object SparkEntry {
       SnapshotDiff.queries ++ BloomJoin.queries ++ ZOrderLayout.queries ++
       IncrementalAgg.queries ++ SubqueryQueries.queries ++
       PipelineQueries.queries ++ RetrievalQueries.queries ++
-      PrefixSum.queries ++ TokenizerQueries.queries
+      PrefixSum.queries ++ TokenizerQueries.queries ++ ShardQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
       SnapshotDiff.oracleSql ++ BloomJoin.oracleSql ++ ZOrderLayout.oracleSql ++
       IncrementalAgg.oracleSql ++ SubqueryQueries.oracleSql ++
       PipelineQueries.oracleSql ++ RetrievalQueries.oracleSql ++
-      PrefixSum.oracleSql ++ TokenizerQueries.oracleSql
+      PrefixSum.oracleSql ++ TokenizerQueries.oracleSql ++ ShardQueries.oracleSql
 }

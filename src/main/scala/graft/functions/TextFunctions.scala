@@ -23,7 +23,12 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count WITHOUT materializing the token array — a native
+    * codegen byte scan (maximal non-`\s` runs, ≡ size(tokens(text)));
+    * consumers that also need the array keep using [[tokens]] so the
+    * split runs once. */
+  def tokenCount(text: Column): Column =
+    TextHashExpressions.ws_token_count(text)
 
   /** Deterministic polynomial string hash: fold(c → a*31 + ord(c) mod P).
     * Equivalent SQL: list_reduce(list_transform(string_split(s,''),

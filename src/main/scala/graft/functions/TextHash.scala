@@ -346,4 +346,30 @@ object TextHash {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Whitespace-token count: the number of maximal non-whitespace runs,
+    * ≡ `size(filter(split(s, "\\s+"), _ != ""))` and the oracles'
+    * `len(list_filter(regexp_split_to_array(s,'\s+'), x -> x <> ''))` —
+    * without allocating the token array or running a regex. Whitespace
+    * is Java regex `\s` = {TAB LF VT FF CR SPACE}, all ASCII, so a raw
+    * byte scan is UTF-8-safe (continuation bytes are ≥ 0x80 and never
+    * match). The count-only consumers (packing, sharding, mixing,
+    * quality stats) are tokenize-bound at corpus scale — this is their
+    * hot loop.
+    */
+  def wsTokenCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var count = 0
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      val ws = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+      if (ws) inTok = false
+      else if (!inTok) { count += 1; inTok = true }
+      i += 1
+    }
+    count
+  }
 }

@@ -147,7 +147,23 @@ object TextHashExpressions {
     override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
   }
 
+  /** Whitespace-token count over a string — ≡ size(filter(split(s,
+    * "\\s+"), _ != "")) without the token-array allocation or regex
+    * (see TextHash.wsTokenCount). The count-only hot path. */
+  case class WsTokenCountExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextHash.wsTokenCount(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, s => s"graft.functions.TextHash.wsTokenCount($s)")
+    override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+  }
+
   // ---- Column API ----
+  def ws_token_count(col: Column): Column = c(WsTokenCountExpr(e(col)))
   def poly_hash(col: Column): Column = c(PolyStringHash(e(col)))
   def poly_minhash(col: Column, a: Long, b: Long): Column = c(PolyMinHash(e(col), a, b))
   def simhash16(col: Column): Column = c(SimHash16Expr(e(col)))

@@ -53,7 +53,15 @@ object PrefixSum {
     * re-plan the range partitioning and misalign the offsets, so don't.
     */
   def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
-      out: String, materialize: Boolean = true): DataFrame = {
+      out: String, materialize: Boolean = true): DataFrame =
+    scanWithTotal(df, orderCol, valueCol, out, materialize)._1
+
+  /** [[withRunningTotal]] + the grand total, which pass 1 already
+    * computes driver-side (the last exclusive offset + its partition's
+    * mass) — consumers needing `sum(valueCol)` (e.g. the shard packer's
+    * target) take it from here instead of paying another action. */
+  def scanWithTotal(df: DataFrame, orderCol: String, valueCol: String,
+      out: String, materialize: Boolean = true): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parted = df
       .repartitionByRange(col(orderCol))
@@ -93,11 +101,11 @@ object PrefixSum {
         row
       }
     }(enc)
-    if (!materialize) scanned
+    if (!materialize) (scanned, acc)
     else {
       val outDf = scanned.localCheckpoint(true)
       parted.unpersist(blocking = false)
-      outDf
+      (outDf, acc)
     }
   }
 

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The epoch-shuffle shard packer: deterministic, token-balanced,
+  * permutation-fresh across seeds, and physically written as one
+  * sequentially-readable directory per shard.
+  */
+class ShardQueriesSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", false)
+    .appName("shard-queries-spec").getOrCreate()
+
+  test("assignment is deterministic and covers every document exactly once") {
+    val a = ShardQueries.assignShards(spark, dir)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = ShardQueries.assignShards(spark, dir)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(a.length.toLong === nDocs)
+    assert(a.map(_._1).distinct.length === a.length)
+    assert(a.forall(t => t._2 >= 0 && t._2 < ShardQueries.ShardCount))
+  }
+
+  test("every shard's token mass is within one document of the target") {
+    val assigned = ShardQueries.assignShards(spark, dir).persist()
+    val allTok = assigned.agg(sum("n_tok")).collect()(0).getLong(0)
+    val target = math.max(1L,
+      (allTok + ShardQueries.ShardCount - 1) / ShardQueries.ShardCount)
+    val maxDoc = assigned.agg(max("n_tok")).collect()(0).getLong(0)
+    val perShard = assigned.groupBy("shard").agg(sum("n_tok").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assigned.unpersist()
+    // contiguous prefix packing: a shard closes at the first doc that
+    // crosses its target boundary, so mass < target + max single doc
+    perShard.foreach { case (sh, t) =>
+      assert(t < target + maxDoc, s"shard $sh over budget: $t vs $target+$maxDoc")
+    }
+    // all shards populated (sf0.001 has ~target*32 tokens by construction)
+    assert(perShard.keySet === (0L until ShardQueries.ShardCount.toLong).toSet)
+  }
+
+  test("a different seed yields a genuinely different permutation") {
+    val e0 = ShardQueries.assignShards(spark, dir, seed = ShardQueries.Seed)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val e1 = ShardQueries.assignShards(spark, dir, seed = ShardQueries.Seed + 1)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(e0.keySet === e1.keySet)
+    val moved = e0.count { case (id, sh) => e1(id) != sh }
+    // a fresh permutation re-buckets the vast majority of documents
+    assert(moved > e0.size / 2, s"only $moved of ${e0.size} docs moved across epochs")
+  }
+
+  test("assignment does not depend on input partitioning (scan invariance)") {
+    // the gate path reads the parquet table; re-deriving from an
+    // adversarially repartitioned copy must agree (the PrefixSum
+    // invariance property composed through the shard rule)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shard-inv").toString
+    try {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .repartition(13, col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val a = ShardQueries.assignShards(spark, dir)
+        .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val b = ShardQueries.assignShards(spark, tmp)
+        .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(a === b)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("writeShards lays out one directory per shard, permuted order within") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    try {
+      ShardQueries.writeShards(spark, dir, out)
+      val dirs = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName)
+      assert(dirs.toSet === (0 until ShardQueries.ShardCount).map(i => s"shard=$i").toSet)
+      // read one shard back: rows arrive in permuted (h) order
+      val rows = spark.read.parquet(s"$out/shard=0").select("h").collect().map(_.getLong(0))
+      assert(rows.nonEmpty)
+      assert(rows.toSeq === rows.sorted.toSeq, "shard file must stream in h order")
+      // the written set round-trips to the logical assignment
+      val written = spark.read.parquet(out)
+        .select(col("doc_id"), col("shard").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val logical = ShardQueries.assignShards(spark, dir)
+        .select("doc_id", "shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(written === logical)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+}
