@@ -348,14 +348,17 @@ object TextHash {
   }
 
   /** Whitespace-token count: the number of maximal non-whitespace runs,
-    * ≡ `size(filter(split(s, "\\s+"), _ != ""))` and the oracles'
-    * `len(list_filter(regexp_split_to_array(s,'\s+'), x -> x <> ''))` —
-    * without allocating the token array or running a regex. Whitespace
-    * is Java regex `\s` = {TAB LF VT FF CR SPACE}, all ASCII, so a raw
-    * byte scan is UTF-8-safe (continuation bytes are ≥ 0x80 and never
-    * match). The count-only consumers (packing, sharding, mixing,
-    * quality stats) are tokenize-bound at corpus scale — this is their
-    * hot loop.
+    * ≡ `size(filter(split(s, "\\s+"), _ != ""))` — without allocating
+    * the token array or running a regex. Whitespace is Java regex `\s`
+    * = {TAB LF VT FF CR SPACE}, all ASCII, so a raw byte scan is
+    * UTF-8-safe (continuation bytes are ≥ 0x80 and never match).
+    * DuckDB-oracle caveat: RE2's `\s` OMITS vertical tab, so an oracle
+    * restating this count must either use the explicit class
+    * `[ \t\n\v\f\r]+` (exact — pipe_shard does) or rely on VT-free
+    * text (the `'\s+'` convention of the older tokenCount oracles).
+    * The count-only consumers (packing, sharding, mixing, quality
+    * stats) are tokenize-bound at corpus scale — this is their hot
+    * loop.
     */
   def wsTokenCount(s: UTF8String): Int = {
     val bytes = s.getBytes

@@ -36,10 +36,11 @@ import graft.functions.TextFunctions._
 object PrefixSum {
 
   /** Adds `out` = exclusive running total of `valueCol` over the global
-    * `orderCol` ascending order. `orderCol` values must be distinct
-    * (ties would make "exclusive prefix" ambiguous); values are summed
-    * as longs. Output rows keep the input columns, ordered by
-    * `orderCol` within their partitions.
+    * `(orderCol, tieCols…)` ascending order. The combined order key must
+    * be distinct (ties would make "exclusive prefix" ambiguous) — pass
+    * `tieCols` (e.g. a unique id) when `orderCol` alone can collide;
+    * values are summed as longs. Output rows keep the input columns,
+    * ordered by the combined key within their partitions.
     *
     * The range-sorted frame feeds BOTH passes (totals + scan), so it is
     * persisted — the totals collect forces it, the per-row pass reads
@@ -53,19 +54,22 @@ object PrefixSum {
     * re-plan the range partitioning and misalign the offsets, so don't.
     */
   def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
-      out: String, materialize: Boolean = true): DataFrame =
-    scanWithTotal(df, orderCol, valueCol, out, materialize)._1
+      out: String, materialize: Boolean = true,
+      tieCols: Seq[String] = Nil): DataFrame =
+    scanWithTotal(df, orderCol, valueCol, out, materialize, tieCols)._1
 
   /** [[withRunningTotal]] + the grand total, which pass 1 already
     * computes driver-side (the last exclusive offset + its partition's
     * mass) — consumers needing `sum(valueCol)` (e.g. the shard packer's
     * target) take it from here instead of paying another action. */
   def scanWithTotal(df: DataFrame, orderCol: String, valueCol: String,
-      out: String, materialize: Boolean = true): (DataFrame, Long) = {
+      out: String, materialize: Boolean = true,
+      tieCols: Seq[String] = Nil): (DataFrame, Long) = {
     val spark = df.sparkSession
+    val orderKey = (orderCol +: tieCols).map(col)
     val parted = df
-      .repartitionByRange(col(orderCol))
-      .sortWithinPartitions(col(orderCol))
+      .repartitionByRange(orderKey: _*)
+      .sortWithinPartitions(orderKey: _*)
       .persist()
     val schema = StructType(parted.schema.fields :+
       StructField(out, LongType, nullable = false))

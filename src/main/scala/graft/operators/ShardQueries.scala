@@ -17,15 +17,18 @@ import graft.functions.TextFunctions._
   * Determinism: the shuffle key is a seeded multiplicative permutation
   * `(doc_id mod 2^31) * M(seed)  (mod 2^32)` with the seed folded into
   * the MULTIPLIER, `M(seed) = 2654435761 * (2*seed + 1) mod 2^32` —
-  * odd×odd stays odd, so M is a bijection mod 2^32 and distinct
-  * doc_ids get distinct keys (no tiebreak column needed). The seed
-  * must not be additive: `h + seed` merely ROTATES the key space, so
-  * two "epochs" would read the corpus in almost the same order (the
-  * spec pins >½ of documents re-bucketing across adjacent seeds);
-  * a different multiplier genuinely re-permutes. Both engines state
-  * the hash in pure int64 arithmetic (max intermediate
-  * (2^31−1)·(2^32−1) < 2^63−1), the same contract as the sampling
-  * gates' Knuth hash.
+  * odd×odd stays odd, so M is a bijection mod 2^32 and 31-bit doc_ids
+  * get distinct keys; ids beyond 2^31 collide with their mod-2^31
+  * partner, so the global order key is `(h, doc_id)` — the doc_id
+  * tiebreak keeps the order total, deterministic and identical in
+  * both engines for ANY int64 id space (collision density 2^-31, so
+  * the epoch-freshness property is unaffected). The seed must not be
+  * additive: `h + seed` merely ROTATES the key space, so two "epochs"
+  * would read the corpus in almost the same order (the spec pins >½
+  * of documents re-bucketing across adjacent seeds); a different
+  * multiplier genuinely re-permutes. Both engines state the hash in
+  * pure int64 arithmetic (max intermediate (2^31−1)·(2^32−1) <
+  * 2^63−1), the same contract as the sampling gates' Knuth hash.
   *
   * Scale shape (100 TB): ONE parallel range sort (the standard
   * sort-by-key shuffle — the minimum any global permutation pays),
@@ -67,9 +70,10 @@ object ShardQueries {
         tokenCount(col("text")).cast("long").as("n_tok"))
       .withColumn("h", shuffleHash(seed))
     // the scan's pass 1 already totals the corpus driver-side — no
-    // extra action for the target; empty corpus guarded to target 1
-    val (scanned, allTok) =
-      PrefixSum.scanWithTotal(toks, "h", "n_tok", "cum_before")
+    // extra action for the target; empty corpus guarded to target 1;
+    // doc_id tiebreak keeps the order total past 31-bit id spaces
+    val (scanned, allTok) = PrefixSum.scanWithTotal(
+      toks, "h", "n_tok", "cum_before", tieCols = Seq("doc_id"))
     val target = math.max(1L, (allTok + nShards - 1) / nShards)
     scanned.withColumn("shard",
       least(lit(nShards - 1L), expr(s"cum_before div $target")))
@@ -77,15 +81,17 @@ object ShardQueries {
 
   /** Physical shard layout: one directory per shard, rows in permuted
     * (h) order within each file so a trainer streams the shard
-    * sequentially in epoch order. `cols` selects the payload columns to
-    * carry (joined back from the source table by doc_id). */
+    * sequentially in epoch order. Carries the assignment columns
+    * (doc_id, n_tok, h); a trainer joins payloads back by doc_id —
+    * shipping full text through the permutation sort would shuffle the
+    * corpus body where only the key set needs to move. */
   def writeShards(s: SparkSession, dir: String, out: String,
       nShards: Int = ShardCount, seed: Long = Seed): Unit = {
     val assigned = assignShards(s, dir, nShards, seed)
       .select(col("doc_id"), col("n_tok"), col("h"), col("shard"))
     assigned
       .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("h"))
+      .sortWithinPartitions(col("shard"), col("h"), col("doc_id"))
       .write.partitionBy("shard").mode("overwrite").parquet(out)
   }
 
@@ -100,17 +106,22 @@ object ShardQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // token split uses the EXPLICIT whitespace class (incl. \v): RE2's
+    // \s omits vertical tab where Java's includes it — the explicit
+    // class makes the oracle exact even on VT-bearing text (the same
+    // divergence text_tok_count documents for its n_piece column)
     "pipe_shard" ->
       s"""WITH toks AS (
          |  SELECT doc_id,
-         |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-         |                              x -> x <> '')) AS BIGINT) AS n_tok,
+         |         CAST(len(list_filter(
+         |           regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+'),
+         |           x -> x <> '')) AS BIGINT) AS n_tok,
          |         ((doc_id % 2147483648) * ${multiplier(Seed)})
          |           % 4294967296 AS h
          |  FROM documents),
          |scan AS (
          |  SELECT doc_id, n_tok,
-         |         COALESCE(SUM(n_tok) OVER (ORDER BY h
+         |         COALESCE(SUM(n_tok) OVER (ORDER BY h, doc_id
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |           AS cum_before
          |  FROM toks),

@@ -31,22 +31,30 @@ class ShardQueriesSpec extends AnyFunSuite {
     assert(a.forall(t => t._2 >= 0 && t._2 < ShardQueries.ShardCount))
   }
 
-  test("every shard's token mass is within one document of the target") {
+  test("assignment equals the single-threaded reference packer exactly") {
     val assigned = ShardQueries.assignShards(spark, dir).persist()
-    val allTok = assigned.agg(sum("n_tok")).collect()(0).getLong(0)
-    val target = math.max(1L,
-      (allTok + ShardQueries.ShardCount - 1) / ShardQueries.ShardCount)
-    val maxDoc = assigned.agg(max("n_tok")).collect()(0).getLong(0)
-    val perShard = assigned.groupBy("shard").agg(sum("n_tok").as("t"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rows = assigned.select("doc_id", "n_tok", "h", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assigned.unpersist()
+    // reference: sort by (h, doc_id), accumulate, cut at target — the
+    // rule itself, independent of fixture shape
+    val n = ShardQueries.ShardCount
+    val allTok = rows.map(_._2).sum
+    val target = math.max(1L, (allTok + n - 1) / n)
+    var cum = 0L
+    val expect = rows.sortBy(t => (t._3, t._1)).map { case (id, tok, _, _) =>
+      val sh = math.min(n - 1L, cum / target); cum += tok; id -> sh
+    }.toMap
+    rows.foreach { case (id, _, _, sh) =>
+      assert(sh === expect(id), s"doc $id: got shard $sh, expect ${expect(id)}")
+    }
     // contiguous prefix packing: a shard closes at the first doc that
     // crosses its target boundary, so mass < target + max single doc
-    perShard.foreach { case (sh, t) =>
+    val maxDoc = rows.map(_._2).max
+    rows.groupBy(_._4).foreach { case (sh, g) =>
+      val t = g.map(_._2).sum
       assert(t < target + maxDoc, s"shard $sh over budget: $t vs $target+$maxDoc")
     }
-    // all shards populated (sf0.001 has ~target*32 tokens by construction)
-    assert(perShard.keySet === (0L until ShardQueries.ShardCount.toLong).toSet)
   }
 
   test("a different seed yields a genuinely different permutation") {
