@@ -68,6 +68,42 @@ class ShardQueriesSpec extends AnyFunSuite {
     assert(moved > e0.size / 2, s"only $moved of ${e0.size} docs moved across epochs")
   }
 
+  test("ids beyond 2^31 (hash-colliding pairs) still assign deterministically") {
+    // doc_id and doc_id + 2^31 share the same permutation hash h — the
+    // review-found ambiguity; the (h, doc_id) tiebreak must make the
+    // assignment total, engine-stable and equal to the reference packer
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shard-64b").toString
+    try {
+      val ids = (0L until 64L).flatMap(i => Seq(i, i + 2147483648L))
+      ids.map(id => (id, ("tok " * (1 + (id % 7)).toInt).trim,
+          "en", "src0", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val rows = ShardQueries.assignShards(spark, tmp)
+        .select("doc_id", "n_tok", "h", "shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // every collision pair really collides (the scenario is exercised)
+      val byH = rows.groupBy(_._3)
+      assert(byH.values.forall(_.length == 2) && byH.size == 64)
+      val n = ShardQueries.ShardCount
+      val allTok = rows.map(_._2).sum
+      val target = math.max(1L, (allTok + n - 1) / n)
+      var cum = 0L
+      val expect = rows.sortBy(t => (t._3, t._1)).map { case (id, tok, _, _) =>
+        val sh = math.min(n - 1L, cum / target); cum += tok; id -> sh
+      }.toMap
+      rows.foreach { case (id, _, _, sh) => assert(sh === expect(id)) }
+      // and twice more: stable across runs
+      val again = ShardQueries.assignShards(spark, tmp)
+        .select("doc_id", "shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      rows.foreach { case (id, _, _, sh) => assert(again(id) === sh) }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("assignment does not depend on input partitioning (scan invariance)") {
     // the gate path reads the parquet table; re-deriving from an
     // adversarially repartitioned copy must agree (the PrefixSum
