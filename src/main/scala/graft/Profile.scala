@@ -224,7 +224,12 @@ object Profile {
         require(qn > 0, s"ann_serve_sc: empty query batch (n=$n batch=$batch)")
         val t0 = System.nanoTime()
         val index = trainIvfPqScaled(spark, e, 8, knownN = Some(n))
-        val kC = index.coarse(0).length
+        // nprobe from the RULE's cell count, exactly as the
+        // ann_ivfpq_scaled gate derives it — the TRAINED count
+        // (index.coarse(0).length) can shrink when Lloyd drops empty
+        // cells, which would profile a different serve shape than the
+        // gate whose receipts this arm produces
+        val kC = scaledCellCount(n)
         val np = scaledNprobe(kC, n)
         val path = java.nio.file.Files.createTempDirectory("annservesc").toString
         saveIvfPqIndex(spark, index, e.select(col("vec_id"), col("q")), path)

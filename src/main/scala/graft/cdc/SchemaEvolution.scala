@@ -297,15 +297,24 @@ class SchemaRegistry {
     * return stamped with their table's version AT THEIR COMMIT SCN —
     * a row committed before the batch's DDL carries the old version,
     * after it the new, and the stamping is IDEMPOTENT under batch
-    * replay (the timeline lookup, not the registry head). DDL
-    * processing is inherently serial per table (the reference
+    * replay (the timeline lookup, not the registry head). The batch's
+    * DDLs land on the timeline FIRST, data rows stamp second: with a
+    * single interleaved pass, a row sharing its commit SCN with a DDL
+    * would stamp OLD on first processing (the DDL not yet applied)
+    * but NEW on an at-least-once replay (the DDL now on the
+    * timeline) — the two-phase order makes the tie rule "a DDL at
+    * commitScn C governs rows at C" hold identically on every replay.
+    * DDL processing is inherently serial per table (the reference
     * single-threads it the same way), so this is a driver-side pass
     * over the batch's DDL boundaries — data rows between boundaries
     * stay distributed in the caller's frame.
     */
   def stampBatch(changes: Seq[EmittedChange],
-      history: Option[java.nio.file.Path] = None): Seq[(EmittedChange, Int)] =
-    changes.sortBy(c => (c.commitScn, c.scn, c.ssn)).flatMap { c =>
+      history: Option[java.nio.file.Path] = None): Seq[(EmittedChange, Int)] = {
+    val ordered = changes.sortBy(c => (c.commitScn, c.scn, c.ssn))
+    // phase 1: every DDL onto the timeline (replay-safe: an already-
+    // seen commit SCN applies nothing and re-appends nothing)
+    ordered.foreach { c =>
       if (c.op == Ops.Ddl) {
         val ddl = c.after.getOrElse("ddl",
           throw new IllegalArgumentException(
@@ -317,11 +326,20 @@ class SchemaRegistry {
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.APPEND)
         }
-        None
-      } else {
-        Some((c, versionAt(c.table, c.commitScn).map(_.version).getOrElse(0)))
       }
     }
+    // phase 2: stamp data rows off the settled timeline. An unknown
+    // table is a misconfiguration and must FAIL here, the same way a
+    // DDL for it would — silently stamping version 0 would poison
+    // version-keyed consumers precisely when the registration is wrong
+    ordered.flatMap { c =>
+      if (c.op == Ops.Ddl) None
+      else Some((c, versionAt(c.table, c.commitScn).map(_.version).getOrElse(
+        throw new NoSuchElementException(
+          s"unknown table ${c.table} in stampBatch — register its base " +
+            s"schema before streaming its changes"))))
+    }
+  }
 }
 
 object SchemaRegistry {
@@ -372,11 +390,16 @@ object SchemaRegistry {
           line.split("\t", 3) match {
             case Array(t, scn, ddl) if scn.nonEmpty && scn.forall(_.isDigit) =>
               reg.applyDdlAt(t, decode(ddl), scn.toLong)
-            case parts if parts.length >= 2 =>
+            case Array(t, ddl) =>
               // legacy record without a commit SCN (pre-timeline
-              // format): apply at the head — order within the file is
-              // commit order, which is all the old format carried
-              reg.applyDdl(parts(0), decode(parts.drop(1).mkString("\t")))
+              // format, exactly 2 fields — encode escapes tabs, so a
+              // legacy line can never split to 3): apply at the head —
+              // order within the file is commit order, which is all
+              // the old format carried. A 3-field line with a
+              // non-numeric SCN is CORRUPTION, not legacy — it falls
+              // through to the error below instead of being applied
+              // as garbage DDL at a synthesized coordinate
+              reg.applyDdl(t, decode(ddl))
             case _ =>
               throw new IllegalArgumentException(
                 s"unparseable schema-history record: '$line'")

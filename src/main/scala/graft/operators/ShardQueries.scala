@@ -28,7 +28,10 @@ import graft.functions.TextFunctions._
   * of documents re-bucketing across adjacent seeds); a different
   * multiplier genuinely re-permutes. Both engines state the hash in
   * pure int64 arithmetic (max intermediate (2^31−1)·(2^32−1) <
-  * 2^63−1), the same contract as the sampling gates' Knuth hash.
+  * 2^63−1), and the oracle positivizes its modulus chain
+  * (`(x % m + m) % m`) to match Spark's `pmod` on NEGATIVE ids too —
+  * plain `%` follows the dividend's sign in both engines, which would
+  * order a negative id's key differently than pmod.
   *
   * Scale shape (100 TB): ONE parallel range sort (the standard
   * sort-by-key shuffle — the minimum any global permutation pays),
@@ -116,8 +119,8 @@ object ShardQueries {
          |         CAST(len(list_filter(
          |           regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+'),
          |           x -> x <> '')) AS BIGINT) AS n_tok,
-         |         ((doc_id % 2147483648) * ${multiplier(Seed)})
-         |           % 4294967296 AS h
+         |         (((doc_id % 2147483648) * ${multiplier(Seed)})
+         |           % 4294967296 + 4294967296) % 4294967296 AS h
          |  FROM documents),
          |scan AS (
          |  SELECT doc_id, n_tok,

@@ -704,9 +704,15 @@ object SimilarityQueries {
     val index = trainIvfPqScaled(s, e, M, Some(n))
     val codesSrc = embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
+    // knownBatch: the stride-derived bound on |vec_id % 50 == 0| —
+    // qCount only picks the broadcast-vs-shuffle serve strategy, so an
+    // upper estimate is safe, and it spares the serve the eager
+    // count() of the query lineage its scaladoc warns about (sibling
+    // call sites — ann_incr, Profile, the precoded serves — all pass it)
     ivfPqSearch(index, e, codesSrc,
       e.filter(col("vec_id") % 50 === 0),
       scaledNprobe(scaledCellCount(n), n), knownCodes = Some(n),
+      knownBatch = Some(n / 50 + 1),
       rerank = scaledRerank(n))
   }
 
@@ -1692,9 +1698,14 @@ object SimilarityQueries {
         |""".stripMargin +
       ivfPqOracleCandG(c => s"$c % 50 = 0",
         nprobeSql = "(SELECT npr FROM prm)",
+        // round-1 modulus positivized ((x % m + m) % m) to match
+        // Spark's pmod on negative vec_ids too — plain % follows the
+        // dividend's sign in both engines, and `// 65536` on a
+        // negative value floor-divides where shiftright downshifts
         coarseSeedPred =
-          "((((((vec_id % 2147483648) * 2654435761) % 4294967296) // 65536)" +
-            " * 2654435761) % 4294967296) % (SELECT keep FROM prm) = 0",
+          "((((((vec_id % 2147483648) * 2654435761) % 4294967296" +
+            " + 4294967296) % 4294967296) // 65536)" +
+            " * 2654435761) % 4294967296 % (SELECT keep FROM prm) = 0",
         kcSql = "(SELECT kc FROM prm)",
         rerankSql = "(SELECT rr FROM prm)") +
       """SELECT qid, rn, vec_id, cos FROM (

@@ -250,13 +250,21 @@ class RedoLogWriter(file: File, blockSize: Int = 1024, seq: Int = 1,
         pos += take
         blockNo += 1
       }
+      // close INSIDE the try: the buffered flush happens here, so a
+      // disk-full on a small segment surfaces as a WRITE failure (a
+      // close() left to the finally block would mask the body's real
+      // error and skip the temp cleanup)
+      f.close()
       failed = false
     } finally {
-      f.close()
       // a write that died mid-stream (disk full, interrupt) must not
       // orphan its temp file — invisible to the .grl listings, it
-      // would accumulate silently across retries
-      if (failed) tmp.delete()
+      // would accumulate silently across retries. Best-effort close of
+      // the already-failed stream must not replace the real exception.
+      if (failed) {
+        try f.close() catch { case _: Throwable => () }
+        tmp.delete()
+      }
     }
     // REPLACE_EXISTING alongside ATOMIC_MOVE: renaming onto an existing
     // target with ATOMIC_MOVE alone is implementation-specific (a

@@ -197,7 +197,20 @@ case class JdbcUpsertSink(
     // must stream, not accumulate on the task heap). Upserts/deletes
     // are key-idempotent and the batch is key-deduped, so replaying a
     // rolled-back chunk is exactly-once in effect.
-    plan.foreachPartition { (rows: Iterator[Row]) =>
+    //
+    // A FAILED batch drops the target's cached catalog metadata
+    // (discovered keys, known columns, ensured-existence) before the
+    // error propagates: a mid-stream key redefinition or table
+    // recreation otherwise keeps the sink binding the STALE key for
+    // the JVM's lifetime — the foreachBatch retry re-probes instead.
+    def invalidateOnFailure[A](body: => A): A =
+      try body catch { case e: Throwable =>
+        JdbcUpsertSink.discoveredKeys.remove((url, table))
+        JdbcUpsertSink.knownCols.remove((url, table))
+        JdbcUpsertSink.ensured.remove((url, table))
+        throw e
+      }
+    invalidateOnFailure(plan.foreachPartition { (rows: Iterator[Row]) =>
       var conn: Connection = null
       var up: PreparedStatement = null
       var del: PreparedStatement = null
@@ -286,7 +299,7 @@ case class JdbcUpsertSink(
         // clean path: last chunk committed, nothing to roll back
         shut(null)
       }
-    }
+    })
   }
 }
 

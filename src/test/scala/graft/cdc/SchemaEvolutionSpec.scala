@@ -172,4 +172,47 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     val m = applyDdl(base, "ALTER TABLE S.T MODIFY NAME VARCHAR2(4000)")
     assert(m.version === 1)
   }
+
+  test("a data row sharing its commit SCN with a DDL stamps identically on replay") {
+    // the interleaved-pass hazard: with row@(100,1) before DDL@(100,2),
+    // a single pass stamps the row OLD first time (DDL not yet on the
+    // timeline) but NEW on replay — the two-phase stampBatch applies
+    // the DDL first, so the tie rule (a DDL at C governs rows at C)
+    // holds on every pass
+    def ch(commit: Long, scn: Long, op: Int,
+        after: Map[String, String]): EmittedChange =
+      EmittedChange("x", commit, scn, 0, "S.T", op, s"r$scn", scn,
+        Map.empty, after)
+    val batch = Seq(
+      ch(100, 1, Ops.Insert, Map("ID" -> "1")),
+      ch(100, 2, Ops.Ddl, Map("ddl" -> "ALTER TABLE S.T ADD C9 NUMBER(4)")))
+    val reg = new SchemaRegistry
+    reg.register("S.T", base.schema)
+    val first = reg.stampBatch(batch).map(_._2)
+    val replay = reg.stampBatch(batch).map(_._2)
+    assert(first === replay,
+      s"stamps diverged across replay: $first then $replay")
+    assert(first === Seq(2), "the DDL at the shared commit SCN governs the row")
+  }
+
+  test("stampBatch fails loudly on a data row for an unregistered table") {
+    val reg = new SchemaRegistry
+    reg.register("S.T", base.schema)
+    val row = EmittedChange("x", 10, 1, 0, "S.UNKNOWN", Ops.Insert,
+      "r1", 1, Map.empty, Map("ID" -> "1"))
+    intercept[NoSuchElementException] { reg.stampBatch(Seq(row)) }
+  }
+
+  test("replay rejects a corrupted 3-field history line instead of applying garbage") {
+    val hist = java.nio.file.Files
+      .createTempDirectory("hist_corrupt").resolve("h.tsv")
+    // SCN field corrupted to non-numeric: must throw, not fall back to
+    // the 2-field legacy interpretation with the tail applied as DDL
+    java.nio.file.Files.writeString(hist,
+      "S.T\t1o0\tALTER TABLE S.T ADD C9 NUMBER(4)\n")
+    val ex = intercept[IllegalArgumentException] {
+      SchemaRegistry.replay(Map("S.T" -> base.schema), Some(hist))
+    }
+    assert(ex.getMessage.contains("unparseable"))
+  }
 }
