@@ -110,7 +110,22 @@ case class JdbcUpsertSink(
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  def writeBatch(df: DataFrame): Unit = {
+  // A FAILED batch drops the target's cached catalog metadata
+  // (discovered keys, known columns, ensured-existence) before the
+  // error propagates: a mid-stream key redefinition or table
+  // recreation otherwise keeps the sink binding the STALE key for the
+  // JVM's lifetime — the foreachBatch retry re-probes instead. Wraps
+  // the WHOLE batch path: the stale key can already fail at key
+  // resolution (key column absent from the frame), not only in SQL.
+  private def invalidateOnFailure[A](body: => A): A =
+    try body catch { case e: Throwable =>
+      JdbcUpsertSink.discoveredKeys.remove((url, table))
+      JdbcUpsertSink.knownCols.remove((url, table))
+      JdbcUpsertSink.ensured.remove((url, table))
+      throw e
+    }
+
+  def writeBatch(df: DataFrame): Unit = invalidateOnFailure {
     val keys = resolvedKeyCols(df.columns.toSeq)
     val dataCols = df.columns.filterNot(c =>
       c == opCol || orderCols.contains(c)).toSeq
@@ -197,20 +212,7 @@ case class JdbcUpsertSink(
     // must stream, not accumulate on the task heap). Upserts/deletes
     // are key-idempotent and the batch is key-deduped, so replaying a
     // rolled-back chunk is exactly-once in effect.
-    //
-    // A FAILED batch drops the target's cached catalog metadata
-    // (discovered keys, known columns, ensured-existence) before the
-    // error propagates: a mid-stream key redefinition or table
-    // recreation otherwise keeps the sink binding the STALE key for
-    // the JVM's lifetime — the foreachBatch retry re-probes instead.
-    def invalidateOnFailure[A](body: => A): A =
-      try body catch { case e: Throwable =>
-        JdbcUpsertSink.discoveredKeys.remove((url, table))
-        JdbcUpsertSink.knownCols.remove((url, table))
-        JdbcUpsertSink.ensured.remove((url, table))
-        throw e
-      }
-    invalidateOnFailure(plan.foreachPartition { (rows: Iterator[Row]) =>
+    plan.foreachPartition { (rows: Iterator[Row]) =>
       var conn: Connection = null
       var up: PreparedStatement = null
       var del: PreparedStatement = null
@@ -299,7 +301,7 @@ case class JdbcUpsertSink(
         // clean path: last chunk committed, nothing to roll back
         shut(null)
       }
-    })
+    }
   }
 }
 

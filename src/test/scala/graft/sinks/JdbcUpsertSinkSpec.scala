@@ -91,6 +91,44 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
     assert(rows == List((1L, "a-v2"), (2L, "b-v2")))
   }
 
+  test("a failed batch invalidates the key cache so a recreated target re-probes") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:kinval;create=true"
+    val setup = DriverManager.getConnection(url)
+    setup.createStatement().execute(
+      "CREATE TABLE inval_t (id BIGINT NOT NULL PRIMARY KEY, name VARCHAR(32))")
+    setup.close()
+
+    val sink = JdbcUpsertSink(url, "inval_t", keyCols = Nil,
+      dialect = DerbyDialect, autoCreate = false)
+    sink.writeBatch(Seq((1L, "a", 3, 100L, 10L))
+      .toDF("id", "name", "op", "commitScn", "scn"))
+
+    // DBA recreates the target keyed differently — the old key column
+    // is GONE, so the next batch's stale-key SQL fails hard
+    val ddl = DriverManager.getConnection(url)
+    ddl.createStatement().execute("DROP TABLE inval_t")
+    ddl.createStatement().execute(
+      "CREATE TABLE inval_t (k VARCHAR(8) NOT NULL PRIMARY KEY, name VARCHAR(32))")
+    ddl.close()
+
+    val batch2 = Seq(("x", "b", 3, 200L, 20L))
+      .toDF("k", "name", "op", "commitScn", "scn")
+    // stale cache: the sink still binds on id, which no longer exists
+    intercept[Exception] { sink.writeBatch(batch2) }
+    // the failure dropped the cached discovery — the SAME sink now
+    // re-probes, finds PK (k) and lands the batch
+    sink.writeBatch(batch2)
+
+    val conn = DriverManager.getConnection(url)
+    val rs = conn.createStatement()
+      .executeQuery("SELECT k, name FROM inval_t")
+    val rows = Iterator.continually(rs)
+      .takeWhile(_.next()).map(r => (r.getString(1), r.getString(2))).toList
+    conn.close()
+    assert(rows == List(("x", "b")))
+  }
+
   test("keyless stream falls back to a NOT-NULL unique index as the key") {
     import spark.implicits._
     val url = "jdbc:derby:memory:uqdisc;create=true"
