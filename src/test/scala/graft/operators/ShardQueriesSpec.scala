@@ -75,7 +75,10 @@ class ShardQueriesSpec extends AnyFunSuite {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-shard-64b").toString
     try {
-      val ids = (0L until 64L).flatMap(i => Seq(i, i + 2147483648L))
+      // collision pairs beyond 2^31 AND negative ids (the oracle's
+      // positivized modulus chain must equal Spark's pmod on them)
+      val ids = (0L until 64L).flatMap(i =>
+        Seq(i, i + 2147483648L, -i - 1))
       ids.map(id => (id, ("tok " * (1 + (id % 7)).toInt).trim,
           "en", "src0", 1L))
         .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -83,9 +86,19 @@ class ShardQueriesSpec extends AnyFunSuite {
       val rows = ShardQueries.assignShards(spark, tmp)
         .select("doc_id", "n_tok", "h", "shard").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      // every collision pair really collides (the scenario is exercised)
-      val byH = rows.groupBy(_._3)
+      // every id ≥ 2^31 collides with its mod-2^31 partner (the
+      // scenario is exercised); negative ids hash into their own keys
+      val byH = rows.filter(_._1 >= 0).groupBy(_._3)
       assert(byH.values.forall(_.length == 2) && byH.size == 64)
+      // Spark's h equals the ORACLE's arithmetic — sign-following %
+      // then the (x % m + m) % m positivization — for every id,
+      // negative included (the cross-engine claim, restated in Scala)
+      val m = 4294967296L
+      rows.foreach { case (id, _, h, _) =>
+        val oracleH = (((id % 2147483648L) *
+          ShardQueries.multiplier(ShardQueries.Seed)) % m + m) % m
+        assert(h === oracleH, s"doc $id: spark h=$h oracle h=$oracleH")
+      }
       val n = ShardQueries.ShardCount
       val allTok = rows.map(_._2).sum
       val target = math.max(1L, (allTok + n - 1) / n)
