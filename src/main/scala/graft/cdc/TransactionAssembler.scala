@@ -69,6 +69,45 @@ object TransactionAssembler {
     */
   val LobRef = "\u0000LOB:"
 
+  /** A transaction-terminal record (closes the open segment). */
+  def isTerminal(r: RedoRecord): Boolean =
+    r.op == Ops.Commit || r.op == Ops.Rollback
+
+  /** Canonical sort key for one xid's records: (scn, ssn), with DATA
+    * BEFORE TERMINALS on a full tie — TimSort is stable, so without the
+    * rank a data record sharing (scn, ssn) with the COMMIT would land on
+    * whichever side the shuffle iterator happened to deliver it,
+    * splitting it nondeterministically into the NEXT transaction. */
+  def orderKey(r: RedoRecord): (Long, Long, Int) =
+    (r.scn, r.ssn, if (isTerminal(r)) 1 else 0)
+
+  /** Split one xid's (scn, ssn)-SORTED records at COMMIT/ROLLBACK
+    * terminals and assemble each closed segment: an xid is REUSED for a
+    * new transaction after its terminal, and feeding both to one
+    * [[assemble]] call would let a later ROLLBACK retroactively discard
+    * an earlier committed transaction (or stamp its changes with the
+    * wrong commitScn). Returns the emitted changes plus the OPEN
+    * remainder after the last terminal — the streaming processor keeps
+    * it as state; batch callers drop it (assemble() emits nothing for an
+    * uncommitted segment by construction). ONE implementation serves
+    * both the batch and streaming paths, so their segmentation semantics
+    * cannot drift.
+    */
+  def assembleSegments(sorted: collection.IndexedSeq[RedoRecord],
+      opts: Options): (Seq[EmittedChange], Seq[RedoRecord]) = {
+    val out = Seq.newBuilder[EmittedChange]
+    var start = 0
+    var i = 0
+    while (i < sorted.length) {
+      if (isTerminal(sorted(i))) {
+        out ++= assemble(sorted.slice(start, i + 1).toSeq, opts)
+        start = i + 1
+      }
+      i += 1
+    }
+    (out.result(), if (start < sorted.length) sorted.drop(start).toSeq else Nil)
+  }
+
   /** Assemble ONE transaction. `records` must be in (scn, ssn) order and
     * all share the same xid. Returns the committed changes in statement
     * order, stamped with the commit SCN — or Nil when the transaction
@@ -120,24 +159,30 @@ object TransactionAssembler {
         case kv => kv
       }
 
-    // partial-rollback cancellation: walk entries; a rollback-flagged entry
-    // cancels the nearest PRIOR non-cancelled change with the same rowId
-    // (the reference pairs on RBA/rowid coordinates in reverse order).
+    // partial-rollback cancellation: a rollback-flagged entry cancels the
+    // nearest PRIOR non-cancelled change with the same (table, rowId) —
+    // table-qualified like the reference's object/rowid coordinate pair
+    // (real ROWIDs embed the data object, but this model's rowIds are
+    // producer strings, and a cross-table string coincidence must never
+    // cancel another table's change). One forward pass with a per-key
+    // stack of surviving indices (pop = nearest prior survivor) replaces
+    // the per-entry backward scan, which was O(n²) on a transaction full
+    // of unmatched rollback entries.
     val cancelled = new Array[Boolean](buf.length)
+    val open = collection.mutable.Map[(String, String),
+      collection.mutable.ArrayDeque[Int]]()
     var i = 0
     while (i < buf.length) {
+      val key = (buf(i).table, buf(i).rowId)
       if (buf(i).rollback) {
         cancelled(i) = true // rollback entries themselves never emit
-        var j = i - 1
-        var found = false
-        while (j >= 0 && !found) {
-          if (!cancelled(j) && !buf(j).rollback && buf(j).rowId == buf(i).rowId) {
-            cancelled(j) = true
-            found = true
-          }
-          j -= 1
+        open.get(key).foreach { stack =>
+          if (stack.nonEmpty) cancelled(stack.removeLast()) = true
         }
         // unmatched rollback → "suspicious" in the reference; dropped here
+      } else {
+        open.getOrElseUpdate(key, collection.mutable.ArrayDeque.empty)
+          .append(i)
       }
       i += 1
     }
@@ -157,11 +202,17 @@ object TransactionAssembler {
           // record of the SAME table (interleaved changes to other
           // tables must not break a same-rowId pair, but anything on
           // this table between the two halves does)
+          // both pairing legs require buf(j).scn == buf(i).scn, and the
+          // buffer is (scn, ssn)-sorted — bound both scans to the same-SCN
+          // run so a delete followed by a long other-table tail costs the
+          // statement's own length, not O(n)
           var jAny = i + 1
-          while (jAny < buf.length && cancelled(jAny)) jAny += 1
+          while (jAny < buf.length && cancelled(jAny) &&
+            buf(jAny).scn == buf(i).scn) jAny += 1
           var j = jAny
-          while (j < buf.length &&
+          while (j < buf.length && buf(j).scn == buf(i).scn &&
             (cancelled(j) || buf(j).table != buf(i).table)) j += 1
+          if (j < buf.length && buf(j).scn != buf(i).scn) j = buf.length
           if (j < buf.length && buf(j).op == Ops.Insert) {
             // SCN-bound (see Options.collapseKeyUpdates): a pair from
             // two different statements — e.g. an unrelated insert
@@ -222,7 +273,10 @@ object TransactionAssembler {
                       if (!opts.allColsOnDelete && opts.keyCols.nonEmpty)
                         row.view.filterKeys(opts.keyCols.contains).toMap
                       else row
-                    (before, Map.empty[String, String])
+                    // resolveLobs like the single-row delete path — the
+                    // invariant above: a delete behaves identically
+                    // whether encoded as one DRP or batched into a QMD
+                    (resolveLobs(before), Map.empty[String, String])
                   }
                 out += EmittedChange(r.xid, commitScn, r.scn, r.ssn + k,
                   r.table, op, r.rowId, r.tsMicros, b, a, audit)
@@ -244,10 +298,11 @@ object TransactionAssembler {
           case Ops.Delete if opts.skipKeylessDelete && opts.keyCols.isEmpty =>
             // P5: keyless DELETE skipped
           case Ops.Delete if !opts.allColsOnDelete && opts.keyCols.nonEmpty =>
-            // P4: prune before-image to key columns
+            // P4: prune before-image to key columns (LOB markers in the
+            // surviving columns resolve exactly like the unpruned path)
             out += EmittedChange(r.xid, commitScn, r.scn, r.ssn, r.table,
               r.op, r.rowId, r.tsMicros,
-              r.before.view.filterKeys(opts.keyCols.contains).toMap,
+              resolveLobs(r.before.view.filterKeys(opts.keyCols.contains).toMap),
               resolveLobs(r.after), audit)
           case _ =>
             out += EmittedChange(r.xid, commitScn, r.scn, r.ssn, r.table,
@@ -263,9 +318,13 @@ object TransactionAssembler {
   /** P3: an UPDATE whose SET list changes nothing (e.g. `set C=C`). Only
     * columns present in both images are compared — absent columns are
     * "not in redo", not NULL (wrapped-schema semantics, SURVEY §1.2).
+    * A column carrying a [[LobRef]] marker is never a no-op: an in-place
+    * LOB update keeps the SAME locator in both images while the 26.x
+    * chunks changed the content — the comparison runs before LOB
+    * resolution, so equal markers prove nothing.
     */
   private def updateIsNoop(r: RedoRecord): Boolean =
     r.after.nonEmpty && r.after.forall { case (k, v) =>
-      r.before.get(k).contains(v)
+      (v == null || !v.startsWith(LobRef)) && r.before.get(k).contains(v)
     }
 }

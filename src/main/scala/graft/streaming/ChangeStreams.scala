@@ -44,27 +44,12 @@ object ChangeStreams {
     records.groupByKey(_.xid).flatMapGroups { (_, it) =>
       val buf = collection.mutable.ArrayBuffer.empty[RedoRecord]
       it.foreach(buf += _)
-      buf.sortInPlaceBy(r => (r.scn, r.ssn))
-      // split at COMMIT/ROLLBACK terminals: an xid is reused for a NEW
-      // transaction after its terminal, and feeding both to one
-      // assemble() call would let a later ROLLBACK retroactively
-      // discard an earlier committed transaction (or stamp its changes
-      // with the wrong commitScn) — same invariant the streaming
-      // processor enforces per terminal
-      val out = Seq.newBuilder[EmittedChange]
-      var start = 0
-      var i = 0
-      while (i < buf.length) {
-        val op = buf(i).op
-        if (op == graft.cdc.Ops.Commit || op == graft.cdc.Ops.Rollback) {
-          out ++= TransactionAssembler.assemble(buf.slice(start, i + 1).toSeq, opts)
-          start = i + 1
-        }
-        i += 1
-      }
-      // trailing open (uncommitted) segment: assemble() emits nothing
-      // for it by construction, so it is simply dropped
-      out.result().iterator
+      buf.sortInPlaceBy(TransactionAssembler.orderKey)
+      // split at terminals (xid reuse) through the SHARED segmentation —
+      // one implementation for batch and streaming, so the semantics
+      // (and the data-before-terminal tie-break) cannot drift. The open
+      // remainder is dropped: assemble() emits nothing for it anyway.
+      TransactionAssembler.assembleSegments(buf, opts)._1.iterator
     }
   }
 
@@ -133,9 +118,6 @@ private[streaming] class TxnAssemblyProcessor(
         Encoders.scalaLong, TTLConfig.NONE)
   }
 
-  private def isTerminal(r: RedoRecord): Boolean =
-    r.op == Ops.Commit || r.op == Ops.Rollback
-
   override def handleInputRows(xid: String, rows: Iterator[RedoRecord],
       timerValues: TimerValues): Iterator[EmittedChange] = {
     val incoming = rows.toArray
@@ -146,26 +128,25 @@ private[streaming] class TxnAssemblyProcessor(
       getHandle.registerTimer(at)
       deadline.update(at)
     }
-    if (!incoming.exists(isTerminal)) {
+    if (!incoming.exists(TransactionAssembler.isTerminal)) {
       // fast path: pure append, buffered prefix untouched
       if (incoming.nonEmpty) log.appendList(incoming)
       Iterator.empty
     } else {
       val all = (log.get() ++ incoming.iterator).toArray
-      java.util.Arrays.sort(all, Ordering.by((r: RedoRecord) => (r.scn, r.ssn)))
+      java.util.Arrays.sort(all,
+        Ordering.by(TransactionAssembler.orderKey))
       log.clear()
-      val out = collection.mutable.ArrayBuffer[EmittedChange]()
-      var segStart = 0
-      var i = 0
-      while (i < all.length) {
-        if (isTerminal(all(i))) {
-          out ++= TransactionAssembler.assemble(
-            all.slice(segStart, i + 1).toSeq, opts)
-          segStart = i + 1
-        }
-        i += 1
+      val (out, remainder) = TransactionAssembler.assembleSegments(all, opts)
+      if (remainder.nonEmpty) log.appendList(remainder.toArray)
+      else if (idleTimeoutMs > 0) {
+        // fully drained: every short committed transaction would
+        // otherwise pin a registered timer + deadline entry for the
+        // whole idle window — millions of stale timers of pure
+        // state-store churn on a busy feed
+        if (deadline.exists()) getHandle.deleteTimer(deadline.get())
+        deadline.clear()
       }
-      if (segStart < all.length) log.appendList(all.drop(segStart))
       out.iterator
     }
   }

@@ -283,4 +283,70 @@ class AssemblerSpec extends AnyFunSuite {
     val out = assemble(recs, Options(collapseKeyUpdates = true))
     assert(out.map(_.op) == Seq(Ops.Delete))
   }
+
+  test("partial rollback pairs on (table, rowId) — a cross-table rowId coincidence never cancels") {
+    // rowIds are producer strings in this model; T1 and T2 can carry the
+    // same string. The rollback of T2's insert must cancel T2's, never
+    // T1's change that happens to share the rowId
+    def tchg(scn: Long, table: String, op: Int, rowId: String,
+        after: Map[String, String] = Map.empty, rollback: Boolean = false) =
+      RedoRecord(scn, 0, "tx1", op, table, rowId, rollback, scn * 1000,
+        Map.empty, after)
+    val recs = Seq(
+      tchg(10, "T2", Ops.Insert, "r5", after = Map("c" -> "t2")),
+      tchg(11, "T1", Ops.Insert, "r5", after = Map("c" -> "t1")),
+      tchg(12, "T2", Ops.Delete, "r5", rollback = true), // cancels scn=10
+      commit(20))
+    val out = assemble(recs)
+    assert(out.map(c => (c.table, c.scn)) == Seq(("T1", 11L)))
+  }
+
+  test("QMD-expanded delete before-images resolve LOB markers like single-row deletes") {
+    val lobRef = TransactionAssembler.LobRef + "42"
+    val chunk = RedoRecord(9, 0, "tx1", Ops.LobChunk, "T", "", rollback = false,
+      0, Map.empty, Map("lobId" -> "42", "data" -> "lob-content"))
+    val qmd = RedoRecord(10, 0, "tx1", Ops.MultiDelete, "T", "r1",
+      rollback = false, 0, Map.empty, Map.empty,
+      multiRows = Seq(Map("k" -> "1", "doc" -> lobRef)))
+    val single = chg(11, Ops.Delete, "r2",
+      before = Map("k" -> "2", "doc" -> lobRef))
+    val out = assemble(Seq(chunk, qmd, single, commit(20)))
+    assert(out.length == 2)
+    // the invariant: identical resolution whether batched or single
+    assert(out(0).before("doc") == "lob-content")
+    assert(out(1).before("doc") == "lob-content")
+  }
+
+  test("in-place LOB update is never dropped as a no-op (equal locators prove nothing)") {
+    val lobRef = TransactionAssembler.LobRef + "77"
+    val chunk = RedoRecord(9, 0, "tx1", Ops.LobChunk, "T", "", rollback = false,
+      0, Map.empty, Map("lobId" -> "77", "data" -> "new-content"))
+    val upd = chg(10, Ops.Update, "r1",
+      before = Map("doc" -> lobRef), after = Map("doc" -> lobRef))
+    val out = assemble(Seq(chunk, upd, commit(20)),
+      Options(emitAllUpdates = false))
+    assert(out.map(_.op) == Seq(Ops.Update),
+      "P3 must not eliminate an update whose images carry LOB markers")
+    assert(out.head.after("doc") == "new-content")
+    // a genuinely no-op update (no LOB columns) still drops
+    val plain = chg(10, Ops.Update, "r1",
+      before = Map("c" -> "1"), after = Map("c" -> "1"))
+    assert(assemble(Seq(plain, commit(20)),
+      Options(emitAllUpdates = false)) == Nil)
+  }
+
+  test("a data record sharing (scn, ssn) with the commit belongs to that transaction") {
+    // the orderKey tie-break: data before terminals — without it, the
+    // stable sort preserves arrival order and the same input can land
+    // the row in the NEXT transaction on one run and this one on another
+    val data = chg(20, Ops.Insert, "r1", after = Map("c" -> "1"))
+    val c = commit(20)
+    Seq(Seq(data, c), Seq(c, data)).foreach { arrival =>
+      val sorted = arrival.sortBy(TransactionAssembler.orderKey).toIndexedSeq
+      val (out, remainder) =
+        TransactionAssembler.assembleSegments(sorted, Options())
+      assert(out.map(_.scn) == Seq(20), s"arrival order $arrival")
+      assert(remainder.isEmpty)
+    }
+  }
 }
