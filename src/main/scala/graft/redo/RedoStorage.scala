@@ -48,10 +48,18 @@ object LocalRedoProvider extends RedoStorageProvider {
     }
     override def close(): Unit = raf.close()
   }
-  override def list(dir: String): Seq[String] =
-    Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isFile && f.getName.endsWith(".grl"))
+  override def list(dir: String): Seq[String] = {
+    // listFiles() returns null for a missing/unreadable path — that is
+    // an ERROR, not an empty archive: mapping it to Nil turns a typo'd
+    // directory into a silent "no changes" answer
+    val files = new File(dir).listFiles()
+    if (files == null)
+      throw new IOException(
+        s"cannot list redo directory $dir (missing, not a directory, " +
+          "or unreadable)")
+    files.filter(f => f.isFile && f.getName.endsWith(".grl"))
       .map(_.getName).toSeq.sorted
+  }
 }
 
 /** In-memory provider — the test double for transports whose bytes
@@ -99,25 +107,30 @@ final class HttpRedoProvider extends RedoStorageProvider {
 
   override def open(path: String): RedoByteSource = new RedoByteSource {
     override lazy val length: Long = {
+      // a non-2xx HEAD (GET-only endpoints: presigned URLs, 405s) falls
+      // through to the range probe instead of aborting — readFully
+      // already tolerates those servers, so length must too
       val c = connect(path, None)
       c.setRequestMethod("HEAD")
       val fromHead =
-        try {
-          if (c.getResponseCode / 100 != 2)
-            throw new IOException(s"HEAD $path -> ${c.getResponseCode}")
-          c.getContentLengthLong
-        } finally c.disconnect()
+        try { if (c.getResponseCode / 100 == 2) c.getContentLengthLong else -1L }
+        finally c.disconnect()
       if (fromHead > 0) fromHead
       else {
-        // servers that omit Content-Length on HEAD: ask for one byte and
-        // read the total from Content-Range ("bytes 0-0/TOTAL")
+        // servers that omit Content-Length on HEAD (or reject HEAD): ask
+        // for one byte and read the total from Content-Range
+        // ("bytes 0-0/TOTAL"); a server that ignores Range and answers
+        // 200 still reports the full size in Content-Length — use it
+        // (the same 200-tolerance readFully has)
         val r = connect(path, Some((0L, 0L)))
-        try {
-          if (r.getResponseCode != 206)
-            throw new IOException(s"no usable length for $path")
-          val cr = Option(r.getHeaderField("Content-Range"))
-            .getOrElse(throw new IOException(s"no Content-Range from $path"))
-          cr.substring(cr.indexOf('/') + 1).toLong
+        try r.getResponseCode match {
+          case 206 =>
+            val cr = Option(r.getHeaderField("Content-Range"))
+              .getOrElse(throw new IOException(s"no Content-Range from $path"))
+            cr.substring(cr.indexOf('/') + 1).toLong
+          case 200 if r.getContentLengthLong > 0 => r.getContentLengthLong
+          case code => throw new IOException(
+            s"no usable length for $path (range probe -> $code)")
         } finally r.disconnect()
       }
     }
@@ -158,7 +171,12 @@ final class HttpRedoProvider extends RedoStorageProvider {
       if (c.getResponseCode / 100 != 2)
         throw new IOException(s"GET $dir/index -> ${c.getResponseCode}")
       val src = scala.io.Source.fromInputStream(c.getInputStream, "UTF-8")
-      try src.getLines().map(_.trim).filter(_.nonEmpty).toList
+      // filter to .grl names like the local/in-memory providers: an
+      // `ls > index`-generated document lists the index itself (or
+      // checksums/READMEs), and opening those as redo logs would fail
+      // the whole listing on "bad magic"
+      try src.getLines().map(_.trim)
+        .filter(n => n.nonEmpty && n.endsWith(".grl")).toList
       finally src.close()
     } finally c.disconnect()
   }

@@ -26,15 +26,18 @@ object RedoTopology {
   /** Per-thread sequence-gap report over a (thread, seq) topology frame:
     * each missing run becomes one row (thread, gap_start, gap_end,
     * missing), where [gap_start, gap_end] are the absent sequence
-    * numbers. Duplicate coordinates are tolerated (distinct first —
-    * e.g. multiplexed archive destinations listing a segment twice).
+    * numbers. Duplicate coordinates are tolerated WITHOUT a distinct
+    * pass (e.g. multiplexed archive destinations listing a segment
+    * twice): under the sorted window a duplicate's lag equals its own
+    * seq, so it can neither emit a spurious gap nor emit one twice —
+    * and dropping the distinct drops a whole extra exchange, keeping
+    * the operator at the ONE shuffle its scaladoc promises.
     */
   def gapReport(topology: DataFrame, threadCol: String,
       seqCol: String): DataFrame = {
     val w = Window.partitionBy(col(threadCol)).orderBy(col(seqCol))
     topology
       .select(col(threadCol), col(seqCol))
-      .distinct()
       .withColumn("__prev", lag(col(seqCol), 1).over(w))
       .filter(col("__prev").isNotNull && col(seqCol) > col("__prev") + 1)
       .select(col(threadCol),

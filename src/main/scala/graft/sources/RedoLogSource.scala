@@ -107,7 +107,8 @@ class RedoLogScan(options: CaseInsensitiveStringMap) extends Scan {
   private val tables: Seq[String] = Option(options.get("tables"))
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
   private val ops: Seq[Int] = Option(options.get("ops"))
-    .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+    .getOrElse(Nil)
   private val maxFilesPerTrigger: Int =
     Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue)
 
@@ -152,7 +153,12 @@ case class RedoFileOffset(threadSeqs: Map[Int, Int]) extends Offset {
   override def json(): String =
     threadSeqs.toSeq.sorted.map { case (t, s) => s""""$t":$s""" }
       .mkString("{", ",", "}")
-  def seqFor(thread: Int): Int = threadSeqs.getOrElse(thread, 0)
+  /** Watermark for `thread`, Int.MinValue when the thread has never been
+    * consumed — a 0 default made writer seq 0 (and negatives, which the
+    * parser accepts) permanently invisible to streaming while batch
+    * reads them. */
+  def seqFor(thread: Int): Int =
+    threadSeqs.getOrElse(thread, Int.MinValue)
 }
 
 object RedoFileOffset {
@@ -190,6 +196,24 @@ class RedoMicroBatchStream(list: () => Seq[(String, Int, Int)],
     val s = toOffset(start)
     val unread = list().filter { case (_, t, seq) => seq > s.seqFor(t) }
       .sortBy { case (_, t, seq) => (seq, t) }
+    // never-skip-a-sequence invariant (the reference aborts its mining
+    // range on a missing sequence): for a thread with a checkpointed
+    // watermark, the first unread listed sequence must be watermark+1 —
+    // a higher one means retention archived away logs the stream never
+    // consumed, and admitting the remainder would silently lose their
+    // transactions. listLogs' gap check only sees the CURRENT listing,
+    // which is contiguous again after the loss. (A thread with no
+    // watermark is a fresh start: any first sequence is fine.)
+    unread.groupBy(_._2).foreach { case (t, fs) =>
+      s.threadSeqs.get(t).foreach { wm =>
+        val first = fs.map(_._3).min
+        require(first == wm + 1,
+          s"redo thread $t: checkpointed watermark $wm but the oldest " +
+            s"unread log is seq $first — sequences ${wm + 1}..${first - 1} " +
+            "were removed before being consumed; reset the checkpoint to " +
+            "accept the loss explicitly")
+      }
+    }
     val admitted = limit match {
       case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
         unread.take(mf.maxFiles())
@@ -205,7 +229,32 @@ class RedoMicroBatchStream(list: () => Seq[(String, Int, Int)],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = toOffset(start)
     val e = toOffset(end)
-    list().filter { case (_, t, seq) => seq > s.seqFor(t) && seq <= e.seqFor(t) }
+    val selected = list().filter { case (_, t, seq) =>
+      seq > s.seqFor(t) && seq <= e.seqFor(t)
+    }
+    // the committed range (start, end] was admitted against an EARLIER
+    // listing: a file that vanished since (retention racing the batch,
+    // or a restart recovering this exact batch after the loss) must
+    // FAIL the batch, not silently shrink it — the offset will commit
+    // as if the data was read. Per thread the admitted range is
+    // contiguous, so it suffices that the selected seqs run gapless
+    // from the start watermark (+1, when one exists) to exactly e(t).
+    val byThread = selected.groupBy(_._2)
+    e.threadSeqs.foreach { case (t, endSeq) =>
+      val startSeq = s.seqFor(t)
+      if (endSeq > startSeq) {
+        val seqs = byThread.getOrElse(t, Nil).map(_._3).sorted
+        val contiguous = seqs.nonEmpty && seqs.last == endSeq &&
+          seqs.zip(seqs.tail).forall { case (a, b) => b == a + 1 } &&
+          (!s.threadSeqs.contains(t) || seqs.head == startSeq + 1)
+        require(contiguous,
+          s"redo thread $t: batch range ($startSeq, $endSeq] admitted " +
+            s"earlier now lists only seqs ${seqs.mkString(",")} — a log " +
+            "was removed between admission and planning; the batch " +
+            "cannot proceed without losing its data")
+      }
+    }
+    selected
       .map { case (f, _, _) => RedoFilePartition(f, tables, ops): InputPartition }
       .toArray
   }

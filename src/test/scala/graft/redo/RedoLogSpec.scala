@@ -195,6 +195,54 @@ class RedoOffsetSpec extends AnyFunSuite {
     assert(s.latestOffset(RedoFileOffset.empty, ReadLimit.allAvailable())
       === RedoFileOffset(Map(1 -> 4, 2 -> 3)))
   }
+
+  test("retention eating unconsumed sequences aborts instead of skipping") {
+    // watermark 5, logs 6-7 archived away before consumption, listing
+    // resumes (contiguously!) at 8 — admitting it would silently lose
+    // seqs 6-7; the reference aborts its mining range the same way
+    val s = stream(Seq(("h", 1, 8), ("i", 1, 9)))
+    val wm = RedoFileOffset(Map(1 -> 5))
+    val ex = intercept[IllegalArgumentException] {
+      s.latestOffset(wm, ReadLimit.allAvailable())
+    }
+    assert(ex.getMessage.contains("6..7"))
+    // a FRESH start (no watermark for the thread) accepts any first seq
+    assert(s.latestOffset(RedoFileOffset.empty, ReadLimit.allAvailable())
+      === RedoFileOffset(Map(1 -> 9)))
+  }
+
+  test("a file vanishing between admission and planning fails the batch") {
+    // end offset admitted seqs 3-4 against an earlier listing; by plan
+    // time seq 3's file is gone — committing the batch anyway would
+    // record the data as read
+    val s = stream(Seq(("c", 1, 4))) // seq 3 vanished
+    val ex = intercept[IllegalArgumentException] {
+      s.planInputPartitions(RedoFileOffset(Map(1 -> 2)), RedoFileOffset(Map(1 -> 4)))
+    }
+    assert(ex.getMessage.contains("removed between admission and planning"))
+    // with the full listing present the same plan succeeds
+    val ok = stream(Seq(("b", 1, 3), ("c", 1, 4)))
+      .planInputPartitions(RedoFileOffset(Map(1 -> 2)), RedoFileOffset(Map(1 -> 4)))
+    assert(ok.length === 2)
+  }
+
+  test("sequence 0 is visible to a fresh stream (unseen-thread watermark is open)") {
+    // a 0-based writer's first log must not be filtered by a 0 default
+    val s = stream(Seq(("z", 1, 0), ("a", 1, 1)))
+    assert(s.latestOffset(RedoFileOffset.empty, ReadLimit.allAvailable())
+      === RedoFileOffset(Map(1 -> 1)))
+    val planned = s.planInputPartitions(RedoFileOffset.empty,
+      RedoFileOffset(Map(1 -> 1)))
+      .map(_.asInstanceOf[RedoFilePartition].file).toSeq
+    assert(planned === Seq("z", "a"))
+  }
+
+  test("listing a missing redo directory is an error, not an empty archive") {
+    val ex = intercept[java.io.IOException] {
+      LocalRedoProvider.list("/nonexistent/graft-redo-dir")
+    }
+    assert(ex.getMessage.contains("cannot list redo directory"))
+  }
 }
 
 class RedoSourceSpec extends AnyFunSuite {
