@@ -31,9 +31,12 @@ object SqlRedoParser {
   def parse(sql: String): SqlRedoChange = {
     val s = sql.trim.stripSuffix(";")
     val lower = s.toLowerCase
-    if (lower.startsWith("insert into ")) parseInsert(s)
-    else if (lower.startsWith("update ")) parseUpdate(s)
-    else if (lower.startsWith("delete from ")) parseDelete(s)
+    // dispatch on the first keyword only — the statement parsers match
+    // the full keyword sequence whitespace-agnostically (LogMiner output
+    // may break lines anywhere)
+    if (lower.startsWith("insert")) parseInsert(s)
+    else if (lower.startsWith("update")) parseUpdate(s)
+    else if (lower.startsWith("delete")) parseDelete(s)
     else throw new IllegalArgumentException(
       s"unsupported SQL_REDO statement: ${s.take(40)}…")
   }
@@ -42,7 +45,7 @@ object SqlRedoParser {
 
   private def parseInsert(s: String): SqlRedoChange = {
     val p = new Cursor(s)
-    p.expectIgnoreCase("insert into ")
+    p.expectKeyword("insert"); p.expectKeyword("into")
     val (owner, table) = p.qualifiedName()
     p.skipWs(); p.expect('(')
     val cols = new ArrayBuffer[String]()
@@ -64,15 +67,15 @@ object SqlRedoParser {
     }
     require(cols.length == vals.length,
       s"column/value count mismatch: ${cols.length} vs ${vals.length}")
-    SqlRedoChange(Ops.Insert, owner, table,
-      LinkedHashMap(cols.zip(vals).toSeq: _*).toMap, Map.empty)
+    p.expectEnd()
+    SqlRedoChange(Ops.Insert, owner, table, cols.zip(vals).toMap, Map.empty)
   }
 
   private def parseUpdate(s: String): SqlRedoChange = {
     val p = new Cursor(s)
-    p.expectIgnoreCase("update ")
+    p.expectKeyword("update")
     val (owner, table) = p.qualifiedName()
-    p.skipWs(); p.expectIgnoreCase("set ")
+    p.expectKeyword("set")
     val set = LinkedHashMap[String, Option[String]]()
     var inSet = true
     while (inSet) {
@@ -85,18 +88,20 @@ object SqlRedoParser {
     }
     val where =
       if (p.atEnd) Map.empty[String, Option[String]]
-      else { p.expectIgnoreCase("where "); parseWhere(p) }
+      else { p.expectKeyword("where"); parseWhere(p) }
+    p.expectEnd()
     SqlRedoChange(Ops.Update, owner, table, set.toMap, where)
   }
 
   private def parseDelete(s: String): SqlRedoChange = {
     val p = new Cursor(s)
-    p.expectIgnoreCase("delete from ")
+    p.expectKeyword("delete"); p.expectKeyword("from")
     val (owner, table) = p.qualifiedName()
     p.skipWs()
     val where =
       if (p.atEnd) Map.empty[String, Option[String]]
-      else { p.expectIgnoreCase("where "); parseWhere(p) }
+      else { p.expectKeyword("where"); parseWhere(p) }
+    p.expectEnd()
     SqlRedoChange(Ops.Delete, owner, table, Map.empty, where)
   }
 
@@ -108,10 +113,10 @@ object SqlRedoParser {
       p.skipWs()
       val col = p.identifier()
       p.skipWs()
-      if (p.tryConsumeIgnoreCase("is null")) out += col -> None
+      if (p.tryConsumeKeyword("is")) { p.expectKeyword("null"); out += col -> None }
       else { p.expect('='); p.skipWs(); out += col -> p.value() }
       p.skipWs()
-      more = p.tryConsumeIgnoreCase("and ")
+      more = p.tryConsumeKeyword("and")
     }
     out.toMap
   }
@@ -138,6 +143,32 @@ object SqlRedoParser {
     def tryConsumeIgnoreCase(tok: String): Boolean =
       if (s.regionMatches(true, i, tok, 0, tok.length)) { i += tok.length; true }
       else false
+
+    /** Case-insensitive KEYWORD match: requires a word boundary after
+      * (so `and` never matches the prefix of `android`) and swallows any
+      * following whitespace — LogMiner output may break lines (CR/LF)
+      * where the old literal-trailing-space matchers demanded ' '. */
+    def tryConsumeKeyword(tok: String): Boolean = {
+      skipWs()
+      if (s.regionMatches(true, i, tok, 0, tok.length) && {
+        val j = i + tok.length
+        j >= s.length || !(s(j).isLetterOrDigit || s(j) == '_' ||
+          s(j) == '$' || s(j) == '#')
+      }) { i += tok.length; skipWs(); true }
+      else false
+    }
+
+    def expectKeyword(tok: String): Unit =
+      if (!tryConsumeKeyword(tok))
+        throw new IllegalArgumentException(
+          s"expected '$tok' at $i in: ${s.slice(math.max(0, i - 20), i + 20)}")
+
+    /** The whole statement must be consumed: silently ignoring a
+      * trailing `or …` predicate or junk would emit a TRUNCATED image
+      * as a valid change. */
+    def expectEnd(): Unit =
+      if (!atEnd) throw new IllegalArgumentException(
+        s"unparsed trailing input at $i: '${s.substring(i).take(40)}'")
 
     /** `"OWNER"."TABLE"` or unquoted `owner.table`. */
     def qualifiedName(): (String, String) = {
@@ -204,9 +235,12 @@ object SqlRedoParser {
         }
         Some(v)
       } else {
-        // bare literal (numeric); runs to comma/paren/whitespace
+        // bare literal (numeric); runs to comma/paren/ANY whitespace —
+        // the old explicit " \t\n" set let a CR ride into the value on
+        // CRLF-formatted statements
         val start = i
-        while (i < s.length && !",) \t\n".contains(s(i))) i += 1
+        while (i < s.length && s(i) != ',' && s(i) != ')' &&
+          !s(i).isWhitespace) i += 1
         require(i > start, s"empty value at $start")
         Some(s.substring(start, i))
       }

@@ -80,10 +80,21 @@ object DictionaryReader {
       case "ROWID" => StructType(Seq(StructField("ORA_ROW_ID", StringType, false)))
       case "NONE" => StructType(Nil)
       // fields in keyCols (KEY_SEQ / index ordinal) order, NOT table
-      // column order — consumers bind key values positionally
-      case _ => StructType(keyCols.flatMap(k =>
-        columns.find(_.name == k)
-          .map(c => StructField(c.name, colType(c), nullable = false))))
+      // column order — consumers bind key values positionally, so a key
+      // column missing from the column list (a function-based index's
+      // hidden SYS_NC expression column, say) must FAIL here: silently
+      // dropping it would misbind every key field after it. Nullability
+      // comes from the column — AnyUnique/override keys can legally sit
+      // on nullable unique-index columns, and a hardcoded false would
+      // crash key serializers on the first NULL
+      case _ => StructType(keyCols.map { k =>
+        val c = columns.find(_.name == k).getOrElse(
+          throw new IllegalArgumentException(
+            s"key column $k of $schema.$table is not a table column " +
+              "(function-based or hidden index column?) — override the " +
+              "key or exclude the index"))
+        StructField(c.name, colType(c), nullable = c.nullable)
+      })
     }
   }
 
@@ -189,12 +200,16 @@ object DictionaryReader {
       else if (c.scale == 0 && c.precision < 5) ShortType
       else if (c.scale == 0 && c.precision < 10) IntegerType
       else if (c.scale == 0 && c.precision < 19) LongType
+      else if (c.scale < 0)
+        // Oracle NUMBER(p,-s) rounds to 10^s and stores up to p+s digits
+        // (NUMBER(5,-2) holds 9_999_900): the integer width is p - scale,
+        // clamped to Spark's 38-digit maximum
+        DecimalType(math.min(38, c.precision - c.scale), 0)
       else {
         // Oracle allows NUMBER(p,s) with s > p (values < 1 carrying s
         // fraction digits); Spark requires precision >= scale, so widen
         // the precision to hold the scale
-        val sc = math.max(0, c.scale)
-        DecimalType(math.max(c.precision, sc), sc)
+        DecimalType(math.max(c.precision, c.scale), c.scale)
       }
     case Types.CHAR | Types.VARCHAR | Types.LONGVARCHAR | Types.NCHAR |
          Types.NVARCHAR | Types.LONGNVARCHAR | Types.CLOB | Types.NCLOB |

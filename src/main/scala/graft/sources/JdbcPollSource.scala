@@ -72,12 +72,23 @@ object JdbcPollSource {
         if (bd == null) null else org.apache.spark.sql.types.Decimal(bd)
       case BinaryType => rs.getBytes(i)
       case TimestampNTZType =>
-        // NTZ carries the LOCAL datetime as-if-UTC — getTime would shift
-        // by the JVM zone offset
-        val t = rs.getTimestamp(i)
-        if (t == null) null
-        else t.toLocalDateTime.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-          t.getNanos / 1000
+        // NTZ carries the LOCAL datetime as-if-UTC. Read the JDBC 4.2
+        // LocalDateTime object directly: a java.sql.Timestamp round-trip
+        // represents the value as an instant in the JVM default zone, so
+        // a wall-clock value inside the zone's DST spring-forward gap
+        // (02:30 on switch day) silently shifts by an hour. Drivers
+        // predating java.time support fall back to the old path (which
+        // is exact outside DST gaps).
+        val ldt =
+          try rs.getObject(i, classOf[java.time.LocalDateTime])
+          catch {
+            case _: java.sql.SQLException | _: AbstractMethodError =>
+              val t = rs.getTimestamp(i)
+              if (t == null) null else t.toLocalDateTime
+          }
+        if (ldt == null) null
+        else ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000
       case TimestampType =>
         val t = rs.getTimestamp(i)
         if (t == null) null else t.getTime * 1000L + (t.getNanos / 1000) % 1000
@@ -152,15 +163,24 @@ class JdbcPollStream(schema: StructType, options: CaseInsensitiveStringMap)
   @volatile private var pinnedWm: Option[WmOffset] = None
   override def prepareForTriggerAvailableNow(): Unit = pinnedWm = Some(pollMaxWm())
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    pinnedWm.getOrElse(pollMaxWm())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // clamp to the committed start: a polled max BELOW it (restart with
+    // a larger lagBehind, or high-watermark rows deleted) would regress
+    // the checkpoint, and the next advance past it would re-emit every
+    // already-delivered row in the regressed window
+    val polled = pinnedWm.getOrElse(pollMaxWm()).wm
+    WmOffset(math.max(polled, start.asInstanceOf[WmOffset].wm))
+  }
   override def reportLatestOffset(): Offset = pollMaxWm()
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
   override def deserializeOffset(json: String): Offset =
-    WmOffset("""-?\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(startWm))
+    WmOffset("""-?\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"unparseable graft-jdbc-poll offset: '$json' — a corrupted " +
+          "checkpoint must fail, not silently restart from startWm")))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -195,9 +215,13 @@ class JdbcPollReaderFactory(schema: StructType) extends PartitionReaderFactory {
       private val conn = DriverManager.getConnection(p.url)
       private val rs =
         try {
+          // no ORDER BY: nothing downstream assumes intra-partition order
+          // (the stitcher documents "chunk arrival order is NOT assumed",
+          // and commit ordering rides the assembler's sort) — forcing the
+          // database to sort every window on an unindexed wm column was
+          // pure wasted work per micro-batch
           val st = conn.prepareStatement(
-            s"SELECT * FROM ${p.table} WHERE ${p.wmColumn} > ? AND ${p.wmColumn} <= ? " +
-              s"ORDER BY ${p.wmColumn}")
+            s"SELECT * FROM ${p.table} WHERE ${p.wmColumn} > ? AND ${p.wmColumn} <= ?")
           st.setLong(1, p.lo)
           st.setLong(2, p.hi)
           st.setFetchSize(p.fetchSize)

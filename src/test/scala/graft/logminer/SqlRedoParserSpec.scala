@@ -59,4 +59,28 @@ class SqlRedoParserSpec extends AnyFunSuite {
     assert(parse("""delete from "S"."T" where "K" = 1;""").op === Ops.Delete)
     intercept[IllegalArgumentException] { parse("merge into t using ...") }
   }
+
+  test("unparsed trailing input fails loudly instead of truncating the image") {
+    // an OR predicate the grammar does not support must not silently
+    // become a where-image missing its second half
+    val ex = intercept[IllegalArgumentException] {
+      parse("""delete from "S"."T" where "A" = 1 or "B" = 2""")
+    }
+    assert(ex.getMessage.contains("unparsed trailing"))
+    intercept[IllegalArgumentException] {
+      parse("""insert into "S"."T"("A") values(1) garbage""")
+    }
+    intercept[IllegalArgumentException] {
+      parse("""update "S"."T" set "A" = 1 where "B" = 2 or "C" = 3""")
+    }
+  }
+
+  test("CRLF/newline-formatted statements parse (keywords and bare values)") {
+    val c = parse("update \"S\".\"T\"\r\nset \"A\" = 123\r\nwhere\n\"B\" = 4\r\nand\n\"C\" IS\nNULL")
+    assert(c.set === Map("A" -> Some("123")))
+    assert(c.where === Map("B" -> Some("4"), "C" -> None))
+    // keyword boundary: a column named ANDCOL is an identifier, not 'and'
+    val d = parse("delete from \"S\".\"T\" where \"X\" = 1 and ANDCOL = 2")
+    assert(d.where === Map("X" -> Some("1"), "ANDCOL" -> Some("2")))
+  }
 }

@@ -66,6 +66,36 @@ class DictionaryReaderSpec extends AnyFunSuite {
       === DoubleType)
   }
 
+  test("negative-scale NUMBER widens to hold its integer magnitude") {
+    // NUMBER(5,-2) stores values up to 9_999_900 — seven digits, not
+    // five: the type must be DECIMAL(p - s, 0), never DECIMAL(p, 0)
+    assert(sparkType(ColumnDef("X", java.sql.Types.NUMERIC, 5, -2, nullable = true))
+      === DecimalType(7, 0))
+    assert(sparkType(ColumnDef("X", java.sql.Types.NUMERIC, 3, -10, nullable = true))
+      === DecimalType(13, 0))
+    // clamped at Spark's 38-digit maximum
+    assert(sparkType(ColumnDef("X", java.sql.Types.NUMERIC, 38, -84, nullable = true))
+      === DecimalType(38, 0))
+  }
+
+  test("key schema: unknown key column errors; nullability follows the column") {
+    val cols = Seq(
+      ColumnDef("ID", java.sql.Types.BIGINT, 19, 0, nullable = false),
+      ColumnDef("ALT", java.sql.Types.VARCHAR, 20, 0, nullable = true))
+    // a unique index on a NULLABLE column (the AnyUnique rung): the key
+    // field must be nullable too, or serializers crash on the first NULL
+    val anyUnique = TableDef("S", "T", cols, Seq("ALT"), "ANY_UNIQUE")
+    assert(anyUnique.keySchema.fields.head.nullable)
+    val wellDefined = TableDef("S", "T", cols, Seq("ID"), "PRIMARY_KEY")
+    assert(!wellDefined.keySchema.fields.head.nullable)
+    // a key column that is not a table column (function-based index's
+    // hidden expression column) must fail, not silently vanish from the
+    // positionally-bound key schema
+    val hidden = TableDef("S", "T", cols, Seq("SYS_NC00003$"), "ANY_UNIQUE")
+    val ex = intercept[IllegalArgumentException] { hidden.keySchema }
+    assert(ex.getMessage.contains("SYS_NC00003$"))
+  }
+
   test("per-table key override: NOKEY, ROWID, INDEX(name) (a2.key.override)") {
     withDb { conn =>
       val st = conn.createStatement()
