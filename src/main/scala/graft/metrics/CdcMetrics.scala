@@ -28,7 +28,14 @@ trait CdcStreamMetricsMBean {
   def getProcessingTimeMsTotal: Long
 }
 
-class CdcStreamMetrics(name: String)
+/** @param queryName when set, only progress events of the streaming
+  *   query with that name (`.queryName(...)`) are counted — REQUIRED
+  *   whenever the session runs more than one query, or the per-name
+  *   MBean silently aggregates every query's numbers (including stray
+  *   debug sinks). None keeps the count-everything behavior for
+  *   single-query sessions.
+  */
+class CdcStreamMetrics(name: String, queryName: Option[String] = None)
     extends StreamingQueryListener with CdcStreamMetricsMBean {
 
   private val totalRows = new LongAdder
@@ -37,12 +44,21 @@ class CdcStreamMetrics(name: String)
   private val inputSecs = new DoubleAdder
   private val lastBatch = new AtomicLong(-1L)
   @volatile private var lastRate: Double = 0.0
+  @volatile private var installedOn: org.apache.spark.sql.SparkSession = _
 
   val objectName: ObjectName =
     new ObjectName(s"graft.cdc:type=stream-metrics,name=$name")
 
-  /** Register the MBean + the listener in one call. */
+  /** Register the MBean + the listener in one call. Re-installing a
+    * same-named metrics instance uninstalls the previous one's LISTENER
+    * too (the MBean alone was replaced before, leaking one listener —
+    * each processing every event — per restart on a long-lived
+    * session). */
   def install(spark: org.apache.spark.sql.SparkSession): CdcStreamMetrics = {
+    val prev = CdcStreamMetrics.installed.put(name, this)
+    if (prev != null && (prev ne this) && prev.installedOn != null)
+      prev.installedOn.streams.removeListener(prev)
+    installedOn = spark
     val mbs = ManagementFactory.getPlatformMBeanServer
     if (mbs.isRegistered(objectName)) mbs.unregisterMBean(objectName)
     mbs.registerMBean(this, objectName)
@@ -51,6 +67,7 @@ class CdcStreamMetrics(name: String)
   }
 
   def uninstall(spark: org.apache.spark.sql.SparkSession): Unit = {
+    CdcStreamMetrics.installed.remove(name, this)
     spark.streams.removeListener(this)
     val mbs = ManagementFactory.getPlatformMBeanServer
     if (mbs.isRegistered(objectName)) mbs.unregisterMBean(objectName)
@@ -60,16 +77,25 @@ class CdcStreamMetrics(name: String)
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
   override def onQueryProgress(e: QueryProgressEvent): Unit = {
     val p = e.progress
-    totalRows.add(p.numInputRows)
-    batches.increment()
-    lastBatch.set(p.batchId)
-    lastRate = p.processedRowsPerSecond
-    val trigger = Option(p.durationMs.get("triggerExecution"))
-      .map(_.longValue()).getOrElse(0L)
-    procMs.add(trigger)
-    // floor at 1 ms: sub-millisecond batches must still grow the
-    // denominator, or fast streams read as rate 0 / inflated
-    inputSecs.add(math.max(trigger, 1L) / 1000.0)
+    if (queryName.forall(_ == p.name)) {
+      batches.increment()
+      lastBatch.set(p.batchId)
+      lastRate = p.processedRowsPerSecond
+      val trigger = Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue()).getOrElse(0L)
+      procMs.add(trigger)
+      // ParsePerSecond measures ACTIVE parse rate: idle zero-row
+      // progress events (emitted every ~10 s on a quiet stream) must
+      // not grow the denominator, or a night of idling decays the
+      // reported rate toward zero — the reference's ParsePerSecond
+      // counts parse time only
+      if (p.numInputRows > 0) {
+        totalRows.add(p.numInputRows)
+        // floor at 1 ms: sub-millisecond batches must still grow the
+        // denominator, or fast streams read as rate 0 / inflated
+        inputSecs.add(math.max(trigger, 1L) / 1000.0)
+      }
+    }
   }
 
   override def getTotalRecordsCount: Long = totalRows.sum()
@@ -81,4 +107,11 @@ class CdcStreamMetrics(name: String)
   }
   override def getLastBatchRowsPerSecond: Double = lastRate
   override def getProcessingTimeMsTotal: Long = procMs.sum()
+}
+
+object CdcStreamMetrics {
+  /** name → currently-installed instance, so a re-install can remove
+    * the previous listener (see [[CdcStreamMetrics.install]]). */
+  private val installed =
+    new java.util.concurrent.ConcurrentHashMap[String, CdcStreamMetrics]()
 }

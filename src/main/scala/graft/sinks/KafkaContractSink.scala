@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.{BufferedWriter, File}
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -12,14 +12,22 @@ import org.apache.spark.sql.functions._
   * connector relies on (`KafkaStructDataBinder.java`, SourceRecord
   * semantics):
   *
-  *  - a record is (topic, partition, key, value);
+  *  - a record is (topic, partition, key, value); null key and null
+  *    value (tombstone) are legal and encoded as a NUL-char sentinel;
   *  - all records of one (topic, partition) are appended by exactly one
   *    task per batch, in sink order — Kafka's per-partition total order;
   *  - topic names come from the K1 mappers, partitions from key hash or
   *    the RAC THREAD#−1 rule.
   *
-  * Each (topic, partition) becomes one append-only `topic-partition
-  * .jsonl` file of `key TAB value` lines. Swapping this for
+  * With a `batchId`, each (topic, partition) run lands as ONE atomic
+  * per-batch segment `topic-partition.jsonl.b<id>` (temp write + atomic
+  * rename): Spark task RETRIES and checkpoint REPLAYS overwrite the
+  * same segment with identical content instead of re-appending —
+  * duplication-free where a plain append was only at-least-once. A
+  * partition's log is its segments concatenated in batch order (the id
+  * is zero-padded so name order IS batch order). Without a batchId the
+  * legacy single append-only `topic-partition.jsonl` file is kept (the
+  * one-shot test surface). Swapping this for
   * `writeStream.format("kafka")` is a config change: the routing
   * columns are the same ones the Kafka connector reads.
   *
@@ -29,15 +37,21 @@ import org.apache.spark.sql.functions._
   */
 object KafkaContractSink {
 
+  /** Encodes a null key (keyless record) or null value (tombstone) on
+    * the wire line — a raw NUL never occurs in JSON payloads. */
+  val NullToken = "\u0000"
+
   /** Catalyst form of `NameMappers.defaultTopic`: per-component
     * sanitation of the dotted table name, joined with the delimiter.
     * Runs codegen'd on every record — the mapper is on the hot path of
     * the whole change stream, so it must not be a driver-side lookup.
+    * Empty components (a stray dot) are dropped, matching the Scala
+    * mapper's component split.
     */
   def defaultTopicColumn(table: Column, prefix: String = "",
       delimiter: String = "_"): Column = {
     val sanitized = array_join(
-      transform(split(table, "\\."), c =>
+      transform(filter(split(table, "\\."), c => c =!= ""), c =>
         concat(
           when(c.rlike("^[A-Za-z_]"), lit("")).otherwise(lit("_")),
           regexp_replace(c, "[^A-Za-z0-9_]", "_"))),
@@ -59,14 +73,15 @@ object KafkaContractSink {
     * in-partition order (commit SCN first, like the reference's
     * delivery order).
     *
-    * Pass the foreachBatch `batchId` to make checkpoint REPLAYS
-    * idempotent: a batch whose done-marker exists is skipped. This
-    * covers the common failure mode (crash after delivery, before
-    * checkpoint commit). A crash in the middle of the file appends
-    * still duplicates that batch's prefix on replay — the same
-    * at-least-once contract a real Kafka producer without
-    * transactions has; exactly-once needs the transactional producer
-    * this double stands in for.
+    * Pass the foreachBatch `batchId` for idempotent delivery (atomic
+    * per-batch segments, see the class doc). The done-marker carries a
+    * CONTENT FINGERPRINT: a marker whose fingerprint matches this
+    * batch is a true replay and skips; a mismatch means the marker
+    * came from a DIFFERENT stream incarnation (checkpoint reset over a
+    * kept output dir, or two queries sharing it) — the batch is
+    * delivered anyway and the marker rewritten, where a bare
+    * batchId-keyed skip silently LOST every early batch of the new
+    * run.
     */
   def writeBatch(batch: DataFrame, dir: String, orderCols: Seq[String],
       batchId: Long = -1L): Unit = {
@@ -74,41 +89,90 @@ object KafkaContractSink {
     val missing = required.filterNot(batch.columns.contains)
     require(missing.isEmpty, s"kafka contract batch lacks columns: $missing")
     new File(dir).mkdirs()
-    val marker =
-      if (batchId >= 0) Some(new File(dir, s".batch-$batchId.done")) else None
-    if (marker.exists(_.exists())) return // replayed batch: already delivered
-    batch
+    val routed = batch
       .repartition(col("topic"), col("partition"))
       .sortWithinPartitions(
         (Seq(col("topic"), col("partition")) ++ orderCols.map(col)): _*)
       .select(col("topic"), col("partition"), col("key"), col("value"))
-      .foreachPartition { rows: Iterator[Row] =>
-        // after the sort, each (topic, partition) run is consecutive:
-        // one open file at a time, pure append
-        var current: (String, Int) = null
-        var out: BufferedWriter = null
-        try {
-          rows.foreach { r =>
-            val tp = (r.getString(0), r.getInt(1))
-            if (tp != current) {
-              if (out != null) out.close()
-              current = tp
-              // explicit UTF-8: a real Kafka producer delivers UTF-8
-              // bytes; the platform-default charset would corrupt
-              // non-ASCII payloads on non-UTF-8 JVMs
+    val marker =
+      if (batchId >= 0) Some(new File(dir, s".batch-$batchId.done")) else None
+    val fingerprint: Option[String] = marker.map { _ =>
+      // deterministic content fingerprint (row-order-independent): the
+      // same logical batch replayed computes the same value
+      val r = batch.select(
+        count(lit(1)).cast("long"),
+        coalesce(sum(hash(col("topic"), col("partition"), col("key"),
+          col("value")).cast("long")), lit(0L))).head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
+    }
+    marker.filter(_.exists()).foreach { m =>
+      val stored = new String(java.nio.file.Files.readAllBytes(m.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (stored == fingerprint.get || stored.isEmpty) return // true replay
+      // fingerprint mismatch: fall through and deliver (segments are
+      // atomic overwrites), then rewrite the marker below
+    }
+    val bid = batchId
+    routed.foreachPartition { rows: Iterator[Row] =>
+      // after the sort, each (topic, partition) run is consecutive:
+      // one open segment at a time, streamed once
+      def enc(s: String): String = if (s == null) NullToken else s
+      var current: (String, Int) = null
+      var out: BufferedWriter = null
+      var tmp: java.nio.file.Path = null
+      var fin: java.nio.file.Path = null
+      def closeSegment(): Unit = if (out != null) {
+        out.close(); out = null
+        if (tmp != null) {
+          // atomic appearance: a retry/replay re-produces the identical
+          // segment and the rename replaces it — never a partial append
+          java.nio.file.Files.move(tmp, fin,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          tmp = null
+        }
+      }
+      try {
+        rows.foreach { r =>
+          val tp = (r.getString(0), r.getInt(1))
+          if (tp != current) {
+            closeSegment()
+            current = tp
+            // explicit UTF-8: a real Kafka producer delivers UTF-8
+            // bytes; the platform-default charset would corrupt
+            // non-ASCII payloads on non-UTF-8 JVMs
+            if (bid >= 0) {
+              fin = new File(dir,
+                f"${tp._1}-${tp._2}.jsonl.b$bid%09d").toPath
+              tmp = new File(dir,
+                f".${tp._1}-${tp._2}.b$bid%09d.inprogress").toPath
+              out = java.nio.file.Files.newBufferedWriter(tmp,
+                java.nio.charset.StandardCharsets.UTF_8)
+            } else {
+              fin = null; tmp = null
               out = java.nio.file.Files.newBufferedWriter(
                 new File(dir, s"${tp._1}-${tp._2}.jsonl").toPath,
                 java.nio.charset.StandardCharsets.UTF_8,
                 java.nio.file.StandardOpenOption.CREATE,
                 java.nio.file.StandardOpenOption.APPEND)
             }
-            out.write(r.getString(2))
-            out.write('\t')
-            out.write(r.getString(3))
-            out.write('\n')
           }
-        } finally if (out != null) out.close()
+          out.write(enc(r.getString(2)))
+          out.write('\t')
+          out.write(enc(r.getString(3)))
+          out.write('\n')
+        }
+        closeSegment()
+      } finally if (out != null) {
+        // failure path: close the stream and remove the partial temp —
+        // a retry rewrites it from scratch
+        try out.close() catch { case _: Throwable => () }
+        if (tmp != null) java.nio.file.Files.deleteIfExists(tmp)
       }
-    marker.foreach(_.createNewFile())
+    }
+    marker.foreach { m =>
+      java.nio.file.Files.write(m.toPath,
+        fingerprint.get.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 }

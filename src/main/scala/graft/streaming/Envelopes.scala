@@ -24,9 +24,14 @@ object Envelopes {
       .when(op === Ops.Ddl, lit("DDL"))
       .otherwise(lit("UNKNOWN"))
 
-  /** Debezium-style envelope: before/after/source/op/ts_ms. */
+  /** Debezium-style envelope: before/after/source/op/ts_ms. DDL records
+    * are FILTERED — they are schema metadata, not row changes (Debezium
+    * routes them to a schema-change topic, never the data topics); the
+    * registry/history path ([[graft.cdc.SchemaRegistry]]) consumes them,
+    * and an op="?" record would fail schema-validated consumers.
+    */
   def debezium(changes: Dataset[EmittedChange], instance: String): DataFrame =
-    changes.select(
+    changes.filter(col("op") =!= Ops.Ddl).select(
       col("before"),
       col("after"),
       struct(
@@ -39,12 +44,23 @@ object Envelopes {
       opLetter(col("op")).as("op"),
       (col("tsMicros") / 1000L).cast("long").as("ts_ms"))
 
-  /** Kafka-connector-style envelope: key struct + value struct. */
+  /** Kafka-connector-style envelope: key struct + value struct. The key
+    * reads each key column from the op's primary image, FALLING BACK to
+    * the other image: a partial UPDATE's after-image carries only its
+    * SET columns (the key lives in the before/undo image unless the key
+    * itself was updated), and a key built from the after-image alone
+    * would hash such updates to a different partition than the row's
+    * INSERT/DELETE — breaking Kafka per-key ordering and compaction.
+    */
   def kafkaKeyValue(changes: Dataset[EmittedChange], keyCols: Seq[String]): DataFrame = {
     val img = when(col("op") === Ops.Delete, col("before")).otherwise(col("after"))
+    val alt = when(col("op") === Ops.Delete, col("after")).otherwise(col("before"))
+    val keyEntries = array(keyCols.map(k => struct(
+      lit(k).as("key"),
+      coalesce(element_at(img, k), element_at(alt, k)).as("value"))): _*)
     changes.select(
       col("table"),
-      map_filter(img, (k, _) => k.isin(keyCols.map(lit): _*)).as("key"),
+      map_from_entries(filter(keyEntries, e => e("value").isNotNull)).as("key"),
       img.as("value"),
       opName(col("op")).as("operation"))
   }
@@ -56,7 +72,10 @@ object Envelopes {
     * the contract partial-update sinks (K4) rely on.
     */
   def wrapped(changes: Dataset[EmittedChange]): DataFrame =
-    changes.select(
+    // DDL filtered like [[debezium]]: K4 partial-update sinks treat any
+    // non-"d" op as an upsert, so a transiting ALTER TABLE would insert
+    // a spurious key-only row
+    changes.filter(col("op") =!= Ops.Ddl).select(
       col("table"), col("xid"), col("scn"), col("commitScn").as("commit_scn"),
       opLetter(col("op")).as("op"),
       transform_values(col("before"), (_, v) => struct(v.as("V"))).as("before_w"),

@@ -49,4 +49,53 @@ class CdcMetricsSpec extends AnyFunSuite {
         .asInstanceOf[Double] >= 0.0)
     } finally metrics.uninstall(spark)
   }
+
+  test("queryName filter isolates one stream's numbers from its neighbors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // MBean 'filtered' watches ONLY query q_a; a neighbor query q_b on
+    // the same session must not pollute it (the unfiltered default
+    // aggregates everything — documented)
+    val metrics = new CdcStreamMetrics("filtered", queryName = Some("q_a"))
+      .install(spark)
+    try {
+      val inA = MemoryStream[Long]; val inB = MemoryStream[Long]
+      val qA = inA.toDF().writeStream.format("memory")
+        .queryName("q_a").outputMode("append").start()
+      val qB = inB.toDF().writeStream.format("memory")
+        .queryName("q_b").outputMode("append").start()
+      inA.addData(1L to 10L: _*); inB.addData(1L to 90L: _*)
+      qA.processAllAvailable(); qB.processAllAvailable()
+      qA.stop(); qB.stop()
+      val deadline = System.currentTimeMillis() + 20000
+      while (metrics.getTotalRecordsCount < 10 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(metrics.getTotalRecordsCount == 10,
+        s"q_b's rows leaked into q_a's MBean: ${metrics.getTotalRecordsCount}")
+    } finally metrics.uninstall(spark)
+  }
+
+  test("re-install replaces the previous listener instead of stacking it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val first = new CdcStreamMetrics("restacked").install(spark)
+    val second = new CdcStreamMetrics("restacked").install(spark)
+    try {
+      val input = MemoryStream[Long]
+      val q = input.toDF().writeStream.format("memory")
+        .queryName("restack_out").outputMode("append").start()
+      input.addData(1L to 5L: _*)
+      q.processAllAvailable()
+      q.stop()
+      val deadline = System.currentTimeMillis() + 20000
+      while (second.getTotalRecordsCount < 5 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(second.getTotalRecordsCount == 5)
+      // the replaced instance's listener was removed — it saw nothing
+      assert(first.getTotalRecordsCount == 0,
+        "previous install's listener still receives events")
+    } finally second.uninstall(spark)
+  }
 }

@@ -81,12 +81,14 @@ class KafkaContractSinkSpec extends AnyFunSuite {
     q.stop()
 
     val dataFiles = new File(outDir).listFiles()
-      .filterNot(_.getName.startsWith(".")) // skip batch done-markers
+      .filterNot(_.getName.startsWith(".")) // skip markers + inprogress
+    // batch-id-carrying runs write per-batch atomic segments,
+    // name-sorted in batch order
     val files = dataFiles.map(_.getName).sorted.toSeq
     // topics routed per table with the sanitized cdc_ prefix
     assert(files.forall(f => f.startsWith("cdc_G_ACCTS-") || f.startsWith("cdc_G_ORDERS-")))
     // every committed change delivered exactly once
-    val lines = dataFiles.flatMap { f =>
+    val lines = dataFiles.sortBy(_.getName).flatMap { f =>
       scala.io.Source.fromFile(f).getLines().map(f.getName -> _).toList
     }.toSeq
     assert(lines.size == 4) // 3 from txA + 1 from txB; rollback-free
@@ -97,14 +99,53 @@ class KafkaContractSinkSpec extends AnyFunSuite {
     }.toMap
     lines.foreach { case (file, line) =>
       val key = line.split('\t')(0)
-      assert(file.endsWith(s"-${expectPart(key)}.jsonl"), s"$key in $file")
+      assert(file.contains(s"-${expectPart(key)}.jsonl"), s"$key in $file")
     }
-    // per-file commit order is non-decreasing (Kafka per-partition order)
-    lines.groupBy(_._1).foreach { case (_, fl) =>
+    // per-PARTITION commit order is non-decreasing across batch
+    // segments concatenated in name (= batch) order — Kafka's
+    // per-partition total order
+    lines.groupBy(_._1.split("\\.jsonl")(0)).foreach { case (_, fl) =>
       val commits = fl.map(_._2.split('\t')(1))
         .map(v => ujsonField(v, "commitScn"))
       assert(commits == commits.sorted, s"out-of-order delivery: $commits")
     }
+  }
+
+  test("a checkpoint reset over a kept output dir redelivers instead of skipping") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("k1_reset").toFile.getAbsolutePath
+    def batch(v: String) = Seq(("t", 0, "k1", v))
+      .toDF("topic", "partition", "key", "value").withColumn("scn", lit(1L))
+    // first stream incarnation writes batch 0
+    KafkaContractSink.writeBatch(batch("old-run"), out, Seq("scn"), batchId = 0)
+    // true replay of the SAME batch: skipped (fingerprint matches)
+    KafkaContractSink.writeBatch(batch("old-run"), out, Seq("scn"), batchId = 0)
+    // NEW incarnation (checkpoint reset): batchId 0 again but DIFFERENT
+    // content — a bare batchId-keyed skip would silently lose it
+    KafkaContractSink.writeBatch(batch("new-run"), out, Seq("scn"), batchId = 0)
+    val seg = new File(out).listFiles()
+      .filter(f => !f.getName.startsWith(".") && f.getName.startsWith("t-0"))
+    assert(seg.length == 1)
+    val content = scala.io.Source.fromFile(seg.head).getLines().toList
+    assert(content == List("k1\tnew-run"))
+  }
+
+  test("null key and null value (tombstone) encode instead of NPEing") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("k1_null").toFile.getAbsolutePath
+    val batch = Seq(
+      (Option("k1"), Option.empty[String]),  // tombstone
+      (Option.empty[String], Option("v2"))   // keyless record
+    ).toDF("key", "value")
+      .withColumn("topic", lit("t")).withColumn("partition", lit(0))
+      .withColumn("scn", monotonically_increasing_id())
+    KafkaContractSink.writeBatch(batch, out, Seq("scn"), batchId = 0)
+    val seg = new File(out).listFiles()
+      .filter(f => !f.getName.startsWith(".")).head
+    val lines = scala.io.Source.fromFile(seg, "UTF-8").getLines().toList
+    val nul = KafkaContractSink.NullToken
+    assert(lines.contains(s"k1\t$nul"))
+    assert(lines.contains(s"$nul\tv2"))
   }
 
   private def ujsonField(json: String, field: String): Long = {
