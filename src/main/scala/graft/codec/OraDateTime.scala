@@ -34,10 +34,17 @@ object OraDateTime {
     epochSec * 1000000L + nanos / 1000L
   }
 
-  /** Encode epoch micros (UTC) to 7-byte DATE (truncates sub-second). */
+  /** Encode epoch micros (UTC) to 7-byte DATE (truncates sub-second).
+    * The excess-100 century byte holds years −10100..15300 at most;
+    * Oracle DATE itself spans −4712..9999 — enforce the wire format's
+    * own bound so a legal-but-out-of-range Spark timestamp fails
+    * loudly instead of silently wrapping the century byte (year 20000
+    * would round-trip as −5600). */
   def encodeDate(micros: Long): Array[Byte] = {
     val ldt = LocalDateTime.ofInstant(
       Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L)), ZoneOffset.UTC)
+    require(ldt.getYear >= -4712 && ldt.getYear <= 9999,
+      s"year ${ldt.getYear} outside the Oracle DATE range -4712..9999")
     Array(
       (ldt.getYear / 100 + 100).toByte, (ldt.getYear % 100 + 100).toByte,
       ldt.getMonthValue.toByte, ldt.getDayOfMonth.toByte,

@@ -121,6 +121,11 @@ object OraNumber {
     while (tmp(lo) == 0) lo += 1 // strip trailing zero base-100 digits
     val m = n - lo
     val exp = (n - 1) - scale / 2
+    // same wire bound the general encode() enforces: without it a large
+    // scale (exp < -65) wraps the excess-193 byte below the sign bit and
+    // the bytes DECODE as an unrelated negative number
+    require(exp >= -65 && exp <= 62,
+      s"NUMBER exponent out of range: ${unscaled0}E-$scale0")
     if (positive) {
       val out = new Array[Byte](1 + m)
       out(0) = (193 + exp).toByte

@@ -103,9 +103,14 @@ object Oson {
     try decode0(bytes)
     catch {
       // truncated/garbage images surface as stray index errors deep in
-      // the tree walk — normalize to the codec's own failure type
+      // the tree walk — normalize to the codec's own failure type.
+      // IllegalArgumentException covers a truncated NUMBER scalar:
+      // Arrays.copyOfRange zero-PADS past end-of-array instead of
+      // throwing, and pad byte 0 is an invalid base-100 digit in both
+      // polarities, so OraNumber.decode rejects it (never mis-decodes)
+      // — but with its own exception type
       case _: ArrayIndexOutOfBoundsException | _: StringIndexOutOfBoundsException |
-           _: NegativeArraySizeException =>
+           _: NegativeArraySizeException | _: IllegalArgumentException =>
         throw new OsonException("corrupt OSON image (segment out of bounds)")
     }
 
@@ -147,8 +152,7 @@ object Oson {
     }
     val treeBase = fnamesBase + fnamesSegSize
     val fidW = if (numFnames > 0xff) 2 else 1
-    val treeOffW = offW // same flag governs both segments in this subset
-    readNode(bytes, treeBase, 0, names, fidW, treeOffW, depth = 0)
+    readNode(bytes, treeBase, 0, names, fidW, depth = 0)
   }
 
   /** Nesting bound: well-formed OSON trees are offset-acyclic, but a
@@ -158,8 +162,10 @@ object Oson {
     */
   private val MaxDepth = 256
 
+  // (no offset-width parameter: every container node derives its own
+  // offset width from its size-class byte)
   private def readNode(b: Array[Byte], base: Int, off: Int, names: Array[String],
-      fidW: Int, offW: Int, depth: Int): J = {
+      fidW: Int, depth: Int): J = {
     if (depth > MaxDepth)
       throw new OsonException("corrupt OSON image (cyclic or over-deep tree)")
     var p = base + off
@@ -173,12 +179,20 @@ object Oson {
         case other => throw new OsonException(f"unsupported container size class 0x$other%02x")
       }
       p += (if ((t & 0x3f) == 0x04) 1 else if ((t & 0x3f) == 0x08) 2 else 4)
+      // an attacker-controlled u32 count must not size an allocation
+      // before the bytes back it: count entries need at least count
+      // offset slots in the remaining image, so a ~2G count in a short
+      // image dies HERE as OsonException, not as an OutOfMemoryError
+      // (an Error the corrupt-image catch cannot normalize)
+      if (count.toLong * ow > (b.length - p).toLong)
+        throw new OsonException(
+          s"corrupt OSON image (container count $count exceeds remaining bytes)")
       if (isArray) {
         val items = Vector.newBuilder[J]
         var i = 0
         while (i < count) {
           val child = if (ow == 4) u32(b, p + i * 4) else u16(b, p + i * 2)
-          items += readNode(b, base, child, names, fidW, ow, depth + 1)
+          items += readNode(b, base, child, names, fidW, depth + 1)
           i += 1
         }
         JArr(items.result())
@@ -193,7 +207,7 @@ object Oson {
         i = 0
         while (i < count) {
           val child = if (ow == 4) u32(b, p + i * 4) else u16(b, p + i * 2)
-          fields += names(fids(i) - 1) -> readNode(b, base, child, names, fidW, ow, depth + 1)
+          fields += names(fids(i) - 1) -> readNode(b, base, child, names, fidW, depth + 1)
           i += 1
         }
         JObj(fields.result())
@@ -334,19 +348,21 @@ object Oson {
       write(j, 0)
       Some(out.toByteArray)
     }
-    val (treeBytes, large0) = tree(2) match {
-      case Some(t) => (t, false)
-      case None => (tree(4).get, true)
-    }
     // the large-variant dictionary header is u16 — silently truncating
     // a bigger dictionary would corrupt every field-id reference
     if (names.length > 0xffff)
       throw new OsonException(
         s"too many distinct field names for OSON: ${names.length} > 65535")
-    val large = large0 || names.length > 0xff || fnamesSegSize > 0xffff
-    // a large dictionary forces u32 tree offsets too (one flag governs both)
-    val treeFinal =
-      if (large && !large0) tree(4).get else treeBytes
+    // a large dictionary forces u32 tree offsets (one flag governs
+    // both), and it is known BEFORE any tree pass — don't size+write a
+    // u16 tree that is guaranteed to be discarded
+    val dictLarge = names.length > 0xff || fnamesSegSize > 0xffff
+    val (treeFinal, large) =
+      if (dictLarge) (tree(4).get, true)
+      else tree(2) match {
+        case Some(t) => (t, false)
+        case None => (tree(4).get, true)
+      }
 
     val out = new java.io.ByteArrayOutputStream(treeFinal.length + fnamesSegSize + 64)
     out.write(0xff); out.write(0x4a); out.write(0x5a); out.write(0x01)
@@ -470,7 +486,13 @@ object Oson {
               case 'f' => sb.append('\f'); case 'n' => sb.append('\n')
               case 'r' => sb.append('\r'); case 't' => sb.append('\t')
               case 'u' =>
-                sb.append(Integer.parseInt(s.substring(pos, pos + 4), 16).toChar)
+                if (pos + 4 > s.length) fail("bad \\u escape (truncated)")
+                val hex = s.substring(pos, pos + 4)
+                // strict 4 hex digits: Integer.parseInt(_, 16) would
+                // also accept a sign character ("+0041")
+                if (!hex.forall(ch => Character.digit(ch, 16) >= 0))
+                  fail(s"bad \\u escape \\u$hex")
+                sb.append(Integer.parseInt(hex, 16).toChar)
                 pos += 4
               case _ => fail(s"bad escape \\$e")
             }
@@ -485,7 +507,13 @@ object Oson {
       while (!eof && { val c = s.charAt(pos)
         (c >= '0' && c <= '9') || c == '.' || c == 'e' || c == 'E' || c == '+' || c == '-' }) pos += 1
       if (pos == start) fail("expected value")
-      JNum(new java.math.BigDecimal(s.substring(start, pos)))
+      val tok = s.substring(start, pos)
+      // STRICT JSON grammar — BigDecimal alone would also accept
+      // leading '+', leading zeros ("01") and bare fractions (".5"/"1."),
+      // letting invalid text round-trip into OSON images
+      if (!tok.matches("-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?"))
+        fail(s"invalid JSON number '$tok'")
+      JNum(new java.math.BigDecimal(tok))
     }
   }
 

@@ -131,6 +131,17 @@ object Tde {
     * A salted value derives its IV deterministically from the plaintext
     * (SHA-256 prefix), so encode∘decode is reproducible across engines
     * and partitionings.
+    *
+    * SECURITY NOTE — unsalted mode: the NO SALT wire layout carries NO
+    * IV (the reference's decrypter reads the same layout with a fixed
+    * IV), so every unsalted value under one data key encrypts under the
+    * SAME nonce. For GCM that is textbook nonce reuse: keystream XORs
+    * leak and the GHASH key is recoverable. That weakness is a property
+    * of the FORMAT this codec reproduces, not a choice this writer can
+    * fix without breaking format fidelity — this encrypt side exists to
+    * produce reference-format test fixtures; do NOT use it as a
+    * general-purpose encryption API, and prefer `salted = true`
+    * whenever the consuming layout permits.
     */
   def encrypt(plain: Array[Byte], dataKey: Array[Byte], encAlg: Int,
       intAlg: Int, salted: Boolean): Array[Byte] = {
@@ -219,14 +230,19 @@ final class TdeWallet(masterKeys: Map[String, Array[Byte]]) {
     out
   }
 
-  def decryptDataKey(masterKeyId: String, wrapped: Array[Byte]): Array[Byte] = {
-    val c = Cipher.getInstance("AES/GCM/NoPadding")
-    c.init(Cipher.DECRYPT_MODE, master(masterKeyId),
-      new GCMParameterSpec(128, wrapped, 0, 12))
-    try c.doFinal(wrapped, 12, wrapped.length - 12)
-    catch {
-      case e: java.security.GeneralSecurityException =>
+  def decryptDataKey(masterKeyId: String, wrapped: Array[Byte]): Array[Byte] =
+    // init + parameter construction INSIDE the try: a short blob throws
+    // IllegalArgumentException from GCMParameterSpec and a bad master
+    // key throws InvalidKeyException from init — both must surface as
+    // TdeException like every other failure of this codec
+    try {
+      val c = Cipher.getInstance("AES/GCM/NoPadding")
+      c.init(Cipher.DECRYPT_MODE, master(masterKeyId),
+        new GCMParameterSpec(128, wrapped, 0, 12))
+      c.doFinal(wrapped, 12, wrapped.length - 12)
+    } catch {
+      case e @ (_: java.security.GeneralSecurityException |
+                _: IllegalArgumentException) =>
         throw new Tde.TdeException(s"data-key unwrap failed: ${e.getMessage}", e)
     }
-  }
 }

@@ -46,4 +46,14 @@ object OraDateTimeProps extends Properties("OraDateTime") {
       OraDateTime.decodeTsTzMicros(OraDateTime.encodeTsTz(m, o1)) ==
         OraDateTime.decodeTsTzMicros(OraDateTime.encodeTsTz(m, o2))
     }
+
+  property("years outside the DATE range fail instead of wrapping the century") =
+    forAll(Gen.oneOf(20000, 12000, -8000, 99999)) { year =>
+      // year 20000 used to encode century byte 300.toByte = 44 and
+      // round-trip as year -5600 — silent corruption for a legal Spark
+      // timestamp
+      val micros = java.time.LocalDateTime.of(year, 6, 15, 12, 0, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+      scala.util.Try(OraDateTime.encodeDate(micros)).isFailure
+    }
 }

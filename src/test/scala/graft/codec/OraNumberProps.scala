@@ -80,4 +80,16 @@ object OraNumberProps extends Properties("OraNumber") {
         OraNumber.encode(a), OraNumber.encode(b))
       Integer.signum(cmp) == Integer.signum(a.compareTo(b))
     }
+
+  property("encodeUnscaled enforces the same exponent bound as encode") =
+    org.scalacheck.Prop.forAll(
+      org.scalacheck.Gen.choose(1L, 1000000L),
+      org.scalacheck.Gen.choose(140, 400)) { (u, scale) =>
+      // exp < -65: the general encode throws; the fast path used to wrap
+      // the excess-193 byte below the sign bit and DECODE as a negative
+      val fast = scala.util.Try(OraNumber.encodeUnscaled(u, scale))
+      val gen = scala.util.Try(
+        OraNumber.encode(java.math.BigDecimal.valueOf(u, scale)))
+      fast.isFailure == gen.isFailure
+    }
 }

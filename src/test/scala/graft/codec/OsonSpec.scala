@@ -142,6 +142,46 @@ class OsonSpec extends AnyFunSuite {
     intercept[OsonException](encodeText("""{"a":1"""))
   }
 
+  test("non-JSON number forms and signed \\u escapes are rejected") {
+    // BigDecimal would accept all of these — the parser must not
+    intercept[OsonException](encodeText("+1"))
+    intercept[OsonException](encodeText("[01]"))
+    intercept[OsonException](encodeText("[.5]"))
+    intercept[OsonException](encodeText("[1.]"))
+    intercept[OsonException](encodeText("[1e]"))
+    intercept[OsonException](encodeText("\"\\u+041\""))
+    // valid forms still parse
+    assert(decodeText(encodeText("[0, -0.5, 1e+3, 1.25E-2]")) ==
+      "[0,-0.5,1000,0.0125]")
+  }
+
+  test("huge container count in a short image raises OsonException, not OOM") {
+    val img = Array[Byte](
+      0xff.toByte, 0x4a, 0x5a, 0x01,
+      0x21, 0x06, // SmallFlags
+      0x00, // numFieldNames = 0
+      0x00, 0x00, // fnames seg size = 0
+      0x00, 0x09, // tree seg size
+      0x00, 0x00, // tiny-node stat
+      // object container with u32 count 0x7ffffff0 — sized before read
+      0x8c.toByte, 0x7f, 0xff.toByte, 0xff.toByte, 0xf0.toByte)
+    val ex = intercept[OsonException](decode(img))
+    assert(ex.getMessage.contains("count"))
+  }
+
+  test("image truncated mid-NUMBER normalizes to OsonException") {
+    // tree: NUMBER node (0x22 → 3 payload bytes) with only one byte left
+    val img = Array[Byte](
+      0xff.toByte, 0x4a, 0x5a, 0x01,
+      0x21, 0x06,
+      0x00,
+      0x00, 0x00,
+      0x00, 0x02,
+      0x00, 0x00,
+      0x22, 0xc1.toByte) // claims 3 number bytes; only 1 present
+    intercept[OsonException](decode(img))
+  }
+
   test("corrupt input fails loudly") {
     intercept[OsonException](decode(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)))
     intercept[OsonException](decode(refOson.take(20) ++ Array.fill[Byte](20)(0x7f)))
