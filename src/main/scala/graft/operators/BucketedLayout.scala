@@ -143,15 +143,54 @@ object BucketedLayout {
     * orders columns differently would otherwise be silently written
     * into the wrong columns (and the wrong buckets). The batch is then
     * repartitioned to the bucket spec so each task writes exactly its
-    * one bucket file. Compaction of many small per-batch files is the
-    * Compaction operator's job (SURVEY §2.21), same as any streamed
-    * lakehouse table.
+    * one bucket file. Compaction of many small per-batch files is
+    * [[Compaction.compactBucketed]]'s job (SURVEY §2.21 × §2.56) —
+    * the BUCKET-PRESERVING rewrite; plain [[Compaction.compact]] would
+    * strip the bucket ids and break the exchange-free scan.
     */
   def appendBatch(s: SparkSession, tableName: String, key: String,
       batch: DataFrame): Unit = {
     val tableCols = s.table(tableName).schema.fieldNames
-    batch.select(tableCols.map(col): _*)
-      .repartition(Buckets, col(key))
-      .write.mode("append").insertInto(tableName)
+    withBucketAlignedWrite(s) {
+      batch.select(tableCols.map(col): _*)
+        .repartition(Buckets, col(key))
+        .write.mode("append").insertInto(tableName)
+    }
   }
+
+  /** Run a bucketed write with AQE's local shuffle read disabled. A V1
+    * bucketed insert declares no required DISTRIBUTION (only the sort
+    * by bucket id), so AQE rewrites the `repartition(Buckets, key)`
+    * shuffle into per-MAPPER local reads — each writer task then holds
+    * a slice of EVERY bucket and emits one file per (task, bucket):
+    * correct bucket ids, but `mappers × Buckets` files per write
+    * (measured: 3 small appends → 191 files; a compaction rewrite →
+    * 153 files, re-fragmenting what it was healing). With the local
+    * read off, the hash read survives and each task writes exactly its
+    * one bucket file. Scoped save/restore, not a session default: the
+    * local-read optimization is right for every non-bucketed-write
+    * query.
+    *
+    * SYNCHRONIZED JVM-wide: the toggle lives in the session's SQLConf,
+    * so two concurrent bucketed writes (parallel test suites, two
+    * foreachBatch streams on one driver) could otherwise restore the
+    * flag under each other mid-plan — the loser's write re-fragments
+    * into (task × bucket) files. Those files are still VALID bucketed
+    * output (correctness never depends on this lock, and
+    * [[Compaction.compactBucketed]] heals fragmentation), so the lock
+    * guards plan quality only. It does serialize concurrent bucketed
+    * WRITES on one JVM — acceptable for micro-batch appends and
+    * maintenance rewrites, which are sequential per table anyway.
+    */
+  private[operators] def withBucketAlignedWrite[T](s: SparkSession)(f: => T): T =
+    synchronized {
+      val k = "spark.sql.adaptive.localShuffleReader.enabled"
+      val prev = s.conf.getOption(k)
+      s.conf.set(k, "false")
+      try f
+      finally prev match {
+        case Some(v) => s.conf.set(k, v)
+        case None => s.conf.unset(k)
+      }
+    }
 }

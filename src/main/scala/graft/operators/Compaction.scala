@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Small-file compaction — the other half of table maintenance next to
@@ -58,5 +58,106 @@ object Compaction {
     }
     shaped.write.mode(SaveMode.Overwrite).parquet(dst)
     n
+  }
+
+  /** Bucket-PRESERVING compaction of a catalog-registered bucketed
+    * table ([[BucketedLayout]]'s stream-owned facts): rewrites the
+    * table's many per-batch files into ONE file per bucket while
+    * keeping the bucket ids the scan plans on.
+    *
+    * [[compact]] cannot maintain a bucketed table — its
+    * `repartition(n)` round-robins rows across output files that carry
+    * no bucket id, so a bucketed scan over the compacted directory
+    * either rejects the files or, re-registered unbucketed, silently
+    * loses the exchange-free join the layout exists for. Here the
+    * rewrite goes BACK through Spark's bucketed writer: repartition by
+    * the bucket expression (repartition and bucketBy share Murmur3
+    * hashing, so each task holds exactly one bucket), `bucketBy` into
+    * the table's own bucket count at a temp location — the output
+    * files carry valid `_000NN` bucket ids — then the data files are
+    * swapped under the table's unchanged location and the relation
+    * cache refreshed. Registration, location and bucket metadata never
+    * change; only the file set does.
+    *
+    * The swap is move-new-then-delete-old: a crash mid-swap leaves
+    * duplicates (re-run compaction to converge), never data loss. Like
+    * [[compact]], this is a single-writer maintenance operation — do
+    * not run it concurrently with appends to the same table.
+    *
+    * The reference needs no analogue because Kafka owns its log
+    * segments and compacts them itself (`log.cleaner` on the broker);
+    * a lakehouse engine owns its files, so small-file maintenance is
+    * this operator's job (SURVEY §2.21 × §2.56).
+    *
+    * Returns the number of compacted data files (≤ the bucket count;
+    * empty buckets write no file).
+    */
+  def compactBucketed(s: SparkSession, tableName: String): Int = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val meta = s.sessionState.catalog
+      .getTableMetadata(TableIdentifier(tableName))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$tableName is not bucketed — use compact() for plain directories"))
+    val key = spec.bucketColumnNames match {
+      case Seq(k) => k
+      case ks => throw new IllegalArgumentException(
+        s"$tableName buckets on ${ks.size} columns; single-column only")
+    }
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).toSeq.filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+    // snapshot BEFORE the rewrite reads the table: files appended after
+    // this point survive the swap untouched (they are simply not
+    // compacted this round)
+    val old = dataFiles(loc)
+    val tmp = new org.apache.hadoop.fs.Path(
+      loc.getParent, loc.getName + graft.Tables.tmpSuffix())
+    val bld = tableName + "_cpt_bld"
+    s.sql(s"DROP TABLE IF EXISTS $bld")
+    try {
+      // write through a pre-created bucketed table + insertInto — the
+      // same path [[BucketedLayout.appendBatch]] uses, whose writer
+      // tasks provably align one-task-one-bucket. The CTAS route
+      // (bucketBy().saveAsTable) is NOT equivalent: AQE rewrites the
+      // repartition's shuffle read into mapper-local reads (no
+      // downstream distribution requirement on a CTAS root), so each
+      // writer task receives mixed buckets and emits one small file
+      // per (task, bucket) — re-fragmenting the very layout this
+      // rewrite exists to heal (measured: 191 files in → 153 out).
+      val sorted = spec.sortColumnNames match {
+        case Seq(sc) => s"SORTED BY ($sc) "
+        case _ => ""
+      }
+      s.sql(
+        s"""CREATE TABLE $bld (${s.table(tableName).schema.toDDL})
+           |USING parquet CLUSTERED BY ($key) ${sorted}INTO
+           |${spec.numBuckets} BUCKETS LOCATION '$tmp'""".stripMargin)
+      // read the files as PLAIN parquet, not through the bucketed
+      // table: the bucketed scan reports HashPartitioning(key, n), the
+      // optimizer then drops the repartition as redundant, and
+      // DisableUnnecessaryBucketedScan (no downstream distribution
+      // requirement on a write) falls back to a plain multi-file scan —
+      // leaving the writer tasks with mixed buckets again. A raw scan
+      // has UnknownPartitioning, so the repartition genuinely shuffles
+      // — the exact appendBatch shape whose tasks align one-per-bucket.
+      BucketedLayout.withBucketAlignedWrite(s) {
+        s.read.schema(s.table(tableName).schema).parquet(loc.toString)
+          .repartition(spec.numBuckets, col(key))
+          .write.mode(SaveMode.Append).insertInto(bld)
+      }
+    } finally s.sql(s"DROP TABLE IF EXISTS $bld") // external: files stay
+    val fresh = dataFiles(tmp)
+    // move-new-then-delete-old: UUID-named files cannot collide with
+    // the old set, and the failure mode is duplicates, not loss
+    fresh.foreach(f => fs.rename(f.getPath,
+      new org.apache.hadoop.fs.Path(loc, f.getPath.getName)))
+    old.foreach(f => fs.delete(f.getPath, false))
+    fs.delete(tmp, true)
+    // drop the cached file listing or the next scan unions old+new
+    s.catalog.refreshTable(tableName)
+    fresh.size
   }
 }

@@ -143,5 +143,45 @@ class BucketedLayoutSpec extends AnyFunSuite {
       assert(plan.contains("Bucketed: true"),
         s"join did not use the bucketed scan:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+    // —— compaction keeps the bucketed layout (the §2.21 × §2.56
+    // maintenance contract): the appends above left one file per
+    // touched bucket PER BATCH; compactBucketed must collapse them to
+    // ≤ Buckets files with identical content AND the forced-SMJ join
+    // must still plan exchange-free over the compacted files
+    def dataFiles(sub: String): Seq[java.io.File] =
+      new java.io.File(s"$loc/$sub").listFiles().toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    val filesBefore = dataFiles("orders").size
+    assert(filesBefore > BucketedLayout.Buckets,
+      s"precondition: appends should have accreted files, saw $filesBefore")
+    val before = spark.table(oT).groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("ck"))
+      .orderBy(col("o_orderkey")).collect().toSeq
+    val nO = Compaction.compactBucketed(spark, oT)
+    val nL = Compaction.compactBucketed(spark, lT)
+    assert(nO <= BucketedLayout.Buckets && nL <= BucketedLayout.Buckets)
+    assert(dataFiles("orders").size == nO,
+      "old files must be gone after the swap")
+    val after = spark.table(oT).groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("ck"))
+      .orderBy(col("o_orderkey")).collect().toSeq
+    assert(after == before, "compaction changed table content")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table(oT)
+        .join(spark.table(lT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert("Exchange hashpartitioning\\((?:o_orderkey|l_orderkey)#\\d+L?, \\d+\\)".r
+        .findAllIn(plan).isEmpty,
+        s"compaction lost co-partitioning:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"compacted join did not use the bucketed scan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 }
