@@ -156,6 +156,12 @@ object BucketedLayout {
         .repartition(Buckets, col(key))
         .write.mode("append").insertInto(tableName)
     }
+    // the write executes under BATCH's session — inside foreachBatch
+    // that is the micro-batch CLONE, whose insert invalidates only its
+    // own relation cache; `s` (the long-lived session the next reader
+    // queries) would keep serving the pre-append file listing. Refresh
+    // is metadata-only.
+    s.catalog.refreshTable(tableName)
   }
 
   /** Run a bucketed write with AQE's local shuffle read disabled. A V1
