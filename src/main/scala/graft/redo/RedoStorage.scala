@@ -183,12 +183,15 @@ final class HttpRedoProvider extends RedoStorageProvider {
 }
 
 object RedoStorageProvider {
-  /** Scheme-based factory: `http(s)://` → ranged HTTP, `mem:` handled
+  /** Scheme-based factory: `http(s)://` → ranged HTTP, `graft-ship://`
+    * → the TCP shipment agent ([[ShipRedoProvider]]), `mem:` handled
     * by callers holding an [[InMemoryRedoProvider]], everything else →
     * local filesystem.
     */
   def forPath(path: String): RedoStorageProvider =
     if (path.startsWith("http://") || path.startsWith("https://"))
       new HttpRedoProvider
+    else if (path.startsWith(RedoShipment.Scheme))
+      new ShipRedoProvider
     else LocalRedoProvider
 }
