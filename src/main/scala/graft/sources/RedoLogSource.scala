@@ -111,6 +111,13 @@ class RedoLogScan(options: CaseInsensitiveStringMap) extends Scan {
     .getOrElse(Nil)
   private val maxFilesPerTrigger: Int =
     Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue)
+  // K6 polish: `metricsName` registers a `graft.cdc:type=source-conn`
+  // MBean (the OraCdcSourceConnMgmt analogue) updated as this scan's
+  // stream commits offsets; absent → zero overhead
+  private val metricsName: Option[String] = Option(options.get("metricsName"))
+  private val metrics: Option[graft.metrics.SourceConnMetrics] =
+    metricsName.map(n =>
+      graft.metrics.SourceConnMetrics.forName(n).scopedTo(tables))
 
   // S6: the path picks the transport — local directory or http(s)://
   // base URL; every executor opens its own byte source per partition.
@@ -133,14 +140,23 @@ class RedoLogScan(options: CaseInsensitiveStringMap) extends Scan {
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       listWithCoords().map { case (f, _, _) =>
-        RedoFilePartition(f, tables, ops): InputPartition
+        RedoFilePartition(f, tables, ops, metricsName): InputPartition
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new RedoReaderFactory
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new RedoMicroBatchStream(listWithCoords _, tables, ops, maxFilesPerTrigger)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // headers are already memoized by the listing, so the mining-time
+    // metrics update pays no extra I/O
+    val onMined: Seq[(String, Int, Int)] => Unit = files =>
+      metrics.foreach(_.logsMined(files.map { case (p, _, seq) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        (name, seq, headerCache.get(p).map(_.nextScn).getOrElse(0L))
+      }))
+    new RedoMicroBatchStream(listWithCoords _, tables, ops,
+      maxFilesPerTrigger, metricsName, onMined)
+  }
 }
 
 /** Offset = per-thread high-watermark of fully consumed log sequence
@@ -169,7 +185,9 @@ object RedoFileOffset {
 }
 
 class RedoMicroBatchStream(list: () => Seq[(String, Int, Int)],
-    tables: Seq[String], ops: Seq[Int], maxFilesPerTrigger: Int)
+    tables: Seq[String], ops: Seq[Int], maxFilesPerTrigger: Int,
+    metricsName: Option[String] = None,
+    onMined: Seq[(String, Int, Int)] => Unit = _ => ())
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
@@ -226,12 +244,24 @@ class RedoMicroBatchStream(list: () => Seq[(String, Int, Int)],
   override def deserializeOffset(json: String): Offset = RedoFileOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+  // connection-management telemetry (K6): a log counts as PROCESSED
+  // when it is planned into a micro-batch and handed to the executors
+  // — the reference's setNowProcessed/addAlreadyProcessed moment
+  // (mining), not checkpoint commit (whose source callback lags one
+  // batch and never fires for a run's final batch). A recovered batch
+  // re-plans and re-reports its logs, exactly like the reference
+  // re-logs its resume range. reportedSoFar keeps steady-state
+  // triggers from re-reporting every prior log.
+  private var reportedSoFar = RedoFileOffset.empty
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = toOffset(start)
     val e = toOffset(end)
     val selected = list().filter { case (_, t, seq) =>
       seq > s.seqFor(t) && seq <= e.seqFor(t)
     }
+    val fresh = selected.filter { case (_, t, seq) => seq > reportedSoFar.seqFor(t) }
+    reportedSoFar = RedoFileOffset(reportedSoFar.threadSeqs ++ e.threadSeqs)
+    if (fresh.nonEmpty) onMined(fresh)
     // the committed range (start, end] was admitted against an EARLIER
     // listing: a file that vanished since (retention racing the batch,
     // or a restart recovering this exact batch after the loss) must
@@ -255,13 +285,16 @@ class RedoMicroBatchStream(list: () => Seq[(String, Int, Int)],
       }
     }
     selected
-      .map { case (f, _, _) => RedoFilePartition(f, tables, ops): InputPartition }
+      .map { case (f, _, _) =>
+        RedoFilePartition(f, tables, ops, metricsName): InputPartition
+      }
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = new RedoReaderFactory
 }
 
-case class RedoFilePartition(file: String, tables: Seq[String], ops: Seq[Int])
+case class RedoFilePartition(file: String, tables: Seq[String], ops: Seq[Int],
+    metricsName: Option[String] = None)
     extends InputPartition
 
 class RedoReaderFactory extends PartitionReaderFactory {
@@ -282,7 +315,13 @@ class RedoReaderFactory extends PartitionReaderFactory {
         // filter (they are transaction metadata, not data changes — a
         // writer may stamp them with any table name, and dropping one
         // would null out every P7 pseudo-column for its transaction)
-        (r.table.isEmpty || r.op == graft.cdc.Ops.Audit || matches(r.table)) &&
+        val inScope =
+          r.table.isEmpty || r.op == graft.cdc.Ops.Audit || matches(r.table)
+        // K6 telemetry: out-of-scope data records count where they are
+        // pruned (per-executor JVM; exact under local[])
+        if (!inScope) p.metricsName.foreach(
+          graft.metrics.SourceConnMetrics.markOutOfScope)
+        inScope &&
           (opSet.isEmpty || opSet.contains(r.op) ||
             r.op == graft.cdc.Ops.Commit || r.op == graft.cdc.Ops.Rollback ||
             r.op == graft.cdc.Ops.Audit)
