@@ -105,14 +105,21 @@ object Tables {
     * exists() and read — a concurrent [[publishDir]]'s no-target
     * window; a missing/unreadable marker means build, never an error.
     */
-  def ensureArtifact(path: String, stamp: String, force: Boolean = false)(
-      build: String => Unit): Boolean = {
+  /** The completeness-marker stamp of a published artifact, None when
+    * absent/unreadable (an incomplete or in-flight publish).
+    */
+  def readMarker(path: String): Option[String] = {
     val ok = java.nio.file.Paths.get(s"$path/_GRAFT_OK")
-    val marker = try {
+    try {
       if (java.nio.file.Files.exists(ok))
         Some(java.nio.file.Files.readString(ok))
       else None
     } catch { case _: java.io.IOException => None }
+  }
+
+  def ensureArtifact(path: String, stamp: String, force: Boolean = false)(
+      build: String => Unit): Boolean = {
+    val marker = readMarker(path)
     if (!force && marker.contains(stamp)) return false
     val tmp = path + tmpSuffix()
     try {
