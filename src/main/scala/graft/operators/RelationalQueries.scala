@@ -215,6 +215,27 @@ object RelationalQueries {
       q5Body(s, dir, o, l, factFirst = true)
     }),
 
+    // Point-lookup SERVING over the bucketed layout (§2.59): an
+    // equality/IN predicate on the bucket column prunes the scan to
+    // the keys' buckets — `SelectedBucketsCount: ≤5 out of 32` on BOTH
+    // facts (constraint propagation pushes the IN-list through the
+    // orderkey equi-join; PlanAuditSpec asserts both). This is the
+    // serving half the layout buys beyond the analytical joins: a
+    // 1000-executor cluster answers "these 5 orders" by touching ≤5
+    // buckets' files of EACH fact — scan cost scales with the
+    // key-list, not the 100 TB table (and inside each bucket, parquet
+    // row-group min/max on the sorted key prunes further).
+    "q_bucket_prune" -> ((s, dir) => {
+      val (o, l) = BucketedLayout.star(s, dir)
+      val keys = Seq(1L, 7L, 33L, 250L, 999L)
+      o.filter(col("o_orderkey").isInCollection(keys))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_totalprice"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_quantity"))).cast("double").as("qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Window functions: rank + lag + running sum per partition.
     "q_window_rank" -> ((s, dir) => {
       val byCust = Window.partitionBy(col("o_custkey"))
@@ -526,6 +547,13 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_bucket_prune" ->
+      """SELECT o_orderkey, o_totalprice, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey IN (1, 7, 33, 250, 999)
+        |GROUP BY o_orderkey, o_totalprice
+        |ORDER BY o_orderkey""".stripMargin,
     "q_topn_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

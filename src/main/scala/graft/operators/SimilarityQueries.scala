@@ -831,6 +831,44 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // Hard-negative mining (§2.60) — the contrastive-training data op
+    // (DPR/ANCE shape): for each query, the top-scoring corpus vectors
+    // that are NOT labeled positives, skipping the single best hit
+    // (presumed unlabeled positive — the "semi-hard" band). Labeled
+    // positives here are the (q, q+1), (q, q+2) pairing convention;
+    // in production they arrive as a click-log/qrels TABLE, which is
+    // why the exclusion is a broadcast ANTI-JOIN against a positives
+    // frame, not an inline predicate: label data is query-set-sized
+    // (bounded), so it broadcasts at any corpus scale. The mining
+    // itself keeps the brute top-k shape — bounded-heap aggregate with
+    // map-side partials, ≤ (skip+k) heap entries per (partition,
+    // query) on the shuffle — with heap size k+1 and the explode
+    // dropping rank 1.
+    "emb_hardneg" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", normQ2(col("q")))
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+      val positives = qs.select(col("qid").as("pqid"))
+        .select(col("pqid"), explode(array(col("pqid"), col("pqid") + 1,
+          col("pqid") + 2)).as("pos_id"))
+      e.crossJoin(broadcast(qs))
+        .join(broadcast(positives),
+          col("qid") === col("pqid") && col("vec_id") === col("pos_id"),
+          "left_anti")
+        .withColumn("dot", dotQ(col("qq"), col("q")))
+        .withColumn("cos", cosineFromQ(col("dot"), col("qn2"), col("n2")))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKFunctions
+          .topk_by_score(6, col("cos"), col("vec_id"), col("dot")).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+        .filter(col("pos") >= 1) // rank 1 = presumed unlabeled positive
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
+          col("e.id").as("vec_id"), col("e.score").as("cos"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // IVF: coarse-quantizer cells + bounded probing — the other 100 TB
     // ANN shape. Centroids are a FIXED-SIZE deterministic sample (the
     // %25 lattice capped below id 400 — 16 cells forever, the IVF-PQ
@@ -1275,6 +1313,19 @@ object SimilarityQueries {
       |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // hard negatives: the brute chain with the labeled-positive
+    // exclusion and the semi-hard rank band (2..6 — rank 1 skipped)
+    "emb_hardneg" -> (quantCte +
+      """SELECT qid, rn, vec_id, cos FROM (
+        |  SELECT qid, vec_id,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn,
+        |         cos
+        |  FROM (SELECT a.vec_id AS qid, b.vec_id,
+        |               CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+        |                 / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+        |        FROM n a JOIN n b ON a.vec_id % 50 = 0
+        |          AND b.vec_id NOT IN (a.vec_id, a.vec_id + 1, a.vec_id + 2)))
+        |WHERE rn BETWEEN 2 AND 6 ORDER BY qid, rn""".stripMargin),
     "ann_brute_topk" -> (quantCte +
       """SELECT qid, rn, vec_id, dot, cos FROM (
         |  SELECT qid, vec_id,

@@ -99,6 +99,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q3_bucketed final plan carries a shuffle:\n$p3")
   }
 
+  test("point lookup prunes the bucketed scan to the keys' buckets " +
+      "on BOTH facts") {
+    // q_bucket_prune's 5-key IN-list must select ≤ 5 of 32 buckets on
+    // the orders scan AND — via constraint propagation through the
+    // orderkey equi-join — on the lineitem scan: the serving-path
+    // guarantee that a key-list read touches O(|keys|) buckets of each
+    // fact, not the table
+    val df = graft.SparkEntry.queries("q_bucket_prune")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val selected = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).map(m => (m.group(1).toInt, m.group(2).toInt))
+      .toList
+    assert(selected.size == 2,
+      s"expected two pruned bucketed scans (orders + lineitem):\n$plan")
+    selected.foreach { case (n, total) =>
+      assert(total == graft.operators.BucketedLayout.Buckets)
+      assert(n <= 5, s"5 keys must select <= 5 buckets, got $n of $total")
+    }
+  }
+
   test("string predicate pushes down to the parquet scan") {
     // read the scan node's metadata directly — plan toString truncates it
     val qe = graft.SparkEntry.queries("q_string_pred")(spark, dir).queryExecution
