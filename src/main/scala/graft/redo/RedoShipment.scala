@@ -201,8 +201,13 @@ final class ShipmentServer(root: File, bind: String = "127.0.0.1",
         } catch {
           // command-level failure: report on the wire, keep serving —
           // a bad path from one consumer must not drop the connection
-          // another request is multiplexed on
+          // another request is multiplexed on. NonFatal, not just
+          // IOException: a malformed command (missing args, non-numeric
+          // offset) parses with an index/format exception and must be
+          // a protocol error, not a dropped connection
           case e: IOException => RedoShipment.writeErr(out, e.getMessage)
+          case scala.util.control.NonFatal(e) =>
+            RedoShipment.writeErr(out, s"malformed command '$cmd': $e")
         }
       }
     } catch {

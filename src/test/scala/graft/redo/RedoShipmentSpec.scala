@@ -110,12 +110,98 @@ class RedoShipmentSpec extends AnyFunSuite {
       // reconnect instead of failing the scan
       val port = server.boundPort
       server.close()
-      val server2 = new ShipmentServer(dir, port = port)
+      // the OS can hold the port briefly after close — retry the bind
+      def bindRetry(left: Int): ShipmentServer =
+        try new ShipmentServer(dir, port = port)
+        catch {
+          case e: java.net.BindException if left > 0 =>
+            Thread.sleep(200); bindRetry(left - 1)
+        }
+      val server2 = bindRetry(25)
       try assert(mine() == Seq((1, "alpha"), (2, "beta"), (3, "gamma")))
       finally server2.close()
     } finally {
       try server.close() catch { case _: Exception => }
     }
+  }
+
+  test("protocol robustness: malformed frames and unknown commands " +
+      "error without wedging the server") {
+    val dir = Files.createTempDirectory("ship_fuzz").toFile
+    writeLogs(dir)
+    val server = new ShipmentServer(dir)
+    try {
+      import java.io.{DataInputStream, DataOutputStream}
+      import java.net.Socket
+      def rawRequest(bytes: Array[Byte]): Int = {
+        val s = new Socket("127.0.0.1", server.boundPort)
+        try {
+          s.setSoTimeout(10000)
+          val out = new DataOutputStream(s.getOutputStream)
+          out.write(bytes); out.flush()
+          try new DataInputStream(s.getInputStream).readInt()
+          catch { case _: java.io.IOException => -1 } // dropped = also fine
+        } finally s.close()
+      }
+      def frame(cmd: String): Array[Byte] = {
+        val b = cmd.getBytes("UTF-8")
+        java.nio.ByteBuffer.allocate(4 + b.length).putInt(b.length).put(b).array()
+      }
+      // unknown command and short commands → error status, not a hang
+      assert(rawRequest(frame("NUKE /")) == 1)
+      assert(rawRequest(frame("READ")) == 1)
+      assert(rawRequest(frame("SHIP onlyonearg")) == 1)
+      assert(rawRequest(frame("READ f notanumber 10")) == 1)
+      // oversized frame length → connection dropped, server lives
+      rawRequest(java.nio.ByteBuffer.allocate(4).putInt(1 << 30).array())
+      // negative frame length → same
+      rawRequest(java.nio.ByteBuffer.allocate(4).putInt(-5).array())
+      // after all of that the server still serves a real client
+      val base = s"${RedoShipment.Scheme}127.0.0.1:${server.boundPort}" +
+        dir.getAbsolutePath
+      assert(new ShipRedoProvider().list(base) ==
+        Seq("log_1.grl", "log_2.grl"))
+    } finally server.close()
+  }
+
+  test("spool-and-mine composition: the target agent feeds a live " +
+      "miner; half-shipped files stay invisible to the listing") {
+    // the reference's deployment: TargetDatabaseShipmentAgent pulls
+    // archives to a local spool NEXT TO the miner, which lists the
+    // spool. The .inprogress convention is what makes the composition
+    // safe — the miner's listing must never see a partial .grl.
+    val src = Files.createTempDirectory("ship_comp_src").toFile
+    writeLogs(src)
+    val spool = Files.createTempDirectory("ship_comp_spool").toFile
+    val server = new ShipmentServer(src)
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false)
+      .appName("ship-comp-spec").getOrCreate()
+    import spark.implicits._
+    try {
+      def ship(name: String): Unit = ShipmentClient.fetch(
+        s"${RedoShipment.Scheme}127.0.0.1:${server.boundPort}" +
+          new File(src, name).getAbsolutePath, spool)
+      def mined(): Seq[Int] = {
+        val records = spark.read.format("graft-redo")
+          .option("path", spool.getAbsolutePath).load().as[RedoRecord]
+        ChangeStreams.assembleBatch(records)
+          .select(element_at(col("after"), "ID").cast("int").as("id"))
+          .orderBy(col("id")).as[Int].collect().toSeq
+      }
+      // a stranded partial from a killed transfer must not be listed —
+      // seed one by hand under a name that never completes (a real
+      // partial is always a true byte prefix; this one only exists to
+      // be invisible)
+      Files.write(new File(spool, "log_9.grl.inprogress").toPath,
+        Array[Byte](1, 2, 3))
+      ship("log_1.grl")
+      assert(mined() == Seq(1, 2), "first shipped log mines")
+      ship("log_2.grl")
+      assert(mined() == Seq(1, 2, 3), "both shipped logs mine")
+    } finally server.close()
   }
 
   test("target-agent spool: mid-transfer kill leaves a resumable " +
