@@ -870,7 +870,8 @@ object SimilarityQueries {
     }),
 
     // IVF: coarse-quantizer cells + bounded probing — the other 100 TB
-    // ANN shape. Centroids are a FIXED-SIZE deterministic sample (the
+    // ANN shape (cont. §2.60: see [[hardNegIdx]] for the index-served
+    // mining variant). Centroids are a FIXED-SIZE deterministic sample (the
     // %25 lattice capped below id 400 — 16 cells forever, the IVF-PQ
     // family's seed rule; r9: the uncapped %25 rule made the codebook
     // grow with the corpus), so the broadcast is corpus-independent
@@ -1311,6 +1312,42 @@ object SimilarityQueries {
       |n AS (SELECT vec_id, q,
       |             CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM v)
       |""".stripMargin
+
+  /** Index-served hard-negative mining — `emb_hardneg`'s production
+    * scale path (§2.60): identical exclusion + semi-hard band, but
+    * candidates come from the PERSISTED IVF-PQ artifact
+    * ([[RetrievalQueries.ensureRrfIndex]]) instead of the brute cross
+    * product, so mining cost per query is probe-sized at any corpus
+    * size (the ANCE loop refreshes negatives from exactly such an
+    * index between training epochs). Probe depth k+3 keeps the band
+    * full after the post-probe drops: self is excluded inside the
+    * serve, up to 2 labeled positives (q+1, q+2) anti-join away, and
+    * one more survivor is skipped as the presumed unlabeled positive.
+    * `HardNegMiningSpec` pins parity/recall against the brute gate.
+    */
+  private[graft] def hardNegIdx(s: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val e = quantized(s, dir)
+    val (idx, codes) = loadIvfPqIndex(s,
+      RetrievalQueries.ensureRrfIndex(s, dir))
+    val qs = e.filter(col("vec_id") % 50 === 0)
+    val positives = qs.select(col("vec_id").as("pqid"))
+      .select(col("pqid"), explode(array(col("pqid") + 1,
+        col("pqid") + 2)).as("pos_id"))
+    val served = ivfPqSearchPrecoded(idx, e, codes, qs,
+      nprobe = 4, k = k + 3)
+      .select(col("qid"), col("vec_id"), col("rn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rn"))
+    served
+      .join(broadcast(positives),
+        col("qid") === col("pqid") && col("vec_id") === col("pos_id"),
+        "left_anti")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1 && col("rk") <= k + 1) // skip presumed positive
+      .select(col("qid"), col("rk").cast("long").as("rn"), col("vec_id"))
+      .orderBy(col("qid"), col("rn"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     // hard negatives: the brute chain with the labeled-positive
