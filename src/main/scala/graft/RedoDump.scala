@@ -3,7 +3,7 @@ package graft
 import java.io.File
 
 import graft.cdc.{Ops, RedoRecord}
-import graft.redo.{RedoLogReader, RedoLogWriter}
+import graft.redo.{RedoLogReader, RedoLogWriter, RedoStorageProvider}
 
 /** Redo-log diagnostic CLI — the analogue of the reference's
   * `OraRedoLogFile` dump/extract tool (`utils/file/OraRedoLogFile.java`:
@@ -17,8 +17,14 @@ import graft.redo.{RedoLogReader, RedoLogWriter}
   * this tool) and attach it to the incident.
   *
   * Usage:
-  *   RedoDump <file.grl | dir> [--xid X] [--scn lo:hi]
+  *   RedoDump <file.grl | dir | url> [--xid X] [--scn lo:hi]
   *            [--extract out.grl] [--counts]
+  *
+  * The source may be REMOTE — any transport `RedoStorageProvider.forPath`
+  * dispatches (`http(s)://`, `graft-ship://`): support can dump or
+  * extract an incident straight off the standby's archive endpoint
+  * without first shipping multi-GiB segments (a remote path ending in
+  * `.grl` is a single log; anything else lists as a directory).
   *
   *  - no flags: header + one line per record
   *  - --xid / --scn: filter records (both may combine)
@@ -76,14 +82,27 @@ object RedoDump {
     a.xid.forall(_ == r.xid) &&
       a.scn.forall { case (lo, hi) => r.scn >= lo && r.scn <= hi }
 
-  /** The files to dump: one .grl, or every .grl in a directory in
-    * (thread, seq) order.
+  /** The logs to dump as provider paths: one .grl, or every .grl in a
+    * directory in (thread, seq) order. Local paths probe the
+    * filesystem; remote URLs are a single log iff they end in `.grl`.
     */
-  private def logFiles(path: String): Seq[File] = {
-    val f = new File(path)
-    val files = if (f.isFile) Seq(f) else RedoLogReader.listLogs(f).map(_._1)
-    require(files.nonEmpty, s"no .grl logs under $path")
-    files
+  private[graft] def logPaths(path: String): Seq[String] = {
+    val provider = RedoStorageProvider.forPath(path)
+    val local = provider eq graft.redo.LocalRedoProvider
+    val single =
+      if (local) new File(path).isFile
+      else path.endsWith(".grl")
+    val paths =
+      if (single) Seq(path)
+      else RedoLogReader.listLogs(provider,
+        if (local) new File(path).getAbsolutePath else path).map(_._1)
+    require(paths.nonEmpty, s"no .grl logs under $path")
+    paths
+  }
+
+  private def header(path: String): RedoLogReader.FileHeader = {
+    val src = RedoStorageProvider.forPath(path).open(path)
+    try RedoLogReader.readHeader(src, path) finally src.close()
   }
 
   private def fmt(r: RedoRecord): String =
@@ -91,46 +110,54 @@ object RedoDump {
       f"op=${Ops.name(r.op)}%-12s table=${r.table}%-16s rowId=${r.rowId}" +
       (if (r.rollback) " ROLLBACK-ENTRY" else "")
 
-  /** Lazy filtered record stream over already-listed files (one
-    * listing serves the banner, the stream and the extract).
+  /** Lazy filtered record stream over already-listed logs (one
+    * listing serves the banner, the stream and the extract). Each
+    * log's byte source drains before the next opens (recordsFrom
+    * consumes the bounded segment eagerly and closes).
     */
-  private def stream(a: Args, files: Seq[File]): Iterator[RedoRecord] =
-    files.iterator.flatMap(f => RedoLogReader.records(f)).filter(keep(a))
+  private def stream(a: Args, paths: Seq[String]): Iterator[RedoRecord] =
+    paths.iterator.flatMap { p =>
+      val src = RedoStorageProvider.forPath(p).open(p)
+      try RedoLogReader.recordsFrom(src, p, 1, 0) finally src.close()
+    }.filter(keep(a))
 
   /** Library surface for filters (specs; eager — spec-sized inputs). */
   private[graft] def run(argv: Array[String]): Seq[RedoRecord] = {
     val a = parse(argv)
-    stream(a, logFiles(a.path)).toSeq
+    stream(a, logPaths(a.path)).toSeq
   }
 
   /** Extract the filtered records into a standalone incident log;
     * returns the record count. Streams — never holds the records.
     */
-  private[graft] def extractTo(a: Args, files: Seq[File],
+  private[graft] def extractTo(a: Args, paths: Seq[String],
       out: String): Long = {
     val outFile = new File(out).getCanonicalFile
-    files.foreach { f =>
-      require(f.getCanonicalFile.getParentFile != outFile.getParentFile,
+    // the collision guard applies to LOCAL sources (remote namespaces
+    // cannot collide with a local extract target)
+    paths.filter(p => RedoStorageProvider.forPath(p) eq
+        graft.redo.LocalRedoProvider).foreach { p =>
+      require(new File(p).getCanonicalFile.getParentFile != outFile.getParentFile,
         s"extract target $out must live OUTSIDE the dumped log " +
           "directory: it inherits the source's sequence number, and a " +
           "duplicate (thread, seq) would break the directory's " +
           "continuity check for every consumer")
     }
-    val hdr = RedoLogReader.readHeader(files.head)
+    val hdr = header(paths.head)
     val w = new RedoLogWriter(outFile, hdr.blockSize,
       seq = hdr.seq, thread = hdr.thread)
     var n = 0L
-    stream(a, files).foreach { r => w.append(r); n += 1 }
+    stream(a, paths).foreach { r => w.append(r); n += 1 }
     w.close()
     n
   }
 
   def main(argv: Array[String]): Unit = {
     val a = parse(argv)
-    val files = logFiles(a.path)
+    val files = logPaths(a.path)
     files.foreach { f =>
-      val h = RedoLogReader.readHeader(f)
-      println(s"${f.getPath}: blockSize=${h.blockSize} seq=${h.seq} " +
+      val h = header(f)
+      println(s"$f: blockSize=${h.blockSize} seq=${h.seq} " +
         s"thread=${h.thread} firstScn=${h.firstScn} nextScn=${h.nextScn}")
     }
     a.extract match {

@@ -30,6 +30,35 @@ class RedoDumpSpec extends AnyFunSuite {
     f
   }
 
+  test("remote dump: filter and extract an incident straight off the " +
+      "shipment socket") {
+    val dir = Files.createTempDirectory("redodump_remote").toFile
+    val txA = Seq(rec(10, "A", Ops.Insert), rec(12, "A", Ops.Update),
+      rec(14, "A", Ops.Commit, table = "", img = Map.empty))
+    val txB = Seq(rec(11, "B", Ops.Insert), rec(15, "B", Ops.Commit,
+      table = "", img = Map.empty))
+    writeLog(dir, "log_1.grl", 1, (txA ++ txB).sortBy(_.scn))
+    val server = new ShipmentServer(dir)
+    try {
+      val base = s"${RedoShipment.Scheme}127.0.0.1:${server.boundPort}" +
+        dir.getAbsolutePath
+      // directory dump over the socket, xid-filtered
+      assert(RedoDump.run(Array(base, "--xid", "A")).map(_.scn) ==
+        Seq(10L, 12L, 14L))
+      // single-log URL form (ends in .grl → no LIST round trip)
+      assert(RedoDump.run(Array(s"$base/log_1.grl", "--xid", "B"))
+        .map(_.scn) == Seq(11L, 15L))
+      // remote incident extract: the standalone mini-log replays
+      // byte-identically through the normal local reader
+      val out = new File(Files.createTempDirectory("redodump_remote_out")
+        .toFile, "incident.grl")
+      val a = RedoDump.parse(Array(base, "--xid", "A"))
+      val n = RedoDump.extractTo(a, RedoDump.logPaths(base), out.getPath)
+      assert(n == 3)
+      assert(RedoLogReader.records(out).toSeq == txA)
+    } finally server.close()
+  }
+
   test("xid/scn filters and the incident-extract roundtrip") {
     val dir = Files.createTempDirectory("redodump").toFile
     val txA = Seq(rec(10, "A", Ops.Insert), rec(12, "A", Ops.Update),
@@ -56,7 +85,7 @@ class RedoDumpSpec extends AnyFunSuite {
     val out = new File(outDir, "incident_A.grl")
     val a = RedoDump.parse(Array(dir.getPath, "--xid", "A",
       "--extract", out.getPath))
-    val n = RedoDump.extractTo(a, Seq(new File(dir, "log_1.grl")), out.getPath)
+    val n = RedoDump.extractTo(a, Seq(new File(dir, "log_1.grl").getPath), out.getPath)
     assert(n == 3)
     val replayed = RedoLogReader.records(out).toSeq
     assert(replayed == onlyA,
@@ -69,7 +98,7 @@ class RedoDumpSpec extends AnyFunSuite {
     // the in-source-dir extract is REFUSED (it would poison the
     // directory's per-thread sequence continuity for every consumer)
     intercept[IllegalArgumentException] {
-      RedoDump.extractTo(a, Seq(new File(dir, "log_1.grl")),
+      RedoDump.extractTo(a, Seq(new File(dir, "log_1.grl").getPath),
         new File(dir, "incident_bad.grl").getPath)
     }
   }
