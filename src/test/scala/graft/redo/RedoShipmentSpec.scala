@@ -125,6 +125,42 @@ class RedoShipmentSpec extends AnyFunSuite {
     }
   }
 
+  test("thread-per-connection: concurrent readers each get exact bytes") {
+    // the executor fan-out shape: many partitions each open their own
+    // connection and window-read the same archive concurrently
+    val dir = Files.createTempDirectory("ship_conc").toFile
+    writeLogs(dir)
+    val server = new ShipmentServer(dir)
+    try {
+      val base = s"${RedoShipment.Scheme}127.0.0.1:${server.boundPort}" +
+        dir.getAbsolutePath
+      val local = Files.readAllBytes(new File(dir, "log_1.grl").toPath)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 8).map { i =>
+        new Thread(() => {
+          try {
+            val p = new ShipRedoProvider
+            val src = p.open(s"$base/log_1.grl")
+            try {
+              val buf = new Array[Byte](128)
+              var r = 0
+              while (r < 50) {
+                val pos = (i * 37 + r * 101) % (local.length - 128)
+                src.readFully(pos.toLong, buf, 0, 128)
+                if (buf.toSeq != local.slice(pos, pos + 128).toSeq)
+                  throw new AssertionError(s"reader $i window $pos mismatched")
+                r += 1
+              }
+            } finally src.close()
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(60000))
+      assert(errs.isEmpty, s"concurrent readers failed: ${errs.peek()}")
+    } finally server.close()
+  }
+
   test("protocol robustness: malformed frames and unknown commands " +
       "error without wedging the server") {
     val dir = Files.createTempDirectory("ship_fuzz").toFile
