@@ -151,9 +151,17 @@ object Compaction {
     } finally s.sql(s"DROP TABLE IF EXISTS $bld") // external: files stay
     val fresh = dataFiles(tmp)
     // move-new-then-delete-old: UUID-named files cannot collide with
-    // the old set, and the failure mode is duplicates, not loss
-    fresh.foreach(f => fs.rename(f.getPath,
-      new org.apache.hadoop.fs.Path(loc, f.getPath.getName)))
+    // the old set, and the failure mode is duplicates, not loss — but
+    // ONLY if every rename is verified: rename() signals failure by
+    // RETURN VALUE, and deleting the old files after a silent false
+    // would drop that bucket's rows entirely
+    fresh.foreach { f =>
+      val target = new org.apache.hadoop.fs.Path(loc, f.getPath.getName)
+      if (!fs.rename(f.getPath, target))
+        throw new java.io.IOException(
+          s"compaction swap failed renaming ${f.getPath} -> $target; " +
+            "old files left in place (table unchanged)")
+    }
     old.foreach(f => fs.delete(f.getPath, false))
     fs.delete(tmp, true)
     // drop the cached file listing or the next scan unions old+new

@@ -260,8 +260,6 @@ class RedoMicroBatchStream(list: () => Seq[(String, Int, Int)],
       seq > s.seqFor(t) && seq <= e.seqFor(t)
     }
     val fresh = selected.filter { case (_, t, seq) => seq > reportedSoFar.seqFor(t) }
-    reportedSoFar = RedoFileOffset(reportedSoFar.threadSeqs ++ e.threadSeqs)
-    if (fresh.nonEmpty) onMined(fresh)
     // the committed range (start, end] was admitted against an EARLIER
     // listing: a file that vanished since (retention racing the batch,
     // or a restart recovering this exact batch after the loss) must
@@ -284,6 +282,10 @@ class RedoMicroBatchStream(list: () => Seq[(String, Int, Int)],
             "cannot proceed without losing its data")
       }
     }
+    // report only a VALIDATED batch: a continuity failure above aborts
+    // the batch, and its logs must not read as mined
+    reportedSoFar = RedoFileOffset(reportedSoFar.threadSeqs ++ e.threadSeqs)
+    if (fresh.nonEmpty) onMined(fresh)
     selected
       .map { case (f, _, _) =>
         RedoFilePartition(f, tables, ops, metricsName): InputPartition
