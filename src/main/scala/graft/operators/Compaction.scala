@@ -92,6 +92,29 @@ object Compaction {
     * Returns the number of compacted data files (≤ the bucket count;
     * empty buckets write no file).
     */
+  /** Metadata-only maintenance trigger for [[compactBucketed]]: the
+    * average number of data files per bucket (1.0 = fully compacted;
+    * each append adds ~1 per touched bucket). A streamed table's
+    * ingest loop checks this every batch — one directory listing, no
+    * data touched — and compacts past its threshold, e.g.
+    * `if (bucketedFileFactor(s, t) >= 8) compactBucketed(s, t)`.
+    */
+  def bucketedFileFactor(s: SparkSession, tableName: String): Double = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val meta = s.sessionState.catalog
+      .getTableMetadata(TableIdentifier(tableName))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalArgumentException(s"$tableName is not bucketed"))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+    val n =
+      try fs.listStatus(loc).count(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      catch { case _: java.io.FileNotFoundException => 0 } // pre-first-append
+    n.toDouble / buckets
+  }
+
   def compactBucketed(s: SparkSession, tableName: String): Int = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     val meta = s.sessionState.catalog

@@ -156,6 +156,10 @@ class BucketedLayoutSpec extends AnyFunSuite {
     val filesBefore = dataFiles("orders").size
     assert(filesBefore > BucketedLayout.Buckets,
       s"precondition: appends should have accreted files, saw $filesBefore")
+    // the maintenance trigger reads the accretion off metadata alone
+    val factorBefore = Compaction.bucketedFileFactor(spark, oT)
+    assert(factorBefore > 1.0 &&
+      factorBefore == filesBefore.toDouble / BucketedLayout.Buckets)
     val before = spark.table(oT).groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("ck"))
       .orderBy(col("o_orderkey")).collect().toSeq
@@ -168,6 +172,8 @@ class BucketedLayoutSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("ck"))
       .orderBy(col("o_orderkey")).collect().toSeq
     assert(after == before, "compaction changed table content")
+    assert(Compaction.bucketedFileFactor(spark, oT) <= 1.0,
+      "trigger must read fully-compacted after the rewrite")
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
