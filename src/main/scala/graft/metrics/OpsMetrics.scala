@@ -121,6 +121,53 @@ class InitialLoadMetrics(name: String)
   }
 }
 
+trait ShipmentMetricsMBean {
+  def getStartTimeMillis: Long
+  def getElapsedTimeMillis: Long
+  def getProcessedFilesCount: Int
+  def getProcessedBytesCount: Long
+  def getProcessedMiB: Double
+  def getLastProcessedFile: String
+  def getMiBPerSecond: Double
+}
+
+/** Redo-shipment throughput surface (`jmx/OraCdcRedoShipment.java`):
+  * files/bytes shipped and MiB/s since the agent started, read
+  * straight off a [[graft.redo.ShipmentServer]]'s counters. Register
+  * one per agent: `new ShipmentMetrics("standby1", server).install()`.
+  */
+class ShipmentMetrics(name: String, server: graft.redo.ShipmentServer)
+    extends ShipmentMetricsMBean {
+  private val start = System.currentTimeMillis()
+
+  val objectName: ObjectName =
+    new ObjectName(s"graft.cdc:type=redo-shipment,name=$name")
+
+  def install(): ShipmentMetrics = {
+    val mbs = ManagementFactory.getPlatformMBeanServer
+    if (mbs.isRegistered(objectName)) mbs.unregisterMBean(objectName)
+    mbs.registerMBean(this, objectName)
+    this
+  }
+
+  def uninstall(): Unit = {
+    val mbs = ManagementFactory.getPlatformMBeanServer
+    if (mbs.isRegistered(objectName)) mbs.unregisterMBean(objectName)
+  }
+
+  override def getStartTimeMillis: Long = start
+  override def getElapsedTimeMillis: Long = System.currentTimeMillis() - start
+  override def getProcessedFilesCount: Int = server.filesShipped.get()
+  override def getProcessedBytesCount: Long = server.bytesShipped.get()
+  override def getProcessedMiB: Double =
+    server.bytesShipped.get() / (1024.0 * 1024.0)
+  override def getLastProcessedFile: String = server.lastShippedFile
+  override def getMiBPerSecond: Double = {
+    val secs = getElapsedTimeMillis / 1000.0
+    if (secs <= 0) 0.0 else getProcessedMiB / secs
+  }
+}
+
 trait SourceConnMetricsMBean {
   def getTablesInProcessing: Array[String]
   def getTablesInProcessingCount: Int

@@ -83,6 +83,28 @@ class OpsMetricsSpec extends AnyFunSuite {
     } finally m.uninstall()
   }
 
+  test("shipment MBean reads an agent's throughput off the platform server") {
+    import java.io.File
+    val dir = Files.createTempDirectory("ops_ship").toFile
+    val payload = new Array[Byte](64 * 1024)
+    new java.util.Random(7).nextBytes(payload)
+    Files.write(new File(dir, "log_1.grl").toPath, payload)
+    val server = new graft.redo.ShipmentServer(dir)
+    val m = new ShipmentMetrics("spec_ship", server).install()
+    try {
+      val dest = Files.createTempDirectory("ops_ship_dst").toFile
+      graft.redo.ShipmentClient.fetch(
+        s"${graft.redo.RedoShipment.Scheme}127.0.0.1:${server.boundPort}" +
+          new File(dir, "log_1.grl").getAbsolutePath, dest)
+      assert(mbs.getAttribute(m.objectName, "ProcessedFilesCount") == 1)
+      assert(mbs.getAttribute(m.objectName, "ProcessedBytesCount") ==
+        payload.length.toLong)
+      assert(mbs.getAttribute(m.objectName, "LastProcessedFile") == "log_1.grl")
+      assert(mbs.getAttribute(m.objectName, "MiBPerSecond")
+        .asInstanceOf[Double] >= 0.0)
+    } finally { m.uninstall(); server.close() }
+  }
+
   test("source-connection MBean: committed logs, scn/seq watermarks, " +
       "scope list and out-of-scope count from a metricsName'd stream") {
     import spark.implicits._
