@@ -151,7 +151,11 @@ object BucketedLayout {
   def appendBatch(s: SparkSession, tableName: String, key: String,
       batch: DataFrame): Unit = {
     val tableCols = s.table(tableName).schema.fieldNames
-    withBucketAlignedWrite(s) {
+    // the toggle must land on the session that PLANS the write — the
+    // batch's own (inside foreachBatch that is the micro-batch clone,
+    // whose SQLConf is independent of `s`); toggling `s` would leave
+    // the streaming path fragmenting exactly where this fix matters
+    withBucketAlignedWrite(batch.sparkSession) {
       batch.select(tableCols.map(col): _*)
         .repartition(Buckets, col(key))
         .write.mode("append").insertInto(tableName)

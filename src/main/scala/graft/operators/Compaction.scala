@@ -60,6 +60,29 @@ object Compaction {
     n
   }
 
+  /** Metadata-only maintenance trigger for [[compactBucketed]]: the
+    * average number of data files per bucket (1.0 = fully compacted;
+    * each append adds ~1 per touched bucket). A streamed table's
+    * ingest loop checks this every batch — one directory listing, no
+    * data touched — and compacts past its threshold, e.g.
+    * `if (bucketedFileFactor(s, t) >= 8) compactBucketed(s, t)`.
+    */
+  def bucketedFileFactor(s: SparkSession, tableName: String): Double = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val meta = s.sessionState.catalog
+      .getTableMetadata(TableIdentifier(tableName))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalArgumentException(s"$tableName is not bucketed"))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+    val n =
+      try fs.listStatus(loc).count(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      catch { case _: java.io.FileNotFoundException => 0 } // pre-first-append
+    n.toDouble / buckets
+  }
+
   /** Bucket-PRESERVING compaction of a catalog-registered bucketed
     * table ([[BucketedLayout]]'s stream-owned facts): rewrites the
     * table's many per-batch files into ONE file per bucket while
@@ -92,29 +115,6 @@ object Compaction {
     * Returns the number of compacted data files (≤ the bucket count;
     * empty buckets write no file).
     */
-  /** Metadata-only maintenance trigger for [[compactBucketed]]: the
-    * average number of data files per bucket (1.0 = fully compacted;
-    * each append adds ~1 per touched bucket). A streamed table's
-    * ingest loop checks this every batch — one directory listing, no
-    * data touched — and compacts past its threshold, e.g.
-    * `if (bucketedFileFactor(s, t) >= 8) compactBucketed(s, t)`.
-    */
-  def bucketedFileFactor(s: SparkSession, tableName: String): Double = {
-    import org.apache.spark.sql.catalyst.TableIdentifier
-    val meta = s.sessionState.catalog
-      .getTableMetadata(TableIdentifier(tableName))
-    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
-      throw new IllegalArgumentException(s"$tableName is not bucketed"))
-    val loc = new org.apache.hadoop.fs.Path(meta.location)
-    val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
-    val n =
-      try fs.listStatus(loc).count(f => f.isFile &&
-        !f.getPath.getName.startsWith("_") &&
-        !f.getPath.getName.startsWith("."))
-      catch { case _: java.io.FileNotFoundException => 0 } // pre-first-append
-    n.toDouble / buckets
-  }
-
   def compactBucketed(s: SparkSession, tableName: String): Int = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     val meta = s.sessionState.catalog
@@ -150,10 +150,15 @@ object Compaction {
       // writer task receives mixed buckets and emits one small file
       // per (task, bucket) — re-fragmenting the very layout this
       // rewrite exists to heal (measured: 191 files in → 153 out).
-      val sorted = spec.sortColumnNames match {
-        case Seq(sc) => s"SORTED BY ($sc) "
-        case _ => ""
-      }
+      // preserve the FULL sort spec: the table's metadata keeps
+      // claiming it after the swap, and Spark elides downstream Sort
+      // nodes off that claim exactly when each bucket holds one file —
+      // the post-compaction state — so writing unsorted files under a
+      // SORTED BY table would produce wrong query results, not just
+      // slow ones
+      val sorted =
+        if (spec.sortColumnNames.isEmpty) ""
+        else s"SORTED BY (${spec.sortColumnNames.mkString(", ")}) "
       s.sql(
         s"""CREATE TABLE $bld (${s.table(tableName).schema.toDDL})
            |USING parquet CLUSTERED BY ($key) ${sorted}INTO
@@ -166,8 +171,14 @@ object Compaction {
       // leaving the writer tasks with mixed buckets again. A raw scan
       // has UnknownPartitioning, so the repartition genuinely shuffles
       // — the exact appendBatch shape whose tasks align one-per-bucket.
+      // read exactly the SNAPSHOT file list, not the live directory:
+      // a file appended between the snapshot and a directory-listing
+      // read would be compacted IN while surviving the delete — every
+      // one of its rows duplicated. Pinning the inputs to `old` makes
+      // the snapshot comment's guarantee real.
       BucketedLayout.withBucketAlignedWrite(s) {
-        s.read.schema(s.table(tableName).schema).parquet(loc.toString)
+        s.read.schema(s.table(tableName).schema)
+          .parquet(old.map(_.getPath.toString): _*)
           .repartition(spec.numBuckets, col(key))
           .write.mode(SaveMode.Append).insertInto(bld)
       }

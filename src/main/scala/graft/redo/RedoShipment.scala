@@ -50,6 +50,14 @@ object RedoShipment {
       rest.substring(slash))
   }
 
+  /** Path fields travel URL-encoded so the space-separated command
+    * grammar survives paths containing spaces (or any byte).
+    */
+  private[redo] def enc(path: String): String =
+    java.net.URLEncoder.encode(path, "UTF-8")
+  private[redo] def dec(field: String): String =
+    java.net.URLDecoder.decode(field, "UTF-8")
+
   private[redo] def writeErr(out: DataOutputStream, msg: String): Unit = {
     out.writeInt(1)
     val b = msg.getBytes("UTF-8")
@@ -114,8 +122,13 @@ final class ShipmentServer(root: File, bind: String = "127.0.0.1",
     f
   }
 
+  /** `ship = true` = a SHIP bulk copy: counted toward the shipment
+    * MBean (files/bytes/MiB-per-second) and subject to the bandwidth
+    * throttle. READ mining windows are neither — counting them would
+    * report phantom transfer throughput for a scan that ships nothing.
+    */
   private def copyWindow(raf: RandomAccessFile, out: DataOutputStream,
-      total: Long, throttled: Boolean): Unit = {
+      total: Long, ship: Boolean): Unit = {
     val buf = new Array[Byte](64 * 1024)
     var left = total
     var windowStart = System.nanoTime()
@@ -125,8 +138,8 @@ final class ShipmentServer(root: File, bind: String = "127.0.0.1",
       if (n < 0) throw new IOException("file truncated mid-ship")
       out.write(buf, 0, n)
       left -= n
-      bytesShipped.addAndGet(n)
-      if (throttled && throttleBytesPerSec > 0) {
+      if (ship) bytesShipped.addAndGet(n)
+      if (ship && throttleBytesPerSec > 0) {
         windowBytes += n
         val due = windowStart + windowBytes * 1000000000L / throttleBytesPerSec
         val wait = due - System.nanoTime()
@@ -149,24 +162,35 @@ final class ShipmentServer(root: File, bind: String = "127.0.0.1",
         val cmdBytes = new Array[Byte](len)
         in.readFully(cmdBytes)
         val cmd = new String(cmdBytes, "UTF-8")
+        // error frames are only valid BEFORE the success header: once
+        // `writeInt(0)` + a length have gone out, the client is
+        // counting body bytes, and an error frame appended mid-body
+        // would be persisted as payload (a spooled file would then
+        // pass its completeness check while corrupt). headerSent
+        // routes mid-body failures to a connection DROP instead — the
+        // client sees a short stream and keeps its resumable partial.
+        var headerSent = false
+        def header(write: => Unit): Unit = { headerSent = true; write }
         try {
           val parts = cmd.split(" ", 4)
           parts(0) match {
             case "LIST" =>
-              val dir = resolve(parts(1))
+              val dir = resolve(RedoShipment.dec(parts(1)))
               val names = Option(dir.listFiles()).getOrElse(
                   throw new IOException(s"cannot list ${parts(1)}"))
                 .filter(f => f.isFile && f.getName.endsWith(".grl"))
                 .map(_.getName).sorted
               val body = names.mkString("\n").getBytes("UTF-8")
-              out.writeInt(0); out.writeInt(body.length); out.write(body)
+              header { out.writeInt(0); out.writeInt(body.length) }
+              out.write(body)
               out.flush()
             case "STAT" =>
-              val f = resolve(parts(1))
+              val f = resolve(RedoShipment.dec(parts(1)))
               if (!f.isFile) throw new IOException(s"no such file: ${parts(1)}")
-              out.writeInt(0); out.writeLong(f.length()); out.flush()
+              header { out.writeInt(0); out.writeLong(f.length()) }
+              out.flush()
             case "READ" =>
-              val f = resolve(parts(1))
+              val f = resolve(RedoShipment.dec(parts(1)))
               val pos = parts(2).toLong
               val n = parts(3).toInt
               if (pos < 0 || n < 0 || pos + n > f.length())
@@ -175,12 +199,12 @@ final class ShipmentServer(root: File, bind: String = "127.0.0.1",
               val raf = new RandomAccessFile(f, "r")
               try {
                 raf.seek(pos)
-                out.writeInt(0); out.writeInt(n)
-                copyWindow(raf, out, n, throttled = false)
+                header { out.writeInt(0); out.writeInt(n) }
+                copyWindow(raf, out, n, ship = false)
               } finally raf.close()
               out.flush()
             case "SHIP" =>
-              val f = resolve(parts(1))
+              val f = resolve(RedoShipment.dec(parts(1)))
               val offset = parts(2).toLong
               if (!f.isFile) throw new IOException(s"no such file: ${parts(1)}")
               if (offset < 0 || offset > f.length())
@@ -190,8 +214,8 @@ final class ShipmentServer(root: File, bind: String = "127.0.0.1",
               val raf = new RandomAccessFile(f, "r")
               try {
                 raf.seek(offset)
-                out.writeInt(0); out.writeLong(remaining)
-                copyWindow(raf, out, remaining, throttled = true)
+                header { out.writeInt(0); out.writeLong(remaining) }
+                copyWindow(raf, out, remaining, ship = true)
               } finally raf.close()
               out.flush()
               filesShipped.incrementAndGet()
@@ -199,14 +223,17 @@ final class ShipmentServer(root: File, bind: String = "127.0.0.1",
             case other => throw new IOException(s"unknown command: $other")
           }
         } catch {
-          // command-level failure: report on the wire, keep serving —
-          // a bad path from one consumer must not drop the connection
+          // PRE-header failure: report on the wire, keep serving — a
+          // bad path from one consumer must not drop the connection
           // another request is multiplexed on. NonFatal, not just
           // IOException: a malformed command (missing args, non-numeric
           // offset) parses with an index/format exception and must be
-          // a protocol error, not a dropped connection
-          case e: IOException => RedoShipment.writeErr(out, e.getMessage)
-          case scala.util.control.NonFatal(e) =>
+          // a protocol error, not a dropped connection. POST-header:
+          // rethrow — dropping the connection is the only way to keep
+          // the byte stream honest.
+          case e: IOException if !headerSent =>
+            RedoShipment.writeErr(out, e.getMessage)
+          case scala.util.control.NonFatal(e) if !headerSent =>
             RedoShipment.writeErr(out, s"malformed command '$cmd': $e")
         }
       }
@@ -283,10 +310,10 @@ final class ShipRedoProvider extends RedoStorageProvider {
     }
 
     override lazy val length: Long =
-      request(s"STAT $path")(_.readLong())
+      request(s"STAT ${RedoShipment.enc(path)}")(_.readLong())
 
     override def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit =
-      request(s"READ $path $pos $len") { in =>
+      request(s"READ ${RedoShipment.enc(path)} $pos $len") { in =>
         val n = in.readInt()
         if (n != len) throw new IOException(s"short window from $url: $n != $len")
         in.readFully(buf, off, len)
@@ -301,7 +328,7 @@ final class ShipRedoProvider extends RedoStorageProvider {
     try {
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
-      val b = s"LIST $path".getBytes("UTF-8")
+      val b = s"LIST ${RedoShipment.enc(path)}".getBytes("UTF-8")
       out.writeInt(b.length); out.write(b); out.flush()
       RedoShipment.readOk(in, "LIST")
       val n = in.readInt()
@@ -343,7 +370,7 @@ object ShipmentClient {
     try {
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
-      val cmd = s"SHIP $path $offset".getBytes("UTF-8")
+      val cmd = s"SHIP ${RedoShipment.enc(path)} $offset".getBytes("UTF-8")
       out.writeInt(cmd.length); out.write(cmd); out.flush()
       RedoShipment.readOk(in, "SHIP")
       val remaining = in.readLong()

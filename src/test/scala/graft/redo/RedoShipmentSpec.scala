@@ -125,6 +125,32 @@ class RedoShipmentSpec extends AnyFunSuite {
     }
   }
 
+  test("paths with spaces survive the wire (URL-encoded fields)") {
+    val parent = Files.createTempDirectory("ship sp").toFile
+    val dir = new File(parent, "redo logs")
+    assert(dir.mkdir())
+    writeLogs(dir)
+    val server = new ShipmentServer(dir)
+    try {
+      val base = s"${RedoShipment.Scheme}127.0.0.1:${server.boundPort}" +
+        dir.getAbsolutePath
+      val p = new ShipRedoProvider
+      assert(p.list(base) == Seq("log_1.grl", "log_2.grl"))
+      val local = Files.readAllBytes(new File(dir, "log_1.grl").toPath)
+      val src = p.open(s"$base/log_1.grl")
+      try {
+        assert(src.length == local.length)
+        val buf = new Array[Byte](64)
+        src.readFully(0, buf, 0, 64)
+        assert(buf.toSeq == local.take(64).toSeq)
+      } finally src.close()
+      val dest = Files.createTempDirectory("ship_sp_dst").toFile
+      val got = ShipmentClient.fetch(s"$base/log_2.grl", dest)
+      assert(Files.readAllBytes(got.toPath).toSeq ==
+        Files.readAllBytes(new File(dir, "log_2.grl").toPath).toSeq)
+    } finally server.close()
+  }
+
   test("thread-per-connection: concurrent readers each get exact bytes") {
     // the executor fan-out shape: many partitions each open their own
     // connection and window-read the same archive concurrently
