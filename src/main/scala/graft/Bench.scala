@@ -107,8 +107,14 @@ object Bench {
       try if (wantsAny("pipe_curate", "pipe_full", "pipe_incr", "pipe_incr_idx"))
         graft.operators.PipelineQueries.benchShingles(spark, sfDir)
       catch { case scala.util.control.NonFatal(_) => () }
-      try if (wantsAny("pipe_incr", "pipe_incr_idx"))
-        graft.operators.PipelineQueries.ensureCuratedBase(spark, sfDir)
+      try if (wantsAny("pipe_incr", "pipe_incr_idx")) {
+        val base =
+          graft.operators.PipelineQueries.ensureCuratedBase(spark, sfDir)
+        // the pipe_incr gates read the inventory from the ARTIFACT
+        // (storedBench — a different memo key than the raw form
+        // above), so warm that one too
+        graft.operators.PipelineQueries.storedBench(spark, base)
+      }
       catch { case scala.util.control.NonFatal(e) =>
         // fatal errors (OOM, interrupts) must kill the run — timed
         // walls on a thrashing heap would record garbage that LOOKS

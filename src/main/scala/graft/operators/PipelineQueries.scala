@@ -343,7 +343,7 @@ object PipelineQueries {
     * per (path, marker stamp) — the stamp pins both the curation
     * version and the source fingerprint, so a rebuilt artifact re-reads.
     */
-  private def storedBench(s: SparkSession, path: String): Array[Long] = {
+  private[graft] def storedBench(s: SparkSession, path: String): Array[Long] = {
     def read() = s.read.parquet(s"$path/bench")
       .collect().map(_.getLong(0)).sorted
     graft.Tables.readMarker(path) match {
