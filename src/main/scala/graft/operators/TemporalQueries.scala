@@ -84,6 +84,40 @@ object TemporalQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gap-fill + forward-fill resampling (§2.61) — the time-series
+    // regularization every metrics/feature pipeline runs before
+    // modeling: per user, the LAST observation of each day lands on a
+    // contiguous daily grid spanning that user's activity, empty days
+    // forward-filled from the most recent observation (marked
+    // `filled`). Scale shape: the per-day last-observation aggregate
+    // is one (user, day) map-side-combined shuffle; the grid comes
+    // from a per-user min/max aggregate exploded map-side via
+    // `sequence()` (rows ∝ keys × days, never touched twice); the
+    // forward fill is ONE user-keyed window — `last(ignoreNulls)` over
+    // an unbounded-preceding frame is computed in a single running
+    // pass per partition, so the whole resample costs two small
+    // aggregates + one window shuffle at any corpus size.
+    "q_ts_gapfill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val day = date_trunc("day", col("ts"))
+      val obs = events(s, dir)
+        .groupBy(col("user_id"), day.as("day"))
+        .agg(max_by(col("value"),
+          struct(col("ts"), col("event_id"))).as("v"))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 DAY"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("v"), ignoreNulls = true).over(w).as("value"),
+          col("v").isNull.as("filled"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // As-of join: every event picks up the most recent error event of
     // the same user at-or-before its own timestamp (the "attach the
     // last marker" shape: last checkpoint, last config change, last
@@ -235,6 +269,33 @@ object TemporalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // independent formulation: generate_series grid + IGNORE NULLS
+    // window fill (the value column passes through untouched, so
+    // doubles hash-match)
+    "q_ts_gapfill" ->
+      """WITH obs AS (
+        |  SELECT user_id, day, v FROM (
+        |    SELECT user_id, date_trunc('day', ts) AS day, value AS v,
+        |           ROW_NUMBER() OVER (
+        |             PARTITION BY user_id, date_trunc('day', ts)
+        |             ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |bounds AS (
+        |  SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+        |  FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.day, o.v
+        |  FROM grid g LEFT JOIN obs o USING (user_id, day))
+        |SELECT user_id, day,
+        |       last_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY day
+        |         ROWS UNBOUNDED PRECEDING) AS value,
+        |       v IS NULL AS filled
+        |FROM j ORDER BY user_id, day""".stripMargin,
+
     // independent formulation: DuckDB's native ASOF JOIN operator.
     // epoch_us normalization on BOTH joins: the Spark side works in
     // integer epoch microseconds (`Tables.tsMicros`), so the oracle
