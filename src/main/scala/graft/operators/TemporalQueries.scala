@@ -118,6 +118,34 @@ object TemporalQueries {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // Rolling anomaly detection (§2.62) — the streaming-metrics staple:
+    // flag an observation whose deviation from its OWN trailing window
+    // exceeds 3σ. Everything is EXACT integer arithmetic so the flag is
+    // engine-independent: values become cents (x), and |x−μ| > 3σ over
+    // the trailing frame (μ = S/n, σ² = (nΣx²−S²)/n²) multiplies out to
+    // (nx−S)² > 9(nΣx²−S²) — longs end to end, no float σ whose
+    // summation order could flip a borderline flag between engines.
+    // Scale shape: ONE user-keyed window shuffle; the three frame
+    // aggregates (n, S, Σx²) share the frame and compute in one
+    // running pass per partition.
+    "q_ts_anomaly" -> ((s, dir) => {
+      val x = (col("value").cast(D) * 100).cast("long")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-5, -1)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), x.as("x"))
+        .withColumn("n", count(col("x")).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("qx", sum(col("x") * col("x")).over(w))
+        .select(col("event_id"), col("user_id"), col("n"),
+          (col("n") >= 3 &&
+            (col("n") * col("x") - col("sx")) *
+              (col("n") * col("x") - col("sx")) >
+              lit(9L) * (col("n") * col("qx") - col("sx") * col("sx")))
+            .as("anomaly"))
+        .orderBy(col("event_id"))
+    }),
+
     // As-of join: every event picks up the most recent error event of
     // the same user at-or-before its own timestamp (the "attach the
     // last marker" shape: last checkpoint, last config change, last
@@ -295,6 +323,22 @@ object TemporalQueries {
         |         ROWS UNBOUNDED PRECEDING) AS value,
         |       v IS NULL AS filled
         |FROM j ORDER BY user_id, day""".stripMargin,
+
+    // same integer-exact 3-sigma restatement over DuckDB windows
+    "q_ts_anomaly" ->
+      """SELECT event_id, user_id, n,
+        |  (n >= 3 AND (n*x - sx)*(n*x - sx) > 9*(n*qx - sx*sx)) AS anomaly
+        |FROM (
+        |  SELECT event_id, user_id, x,
+        |         COUNT(x) OVER wf AS n,
+        |         SUM(x) OVER wf AS sx,
+        |         SUM(x*x) OVER wf AS qx
+        |  FROM (SELECT event_id, user_id, ts,
+        |          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |        FROM events)
+        |  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |ORDER BY event_id""".stripMargin,
 
     // independent formulation: DuckDB's native ASOF JOIN operator.
     // epoch_us normalization on BOTH joins: the Spark side works in
