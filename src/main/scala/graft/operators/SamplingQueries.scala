@@ -127,7 +127,7 @@ object SamplingQueries {
     "q_strat" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents
-        |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100
+        |WHERE ((((doc_id % 2147483648) * 2654435761) % 4294967296 + 4294967296) % 4294967296) % 100
         |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
         |ORDER BY doc_id""".stripMargin,
     "q_sample_k" ->
@@ -135,7 +135,7 @@ object SamplingQueries {
         |  SELECT lang, source, doc_id,
         |         ROW_NUMBER() OVER (
         |           PARTITION BY lang, source
-        |           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+        |           ORDER BY ((((doc_id % 2147483648) * 2654435761) % 4294967296 + 4294967296) % 4294967296),
         |                    doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY lang, source, rn""".stripMargin,
@@ -160,7 +160,7 @@ object SamplingQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_kept,
         |       CAST(SUM(t.n_tok) AS BIGINT) AS tok_kept
         |FROM toks t JOIN rates r USING (source)
-        |WHERE ((t.doc_id % 2147483648) * 2654435761) % 4294967296 % 1000000
+        |WHERE ((((t.doc_id % 2147483648) * 2654435761) % 4294967296 + 4294967296) % 4294967296) % 1000000
         |      < r.rate_u
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     "q_quantiles" ->

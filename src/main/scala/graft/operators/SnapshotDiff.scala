@@ -94,7 +94,7 @@ object SnapshotDiff {
         |            ELSE 'u' END AS op,
         |       o.cents AS before_cents, n.cents AS after_cents
         |FROM base o FULL OUTER JOIN news n ON o.k = n.k
-        |WHERE o.k IS NULL OR n.k IS NULL OR o.cents <> n.cents
+        |WHERE o.k IS NULL OR n.k IS NULL OR o.cents IS DISTINCT FROM n.cents
         |ORDER BY k""".stripMargin
   )
 }

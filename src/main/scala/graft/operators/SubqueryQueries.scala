@@ -48,7 +48,8 @@ object SubqueryQueries {
           |       WHERE i.o_custkey = o.o_custkey)
           |    > (SELECT SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
           |                       AS BIGINT))
-          |       FROM g_orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+          |       FROM g_orders i WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
     })
   )
 

@@ -18,8 +18,7 @@ object ZOrderLayout {
 
   def clusterByZ(df: DataFrame, x: Column, y: Column, bits: Int,
       partitions: Int): DataFrame = {
-    val z = zValue2(x, y, bits).as("__z")
-    df.withColumn("__z", z)
+    df.withColumn("__z", zValue2(x, y, bits))
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
