@@ -993,7 +993,7 @@ object DedupQueries {
   private val shinglesCte =
     """WITH toks AS (
       |  SELECT doc_id,
-      |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      |         list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'), x -> x <> '') AS tk
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id,
@@ -1107,7 +1107,7 @@ object DedupQueries {
     "dedup_winnow" ->
       ("""WITH toks AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |         list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |g0 AS (
         |  SELECT doc_id,
@@ -1296,7 +1296,7 @@ object DedupQueries {
     "dedup_sh_ham" -> (
       """WITH toks AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |         list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |th AS (
         |  SELECT doc_id,
@@ -1328,7 +1328,7 @@ object DedupQueries {
     "dedup_simhash" -> (
       """WITH toks AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |         list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |th AS (
         |  SELECT doc_id,

@@ -292,7 +292,7 @@ object MultimodalQueries {
         |               CAST(list_dot_product(q, q) AS BIGINT) AS n2i FROM v),
         |toks AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |         list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |hs AS (
         |  SELECT doc_id,

@@ -492,15 +492,15 @@ object PipelineQueries {
   private def stageChainCtes(p: String, extraWhere: String): String =
       """@norm0 AS (
         |  SELECT doc_id, source,
-        |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |         trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')) AS norm
         |  FROM documents WHERE doc_id % 97 <> 0<<W>>),
         |@tk AS (
         |  SELECT doc_id, source, norm,
-        |         list_filter(regexp_split_to_array(norm, '\s+'), x -> x <> '') AS tk
+        |         list_filter(regexp_split_to_array(norm, '[ \t\n\v\f\r]+'), x -> x <> '') AS tk
         |  FROM @norm0),
         |@btk AS (
         |  SELECT list_filter(regexp_split_to_array(
-        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+        |           trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), '[ \t\n\v\f\r]+'),
         |         x -> x <> '') AS tk
         |  FROM documents WHERE doc_id % 97 = 0),
         |@bsh AS (
@@ -834,7 +834,7 @@ object PipelineQueries {
         |         UNNEST(list_distinct(list_transform(range(1, len(tk)),
         |                i -> tk[i] || ' ' || tk[i+1]))) AS s
         |  FROM (SELECT doc_id,
-        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |          list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'), x -> x <> '') AS tk
         |        FROM documents)),
         |g_h AS (
         |  SELECT doc_id,

@@ -135,7 +135,7 @@ object PrefixSum {
     "text_pack" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'),
         |                              x -> x <> '')) AS BIGINT) AS n_tok
         |  FROM documents),
         |t AS (SELECT doc_id, n_tok FROM toks WHERE n_tok > 0),

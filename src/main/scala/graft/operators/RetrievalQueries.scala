@@ -309,14 +309,19 @@ object RetrievalQueries {
     // row_number runs on the vocab aggregate, never the corpus. Tiny
     // vocab (top 10) here so the OOV path carries real traffic.
     "text_encode" -> ((s, dir) => {
+      // persist: the tokenized frame feeds BOTH the vocabulary
+      // aggregate and the encode explode — without it the corpus scan
+      // + tokenize runs twice (the bm25/lmScore one-pass discipline)
       val toks = documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .persist()
       val uni = toks.select(explode(col("tk")).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
       val w = Window.orderBy(col("cnt").desc, col("t"))
       val vocab = uni.withColumn("id", row_number().over(w))
         .filter(col("id") <= 10).select(col("t"), col("id"))
-      toks.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      val out = toks
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "t")))
         .join(broadcast(vocab), Seq("t"), "left")
         .withColumn("id", coalesce(col("id"), lit(0)))
         .groupBy(col("doc_id"))
@@ -327,12 +332,15 @@ object RetrievalQueries {
           " x -> CAST(x.id AS STRING)), ',')").as("ids"),
           sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"))
         .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      toks.unpersist(blocking = false)
+      out
     })
   )
 
   private val toksCte =
     """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'), x -> x <> '') AS tk
       |  FROM documents)
       |""".stripMargin
 

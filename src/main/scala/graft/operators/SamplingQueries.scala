@@ -142,7 +142,7 @@ object SamplingQueries {
     "q_domain_mix" ->
       """WITH toks AS (
         |  SELECT doc_id, source,
-        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'),
         |                              x -> x <> '')) AS BIGINT) AS n_tok
         |  FROM documents),
         |by_src AS (

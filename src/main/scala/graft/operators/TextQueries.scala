@@ -46,12 +46,15 @@ object TextQueries {
     }),
 
     // Token-less documents are dropped: the oracle's per-token GROUP BY
-    // never yields a row for them. trim(text) ≠ '' is EQUIVALENT to
-    // "has a token" (tokens splits on \s+) and avoids running the
-    // tokenizer twice (Spark does no CSE across Filter and Project).
+    // never yields a row for them. The filter must test "has a token"
+    // directly — trim(text) ≠ '' is NOT equivalent (trim strips only
+    // SPACES, so a tab/newline-only document would pass the trim
+    // filter, tokenize to [] and emit fingerprint 0 where the oracle
+    // emits no row). tokenCount is the native byte-scan kernel, so the
+    // guard costs no second tokenizer run.
     "text_fprint" -> ((s, dir) => {
       documents(s, dir)
-        .filter(trim(col("text")) =!= "")
+        .filter(tokenCount(col("text")) > 0)
         .select(col("doc_id"),
           docFingerprint(tokens(col("text"))).as("fp"))
         .orderBy(col("doc_id"))
@@ -323,7 +326,7 @@ object TextQueries {
   private val toksCte =
     """WITH toks AS (
       |  SELECT doc_id, text,
-      |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      |         list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'), x -> x <> '') AS tk
       |  FROM documents)
       |""".stripMargin
 
@@ -383,8 +386,8 @@ object TextQueries {
         |FROM raw ORDER BY doc_id""".stripMargin,
     "text_norm" ->
       """SELECT doc_id,
-        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
-        |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |  trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')) AS norm,
+        |  CAST(length(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')))
         |       AS INTEGER) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     // decontamination: same bigram-shingle hash domain as the dedup
@@ -392,7 +395,7 @@ object TextQueries {
     "text_decontam" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |         list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id,
@@ -467,7 +470,7 @@ object TextQueries {
     "text_dsir" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |         list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id, lang,

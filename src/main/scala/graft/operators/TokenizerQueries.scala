@@ -381,7 +381,7 @@ object TokenizerQueries {
   private val toksCte =
     """WITH toks AS (
       |  SELECT doc_id,
-      |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      |         list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'), x -> x <> '') AS tk
       |  FROM documents)
       |""".stripMargin
 
