@@ -98,7 +98,10 @@ object TextHash {
   def winnow(hs: ArrayData, w: Int): ArrayData = {
     val n = hs.numElements()
     if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
-    val sel = new java.util.TreeSet[java.lang.Long]()
+    // primitive collect → sort → dedup-in-place (the sortedDistinctLongs
+    // pattern): a TreeSet here boxed one Long + one tree node per
+    // window per row inside the dedup scan's hot loop
+    val mins = new Array[Long](n - w + 1)
     var i = 0
     while (i <= n - w) {
       var mn = Long.MaxValue
@@ -108,14 +111,18 @@ object TextHash {
         if (v < mn) mn = v
         j += 1
       }
-      sel.add(mn)
+      mins(i) = mn
       i += 1
     }
-    val out = new Array[Long](sel.size)
-    val it = sel.iterator()
+    java.util.Arrays.sort(mins)
     var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    var m = 0
+    while (m < mins.length) {
+      if (k == 0 || mins(m) != mins(k - 1)) { mins(k) = mins(m); k += 1 }
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(mins, k))
   }
 
   /** Σ over a long array — exact (callers keep elements < 2^30 and

@@ -23,16 +23,30 @@ object VectorNative {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      out(i) = math.floor(v.getFloat(i).toDouble * 1000000d).toLong
+      val x = v.getFloat(i)
+      // refuse non-finite components loudly: floor(NaN).toLong is 0 and
+      // Inf saturates to Long.MaxValue — a silently "quantized" corrupt
+      // embedding would serve plausible cosines while the oracle's CAST
+      // errors on the same row (cross-engine divergence hiding the bug)
+      if (java.lang.Float.isNaN(x) || java.lang.Float.isInfinite(x))
+        throw new IllegalArgumentException(
+          s"non-finite embedding component $x at index $i")
+      out(i) = math.floor(x.toDouble * 1000000d).toLong
       i += 1
     }
     new GenericArrayData(out)
   }
 
   def dotQ(a: ArrayData, b: ArrayData): Long = {
-    // min-length bound: a malformed shorter vector must not read past
-    // its buffer (UnsafeArrayData would return garbage, not throw)
-    val n = math.min(a.numElements(), b.numElements())
+    // dimension mismatch fails LOUDLY (the maxCos rationale): a
+    // truncated dot product is a plausible-looking score masking a
+    // data bug, and the oracle's list_dot_product errors on unequal
+    // lengths — silence here would surface as an inscrutable gate
+    // hash mismatch instead of this message
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dotQ dimension mismatch: $n vs ${b.numElements()}")
     var acc = 0L
     var i = 0
     while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
@@ -67,8 +81,11 @@ object VectorNative {
     * oracle's `//` exactly.
     */
   def sq8Decode(q: ArrayData, mns: ArrayData, steps: ArrayData): ArrayData = {
-    val n = math.min(q.numElements(),
-      math.min(mns.numElements(), steps.numElements()))
+    val n = q.numElements()
+    if (mns.numElements() != n || steps.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sq8Decode dimension mismatch: q=$n mn=${mns.numElements()} " +
+          s"step=${steps.numElements()}")
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {

@@ -161,13 +161,12 @@ object MultimodalQueries {
         .withColumn("tv",
           graft.functions.TextHashExpressions.mod_counts(col("hs"), 64))
         .withColumn("n2t", normQ2(col("tv")))
-      img.join(txt, "doc_id")
+      sorted(img.join(txt, "doc_id")
         .withColumn("dot", dotQ(col("q"), col("tv")))
         .withColumn("clip",
           cosineFromQ(col("dot"), col("n2i"), col("n2t")))
         .select(col("doc_id"), col("dot"),
-          col("clip"), (col("clip") > 0.05).as("keep"))
-        .orderBy(col("doc_id"))
+          col("clip"), (col("clip") > 0.05).as("keep")), "doc_id")
     })
   )
 

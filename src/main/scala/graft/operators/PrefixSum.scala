@@ -92,8 +92,15 @@ object PrefixSum {
     // with the partition's exclusive offset
     val scanned = parted.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      // belt for the plan-inspection mode: a re-planned partitioning
-      // can only ever fail loudly, never seed from a wrong offset slot
+      // belt for the plan-inspection mode — HONEST LIMITS: this only
+      // catches a re-plan that changed the partition COUNT. The
+      // materialize=false contract is therefore "execute while the
+      // persisted partitioning is still cached" (which is why that
+      // path deliberately never unpersists `parted`): if the cache
+      // were evicted and the range sort re-sampled into the SAME
+      // number of partitions with different bounds, offsets would
+      // seed silently wrong — the materialize=true path (every
+      // production caller) closes the window with an eager checkpoint
       require(pid < bOffsets.value.length,
         s"prefix-sum executed against a re-planned partitioning " +
           s"($pid >= ${bOffsets.value.length}) — see withRunningTotal docs")
@@ -105,6 +112,10 @@ object PrefixSum {
         row
       }
     }(enc)
+    // materialize=false keeps `parted` cached ON PURPOSE (see the
+    // belt comment above): the lazy result's correctness rides on the
+    // cached partitioning. Audit sessions are short-lived; production
+    // callers use materialize=true, which releases it below.
     if (!materialize) (scanned, acc)
     else {
       val outDf = scanned.localCheckpoint(true)

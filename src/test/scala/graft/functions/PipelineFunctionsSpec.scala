@@ -10,6 +10,15 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PipelineFunctionsSpec extends AnyFunSuite {
 
+  test("the polynomial-hash modulus has exactly one value everywhere") {
+    // TextHash.P and TextFunctions.P are separate definitions (a val
+    // alias would couple object initialization order); this guard is
+    // the compile-independent link — desynchronizing them would
+    // silently diverge every native kernel from the Column-API hashes
+    // and every DuckDB oracle
+    assert(graft.functions.TextHash.P == graft.functions.TextFunctions.P)
+  }
+
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
