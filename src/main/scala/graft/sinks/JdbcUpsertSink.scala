@@ -45,11 +45,18 @@ case class JdbcUpsertSink(
     if (user.isEmpty) DriverManager.getConnection(url)
     else DriverManager.getConnection(url, user, password)
 
-  /** Order columns present in this batch's frame (callers may omit e.g.
-    * ssn; ordering degrades gracefully to the columns supplied).
+  /** Order columns resolved against this batch's frame — matched
+    * case- and underscore-insensitively, because the engine's own
+    * envelopes rename them (wrapped emits `commit_scn` for commitScn):
+    * a literal-name filter silently degraded such a stream to
+    * scn-only ordering, the exact wrong-batch-winner hazard the
+    * orderCols doc warns about. Columns genuinely absent (e.g. ssn on
+    * a reduced envelope) still degrade gracefully.
     */
-  private def presentOrderCols(df: DataFrame): Seq[String] =
-    orderCols.filter(df.columns.contains)
+  private def presentOrderCols(df: DataFrame): Seq[String] = {
+    def canon(c: String) = c.replace("_", "").toLowerCase
+    orderCols.flatMap(oc => df.columns.find(c => canon(c) == canon(oc)))
+  }
 
   /** The sink's effective key columns: `keyCols` when supplied; when a
     * record stream arrives KEYLESS, discovered from the TARGET
@@ -247,6 +254,9 @@ case class JdbcUpsertSink(
           var done = false
           while (!done) {
             if (conn == null) open()
+            // batch-constant key positions — indexOf per key per row
+            // was O(rows × keys × cols) string scans in the hot loop
+            val keyIdx = keys.map(dataCols.indexOf)
             try {
               chunk.foreach { r =>
                 val isDelete = r.get(dataCols.length) match {
@@ -255,8 +265,8 @@ case class JdbcUpsertSink(
                   case _ => false
                 }
                 if (isDelete) {
-                  keys.zipWithIndex.foreach { case (k, i) =>
-                    del.setObject(i + 1, r.get(dataCols.indexOf(k)))
+                  keyIdx.zipWithIndex.foreach { case (srcIdx, i) =>
+                    del.setObject(i + 1, r.get(srcIdx))
                   }
                   del.addBatch()
                 } else {

@@ -64,9 +64,15 @@ object KafkaContractSink {
   def keyHashPartition(key: Column, numPartitions: Int): Column =
     pmod(hash(key), lit(numPartitions)).cast("int")
 
-  /** RAC rule: partition = redo THREAD# − 1 (`NameMappers.racPartition`). */
+  /** RAC rule: partition = redo THREAD# − 1 (`NameMappers.racPartition`).
+    * Validated like the Scala twin: thread 0 (a malformed or
+    * null-coalesced record) must fail HERE at mapping time, not
+    * surface as an impossible partition −1 deep in the producer.
+    */
   def racPartitionColumn(thread: Column): Column =
-    (thread - 1).cast("int")
+    when(assert_true(thread >= 1,
+        lit("redo threads are 1-based")).isNull,
+      thread - 1).cast("int")
 
   /** Append one micro-batch. `batch` must carry string `topic`, int
     * `partition`, string `key`, string `value`; `orderCols` defines the
@@ -89,31 +95,49 @@ object KafkaContractSink {
     val missing = required.filterNot(batch.columns.contains)
     require(missing.isEmpty, s"kafka contract batch lacks columns: $missing")
     new File(dir).mkdirs()
-    val routed = batch
-      .repartition(col("topic"), col("partition"))
-      .sortWithinPartitions(
-        (Seq(col("topic"), col("partition")) ++ orderCols.map(col)): _*)
-      .select(col("topic"), col("partition"), col("key"), col("value"))
     val marker =
       if (batchId >= 0) Some(new File(dir, s".batch-$batchId.done")) else None
+    // cache across the fingerprint job and the delivery job — without
+    // it every marked batch recomputes its upstream twice
+    val cached = if (batchId >= 0) batch.persist() else batch
     val fingerprint: Option[String] = marker.map { _ =>
       // deterministic content fingerprint (row-order-independent): the
       // same logical batch replayed computes the same value
-      val r = batch.select(
+      val r = cached.select(
         count(lit(1)).cast("long"),
         coalesce(sum(hash(col("topic"), col("partition"), col("key"),
           col("value")).cast("long")), lit(0L))).head()
       s"${r.getLong(0)}:${r.getLong(1)}"
     }
+    try {
     marker.filter(_.exists()).foreach { m =>
       val stored = new String(java.nio.file.Files.readAllBytes(m.toPath),
         java.nio.charset.StandardCharsets.UTF_8).trim
-      if (stored == fingerprint.get || stored.isEmpty) return // true replay
-      // fingerprint mismatch: fall through and deliver (segments are
-      // atomic overwrites), then rewrite the marker below
+      // only an EXACT fingerprint match is a true replay. An EMPTY
+      // marker (crash between create and write) proves nothing about
+      // delivery — redeliver; segments are atomic overwrites, so a
+      // redelivery is always safe where a skip can lose the batch
+      // forever.
+      if (stored == fingerprint.get) return
+      // mismatch/empty: the marker came from a DIFFERENT incarnation
+      // (checkpoint reset over a kept dir). Delivering only this
+      // batch's pairs would leave the OLD incarnation's segments for
+      // (topic, partition) pairs absent from the new batch interleaved
+      // in the log forever — clear every segment of this batch id
+      // first, then deliver and rewrite the marker.
+      val suffix = f".b$batchId%09d"
+      Option(new File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(suffix) ||
+          f.getName.endsWith(suffix + ".inprogress"))
+        .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
     }
     val bid = batchId
-    routed.foreachPartition { rows: Iterator[Row] =>
+    val routed2 = cached
+      .repartition(col("topic"), col("partition"))
+      .sortWithinPartitions(
+        (Seq(col("topic"), col("partition")) ++ orderCols.map(col)): _*)
+      .select(col("topic"), col("partition"), col("key"), col("value"))
+    routed2.foreachPartition { rows: Iterator[Row] =>
       // after the sort, each (topic, partition) run is consecutive:
       // one open segment at a time, streamed once
       def enc(s: String): String = if (s == null) NullToken else s
@@ -174,5 +198,6 @@ object KafkaContractSink {
       java.nio.file.Files.write(m.toPath,
         fingerprint.get.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    } finally if (batchId >= 0) cached.unpersist(blocking = false)
   }
 }

@@ -36,7 +36,14 @@ object NameMappers {
     */
   def defaultTopic(table: String, prefix: String = "",
       delimiter: String = "_"): String = {
-    val base = table.split("\\.").map(sanitize).mkString(delimiter)
+    // drop empty components (a stray/leading/double dot) instead of
+    // feeding sanitize's empty-identifier require: the codegen twin
+    // (KafkaContractSink.defaultTopicColumn) drops them — "PDB..T"
+    // must map to the SAME topic on both paths, and Java's split also
+    // silently swallows TRAILING empties, so throwing here was never
+    // consistent to begin with
+    val base = table.split("\\.").filter(_.nonEmpty)
+      .map(sanitize).mkString(delimiter)
     if (prefix.isEmpty) base else s"${sanitize(prefix)}$delimiter$base"
   }
 

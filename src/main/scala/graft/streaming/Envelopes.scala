@@ -58,7 +58,12 @@ object Envelopes {
     val keyEntries = array(keyCols.map(k => struct(
       lit(k).as("key"),
       coalesce(element_at(img, k), element_at(alt, k)).as("value"))): _*)
-    changes.select(
+    // DDL filtered like [[debezium]]/[[wrapped]]: a transiting ALTER
+    // carries no key columns, so every schema change would land on the
+    // EMPTY compaction key of its data topic (clobbering each other and
+    // failing schema-validated consumers) — schema metadata is not a
+    // row change
+    changes.filter(col("op") =!= Ops.Ddl).select(
       col("table"),
       map_from_entries(filter(keyEntries, e => e("value").isNotNull)).as("key"),
       img.as("value"),
