@@ -45,7 +45,7 @@ object ActionAudit {
       if (prewarm.isDirectory)
         try fn(spark, prewarm.toString)
           .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
       Thread.sleep(300) // let queued listener events drain
       jobs.set(0)
       val t0 = System.nanoTime()

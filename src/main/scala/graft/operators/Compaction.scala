@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
+  /** Swap-journal file name under a bucketed table's location — present
+    * only between a crashed swap's renames and its replayed deletes.
+    */
+  val JournalName = "_graft_compaction_journal"
+
   /** Total on-disk bytes feeding `df` — the scan's own file index when
     * the plan is a V1 file relation (metadata only, exact), otherwise
     * the optimizer's size estimate (DSv2/catalog tables), so a
@@ -102,10 +107,14 @@ object Compaction {
     * cache refreshed. Registration, location and bucket metadata never
     * change; only the file set does.
     *
-    * The swap is move-new-then-delete-old: a crash mid-swap leaves
-    * duplicates (re-run compaction to converge), never data loss. Like
-    * [[compact]], this is a single-writer maintenance operation — do
-    * not run it concurrently with appends to the same table.
+    * The swap is move-new-then-delete-old, guarded by a journal: the
+    * exact old-file list is published under the table location before
+    * the first rename, so a crash mid-swap leaves duplicates only until
+    * the NEXT compactBucketed call, which replays the journal's deletes
+    * before snapshotting (never treating superseded files as data) —
+    * and never data loss at any point. Like [[compact]], this is a
+    * single-writer maintenance operation — do not run it concurrently
+    * with appends to the same table.
     *
     * The reference needs no analogue because Kafka owns its log
     * segments and compacts them itself (`log.cleaner` on the broker);
@@ -121,17 +130,34 @@ object Compaction {
       .getTableMetadata(TableIdentifier(tableName))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$tableName is not bucketed — use compact() for plain directories"))
-    val key = spec.bucketColumnNames match {
-      case Seq(k) => k
-      case ks => throw new IllegalArgumentException(
-        s"$tableName buckets on ${ks.size} columns; single-column only")
-    }
+    // multi-column bucket specs work too: repartition on the same column
+    // list uses the same Murmur3 hash over the same tuple as bucketBy,
+    // so task-per-bucket alignment holds exactly as in the 1-column case
+    val keys = spec.bucketColumnNames
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
     def dataFiles(p: org.apache.hadoop.fs.Path) =
       fs.listStatus(p).toSeq.filter(f => f.isFile &&
         !f.getPath.getName.startsWith("_") &&
         !f.getPath.getName.startsWith("."))
+    // a journal left by a crashed prior swap means some old files were
+    // superseded but not yet deleted — their rows exist twice (once in
+    // a compacted file that was renamed in, once in themselves). Finish
+    // that delete FIRST, off the journal's exact list, so the table is
+    // row-consistent before this round snapshots it; treating leftover
+    // old files as data would compact the duplicates in permanently.
+    val journal = new org.apache.hadoop.fs.Path(loc, JournalName)
+    if (fs.exists(journal)) {
+      val in = fs.open(journal)
+      val listed =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      listed.filter(_.nonEmpty).foreach { name =>
+        fs.delete(new org.apache.hadoop.fs.Path(loc, name), false)
+      }
+      fs.delete(journal, false)
+      s.catalog.refreshTable(tableName)
+    }
     // snapshot BEFORE the rewrite reads the table: files appended after
     // this point survive the swap untouched (they are simply not
     // compacted this round)
@@ -161,7 +187,7 @@ object Compaction {
         else s"SORTED BY (${spec.sortColumnNames.mkString(", ")}) "
       s.sql(
         s"""CREATE TABLE $bld (${s.table(tableName).schema.toDDL})
-           |USING parquet CLUSTERED BY ($key) ${sorted}INTO
+           |USING parquet CLUSTERED BY (${keys.mkString(", ")}) ${sorted}INTO
            |${spec.numBuckets} BUCKETS LOCATION '$tmp'""".stripMargin)
       // read the files as PLAIN parquet, not through the bucketed
       // table: the bucketed scan reports HashPartitioning(key, n), the
@@ -179,24 +205,38 @@ object Compaction {
       BucketedLayout.withBucketAlignedWrite(s) {
         s.read.schema(s.table(tableName).schema)
           .parquet(old.map(_.getPath.toString): _*)
-          .repartition(spec.numBuckets, col(key))
+          .repartition(spec.numBuckets, keys.map(col): _*)
           .write.mode(SaveMode.Append).insertInto(bld)
       }
     } finally s.sql(s"DROP TABLE IF EXISTS $bld") // external: files stay
     val fresh = dataFiles(tmp)
+    // journal the exact old-file set BEFORE the first rename: a crash
+    // after some renames but before the deletes below leaves those rows
+    // duplicated, and without the journal a re-run would read the
+    // leftovers as data and compact the duplicates in permanently. The
+    // `_`-prefixed name is invisible to both Spark's file index and
+    // dataFiles(), so the journal itself never scans as data. Written
+    // via create-then-rename so a torn write can't half-delete.
+    val journalTmp = new org.apache.hadoop.fs.Path(loc, JournalName + ".tmp")
+    val out = fs.create(journalTmp, true)
+    try out.write(old.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(journalTmp, journal))
+      throw new java.io.IOException(s"could not publish swap journal $journal")
     // move-new-then-delete-old: UUID-named files cannot collide with
-    // the old set, and the failure mode is duplicates, not loss — but
-    // ONLY if every rename is verified: rename() signals failure by
-    // RETURN VALUE, and deleting the old files after a silent false
-    // would drop that bucket's rows entirely
+    // the old set, and the failure mode is duplicates until the journal
+    // replays, never loss — but ONLY if every rename is verified:
+    // rename() signals failure by RETURN VALUE, and deleting the old
+    // files after a silent false would drop that bucket's rows entirely
     fresh.foreach { f =>
       val target = new org.apache.hadoop.fs.Path(loc, f.getPath.getName)
       if (!fs.rename(f.getPath, target))
         throw new java.io.IOException(
           s"compaction swap failed renaming ${f.getPath} -> $target; " +
-            "old files left in place (table unchanged)")
+            s"old files left in place; journal at $journal")
     }
     old.foreach(f => fs.delete(f.getPath, false))
+    fs.delete(journal, false)
     fs.delete(tmp, true)
     // drop the cached file listing or the next scan unions old+new
     s.catalog.refreshTable(tableName)

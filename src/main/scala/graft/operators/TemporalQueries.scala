@@ -125,11 +125,22 @@ object TemporalQueries {
     // the trailing frame (μ = S/n, σ² = (nΣx²−S²)/n²) multiplies out to
     // (nx−S)² > 9(nΣx²−S²) — longs end to end, no float σ whose
     // summation order could flip a borderline flag between engines.
-    // Scale shape: ONE user-keyed window shuffle; the three frame
-    // aggregates (n, S, Σx²) share the frame and compute in one
-    // running pass per partition.
+    // Exactness has a value-domain contract, ENFORCED loudly: with a
+    // 5-row frame the largest intermediate is 225·x², so int64 stays
+    // exact iff |x| < 2^27 cents (~$1.34M per observation). Beyond
+    // that Spark's long products would wrap silently while DuckDB
+    // widens BIGINT sums to HUGEINT — borderline flags would diverge
+    // between engines instead of matching — so an out-of-domain value
+    // raises here rather than mis-flagging (TextHash's sum-contract
+    // discipline). Scale shape: ONE user-keyed window shuffle; the
+    // three frame aggregates (n, S, Σx²) share the frame and compute
+    // in one running pass per partition.
     "q_ts_anomaly" -> ((s, dir) => {
-      val x = (col("value").cast(D) * 100).cast("long")
+      val raw = (col("value").cast(D) * 100).cast("long")
+      val x = when(abs(raw) < lit(1L << 27), raw).otherwise(
+        raise_error(format_string(
+          "q_ts_anomaly: |value| >= 2^27 cents breaks integer-exact " +
+            "arithmetic (got %s)", col("value"))).cast("long"))
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id")).rowsBetween(-5, -1)
       events(s, dir)

@@ -298,14 +298,25 @@ final class ShipRedoProvider extends RedoStorageProvider {
         RedoShipment.readOk(in, cmd.takeWhile(_ != ' '))
         read(in)
       }
+      def drop(): Unit = {
+        if (sock != null) try sock.close() catch { case _: IOException => () }
+        sock = null
+      }
       try once()
       catch {
         case _: java.net.SocketException | _: java.io.EOFException =>
           // agent restarted / connection dropped: reconnect once and
           // retry — positional reads are idempotent
-          if (sock != null) sock.close()
-          sock = null
+          drop()
           once()
+        case e: Throwable =>
+          // any other failure after bytes may have been exchanged (a
+          // short-window mismatch, a mid-body read timeout) leaves
+          // announced-but-unread payload in the stream — the connection
+          // is desynced, so the next request must start on a fresh
+          // socket rather than read stale body bytes as a status int
+          drop()
+          throw e
       }
     }
 
@@ -362,36 +373,55 @@ object ShipmentClient {
     val partial = new File(destDir, name + ".inprogress")
     if (dest.isFile) return dest // already shipped and published
     Files.createDirectories(destDir.toPath)
-    val offset = if (partial.isFile) partial.length() else 0L
 
-    val sock = new Socket()
-    sock.connect(new InetSocketAddress(host, port), 10000)
-    sock.setSoTimeout(60000)
+    // Exclusive lock on the .inprogress serializes concurrent fetchers
+    // of the same log: two interleaved writers would each complete
+    // their own byte-count loop and publish a corrupt file that passes
+    // the completeness check. The loser blocks here, then sees the
+    // winner's published dest and returns it.
+    val raf = new RandomAccessFile(partial, "rw")
     try {
-      val in = new DataInputStream(sock.getInputStream)
-      val out = new DataOutputStream(sock.getOutputStream)
-      val cmd = s"SHIP ${RedoShipment.enc(path)} $offset".getBytes("UTF-8")
-      out.writeInt(cmd.length); out.write(cmd); out.flush()
-      RedoShipment.readOk(in, "SHIP")
-      val remaining = in.readLong()
-      val raf = new RandomAccessFile(partial, "rw")
+      val flock = raf.getChannel.lock()
       try {
-        raf.seek(offset)
-        val buf = new Array[Byte](64 * 1024)
-        var left = remaining
-        while (left > 0) {
-          val n = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
-          if (n < 0) throw new IOException(
-            s"connection lost with $left bytes left — partial kept at " +
-              s"$partial for resume")
-          raf.write(buf, 0, n)
-          left -= n
+        if (dest.isFile) {
+          // the winner published while we waited; our open may have
+          // (re)created an empty partial at this path — remove it
+          if (raf.length() == 0L) Files.deleteIfExists(partial.toPath)
+          return dest
         }
-      } finally raf.close()
-      // publish atomically only when complete
-      Files.move(partial.toPath, dest.toPath,
-        StandardCopyOption.ATOMIC_MOVE)
-      dest
-    } finally sock.close()
+        val offset = raf.length() // resume an interrupted transfer
+        val sock = new Socket()
+        sock.connect(new InetSocketAddress(host, port), 10000)
+        sock.setSoTimeout(60000)
+        try {
+          val in = new DataInputStream(sock.getInputStream)
+          val out = new DataOutputStream(sock.getOutputStream)
+          val cmd = s"SHIP ${RedoShipment.enc(path)} $offset".getBytes("UTF-8")
+          out.writeInt(cmd.length); out.write(cmd); out.flush()
+          RedoShipment.readOk(in, "SHIP")
+          val remaining = in.readLong()
+          raf.seek(offset)
+          val buf = new Array[Byte](64 * 1024)
+          var left = remaining
+          while (left > 0) {
+            val n = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+            if (n < 0) throw new IOException(
+              s"connection lost with $left bytes left — partial kept at " +
+                s"$partial for resume")
+            raf.write(buf, 0, n)
+            left -= n
+          }
+          // completeness: the spool must hold exactly the announced
+          // size before it may be published
+          val got = raf.length()
+          if (got != offset + remaining) throw new IOException(
+            s"spool length $got != expected ${offset + remaining} for $partial")
+          // publish atomically only when complete
+          Files.move(partial.toPath, dest.toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+          dest
+        } finally sock.close()
+      } finally flock.release()
+    } finally raf.close()
   }
 }

@@ -62,4 +62,90 @@ class CompactionSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  private def dataFiles(loc: String): Seq[java.io.File] =
+    new java.io.File(loc).listFiles().toSeq.filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+
+  test("multi-column bucket spec compacts to one file per bucket") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("compact_mc").toString
+    val t = "cpt_mc_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(
+      s"""CREATE TABLE $t (k1 BIGINT, k2 BIGINT, v BIGINT) USING parquet
+         |CLUSTERED BY (k1, k2) SORTED BY (k1, k2) INTO 8 BUCKETS
+         |LOCATION '$loc'""".stripMargin)
+    // several small appends — each leaves ~1 file per (task, bucket)
+    (1 to 5).foreach { b =>
+      (1L to 400L).map(i => (i % 37, i % 11, b * 1000L + i))
+        .toDF("k1", "k2", "v")
+        .repartition(8, col("k1"), col("k2"))
+        .write.mode("append").insertInto(t)
+    }
+    val before = dataFiles(loc).size
+    assert(before > 8, s"appends should fragment the table, got $before")
+    val sumBefore = spark.table(t).agg(sum("v")).head.getLong(0)
+    val cntBefore = spark.table(t).count()
+
+    val n = Compaction.compactBucketed(spark, t)
+    assert(n <= 8, s"at most one file per bucket, got $n")
+    assert(dataFiles(loc).size == n)
+    assert(spark.table(t).count() == cntBefore)
+    assert(spark.table(t).agg(sum("v")).head.getLong(0) == sumBefore)
+    // every output file must hold exactly ONE bucket's rows, and that
+    // bucket must be the one its _000NN name claims — hash() is the
+    // same Murmur3(seed=42) bucketBy computes ids with
+    val idRe = "_(\\d{5})".r
+    dataFiles(loc).foreach { f =>
+      val claimed = idRe.findFirstMatchIn(f.getName)
+        .getOrElse(fail(s"no bucket id in ${f.getName}")).group(1).toInt
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select(pmod(hash(col("k1"), col("k2")), lit(8)).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      assert(ids == Seq(claimed),
+        s"${f.getName} claims bucket $claimed but holds $ids")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("journal replay deletes a crashed swap's superseded files first") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("compact_jr").toString
+    val t = "cpt_jr_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(
+      s"""CREATE TABLE $t (k BIGINT, v BIGINT) USING parquet
+         |CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS
+         |LOCATION '$loc'""".stripMargin)
+    (1L to 1000L).map(i => (i % 17, i)).toDF("k", "v")
+      .repartition(4, col("k"))
+      .write.mode("append").insertInto(t)
+    val base = spark.table(t).count()
+    val sumV = spark.table(t).agg(sum("v")).head.getLong(0)
+
+    // simulate the crash window: the fresh files were renamed in but the
+    // old set was not yet deleted — every row duplicated, journal present
+    val dupes = dataFiles(loc).map { f =>
+      val dupe = new java.io.File(loc, f.getName.replace("part-", "crash-"))
+      java.nio.file.Files.copy(f.toPath, dupe.toPath)
+      dupe.getName
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(loc, Compaction.JournalName),
+      dupes.mkString("\n").getBytes("UTF-8"))
+    spark.catalog.refreshTable(t)
+    assert(spark.table(t).count() == 2 * base,
+      "crashed-swap state must show the duplicates")
+
+    // re-running compaction must replay the journal (delete the exact
+    // superseded set) BEFORE snapshotting — not compact the dupes in
+    Compaction.compactBucketed(spark, t)
+    assert(spark.table(t).count() == base)
+    assert(spark.table(t).agg(sum("v")).head.getLong(0) == sumV)
+    assert(!new java.io.File(loc, Compaction.JournalName).exists(),
+      "journal must be consumed")
+    assert(Compaction.bucketedFileFactor(spark, t) <= 1.0)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
