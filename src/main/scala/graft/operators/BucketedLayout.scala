@@ -168,6 +168,29 @@ object BucketedLayout {
     s.catalog.refreshTable(tableName)
   }
 
+  /** [[appendBatch]] plus the maintenance trigger — the DEFAULT shape
+    * of a production ingest loop: after each append, check
+    * [[Compaction.bucketedFileFactor]] (one directory listing, no data
+    * touched) and run the bucket-preserving compaction when the table
+    * has fragmented past `fileFactor` files per bucket. A long-lived
+    * stream's file count thereby stays bounded at ~fileFactor×Buckets
+    * regardless of how many micro-batches land — no external
+    * maintenance job, no operator remembering to compact. The explicit
+    * [[Compaction.compactBucketed]] call remains for out-of-band
+    * maintenance; this is the wired-in per-batch form. Safe inside
+    * `foreachBatch`: appends per table are sequential there, matching
+    * compaction's single-writer contract. Returns true iff this batch
+    * tripped the trigger and compacted.
+    */
+  def appendMaintained(s: SparkSession, tableName: String, key: String,
+      batch: DataFrame, fileFactor: Double = 8.0): Boolean = {
+    appendBatch(s, tableName, key, batch)
+    if (Compaction.bucketedFileFactor(s, tableName) >= fileFactor) {
+      Compaction.compactBucketed(s, tableName)
+      true
+    } else false
+  }
+
   /** Run a bucketed write with AQE's local shuffle read disabled. A V1
     * bucketed insert declares no required DISTRIBUTION (only the sort
     * by bucket id), so AQE rewrites the `repartition(Buckets, key)`

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.VectorFunctions._
@@ -663,6 +663,41 @@ object SimilarityQueries {
         .select(col("vec_id"), col("cell"), col("enc")))
   }
 
+  /** EXACTLY-ONCE streaming append to a persisted index + corpus store
+    * — the foreachBatch half of the [[saveIvfPqIndex]] lifecycle when
+    * vectors arrive from a CDC stream ([[graft.streaming.ChangeStreams]]):
+    * each store admits only ids it does not already hold, so a REPLAYED
+    * micro-batch (a restart re-delivering the last uncommitted batch)
+    * appends nothing — the curation pipeline's digest-store idempotence
+    * pattern applied to the ANN lifecycle. Codebooks stay fixed from
+    * initial training; appending the code rows IS the index update.
+    * Each store is checked independently (a crash between the two
+    * writes replays into a per-store no-op, converging rather than
+    * duplicating). Membership is one scan of the store's id column
+    * joined against the BROADCAST batch ids (batch-sized, never
+    * store-sized — the dedup_incr probe shape), then a batch-vs-small
+    * anti-join; per-batch cost is store-scan + delta work at any
+    * corpus size. `batch` carries (vec_id, q, n2).
+    */
+  private[graft] def appendIndexDelta(s: SparkSession, index: IvfPqIndex,
+      idxDir: String, corpDir: String, batch: DataFrame): Unit = {
+    import graft.functions.VectorNative.pq_encode_native
+    val b = batch.select(col("vec_id"), col("q"), col("n2"))
+    val ids = b.select(col("vec_id"))
+    def freshAgainst(storeIds: DataFrame): DataFrame = {
+      val already = storeIds.join(broadcast(ids), "vec_id")
+      b.join(broadcast(already), Seq("vec_id"), "left_anti")
+    }
+    freshAgainst(s.read.parquet(corpDir).select(col("vec_id")))
+      .write.mode(SaveMode.Append).parquet(corpDir)
+    freshAgainst(s.read.parquet(s"$idxDir/codes").select(col("vec_id")))
+      .select(col("vec_id"),
+        pq_encode_native(col("q"), index.coarse).getItem(0).cast("int")
+          .as("cell"),
+        pq_encode_native(col("q"), index.fine).as("enc"))
+      .write.mode(SaveMode.Append).parquet(s"$idxDir/codes")
+  }
+
   /** [[ivfPqSearch]] against PRE-ENCODED code rows (the loaded index) —
     * the production serving path: nothing re-encodes the corpus.
     * Without `knownBatch` the strategy pivot runs one eager count on
@@ -1069,6 +1104,16 @@ object SimilarityQueries {
     // incremental delta-vs-corpus ANN probe; see [[ivfPqIncr]].
     "ann_incr" -> ((s, dir) => ivfPqIncr(s, dir, M = 8, nprobe = 4)),
 
+    // index-served hard-negative refresh — emb_hardneg's production
+    // arm ([[hardNegIdx]]): mining from the PERSISTED IVF-PQ artifact,
+    // the between-epoch ANCE refresh. The gate convention the family
+    // set (retr_rrf serves the dense arm from the artifact; ann_incr
+    // gates the lifecycle): the oracle restates train+probe through
+    // the shared ivfPqOracleCand chain plus the exclusion + semi-hard
+    // band, so a drift in EITHER the stored artifact or the band logic
+    // breaks the hash.
+    "emb_hardneg_idx" -> ((s, dir) => hardNegIdx(s, dir)),
+
     // SQ8 two-stage retrieval — the faiss-style serving shape: (1) learn
     // per-dimension scalar-quantizer bounds from the data (one tiny
     // aggregation, broadcast back as arrays), (2) approximate candidates
@@ -1363,6 +1408,29 @@ object SimilarityQueries {
         |        FROM n a JOIN n b ON a.vec_id % 50 = 0
         |          AND b.vec_id NOT IN (a.vec_id, a.vec_id + 1, a.vec_id + 2)))
         |WHERE rn BETWEEN 2 AND 6 ORDER BY qid, rn""".stripMargin),
+    // index-served hard negatives: the SAME probed-cell chain as
+    // ann_ivfpq/retr_rrf (train → cells → PQ candidates → exact
+    // re-rank, rerank=100) serving the k+3 = 8 band, then the labeled
+    // exclusion (q+1, q+2 — self never survives the serve) and the
+    // semi-hard re-rank keeping ranks 2..6
+    "emb_hardneg_idx" -> (quantCte +
+      ivfPqOracleCand(c => s"$c % 50 = 0", nprobe = 4) +
+      """, served AS (
+        |  SELECT qid, vec_id, rn FROM (
+        |    SELECT c.qid, c.vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY c.qid
+        |             ORDER BY CAST(list_dot_product(qa.q, qb.q) AS DOUBLE)
+        |               / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+        |               DESC, c.vec_id) AS rn
+        |    FROM cand c JOIN n qa ON qa.vec_id = c.qid
+        |    JOIN n qb ON qb.vec_id = c.vec_id)
+        |  WHERE rn <= 8),
+        |filt AS (
+        |  SELECT qid, vec_id,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rn) AS rk
+        |  FROM served WHERE vec_id NOT IN (qid + 1, qid + 2))
+        |SELECT qid, CAST(rk AS BIGINT) AS rn, vec_id FROM filt
+        |WHERE rk BETWEEN 2 AND 6 ORDER BY qid, rn""".stripMargin),
     "ann_brute_topk" -> (quantCte +
       """SELECT qid, rn, vec_id, dot, cos FROM (
         |  SELECT qid, vec_id,

@@ -35,6 +35,101 @@ object TimeSeriesStreams {
     * state store per key: O(window) state per key forever, flags
     * emitted exactly once per observation (append mode).
     */
+  /** One raw observation for gap-fill: key, event-time micros, event
+    * id (the within-day tiebreak), carried value. `tsMicros ==
+    * Long.MaxValue` is the FLUSH sentinel: it closes the key's open
+    * day (emitting it) and clears the key's state — the signal a
+    * source sends at shutdown, or a watermark-driven wrapper sends
+    * when a key goes quiet.
+    */
+  case class GapObs(userId: Long, tsMicros: Long, eventId: Long,
+      value: Double)
+
+  /** One resampled grid day (`q_ts_gapfill`'s row): epoch day, the
+    * day's last observation (or the forward-filled carrier), and
+    * whether the day was empty and filled.
+    */
+  case class DayFill(userId: Long, day: Long, value: Double,
+      filled: Boolean)
+
+  /** The open day per key: the best (max (ts, eventId)) observation of
+    * the most recent day seen — emitted only when a LATER day's
+    * observation (or a flush) proves the day complete.
+    */
+  case class GapState(day: Long, ts: Long, eventId: Long, value: Double)
+
+  private val DayMicros = 86400L * 1000000L
+
+  /** End-of-key flush marker for [[gapFillStream]]. */
+  def gapFlush(userId: Long): GapObs =
+    GapObs(userId, Long.MaxValue, 0L, 0.0)
+
+  /** Gap-fill + forward-fill resampling over a stream — the
+    * `q_ts_gapfill` semantics (per key, the LAST observation of each
+    * day lands on a contiguous daily grid; empty days carry the
+    * previous value, marked `filled`) with O(1) state per key: just
+    * the open day's best observation. A day is emitted exactly once,
+    * the moment an observation of a later day closes it — the hard
+    * half is the batch boundary: a day whose observations SPAN
+    * micro-batches must keep absorbing updates until genuinely closed,
+    * and the forward-fill carrier must survive restarts, both of which
+    * the state store provides. Late data (an observation for a day
+    * already closed) violates the ordering contract and throws rather
+    * than silently rewriting emitted history.
+    */
+  def gapFillStream(events: Dataset[GapObs]): Dataset[DayFill] = {
+    implicit val outEnc = Encoders.product[DayFill]
+    implicit val stateEnc = Encoders.product[GapState]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[GapObs], state: GroupState[GapState]) =>
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[DayFill]
+          it.toSeq.sortBy(o => (o.tsMicros, o.eventId)).foreach { o =>
+            if (o.tsMicros == Long.MaxValue) {
+              // flush: close and emit the open day, clear the key
+              open.foreach(p =>
+                out += DayFill(user, p.day, p.value, filled = false))
+              open = None
+            } else {
+              val d = Math.floorDiv(o.tsMicros, DayMicros)
+              open match {
+                case None =>
+                  open = Some(GapState(d, o.tsMicros, o.eventId, o.value))
+                case Some(p) if d == p.day =>
+                  // same day still open: keep the LAST observation
+                  // (max (ts, eventId) — the batch gate's max_by)
+                  if (o.tsMicros > p.ts ||
+                    (o.tsMicros == p.ts && o.eventId > p.eventId))
+                    open = Some(GapState(d, o.tsMicros, o.eventId, o.value))
+                case Some(p) if d > p.day =>
+                  // later day arrived: day p.day is complete — emit it,
+                  // then forward-fill the empty days up to d
+                  out += DayFill(user, p.day, p.value, filled = false)
+                  var g = p.day + 1
+                  while (g < d) {
+                    out += DayFill(user, g, p.value, filled = true)
+                    g += 1
+                  }
+                  open = Some(GapState(d, o.tsMicros, o.eventId, o.value))
+                case Some(p) =>
+                  throw new IllegalStateException(
+                    s"gapFillStream: key $user received day $d after day " +
+                      s"${p.day} closed — sources must deliver each key in " +
+                      "non-decreasing event time across batches (T3)")
+              }
+            }
+          }
+          open match {
+            case Some(p) => state.update(p)
+            case None => state.remove()
+          }
+          out.iterator
+      }
+  }
+
   def anomalyStream(events: Dataset[Obs], window: Int = 5)
       : Dataset[AnomalyFlag] = {
     implicit val flagEnc = Encoders.product[AnomalyFlag]

@@ -190,4 +190,43 @@ class BucketedLayoutSpec extends AnyFunSuite {
         s"compacted join did not use the bucketed scan:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("appendMaintained keeps file counts bounded across many batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val loc = Files.createTempDirectory("bkt_maint_tbl").toString
+    val t = "grf_spec_maint_orders"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    BucketedLayout.streamTable(spark, t, s"$loc/orders",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType))), "o_orderkey")
+    def files(): Int = new java.io.File(s"$loc/orders").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    // compact past 4 files (4/Buckets per bucket). Batches draw keys
+    // from a FIXED 3-key set so the steady-state table occupies ≤3
+    // buckets: 12 un-maintained appends would accrete ~36 files (one
+    // per touched bucket per batch); a maintained loop must hover at
+    // ≤ threshold + one batch's touched buckets, independent of the
+    // number of batches.
+    val trig = 4.0 / BucketedLayout.Buckets
+    var fired = 0
+    var peak = 0
+    (1 to 12).foreach { b =>
+      val batch = (0L to 2L).map(k => (k, b * 100L + k))
+        .toDF("o_orderkey", "o_custkey")
+      if (BucketedLayout.appendMaintained(spark, t, "o_orderkey", batch, trig))
+        fired += 1
+      peak = math.max(peak, files())
+    }
+    assert(fired >= 3, s"trigger should fire repeatedly, fired $fired times")
+    assert(peak <= 8, s"file count not bounded: peak $peak")
+    assert(spark.table(t).count() == 12 * 3)
+    assert(spark.table(t).agg(sum("o_custkey")).head.getLong(0) ==
+      (1 to 12).map(b => 3L * b * 100 + 3).sum)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

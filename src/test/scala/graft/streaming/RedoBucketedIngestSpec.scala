@@ -25,9 +25,11 @@ import graft.redo.RedoLogWriter
   *  - rows of a ROLLED-BACK transaction never reach the lakehouse
   *    tables (CDC semantics gate the storage layout);
   *  - a transaction SPANNING redo logs lands only with its commit;
-  *  - `Compaction.compactBucketed` (§2.21) over the streamed table
-  *    keeps content AND the exchange-free property — the maintenance
-  *    path a long-lived ingest stream depends on;
+  *  - maintenance runs INSIDE the ingest loop via the
+  *    `bucketedFileFactor` trigger (`BucketedLayout.appendMaintained`,
+  *    §2.21 × §2.56) — not an explicit out-of-band call — and the
+  *    trigger-compacted table keeps content, a bounded file count AND
+  *    the exchange-free property across micro-batches;
   *  - deterministic replay: fresh tables + checkpoint over the same
   *    logs reproduce the identical table content.
   */
@@ -124,6 +126,12 @@ class RedoBucketedIngestSpec extends AnyFunSuite {
 
       val ckpt = Files.createTempDirectory(s"redo_bkt_ckpt_$tag")
         .toFile.getAbsolutePath
+      // maintenance threshold: compact once a table fragments past 2
+      // files (2/Buckets files per bucket) — production would run the
+      // default 8.0 files/bucket; the tiny spec batches need a low bar
+      // for the trigger to demonstrably fire mid-stream
+      val trigFactor = 2.0 / BucketedLayout.Buckets
+      val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
       def runStream(): Unit = {
         val records = spark.readStream.format("graft-redo")
           .option("maxFilesPerTrigger", 1)
@@ -138,17 +146,24 @@ class RedoBucketedIngestSpec extends AnyFunSuite {
             // co-bucketed facts — the lakehouse ingest a CDC pipeline
             // runs instead of a Kafka sink
             val committed = df.filter(col("op") === Ops.Insert)
-            BucketedLayout.appendBatch(spark, oT, "o_orderkey",
+            // appendMaintained = append + the bucketedFileFactor
+            // trigger checked per micro-batch — the production ingest
+            // loop's default shape; compaction happens HERE when the
+            // table fragments, never as an out-of-band call
+            if (BucketedLayout.appendMaintained(spark, oT, "o_orderkey",
               committed.filter(col("table") === "G.ORDERS").select(
                 element_at(col("after"), "o_orderkey").cast("long")
                   .as("o_orderkey"),
                 element_at(col("after"), "o_custkey").cast("long")
-                  .as("o_custkey")))
-            BucketedLayout.appendBatch(spark, lT, "l_orderkey",
+                  .as("o_custkey")), trigFactor))
+              compactions.incrementAndGet()
+            if (BucketedLayout.appendMaintained(spark, lT, "l_orderkey",
               committed.filter(col("table") === "G.LINEITEM").select(
                 element_at(col("after"), "l_orderkey").cast("long")
                   .as("l_orderkey"),
-                element_at(col("after"), "l_qty").cast("long").as("l_qty")))
+                element_at(col("after"), "l_qty").cast("long").as("l_qty")),
+              trigFactor))
+              compactions.incrementAndGet()
             ()
           }
           .trigger(Trigger.AvailableNow())
@@ -177,16 +192,24 @@ class RedoBucketedIngestSpec extends AnyFunSuite {
         s"$tag post-stream: $rows — spanning txn S must land, rolled-back " +
           "txn R must not")
 
-      // —— maintenance: compact the streamed tables, everything holds
-      val nO = Compaction.compactBucketed(spark, oT)
-      val nL = Compaction.compactBucketed(spark, lT)
-      assert(nO <= BucketedLayout.Buckets && nL <= BucketedLayout.Buckets)
-      val compacted = starJoin(oT, lT)
-      assertExchangeFree(compacted, s"$tag post-compaction")
-      val cRows = compacted.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      assert(cRows == rows, s"$tag: compaction changed content: $cRows")
-      cRows
+      // —— maintenance happened INSIDE the loop: the trigger fired at
+      // least once, and the file count is bounded by the threshold
+      // (post-compaction ≤ one file per touched bucket) instead of
+      // growing with the number of micro-batches
+      assert(compactions.get() >= 1,
+        s"$tag: the bucketedFileFactor trigger never fired " +
+          s"(threshold $trigFactor)")
+      def files(sub: String): Int =
+        new File(s"$loc/$sub").listFiles().count(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val bound = math.max(2, (trigFactor * BucketedLayout.Buckets).toInt)
+      assert(files("orders") <= bound && files("lineitem") <= bound,
+        s"$tag: file counts unbounded after trigger-driven maintenance: " +
+          s"orders=${files("orders")} lineitem=${files("lineitem")}")
+      assert(Compaction.bucketedFileFactor(spark, oT) <= trigFactor &&
+        Compaction.bucketedFileFactor(spark, lT) <= trigFactor,
+        s"$tag: factor above threshold after in-loop compaction")
+      rows
     }
 
     val run1 = runPipeline("a")
