@@ -107,12 +107,14 @@ object Compaction {
     * cache refreshed. Registration, location and bucket metadata never
     * change; only the file set does.
     *
-    * The swap is move-new-then-delete-old, guarded by a journal: the
-    * exact old-file list is published under the table location before
-    * the first rename, so a crash mid-swap leaves duplicates only until
-    * the NEXT compactBucketed call, which replays the journal's deletes
-    * before snapshotting (never treating superseded files as data) —
-    * and never data loss at any point. Like [[compact]], this is a
+    * The swap is move-new-then-delete-old, guarded by a commit-point
+    * journal: once the fresh set is fully built, the tmp dir plus the
+    * exact NEW and OLD file names publish under the table location,
+    * and a crash anywhere after that point rolls FORWARD at the next
+    * compactBucketed call (finish the renames from tmp, verify every
+    * fresh file in place, finish the deletes) — duplicates exist only
+    * until that replay, and no crash window can lose rows (before the
+    * journal, only the tmp build is lost). Like [[compact]], this is a
     * single-writer maintenance operation — do not run it concurrently
     * with appends to the same table.
     *
@@ -140,22 +142,47 @@ object Compaction {
       fs.listStatus(p).toSeq.filter(f => f.isFile &&
         !f.getPath.getName.startsWith("_") &&
         !f.getPath.getName.startsWith("."))
-    // a journal left by a crashed prior swap means some old files were
-    // superseded but not yet deleted — their rows exist twice (once in
-    // a compacted file that was renamed in, once in themselves). Finish
-    // that delete FIRST, off the journal's exact list, so the table is
-    // row-consistent before this round snapshots it; treating leftover
-    // old files as data would compact the duplicates in permanently.
+    // a journal left by a crashed prior swap is a COMMITTED swap whose
+    // file moves did not finish: the fresh compacted set was fully
+    // written and validated (the journal publishes only after the
+    // build), so recovery rolls FORWARD — complete any renames still
+    // sitting in the recorded tmp dir, verify every fresh file is in
+    // place, then finish deleting the exact superseded old set. Run
+    // BEFORE this round snapshots the table: replaying leftover old
+    // files as data would compact their (duplicated) rows in
+    // permanently, and replaying before the fresh set is in place
+    // would delete the only copy.
     val journal = new org.apache.hadoop.fs.Path(loc, JournalName)
     if (fs.exists(journal)) {
       val in = fs.open(journal)
-      val listed =
+      val lines =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
-      listed.filter(_.nonEmpty).foreach { name =>
+      val jTmp = new org.apache.hadoop.fs.Path(
+        lines.headOption.getOrElse(throw new java.io.IOException(
+          s"empty swap journal $journal")))
+      val oldNames = lines.collect { case l if l.startsWith("OLD ") =>
+        l.substring(4) }
+      val newNames = lines.collect { case l if l.startsWith("NEW ") =>
+        l.substring(4) }
+      newNames.foreach { name =>
+        val src = new org.apache.hadoop.fs.Path(jTmp, name)
+        val dst = new org.apache.hadoop.fs.Path(loc, name)
+        if (fs.exists(src) && !fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"swap recovery failed renaming $src -> $dst")
+      }
+      val missing = newNames.filterNot(n =>
+        fs.exists(new org.apache.hadoop.fs.Path(loc, n)))
+      if (missing.nonEmpty) throw new java.io.IOException(
+        s"swap journal $journal lists fresh files present neither in " +
+          s"$jTmp nor $loc: ${missing.mkString(", ")} — refusing to " +
+          "delete the old set")
+      oldNames.foreach { name =>
         fs.delete(new org.apache.hadoop.fs.Path(loc, name), false)
       }
       fs.delete(journal, false)
+      fs.delete(jTmp, true)
       s.catalog.refreshTable(tableName)
     }
     // snapshot BEFORE the rewrite reads the table: files appended after
@@ -210,16 +237,24 @@ object Compaction {
       }
     } finally s.sql(s"DROP TABLE IF EXISTS $bld") // external: files stay
     val fresh = dataFiles(tmp)
-    // journal the exact old-file set BEFORE the first rename: a crash
-    // after some renames but before the deletes below leaves those rows
-    // duplicated, and without the journal a re-run would read the
-    // leftovers as data and compact the duplicates in permanently. The
-    // `_`-prefixed name is invisible to both Spark's file index and
-    // dataFiles(), so the journal itself never scans as data. Written
-    // via create-then-rename so a torn write can't half-delete.
+    // journal = the swap's COMMIT POINT, published after the fresh set
+    // is fully built and before the first rename: line 1 the tmp dir,
+    // then the exact NEW (fresh) and OLD (superseded) file names. A
+    // crash anywhere after this point recovers FORWARD at the next
+    // compactBucketed (finish renames from tmp, then finish the
+    // deletes); a crash before it loses only the tmp build. Without
+    // the NEW set a recovery could not tell a half-renamed swap from a
+    // half-deleted one — and deleting OLD before the fresh set is
+    // verified in place would drop the only copy. The `_`-prefixed
+    // name is invisible to Spark's file index and dataFiles(), so the
+    // journal never scans as data; create-then-rename so a torn write
+    // can't half-commit.
     val journalTmp = new org.apache.hadoop.fs.Path(loc, JournalName + ".tmp")
     val out = fs.create(journalTmp, true)
-    try out.write(old.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
+    try out.write((tmp.toString +: (
+        fresh.map("NEW " + _.getPath.getName) ++
+        old.map("OLD " + _.getPath.getName)))
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(journalTmp, journal))
       throw new java.io.IOException(s"could not publish swap journal $journal")
@@ -233,7 +268,7 @@ object Compaction {
       if (!fs.rename(f.getPath, target))
         throw new java.io.IOException(
           s"compaction swap failed renaming ${f.getPath} -> $target; " +
-            s"old files left in place; journal at $journal")
+            s"journal at $journal (re-run compaction to roll forward)")
     }
     old.foreach(f => fs.delete(f.getPath, false))
     fs.delete(journal, false)

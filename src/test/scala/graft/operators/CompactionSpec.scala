@@ -109,10 +109,8 @@ class CompactionSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
-  test("journal replay deletes a crashed swap's superseded files first") {
+  private def mkBucketed(t: String, loc: String): (Long, Long) = {
     import spark.implicits._
-    val loc = java.nio.file.Files.createTempDirectory("compact_jr").toString
-    val t = "cpt_jr_t"
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(
       s"""CREATE TABLE $t (k BIGINT, v BIGINT) USING parquet
@@ -121,31 +119,76 @@ class CompactionSpec extends AnyFunSuite {
     (1L to 1000L).map(i => (i % 17, i)).toDF("k", "v")
       .repartition(4, col("k"))
       .write.mode("append").insertInto(t)
-    val base = spark.table(t).count()
-    val sumV = spark.table(t).agg(sum("v")).head.getLong(0)
+    (spark.table(t).count(),
+      spark.table(t).agg(sum("v")).head.getLong(0))
+  }
 
-    // simulate the crash window: the fresh files were renamed in but the
-    // old set was not yet deleted — every row duplicated, journal present
+  test("journal replay finishes a crashed swap's deletes (post-rename " +
+      "crash window)") {
+    val loc = java.nio.file.Files.createTempDirectory("compact_jr").toString
+    val t = "cpt_jr_t"
+    val (base, sumV) = mkBucketed(t, loc)
+
+    // simulate the crash window AFTER all renames: the fresh files are
+    // in place (played by the current files), the superseded old set
+    // (the crash- copies) was not yet deleted — every row duplicated,
+    // journal present with an already-gone tmp dir
+    val freshNames = dataFiles(loc).map(_.getName)
     val dupes = dataFiles(loc).map { f =>
       val dupe = new java.io.File(loc, f.getName.replace("part-", "crash-"))
       java.nio.file.Files.copy(f.toPath, dupe.toPath)
       dupe.getName
     }
+    val goneTmp = loc + ".tmp-gone"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(loc, Compaction.JournalName),
-      dupes.mkString("\n").getBytes("UTF-8"))
+      (goneTmp +: (freshNames.map("NEW " + _) ++ dupes.map("OLD " + _)))
+        .mkString("\n").getBytes("UTF-8"))
     spark.catalog.refreshTable(t)
     assert(spark.table(t).count() == 2 * base,
       "crashed-swap state must show the duplicates")
 
-    // re-running compaction must replay the journal (delete the exact
-    // superseded set) BEFORE snapshotting — not compact the dupes in
+    // re-running compaction must roll the journal forward (delete the
+    // exact superseded set) BEFORE snapshotting — not compact dupes in
     Compaction.compactBucketed(spark, t)
     assert(spark.table(t).count() == base)
     assert(spark.table(t).agg(sum("v")).head.getLong(0) == sumV)
     assert(!new java.io.File(loc, Compaction.JournalName).exists(),
       "journal must be consumed")
     assert(Compaction.bucketedFileFactor(spark, t) <= 1.0)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("journal replay completes the renames first (pre-rename crash " +
+      "window loses no rows)") {
+    val loc = java.nio.file.Files.createTempDirectory("compact_jp").toString
+    val t = "cpt_jp_t"
+    val (base, sumV) = mkBucketed(t, loc)
+
+    // simulate a crash BETWEEN the journal's commit point and the first
+    // rename: the fresh compacted set still sits in the tmp dir (played
+    // by byte-copies of the current files under fresh names), the old
+    // set is untouched. Recovery must move the fresh set IN before any
+    // delete — replaying the deletes alone would drop the only copy.
+    val tmpDir = new java.io.File(loc + ".tmp-pending")
+    java.nio.file.Files.createDirectories(tmpDir.toPath)
+    val oldNames = dataFiles(loc).map(_.getName)
+    val freshNames = dataFiles(loc).map { f =>
+      val fresh = f.getName.replace("part-", "fresh-")
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmpDir, fresh).toPath)
+      fresh
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(loc, Compaction.JournalName),
+      (tmpDir.toString +: (freshNames.map("NEW " + _) ++
+        oldNames.map("OLD " + _))).mkString("\n").getBytes("UTF-8"))
+
+    Compaction.compactBucketed(spark, t)
+    assert(spark.table(t).count() == base, "pre-rename recovery lost rows")
+    assert(spark.table(t).agg(sum("v")).head.getLong(0) == sumV)
+    assert(!new java.io.File(loc, Compaction.JournalName).exists())
+    assert(!tmpDir.exists(), "recovered tmp dir must be cleaned up")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 }

@@ -112,4 +112,39 @@ class StreamingAnnSpec extends AnyFunSuite {
       reprobe.head.getDouble(1) >= 0.999,
       s"re-probe of a corpus copy must find the original: ${reprobe.toSeq}")
   }
+
+  test("appendIndexDelta is exactly-once under batch re-delivery") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val e = SimilarityQueries.quantized(spark, dir)
+    val corpus0 = e.filter(col("vec_id") % 2 === 0)
+    val idxDir = Files.createTempDirectory("graft_eo_idx").toString
+    val corpDir = Files.createTempDirectory("graft_eo_corp").toString
+    val index = SimilarityQueries.trainIvfPq(spark, corpus0, 8,
+      col("vec_id") % 50 === 0 && col("vec_id") < 800)
+    SimilarityQueries.saveIvfPqIndex(spark, index,
+      corpus0.select(col("vec_id"), col("q")), idxDir)
+    corpus0.write.mode("overwrite").parquet(corpDir)
+    val n0 = spark.read.parquet(s"$idxDir/codes").count()
+
+    val batch = e.filter(col("vec_id").isin(1L, 3L, 5L)).localCheckpoint(true)
+    SimilarityQueries.appendIndexDelta(spark, index, idxDir, corpDir, batch)
+    val n1 = spark.read.parquet(s"$idxDir/codes").count()
+    assert(n1 == n0 + 3)
+    // a restart re-delivers the same micro-batch: both stores must
+    // admit nothing the second (and third) time
+    SimilarityQueries.appendIndexDelta(spark, index, idxDir, corpDir, batch)
+    SimilarityQueries.appendIndexDelta(spark, index, idxDir, corpDir, batch)
+    assert(spark.read.parquet(s"$idxDir/codes").count() == n0 + 3,
+      "re-delivered batch appended code rows twice")
+    assert(spark.read.parquet(corpDir).count() == n0 + 3,
+      "re-delivered batch appended corpus rows twice")
+    // a PARTIALLY re-delivered overlap (two old ids + one new) admits
+    // only the new id to each store
+    val batch2 = e.filter(col("vec_id").isin(3L, 5L, 7L)).localCheckpoint(true)
+    SimilarityQueries.appendIndexDelta(spark, index, idxDir, corpDir, batch2)
+    assert(spark.read.parquet(s"$idxDir/codes").count() == n0 + 4)
+    assert(spark.read.parquet(corpDir)
+      .filter(col("vec_id") === 7L).count() == 1)
+  }
 }
