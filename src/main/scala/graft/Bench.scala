@@ -317,8 +317,17 @@ object Bench {
     // shows exactly what was retaken and why. A calm box makes the
     // retakes no-ops (min ≈ both takes, ~15 s of extra wall, untimed).
     // SPARK_GRAFT_BENCH_RETAKE=k overrides; 0 disables.
-    val retakeK = sys.env.get("SPARK_GRAFT_BENCH_RETAKE")
-      .flatMap(_.toIntOption).getOrElse(6)
+    val retakeK = sys.env.get("SPARK_GRAFT_BENCH_RETAKE") match {
+      case None => 6
+      case Some(v) => v.toIntOption.getOrElse {
+        // an unparsable value ("off", "false") is someone trying to
+        // DISABLE retakes — honor the intent loudly rather than
+        // silently coercing to the default 6
+        System.err.println(s"[bench] SPARK_GRAFT_BENCH_RETAKE='$v' is not " +
+          "an integer — treating as 0 (retakes disabled); use 0 explicitly")
+        0
+      }
+    }
     val results =
       if (retakeK <= 0 || results0.isEmpty) results0
       else {

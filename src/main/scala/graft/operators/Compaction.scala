@@ -181,8 +181,11 @@ object Compaction {
       oldNames.foreach { name =>
         fs.delete(new org.apache.hadoop.fs.Path(loc, name), false)
       }
-      fs.delete(journal, false)
+      // tmp BEFORE journal: the journal is the only pointer to tmp, so
+      // deleting it first would strand the dir forever on a crash
+      // between the two deletes (tmp holds no data files by this point)
       fs.delete(jTmp, true)
+      fs.delete(journal, false)
       s.catalog.refreshTable(tableName)
     }
     // snapshot BEFORE the rewrite reads the table: files appended after
@@ -271,8 +274,9 @@ object Compaction {
             s"journal at $journal (re-run compaction to roll forward)")
     }
     old.foreach(f => fs.delete(f.getPath, false))
-    fs.delete(journal, false)
+    // tmp before journal — same stranding argument as the recovery path
     fs.delete(tmp, true)
+    fs.delete(journal, false)
     // drop the cached file listing or the next scan unions old+new
     s.catalog.refreshTable(tableName)
     fresh.size

@@ -682,7 +682,13 @@ object SimilarityQueries {
   private[graft] def appendIndexDelta(s: SparkSession, index: IvfPqIndex,
       idxDir: String, corpDir: String, batch: DataFrame): Unit = {
     import graft.functions.VectorNative.pq_encode_native
+    // pin the batch: the two stores append in two independent jobs, and
+    // re-executing a non-deterministic caller lineage per job could
+    // write DIFFERENT row content to corpus vs codes for one vec_id —
+    // the convergence promise must not depend on the caller remembering
+    // to checkpoint (batch-sized, so the pin is cheap)
     val b = batch.select(col("vec_id"), col("q"), col("n2"))
+      .localCheckpoint(true)
     val ids = b.select(col("vec_id"))
     def freshAgainst(storeIds: DataFrame): DataFrame = {
       val already = storeIds.join(broadcast(ids), "vec_id")

@@ -146,7 +146,10 @@ object TemporalQueries {
     // in one running pass per partition.
     "q_ts_anomaly" -> ((s, dir) => {
       val raw = (col("value").cast(D) * 100).cast("long")
-      val x = when(abs(raw) < lit(1L << 27), raw).otherwise(
+      // null-safe: a NULL value (absent measurement) flows through the
+      // frame aggregates untouched (count/sum skip nulls) — only a
+      // PRESENT value outside the exact domain raises
+      val x = when(raw.isNull || abs(raw) < lit(1L << 27), raw).otherwise(
         raise_error(format_string(
           "q_ts_anomaly: |value| >= 2^27 cents breaks integer-exact " +
             "arithmetic (got %s)", col("value"))).cast("long"))

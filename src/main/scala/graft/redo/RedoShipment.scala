@@ -306,9 +306,13 @@ final class ShipRedoProvider extends RedoStorageProvider {
       catch {
         case _: java.net.SocketException | _: java.io.EOFException =>
           // agent restarted / connection dropped: reconnect once and
-          // retry — positional reads are idempotent
+          // retry — positional reads are idempotent. The RETRY is
+          // guarded the same way as the first attempt: a failure after
+          // its readOk would otherwise leave the desynced socket
+          // cached for the next request
           drop()
-          once()
+          try once()
+          catch { case e: Throwable => drop(); throw e }
         case e: Throwable =>
           // any other failure after bytes may have been exchanged (a
           // short-window mismatch, a mid-body read timeout) leaves
@@ -362,6 +366,16 @@ final class ShipRedoProvider extends RedoStorageProvider {
   */
 object ShipmentClient {
 
+  // per-destination monitors for SAME-JVM fetcher serialization:
+  // FileChannel.lock() serializes across PROCESSES but throws
+  // OverlappingFileLockException (rather than blocking) when the
+  // contender is a thread of the same JVM — two Spark tasks in one
+  // executor fetching the same log would crash instead of queueing.
+  // The map stays small (one entry per distinct dest ever fetched —
+  // spool paths, not data-sized).
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Fetch `graft-ship://host:port/path` into `destDir/<name>`.
     * Returns the local file after verifying completeness; resumes an
     * existing partial transfer.
@@ -370,12 +384,20 @@ object ShipmentClient {
     val (host, port, path) = RedoShipment.parse(url)
     val name = path.substring(path.lastIndexOf('/') + 1)
     val dest = new File(destDir, name)
+    val monitor = jvmLocks.computeIfAbsent(
+      dest.getAbsolutePath, _ => new Object)
+    monitor.synchronized { fetchLocked(host, port, path, destDir, dest, name) }
+  }
+
+  private def fetchLocked(host: String, port: Int, path: String,
+      destDir: File, dest: File, name: String): File = {
     val partial = new File(destDir, name + ".inprogress")
     if (dest.isFile) return dest // already shipped and published
     Files.createDirectories(destDir.toPath)
 
     // Exclusive lock on the .inprogress serializes concurrent fetchers
-    // of the same log: two interleaved writers would each complete
+    // of the same log ACROSS PROCESSES (same-JVM threads queue on the
+    // monitor above): two interleaved writers would each complete
     // their own byte-count loop and publish a corrupt file that passes
     // the completeness check. The loser blocks here, then sees the
     // winner's published dest and returns it.

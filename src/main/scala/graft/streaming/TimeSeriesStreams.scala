@@ -38,9 +38,12 @@ object TimeSeriesStreams {
   /** One raw observation for gap-fill: key, event-time micros, event
     * id (the within-day tiebreak), carried value. `tsMicros ==
     * Long.MaxValue` is the FLUSH sentinel: it closes the key's open
-    * day (emitting it) and clears the key's state — the signal a
-    * source sends at shutdown, or a watermark-driven wrapper sends
-    * when a key goes quiet.
+    * day (emitting it) and tombstones the state — the signal a source
+    * sends at shutdown, or a watermark-driven wrapper sends when a key
+    * goes quiet. A key may keep observing after a flush: later days
+    * continue the grid off the tombstone's carrier (matching what the
+    * batch gate computes over the union of the data), the flushed day
+    * is never re-emitted, and same-or-earlier days throw.
     */
   case class GapObs(userId: Long, tsMicros: Long, eventId: Long,
       value: Double)
@@ -54,9 +57,15 @@ object TimeSeriesStreams {
 
   /** The open day per key: the best (max (ts, eventId)) observation of
     * the most recent day seen — emitted only when a LATER day's
-    * observation (or a flush) proves the day complete.
+    * observation (or a flush) proves the day complete. After a flush
+    * the state stays as a TOMBSTONE (`emitted = true`) carrying the
+    * forward-fill value: a key that wakes up later continues its grid
+    * (gap days filled from the carrier, the flushed day never
+    * re-emitted) instead of silently restarting it, and late data for
+    * an already-emitted day still trips the loud ordering guard.
     */
-  case class GapState(day: Long, ts: Long, eventId: Long, value: Double)
+  case class GapState(day: Long, ts: Long, eventId: Long, value: Double,
+      emitted: Boolean)
 
   private val DayMicros = 86400L * 1000000L
 
@@ -89,43 +98,49 @@ object TimeSeriesStreams {
           val out = scala.collection.mutable.ArrayBuffer.empty[DayFill]
           it.toSeq.sortBy(o => (o.tsMicros, o.eventId)).foreach { o =>
             if (o.tsMicros == Long.MaxValue) {
-              // flush: close and emit the open day, clear the key
-              open.foreach(p =>
-                out += DayFill(user, p.day, p.value, filled = false))
-              open = None
+              // flush: close and emit the open day; keep a tombstone so
+              // a post-flush wake-up continues the grid rather than
+              // silently restarting it (a second flush is a no-op)
+              open = open.map { p =>
+                if (!p.emitted)
+                  out += DayFill(user, p.day, p.value, filled = false)
+                p.copy(emitted = true)
+              }
             } else {
               val d = Math.floorDiv(o.tsMicros, DayMicros)
               open match {
                 case None =>
-                  open = Some(GapState(d, o.tsMicros, o.eventId, o.value))
-                case Some(p) if d == p.day =>
+                  open = Some(GapState(d, o.tsMicros, o.eventId, o.value,
+                    emitted = false))
+                case Some(p) if d == p.day && !p.emitted =>
                   // same day still open: keep the LAST observation
                   // (max (ts, eventId) — the batch gate's max_by)
                   if (o.tsMicros > p.ts ||
                     (o.tsMicros == p.ts && o.eventId > p.eventId))
-                    open = Some(GapState(d, o.tsMicros, o.eventId, o.value))
+                    open = Some(GapState(d, o.tsMicros, o.eventId, o.value,
+                      emitted = false))
                 case Some(p) if d > p.day =>
-                  // later day arrived: day p.day is complete — emit it,
-                  // then forward-fill the empty days up to d
-                  out += DayFill(user, p.day, p.value, filled = false)
+                  // later day arrived: close the open day (already done
+                  // if a flush tombstoned it), forward-fill up to d
+                  if (!p.emitted)
+                    out += DayFill(user, p.day, p.value, filled = false)
                   var g = p.day + 1
                   while (g < d) {
                     out += DayFill(user, g, p.value, filled = true)
                     g += 1
                   }
-                  open = Some(GapState(d, o.tsMicros, o.eventId, o.value))
+                  open = Some(GapState(d, o.tsMicros, o.eventId, o.value,
+                    emitted = false))
                 case Some(p) =>
                   throw new IllegalStateException(
-                    s"gapFillStream: key $user received day $d after day " +
-                      s"${p.day} closed — sources must deliver each key in " +
-                      "non-decreasing event time across batches (T3)")
+                    s"gapFillStream: key $user received day $d at or after " +
+                      s"emitted/closed day ${p.day} — sources must deliver " +
+                      "each key in non-decreasing event time across batches " +
+                      "(T3), and a flushed day cannot reopen")
               }
             }
           }
-          open match {
-            case Some(p) => state.update(p)
-            case None => state.remove()
-          }
+          open.foreach(state.update)
           out.iterator
       }
   }

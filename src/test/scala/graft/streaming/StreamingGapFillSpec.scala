@@ -122,4 +122,43 @@ class StreamingGapFillSpec extends AnyFunSuite {
       s"diff: stream-only=${(streamed -- truth).take(5)} " +
         s"batch-only=${(truth -- streamed).take(5)}")
   }
+
+  test("a key that wakes up after a flush continues its grid; a closed " +
+      "day cannot reopen") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val D = 86400L * 1000000L
+    def obs(day: Long, eid: Long, v: Double) =
+      TimeSeriesStreams.GapObs(1L, day * D + 1000L, eid, v)
+
+    val input = MemoryStream[TimeSeriesStreams.GapObs]
+    val q = TimeSeriesStreams.gapFillStream(input.toDS())
+      .writeStream.format("memory").queryName("gapfill_wake")
+      .outputMode("append").start()
+    try {
+      // day 10 observed, then the key goes quiet → flush emits day 10
+      input.addData(obs(10, 1, 5.0), TimeSeriesStreams.gapFlush(1L))
+      q.processAllAvailable()
+      // wake-up: day 13 arrives — the grid must CONTINUE (11, 12
+      // forward-filled off the tombstone's carrier, day 10 not
+      // re-emitted), exactly what the batch gate computes on the union
+      input.addData(obs(13, 2, 7.0), TimeSeriesStreams.gapFlush(1L))
+      q.processAllAvailable()
+      val rows = spark.table("gapfill_wake")
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .sortBy(_._1).toSeq
+      assert(rows == Seq((10L, 5.0, false), (11L, 5.0, true),
+        (12L, 5.0, true), (13L, 7.0, false)),
+        s"post-flush wake-up grid wrong: $rows")
+      // late data for an already-emitted day must fail LOUDLY
+      input.addData(obs(10, 3, 9.0))
+      val ex = intercept[Throwable] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(ex).exists(_.contains("non-decreasing")),
+        s"expected the T3 ordering guard, got: ${chain(ex).take(3)}")
+    } finally q.stop()
+  }
 }
