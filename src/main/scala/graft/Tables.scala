@@ -40,11 +40,16 @@ object Tables {
     val df = table(spark, sfDir, name)
     val target = spark.sparkContext.defaultParallelism
     // a local-path size probe is enough: the scan yields ~size/maxPartitionBytes
-    // partitions, so small inputs (few row groups) get an explicit spread
+    // partitions, so small inputs (few row groups) get an explicit spread.
+    // walkFiles, not File.length: on a DIRECTORY-shaped table (Spark-written
+    // part files) length() returns the ~4 KB dir entry, which would force a
+    // full repartition shuffle of arbitrarily big inputs — the opposite of
+    // the documented big-inputs-never-pay contract. filesMaxPartitionBytes
+    // is the SESSION-parsed value ("128m"-style byte-size strings included).
     val f = new java.io.File(s"$sfDir/$name.parquet")
-    val maxPart = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-      .stripSuffix("b").toLong
-    val scanParts = math.max(1L, f.length() / maxPart)
+    val bytes = walkFiles(f).map(_.length()).sum
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    val scanParts = math.max(1L, bytes / math.max(1L, maxPart))
     if (f.exists() && scanParts < math.max(2, target / 2)) df.repartition(target)
     else df
   }
@@ -205,7 +210,13 @@ object Tables {
       AccessDeniedException}
     import java.nio.file.StandardCopyOption.ATOMIC_MOVE
     val t = Paths.get(target)
-    val old = Paths.get(target + ".old-" + ProcessHandle.current().pid())
+    // the move-aside path carries the same pid+nonce uniqueness as
+    // tmpSuffix: pid alone collides for two THREADS of one JVM
+    // publishing the same artifact — the loser's Files.move(t, old)
+    // would throw FileAlreadyExistsException after a successful build
+    // and strand its multi-GB tmp dir
+    val old = Paths.get(target + ".old-" +
+      ProcessHandle.current().pid() + "-" + tmpNonce.incrementAndGet())
     rmTree(old)
     // a concurrent publisher may move t aside between the exists()
     // check and our move — that race means a publish is in flight

@@ -39,8 +39,14 @@ object IncrementalAgg {
         coalesce(when(col("op") =!= "c", col("before")), lit(0L))).as("dt"))
       .groupBy(col(key))
       .agg(sum(col("dn")).as("dn"), sum(col("dt")).as("dt"))
-    base.join(signed, Seq(key), "full_outer")
-      .select(col(key),
+    // NULL-SAFE key equality: GROUP BY collects NULL keys into one
+    // group, so the merge must too — a plain equi-join would leave a
+    // null-key base row and its null-key retraction unmerged (the
+    // retraction then even drops at the n>0 filter), silently breaking
+    // maintenance ≡ recomputation for any nullable group key
+    val d = signed.withColumnRenamed(key, "_dk")
+    base.join(d, base(key) <=> d("_dk"), "full_outer")
+      .select(coalesce(base(key), d("_dk")).as(key),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
         (coalesce(col("total"), lit(0L)) + coalesce(col("dt"), lit(0L)))
           .as("total"))

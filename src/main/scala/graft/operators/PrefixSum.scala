@@ -67,6 +67,13 @@ object PrefixSum {
       tieCols: Seq[String] = Nil): (DataFrame, Long) = {
     val spark = df.sparkSession
     val orderKey = (orderCol +: tieCols).map(col)
+    // enforce the "values are summed as longs" contract at the source:
+    // a non-long valueCol would survive pass 1 (sum widens) and then
+    // crash pass 2's r.getLong mid-job with a bare ClassCastException
+    val vField = df.schema(valueCol)
+    require(vField.dataType == org.apache.spark.sql.types.LongType,
+      s"prefix-sum value column '$valueCol' must be LongType, got " +
+        s"${vField.dataType.simpleString} — cast it before the scan")
     val parted = df
       .repartitionByRange(orderKey: _*)
       .sortWithinPartitions(orderKey: _*)
@@ -106,6 +113,11 @@ object PrefixSum {
           s"($pid >= ${bOffsets.value.length}) — see withRunningTotal docs")
       var run = bOffsets.value(pid)
       it.map { r =>
+        // loud on null: sum() skipped it in pass 1, so the accumulator
+        // would silently desynchronize from the totals (or NPE) here
+        if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
+          s"prefix-sum value column is null at row $r — values must be " +
+            "non-null longs")
         val v = r.getLong(vIdx)
         val row = Row.fromSeq(r.toSeq :+ run)
         run += v

@@ -42,9 +42,13 @@ object SnapshotDiff {
       .select(col("__k") +: compareCols.map(c => col(c).as(s"__n_$c")): _*)
     val oPresent = col("__o_present")
     val nPresent = col("__n_present")
+    // foldLeft(false), not reduce: empty compareCols is the legal
+    // keys-only case — pure insert/delete capture, no 'u' rows —
+    // where reduce would crash at plan time with a bare
+    // "empty.reduceLeft"
     val changed: Column = compareCols
       .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
-      .reduce(_ || _)
+      .foldLeft(lit(false))(_ || _)
     o.withColumn("__o_present", lit(true))
       .join(n.withColumn("__n_present", lit(true)), Seq("__k"), "full_outer")
       .withColumn("op",
@@ -63,17 +67,24 @@ object SnapshotDiff {
     // it exactly: keys %11==0 vanish (deletes), keys %7==0 gain 500
     // cents (updates), and negated keys %13==0 appear (inserts).
     "q_snap_diff" -> ((s, dir) => {
+      // persisted: three branches read the scan+cast frame (the old
+      // side plus both newSnap arms) — without the persist each gate
+      // run scans orders and recomputes the decimal cast three times
+      // (the scd2Apply multi-branch discipline)
       val base = orders(s, dir).select(col("o_orderkey").as("k"),
         (col("o_totalprice").cast("decimal(18,2)") * 100)
-          .cast("long").as("cents"))
+          .cast("long").as("cents")).persist()
       val oldSnap = base
       val newSnap = base.filter(col("k") % 11 =!= 0)
         .withColumn("cents",
           when(col("k") % 7 === 0, col("cents") + 500).otherwise(col("cents")))
         .unionByName(base.filter(col("k") % 13 === 0)
           .select((-col("k")).as("k"), col("cents")))
-      diff(oldSnap, newSnap, "k", Seq("cents"))
+      val out = diff(oldSnap, newSnap, "k", Seq("cents"))
         .orderBy(col("k"))
+        .localCheckpoint(true)
+      base.unpersist(blocking = false)
+      out
     })
   )
 

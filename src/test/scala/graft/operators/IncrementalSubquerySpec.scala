@@ -36,6 +36,34 @@ class IncrementalSubquerySpec extends AnyFunSuite {
     assert(got.toSeq === Seq((2L, 1L, 17L), (3L, 2L, 12L), (4L, 1L, 100L)))
   }
 
+  test("maintain: NULL group keys merge like GROUP BY's single null group") {
+    import spark.implicits._
+    // GROUP BY collapses all NULL keys into one group; the maintenance
+    // join must use null-safe equality or a null-key retraction never
+    // meets its base row (and even vanishes at the n>0 filter)
+    val base = Seq((Some(1L), 1L, 10L), (None, 2L, 100L))
+      .toDF("k", "n", "total")
+    val delta = Seq(
+      ("d", None: Option[Long], Some(60L), None: Option[Long]),
+      ("c", Some(1L), None: Option[Long], Some(5L))
+    ).toDF("op", "k", "before", "after")
+    val got = IncrementalAgg.maintain(base, delta, "k")
+      .orderBy(col("k").asc_nulls_first)
+      .as[(Option[Long], Long, Long)].collect()
+    assert(got.toSeq === Seq((None, 1L, 40L), (Some(1L), 2L, 15L)),
+      s"null-key group must maintain like any other: ${got.toSeq}")
+  }
+
+  test("snapshot diff with empty compareCols captures inserts/deletes only") {
+    import spark.implicits._
+    val oldDf = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val newDf = Seq((2L, "z"), (3L, "w")).toDF("k", "v")
+    val got = SnapshotDiff.diff(oldDf, newDf, "k", Seq.empty)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    // key 2 present in both → no 'u' possible without compare columns
+    assert(got.toSeq === Seq((1L, "d"), (3L, "c")))
+  }
+
   test("randomized join maintenance: maintained view equals recomputation, 20 changelogs") {
     // the q_incr_join shape on synthetic frames: a fact table joined to
     // a dimension, rolled up by the dimension attribute; random fact
