@@ -38,9 +38,11 @@ import graft.redo.{RedoLogReader, RedoLogWriter, RedoStorageProvider}
   *  - --counts: per-(table, op) record counts instead of per-record
   *    lines (the first thing support looks at on a multi-GiB segment)
   *
-  * Everything streams: records are consumed one segment at a time
+  * The read side streams: records are consumed one segment at a time
   * through the reader's iterator — no mode materializes a segment's
-  * (let alone a directory's) parsed records in memory.
+  * (let alone a directory's) parsed records in memory. The one
+  * write-side bound: --extract buffers the serialized OUTPUT until
+  * close (see [[extractTo]]) — incident-sized by design.
   */
 object RedoDump {
 
@@ -65,10 +67,16 @@ object RedoDump {
         case "--scn" =>
           val v = value("--scn")
           val parts = v.split(":", 2)
-          require(parts.length == 2 && parts.forall(p =>
-              p.nonEmpty && p.forall(_.isDigit)),
-            s"--scn expects lo:hi, got '$v'\n$Usage")
-          a = a.copy(scn = Some((parts(0).toLong, parts(1).toLong))); i += 2
+          // toLongOption (not isDigit+toLong): an all-digit string past
+          // Long.MaxValue would pass the digit check and then throw a
+          // raw NumberFormatException instead of this usage error
+          val bounds = if (parts.length == 2)
+            (parts(0).toLongOption, parts(1).toLongOption) else (None, None)
+          require(bounds._1.isDefined && bounds._2.isDefined,
+            s"--scn expects lo:hi (two longs), got '$v'\n$Usage")
+          require(bounds._1.get <= bounds._2.get,
+            s"--scn range is empty: ${bounds._1.get} > ${bounds._2.get}\n$Usage")
+          a = a.copy(scn = Some((bounds._1.get, bounds._2.get))); i += 2
         case "--extract" => a = a.copy(extract = Some(value("--extract"))); i += 2
         case "--counts" => a = a.copy(counts = true); i += 1
         case other =>
@@ -86,18 +94,27 @@ object RedoDump {
     * directory in (thread, seq) order. Local paths probe the
     * filesystem; remote URLs are a single log iff they end in `.grl`.
     */
-  private[graft] def logPaths(path: String): Seq[String] = {
+  private[graft] def logPaths(path: String): Seq[String] =
+    logMeta(path).map(_._1)
+
+  /** The logs WITH their headers — listLogs already fetched every
+    * header to sort and gap-check, so the banner and the extract reuse
+    * them instead of re-opening each remote segment (the tool's primary
+    * use is a remote archive, where a header read is a round trip).
+    */
+  private[graft] def logMeta(path: String)
+      : Seq[(String, RedoLogReader.FileHeader)] = {
     val provider = RedoStorageProvider.forPath(path)
     val local = provider eq graft.redo.LocalRedoProvider
     val single =
       if (local) new File(path).isFile
       else path.endsWith(".grl")
-    val paths =
-      if (single) Seq(path)
+    val metas =
+      if (single) Seq(path -> header(path))
       else RedoLogReader.listLogs(provider,
-        if (local) new File(path).getAbsolutePath else path).map(_._1)
-    require(paths.nonEmpty, s"no .grl logs under $path")
-    paths
+        if (local) new File(path).getAbsolutePath else path)
+    require(metas.nonEmpty, s"no .grl logs under $path")
+    metas
   }
 
   private def header(path: String): RedoLogReader.FileHeader = {
@@ -128,10 +145,17 @@ object RedoDump {
   }
 
   /** Extract the filtered records into a standalone incident log;
-    * returns the record count. Streams — never holds the records.
+    * returns the record count. The READ side streams (one segment at a
+    * time), but [[RedoLogWriter]] buffers the serialized OUTPUT until
+    * close (the header and block layout finalize there), so driver
+    * memory is ~1x the EXTRACTED bytes — incident-sized by design (one
+    * transaction / a narrow SCN window), not archive-sized. A loose
+    * filter over a multi-GiB archive is the caller's foot-gun; the
+    * writer warns once past [[ExtractWarnBytes]].
     */
-  private[graft] def extractTo(a: Args, paths: Seq[String],
-      out: String): Long = {
+  private[graft] def extractTo(a: Args, metas: Seq[(String,
+      RedoLogReader.FileHeader)], out: String): Long = {
+    val paths = metas.map(_._1)
     val outFile = new File(out).getCanonicalFile
     // the collision guard applies to LOCAL sources (remote namespaces
     // cannot collide with a local extract target)
@@ -143,26 +167,39 @@ object RedoDump {
           "duplicate (thread, seq) would break the directory's " +
           "continuity check for every consumer")
     }
-    val hdr = header(paths.head)
+    val hdr = metas.head._2
     val w = new RedoLogWriter(outFile, hdr.blockSize,
       seq = hdr.seq, thread = hdr.thread)
     var n = 0L
-    stream(a, paths).foreach { r => w.append(r); n += 1 }
+    var warned = false
+    stream(a, paths).foreach { r =>
+      w.append(r); n += 1
+      if (!warned && w.bufferedBytes > ExtractWarnBytes) {
+        warned = true
+        System.err.println(s"[redodump] extract has buffered " +
+          s"${w.bufferedBytes >> 20} MiB — an incident extract should be " +
+          "one transaction or a narrow --scn window; tighten the filter " +
+          "if this is unintentional")
+      }
+    }
     w.close()
     n
   }
 
+  /** Extract-size advisory threshold (see [[extractTo]]). */
+  private val ExtractWarnBytes = 256L << 20
+
   def main(argv: Array[String]): Unit = {
     val a = parse(argv)
-    val files = logPaths(a.path)
-    files.foreach { f =>
-      val h = header(f)
+    val metas = logMeta(a.path)
+    val files = metas.map(_._1)
+    metas.foreach { case (f, h) =>
       println(s"$f: blockSize=${h.blockSize} seq=${h.seq} " +
         s"thread=${h.thread} firstScn=${h.firstScn} nextScn=${h.nextScn}")
     }
     a.extract match {
       case Some(out) =>
-        val n = extractTo(a, files, out)
+        val n = extractTo(a, metas, out)
         println(s"extracted $n records to $out")
       case None if a.counts =>
         // incremental fold — constant memory over any segment count

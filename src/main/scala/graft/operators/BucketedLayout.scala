@@ -78,12 +78,21 @@ object BucketedLayout {
     def writeBucketed(df: DataFrame, key: String, loc: String,
         bldTbl: String): Unit = {
       s.sql(s"DROP TABLE IF EXISTS $bldTbl")
-      df.repartition(Buckets, col(key))
-        .write.format("parquet")
-        .bucketBy(Buckets, key).sortBy(key)
-        .option("path", loc)
-        .mode("overwrite")
-        .saveAsTable(bldTbl)
+      // withBucketAlignedWrite as a belt: measured on Spark 4.1.2 this
+      // CTAS stays one-task-one-bucket even with AQE's local shuffle
+      // read enabled and a multi-split input (CtasAlignmentSpec pins
+      // it), but the insertInto path demonstrably fragments without
+      // the toggle (Compaction's measured 191→153), so the build write
+      // carries the same guard rather than trusting the planner
+      // version to keep differing between the two routes
+      withBucketAlignedWrite(s) {
+        df.repartition(Buckets, col(key))
+          .write.format("parquet")
+          .bucketBy(Buckets, key).sortBy(key)
+          .option("path", loc)
+          .mode("overwrite")
+          .saveAsTable(bldTbl)
+      }
       // drop the build-time registration (external — files stay); the
       // durable registration points at the PUBLISHED location below
       s.sql(s"DROP TABLE IF EXISTS $bldTbl")

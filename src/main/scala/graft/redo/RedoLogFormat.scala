@@ -96,6 +96,12 @@ class RedoLogWriter(file: File, blockSize: Int = 1024, seq: Int = 1,
   // 5-17x the payload in heap and a GiB-scale partition streamed
   // through one writer must stay ~1x resident
   private val out = new java.io.ByteArrayOutputStream(1 << 16)
+
+  /** Bytes buffered so far — the writer holds the serialized stream
+    * until close() (header fields and block layout finalize there), so
+    * callers producing open-ended extracts can watch this and warn.
+    */
+  def bufferedBytes: Long = out.size().toLong
   private var firstScn = Long.MaxValue
   private var nextScn = 0L
 

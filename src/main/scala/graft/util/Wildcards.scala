@@ -13,12 +13,15 @@ object Wildcards {
     * every other character matches literally.
     */
   def regex(pattern: String): Regex = {
-    val sb = new StringBuilder("(?i)^")
+    val sb = new StringBuilder("(?i)\\A")
     pattern.foreach {
       case '%' | '*' => sb.append(".*")
       case c => sb.append(java.util.regex.Pattern.quote(c.toString))
     }
-    sb.append("$").result().r
+    // \z, not $: Java's $ also matches just before a trailing line
+    // terminator, so an un-trimmed name ending in '\n' would silently
+    // scope in under a pattern meant to match the exact name
+    sb.append("\\z").result().r
   }
 
   /** Any-of matcher over a pattern list; empty list matches everything. */

@@ -53,7 +53,7 @@ class RedoDumpSpec extends AnyFunSuite {
       val out = new File(Files.createTempDirectory("redodump_remote_out")
         .toFile, "incident.grl")
       val a = RedoDump.parse(Array(base, "--xid", "A"))
-      val n = RedoDump.extractTo(a, RedoDump.logPaths(base), out.getPath)
+      val n = RedoDump.extractTo(a, RedoDump.logMeta(base), out.getPath)
       assert(n == 3)
       assert(RedoLogReader.records(out).toSeq == txA)
     } finally server.close()
@@ -85,7 +85,8 @@ class RedoDumpSpec extends AnyFunSuite {
     val out = new File(outDir, "incident_A.grl")
     val a = RedoDump.parse(Array(dir.getPath, "--xid", "A",
       "--extract", out.getPath))
-    val n = RedoDump.extractTo(a, Seq(new File(dir, "log_1.grl").getPath), out.getPath)
+    val n = RedoDump.extractTo(a,
+      RedoDump.logMeta(new File(dir, "log_1.grl").getPath), out.getPath)
     assert(n == 3)
     val replayed = RedoLogReader.records(out).toSeq
     assert(replayed == onlyA,
@@ -98,7 +99,8 @@ class RedoDumpSpec extends AnyFunSuite {
     // the in-source-dir extract is REFUSED (it would poison the
     // directory's per-thread sequence continuity for every consumer)
     intercept[IllegalArgumentException] {
-      RedoDump.extractTo(a, Seq(new File(dir, "log_1.grl").getPath),
+      RedoDump.extractTo(a,
+        RedoDump.logMeta(new File(dir, "log_1.grl").getPath),
         new File(dir, "incident_bad.grl").getPath)
     }
   }
