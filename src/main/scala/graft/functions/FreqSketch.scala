@@ -107,8 +107,17 @@ case class FreqSketchAgg(
   }
 
   override def eval(buffer: FreqSketchBuf): Any = {
+    // ties break by UTF-8 BYTE order, not Java's UTF-16 string order:
+    // Spark's UTF8String binary collation and DuckDB's byte collation
+    // both sort supplementary code points above U+E000..U+FFFF chars,
+    // where UTF-16 comparison flips them — the exact divergence
+    // BpeTrainer.utf8Compare fixed (r7); the documented
+    // "cnt desc, token asc" array order must mean the engines' asc
     val entries = buffer.counts.toArray
-      .sortBy { case (t, n) => (-n, t) }
+      .sortWith { case ((ta, na), (tb, nb)) =>
+        if (na != nb) na > nb
+        else graft.operators.BpeTrainer.utf8Compare(ta, tb) < 0
+      }
     new GenericArrayData(entries.map { case (t, n) =>
       InternalRow(UTF8String.fromString(t), n): Any
     })

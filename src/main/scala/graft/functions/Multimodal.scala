@@ -70,7 +70,12 @@ object Multimodal {
       payload: Array[Byte]): java.awt.image.BufferedImage = {
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload))
-    try { reader.setInput(iis); reader.read(0) } finally iis.close()
+    // setInput(null) before close — the sampleFrames discipline: a
+    // thread-local reader left holding the closed stream pins the
+    // payload byte array for the executor thread's lifetime (one
+    // arbitrary image per thread after the stage ends)
+    try { reader.setInput(iis); reader.read(0) }
+    finally { reader.setInput(null); iis.close() }
   }
 
   /** Deterministic synthetic image dimensions/channels for doc `id` —
@@ -168,6 +173,11 @@ object Multimodal {
           val img = readOne(reader, payload)
           require(img != null, s"doc $id: payload is not a decodable image")
           val (w, h) = (img.getWidth, img.getHeight)
+          // enforce the documented precondition with context — a
+          // sub-target image would otherwise die mid-task on a bare
+          // "/ by zero" (some blocks get x0 == x1)
+          require(w >= target && h >= target,
+            s"doc $id: image ${w}x$h smaller than resize target $target")
           val px = for {
             j <- 0 until target
             i <- 0 until target

@@ -71,8 +71,16 @@ case class RowTopK(
     }
     val key = keyProj(keyVals)
     if (buffer.admits(key)) {
+      val pv = payload.eval(input)
+      // loud, like TopKByScore: a null payload would surface as a null
+      // element inside an array whose dataType promises
+      // containsNull=false — downstream UnsafeWriter paths trusting
+      // that schema would NPE or read garbage much later
+      if (pv == null) throw new IllegalArgumentException(
+        "row_topk: null payload struct (wrap nullable inputs in a " +
+          "non-null struct or filter nulls before the aggregate)")
       val p = new GenericInternalRow(1)
-      p.update(0, payload.eval(input))
+      p.update(0, pv)
       buffer.add(key.copy(), payloadProj(p).copy())
     }
     buffer

@@ -45,7 +45,7 @@ object BpeTrainer {
     * order but above them in UTF-8/code-point order), so the
     * sequential reference must compare the way Spark does.
     */
-  private[operators] def utf8Compare(a: String, b: String): Int = {
+  private[graft] def utf8Compare(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
@@ -81,11 +81,28 @@ object BpeTrainer {
       : Seq[((String, String), Long)] = {
     import spark.implicits._
     val merges = scala.collection.mutable.ArrayBuffer[((String, String), Long)]()
+    // Dataset.unpersist is a NO-OP for localCheckpointed frames (the
+    // blocks are registered at the RDD level, not in the CacheManager),
+    // so each iteration must release the PREVIOUS checkpoint's RDD
+    // blocks explicitly or n iterations stack n corpus-sized
+    // MEMORY_AND_DISK block sets until driver GC happens to reap them —
+    // on a long training run that fills executor storage. Snapshot the
+    // persistent-RDD ids around each checkpoint and retire exactly the
+    // ids it added (never a caller's persists).
+    val sc = spark.sparkContext
+    def checkpointTracked(ds: Dataset[Seq[String]])
+        : (Dataset[Seq[String]], Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = ds.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // initial symbols = code points (the classic BPE start state;
     // see codePointSymbols for why not Java chars)
-    var cur: Dataset[Seq[String]] = words.select(col("t")).as[String]
-      .map(codePointSymbols)
-      .localCheckpoint(true)
+    var (cur, curIds) = checkpointTracked(
+      words.select(col("t")).as[String].map(codePointSymbols))
     var it = 0
     var done = false
     while (it < n && !done) {
@@ -108,15 +125,17 @@ object BpeTrainer {
         val (a, b, c) = bestRows.head
         merges += (((a, b), c))
         // localCheckpoint(eager): truncate lineage each iteration so n
-        // merges never stack n map closures on the plan, and release
-        // the previous iteration's blocks
-        val next = cur.map(s => applyMerge(s, a, b)).localCheckpoint(true)
-        cur.unpersist(blocking = false)
+        // merges never stack n map closures on the plan; release the
+        // previous iteration's blocks at the RDD level (see above)
+        val (next, nextIds) = checkpointTracked(
+          cur.map(s => applyMerge(s, a, b)))
+        release(curIds)
         cur = next
+        curIds = nextIds
       }
       it += 1
     }
-    cur.unpersist(blocking = false)
+    release(curIds)
     merges.toSeq
   }
 
