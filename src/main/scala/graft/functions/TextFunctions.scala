@@ -100,8 +100,11 @@ object TextFunctions {
     "zh" -> Seq("spark", "scan", "hash"))
 
   def markerScore(toks: Column, markers: Seq[String]): Column =
+    // foldLeft(false), not reduce: an empty marker list (a configurable
+    // surface) scores 0 instead of crashing with a bare
+    // "empty.reduceLeft" at plan time
     size(filter(toks, t =>
-      markers.map(m => t === m).reduce(_ || _)))
+      markers.map(m => t === m).foldLeft(lit(false))(_ || _)))
 
   def langId(toks: Column,
       markers: Seq[(String, Seq[String])] = defaultMarkers): Column = {

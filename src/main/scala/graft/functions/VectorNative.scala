@@ -23,6 +23,14 @@ object VectorNative {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      // a NULL element reads back as 0.0f from ArrayData — finite, so
+      // the non-finite guard below would pass it and quantize a hole in
+      // the data to 0 while the oracle's list arithmetic goes NULL on
+      // the same row (the exact cross-engine divergence this guard
+      // family exists to prevent)
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"null embedding component at index $i")
       val x = v.getFloat(i)
       // refuse non-finite components loudly: floor(NaN).toLong is 0 and
       // Inf saturates to Long.MaxValue — a silently "quantized" corrupt
@@ -119,6 +127,14 @@ object VectorNative {
   def pqEncodeArr(q: Array[Long], cents: Array[Array[Array[Long]]]): Array[Long] = {
     val mTot = cents.length
     val sub = q.length / mTot
+    // the dotQ discipline: a row shorter/longer than the codebook
+    // dimension (or one that M does not divide) would silently encode
+    // against truncated sub-vectors — plausible cells, wrong neighbors
+    if (mTot == 0 || sub == 0 || sub * mTot != q.length ||
+        cents(0).length == 0 || cents(0)(0).length != sub)
+      throw new IllegalArgumentException(
+        s"pqEncode dimension mismatch: |q|=${q.length}, M=$mTot, " +
+          s"codebook sub-dim=${if (mTot > 0 && cents(0).nonEmpty) cents(0)(0).length else -1}")
     val out = new Array[Long](mTot + 1)
     var rn2 = 0L
     var base = 0
@@ -161,6 +177,10 @@ object VectorNative {
   def pqLut(q: ArrayData, cents: Array[Array[Array[Long]]]): ArrayData = {
     val mTot = cents.length
     val sub = q.numElements() / mTot
+    if (mTot == 0 || sub == 0 || sub * mTot != q.numElements() ||
+        cents(0).length == 0 || cents(0)(0).length != sub)
+      throw new IllegalArgumentException(
+        s"pqLut dimension mismatch: |q|=${q.numElements()}, M=$mTot")
     var total = 0
     var m = 0
     while (m < mTot) { total += cents(m).length; m += 1 }
@@ -201,6 +221,9 @@ object VectorNative {
     val kC = cents.length
     val np = math.min(nprobe, kC)
     val dim = q.numElements()
+    if (kC > 0 && cents(0).length != dim)
+      throw new IllegalArgumentException(
+        s"pqProbe dimension mismatch: |q|=$dim vs centroid ${cents(0).length}")
     val bestD = new Array[Long](np)
     val bestC = new Array[Int](np)
     var filled = 0

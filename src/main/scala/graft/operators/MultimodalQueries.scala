@@ -163,8 +163,14 @@ object MultimodalQueries {
         .withColumn("n2t", normQ2(col("tv")))
       sorted(img.join(txt, "doc_id")
         .withColumn("dot", dotQ(col("q"), col("tv")))
+        // zero-norm guard (the maxCos discipline): 0/0 is NaN, which
+        // Spark compares as `NaN > 0.05 = false` while DuckDB orders
+        // NaN above everything (`> 0.05 = true`) — a degenerate
+        // all-zero embedding or caption vector must score 0 in BOTH
+        // engines, never split the keep flag between them
         .withColumn("clip",
-          cosineFromQ(col("dot"), col("n2i"), col("n2t")))
+          when(col("n2i") === 0 || col("n2t") === 0, lit(0.0))
+            .otherwise(cosineFromQ(col("dot"), col("n2i"), col("n2t"))))
         .select(col("doc_id"), col("dot"),
           col("clip"), (col("clip") > 0.05).as("keep")), "doc_id")
     })
@@ -306,14 +312,16 @@ object MultimodalQueries {
         |           j -> CAST(len(list_filter(hs, x -> x % 64 = j)) AS BIGINT)) AS tv
         |  FROM hs),
         |t2 AS (SELECT doc_id, tv,
-        |              CAST(list_dot_product(tv, tv) AS BIGINT) AS n2t FROM txt)
-        |SELECT i.doc_id,
-        |       CAST(list_dot_product(i.q, t.tv) AS BIGINT) AS dot,
-        |       CAST(list_dot_product(i.q, t.tv) AS DOUBLE)
-        |         / (sqrt(CAST(i.n2i AS DOUBLE)) * sqrt(CAST(t.n2t AS DOUBLE))) AS clip,
-        |       CAST(list_dot_product(i.q, t.tv) AS DOUBLE)
-        |         / (sqrt(CAST(i.n2i AS DOUBLE)) * sqrt(CAST(t.n2t AS DOUBLE))) > 0.05 AS keep
-        |FROM img i JOIN t2 t USING (doc_id)
+        |              CAST(list_dot_product(tv, tv) AS BIGINT) AS n2t FROM txt),
+        |scored AS (
+        |  SELECT i.doc_id,
+        |         CAST(list_dot_product(i.q, t.tv) AS BIGINT) AS dot,
+        |         CASE WHEN i.n2i = 0 OR t.n2t = 0 THEN 0.0
+        |              ELSE CAST(list_dot_product(i.q, t.tv) AS DOUBLE)
+        |                / (sqrt(CAST(i.n2i AS DOUBLE)) * sqrt(CAST(t.n2t AS DOUBLE)))
+        |         END AS clip
+        |  FROM img i JOIN t2 t USING (doc_id))
+        |SELECT doc_id, dot, clip, clip > 0.05 AS keep FROM scored
         |ORDER BY doc_id""".stripMargin
   )
 }

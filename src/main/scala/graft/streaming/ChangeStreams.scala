@@ -110,53 +110,90 @@ private[streaming] class TxnAssemblyProcessor(
 
   @transient private var log: ListState[RedoRecord] = _
   @transient private var deadline: ValueState[Long] = _
+  @transient private var evicted: ValueState[Boolean] = _
+  @transient private lazy val logger =
+    org.slf4j.LoggerFactory.getLogger(classOf[TxnAssemblyProcessor])
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     log = getHandle.getListState("log", Encoders.product[RedoRecord], TTLConfig.NONE)
-    if (idleTimeoutMs > 0)
+    if (idleTimeoutMs > 0) {
       deadline = getHandle.getValueState("deadline",
         Encoders.scalaLong, TTLConfig.NONE)
+      evicted = getHandle.getValueState("evicted",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+    }
   }
 
   override def handleInputRows(xid: String, rows: Iterator[RedoRecord],
       timerValues: TimerValues): Iterator[EmittedChange] = {
     val incoming = rows.toArray
+    val out: Iterator[EmittedChange] =
+      if (!incoming.exists(TransactionAssembler.isTerminal)) {
+        // fast path: pure append, buffered prefix untouched
+        if (incoming.nonEmpty) log.appendList(incoming)
+        Iterator.empty
+      } else {
+        val all = (log.get() ++ incoming.iterator).toArray
+        java.util.Arrays.sort(all,
+          Ordering.by(TransactionAssembler.orderKey))
+        log.clear()
+        // an EVICTED transaction's first terminal must not assemble: the
+        // buffered prefix is gone, and emitting the surviving tail would
+        // publish a silent partial transaction (records DELAYED, not
+        // lost). Drop the whole first segment loudly instead; in the
+        // real xid model a genuinely new transaction on a recycled undo
+        // slot carries a fresh sequence (a new key), so the segment
+        // being dropped is the abandoned transaction's.
+        val work =
+          if (idleTimeoutMs > 0 && evicted.exists() && evicted.get()) {
+            val cut = all.indexWhere(TransactionAssembler.isTerminal) + 1
+            logger.warn(s"txn $xid: dropping ${cut} late records closed by " +
+              "the first terminal after idle eviction — the buffered " +
+              "prefix was already discarded, a partial emit would " +
+              "violate transaction atomicity")
+            evicted.clear()
+            all.drop(cut)
+          } else all
+        val (o, remainder) = TransactionAssembler.assembleSegments(work, opts)
+        if (remainder.nonEmpty) log.appendList(remainder.toArray)
+        o.iterator
+      }
     if (idleTimeoutMs > 0) {
-      // slide the idle timer: drop the previous deadline, arm a new one
-      if (deadline.exists()) getHandle.deleteTimer(deadline.get())
-      val at = timerValues.getCurrentProcessingTimeInMs() + idleTimeoutMs
-      getHandle.registerTimer(at)
-      deadline.update(at)
-    }
-    if (!incoming.exists(TransactionAssembler.isTerminal)) {
-      // fast path: pure append, buffered prefix untouched
-      if (incoming.nonEmpty) log.appendList(incoming)
-      Iterator.empty
-    } else {
-      val all = (log.get() ++ incoming.iterator).toArray
-      java.util.Arrays.sort(all,
-        Ordering.by(TransactionAssembler.orderKey))
-      log.clear()
-      val (out, remainder) = TransactionAssembler.assembleSegments(all, opts)
-      if (remainder.nonEmpty) log.appendList(remainder.toArray)
-      else if (idleTimeoutMs > 0) {
-        // fully drained: every short committed transaction would
-        // otherwise pin a registered timer + deadline entry for the
-        // whole idle window — millions of stale timers of pure
-        // state-store churn on a busy feed
+      // timer maintenance LAST, from the now-known open/drained state:
+      // arming at entry then clearing on a fully-draining commit batch
+      // (the common case) would pay register+delete churn per
+      // transaction on the RocksDB store
+      val open = log.exists()
+      if (open) {
         if (deadline.exists()) getHandle.deleteTimer(deadline.get())
+        val at = timerValues.getCurrentProcessingTimeInMs() + idleTimeoutMs
+        getHandle.registerTimer(at)
+        deadline.update(at)
+      } else if (deadline.exists()) {
+        getHandle.deleteTimer(deadline.get())
         deadline.clear()
       }
-      out.iterator
     }
+    out
   }
 
   override def handleExpiredTimer(xid: String, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[EmittedChange] = {
-    // abandoned transaction: terminal record lost — drop buffered state,
-    // matching the reference's restart bookkeeping skipping stale XIDs
+    // abandoned transaction: no terminal inside the idle window. The
+    // buffered prefix is discarded (the reference's restart bookkeeping
+    // skips stale XIDs the same way), but a TOMBSTONE records the
+    // eviction so a late-arriving tail + terminal cannot silently
+    // assemble into a partial transaction — handleInputRows drops that
+    // first segment with a warning instead.
+    val buffered = log.exists()
     log.clear()
     deadline.clear()
+    if (buffered) {
+      evicted.update(true)
+      logger.warn(s"txn $xid: idle ${idleTimeoutMs} ms with no terminal — " +
+        "buffered statements evicted; a late terminal for this " +
+        "transaction will be dropped, not partially emitted")
+    }
     Iterator.empty
   }
 }

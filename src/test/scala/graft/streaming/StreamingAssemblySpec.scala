@@ -254,6 +254,44 @@ class StreamingAssemblySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late tail after idle eviction is dropped whole, never emitted " +
+      "as a partial transaction; the key recovers afterwards") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RedoRecord]
+    val q = ChangeStreams.assembleStream(input.toDS(), idleTimeoutMs = 800L)
+      .writeStream.format("memory").queryName("assembled_evict")
+      .outputMode("append").start()
+    try {
+      // prefix of txn D buffers, then the feed stalls past the idle window
+      input.addData(
+        rec(10, "txD", Ops.Insert, "r1", Map("c" -> "1")),
+        rec(11, "txD", Ops.Insert, "r2", Map("c" -> "2")))
+      val d0 = System.currentTimeMillis() + 60000
+      while (q.recentProgress.map(_.numInputRows).sum < 2 &&
+        System.currentTimeMillis() < d0) Thread.sleep(100)
+      Thread.sleep(8000) // expiry fires; prefix evicted, tombstone set
+      // the DELAYED tail + commit arrive: the r13 behavior assembled
+      // them into a 1-row "transaction" missing its first two changes —
+      // the tombstone must drop the whole segment instead
+      input.addData(
+        rec(12, "txD", Ops.Insert, "r3", Map("c" -> "3")),
+        rec(13, "txD", Ops.Commit),
+        // and the key is immediately reusable for a real transaction
+        rec(20, "txD", Ops.Insert, "r4", Map("c" -> "4")),
+        rec(21, "txD", Ops.Commit))
+      def rows() = spark.table("assembled_evict").as[EmittedChange].collect()
+      val deadline = System.currentTimeMillis() + 60000
+      while (!rows().exists(_.scn == 20L) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val got = rows()
+      assert(got.exists(_.scn == 20L),
+        s"post-eviction transaction must emit: ${got.toSeq}")
+      assert(!got.exists(_.scn <= 13L),
+        s"evicted transaction's tail must not partially emit: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("batch assembly splits a reused xid at each terminal") {
     import spark.implicits._
     // txn1 commits at 20; the SAME xid is reused and rolled back at 40.
