@@ -162,6 +162,26 @@ object IncrementalAgg {
     val base = CdcQueries.scd2(rows.filter(col("ts") < cutoff),
       "k", "ts", "o_orderkey").persist()
     val delta = rows.filter(col("ts") >= cutoff).persist()
+    val out = scd2ApplyFrames(base, delta)
+      .orderBy(col("k"), col("valid_from"), col("o_orderkey"))
+      .localCheckpoint(true)
+    base.unpersist(blocking = false)
+    delta.unpersist(blocking = false)
+    out
+  }
+
+  /** The SCD2 delta-apply CORE on arbitrary frames — what a CDC-fed
+    * maintenance loop runs per micro-batch (`StreamingScd2Spec`):
+    * `base` is the stored versioned dimension (k, o_orderkey, cents,
+    * valid_from, valid_to, is_current), `delta` the batch's raw rows
+    * (k, o_orderkey, cents, ts). Closed history is never touched; each
+    * touched key's current row closes at the batch's first change for
+    * it; the batch self-versions in one delta-sized window. Assumes
+    * in-order arrival (batch post-dates the stored currents) — the T3
+    * commit-order guarantee upstream.
+    */
+  private[graft] def scd2ApplyFrames(base: DataFrame,
+      delta: DataFrame): DataFrame = {
     // batch rows versioned among themselves (delta-sized shuffle)
     val deltaV = CdcQueries.scd2(delta, "k", "ts", "o_orderkey")
     // first change per touched key — closes that key's current row
@@ -178,15 +198,10 @@ object IncrementalAgg {
     val history = base.filter(!col("is_current"))
     val cols = Seq("k", "o_orderkey", "cents", "valid_from",
       "valid_to", "is_current").map(col)
-    val out = history.select(cols: _*)
+    history.select(cols: _*)
       .unionByName(closed.select(cols: _*))
       .unionByName(untouchedCurrent.select(cols: _*))
       .unionByName(deltaV.select(cols: _*))
-      .orderBy(col("k"), col("valid_from"), col("o_orderkey"))
-      .localCheckpoint(true)
-    base.unpersist(blocking = false)
-    delta.unpersist(blocking = false)
-    out
   }
 
   def oracleSql: Map[String, String] = Map(

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming twins of the temporal batch operators (§2.61/§2.62) — the
@@ -142,6 +143,90 @@ object TimeSeriesStreams {
           }
           open.foreach(state.update)
           out.iterator
+      }
+  }
+
+  /** [[gapFillStream]] with WATERMARK-driven day closure — the fully
+    * production shape: no explicit flush sentinel; a key's open day
+    * closes (emits) when the stream's event-time watermark passes the
+    * end of that day, via an event-time timeout on the key's state.
+    * The caller declares lateness tolerance once with
+    * `withWatermark(eventTimeCol, delay)` on the input; this wrapper
+    * derives the column from `tsMicros` and applies the given delay.
+    *
+    * Two semantic differences from the sentinel variant, both inherent
+    * to watermarking: (a) a day can close BEFORE the key's next
+    * observation arrives, so the forward-fill of the gap days up to
+    * that next observation happens when it arrives (output content is
+    * identical — only emission time differs); (b) an observation older
+    * than an already-closed day is LATE DATA past the declared
+    * tolerance — it throws, same as the sentinel variant's guard.
+    */
+  def gapFillStreamWatermarked(events: Dataset[GapObs],
+      delay: String = "0 seconds"): Dataset[DayFill] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val outEnc = Encoders.product[DayFill]
+    implicit val stateEnc = Encoders.product[GapState]
+    val withWm = events
+      .withColumn("eventTime",
+        (col("tsMicros") / lit(1000000L)).cast("timestamp"))
+      .withWatermark("eventTime", delay)
+      .as[GapObs]
+    withWm.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[GapObs], state: GroupState[GapState]) =>
+          if (state.hasTimedOut) {
+            // the watermark passed the open day's end: close + emit,
+            // keep the tombstone (the carrier for later forward-fill)
+            val p = state.get
+            state.update(p.copy(emitted = true))
+            if (p.emitted) Iterator.empty
+            else Iterator.single(DayFill(user, p.day, p.value,
+              filled = false))
+          } else {
+            var open = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[DayFill]
+            it.toSeq.sortBy(o => (o.tsMicros, o.eventId)).foreach { o =>
+              val d = Math.floorDiv(o.tsMicros, DayMicros)
+              open match {
+                case None =>
+                  open = Some(GapState(d, o.tsMicros, o.eventId, o.value,
+                    emitted = false))
+                case Some(p) if d == p.day && !p.emitted =>
+                  if (o.tsMicros > p.ts ||
+                    (o.tsMicros == p.ts && o.eventId > p.eventId))
+                    open = Some(GapState(d, o.tsMicros, o.eventId, o.value,
+                      emitted = false))
+                case Some(p) if d > p.day =>
+                  if (!p.emitted)
+                    out += DayFill(user, p.day, p.value, filled = false)
+                  var g = p.day + 1
+                  while (g < d) {
+                    out += DayFill(user, g, p.value, filled = true)
+                    g += 1
+                  }
+                  open = Some(GapState(d, o.tsMicros, o.eventId, o.value,
+                    emitted = false))
+                case Some(p) =>
+                  throw new IllegalStateException(
+                    s"gapFillStreamWatermarked: key $user received day $d " +
+                      s"at or after closed day ${p.day} — late data past " +
+                      "the declared watermark tolerance")
+              }
+            }
+            open.foreach { p =>
+              state.update(p)
+              // close the open day when the watermark passes its end;
+              // an already-late day (recovery over old data) arms at
+              // watermark+1 so the registration is always valid
+              val dayEndMs = (p.day + 1) * 86400000L
+              state.setTimeoutTimestamp(
+                math.max(dayEndMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
       }
   }
 

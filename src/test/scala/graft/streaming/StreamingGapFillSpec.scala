@@ -161,4 +161,44 @@ class StreamingGapFillSpec extends AnyFunSuite {
         s"expected the T3 ordering guard, got: ${chain(ex).take(3)}")
     } finally q.stop()
   }
+
+  test("watermark-driven closure: days emit when the watermark passes " +
+      "them, content equals the sentinel/batch grid") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val D = 86400L * 1000000L
+    def obs(u: Long, day: Long, eid: Long, v: Double) =
+      TimeSeriesStreams.GapObs(u, day * D + 1000L, eid, v)
+
+    val input = MemoryStream[TimeSeriesStreams.GapObs]
+    val q = TimeSeriesStreams.gapFillStreamWatermarked(input.toDS())
+      .writeStream.format("memory").queryName("gapfill_wm")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("gapfill_wm")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSet
+      // key 1 observes days 10 and 13; key 2's day-20 observation
+      // drives the watermark far past both, so BOTH of key 1's days
+      // close via TIMEOUT — no sentinel, no later key-1 arrival needed
+      // for the final day
+      input.addData(obs(1, 10, 1, 5.0))
+      q.processAllAvailable()
+      input.addData(obs(1, 13, 2, 7.0), obs(2, 20, 3, 9.9))
+      q.processAllAvailable() // watermark advances to ~day 20
+      input.addData(obs(2, 21, 4, 1.1)) // one more batch: timeouts fire
+      q.processAllAvailable()
+      input.addData(obs(2, 22, 5, 2.2)) // and key 2's day 21 closes too
+      q.processAllAvailable()
+      val got = rows()
+      val key1 = got.filter(_._1 == 1L)
+      assert(key1 == Set((1L, 10L, 5.0, false), (1L, 11L, 5.0, true),
+        (1L, 12L, 5.0, true), (1L, 13L, 7.0, false)),
+        s"key 1 grid wrong: $key1 (all days must close off the watermark)")
+      assert(got.contains((2L, 20L, 9.9, false)) &&
+        got.contains((2L, 21L, 1.1, false)),
+        s"key 2's watermark-passed days must close: $got")
+    } finally q.stop()
+  }
 }
