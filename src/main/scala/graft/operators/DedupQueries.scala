@@ -337,34 +337,56 @@ object DedupQueries {
     * once — same no-persist discipline as the uncapped form.
     */
   private[operators] def lshCandidatePairsCapped(hashes: DataFrame,
-      maxBucket: Int): DataFrame = {
-    val bands = lshBands(hashes)
-    // ONE aggregation yields both the size filter and each bucket's
-    // representative (min member) — a separate rep groupBy would add a
-    // shuffle and a second big-bucket join for data the size pass
-    // already touches
-    val sized = bands.groupBy(col("band"), col("h1"), col("h2"))
+      maxBucket: Int): DataFrame =
+    cappedBucketPairs(lshBands(hashes), Seq("band", "h1", "h2"),
+      maxBucket, payload = None).distinct()
+
+  /** The duplicate-density cap/star routing stated ONCE for every
+    * banding family: buckets of ≤ `cap` members yield all pairwise
+    * candidates; oversized buckets yield STAR edges (bucket-min
+    * representative vs each member — membership-sized, drop-decidable
+    * through the rep; the r8 fix, which previously had to be
+    * re-implemented per family). `banded` carries `keyCols` + doc_id
+    * (+ an optional per-doc `payload` column, e.g. the simhash
+    * signature, emitted as <p>a/<p>b on both pair sides). ONE
+    * aggregation yields both the size filter and the rep — a separate
+    * rep groupBy would add a shuffle over data the size pass already
+    * touches. Selects are BY NAME (the loadBandIndex lesson).
+    */
+  private def cappedBucketPairs(banded: DataFrame, keyCols: Seq[String],
+      cap: Int, payload: Option[String]): DataFrame = {
+    def keys = keyCols.map(col)
+    val sized = banded.groupBy(keys: _*)
       .agg(count(lit(1)).as("bc"), min(col("doc_id")).as("rep"))
-    val ok = sized.filter(col("bc") <= maxBucket)
-      .select(col("band"), col("h1"), col("h2"))
-    val big = sized.filter(col("bc") > maxBucket)
-      .select(col("band"), col("h1"), col("h2"), col("rep"))
-    // select BY NAME (the loadBandIndex lesson: positional toDF would
-    // silently mis-map if the join reorders columns)
-    val pruned = bands.join(ok, Seq("band", "h1", "h2"))
-    val a = pruned.select(col("band"), col("h1"), col("h2"),
-      col("doc_id").as("ia"))
-    val b = pruned.select(col("band"), col("h1"), col("h2"),
-      col("doc_id").as("ib"))
-    val pairs = a.join(b, Seq("band", "h1", "h2"))
+    val ok = sized.filter(col("bc") <= cap).select(keys: _*)
+    val big = sized.filter(col("bc") > cap)
+      .select(keys :+ col("rep"): _*)
+    val pruned = banded.join(ok, keyCols)
+    def side(sfx: String) = pruned.select(
+      keys ++ Seq(col("doc_id").as("i" + sfx)) ++
+        payload.map(p => col(p).as(p + sfx)): _*)
+    val pairs = side("a").join(side("b"), keyCols)
       .filter(col("ia") < col("ib"))
-      .select(col("ia"), col("ib"))
-    // star edges for oversized buckets: (rep, other member) —
-    // membership-sized, ia < ib by construction (rep is the min)
-    val stars = bands.join(big, Seq("band", "h1", "h2"))
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("ia"), col("doc_id").as("ib"))
-    pairs.unionByName(stars).distinct()
+      .select(Seq(col("ia"), col("ib")) ++
+        payload.toSeq.flatMap(p => Seq(col(p + "a"), col(p + "b"))): _*)
+    // star edges: ia < ib by construction (rep is the bucket min)
+    val stars = payload match {
+      case None =>
+        banded.join(big, keyCols)
+          .filter(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("ia"), col("doc_id").as("ib"))
+      case Some(p) =>
+        // the rep's payload joins back from the (tiny) big-bucket table
+        val reps = banded.join(big, keyCols)
+          .filter(col("doc_id") === col("rep"))
+          .select(keys ++ Seq(col("rep"), col(p).as(p + "a")): _*)
+          .distinct()
+        banded.join(reps, keyCols)
+          .filter(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("ia"), col("doc_id").as("ib"),
+            col(p + "a"), col(p).as(p + "b"))
+    }
+    pairs.unionByName(stars)
   }
 
   /** SimHash hamming-neighbor pairs (the `dedup_sh_ham` gate; see its
@@ -401,32 +423,8 @@ object DedupQueries {
           .filter(col("ia") < col("ib"))
           .select(col("ia"), col("ib"), col("sha"), col("shb"))
       case Some(cap) =>
-        // one aggregation yields the size filter AND the bucket rep
-        // (the lshCandidatePairsCapped r8 fusion)
-        val sized = banded.groupBy(col("b"), col("k"))
-          .agg(count(lit(1)).as("bc"), min(col("doc_id")).as("rep"))
-        val ok = sized.filter(col("bc") <= cap).select(col("b"), col("k"))
-        val big = sized.filter(col("bc") > cap)
-          .select(col("b"), col("k"), col("rep"))
-        val pruned = banded.join(ok, Seq("b", "k"))
-        val a = pruned.select(col("b"), col("k"),
-          col("doc_id").as("ia"), col("sh").as("sha"))
-        val bb = pruned.select(col("b"), col("k"),
-          col("doc_id").as("ib"), col("sh").as("shb"))
-        val pairs = a.join(bb, Seq("b", "k"))
-          .filter(col("ia") < col("ib"))
-          .select(col("ia"), col("ib"), col("sha"), col("shb"))
-        // star edges need both signatures: the rep's sh joins back from
-        // the (tiny) big-bucket table via the banded frame
-        val reps = banded.join(big, Seq("b", "k"))
-          .filter(col("doc_id") === col("rep"))
-          .select(col("b"), col("k"), col("rep"), col("sh").as("sha"))
-          .distinct()
-        val stars = banded.join(reps, Seq("b", "k"))
-          .filter(col("doc_id") =!= col("rep"))
-          .select(col("rep").as("ia"), col("doc_id").as("ib"),
-            col("sha"), col("sh").as("shb"))
-        pairs.unionByName(stars)
+        // the shared cap/star routing, signature riding as the payload
+        cappedBucketPairs(banded, Seq("b", "k"), cap, payload = Some("sh"))
     }
     cand
       .select(col("ia"), col("ib"),
@@ -596,11 +594,15 @@ object DedupQueries {
 
     // Per-document 16-bit SimHash (near-dup docs collide). Token-less
     // documents are dropped — the oracle's per-token GROUP BY never
-    // produces a row for them. trim ≠ '' ⟺ has a token, and avoids
-    // re-running the tokenizer in the filter.
+    // produces a row for them. The guard is the NATIVE token count
+    // (the dedup_sh_ham/text_fprint discipline): trim ≠ '' is NOT
+    // equivalent — Spark's trim strips only spaces, so a tab/newline-
+    // only document would pass it, hash an empty vote array to sh16=0
+    // and desynchronize the row count from the oracle.
     "dedup_simhash" -> ((s, dir) => {
       documents(s, dir)
-        .filter(trim(col("text")) =!= "")
+        .filter(graft.functions.TextHashExpressions
+          .ws_token_count(col("text")) > 0)
         .select(col("doc_id"),
           simHash16(transform(tokens(col("text")), t => stringHash(t))).as("sh16"))
         .orderBy(col("doc_id"))
@@ -767,7 +769,20 @@ object DedupQueries {
       .unionByName(contracted.select(col("ia").as("doc_id"),
         col("ia").as("cluster")))
       .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
-    var mat = truncate(init)
+    // Dataset.unpersist is a NO-OP on a truncated frame (localCheckpoint
+    // blocks bypass the CacheManager — the BpeTrainer finding), so each
+    // round's blocks are released at the RDD level via tracked ids; with
+    // a reliable checkpoint dir the ids are empty and cleanup is the
+    // checkpoint dir's (files live until context stop — unchanged).
+    val sc = spark.sparkContext
+    def truncateTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = truncate(df)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def release(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var (mat, matIds) = truncateTracked(init)
     // p0 feeds `contracted`, which BOTH und and init derive from —
     // releasing it before truncate(init) materializes would re-run the
     // whole repartition + union-find contraction a second time
@@ -809,12 +824,14 @@ object DedupQueries {
           (cur("chg") ||
             coalesce(col("t_p") < cur("p"), lit(false))).as("chg"))
       }
-      val next = truncate(cur.withColumnRenamed("p", "cluster"))
+      val (next, nextIds) = truncateTracked(
+        cur.withColumnRenamed("p", "cluster"))
       changed = next.filter(col("chg")).count()
       if (sys.env.contains("GRAFT_CC_TRACE"))
         println(s"[cc] iter=$iter changed=$changed t=${System.nanoTime() / 1e9}")
-      mat.unpersist()
+      release(matIds)
       mat = next
+      matIds = nextIds
       labels = next.select(col("doc_id"), col("cluster"))
       frontier = next.filter(col("chg")).select(col("doc_id"), col("cluster"))
       iter += 1
@@ -1011,20 +1028,31 @@ object DedupQueries {
     * clusters, through a `clusters(doc_id, cluster)` CTE — shared by the
     * `dedup_clusters` and `pipe_split` oracles.
     */
+  /** The 8-hash minhash signature + 4x2-row band CTEs over the shingle
+    * frame `h` — ONE definition of the seed/band family spliced into
+    * every banding oracle (mh_lsh, jac_lsh, winnow, cap, incr, the
+    * recursive clusters chain), so a seed or band-count change can
+    * never desynchronize a single gate from its Spark twin (the
+    * PipelineQueries shared-CTE discipline). Starts at "sig AS"
+    * (callers supply the joining comma) and closes the bands paren.
+    */
+  private val sigBandsCte: String =
+    """sig AS (
+      |  SELECT doc_id,
+      |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
+      |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
+      |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
+      |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
+      |  FROM h GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM sig UNION ALL
+      |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+      |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+      |  SELECT doc_id, 3, s6, s7 FROM sig)""".stripMargin
+
   private val clustersRecursiveCte =
     "WITH RECURSIVE " + shinglesCte.stripPrefix("WITH ") +
-      """, sig AS (
-        |  SELECT doc_id,
-        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
-        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
-        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
-        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
-        |  FROM h GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM sig UNION ALL
-        |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
-        |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
-        |  SELECT doc_id, 3, s6, s7 FROM sig),
+      ", " + sigBandsCte + """,
         |pairs AS (
         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
         |  FROM bands a JOIN bands b
@@ -1048,18 +1076,7 @@ object DedupQueries {
         |       COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
     "dedup_mh_lsh" -> (shinglesCte +
-      """, sig AS (
-        |  SELECT doc_id,
-        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
-        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
-        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
-        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
-        |  FROM h GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM sig UNION ALL
-        |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
-        |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
-        |  SELECT doc_id, 3, s6, s7 FROM sig)
+      ", " + sigBandsCte + """
         |SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
@@ -1068,18 +1085,7 @@ object DedupQueries {
     // exact Jaccard on LSH candidates: same minhash/band CTE as
     // dedup_mh_lsh, then exact set intersection per candidate pair
     "dedup_jac_lsh" -> (shinglesCte +
-      """, sig AS (
-        |  SELECT doc_id,
-        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
-        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
-        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
-        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
-        |  FROM h GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM sig UNION ALL
-        |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
-        |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
-        |  SELECT doc_id, 3, s6, s7 FROM sig),
+      ", " + sigBandsCte + """,
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
         |  FROM bands a JOIN bands b
@@ -1123,18 +1129,7 @@ object DedupQueries {
         |           list_min(g[i : i + 3]))) AS fp
         |  FROM g0 WHERE len(g) >= 4),
         |h AS (SELECT doc_id, UNNEST(fp) AS h FROM f),
-        |sig AS (
-        |  SELECT doc_id,
-        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
-        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
-        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
-        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
-        |  FROM h GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM sig UNION ALL
-        |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
-        |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
-        |  SELECT doc_id, 3, s6, s7 FROM sig),
+        |""" + sigBandsCte + """,
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
         |  FROM bands a JOIN bands b
@@ -1158,18 +1153,7 @@ object DedupQueries {
     // the duplicate-density guard: identical pipeline, candidate join
     // restricted to band buckets of <= 8 members
     "dedup_cap" -> (shinglesCte +
-      """, sig AS (
-        |  SELECT doc_id,
-        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
-        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
-        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
-        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
-        |  FROM h GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM sig UNION ALL
-        |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
-        |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
-        |  SELECT doc_id, 3, s6, s7 FROM sig),
+      ", " + sigBandsCte + """,
         |ok AS (
         |  SELECT band, h1, h2 FROM bands GROUP BY 1, 2, 3
         |  HAVING COUNT(*) <= 8),
@@ -1208,18 +1192,7 @@ object DedupQueries {
     // incremental probe: same minhash/band CTEs, candidate join
     // restricted to (even corpus, odd delta) pairs, exact-Jaccard verify
     "dedup_incr" -> (shinglesCte +
-      """, sig AS (
-        |  SELECT doc_id,
-        |    MIN((h *  1 +  7) % 1000000007) AS s0, MIN((h *  3 + 20) % 1000000007) AS s1,
-        |    MIN((h *  5 + 33) % 1000000007) AS s2, MIN((h *  7 + 46) % 1000000007) AS s3,
-        |    MIN((h *  9 + 59) % 1000000007) AS s4, MIN((h * 11 + 72) % 1000000007) AS s5,
-        |    MIN((h * 13 + 85) % 1000000007) AS s6, MIN((h * 15 + 98) % 1000000007) AS s7
-        |  FROM h GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, s0 AS h1, s1 AS h2 FROM sig UNION ALL
-        |  SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
-        |  SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
-        |  SELECT doc_id, 3, s6, s7 FROM sig),
+      ", " + sigBandsCte + """,
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
         |  FROM bands a JOIN bands b

@@ -664,8 +664,14 @@ object PipelineQueries {
     * without it). Semantics-neutral.
     */
   private def materialized(chain: String): String =
-    chain.replaceAll("(?m)^([A-Za-z_][A-Za-z0-9_]*) AS \\(",
-      "$1 AS MATERIALIZED (")
+    // tolerate a leading comma: chains joined with "," put the comma at
+    // line start ("",sh AS ("") and the anchored form silently skipped
+    // every chain-seam CTE — harmless only while those stayed
+    // single-reference, and the whole point of MATERIALIZED is that a
+    // second consumer must not re-trigger DuckDB's combinatorial
+    // per-reference inlining
+    chain.replaceAll("(?m)^(,?)([A-Za-z_][A-Za-z0-9_]*) AS \\(",
+      "$1$2 AS MATERIALIZED (")
 
   /** The full batch-curation chain (stages + near-dedup + drop list) —
     * the `pipe_curate`/`pipe_full` shared prefix. MATERIALIZED like
