@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Large prime modulus for all polynomial hashes. */
-  val P: Long = 1000000007L
+  /** ONE modulus for every text-hash family — aliased from TextHash
+    * (the kernels' home) so the two can never drift: a per-file literal
+    * here once claimed to be "shared" while being its own constant.
+    */
+  val P: Long = TextHash.P
 
   /** Whitespace tokenization (empty tokens filtered). */
   def tokens(text: Column): Column =

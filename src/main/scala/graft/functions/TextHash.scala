@@ -114,15 +114,8 @@ object TextHash {
       mins(i) = mn
       i += 1
     }
-    java.util.Arrays.sort(mins)
-    var k = 0
-    var m = 0
-    while (m < mins.length) {
-      if (k == 0 || mins(m) != mins(k - 1)) { mins(k) = mins(m); k += 1 }
-      m += 1
-    }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      java.util.Arrays.copyOf(mins, k))
+      java.util.Arrays.copyOf(mins, sortDedup(mins)))
   }
 
   /** Σ over a long array — exact (callers keep elements < 2^30 and
@@ -207,14 +200,23 @@ object TextHash {
     val a = new Array[Long](n)
     var i = 0
     while (i < n) { a(i) = hs.getLong(i); i += 1 }
+    new GenericArrayData(java.util.Arrays.copyOf(a, sortDedup(a)))
+  }
+
+  /** Sort `a` ascending and dedup in place; returns the distinct
+    * count — the one statement of the primitive sort→dedup pass
+    * [[sortedDistinctLongs]] and [[winnow]] both run (two diverging
+    * copies were this close to a boundary-tweak drift).
+    */
+  private def sortDedup(a: Array[Long]): Int = {
     java.util.Arrays.sort(a)
     var k = 0
-    i = 0
-    while (i < n) {
+    var i = 0
+    while (i < a.length) {
       if (k == 0 || a(i) != a(k - 1)) { a(k) = a(i); k += 1 }
       i += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(a, k))
+    k
   }
 
   /** |A ∩ B| for two ASCENDING-sorted long arrays — one branch-light

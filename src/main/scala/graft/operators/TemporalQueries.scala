@@ -100,7 +100,13 @@ object TemporalQueries {
     "q_ts_gapfill" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val day = date_trunc("day", col("ts"))
+      // a NULL value is "no measurement", stated EXPLICITLY in both
+      // engines: without the filter Spark would carry the NULL verbatim
+      // (filled=false, NULL propagating across the gap) while the
+      // oracle's IGNORE NULLS forward-fills past it — the two would
+      // diverge on both columns the moment a NULL ever appears
       val obs = events(s, dir)
+        .filter(col("value").isNotNull)
         .groupBy(col("user_id"), day.as("day"))
         .agg(max_by(col("value"),
           struct(col("ts"), col("event_id"))).as("v"))
@@ -330,7 +336,7 @@ object TemporalQueries {
         |           ROW_NUMBER() OVER (
         |             PARTITION BY user_id, date_trunc('day', ts)
         |             ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events) WHERE rn = 1),
+        |    FROM events WHERE value IS NOT NULL) WHERE rn = 1),
         |bounds AS (
         |  SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
         |  FROM obs GROUP BY 1),
