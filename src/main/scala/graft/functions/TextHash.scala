@@ -18,6 +18,24 @@ object TextHash {
   /** Modulus shared with TextFunctions.P and every oracle query. */
   val P: Long = 1000000007L
 
+  /** Loud per-element null guards: a null ArrayData slot reads back as
+    * 0 from getLong (a silent wrong hash) or null from getUTF8String
+    * (an inscrutable NPE deep in a task). The engine's own producers
+    * declare containsNull=false so this branch never takes and
+    * predicts perfectly; encoder-built or parquet-read arrays with a
+    * nullable static type get a real error naming the problem instead.
+    */
+  @inline private def nnL(a: ArrayData, i: Int): Long = {
+    if (a.isNullAt(i)) throw new IllegalArgumentException(
+      s"null array element at index $i in a text-hash kernel input")
+    a.getLong(i)
+  }
+  @inline private def nnS(a: ArrayData, i: Int): UTF8String = {
+    if (a.isNullAt(i)) throw new IllegalArgumentException(
+      s"null array element at index $i in a text-hash kernel input")
+    a.getUTF8String(i)
+  }
+
   /** Polynomial hash over the code points of `s` (matches DuckDB
     * `list_reduce(list_transform(string_split(s,''), c->ord(c)),
     * (a,b)->(a*31+b)%P)`). UTF-8 is decoded inline — no String allocation.
@@ -30,7 +48,7 @@ object TextHash {
     var min = Long.MaxValue
     var i = 0
     while (i < n) {
-      val v = (hs.getLong(i) * a + b) % P
+      val v = (nnL(hs, i) * a + b) % P
       if (v < min) min = v
       i += 1
     }
@@ -43,7 +61,7 @@ object TextHash {
     val n = hs.numElements()
     var i = 0
     while (i < n) {
-      val h = hs.getLong(i)
+      val h = nnL(hs, i)
       var j = 0
       while (j < 16) {
         if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -71,7 +89,7 @@ object TextHash {
     val n = hs.numElements()
     var i = 0
     while (i < n) {
-      val h = hs.getLong(i)
+      val h = nnL(hs, i)
       var j = 0
       while (j < 60) {
         if ((h * (2 * j + 3) + 17 * j + 11) % P % 2 == 1L) votes(j) += 1
@@ -107,7 +125,7 @@ object TextHash {
       var mn = Long.MaxValue
       var j = 0
       while (j < w) {
-        val v = hs.getLong(i + j)
+        val v = nnL(hs, i + j)
         if (v < mn) mn = v
         j += 1
       }
@@ -124,7 +142,7 @@ object TextHash {
     var acc = 0L
     var i = 0
     val n = hs.numElements()
-    while (i < n) { acc += hs.getLong(i); i += 1 }
+    while (i < n) { acc += nnL(hs, i); i += 1 }
     acc
   }
 
@@ -136,7 +154,7 @@ object TextHash {
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc = (acc + (i + 1).toLong * polyHash(toks.getUTF8String(i))) % P
+      acc = (acc + (i + 1).toLong * polyHash(nnS(toks, i))) % P
       i += 1
     }
     acc
@@ -157,7 +175,7 @@ object TextHash {
       var k = 0
       while (k < n) {
         if (k > 0) acc = (acc * 31 + 32) % P // the joining space, ord=32
-        acc = foldToken(acc, toks.getUTF8String(i + k))
+        acc = foldToken(acc, nnS(toks, i + k))
         k += 1
       }
       out(i) = acc
@@ -199,7 +217,7 @@ object TextHash {
     val n = hs.numElements()
     val a = new Array[Long](n)
     var i = 0
-    while (i < n) { a(i) = hs.getLong(i); i += 1 }
+    while (i < n) { a(i) = nnL(hs, i); i += 1 }
     new GenericArrayData(java.util.Arrays.copyOf(a, sortDedup(a)))
   }
 
@@ -244,8 +262,8 @@ object TextHash {
     var j = 0
     var m = 0L
     while (i < na && j < nb) {
-      val va = a.getLong(i)
-      val vb = b.getLong(j)
+      val va = nnL(a, i)
+      val vb = nnL(b, j)
       if (va == vb) { m += 1; i += 1; j += 1 }
       else if (va < vb) i += 1
       else j += 1
@@ -259,14 +277,14 @@ object TextHash {
     var lo = 0
     var m = 0L
     while (i < ns && lo < nl) {
-      val v = s.getLong(i)
+      val v = nnL(s, i)
       var low = lo
       var high = nl
       while (low < high) {
         val mid = (low + high) >>> 1
-        if (l.getLong(mid) < v) low = mid + 1 else high = mid
+        if (nnL(l, mid) < v) low = mid + 1 else high = mid
       }
-      if (low < nl && l.getLong(low) == v) { m += 1; lo = low + 1 }
+      if (low < nl && nnL(l, low) == v) { m += 1; lo = low + 1 }
       else lo = low
       i += 1
     }
@@ -284,7 +302,7 @@ object TextHash {
     if (n == 0) return 0L
     val a = new Array[Long](n)
     var i = 0
-    while (i < n) { a(i) = hs.getLong(i); i += 1 }
+    while (i < n) { a(i) = nnL(hs, i); i += 1 }
     java.util.Arrays.sort(a)
     var best = 1L
     var run = 1L
@@ -305,7 +323,7 @@ object TextHash {
     var k = 0
     var i = 0
     while (i < n) {
-      val v = hs.getLong(i)
+      val v = nnL(hs, i)
       if (seen.add(v)) { out(k) = v; k += 1 }
       i += 1
     }
@@ -325,7 +343,7 @@ object TextHash {
     val n = hs.numElements()
     var i = 0
     while (i < n) {
-      out((hs.getLong(i) % m).toInt) += 1
+      out((nnL(hs, i) % m).toInt) += 1
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -348,9 +366,9 @@ object TextHash {
       // buffering operator (sort/window) reuses its backing buffer
       // across input-row advances, so stored references would go stale
       // — one small copy per token removes the hazard
-      val w2 = if (i + 1 < n) tk.getUTF8String(i + 1).clone() else null
+      val w2 = if (i + 1 < n) nnS(tk, i + 1).clone() else null
       out(i) = org.apache.spark.sql.catalyst.InternalRow(
-        tk.getUTF8String(i).clone(), w2)
+        nnS(tk, i).clone(), w2)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

@@ -21,32 +21,6 @@ object TextHashExpressions {
   private def c(e: Expression): Column = GraftSqlBridge.column(e)
   private def e(col: Column): Expression = GraftSqlBridge.expression(col)
 
-  /** Plan-time guard for the array kernels: every producer in this
-    * engine emits containsNull=false arrays, and the static kernels
-    * read elements without per-slot null probes — a null slot would
-    * read back as 0 (long) or NPE/garbage (string), a silent wrong
-    * answer or an unexplained crash rather than an error. Rejecting
-    * containsNull=true INPUT TYPES at analysis keeps the hot loops
-    * branch-free while making the unsafe case impossible instead of
-    * silent.
-    */
-  trait NoNullElements extends ExpectsInputTypes {
-    abstract override def checkInputDataTypes()
-        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-      val base = super.checkInputDataTypes()
-      if (!base.isSuccess) base
-      else children.zipWithIndex.collectFirst {
-        case (ch, i) if ch.dataType.isInstanceOf[ArrayType] &&
-            ch.dataType.asInstanceOf[ArrayType].containsNull =>
-          TypeCheckResult.TypeCheckFailure(
-            s"${getClass.getSimpleName}: argument $i may contain null " +
-              "array elements — the native kernels require " +
-              "containsNull=false (filter the nulls or fix the producer)")
-      }.getOrElse(TypeCheckResult.TypeCheckSuccess)
-    }
-  }
-
   /** polyHash(string) → long. */
   case class PolyStringHash(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {
@@ -62,8 +36,7 @@ object TextHashExpressions {
 
   /** min((h*a+b) mod P) over array<long>. */
   case class PolyMinHash(child: Expression, a: Long, b: Long)
-      extends UnaryExpression with ExpectsInputTypes
-      with NoNullElements {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
@@ -76,8 +49,7 @@ object TextHashExpressions {
 
   /** One-pass 16-bit SimHash over array<long> token hashes. */
   case class SimHash16Expr(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes
-      with NoNullElements {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
@@ -90,8 +62,7 @@ object TextHashExpressions {
 
   /** Σ position·polyHash(token) mod P over array<string>. */
   case class FingerprintExpr(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes
-      with NoNullElements {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(StringType))
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
@@ -106,8 +77,7 @@ object TextHashExpressions {
     * strings materialized.
     */
   case class ShingleHashesExpr(child: Expression, n: Int)
-      extends UnaryExpression with ExpectsInputTypes
-      with NoNullElements {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
@@ -120,8 +90,7 @@ object TextHashExpressions {
 
   /** Distinct over array<long> (first-occurrence order). */
   case class DistinctLongsExpr(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes
-      with NoNullElements {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
@@ -136,8 +105,7 @@ object TextHashExpressions {
     * [[IntersectCountSortedExpr]] merges.
     */
   case class SortedDistinctLongsExpr(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes
-      with NoNullElements {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
@@ -153,8 +121,7 @@ object TextHashExpressions {
     * intersection array per evaluation just to take its length.
     */
   case class IntersectCountSortedExpr(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes
-      with NoNullElements {
+      extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
@@ -169,8 +136,7 @@ object TextHashExpressions {
 
   /** Count of the most frequent value in array<long> (0 for empty). */
   case class MaxDupCountExpr(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes
-      with NoNullElements {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
@@ -205,8 +171,7 @@ object TextHashExpressions {
   def shingle_hashes(col: Column, n: Int): Column = c(ShingleHashesExpr(e(col), n))
   /** 60-bit SimHash over array<long> (see TextHash.simHash60). */
   case class SimHash60Expr(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes
-      with NoNullElements {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
@@ -219,8 +184,7 @@ object TextHashExpressions {
 
   /** Winnowing fingerprint selection (see TextHash.winnow). */
   case class WinnowExpr(child: Expression, w: Int)
-      extends UnaryExpression with ExpectsInputTypes
-      with NoNullElements {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
@@ -233,8 +197,7 @@ object TextHashExpressions {
 
   /** Exact Σ over array<long> (see TextHash.sumLongs). */
   case class SumLongsExpr(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes
-      with NoNullElements {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
@@ -247,8 +210,7 @@ object TextHashExpressions {
 
   /** Residue-class histogram over array<long> (see TextHash.modCounts). */
   case class ModCountsExpr(child: Expression, m: Int)
-      extends UnaryExpression with ExpectsInputTypes
-      with NoNullElements {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
@@ -263,8 +225,7 @@ object TextHashExpressions {
     * one (w1, w2) struct per position, last position (wₙ, NULL).
     */
   case class AdjacentPairsExpr(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes
-      with NoNullElements {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("w1", StringType, nullable = false),
