@@ -24,6 +24,28 @@ object Compaction {
     */
   val JournalName = "_graft_compaction_journal"
 
+  /** Delete an OLD (superseded) data file with the boolean VERIFIED —
+    * HDFS-style filesystems signal failure by return value, exactly
+    * like the renames this module already checks. A false return with
+    * the file still present would otherwise leave its (duplicated)
+    * rows in the table permanently once the journal is removed, with
+    * nothing left to drive a retry; failing loudly keeps the journal,
+    * and the next compactBucketed call replays the delete.
+    */
+  private[operators] def deleteOldVerified(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      journal: org.apache.hadoop.fs.Path): Unit = {
+    val ok =
+      try fs.delete(p, false)
+      catch { case _: java.io.FileNotFoundException => true }
+    if (!ok && fs.exists(p))
+      throw new java.io.IOException(
+        s"compaction swap could not delete superseded file $p " +
+          s"(delete returned false); journal kept at $journal — " +
+          "re-run compaction to replay the delete, or the table " +
+          "serves duplicated rows")
+  }
+
   /** Total on-disk bytes feeding `df` — the scan's own file index when
     * the plan is a V1 file relation (metadata only, exact), otherwise
     * the optimizer's size estimate (DSv2/catalog tables), so a
@@ -179,7 +201,8 @@ object Compaction {
           s"$jTmp nor $loc: ${missing.mkString(", ")} — refusing to " +
           "delete the old set")
       oldNames.foreach { name =>
-        fs.delete(new org.apache.hadoop.fs.Path(loc, name), false)
+        deleteOldVerified(fs, new org.apache.hadoop.fs.Path(loc, name),
+          journal)
       }
       // tmp BEFORE journal: the journal is the only pointer to tmp, so
       // deleting it first would strand the dir forever on a crash
@@ -273,7 +296,7 @@ object Compaction {
           s"compaction swap failed renaming ${f.getPath} -> $target; " +
             s"journal at $journal (re-run compaction to roll forward)")
     }
-    old.foreach(f => fs.delete(f.getPath, false))
+    old.foreach(f => deleteOldVerified(fs, f.getPath, journal))
     // tmp before journal — same stranding argument as the recovery path
     fs.delete(tmp, true)
     fs.delete(journal, false)

@@ -69,15 +69,36 @@ object ChangeStreams {
     * record closes exactly the records up to it, and the remainder stays
     * buffered as the next transaction — a later ROLLBACK must never
     * retroactively discard an earlier committed transaction.
+    *
+    * IDLE-EVICTION CONTRACT (idleTimeoutMs > 0): an evicted transaction
+    * leaves a TOMBSTONE so its late tail + terminal cannot assemble into
+    * a silent partial emit — the first terminal-closed segment arriving
+    * after an eviction is DROPPED, loudly. This is safe under the real
+    * xid model, where a recycled undo slot mints a FRESH sequence number
+    * (usn.slot.SQN — a new grouping key), so the dropped segment can only
+    * be the abandoned transaction's own. A source that synthesizes
+    * NON-unique xid strings across transactions weakens this: a genuinely
+    * new transaction on the same key inside the tombstone's lifetime
+    * would be clipped by its own first terminal. The tombstone therefore
+    * EXPIRES (state-store TTL) after `tombstoneTtlMs` — default 64× the
+    * idle window — bounding both that exposure and the per-abandoned-xid
+    * state growth (one value row each, forever, otherwise); a tail
+    * arriving later than the tombstone horizon is outside the delivery
+    * contract and would assemble as if fresh.
     */
   def assembleStream(records: Dataset[RedoRecord],
       opts: TransactionAssembler.Options = TransactionAssembler.DefaultOptions,
-      idleTimeoutMs: Long = 0L): Dataset[EmittedChange] = {
+      idleTimeoutMs: Long = 0L,
+      tombstoneTtlMs: Long = 0L): Dataset[EmittedChange] = {
     val spark = records.sparkSession
     import spark.implicits._
+    val ttl =
+      if (tombstoneTtlMs > 0) tombstoneTtlMs
+      else if (idleTimeoutMs > Long.MaxValue / 64) Long.MaxValue
+      else idleTimeoutMs * 64
     records.groupByKey(_.xid)
       .transformWithState(
-        new TxnAssemblyProcessor(opts, idleTimeoutMs),
+        new TxnAssemblyProcessor(opts, idleTimeoutMs, ttl),
         if (idleTimeoutMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
   }
@@ -105,12 +126,13 @@ object ChangeStreams {
   */
 private[streaming] class TxnAssemblyProcessor(
     opts: TransactionAssembler.Options,
-    idleTimeoutMs: Long)
+    idleTimeoutMs: Long,
+    tombstoneTtlMs: Long = Long.MaxValue)
   extends StatefulProcessor[String, RedoRecord, EmittedChange] {
 
   @transient private var log: ListState[RedoRecord] = _
   @transient private var deadline: ValueState[Long] = _
-  @transient private var evicted: ValueState[Boolean] = _
+  @transient private var evictedMaxScn: ValueState[Long] = _
   @transient private lazy val logger =
     org.slf4j.LoggerFactory.getLogger(classOf[TxnAssemblyProcessor])
 
@@ -119,8 +141,16 @@ private[streaming] class TxnAssemblyProcessor(
     if (idleTimeoutMs > 0) {
       deadline = getHandle.getValueState("deadline",
         Encoders.scalaLong, TTLConfig.NONE)
-      evicted = getHandle.getValueState("evicted",
-        Encoders.scalaBoolean, TTLConfig.NONE)
+      // the eviction tombstone EXPIRES (store-side TTL): it exists to
+      // intercept the abandoned transaction's late tail, and a tail
+      // older than the tombstone horizon (64 idle windows by default)
+      // is outside the delivery contract — letting it expire bounds
+      // state growth on a stream with many abandoned xids (one
+      // tombstone each, forever, otherwise) and restores normal
+      // assembly for a much-later recycled xid
+      evictedMaxScn = getHandle.getValueState("evictedMaxScn",
+        Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(tombstoneTtlMs)))
     }
   }
 
@@ -145,13 +175,29 @@ private[streaming] class TxnAssemblyProcessor(
         // slot carries a fresh sequence (a new key), so the segment
         // being dropped is the abandoned transaction's.
         val work =
-          if (idleTimeoutMs > 0 && evicted.exists() && evicted.get()) {
+          if (idleTimeoutMs > 0 && evictedMaxScn.exists()) {
             val cut = all.indexWhere(TransactionAssembler.isTerminal) + 1
+            // diagnosis for the drop: a segment that interleaves with
+            // the evicted prefix (any scn ≤ the evicted max) is
+            // PROVABLY the abandoned transaction's tail; a segment
+            // entirely above it is the abandoned tail in the real xid
+            // model (a recycled slot mints a fresh sequence = a new
+            // key), but could be a NEW transaction under a source that
+            // reuses xid strings — say which case this is, loudly
+            val evMax = evictedMaxScn.get()
+            val overlaps = all.take(cut).exists(_.scn <= evMax)
             logger.warn(s"txn $xid: dropping ${cut} late records closed by " +
               "the first terminal after idle eviction — the buffered " +
               "prefix was already discarded, a partial emit would " +
-              "violate transaction atomicity")
-            evicted.clear()
+              "violate transaction atomicity" +
+              (if (overlaps) s" (segment interleaves the evicted prefix " +
+                s"[scn <= $evMax]: provably the abandoned transaction)"
+               else s" (segment sits entirely above the evicted prefix " +
+                s"[scn > $evMax]: the abandoned tail under the real " +
+                "fresh-sequence xid model — if this source reuses xid " +
+                "strings across transactions, this may be a NEW " +
+                "transaction; see the assembleStream eviction contract)"))
+            evictedMaxScn.clear()
             all.drop(cut)
           } else all
         val (o, remainder) = TransactionAssembler.assembleSegments(work, opts)
@@ -186,14 +232,22 @@ private[streaming] class TxnAssemblyProcessor(
     // assemble into a partial transaction — handleInputRows drops that
     // first segment with a warning instead.
     val buffered = log.exists()
+    if (buffered) {
+      // record the evicted prefix's max scn: the tombstone both
+      // intercepts the late tail (handleInputRows drops the first
+      // closed segment) and lets the drop say whether the segment
+      // provably interleaves what was evicted
+      var mx = Long.MinValue
+      val it = log.get()
+      while (it.hasNext) { val r = it.next(); if (r.scn > mx) mx = r.scn }
+      evictedMaxScn.update(mx)
+      logger.warn(s"txn $xid: idle ${idleTimeoutMs} ms with no terminal — " +
+        s"buffered statements evicted (max scn $mx); a late terminal for " +
+        "this transaction will be dropped, not partially emitted; the " +
+        s"tombstone expires after $tombstoneTtlMs ms")
+    }
     log.clear()
     deadline.clear()
-    if (buffered) {
-      evicted.update(true)
-      logger.warn(s"txn $xid: idle ${idleTimeoutMs} ms with no terminal — " +
-        "buffered statements evicted; a late terminal for this " +
-        "transaction will be dropped, not partially emitted")
-    }
     Iterator.empty
   }
 }

@@ -86,6 +86,12 @@ object TimeSeriesStreams {
     * the state store provides. Late data (an observation for a day
     * already closed) violates the ordering contract and throws rather
     * than silently rewriting emitted history.
+    *
+    * State bound: one row per ever-flushed key (the tombstone carrier)
+    * — exact grid continuity costs that. With NoTimeout there is no
+    * expiry hook; a long-lived stream with unbounded one-shot key churn
+    * should use [[gapFillStreamWatermarked]] with `tombstoneTtlDays`,
+    * which expires quiet carriers off the event-time clock.
     */
   def gapFillStream(events: Dataset[GapObs]): Dataset[DayFill] = {
     implicit val outEnc = Encoders.product[DayFill]
@@ -161,9 +167,26 @@ object TimeSeriesStreams {
     * identical — only emission time differs); (b) an observation older
     * than an already-closed day is LATE DATA past the declared
     * tolerance — it throws, same as the sentinel variant's guard.
+    *
+    * The flush sentinel (`tsMicros == Long.MaxValue`, [[gapFlush]]) is
+    * the SENTINEL variant's protocol and is REJECTED here loudly: the
+    * watermark owns day closure, and a sentinel flowing through the
+    * day math would compute day ≈ 1.07e11 and forward-fill ~10^11 grid
+    * rows — a hang, not an error. A caller switching variants on the
+    * same input stream must strip its flush markers.
+    *
+    * `tombstoneTtlDays` bounds state for quiet keys: a closed key's
+    * tombstone (the forward-fill carrier) is dropped `tombstoneTtlDays`
+    * event-time days after its last closed day, after which the key's
+    * grid RESTARTS at its next observation (gap days between the
+    * dropped tombstone and the new observation are not filled). 0 (the
+    * default) keeps tombstones forever — exact grid continuity at the
+    * cost of one small state row per ever-seen key; set a horizon on
+    * long-lived streams with unbounded key churn.
     */
   def gapFillStreamWatermarked(events: Dataset[GapObs],
-      delay: String = "0 seconds"): Dataset[DayFill] = {
+      delay: String = "0 seconds",
+      tombstoneTtlDays: Long = 0L): Dataset[DayFill] = {
     val spark = events.sparkSession
     import spark.implicits._
     implicit val outEnc = Encoders.product[DayFill]
@@ -178,17 +201,37 @@ object TimeSeriesStreams {
         GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, it: Iterator[GapObs], state: GroupState[GapState]) =>
           if (state.hasTimedOut) {
-            // the watermark passed the open day's end: close + emit,
-            // keep the tombstone (the carrier for later forward-fill)
             val p = state.get
-            state.update(p.copy(emitted = true))
-            if (p.emitted) Iterator.empty
-            else Iterator.single(DayFill(user, p.day, p.value,
-              filled = false))
+            if (p.emitted) {
+              // the tombstone's TTL timer fired: the key stayed quiet
+              // for the whole horizon — drop the carrier (bounded state
+              // per quiet key). Without a configured TTL this branch is
+              // unreachable (no timer is armed on a tombstone); keep
+              // the carrier in that case rather than guess.
+              if (tombstoneTtlDays > 0) state.remove()
+              Iterator.empty
+            } else {
+              // the watermark passed the open day's end: close + emit,
+              // keep the tombstone (the carrier for later forward-fill)
+              state.update(p.copy(emitted = true))
+              if (tombstoneTtlDays > 0)
+                state.setTimeoutTimestamp(math.max(
+                  (p.day + 1 + tombstoneTtlDays) * 86400000L,
+                  state.getCurrentWatermarkMs() + 1))
+              Iterator.single(DayFill(user, p.day, p.value,
+                filled = false))
+            }
           } else {
             var open = state.getOption
             val out = scala.collection.mutable.ArrayBuffer.empty[DayFill]
             it.toSeq.sortBy(o => (o.tsMicros, o.eventId)).foreach { o =>
+              if (o.tsMicros == Long.MaxValue)
+                throw new IllegalStateException(
+                  s"gapFillStreamWatermarked: key $user received the flush " +
+                    "sentinel (tsMicros = Long.MaxValue) — that is the " +
+                    "sentinel variant's protocol; here the watermark closes " +
+                    "days, and the sentinel would forward-fill ~10^11 grid " +
+                    "days. Strip gapFlush() markers before this operator.")
               val d = Math.floorDiv(o.tsMicros, DayMicros)
               open match {
                 case None =>

@@ -191,4 +191,30 @@ class CompactionSpec extends AnyFunSuite {
     assert(!tmpDir.exists(), "recovered tmp dir must be cleaned up")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("a false delete of a still-existing OLD file fails LOUDLY and " +
+      "keeps the journal — silent false would leave duplicates forever") {
+    // HDFS-style filesystems signal delete failure by RETURN VALUE,
+    // exactly like the renames the swap already checks: a local-FS stub
+    // that refuses deletes stands in for that mode
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("cpt_del").toFile
+    val stuck = new java.io.File(dir, "stuck.parquet")
+    java.nio.file.Files.write(stuck.toPath, Array[Byte](1, 2, 3))
+    val gone = new java.io.File(dir, "gone.parquet") // never created
+    val fs = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def delete(p: Path, recursive: Boolean): Boolean = false
+    }
+    fs.initialize(fs.getUri, new org.apache.hadoop.conf.Configuration())
+    val journal = new Path(dir.getAbsolutePath, Compaction.JournalName)
+    // existing file + false delete → error that names the journal
+    val ex = intercept[java.io.IOException] {
+      Compaction.deleteOldVerified(fs,
+        new Path(stuck.getAbsolutePath), journal)
+    }
+    assert(ex.getMessage.contains(Compaction.JournalName))
+    assert(stuck.exists())
+    // missing file + false delete → success (nothing left to drive)
+    Compaction.deleteOldVerified(fs, new Path(gone.getAbsolutePath), journal)
+  }
 }

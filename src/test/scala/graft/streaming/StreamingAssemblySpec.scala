@@ -292,6 +292,47 @@ class StreamingAssemblySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("eviction tombstone EXPIRES after its TTL: a much-later " +
+      "transaction on the recycled xid assembles fully, not clipped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RedoRecord]
+    // short tombstone horizon so the test can outlive it: the r14
+    // tombstone lived FOREVER, so a source reusing xid strings had its
+    // next transaction's first segment silently discarded no matter how
+    // much later it arrived (and state grew one row per abandoned xid,
+    // unbounded) — the TTL bounds both
+    val q = ChangeStreams.assembleStream(input.toDS(),
+        idleTimeoutMs = 800L, tombstoneTtlMs = 1500L)
+      .writeStream.format("memory").queryName("assembled_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData(rec(10, "txR", Ops.Insert, "r1", Map("c" -> "1")))
+      val d0 = System.currentTimeMillis() + 60000
+      while (q.recentProgress.map(_.numInputRows).sum < 1 &&
+        System.currentTimeMillis() < d0) Thread.sleep(100)
+      // evict (~0.8 s) then let the tombstone's 1.5 s TTL lapse too
+      Thread.sleep(8000)
+      // a NEW transaction on the recycled xid, complete with terminal:
+      // with the tombstone expired it must assemble WHOLE — under the
+      // tombstone-forever behavior its first segment was dropped
+      input.addData(
+        rec(20, "txR", Ops.Insert, "r2", Map("c" -> "2")),
+        rec(21, "txR", Ops.Insert, "r3", Map("c" -> "3")),
+        rec(22, "txR", Ops.Commit))
+      def rows() = spark.table("assembled_ttl").as[EmittedChange].collect()
+      val deadline = System.currentTimeMillis() + 60000
+      while (!rows().exists(_.scn == 20L) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val got = rows()
+      assert(got.map(_.scn).sorted.toSeq == Seq(20L, 21L),
+        s"post-TTL transaction must assemble fully: ${got.toSeq}")
+      assert(got.forall(_.commitScn == 22L))
+      assert(!got.exists(_.scn == 10L),
+        s"the evicted prefix itself must stay dropped: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("batch assembly splits a reused xid at each terminal") {
     import spark.implicits._
     // txn1 commits at 20; the SAME xid is reused and rolled back at 40.

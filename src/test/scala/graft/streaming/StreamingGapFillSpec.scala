@@ -201,4 +201,67 @@ class StreamingGapFillSpec extends AnyFunSuite {
         s"key 2's watermark-passed days must close: $got")
     } finally q.stop()
   }
+
+  test("watermarked variant REJECTS the flush sentinel loudly — the " +
+      "shared GapObs type makes it one switch away, and the day math " +
+      "would forward-fill ~10^11 grid rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[TimeSeriesStreams.GapObs]
+    val q = TimeSeriesStreams.gapFillStreamWatermarked(input.toDS())
+      .writeStream.format("memory").queryName("gapfill_wm_sentinel")
+      .outputMode("append").start()
+    try {
+      input.addData(TimeSeriesStreams.GapObs(1L, 10L * 86400000000L, 1, 5.0),
+        TimeSeriesStreams.gapFlush(1L))
+      val ex = intercept[Throwable] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(ex).exists(_.contains("flush")),
+        s"expected the sentinel rejection, got: ${chain(ex).take(3)}")
+    } finally q.stop()
+  }
+
+  test("tombstone TTL: a quiet key's carrier expires off the event-time " +
+      "clock, after which its grid restarts instead of filling the gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val D = 86400L * 1000000L
+    def obs(u: Long, day: Long, eid: Long, v: Double) =
+      TimeSeriesStreams.GapObs(u, day * D + 1000L, eid, v)
+
+    val input = MemoryStream[TimeSeriesStreams.GapObs]
+    val q = TimeSeriesStreams.gapFillStreamWatermarked(input.toDS(),
+        tombstoneTtlDays = 2L)
+      .writeStream.format("memory").queryName("gapfill_wm_ttl")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("gapfill_wm_ttl")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSet
+      // key 1 observes day 10; key 2 drives the watermark forward in
+      // steps so (a) key 1's day 10 closes via timeout, (b) the
+      // tombstone's TTL timer then fires, dropping the carrier
+      input.addData(obs(1, 10, 1, 5.0), obs(2, 20, 2, 9.9))
+      q.processAllAvailable()
+      input.addData(obs(2, 21, 3, 1.1)) // wm=day20: key 1 day 10 closes
+      q.processAllAvailable()
+      input.addData(obs(2, 22, 4, 2.2)) // wm=day21: TTL timer fires
+      q.processAllAvailable()
+      assert(rows().contains((1L, 10L, 5.0, false)))
+      // key 1 wakes at day 30 with the carrier GONE: the grid restarts
+      // (days 11..29 must NOT be filled); close day 30 by pushing the
+      // watermark past it and triggering one more batch
+      input.addData(obs(1, 30, 5, 7.0), obs(2, 40, 6, 3.3))
+      q.processAllAvailable()
+      input.addData(obs(2, 41, 7, 4.4)) // wm=day40: key 1 day 30 closes
+      q.processAllAvailable()
+      val key1 = rows().filter(_._1 == 1L)
+      assert(key1 == Set((1L, 10L, 5.0, false), (1L, 30L, 7.0, false)),
+        s"expired carrier must RESTART the grid, not fill 11..29: $key1")
+    } finally q.stop()
+  }
 }
