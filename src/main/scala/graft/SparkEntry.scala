@@ -17,7 +17,8 @@ object SparkEntry {
       SnapshotDiff.queries ++ BloomJoin.queries ++ ZOrderLayout.queries ++
       IncrementalAgg.queries ++ SubqueryQueries.queries ++
       PipelineQueries.queries ++ RetrievalQueries.queries ++
-      PrefixSum.queries ++ TokenizerQueries.queries ++ ShardQueries.queries
+      PrefixSum.queries ++ TokenizerQueries.queries ++ ShardQueries.queries ++
+      GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       SnapshotDiff.oracleSql ++ BloomJoin.oracleSql ++ ZOrderLayout.oracleSql ++
       IncrementalAgg.oracleSql ++ SubqueryQueries.oracleSql ++
       PipelineQueries.oracleSql ++ RetrievalQueries.oracleSql ++
-      PrefixSum.oracleSql ++ TokenizerQueries.oracleSql ++ ShardQueries.oracleSql
+      PrefixSum.oracleSql ++ TokenizerQueries.oracleSql ++ ShardQueries.oracleSql ++
+      GraphQueries.oracleSql
 }

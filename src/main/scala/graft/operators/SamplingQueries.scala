@@ -105,6 +105,38 @@ object SamplingQueries {
         .orderBy(col("source"))
     }),
 
+    // WEIGHTED priority sampling (§2.64) — the Duffield-Lund-Thorup
+    // (JACM 2007) priority-sample shape: each row draws a deterministic
+    // pseudo-uniform u (the same Knuth hash as q_strat, on o_orderkey)
+    // and gets priority u/w, and the k SMALLEST priorities per stratum
+    // form a sample whose inclusion odds scale with the row's weight —
+    // the "sample heavy rows preferentially, reproducibly" primitive a
+    // curation pipeline uses for weight-aware corpus audits (weight =
+    // order value here; token count or quality score in a document
+    // corpus). The division is INTEGER micro-units (u·10^6 div w, exact
+    // in int64 up to u < 2^32 · w ≥ 1) so ranks are engine-exact, and
+    // the per-stratum top-k runs THROUGH the TopKRewrite bounded heap:
+    // ≤ k rows per stratum per partition reach the shuffle, never the
+    // table — the q_sample_k scale shape with weights.
+    "q_wsample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = "pmod((o_orderkey % 2147483648) * 2654435761, 4294967296)"
+      val o = orders(s, dir)
+        .withColumn("w",
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        // non-positive weight = excluded from the sample frame, stated
+        // in BOTH engines (Spark div-by-zero NULL vs DuckDB error)
+        .filter(col("w") > 0)
+        .withColumn("prio", expr(s"$u * 1000000 div w"))
+      val win = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("prio"), col("o_orderkey"))
+      o.withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= 8)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          col("prio"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+
     // Per-language length distribution: exact quartiles of n_chars
     // (oracle-checked) + proof the mergeable approx sketch lands within
     // 5% of exact on the same data.
@@ -163,6 +195,21 @@ object SamplingQueries {
         |WHERE ((((t.doc_id % 2147483648) * 2654435761) % 4294967296 + 4294967296) % 4294967296) % 1000000
         |      < r.rate_u
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    "q_wsample" ->
+      """SELECT o_orderpriority, CAST(rn AS INT) AS rn, o_orderkey, prio
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, prio,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY prio, o_orderkey) AS rn
+        |  FROM (
+        |    SELECT o_orderpriority, o_orderkey,
+        |      ((((o_orderkey % 2147483648) * 2654435761) % 4294967296 + 4294967296) % 4294967296)
+        |        * 1000000
+        |        // CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        AS prio
+        |    FROM orders
+        |    WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 0))
+        |WHERE rn <= 8 ORDER BY o_orderpriority, rn""".stripMargin,
     "q_quantiles" ->
       """SELECT lang, COUNT(*) AS n,
         |  ROUND(quantile_cont(n_chars, 0.25), 4) AS q25,

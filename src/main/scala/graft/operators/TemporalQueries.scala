@@ -66,6 +66,40 @@ object TemporalQueries {
       .drop("__tag", "__m")
   }
 
+  /** Generic interval-OVERLAP join: every pair of rows (one from `a`,
+    * one from `b`) sharing `key` whose half-open intervals [s1, e1) and
+    * [s2, e2) overlap — the interval×interval sibling of the banded
+    * point-in-interval join in `q_range_join`. Grid-decomposed: each
+    * side explodes map-side into the `cellUs`-wide cells it covers
+    * (fan-out = ⌈len/cell⌉ + 1), the join is an EQUI-join on
+    * (key, cell) + residual overlap predicate, and each overlapping
+    * pair emits EXACTLY ONCE with no distinct pass — only the cell
+    * owning greatest(s1, s2) emits, an instant that lies inside every
+    * overlap and in exactly one cell.
+    *
+    * Preconditions: coordinates are non-negative longs (epoch time —
+    * `div` truncation equals floor division only there); `a` and `b`
+    * share no column names besides `key`. Empty intervals (e ≤ s) match
+    * nothing. Pick `cellUs` near the typical interval width: cells per
+    * row grow with len/cell, while cell occupancy (join fan-in) grows
+    * as cell width exceeds interval spacing.
+    */
+  def intervalJoin(a: DataFrame, b: DataFrame, key: String,
+      s1: String, e1: String, s2: String, e2: String,
+      cellUs: Long): DataFrame = {
+    require(cellUs > 0, s"cellUs must be positive, got $cellUs")
+    val ax = a.filter(col(e1) > col(s1)).withColumn("__c",
+      explode(sequence(expr(s"$s1 div $cellUs"),
+        expr(s"($e1 - 1) div $cellUs"))))
+    val bx = b.filter(col(e2) > col(s2)).withColumn("__c",
+      explode(sequence(expr(s"$s2 div $cellUs"),
+        expr(s"($e2 - 1) div $cellUs"))))
+    ax.join(bx, Seq(key, "__c"))
+      .filter(col(s1) < col(e2) && col(s2) < col(e1) &&
+        col("__c") === expr(s"greatest($s1, $s2) div $cellUs"))
+      .drop("__c")
+  }
+
   /** Generic sessionization: adds a `sess` column numbering each key's
     * sessions (1-based, in time order), splitting on a gap > `gapUs`.
     * One shuffle on `key`; ties broken on `tieBreak` so numbering is
@@ -213,6 +247,37 @@ object TemporalQueries {
         .groupBy(col("anchor_id"))
         .agg(count(lit(1)).as("n_events"),
           sum(dec(col("value"))).cast("double").as("total"))
+    }),
+
+    // Generic interval-OVERLAP join (§2.63) — both sides are interval
+    // sets (q_range_join's interval×point sibling): per user, 6-hour
+    // error episodes × 2-hour purchase windows, every overlapping pair
+    // with its exact overlap length. The genomics/observability staple
+    // (AIList/interval-tree workloads) re-expressed for a shuffle
+    // engine: each interval explodes map-side into the fixed-width grid
+    // cells it covers (fan-out = ⌈len/W⌉ + 1, a constant per side here),
+    // the join is an EQUI-join on (user, cell) + residual overlap
+    // predicate — never a per-key nested loop — and each pair emits
+    // EXACTLY ONCE with no distinct pass: only the cell that owns
+    // greatest(start_a, start_b) emits (that instant lies inside every
+    // overlap, and in exactly one cell). At 100 TB the shuffle carries
+    // cells ∝ total interval length / W and the pair space is bounded
+    // by genuine cell co-occupancy, not |A|×|B|.
+    "q_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val a = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("a_id"), col("user_id"),
+          tsMicros.as("s1"))
+        .withColumn("e1", col("s1") + lit(6L * HOUR_US))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("b_id"), col("user_id"),
+          tsMicros.as("s2"))
+        .withColumn("e2", col("s2") + lit(2L * HOUR_US))
+      intervalJoin(a, b, "user_id", "s1", "e1", "s2", "e2", 6L * HOUR_US)
+        .select(col("a_id"), col("b_id"),
+          (least(col("e1"), col("e2")) -
+            greatest(col("s1"), col("s2"))).as("overlap_us"))
+        .orderBy(col("a_id"), col("b_id"))
     }),
 
     // Sessionization: per-user sessions split on a >3h inactivity gap
@@ -382,6 +447,20 @@ object TemporalQueries {
         |FROM e ASOF LEFT JOIN mk
         |  ON e.user_id = mk.user_id AND e.t >= mk.t
         |ORDER BY e.event_id""".stripMargin,
+    // independent formulation: plain inequality join over both interval
+    // sets (DuckDB lowers it to its IEJoin)
+    "q_interval_join" ->
+      """WITH a AS (SELECT event_id AS a_id, user_id, epoch_us(ts) AS s1,
+        |                  epoch_us(ts) + 21600000000 AS e1
+        |           FROM events WHERE event_type = 'error'),
+        |     b AS (SELECT event_id AS b_id, user_id, epoch_us(ts) AS s2,
+        |                  epoch_us(ts) + 7200000000 AS e2
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT a.a_id, b.b_id,
+        |       LEAST(a.e1, b.e2) - GREATEST(a.s1, b.s2) AS overlap_us
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND a.s1 < b.e2 AND b.s2 < a.e1
+        |ORDER BY a_id, b_id""".stripMargin,
     // independent formulation: plain inequality join
     "q_range_join" ->
       """WITH a AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type

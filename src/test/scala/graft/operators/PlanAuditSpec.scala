@@ -515,6 +515,52 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window ["),
       s"window machinery must be rewritten away:\n$p")
   }
+
+  test("weighted priority sample runs through the bounded-heap rewrite " +
+      "and never windows the table") {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
+    val p = plan("q_wsample")
+    assert(p.contains("rowtopk"),
+      s"expected the bounded-heap aggregate:\n$p")
+    assert(!p.contains("Window ["),
+      s"window machinery must be rewritten away:\n$p")
+  }
+
+  test("interval-overlap join plans as an equi-join on (key, cell) — " +
+      "never a nested loop or cartesian") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"grid decomposition must yield an equi-join:\n$p")
+    assert(p.contains("Join") || p.contains("join"),
+      s"expected a join in the plan:\n$p")
+  }
+
+  test("pagerank: the per-superstep contribution join reuses the " +
+      "persisted edge partitioning — edges shuffle once, not per iteration") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a symmetric 40-node ring, pre-partitioned + persisted like the gate
+    val pairs = (0L until 40L).map(i => (i, (i + 1) % 40))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+      .repartition(col("src")).persist()
+    try {
+      edges.count()
+      val p = GraphQueries.pageRank(edges, iters = 3)
+        .queryExecution.executedPlan.toString
+      // each superstep may shuffle the node-sized rank/contribution
+      // frames, but the EDGE side must come off the cached partitioning:
+      // no exchange directly above an InMemoryTableScan
+      assert(p.contains("InMemoryTableScan"),
+        s"edge list must serve from the persisted frame:\n$p")
+      val badShuffle =
+        "Exchange hashpartitioning[^\\n]*\\n[^\\n]*InMemoryTableScan".r
+      assert(badShuffle.findFirstIn(p).isEmpty,
+        s"persisted edges must not re-shuffle per superstep:\n$p")
+    } finally edges.unpersist(blocking = false)
+  }
   test("substring dedup: one scan pass, all joins equi, no cartesian") {
     // the gate entry eagerly checkpoints; audit the lazy plan. Scale
     // claims: tokens+gram hashes are computed ONCE (both the gram side

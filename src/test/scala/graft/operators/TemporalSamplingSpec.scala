@@ -94,6 +94,35 @@ class TemporalSamplingSpec extends AnyFunSuite {
       s"null-payload marker must supersede: ${got.toSeq}")
   }
 
+  test("intervalJoin: grid decomposition equals brute force on random " +
+      "arbitrary-width intervals, each pair exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4217)
+    val W = 100L
+    // widths 0..349 (empty, sub-cell, exactly-cell, multi-cell spans —
+    // the gate only exercises fixed 2h/6h widths), 6 keys, dense enough
+    // coordinates that overlaps are common
+    def mk(n: Int) = (1 to n).map { i =>
+      val s = rnd.nextInt(2000).toLong
+      (i.toLong, (rnd.nextInt(6) + 1).toLong, s, s + rnd.nextInt(350))
+    }
+    val a = mk(300).toDF("a_id", "k", "s1", "e1")
+    val b = mk(300).toDF("b_id", "k", "s2", "e2")
+    val got = TemporalQueries
+      .intervalJoin(a, b, "k", "s1", "e1", "s2", "e2", W)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSeq
+    assert(got.size == got.distinct.size,
+      "ownership-cell rule must emit each pair exactly once")
+    val brute = a.join(b, "k")
+      .filter(col("e1") > col("s1") && col("e2") > col("s2") &&
+        col("s1") < col("e2") && col("s2") < col("e1"))
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture must produce overlaps")
+    assert(got.toSet == brute,
+      s"missing=${(brute -- got.toSet).take(5)} " +
+        s"extra=${(got.toSet -- brute).take(5)}")
+  }
+
   test("q_strat: en downsampled harder than the rest") {
     val df = SparkEntry_q("q_strat")
     val total = graft.Tables.documents(spark, dir)
