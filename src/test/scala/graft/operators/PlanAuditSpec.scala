@@ -545,7 +545,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // a symmetric 40-node ring, pre-partitioned + persisted like the gate
     val pairs = (0L until 40L).map(i => (i, (i + 1) % 40))
     val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
-      .repartition(col("src")).persist()
+      .repartition(col("dst")).persist()
     try {
       edges.count()
       val p = GraphQueries.pageRank(edges, iters = 3)
