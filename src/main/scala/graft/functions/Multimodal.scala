@@ -323,6 +323,51 @@ object Multimodal {
       }
   }
 
+  /** Per-clip channel-0 frame energies (full `frameLen`-sample frames
+    * only; the trailing partial frame is dropped) — the decode half of
+    * energy-based voice-activity detection, the silence-trim pass an
+    * ASR/audio corpus runs before training. REAL decode, same container
+    * contract as [[decodeWav]]; map-only, one small array per clip out.
+    */
+  case class FrameEnergies(doc_id: Long, fe: Array[Long])
+
+  def wavFrameEnergies(df: DataFrame, frameLen: Int)
+      : Dataset[FrameEnergies] = {
+    require(frameLen > 0, s"frameLen must be positive, got $frameLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.selectExpr("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val ais = wavReader.get().getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 2 &&
+            !fmt.isBigEndian && fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"doc $id: expected 16-bit LE signed stereo PCM, got $fmt")
+          val bytes = ais.readAllBytes()
+          val nF = (bytes.length / 4) / frameLen
+          val fe = new Array[Long](nF)
+          var f = 0
+          while (f < nF) {
+            var e = 0L
+            var t = f * frameLen
+            val end = t + frameLen
+            while (t < end) {
+              val s0 =
+                ((bytes(4 * t) & 0xff) | (bytes(4 * t + 1) << 8)).toShort.toInt
+              e += s0.toLong * s0
+              t += 1
+            }
+            fe(f) = e
+            f += 1
+          }
+          FrameEnergies(id, fe)
+        }
+      }
+  }
+
   // ---- REAL video: multi-frame animated GIF via javax.imageio (the
   // GIF sequence writer/reader ship in every JDK — no external codec
   // needed, the same move that made the image and audio paths real).
@@ -404,6 +449,68 @@ object Multimodal {
     * keyframe sampling at scale. Per partition batch, fixed-schema
     * pixel statistics out, no driver involvement.
     */
+  /** Per-clip sum-of-absolute-differences between CONSECUTIVE sampled
+    * frames (stride `step`) — the decode half of shot/scene-cut
+    * detection, the segmentation pass a video corpus runs before frame
+    * sampling (cut the clip at visual discontinuities, then sample
+    * within shots). REAL decode, same container contract as
+    * [[sampleFrames]]; map-only, one small SAD array per clip out
+    * (entry k compares sampled frames k and k+1).
+    */
+  case class SceneSads(doc_id: Long, sad: Array[Long])
+
+  def sceneSads(df: DataFrame, step: Int = 3): Dataset[SceneSads] = {
+    require(step > 0, s"step must be positive, got $step")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.selectExpr("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = gifReader.get()
+        it.map { case (id, payload) =>
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(/*allowSearch=*/ true)
+            val sampled = (0 until n by step).toArray
+            val sads = new Array[Long](math.max(0, sampled.length - 1))
+            var prev: Array[Int] = null
+            var k = 0
+            while (k < sampled.length) {
+              val img = reader.read(sampled(k))
+              val w = img.getWidth; val h = img.getHeight
+              val cur = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  cur(y * w + x) = img.getRGB(x, y) & 0xff; x += 1
+                }
+                y += 1
+              }
+              if (prev != null) {
+                require(prev.length == cur.length,
+                  s"doc $id: frame geometry changed mid-clip")
+                var s = 0L
+                var i = 0
+                while (i < cur.length) {
+                  s += math.abs(cur(i) - prev(i)); i += 1
+                }
+                sads(k - 1) = s
+              }
+              prev = cur
+              k += 1
+            }
+            SceneSads(id, sads)
+          } finally {
+            reader.setInput(null)
+            iis.close()
+          }
+        }
+      }
+  }
+
   def sampleFrames(df: DataFrame, step: Int = 3): Dataset[SampledFrame] = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -44,9 +44,13 @@ object GraphQueries {
     * `edges` must be (src, dst) with every node present as a source
     * (symmetrize the graph or pre-add self-loops for dangling nodes —
     * the caller owns dangling-mass policy, as reference implementations
-    * do). Partition the persisted edges by `dst` so each superstep's
-    * rank aggregate reuses the cached layout exchange-free (see the
-    * object doc). `broadcastContrib = false` is the escape hatch for
+    * do). A node with out-edges but NO in-edges drops out of the frame
+    * after superstep 1 (its true rank is the bare damping floor
+    * 150 000) — union such rows back if floor-rank rows are needed;
+    * symmetrized graphs have none. Partition the persisted edges by
+    * `dst` so each superstep's rank aggregate reuses the cached layout
+    * exchange-free (see the object doc).
+    * `broadcastContrib = false` is the escape hatch for
     * node sets past broadcast range: the per-superstep join falls back
     * to the planner (shuffle contrib + edges on src — node-sized and
     * edge-sized shuffles per superstep respectively, still never a

@@ -107,6 +107,53 @@ object MultimodalQueries {
       sorted(Multimodal.decodeWav(wavTable(s, dir)).toDF(), "doc_id")
     }),
 
+    // Energy-based voice-activity detection (§2.66) — the silence-trim
+    // pass an ASR/audio corpus runs before training (trim/segment, then
+    // keep clips with enough speech): channel-0 energy per 32-sample
+    // frame off the REAL decoded PCM, a frame is ACTIVE iff its energy
+    // exceeds the clip mean (e·nFrames > Σe, integer-exact), segments =
+    // runs of consecutive active frames. Decode + frame energies are
+    // map-only (one small array per clip crosses out of the kernel);
+    // activity, counts and run-starts are codegen array folds — zero
+    // shuffle at any corpus size beyond the deterministic output sort.
+    "mm_vad" -> ((s, dir) => {
+      Multimodal.wavFrameEnergies(wavTable(s, dir), 32).toDF()
+        .select(col("doc_id"), expr("size(fe)").as("n_frames"),
+          expr("aggregate(fe, 0L, (a, x) -> a + x)").as("tot"), col("fe"))
+        .withColumn("act",
+          expr("transform(fe, x -> IF(x * n_frames > tot, 1, 0))"))
+        .select(col("doc_id"), col("n_frames"),
+          expr("CAST(aggregate(act, 0, (a, x) -> a + x) AS INT)")
+            .as("n_active"),
+          // run starts: active frame whose predecessor is inactive
+          // (greatest(i, 1) keeps element_at 1-based-safe; the i = 0
+          // disjunct decides the first frame)
+          expr("CAST(aggregate(transform(sequence(0, size(act) - 1), " +
+            "i -> IF(element_at(act, i + 1) = 1 AND (i = 0 OR " +
+            "element_at(act, greatest(i, 1)) = 0), 1, 0)), " +
+            "0, (a, x) -> a + x) AS INT)").as("n_segments"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Shot/scene-cut detection (§2.67) — mm_vad's video sibling and the
+    // segmentation pass a video corpus runs before frame sampling: SAD
+    // (sum of absolute pixel differences) between consecutive sampled
+    // frames off the REAL GIF decode, a boundary is a CUT iff its SAD
+    // exceeds the clip mean (sad·nPairs > ΣSAD, integer-exact — the
+    // mm_vad threshold convention). Decode + SAD are map-only (one
+    // small array per clip leaves the kernel); the cut rule is a
+    // codegen array fold — zero shuffle beyond the output sort.
+    "mm_scenecut" -> ((s, dir) => {
+      Multimodal.sceneSads(gifTable(s, dir)).toDF()
+        .select(col("doc_id"), expr("size(sad)").as("n_pairs"),
+          expr("aggregate(sad, 0L, (a, x) -> a + x)").as("tot"), col("sad"))
+        .select(col("doc_id"), col("n_pairs"),
+          expr("CAST(aggregate(transform(sad, " +
+            "x -> IF(x * n_pairs > tot, 1, 0)), " +
+            "0, (a, x) -> a + x) AS INT)").as("n_cuts"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Perceptual average-hash (aHash) image near-dup bucketing — the
     // image-side analogue of the text dedup family (what a LAION-style
     // image-corpus sweep buckets on before pairwise verification). The
@@ -256,6 +303,61 @@ object MultimodalQueries {
         |       CAST(MAX(ABS(s0)) AS INTEGER) AS peak0,
         |       CAST(MAX(ABS(s1)) AS INTEGER) AS peak1
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // analytic restatement of frame energies + the mean-threshold
+    // activity rule + run-start counting over the closed-form signal —
+    // a hash match proves the decode→frame→threshold→segment pipeline
+    // integer-exact on real decoded PCM
+    "mm_vad" ->
+      """WITH clip AS (
+        |  SELECT doc_id, CAST(200 + doc_id % 57 AS BIGINT) AS n
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, t // 32 AS f, CAST(SUM(s0 * s0) AS BIGINT) AS e
+        |  FROM (SELECT doc_id, t,
+        |          (doc_id * 31 + t * 7919) % 65536 - 32768 AS s0
+        |        FROM (SELECT doc_id, UNNEST(range(0, (n // 32) * 32)) AS t
+        |              FROM clip))
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, COUNT(*) AS nf,
+        |               CAST(SUM(e) AS BIGINT) AS te
+        |        FROM fr GROUP BY 1),
+        |act AS (
+        |  SELECT f.doc_id, f.f,
+        |         CASE WHEN f.e * t.nf > t.te THEN 1 ELSE 0 END AS a
+        |  FROM fr f JOIN tot t USING (doc_id)),
+        |st AS (
+        |  SELECT doc_id, a,
+        |         CASE WHEN a = 1 AND COALESCE(LAG(a) OVER (
+        |           PARTITION BY doc_id ORDER BY f), 0) = 0
+        |           THEN 1 ELSE 0 END AS s
+        |  FROM act)
+        |SELECT doc_id, CAST(t.nf AS INT) AS n_frames,
+        |       CAST(SUM(st.a) AS INT) AS n_active,
+        |       CAST(SUM(st.s) AS INT) AS n_segments
+        |FROM st JOIN tot t USING (doc_id)
+        |GROUP BY doc_id, t.nf ORDER BY doc_id""".stripMargin,
+    // analytic restatement of pairwise SAD + the mean-threshold cut
+    // rule over the closed-form frames — a hash match proves the
+    // decode→diff→threshold pipeline frame- and pixel-exact
+    "mm_scenecut" ->
+      """WITH clip AS (
+        |  SELECT doc_id, CAST(6 + doc_id % 5 AS INTEGER) AS n
+        |  FROM documents),
+        |p AS (SELECT doc_id, UNNEST(range(0, n - 3, 3)) AS f FROM clip),
+        |sad AS (
+        |  SELECT doc_id, f, CAST(SUM(ABS(
+        |      (doc_id * 31 + (f + 3) * 101 + y.range * 16 + x.range * 7) % 256
+        |    - (doc_id * 31 + f * 101 + y.range * 16 + x.range * 7) % 256))
+        |    AS BIGINT) AS s
+        |  FROM p, range(0, 12) y, range(0, 16) x
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, COUNT(*) AS np, CAST(SUM(s) AS BIGINT) AS ts
+        |        FROM sad GROUP BY 1)
+        |SELECT doc_id, CAST(t.np AS INT) AS n_pairs,
+        |       CAST(SUM(CASE WHEN sad.s * t.np > t.ts THEN 1 ELSE 0 END)
+        |            AS INT) AS n_cuts
+        |FROM sad JOIN tot t USING (doc_id)
+        |GROUP BY doc_id, t.np ORDER BY doc_id""".stripMargin,
     // analytic restatement of the 4×4 average-hash over the closed-form
     // image — a hash match proves the decode→box-filter→threshold→pack
     // pipeline bit-exact on real decoded pixels

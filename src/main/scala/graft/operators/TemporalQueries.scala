@@ -77,26 +77,29 @@ object TemporalQueries {
     * owning greatest(s1, s2) emits, an instant that lies inside every
     * overlap and in exactly one cell.
     *
-    * Preconditions: coordinates are non-negative longs (epoch time —
-    * `div` truncation equals floor division only there); `a` and `b`
-    * share no column names besides `key`. Empty intervals (e ≤ s) match
-    * nothing. Pick `cellUs` near the typical interval width: cells per
-    * row grow with len/cell, while cell occupancy (join fan-in) grows
-    * as cell width exceeds interval spacing.
+    * Preconditions: `a` and `b` share no column names besides `key`.
+    * Coordinates are any int64 (cell ids use true FLOOR division via
+    * pmod, so negative coordinates bucket correctly — bare `div`
+    * truncates toward zero and would silently miss pairs left of the
+    * origin). Empty intervals (e ≤ s) match nothing. Pick `cellUs`
+    * near the typical interval width: cells per row grow with
+    * len/cell, while cell occupancy (join fan-in) grows as cell width
+    * exceeds interval spacing.
     */
   def intervalJoin(a: DataFrame, b: DataFrame, key: String,
       s1: String, e1: String, s2: String, e2: String,
       cellUs: Long): DataFrame = {
     require(cellUs > 0, s"cellUs must be positive, got $cellUs")
+    // floorDiv(x, W) as (x − pmod(x, W)) div W: pmod ≥ 0 makes the
+    // numerator an exact multiple, so truncation IS floor
+    def fdiv(x: String) = s"(($x) - pmod(($x), $cellUs)) div $cellUs"
     val ax = a.filter(col(e1) > col(s1)).withColumn("__c",
-      explode(sequence(expr(s"$s1 div $cellUs"),
-        expr(s"($e1 - 1) div $cellUs"))))
+      explode(sequence(expr(fdiv(s1)), expr(fdiv(s"$e1 - 1")))))
     val bx = b.filter(col(e2) > col(s2)).withColumn("__c",
-      explode(sequence(expr(s"$s2 div $cellUs"),
-        expr(s"($e2 - 1) div $cellUs"))))
+      explode(sequence(expr(fdiv(s2)), expr(fdiv(s"$e2 - 1")))))
     ax.join(bx, Seq(key, "__c"))
       .filter(col(s1) < col(e2) && col(s2) < col(e1) &&
-        col("__c") === expr(s"greatest($s1, $s2) div $cellUs"))
+        col("__c") === expr(fdiv(s"greatest($s1, $s2)")))
       .drop("__c")
   }
 

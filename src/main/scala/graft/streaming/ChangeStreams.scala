@@ -237,9 +237,13 @@ private[streaming] class TxnAssemblyProcessor(
       // intercepts the late tail (handleInputRows drops the first
       // closed segment) and lets the drop say whether the segment
       // provably interleaves what was evicted
-      var mx = Long.MinValue
+      var mx =
+        if (evictedMaxScn.exists()) evictedMaxScn.get() else Long.MinValue
       val it = log.get()
       while (it.hasNext) { val r = it.next(); if (r.scn > mx) mx = r.scn }
+      // max-MERGED with any prior tombstone: a second eviction (a late
+      // terminal-less tail that itself went idle) must not lower the
+      // recorded horizon; the update also refreshes the TTL
       evictedMaxScn.update(mx)
       logger.warn(s"txn $xid: idle ${idleTimeoutMs} ms with no terminal — " +
         s"buffered statements evicted (max scn $mx); a late terminal for " +

@@ -101,9 +101,11 @@ class TemporalSamplingSpec extends AnyFunSuite {
     val W = 100L
     // widths 0..349 (empty, sub-cell, exactly-cell, multi-cell spans —
     // the gate only exercises fixed 2h/6h widths), 6 keys, dense enough
-    // coordinates that overlaps are common
+    // coordinates that overlaps are common; coordinates STRADDLE zero
+    // (negative starts exercise the floor-division cell ids — truncating
+    // div would mis-bucket everything left of the origin)
     def mk(n: Int) = (1 to n).map { i =>
-      val s = rnd.nextInt(2000).toLong
+      val s = rnd.nextInt(2000).toLong - 1000L
       (i.toLong, (rnd.nextInt(6) + 1).toLong, s, s + rnd.nextInt(350))
     }
     val a = mk(300).toDF("a_id", "k", "s1", "e1")
