@@ -443,6 +443,33 @@ object DedupQueries {
         .orderBy(col("digest"))
     }),
 
+    // Entity-resolution-style FUZZY matching (§2.69): blocked
+    // candidate generation + edit-distance verify — the record-linkage
+    // primitive the set-similarity family (Jaccard/SimHash) cannot
+    // express, because edit distance is ORDER-sensitive (transposed or
+    // shifted spans). Blocking key = (lang, length bucket): a map-only
+    // expression, one equi-join shuffle, pair space Σ|block|² — never
+    // |corpus|²; the verify is levenshtein over the 64-char normalized
+    // key prefix (ASCII corpus → char semantics agree across engines).
+    // Single-key blocking misses near-dups straddling a bucket
+    // boundary; production ER runs the UNION of several blocking
+    // passes (length, prefix, phonetic) through this same shape.
+    "dedup_fuzzy" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("lang"),
+        expr("n_chars div 64").as("lb"),
+        expr("substring(text, 1, 64)").as("k"))
+      val a = d.select(col("doc_id").as("a_id"), col("lang"), col("lb"),
+        col("k").as("ka"))
+      val b = d.select(col("doc_id").as("b_id"), col("lang"), col("lb"),
+        col("k").as("kb"))
+      a.join(b, Seq("lang", "lb"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          expr("levenshtein(ka, kb)").as("dist"))
+        .filter(col("dist") <= 10)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // MinHash (8 hashes) + LSH (4 bands × 2) candidate pairs — the
     // textbook PAIRWISE shape, kept because the oracle states exactly
     // this definition. Θ(Σ|bucket|²) output: conformance/diagnostic
@@ -1075,6 +1102,17 @@ object DedupQueries {
       """SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id,
         |       COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    "dedup_fuzzy" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars // 64 AS lb,
+        |         substr(text, 1, 64) AS k
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(levenshtein(a.k, b.k) AS INT) AS dist
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.k, b.k) <= 10
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_mh_lsh" -> (shinglesCte +
       ", " + sigBandsCte + """
         |SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib

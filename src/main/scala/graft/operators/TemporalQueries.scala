@@ -212,6 +212,39 @@ object TemporalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Robust outlier detection (§2.68) — the Hampel/median-MAD filter,
+    // the robust sibling of q_ts_anomaly's mean/3σ rule (one extreme
+    // value inflates μ and σ and masks itself; the median and the
+    // median-absolute-deviation don't): flag x iff |x − med| > 3·MAD
+    // over the user's own history. EXACT integer arithmetic end to
+    // end: values as cents, medians carried in DOUBLED units (the .5
+    // interpolation of an even-count median is then integer — exact in
+    // IEEE double up to 2^52, so CAST is lossless and both engines
+    // agree bit-for-bit), and the flag multiplies out to
+    // 2·|2x − med2| > 3·mad2 — longs only. Scale shape: two per-key
+    // percentile aggregates (one shuffle each, map-side partials) +
+    // one key-equi-join back; nothing scales past the key count after
+    // the aggregates; the per-key frames the percentile needs are the
+    // q_quantiles production note (approx_percentile sketches at
+    // 100 TB — here the gate proves the exact path).
+    "q_mad_outlier" -> ((s, dir) => {
+      val x = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), x.as("x"))
+        .filter(col("x").isNotNull)
+      val med = ev.groupBy(col("user_id"))
+        .agg(expr("CAST(percentile(x, 0.5) * 2 AS BIGINT)").as("med2"))
+      val dev = ev.join(med, "user_id")
+        .select(col("event_id"), col("user_id"), col("x"),
+          abs(col("x") * 2 - col("med2")).as("d2"))
+      val mad = dev.groupBy(col("user_id"))
+        .agg(expr("CAST(percentile(d2, 0.5) * 2 AS BIGINT)").as("mad2"))
+      dev.join(mad, "user_id")
+        .select(col("event_id"), col("user_id"),
+          (col("d2") * 2 > col("mad2") * 3).as("outlier"))
+        .orderBy(col("event_id"))
+    }),
+
     // As-of join: every event picks up the most recent error event of
     // the same user at-or-before its own timestamp (the "attach the
     // last marker" shape: last checkpoint, last config change, last
@@ -435,6 +468,28 @@ object TemporalQueries {
         |        FROM events)
         |  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
         |                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |ORDER BY event_id""".stripMargin,
+
+    // same doubled-unit integer restatement over DuckDB's exact
+    // quantile_cont (both engines interpolate lower + 0.5·(upper−lower),
+    // integer-exact in double at the doubled scale)
+    "q_mad_outlier" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |med AS (
+        |  SELECT user_id, CAST(quantile_cont(x, 0.5) * 2 AS BIGINT) AS med2
+        |  FROM e GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_id, e.user_id, ABS(e.x * 2 - med.med2) AS d2
+        |  FROM e JOIN med USING (user_id)),
+        |mad AS (
+        |  SELECT user_id, CAST(quantile_cont(d2, 0.5) * 2 AS BIGINT) AS mad2
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.event_id, dev.user_id,
+        |       dev.d2 * 2 > mad.mad2 * 3 AS outlier
+        |FROM dev JOIN mad USING (user_id)
         |ORDER BY event_id""".stripMargin,
 
     // independent formulation: DuckDB's native ASOF JOIN operator.
