@@ -13,6 +13,28 @@ import graft.functions.TextFunctions._
 object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Corpus DIVERSITY diagnostic (§2.70) — the distinct-n statistic
+    // (the n-gram side of Li et al.'s distinct-1/2 and the diversity
+    // audit a curation run reports per source): distinct bigrams /
+    // total bigrams per source, in integer micro-units. One exploded
+    // bigram-hash frame (the shared native kernel), one
+    // (source, hash)-keyed distinct + count — both map-side-combined.
+    // Exact COUNT(DISTINCT) is the gate; at 100 TB the production
+    // path swaps in approx_count_distinct (the mergeable HLL the
+    // q_approx_nd gate already proves) with everything else unchanged.
+    "text_distinct_n" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      documents(s, dir)
+        .select(col("source"),
+          explode(shingleHashes(tokens(col("text")), 2)).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          countDistinct(col("h")).as("n_distinct"))
+        .select(col("source"), col("n_bigrams"), col("n_distinct"),
+          expr("n_distinct * 1000000 div n_bigrams").as("diversity_u"))
+        .orderBy(col("source"))
+    }),
+
     // Token counting, both ways the mandate names: whitespace tokens AND
     // a BPE-ish pretokenizer regex (GPT-2-family shape: letter runs,
     // digit runs, single non-alnum marks — the piece count a byte-pair
@@ -331,6 +353,24 @@ object TextQueries {
       |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "text_distinct_n" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'),
+        |                     x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT source,
+        |    UNNEST(list_transform(range(1, len(tk)), i ->
+        |      list_reduce(list_transform(string_split(tk[i] || ' ' || tk[i+1], ''),
+        |                                 c -> CAST(ord(c) AS BIGINT)),
+        |                  (a, b) -> (a * 31 + b) % 1000000007))) AS h
+        |  FROM toks)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+        |       CAST(COUNT(DISTINCT h) * 1000000 // COUNT(*) AS BIGINT)
+        |         AS diversity_u
+        |FROM sh GROUP BY source ORDER BY source""".stripMargin,
     "text_tok_count" -> (toksCte +
       """SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tok,
         |       CAST(len(regexp_extract_all(text,
