@@ -134,6 +134,26 @@ object TextHashExpressions {
       copy(left = nl, right = nr)
   }
 
+  /** Banded byte-Levenshtein (−1 past `maxDist`) — see
+    * TextHash.levBanded. The §2.69 fuzzy-verify hot path: the builtin
+    * levenshtein measured ~35 µs (full) / ~7 µs (banded) per 64-char
+    * pair; this compiles to one static call on primitive rows.
+    */
+  case class LevBandedExpr(left: Expression, right: Expression, maxDist: Int)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType, StringType)
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextHash.levBanded(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], maxDist)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.TextHash.levBanded($a, $b, $maxDist)")
+    override protected def withNewChildrenInternal(nl: Expression, nr: Expression): Expression =
+      copy(left = nl, right = nr)
+  }
+
   /** Count of the most frequent value in array<long> (0 for empty). */
   case class MaxDupCountExpr(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {
@@ -164,6 +184,8 @@ object TextHashExpressions {
 
   // ---- Column API ----
   def ws_token_count(col: Column): Column = c(WsTokenCountExpr(e(col)))
+  def lev_banded(a: Column, b: Column, maxDist: Int): Column =
+    c(LevBandedExpr(e(a), e(b), maxDist))
   def poly_hash(col: Column): Column = c(PolyStringHash(e(col)))
   def poly_minhash(col: Column, a: Long, b: Long): Column = c(PolyMinHash(e(col), a, b))
   def simhash16(col: Column): Column = c(SimHash16Expr(e(col)))

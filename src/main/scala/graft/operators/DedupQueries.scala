@@ -443,30 +443,47 @@ object DedupQueries {
         .orderBy(col("digest"))
     }),
 
-    // Entity-resolution-style FUZZY matching (§2.69): blocked
-    // candidate generation + edit-distance verify — the record-linkage
-    // primitive the set-similarity family (Jaccard/SimHash) cannot
-    // express, because edit distance is ORDER-sensitive (transposed or
-    // shifted spans). Blocking key = (lang, length bucket): a map-only
-    // expression, one equi-join shuffle, pair space Σ|block|² — never
-    // |corpus|²; the verify is levenshtein over the 64-char normalized
-    // key prefix (ASCII corpus → char semantics agree across engines).
-    // Single-key blocking misses near-dups straddling a bucket
-    // boundary; production ER runs the UNION of several blocking
-    // passes (length, prefix, phonetic) through this same shape.
+    // Entity-resolution-style FUZZY matching (§2.69): sorted-
+    // neighborhood candidate generation (Hernández & Stolfo, SIGMOD'95
+    // — the classic scalable record-linkage blocking) + edit-distance
+    // verify, the primitive the set-similarity family (Jaccard/
+    // SimHash) cannot express because edit distance is ORDER-sensitive
+    // (transposed or shifted spans). Rows sort per lang by the 64-char
+    // normalized key; each row is compared only with the NEXT w = 10
+    // rows in sort order, so the pair space is a HARD n·w bound — the
+    // first cut blocked on (lang, length bucket) and paid Σ|block|²,
+    // which measured QUADRATIC at the 10× corpus (112 s; length
+    // buckets concentrate). The rank-band join is the q_range_join
+    // grid trick on the rank axis (bucket width w, A explodes into ≤2
+    // buckets, equi-join + residual); the sort itself is one ranged
+    // window per lang. Verify = levenshtein on the key prefix (ASCII
+    // corpus → char semantics agree across engines). Production ER
+    // runs the UNION of several sort keys (key prefix, reversed key,
+    // phonetic) through this same shape to cover early-position edits.
     "dedup_fuzzy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 10L
       val d = documents(s, dir).select(col("doc_id"), col("lang"),
-        expr("n_chars div 64").as("lb"),
         expr("substring(text, 1, 64)").as("k"))
-      val a = d.select(col("doc_id").as("a_id"), col("lang"), col("lb"),
-        col("k").as("ka"))
-      val b = d.select(col("doc_id").as("b_id"), col("lang"), col("lb"),
-        col("k").as("kb"))
-      a.join(b, Seq("lang", "lb"))
-        .filter(col("a_id") < col("b_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("k"), col("doc_id"))))
+      val a = d.select(col("doc_id").as("a_id"), col("lang"),
+          col("k").as("ka"), col("rn").as("ra"))
+        .withColumn("bk", explode(array_distinct(array(
+          expr(s"ra div $W"), expr(s"(ra + $W) div $W")))))
+      val b = d.select(col("doc_id").as("b_id"), col("lang"),
+        col("k").as("kb"), expr(s"rn div $W").as("bk"), col("rn").as("rb"))
+      a.join(b, Seq("lang", "bk"))
+        .filter(col("rb") > col("ra") && col("rb") <= col("ra") + W)
+        // native banded verify (TextHash.levBanded, −1 past the
+        // threshold): the builtin levenshtein measured ~35 µs per
+        // 64-char pair — 36 s of verify alone at the 10× corpus —
+        // vs sub-µs banded; ASCII corpus ⇒ byte ≡ char distance,
+        // fuzz-pinned to the full DP in LevBandedProps
         .select(col("a_id"), col("b_id"),
-          expr("levenshtein(ka, kb)").as("dist"))
-        .filter(col("dist") <= 10)
+          graft.functions.TextHashExpressions
+            .lev_banded(col("ka"), col("kb"), 10).as("dist"))
+        .filter(col("dist") >= 0)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -1104,13 +1121,14 @@ object DedupQueries {
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
     "dedup_fuzzy" ->
       """WITH d AS (
-        |  SELECT doc_id, lang, n_chars // 64 AS lb,
-        |         substr(text, 1, 64) AS k
+        |  SELECT doc_id, lang, substr(text, 1, 64) AS k,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY substr(text, 1, 64), doc_id) AS rn
         |  FROM documents)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |       CAST(levenshtein(a.k, b.k) AS INT) AS dist
         |FROM d a JOIN d b
-        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |  ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 10
         |WHERE levenshtein(a.k, b.k) <= 10
         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_mh_lsh" -> (shinglesCte +

@@ -92,9 +92,14 @@ object ChangeStreams {
       tombstoneTtlMs: Long = 0L): Dataset[EmittedChange] = {
     val spark = records.sparkSession
     import spark.implicits._
+    // saturate FAR below Long.MaxValue: the state store computes the
+    // expiry instant as batchTimestamp + ttl, so a MaxValue-ish ttl
+    // would overflow negative and expire the tombstone instantly —
+    // the exact hole the TTL exists to close. 10^15 ms ≈ 31k years.
     val ttl =
-      if (tombstoneTtlMs > 0) tombstoneTtlMs
-      else if (idleTimeoutMs > Long.MaxValue / 64) Long.MaxValue
+      if (tombstoneTtlMs > 0) math.min(tombstoneTtlMs, 1_000_000_000_000_000L)
+      else if (idleTimeoutMs > 1_000_000_000_000_000L / 64)
+        1_000_000_000_000_000L
       else idleTimeoutMs * 64
     records.groupByKey(_.xid)
       .transformWithState(

@@ -187,6 +187,11 @@ object TimeSeriesStreams {
   def gapFillStreamWatermarked(events: Dataset[GapObs],
       delay: String = "0 seconds",
       tombstoneTtlDays: Long = 0L): Dataset[DayFill] = {
+    // bounded so (day + ttl) · 86400000 cannot overflow the timer's
+    // epoch-ms domain (an overflowed negative instant would expire the
+    // carrier immediately — the opposite of asking for a long TTL)
+    require(tombstoneTtlDays >= 0 && tombstoneTtlDays <= 100_000_000L,
+      s"tombstoneTtlDays out of range: $tombstoneTtlDays")
     val spark = events.sparkSession
     import spark.implicits._
     implicit val outEnc = Encoders.product[DayFill]
