@@ -460,6 +460,14 @@ object DedupQueries {
     // corpus → char semantics agree across engines). Production ER
     // runs the UNION of several sort keys (key prefix, reversed key,
     // phonetic) through this same shape to cover early-position edits.
+    // Parallelism note: the rank window partitions by lang (≥ |langs|
+    // tasks — ample here); at corpus scales where one language
+    // overwhelms a task, SNM decomposes exactly into OVERLAPPED sort
+    // buckets — range-partition by (lang, key), rank locally, and
+    // compare each bucket's last w rows against the next bucket's
+    // first w (every ≤-w-apart pair lands in some bucket or an
+    // overlap) — the PrefixSum two-pass shape; the w-band join below
+    // is unchanged.
     "dedup_fuzzy" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val W = 10L

@@ -70,6 +70,22 @@ object TimeSeriesStreams {
 
   private val DayMicros = 86400L * 1000000L
 
+  /** Sanity ceiling on epoch day (~year 275 000 — the timestamp type's
+    * own ceiling): a corrupt tsMicros below the flush sentinel would
+    * otherwise open a day the forward-fill loop then bridges with up to
+    * ~10^11 rows. Beyond this is data corruption, not data.
+    */
+  private val MaxSaneDay = 100000000L
+
+  private def saneDay(variant: String, user: Long, tsMicros: Long): Long = {
+    val d = Math.floorDiv(tsMicros, DayMicros)
+    if (d > MaxSaneDay) throw new IllegalStateException(
+      s"$variant: key $user observation at tsMicros=$tsMicros (epoch day " +
+        s"$d, past year ~275000) — corrupt event time; forward-filling " +
+        "to it would emit a grid row per intervening day")
+    d
+  }
+
   /** End-of-key flush marker for [[gapFillStream]]. */
   def gapFlush(userId: Long): GapObs =
     GapObs(userId, Long.MaxValue, 0L, 0.0)
@@ -114,7 +130,7 @@ object TimeSeriesStreams {
                 p.copy(emitted = true)
               }
             } else {
-              val d = Math.floorDiv(o.tsMicros, DayMicros)
+              val d = saneDay("gapFillStream", user, o.tsMicros)
               open match {
                 case None =>
                   open = Some(GapState(d, o.tsMicros, o.eventId, o.value,
@@ -237,7 +253,7 @@ object TimeSeriesStreams {
                     "sentinel variant's protocol; here the watermark closes " +
                     "days, and the sentinel would forward-fill ~10^11 grid " +
                     "days. Strip gapFlush() markers before this operator.")
-              val d = Math.floorDiv(o.tsMicros, DayMicros)
+              val d = saneDay("gapFillStreamWatermarked", user, o.tsMicros)
               open match {
                 case None =>
                   open = Some(GapState(d, o.tsMicros, o.eventId, o.value,
