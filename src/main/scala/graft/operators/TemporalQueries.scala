@@ -136,7 +136,13 @@ object TemporalQueries {
     // aggregates + one window shuffle at any corpus size.
     "q_ts_gapfill" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val day = date_trunc("day", col("ts"))
+      // integer epoch DAYS end to end (the q_cohort convention): the
+      // grid generates with an integer sequence, and the output carries
+      // no raw TIMESTAMP column — the one output type whose
+      // parquet↔pandas dtype (ns vs µs off Spark's INT96) can drift
+      // between compare environments even when every value matches
+      val day = expr("timestampdiff(MICROSECOND, " +
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
       // a NULL value is "no measurement", stated EXPLICITLY in both
       // engines: without the filter Spark would carry the NULL verbatim
       // (filled=false, NULL propagating across the gap) while the
@@ -163,8 +169,7 @@ object TemporalQueries {
         .withColumn("nxt", lead(col("day"), 1).over(w))
         .select(col("user_id"), col("v"), col("day").as("obs_day"),
           explode(sequence(col("day"),
-            coalesce(col("nxt") - expr("INTERVAL 1 DAY"), col("day")),
-            expr("INTERVAL 1 DAY"))).as("day"))
+            coalesce(col("nxt") - 1, col("day")))).as("day"))
         .select(col("user_id"), col("day"), col("v").as("value"),
           (col("day") =!= col("obs_day")).as("filled"))
         .orderBy(col("user_id"), col("day"))
@@ -433,16 +438,16 @@ object TemporalQueries {
     "q_ts_gapfill" ->
       """WITH obs AS (
         |  SELECT user_id, day, v FROM (
-        |    SELECT user_id, date_trunc('day', ts) AS day, value AS v,
+        |    SELECT user_id, epoch_us(ts) // 86400000000 AS day, value AS v,
         |           ROW_NUMBER() OVER (
-        |             PARTITION BY user_id, date_trunc('day', ts)
+        |             PARTITION BY user_id, epoch_us(ts) // 86400000000
         |             ORDER BY ts DESC, event_id DESC) AS rn
         |    FROM events WHERE value IS NOT NULL) WHERE rn = 1),
         |bounds AS (
         |  SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
         |  FROM obs GROUP BY 1),
         |grid AS (
-        |  SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        |  SELECT user_id, UNNEST(range(lo, hi + 1)) AS day
         |  FROM bounds),
         |j AS (
         |  SELECT g.user_id, g.day, o.v

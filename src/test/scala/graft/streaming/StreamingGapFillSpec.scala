@@ -33,11 +33,10 @@ class StreamingGapFillSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
 
-    // batch truth straight from the gate; day → epoch day (UTC)
+    // batch truth straight from the gate (day is already an epoch day)
     val truth = graft.operators.TemporalQueries.queries("q_ts_gapfill")(
         spark, dir)
-      .collect().map(r => (r.getLong(0),
-        Math.floorDiv(r.getTimestamp(1).getTime, 86400000L),
+      .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getDouble(2), r.getBoolean(3))).toSet
     assert(truth.exists(_._4), "fixture should contain gap days to fill")
     assert(truth.exists(!_._4), "and observed days")
