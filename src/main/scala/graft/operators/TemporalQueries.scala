@@ -250,6 +250,39 @@ object TemporalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Per-key trend extraction (§2.71) — the closed-form OLS slope of
+    // each user's value series, the feature-engineering staple (is
+    // this entity trending up?) next to the level features the window
+    // family computes. The slope ships as an EXACT RATIONAL
+    // (nΣxy − ΣxΣy) / (nΣx² − (Σx)²): both terms are integer sums, so
+    // two engines agree bit-for-bit where a float division would hash-
+    // drift; the consumer divides (or compares num·den' vs num'·den).
+    // x is hours since the key's own first observation — re-zeroing
+    // per key keeps x small so the int64 products stay exact (domain:
+    // n·Σxy < 2^63 — at much longer horizons/denser keys rescale x or
+    // widen the five sums to DECIMAL(38); the sums stay mergeable
+    // either way). Shape: one per-key min aggregate + an equi-join
+    // back + ONE map-side-combined five-sum aggregate — two shuffles
+    // at any corpus size, nothing per-pair, no window.
+    "q_trend" -> ((s, dir) => {
+      val y = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val e = events(s, dir)
+        .select(col("user_id"), tsMicros.as("t"), y.as("y"))
+        .filter(col("y").isNotNull)
+      val m = e.groupBy(col("user_id")).agg(min(col("t")).as("t0"))
+      e.join(m, "user_id")
+        .select(col("user_id"),
+          expr("(t - t0) div 3600000000").as("x"), col("y"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("user_id"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+        .orderBy(col("user_id"))
+    }),
+
     // As-of join: every event picks up the most recent error event of
     // the same user at-or-before its own timestamp (the "attach the
     // last marker" shape: last checkpoint, last config change, last
@@ -474,6 +507,24 @@ object TemporalQueries {
         |  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
         |                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
         |ORDER BY event_id""".stripMargin,
+
+    // same integer-rational restatement; DuckDB's HUGEINT sums cast
+    // back to BIGINT inside the stated domain
+    "q_trend" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT user_id, MIN(t) AS t0 FROM e GROUP BY 1),
+        |x AS (
+        |  SELECT e.user_id, (e.t - m.t0) // 3600000000 AS x, e.y
+        |  FROM e JOIN m USING (user_id))
+        |SELECT user_id, COUNT(*) AS n,
+        |       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+        |         AS slope_num,
+        |       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+        |         AS slope_den
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same doubled-unit integer restatement over DuckDB's exact
     // quantile_cont (both engines interpolate lower + 0.5·(upper−lower),
