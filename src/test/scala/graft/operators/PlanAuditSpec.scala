@@ -538,6 +538,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected a join in the plan:\n$p")
   }
 
+  test("trend extraction: no window machinery, both aggregates partial, " +
+      "no cartesian") {
+    val p = plan("q_trend")
+    assert(!p.contains("Window ["), s"q_trend must not window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"per-key min must aggregate partially:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the five-sum aggregate must be map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"equi-join only:\n$p")
+  }
+
+  test("distinct-n diversity: map-side partial aggregation, no join at all") {
+    val p = plan("text_distinct_n")
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      p.contains("HashAggregate"),
+      s"counts must aggregate partially:\n$p")
+    assert(!p.contains("Join"), s"one exploded frame, zero joins:\n$p")
+  }
+
+  test("VAD and scene-cut are map-only: decode kernels + folds, no " +
+      "hash exchange before the output sort, no join") {
+    Seq("mm_vad", "mm_scenecut").foreach { g =>
+      val p = plan(g)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$g must not shuffle (map-only + output range sort):\n$p")
+      assert(!p.contains("Join"), s"$g must not join:\n$p")
+    }
+  }
+
+  test("fuzzy match: rank-band join is equi, never a nested loop; the " +
+      "verify kernel rides the join, not a cross product") {
+    val p = plan("dedup_fuzzy")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"SNM band join must be equi-keyed:\n$p")
+    assert(p.contains("levbandedexpr"),
+      s"verify must run through the native banded kernel:\n$p")
+  }
+
   test("pagerank: the per-superstep contribution join reuses the " +
       "persisted edge partitioning — edges shuffle once, not per iteration") {
     import org.apache.spark.sql.functions._
