@@ -379,6 +379,142 @@ object Profile {
           println(f"pq_phases pass$pass build=${(t1 - t0) / 1e9}%6.2f s " +
             f"action=${(t2 - t1) / 1e9}%6.2f s")
         }
+      } else if (name.startsWith("mm_micro:")) {
+        // single-threaded GIF codec attribution: encode (syntheticGif)
+        // vs frame decode (reader.read) vs per-pixel extraction
+        // (getRGB loop vs raster+palette LUT) — run twice so the second
+        // take is JIT-warm
+        val n = name.split(':')(1).toInt
+        (1 to 2).foreach { pass =>
+          val t0 = System.nanoTime()
+          val payloads = (0 until n).map(i =>
+            graft.functions.Multimodal.syntheticGif(i.toLong)).toArray
+          val t1 = System.nanoTime()
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("gif").next()
+          var px1 = 0L
+          payloads.foreach { p =>
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(p))
+            reader.setInput(iis)
+            val nf = reader.getNumImages(true)
+            (0 until nf by 3).foreach { f =>
+              val img = reader.read(f)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  px1 += img.getRGB(x, y) & 0xff; x += 1
+                }
+                y += 1
+              }
+            }
+            reader.setInput(null); iis.close()
+          }
+          val t2 = System.nanoTime()
+          var px2 = 0L
+          payloads.foreach { p =>
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(p))
+            reader.setInput(iis)
+            val nf = reader.getNumImages(true)
+            (0 until nf by 3).foreach { f =>
+              val img = reader.read(f)
+              val r = img.getRaster
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  px2 += r.getSample(x, y, 0); x += 1
+                }
+                y += 1
+              }
+            }
+            reader.setInput(null); iis.close()
+          }
+          val t3 = System.nanoTime()
+          println(f"$name pass$pass clips=$n " +
+            f"encode=${(t1 - t0) / 1e9}%6.2f s " +
+            f"decode+getRGB=${(t2 - t1) / 1e9}%6.2f s " +
+            f"decode+raster=${(t3 - t2) / 1e9}%6.2f s px1=$px1 px2=$px2")
+        }
+      } else if (name.startsWith("mm_micro_mt:")) {
+        // the 32-thread version of mm_micro's encode half: if per-clip
+        // encode cost explodes relative to the single-threaded arm, the
+        // JDK GIF write path is serializing on a shared lock
+        val parts = name.split(':')
+        val n = parts(1).toInt
+        val threads = if (parts.length > 2) parts(2).toInt else 32
+        (1 to 2).foreach { pass =>
+          val t0 = System.nanoTime()
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+          val per = n / threads
+          val futs = (0 until threads).map { t =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long = {
+                var bytes = 0L
+                var i = t * per
+                while (i < (t + 1) * per) {
+                  bytes += graft.functions.Multimodal.syntheticGif(i.toLong).length
+                  i += 1
+                }
+                bytes
+              }
+            })
+          }
+          val total = futs.map(_.get()).sum
+          pool.shutdown()
+          println(f"$name pass$pass clips=$n threads=$threads " +
+            f"encode=${(System.nanoTime() - t0) / 1e9}%6.2f s bytes=$total")
+        }
+      } else if (name.startsWith("mm_micro_e2e:")) {
+        // the full mm_scenecut kernel (encode → decode every 3rd frame →
+        // per-pixel extract) across N threads — the gate's per-task work
+        // without Spark around it
+        val parts = name.split(':')
+        val n = parts(1).toInt
+        val threads = if (parts.length > 2) parts(2).toInt else 32
+        (1 to 2).foreach { pass =>
+          val t0 = System.nanoTime()
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+          val per = n / threads
+          val futs = (0 until threads).map { t =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long = {
+                val reader = javax.imageio.ImageIO
+                  .getImageReadersByFormatName("gif").next()
+                var acc = 0L
+                var i = t * per
+                while (i < (t + 1) * per) {
+                  val p = graft.functions.Multimodal.syntheticGif(i.toLong)
+                  val iis =
+                    new javax.imageio.stream.MemoryCacheImageInputStream(
+                      new java.io.ByteArrayInputStream(p))
+                  reader.setInput(iis)
+                  val nf = reader.getNumImages(true)
+                  (0 until nf by 3).foreach { f =>
+                    val img = reader.read(f)
+                    var y = 0
+                    while (y < img.getHeight) {
+                      var x = 0
+                      while (x < img.getWidth) {
+                        acc += img.getRGB(x, y) & 0xff; x += 1
+                      }
+                      y += 1
+                    }
+                  }
+                  reader.setInput(null); iis.close()
+                  i += 1
+                }
+                acc
+              }
+            })
+          }
+          val total = futs.map(_.get()).sum
+          pool.shutdown()
+          println(f"$name pass$pass clips=$n threads=$threads " +
+            f"e2e=${(System.nanoTime() - t0) / 1e9}%6.2f s px=$total")
+        }
       } else if (name.startsWith("bpe_train:")) {
         import org.apache.spark.sql.functions.{col, explode}
         import graft.functions.TextFunctions.tokens

@@ -36,15 +36,20 @@ object TextHash {
     if (math.abs(n - m) > maxDist) return -1
     if (n == 0) return m // ≤ maxDist by the length guard
     if (m == 0) return n
-    val inf = maxDist + 1
+    // clamp to the largest useful threshold: distance never exceeds
+    // max(n, m), and an unclamped maxDist = Int.MaxValue would overflow
+    // `inf` to Int.MinValue, corrupting every band comparison (the
+    // kernel is public API — callers are not all small literals)
+    val k = math.min(maxDist, math.max(n, m))
+    val inf = k + 1
     var prev = new Array[Int](m + 1)
     var cur = new Array[Int](m + 1)
     var j = 0
-    while (j <= m) { prev(j) = if (j <= maxDist) j else inf; j += 1 }
+    while (j <= m) { prev(j) = if (j <= k) j else inf; j += 1 }
     var i = 1
     while (i <= n) {
-      val lo = math.max(1, i - maxDist)
-      val hi = math.min(m, i + maxDist)
+      val lo = math.max(1, i - k)
+      val hi = math.min(m, i + k)
       cur(lo - 1) = if (lo == 1) math.min(i, inf) else inf
       var rowMin = cur(lo - 1)
       val ca = a.getByte(i - 1)
@@ -69,7 +74,9 @@ object TextHash {
       val t = prev; prev = cur; cur = t
       i += 1
     }
-    if (prev(m) > maxDist) -1 else prev(m)
+    // distance ≤ max(n, m) = the clamp bound, so comparing against the
+    // clamped k is equivalent to comparing against the caller's maxDist
+    if (prev(m) > k) -1 else prev(m)
   }
 
   /** Loud per-element null guards: a null ArrayData slot reads back as

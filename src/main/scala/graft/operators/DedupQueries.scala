@@ -434,6 +434,80 @@ object DedupQueries {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** Sorted-neighborhood rank, decomposed for scale (r16): per-`lang`
+    * `row_number` over `(k, doc_id)` computed WITHOUT a per-language
+    * window task. The windowed formulation
+    * (`row_number over Window.partitionBy(lang).orderBy(k, doc_id)`)
+    * sorts each language in ONE task — a single-task sort of most of
+    * the corpus when one language dominates (the classic skewed-key
+    * scale-killer). This is the PrefixSum two-pass scan instead:
+    *
+    *   1. range-partition + sort by (lang, k, doc_id) — the parallel
+    *      sort machinery, every core busy regardless of language skew;
+    *   2. per-(partition, lang) counts — ≤ P·|langs| rows collected as
+    *      driver METADATA (not data);
+    *   3. exclusive per-(partition, lang) offsets broadcast back; each
+    *      partition scans its sorted rows once, seeding a running
+    *      counter at its language's offset.
+    *
+    * Ranks are bit-identical to the windowed form (the combined order
+    * key is total — doc_id is unique), proven on adversarial layouts by
+    * FuzzySnmSpec. Input must have columns (doc_id, lang, k); output
+    * adds `rn` (1-based, long) and is eagerly materialized (the two
+    * band-join sides both read it; the range sort must not run twice).
+    */
+  private[graft] def snmRanked(d0: DataFrame): DataFrame = {
+    import org.apache.spark.TaskContext
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = d0.sparkSession
+    val orderKey = Seq(col("lang"), col("k"), col("doc_id"))
+    val parted = d0.repartitionByRange(orderKey: _*)
+      .sortWithinPartitions(orderKey: _*).persist()
+    // pass 1: per-(partition, lang) counts — metadata-sized by design
+    // (one row per partition per language present in it)
+    val counts = parted
+      .select(spark_partition_id().as("pid"), col("lang"))
+      .groupBy(col("pid"), col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets: Map[(Int, String), Long] =
+      counts.groupBy(_._2).iterator.flatMap { case (lang, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, n) =>
+          val o = ((pid, lang), acc); acc += n; o
+        }
+      }.toMap
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(parted.schema.fields :+
+      StructField("rn", LongType, nullable = false))
+    val enc = RowEncoder.encoderFor(schema)
+    val langIdx = parted.schema.fieldIndex("lang")
+    // pass 2: one narrow scan per partition — rows arrive sorted by
+    // (lang, k, doc_id), so a language change resets the counter to
+    // that language's exclusive offset for this partition
+    val ranked = parted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var cur: String = null
+      var run = 0L
+      it.map { r =>
+        val lang = r.getString(langIdx)
+        if (cur == null || lang != cur) {
+          cur = lang
+          run = bOff.value.getOrElse((pid, lang), 0L)
+        }
+        run += 1
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }(enc)
+    // eager checkpoint: both band-join sides read the ranked frame, and
+    // the broadcast offsets are only valid against the cached range
+    // partitioning that produced them (the PrefixSum contract)
+    val out = ranked.localCheckpoint(true)
+    parted.unpersist(blocking = false)
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup by content digest (hash-groupBy).
     "dedup_exact" -> ((s, dir) => {
@@ -460,21 +534,29 @@ object DedupQueries {
     // corpus → char semantics agree across engines). Production ER
     // runs the UNION of several sort keys (key prefix, reversed key,
     // phonetic) through this same shape to cover early-position edits.
-    // Parallelism note: the rank window partitions by lang (≥ |langs|
-    // tasks — ample here); at corpus scales where one language
-    // overwhelms a task, SNM decomposes exactly into OVERLAPPED sort
-    // buckets — range-partition by (lang, key), rank locally, and
-    // compare each bucket's last w rows against the next bucket's
-    // first w (every ≤-w-apart pair lands in some bucket or an
-    // overlap) — the PrefixSum two-pass shape; the w-band join below
-    // is unchanged.
+    // Parallelism (r16): the rank is the RANGE-PARTITIONED two-pass
+    // scan ([[snmRanked]], the PrefixSum shape) — rows range-sort on
+    // (lang, key, doc_id) across ALL cores, per-(partition, lang)
+    // counts collect as metadata, and each partition ranks locally
+    // seeded with its language's exclusive offset. The former
+    // formulation (`row_number over Window.partitionBy(lang)`) ranked
+    // each language in ONE task — at 100 TB with a dominant language
+    // that is a single-task sort of most of the corpus. The w-band
+    // join below is unchanged and the ranks are bit-identical
+    // (FuzzySnmSpec proves ≡ the windowed form on adversarial
+    // layouts).
     "dedup_fuzzy" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val W = 10L
-      val d = documents(s, dir).select(col("doc_id"), col("lang"),
-        expr("substring(text, 1, 64)").as("k"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("lang")).orderBy(col("k"), col("doc_id"))))
+      // byte≡char levenshtein equivalence (the verify kernel is byte-
+      // semantics, the oracle's levenshtein is char-semantics) holds
+      // only on ASCII keys — ENFORCED, not assumed: a non-ASCII key
+      // fails the gate loudly instead of silently diverging the engines
+      val k0 = expr("substring(text, 1, 64)")
+      val kChecked = when(assert_true(k0.isNull || k0.rlike("^[\\x00-\\x7F]*$"),
+        concat(lit("dedup_fuzzy: non-ASCII key breaks the byte=char " +
+          "levenshtein invariant, doc_id="), col("doc_id"))).isNull, k0)
+      val d = snmRanked(documents(s, dir).select(col("doc_id"), col("lang"),
+        kChecked.as("k")))
       val a = d.select(col("doc_id").as("a_id"), col("lang"),
           col("k").as("ka"), col("rn").as("ra"))
         .withColumn("bk", explode(array_distinct(array(

@@ -88,17 +88,23 @@ object GraphQueries {
     // id space; 5 integer-exact supersteps. The oracle restates the
     // SAME fixed-point chain as 5 chained CTEs — two independent
     // executions of the iterative dataflow must agree on every node's
-    // exact rank.
+    // exact rank. Item offset is 2^40 (r16): the former +100000 sat
+    // inside the 10× fixture's shifted user-id range (user_id +
+    // 100000·copy), silently merging colliding user and item nodes —
+    // an id-space violation BOTH engines applied, so the differential
+    // gate could never see it. 2^40 is above any fixture or production
+    // user id while keeping rank arithmetic far from int64 range.
     "q_pagerank" -> ((s, dir) => {
+      val itemOffset = 1L << 40
       val pairs = events(s, dir)
         .select(col("user_id").as("u"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .filter(col("k").isNotNull)
         .distinct()
       val edges = pairs
-        .select(col("u").as("src"), (col("k") + 100000L).as("dst"))
+        .select(col("u").as("src"), (col("k") + itemOffset).as("dst"))
         .unionAll(pairs
-          .select((col("k") + 100000L).as("src"), col("u").as("dst")))
+          .select((col("k") + itemOffset).as("src"), col("u").as("dst")))
         .repartition(col("dst"))
         .persist()
       try {
@@ -126,9 +132,9 @@ object GraphQueries {
            |         CAST(props::JSON->>'k' AS BIGINT) AS k
            |  FROM events WHERE props::JSON->>'k' IS NOT NULL),
            |edges AS (
-           |  SELECT u AS src, 100000 + k AS dst FROM pairs
+           |  SELECT u AS src, 1099511627776 + k AS dst FROM pairs
            |  UNION ALL
-           |  SELECT 100000 + k AS src, u AS dst FROM pairs),
+           |  SELECT 1099511627776 + k AS src, u AS dst FROM pairs),
            |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
            |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
            |$iter

@@ -117,7 +117,7 @@ object MultimodalQueries {
     // activity, counts and run-starts are codegen array folds — zero
     // shuffle at any corpus size beyond the deterministic output sort.
     "mm_vad" -> ((s, dir) => {
-      Multimodal.wavFrameEnergies(wavTable(s, dir), 32).toDF()
+      sorted(Multimodal.wavFrameEnergies(wavTable(s, dir), 32).toDF()
         .select(col("doc_id"), expr("size(fe)").as("n_frames"),
           expr("aggregate(fe, 0L, (a, x) -> a + x)").as("tot"), col("fe"))
         .withColumn("act",
@@ -127,12 +127,19 @@ object MultimodalQueries {
             .as("n_active"),
           // run starts: active frame whose predecessor is inactive
           // (greatest(i, 1) keeps element_at 1-based-safe; the i = 0
-          // disjunct decides the first frame)
-          expr("CAST(aggregate(transform(sequence(0, size(act) - 1), " +
+          // disjunct decides the first frame). Zero-frame clips guard
+          // the fold: sequence(0, -1) DESCENDS in Spark, and i = -1
+          // would hit element_at(act, 0) — the invalid-index error —
+          // instead of yielding the 0 segments an empty clip has.
+          expr("CAST(IF(n_frames = 0, 0, " +
+            "aggregate(transform(sequence(0, size(act) - 1), " +
             "i -> IF(element_at(act, i + 1) = 1 AND (i = 0 OR " +
             "element_at(act, greatest(i, 1)) = 0), 1, 0)), " +
-            "0, (a, x) -> a + x) AS INT)").as("n_segments"))
-        .orderBy(col("doc_id"))
+            "0, (a, x) -> a + x)) AS INT)").as("n_segments")),
+        // checkpoint-before-sort (r16): the bare orderBy's range
+        // partitioner SAMPLED the child, running the whole WAV
+        // encode→decode pipeline a second time just to pick split points
+        "doc_id")
     }),
 
     // Shot/scene-cut detection (§2.67) — mm_vad's video sibling and the
@@ -144,14 +151,18 @@ object MultimodalQueries {
     // small array per clip leaves the kernel); the cut rule is a
     // codegen array fold — zero shuffle beyond the output sort.
     "mm_scenecut" -> ((s, dir) => {
-      Multimodal.sceneSads(gifTable(s, dir)).toDF()
+      sorted(Multimodal.sceneSads(gifTable(s, dir)).toDF()
         .select(col("doc_id"), expr("size(sad)").as("n_pairs"),
           expr("aggregate(sad, 0L, (a, x) -> a + x)").as("tot"), col("sad"))
         .select(col("doc_id"), col("n_pairs"),
           expr("CAST(aggregate(transform(sad, " +
             "x -> IF(x * n_pairs > tot, 1, 0)), " +
-            "0, (a, x) -> a + x) AS INT)").as("n_cuts"))
-        .orderBy(col("doc_id"))
+            "0, (a, x) -> a + x) AS INT)").as("n_cuts")),
+        // checkpoint-before-sort (r16): the bare orderBy's range
+        // partitioner SAMPLED the child — the whole GIF encode→decode
+        // pipeline ran a SECOND time just to pick split points (measured
+        // 13.1 s warm / 17.7 s in-bench at sf0.1; halved by this alone)
+        "doc_id")
     }),
 
     // Perceptual average-hash (aHash) image near-dup bucketing — the

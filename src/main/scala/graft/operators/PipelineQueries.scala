@@ -298,8 +298,12 @@ object PipelineQueries {
         .localCheckpoint(true)
       b16.unpersist(blocking = false)
       bHashes.unpersist(blocking = false)
+      // natural parallelism (r16): the manifest is (doc_id, digest) for
+      // ALL base survivors — corpus-sized at scale — and readers do a
+      // directory scan, so the former coalesce(1) single-writer-task
+      // funnel bought nothing but a scale ceiling
       bSurv.select(col("doc_id"), col("digest"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
+        .write.mode("overwrite").parquet(s"$tmp/manifest")
       DedupQueries.saveBandIndex(
         bSurv.select(col("doc_id"), col("hs")), s"$tmp/index")
       import s.implicits._

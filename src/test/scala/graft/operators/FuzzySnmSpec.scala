@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The range-partitioned sorted-neighborhood rank (DedupQueries.snmRanked,
+  * r16) must agree bit-for-bit with the windowed formulation it replaced
+  * (`row_number over Window.partitionBy(lang).orderBy(k, doc_id)`) while
+  * never BEING one: the windowed form sorts each language in ONE task —
+  * a single-task sort of most of the corpus under a dominant language —
+  * which is exactly the skewed-key scale-killer the decomposition removes.
+  */
+class FuzzySnmSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 7)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", false)
+    .appName("fuzzy-snm-spec").getOrCreate()
+
+  private def windowed(d: DataFrame): Seq[(Long, String, Long)] = {
+    import spark.implicits._
+    d.withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("k"), col("doc_id"))))
+      .select(col("doc_id"), col("lang"), col("rn").cast("long"))
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+  }
+
+  private def decomposed(d: DataFrame): Seq[(Long, String, Long)] = {
+    import spark.implicits._
+    DedupQueries.snmRanked(d)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+  }
+
+  test("ranks equal the windowed formulation on a skew-dominant language") {
+    import spark.implicits._
+    // 90% of rows in ONE language (the 100 TB failure mode), duplicate
+    // keys within languages (rank ties broken by doc_id), empty-string
+    // keys, and a language with a single row
+    val rows = (0L until 900L).map(i => (i, "en", s"key-${i % 40}")) ++
+      (900L until 980L).map(i => (i, "fr", s"cle-${i % 7}")) ++
+      (980L until 999L).map(i => (i, "de", "")) ++
+      Seq((999L, "zz", "solo"))
+    val d = new scala.util.Random(3L).shuffle(rows).toDF("doc_id", "lang", "k")
+    assert(decomposed(d) === windowed(d))
+  }
+
+  test("ranks are invariant under adversarial input partitioning") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(i =>
+      (i, if (i % 11 == 0) "fr" else "en", s"${(i * 31) % 23}"))
+    val layouts = Seq(
+      rows.toDF("doc_id", "lang", "k").repartition(1),
+      rows.toDF("doc_id", "lang", "k").repartition(13, col("k")),
+      rows.reverse.toDF("doc_id", "lang", "k").repartition(3))
+    val results = layouts.map(decomposed)
+    assert(results.distinct.size === 1,
+      "snm rank must not depend on input partitioning")
+    assert(results.head === windowed(layouts.head))
+  }
+
+  test("more range partitions than language rows: offsets seed correctly " +
+      "across partition boundaries inside one language") {
+    import spark.implicits._
+    // 7 shuffle partitions over 30 rows of one language forces language
+    // spans to straddle several range partitions (the offset-seeding path)
+    val rows = (0L until 30L).map(i => (i, "en", s"k${i % 5}"))
+    val d = rows.toDF("doc_id", "lang", "k")
+    assert(decomposed(d) === windowed(d))
+  }
+
+  test("dedup_fuzzy gate plan contains no Window and no single-task sort " +
+      "of the corpus") {
+    val plan = DedupQueries.queries("dedup_fuzzy")(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"the decomposed gate must not plan a Window:\n$plan")
+  }
+}

@@ -576,6 +576,10 @@ class PlanAuditSpec extends AnyFunSuite {
       s"SNM band join must be equi-keyed:\n$p")
     assert(p.contains("levbandedexpr"),
       s"verify must run through the native banded kernel:\n$p")
+    // r16: the rank is the range-partitioned two-pass scan — a Window
+    // here would mean the per-language single-task sort is back
+    assert(!p.contains("Window"),
+      s"SNM rank must not plan a per-language Window:\n$p")
   }
 
   test("pagerank: the per-superstep contribution join reuses the " +
