@@ -69,6 +69,12 @@ object Profile {
       .config("spark.sql.adaptive.enabled",
         (!Set("1", "true").contains(
           sys.env.getOrElse("PROFILE_NO_AQE", "").toLowerCase)).toString)
+      // PROFILE_BYPASS=n: probe spark.shuffle.sort.bypassMergeThreshold
+      // (default 200 = stock). Below the threshold the bypass writer
+      // opens one file PER REDUCE PARTITION per map task — on slow-
+      // metadata filesystems the opens dominate small shuffles
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("PROFILE_BYPASS", "200"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq else Seq("dedup_ngram")
@@ -514,6 +520,78 @@ object Profile {
           pool.shutdown()
           println(f"$name pass$pass clips=$n threads=$threads " +
             f"e2e=${(System.nanoTime() - t0) / 1e9}%6.2f s px=$total")
+        }
+      } else if (name == "pagerank_explain") {
+        // dump the 2-superstep lazy plan: which join strategy does the
+        // contrib (ranks ⋈ deg) join get, and does the edge side stay
+        // on the cached partitioning?
+        import org.apache.spark.sql.functions.{col, get_json_object}
+        val pairs = graft.Tables.events(spark, dir)
+          .select(col("user_id").as("u"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .filter(col("k").isNotNull).distinct()
+        val off = 1L << 40
+        val edges = pairs
+          .select(col("u").as("src"), (col("k") + off).as("dst"))
+          .unionAll(pairs
+            .select((col("k") + off).as("src"), col("u").as("dst")))
+          .repartition(col("dst")).persist()
+        edges.count()
+        println(graft.operators.GraphQueries.pageRank(edges, 2)
+          .queryExecution.executedPlan.toString)
+        edges.unpersist(blocking = false)
+      } else if (name == "pagerank_parts") {
+        // stage attribution for q_pagerank: edges build+persist vs the
+        // 5-superstep chain vs per-superstep walls (each superstep
+        // checkpointed so its jobs are isolated)
+        import org.apache.spark.sql.functions.{col, get_json_object}
+        (1 to 2).foreach { pass =>
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          val pairs = graft.Tables.events(spark, dir)
+            .select(col("user_id").as("u"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+            .filter(col("k").isNotNull)
+            .distinct()
+          val off = 1L << 40
+          val edges = pairs
+            .select(col("u").as("src"), (col("k") + off).as("dst"))
+            .unionAll(pairs
+              .select((col("k") + off).as("src"), col("u").as("dst")))
+            .repartition(col("dst"))
+            .persist()
+          val ne = edges.count()
+          val t1 = System.nanoTime()
+          val out = graft.operators.GraphQueries.pageRank(edges, 5)
+            .orderBy(col("node")).localCheckpoint(true)
+          val t2 = System.nanoTime()
+          // per-superstep walls: checkpoint between supersteps
+          val deg = edges.groupBy(col("src").as("node"))
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("d"))
+          var ranks = deg.select(col("node"),
+            org.apache.spark.sql.functions.lit(1000000L).as("r"))
+            .localCheckpoint(true)
+          val steps = (1 to 5).map { _ =>
+            val s0 = System.nanoTime()
+            val contrib = ranks.join(deg, "node")
+              .select(col("node").as("src"),
+                org.apache.spark.sql.functions.expr("r div d").as("c"))
+            ranks = edges.join(
+                org.apache.spark.sql.functions.broadcast(contrib), "src")
+              .groupBy(col("dst").as("node"))
+              .agg(org.apache.spark.sql.functions.sum(col("c")).as("cin"))
+              .select(col("node"),
+                (org.apache.spark.sql.functions.lit(150000L) +
+                  org.apache.spark.sql.functions.expr("85 * cin div 100"))
+                  .as("r"))
+              .localCheckpoint(true)
+            (System.nanoTime() - s0) / 1e9
+          }
+          edges.unpersist(blocking = true)
+          println(f"pagerank_parts pass$pass edges($ne)=${(t1 - t0) / 1e9}%5.2f " +
+            f"chain5=${(t2 - t1) / 1e9}%5.2f steps=" +
+            steps.map(s => f"$s%4.2f").mkString(","))
         }
       } else if (name.startsWith("bpe_train:")) {
         import org.apache.spark.sql.functions.{col, explode}

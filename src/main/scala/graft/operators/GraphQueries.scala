@@ -62,7 +62,14 @@ object GraphQueries {
       .agg(count(lit(1)).as("d"))
     var ranks = deg.select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = ranks.join(deg, "node")
+      // broadcast(deg) explicitly (r16): deg is node-sized and its plan
+      // is IDENTICAL every superstep, so exchange reuse can serve all
+      // five supersteps from one build — unhinted, the join strategy
+      // rode on static size estimates through the rank chain (the same
+      // estimate blindness the contrib broadcast below works around);
+      // the hint pins BroadcastHashJoin at any scale where deg fits,
+      // which is every graph whose contrib broadcast fits anyway
+      val contrib = ranks.join(broadcast(deg), "node")
         .select(col("node").as("src"), expr("r div d").as("c"))
       // contrib is node-sized — BROADCAST it so the edge side never
       // moves: the static planner sees only a worst-case size estimate
