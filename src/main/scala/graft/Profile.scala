@@ -521,6 +521,51 @@ object Profile {
           println(f"$name pass$pass clips=$n threads=$threads " +
             f"e2e=${(System.nanoTime() - t0) / 1e9}%6.2f s px=$total")
         }
+      } else if (name.startsWith("sij_wall:")) {
+        // wall receipt for the §2.63 STREAMING interval-join twin (the
+        // r15 verdict's BASELINE-hygiene item): drive the exact
+        // StreamingIntervalJoinSpec pipeline — watermarked stream-stream
+        // range join — over the dir's events in N event-time-ordered
+        // chunks and print rows in/pairs out/wall
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import org.apache.spark.sql.functions.{col, timestamp_micros, expr}
+        val nChunks = name.split(':')(1).toInt
+        implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+        import spark.implicits._
+        val evs = graft.Tables.events(spark, dir)
+          .filter(col("event_type").isin("error", "purchase"))
+          .select(col("event_id"), col("user_id"),
+            graft.Tables.tsMicros.as("t"), col("event_type"))
+          .orderBy(col("t"), col("event_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3)))
+        val chunks = evs.grouped(
+          math.max(1, evs.length / nChunks + 1)).toSeq
+        val input = MemoryStream[(Long, Long, Long, String)]
+        val df = input.toDS()
+          .toDF("eventId", "userId", "tsMicros", "typ")
+          .withColumn("t", timestamp_micros(col("tsMicros")))
+        val a = df.filter(col("typ") === "error")
+          .select(col("eventId").as("a_id"), col("userId").as("a_user"),
+            col("t").as("ta"))
+          .withWatermark("ta", "0 seconds")
+        val b = df.filter(col("typ") === "purchase")
+          .select(col("eventId").as("b_id"), col("userId").as("b_user"),
+            col("t").as("tb"))
+          .withWatermark("tb", "0 seconds")
+        val joined = a.join(b,
+          expr("a_user = b_user AND tb > ta - INTERVAL 2 HOURS " +
+            "AND tb < ta + INTERVAL 6 HOURS"))
+          .select(col("a_id"), col("b_id"))
+        val q = joined.writeStream.format("memory")
+          .queryName("sij_wall_out").outputMode("append").start()
+        try {
+          val t0 = System.nanoTime()
+          chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+          val n = spark.table("sij_wall_out").count()
+          println(f"$name rows=${evs.length} chunks=${chunks.size} " +
+            f"pairs=$n wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        } finally q.stop()
       } else if (name == "pagerank_explain") {
         // dump the 2-superstep lazy plan: which join strategy does the
         // contrib (ranks ⋈ deg) join get, and does the edge side stay

@@ -63,7 +63,6 @@ object BloomJoin {
         .join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"), sum(col("qty_c")).as("sum_qty_c"))
-        .orderBy(col("o_orderpriority"))
     })
   )
 

@@ -235,7 +235,6 @@ object CdcQueries {
             element_at(col("after"), "k")).as("k"),
           element_at(col("before"), "v").as("vb"),
           element_at(col("after"), "v").as("va"))
-        .orderBy(col("scn"))
     }),
 
     // P4: DELETE column pruning to key columns via assembler options.
@@ -296,7 +295,6 @@ object CdcQueries {
               .mkString(","))
         }
         .toDF("n_nationkey", "version", "schema_ddl")
-        .orderBy(col("n_nationkey"))
     }),
 
     // K2 upsert semantics: committed stream applied latest-wins per key.
@@ -309,7 +307,6 @@ object CdcQueries {
         .filter(col("rn") === 1 && col("op") =!= Ops.Delete)
         .select(col("xid"), col("scn").as("last_scn"),
           element_at(col("after"), "value").cast("double").as("val"))
-        .orderBy(col("xid"))
     }),
 
     // P7 completion: session-audit pseudo-columns (username, osUsername,
@@ -324,7 +321,6 @@ object CdcQueries {
           col("ORA_HOSTNAME").as("hostname"),
           col("ORA_AUDIT_SESSION_ID").as("audit_session_id"),
           col("ORA_CLIENT_ID").as("client_id"))
-        .orderBy(col("scn"))
     }),
 
     // P6/P7: debezium envelope + pseudo-columns, flattened for compare.
@@ -333,7 +329,6 @@ object CdcQueries {
         .select(col("source.scn").as("scn"), col("source.commit_scn").as("commit_scn"),
           col("source.xid").as("xid"), col("source.row_id").as("row_id"),
           col("op"), col("ts_ms"))
-        .orderBy(col("scn"))
     }),
 
     // M3+M4+M5: lowercase-names, key-to-value, header-to-field SMTs.
@@ -347,7 +342,6 @@ object CdcQueries {
           Transforms.keyToValue(
             Transforms.headersToFields(df, Seq("hdr_nation")))))
       chained.select(col("value.*")).toDF("c_name", "c_acctbal", "hdr_nation", "c_custkey")
-        .orderBy(col("c_custkey"))
     }),
 
     // P8 name sanitation, gated through the driver's SCHEMA comparison:
@@ -360,7 +354,7 @@ object CdcQueries {
         col("c_name").as("1name"),
         (col("c_acctbal").cast("decimal(18,2)") * 100)
           .cast("long").as("acct-bal€"))
-      Transforms.sanitizeNames(dirty).orderBy(col("Cust_Key_"))
+      Transforms.sanitizeNames(dirty)
     }),
 
     // K5 sink table-name mapping over a record stream: topic names
@@ -383,7 +377,6 @@ object CdcQueries {
           NameMappers.tableFromSchemaNameCol(col("schema_name")).as("schema_table"))
         .groupBy(col("sink_table"), col("schema_table"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("sink_table"))
     }),
 
     // SCD2 (slowly-changing-dimension type 2) apply: the versioned-table
@@ -418,7 +411,6 @@ object CdcQueries {
       Transforms.lobTransform(lobbed, Seq("clob"),
           c => upper(decode(gzip_decompress(c), "UTF-8")))
         .withColumn("clob_len", length(col("clob")).cast("long"))
-        .orderBy(col("doc_id"))
     })
   )
 

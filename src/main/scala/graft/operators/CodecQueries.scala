@@ -64,7 +64,6 @@ object CodecQueries {
           (k, colName, t.simpleString)
         }
         .toDF("p_partkey", "col_name", "mapped_type")
-        .orderBy(col("p_partkey"))
     }),
     // F3: 11-byte Oracle TIMESTAMP ⇄ TimestampType roundtrip
     "f3_oradate" -> ((s, dir) => {

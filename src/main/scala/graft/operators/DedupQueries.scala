@@ -133,7 +133,6 @@ object DedupQueries {
         (size(col("sa")) + size(col("sb")) - col("m")).cast("double"))
       .filter(col("jac") >= 0.5)
       .select(col("ia"), col("ib"), col("m"), col("jac"))
-      .orderBy(col("ia"), col("ib"))
   }
 
   /** MinHash (8 hashes) + LSH (4 bands × 2 rows) band memberships
@@ -201,7 +200,6 @@ object DedupQueries {
         (size(col("sa")) + size(col("sb")) - col("m")).cast("double"))
       .filter(col("jac") >= threshold)
       .select(col("ia"), col("ib"), col("m"), col("jac"))
-      .orderBy(col("ia"), col("ib"))
   }
 
   /** Admission drop list for a DELTA batch against a persisted corpus
@@ -431,7 +429,6 @@ object DedupQueries {
         expr("CAST(bit_count(sha ^ shb) AS BIGINT)").as("ham"))
       .distinct()
       .filter(col("ham") <= 3)
-      .orderBy(col("ia"), col("ib"))
   }
 
   /** Sorted-neighborhood rank, decomposed for scale (r16): per-`lang`
@@ -514,7 +511,6 @@ object DedupQueries {
       documents(s, dir)
         .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("digest"))
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-        .orderBy(col("digest"))
     }),
 
     // Entity-resolution-style FUZZY matching (§2.69): sorted-
@@ -574,7 +570,6 @@ object DedupQueries {
           graft.functions.TextHashExpressions
             .lev_banded(col("ka"), col("kb"), 10).as("dist"))
         .filter(col("dist") >= 0)
-        .orderBy(col("a_id"), col("b_id"))
     }),
 
     // MinHash (8 hashes) + LSH (4 bands × 2) candidate pairs — the
@@ -592,7 +587,6 @@ object DedupQueries {
       // Bench/Verify per-query barrier unpersists it).
       val hashes = docShingleHashes(s, dir).persist()
       lshCandidatePairs(hashes.filter(size(col("hs")) > 0))
-        .orderBy(col("ia"), col("ib"))
     }),
 
     // PRODUCTION-SHAPE exact Jaccard: verification restricted to the
@@ -695,7 +689,7 @@ object DedupQueries {
       // connectedComponents truncates lineage internally (checkpointed
       // rounds), so the candidate cache can be released as soon as it
       // returns — its result never recomputes through `pairs`
-      val out = connectedComponents(vertices, pairs).orderBy(col("doc_id"))
+      val out = connectedComponents(vertices, pairs)
       pairs.unpersist(blocking = false)
       out
     }),
@@ -721,7 +715,6 @@ object DedupQueries {
         .withColumn("split",
           when(expr("pmod((cluster % 2147483648) * 2654435761, 4294967296) % 100")
             < 90, lit("train")).otherwise(lit("test")))
-        .orderBy(col("doc_id"))
       pairs.unpersist(blocking = false)
       out
     }),
@@ -739,7 +732,6 @@ object DedupQueries {
           .ws_token_count(col("text")) > 0)
         .select(col("doc_id"),
           simHash16(transform(tokens(col("text")), t => stringHash(t))).as("sh16"))
-        .orderBy(col("doc_id"))
     }),
 
     // SimHash HAMMING-NEIGHBOR dedup — the Manku-Das-Sarma WWW'07
@@ -794,7 +786,6 @@ object DedupQueries {
           planes = 6)
         .filter(col("ia") < col("ib") && col("cos") > 0.35)
         .select(col("bucket"), col("ia"), col("ib"), col("dot"), col("cos"))
-        .orderBy(col("ia"), col("ib"))
     })
   )
 
@@ -1035,7 +1026,6 @@ object DedupQueries {
         (col("na") + col("nb") - col("m")).cast("double"))
       .filter(col("jac") >= threshold)
       .select(col("ia"), col("ib"), col("m"), col("jac"))
-      .orderBy(col("ia"), col("ib"))
   }
 
   /** Per-doc set sizes + per-pair intersection counts over a postings
@@ -1138,7 +1128,6 @@ object DedupQueries {
       .withColumn("cont",
         col("m").cast("double") / col("n_contained").cast("double"))
       .filter(col("cont") >= threshold)
-      .orderBy(col("contained"), col("container"))
   }
 
   private val shinglesCte =

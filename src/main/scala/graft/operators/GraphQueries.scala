@@ -115,8 +115,7 @@ object GraphQueries {
         .repartition(col("dst"))
         .persist()
       try {
-        val out = pageRank(edges, iters = 5).orderBy(col("node"))
-          .localCheckpoint(true)
+        val out = pageRank(edges, iters = 5).localCheckpoint(true)
         out
       } finally edges.unpersist(blocking = false)
     })

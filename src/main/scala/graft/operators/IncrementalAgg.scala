@@ -85,7 +85,6 @@ object IncrementalAgg {
           col("cents").as("before"), (col("cents") + 100).as("after"))
       maintain(base, inserts.unionByName(deletes).unionByName(updates),
         "o_custkey")
-        .orderBy(col("o_custkey"))
     }),
 
     // Incremental maintenance of an AGGREGATE-OVER-JOIN view — the
@@ -121,7 +120,6 @@ object IncrementalAgg {
         .select(col("o_orderpriority"), lit("d").as("op"),
           col("cents").as("before"), lit(null).cast("long").as("after"))
       maintain(base, inserts.unionByName(deletes), "o_orderpriority")
-        .orderBy(col("o_orderpriority"))
     }),
 
     // Incremental SCD2 maintenance — applying a change batch to a
@@ -163,7 +161,6 @@ object IncrementalAgg {
       "k", "ts", "o_orderkey").persist()
     val delta = rows.filter(col("ts") >= cutoff).persist()
     val out = scd2ApplyFrames(base, delta)
-      .orderBy(col("k"), col("valid_from"), col("o_orderkey"))
       .localCheckpoint(true)
     base.unpersist(blocking = false)
     delta.unpersist(blocking = false)

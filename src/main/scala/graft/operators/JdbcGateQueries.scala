@@ -108,7 +108,6 @@ object JdbcGateQueries {
       s.read.parquet(outDir)
         .select(col("SCN").as("o_orderkey"), col("CUSTKEY").as("custkey"),
           col("PRICE").cast("double").as("price"))
-        .orderBy(col("o_orderkey"))
     }),
 
     // K3+K4: customers upserted into an auto-created Derby table (K3
@@ -152,7 +151,7 @@ object JdbcGateQueries {
           col("ACCTBAL").cast("double").as("acctbal"))
         .localCheckpoint(true)
       dropDerby(url)
-      out.orderBy(col("id"))
+      out
     })
   )
 

@@ -59,7 +59,6 @@ object LoadQueries {
         // price stays double end-to-end (×2 is exact in binary floating
         // point): a decimal output can't hash-match the driver comparator
         .select(col("okey"), col("price"))
-        .orderBy(col("okey"))
     })
   )
 

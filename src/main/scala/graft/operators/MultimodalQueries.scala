@@ -65,28 +65,26 @@ object MultimodalQueries {
       .toDF("doc_id", "payload")
   }
 
-  /** Eager-materialize the (small, feature-sized) decoded frame before
-    * the presentation sort: `orderBy`'s range partitioner SAMPLES its
-    * child to pick split points, which would execute the whole
-    * render→encode→decode codec pipeline a second time just for the
-    * sampling pass. One executor-local materializing job instead (the
-    * decoded features are KBs; the corpus-sized payloads never pin).
-    */
-  private def sorted(df: DataFrame, by: String*): DataFrame =
-    df.localCheckpoint(true).orderBy(by.map(col): _*)
+  // r16: the mm gates formerly ended in a presentation orderBy, whose
+  // range partitioner SAMPLES its child — the whole render→encode→
+  // decode codec pipeline executed a SECOND time just to pick split
+  // points (mm_scenecut measured 13.1 s warm at sf0.1 on it). The
+  // driver's compare sorts rows itself (the codec gates have passed
+  // order-free for 15 rounds), so the sort bought nothing: the gates
+  // now return the decoded frame unsorted — one map-only pass, no
+  // checkpoint, no sampling, no exchange.
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // REAL javax.imageio PNG decode: binary → per-partition batched
     // decode → dimensions + per-channel pixel sums
     "mm_decode" -> ((s, dir) => {
-      sorted(Multimodal.decodePng(pngTable(s, dir)).toDF(), "doc_id")
+      Multimodal.decodePng(pngTable(s, dir)).toDF()
     }),
 
     // REAL video keyframe sampling: animated-GIF container decode,
     // every 3rd frame rasterized (see gifTable)
     "mm_frames" -> ((s, dir) => {
-      sorted(Multimodal.sampleFrames(gifTable(s, dir)).toDF(),
-        "doc_id", "frame_idx")
+      Multimodal.sampleFrames(gifTable(s, dir)).toDF()
     }),
 
     // REAL box-filter resize of the decoded red channel to 8×8. The
@@ -95,16 +93,16 @@ object MultimodalQueries {
     // rendering is identical in Spark and DuckDB so the compare stays
     // exact.
     "mm_resize" -> ((s, dir) => {
-      sorted(Multimodal.resizePng(pngTable(s, dir))
+      Multimodal.resizePng(pngTable(s, dir))
         .toDF()
         .withColumn("pixels",
-          concat_ws(",", col("pixels").cast("array<string>"))), "doc_id")
+          concat_ws(",", col("pixels").cast("array<string>")))
     }),
 
     // REAL audio feature extraction: javax.sound.sampled WAV decode →
     // per-channel energy / zero-crossings / peak (see wavTable)
     "mm_features" -> ((s, dir) => {
-      sorted(Multimodal.decodeWav(wavTable(s, dir)).toDF(), "doc_id")
+      Multimodal.decodeWav(wavTable(s, dir)).toDF()
     }),
 
     // Energy-based voice-activity detection (§2.66) — the silence-trim
@@ -117,7 +115,7 @@ object MultimodalQueries {
     // activity, counts and run-starts are codegen array folds — zero
     // shuffle at any corpus size beyond the deterministic output sort.
     "mm_vad" -> ((s, dir) => {
-      sorted(Multimodal.wavFrameEnergies(wavTable(s, dir), 32).toDF()
+      Multimodal.wavFrameEnergies(wavTable(s, dir), 32).toDF()
         .select(col("doc_id"), expr("size(fe)").as("n_frames"),
           expr("aggregate(fe, 0L, (a, x) -> a + x)").as("tot"), col("fe"))
         .withColumn("act",
@@ -135,11 +133,7 @@ object MultimodalQueries {
             "aggregate(transform(sequence(0, size(act) - 1), " +
             "i -> IF(element_at(act, i + 1) = 1 AND (i = 0 OR " +
             "element_at(act, greatest(i, 1)) = 0), 1, 0)), " +
-            "0, (a, x) -> a + x)) AS INT)").as("n_segments")),
-        // checkpoint-before-sort (r16): the bare orderBy's range
-        // partitioner SAMPLED the child, running the whole WAV
-        // encode→decode pipeline a second time just to pick split points
-        "doc_id")
+            "0, (a, x) -> a + x)) AS INT)").as("n_segments"))
     }),
 
     // Shot/scene-cut detection (§2.67) — mm_vad's video sibling and the
@@ -151,18 +145,13 @@ object MultimodalQueries {
     // small array per clip leaves the kernel); the cut rule is a
     // codegen array fold — zero shuffle beyond the output sort.
     "mm_scenecut" -> ((s, dir) => {
-      sorted(Multimodal.sceneSads(gifTable(s, dir)).toDF()
+      Multimodal.sceneSads(gifTable(s, dir)).toDF()
         .select(col("doc_id"), expr("size(sad)").as("n_pairs"),
           expr("aggregate(sad, 0L, (a, x) -> a + x)").as("tot"), col("sad"))
         .select(col("doc_id"), col("n_pairs"),
           expr("CAST(aggregate(transform(sad, " +
             "x -> IF(x * n_pairs > tot, 1, 0)), " +
-            "0, (a, x) -> a + x) AS INT)").as("n_cuts")),
-        // checkpoint-before-sort (r16): the bare orderBy's range
-        // partitioner SAMPLED the child — the whole GIF encode→decode
-        // pipeline ran a SECOND time just to pick split points (measured
-        // 13.1 s warm / 17.7 s in-bench at sf0.1; halved by this alone)
-        "doc_id")
+            "0, (a, x) -> a + x) AS INT)").as("n_cuts"))
     }),
 
     // Perceptual average-hash (aHash) image near-dup bucketing — the
@@ -189,7 +178,6 @@ object MultimodalQueries {
         .localCheckpoint(true)
       ph.withColumn("n_same", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("ph"))))
-        .orderBy(col("doc_id"))
     }),
 
     // Image-text PAIR filtering — the LAION-style CLIP-score curation
@@ -219,7 +207,7 @@ object MultimodalQueries {
         .withColumn("tv",
           graft.functions.TextHashExpressions.mod_counts(col("hs"), 64))
         .withColumn("n2t", normQ2(col("tv")))
-      sorted(img.join(txt, "doc_id")
+      img.join(txt, "doc_id")
         .withColumn("dot", dotQ(col("q"), col("tv")))
         // zero-norm guard (the maxCos discipline): 0/0 is NaN, which
         // Spark compares as `NaN > 0.05 = false` while DuckDB orders
@@ -230,7 +218,7 @@ object MultimodalQueries {
           when(col("n2i") === 0 || col("n2t") === 0, lit(0.0))
             .otherwise(cosineFromQ(col("dot"), col("n2i"), col("n2t"))))
         .select(col("doc_id"), col("dot"),
-          col("clip"), (col("clip") > 0.05).as("keep")), "doc_id")
+          col("clip"), (col("clip") > 0.05).as("keep"))
     })
   )
 

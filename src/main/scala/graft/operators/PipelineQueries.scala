@@ -68,7 +68,6 @@ object PipelineQueries {
           when(expr("pmod((lbl % 2147483648) * 2654435761, 4294967296) % 100")
             < 90, lit("train")).otherwise(lit("test")))
         .select(col("doc_id"), col("lbl").as("cluster"), col("split"))
-        .orderBy(col("doc_id"))
       val res = out.localCheckpoint(true)
       pairs.unpersist(blocking = false)
       res
@@ -143,7 +142,6 @@ object PipelineQueries {
           dAdm("doc_id") === dropD("vid"), "left_anti")
         .select(col("doc_id"), col("source"), col("n_tok"), col("q"),
           length(col("norm")).as("norm_len"))
-        .orderBy(col("doc_id"))
       val res = out.localCheckpoint(true)
       d16.unpersist(blocking = false)
       uHashes.unpersist(blocking = false)
@@ -210,7 +208,6 @@ object PipelineQueries {
           dAdm("doc_id") === dropD("vid"), "left_anti")
         .select(col("doc_id"), col("source"), col("n_tok"), col("q"),
           col("norm_len"))
-        .orderBy(col("doc_id"))
       // returned LAZY: dAdm is already checkpointed and dropD rides a
       // broadcast of the checkpointed dHashes, so the consumer's single
       // materialization (Verify's parquet write / Bench's noop sink)
@@ -474,7 +471,6 @@ object PipelineQueries {
           exact("doc_id") === drops("ib"), "left_anti")
         .select(col("doc_id"), col("source"), col("n_tok"), col("q"),
           length(col("norm")).as("norm_len"))
-        .orderBy(col("doc_id"))
       if (!materialize) out0
       else {
         val out = out0.localCheckpoint(true)

@@ -150,7 +150,6 @@ object PrefixSum {
         .withColumn("blk0", expr("cum_before div 1024"))
         .withColumn("blk1", expr("(cum_before + n_tok - 1) div 1024"))
         .withColumn("n_blocks", col("blk1") - col("blk0") + 1)
-        .orderBy(col("doc_id"))
     })
   )
 

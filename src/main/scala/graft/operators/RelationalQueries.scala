@@ -160,7 +160,6 @@ object RelationalQueries {
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
         .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy(col("revenue").desc, col("n_name"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -175,7 +174,6 @@ object RelationalQueries {
           sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
             .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
     // Fact-fact shuffle join + dim join + top-k (TPC-H Q3 style).
@@ -233,7 +231,6 @@ object RelationalQueries {
         .groupBy(col("o_orderkey"), col("o_totalprice"))
         .agg(count(lit(1)).as("n_items"),
           sum(dec(col("l_quantity"))).cast("double").as("qty"))
-        .orderBy(col("o_orderkey"))
     }),
 
     // Window functions: rank + lag + running sum per partition.
@@ -274,7 +271,6 @@ object RelationalQueries {
       highValue.intersect(urgent).except(open)
         .union(highValue.limit(0)) // keep plan shape: union is exercised
         .distinct()
-        .orderBy(col("o_custkey"))
     }),
 
     // ROLLUP grouping sets with grouping() disambiguation.
@@ -290,7 +286,6 @@ object RelationalQueries {
         .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
           col("n"), col("total"), col("g_status"), col("g_prio"))
-        .orderBy(col("g_status"), col("g_prio"), col("status"), col("priority"))
     }),
 
     // Full CUBE over two keys (all four grouping combinations).
@@ -304,7 +299,6 @@ object RelationalQueries {
         .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
           col("n"), col("total"), col("g_status"), col("g_prio"))
-        .orderBy(col("g_status"), col("g_prio"), col("status"), col("priority"))
     }),
 
     // Explicit GROUPING SETS (disjoint key sets, not a rollup prefix).
@@ -336,11 +330,10 @@ object RelationalQueries {
         .select(col("window.start").cast("timestamp_ntz").as("wstart"),
           col("window.end").cast("timestamp_ntz").as("wend"),
           col("event_type"), col("n"), col("total"))
-        .orderBy(col("wstart"), col("event_type"))
     }),
 
     // PIVOT: status × priority matrix via groupBy().pivot().
-    "q_pivot" -> ((s, dir) => pivotWide(s, dir).orderBy(col("status"))),
+    "q_pivot" -> ((s, dir) => pivotWide(s, dir)),
 
     // Window-function battery beyond rank: lag/lead with defaults,
     // ntile, cume_dist, and a running sum — one shuffle on the
@@ -381,7 +374,6 @@ object RelationalQueries {
           // null (priority and status strings never coincide)
           sum((col("pri") <=> col("st")).cast("long")).as("n_both_null"),
           sum(when(col("st").isNull, 1L).otherwise(0L)).as("n_null_status"))
-        .orderBy(col("pri_group"))
     }),
 
     // UNPIVOT (melt): the wide status × priority matrix back to long
@@ -391,8 +383,7 @@ object RelationalQueries {
     "q_unpivot" -> ((s, dir) =>
       pivotWide(s, dir).unpivot(Array(col("status")),
           Array(col("p1"), col("p2"), col("p3"), col("p4"), col("p5")),
-          "priority", "n")
-        .orderBy(col("status"), col("priority"))),
+          "priority", "n")),
 
     // HLL approximate distinct at 5% rsd vs exact (the 100 TB cardinality
     // path): the estimate must land within the documented error envelope,
@@ -407,7 +398,6 @@ object RelationalQueries {
           (abs(col("approx") - col("exact")).cast("double") /
             col("exact").cast("double") <= 0.15).as("within_3rsd"),
           col("exact"))
-        .orderBy(col("l_returnflag"))
     }),
 
     // Semi + anti joins (EXISTS / NOT EXISTS).
@@ -419,7 +409,7 @@ object RelationalQueries {
       val withoutAny = c.join(orders(s, dir),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), lit("no_orders").as("cls"))
-      withBig.unionByName(withoutAny).orderBy(col("cls"), col("c_custkey"))
+      withBig.unionByName(withoutAny)
     }),
 
     // Exact distinct + conditional aggregation (pivot-style CASE sums).
@@ -446,7 +436,6 @@ object RelationalQueries {
       sums.join(nOrders, "l_returnflag").join(nPartSupp, "l_returnflag")
         .select(col("l_returnflag"), col("n_orders"), col("n_part_supp"),
           col("qty_f"), col("qty_o"))
-        .orderBy(col("l_returnflag"))
     }),
 
     // HAVING + join-free correlated-style predicate via self-aggregation.
@@ -456,7 +445,6 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(dec(col("o_totalprice"))).cast("double").as("spend"))
         .filter(col("n_orders") >= 15)
-        .orderBy(col("o_custkey"))
     }),
 
     // Global top-k with deterministic tie-break (ORDER BY + LIMIT).
@@ -476,7 +464,6 @@ object RelationalQueries {
           col("p_size").between(5, 40))
         .select(col("p_partkey"), col("p_name"), col("p_brand"),
           col("p_type"), col("p_size"))
-        .orderBy(col("p_partkey"))
     })
   )
 

@@ -118,7 +118,6 @@ object RetrievalQueries {
       val ranked = scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select(col("qid"), col("doc_id"), col("score_u"), col("rn"))
-        .orderBy(col("qid"), col("rn"))
       if (!materialize) ranked
       else {
         // result is ≤ 10·|queries| rows — eager materialize, release caches
@@ -164,7 +163,6 @@ object RetrievalQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bi"), sum(col("nll")).as("nll_u"))
         .withColumn("avg_u", expr("nll_u div n_bi"))
-        .orderBy(col("doc_id"))
       if (!materialize) scored
       else {
         // eager materialize (the per-doc score table IS the operator's
@@ -290,7 +288,6 @@ object RetrievalQueries {
     fused.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("doc_id"), col("rrf_u"), col("rn"))
-      .orderBy(col("qid"), col("rn"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -331,7 +328,6 @@ object RetrievalQueries {
         .agg(expr("array_join(transform(sort_array(collect_list(struct(pos, id)))," +
           " x -> CAST(x.id AS STRING)), ',')").as("ids"),
           sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"))
-        .orderBy(col("doc_id"))
         .localCheckpoint(true)
       toks.unpersist(blocking = false)
       out

@@ -42,7 +42,6 @@ object SamplingQueries {
         .withColumn("pct", expr(pctExpr))
         .filter(col("pct") < when(col("lang") === "en", 10).otherwise(30))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .orderBy(col("doc_id"))
     }),
 
     // Reservoir-style k-per-stratum sample, deterministically: rank each
@@ -61,7 +60,6 @@ object SamplingQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("lang"), col("source"), col("doc_id"), col("rn"))
-        .orderBy(col("lang"), col("source"), col("rn"))
     }),
 
     // Domain mixing under a token budget — the "sampling weights" step
@@ -102,7 +100,6 @@ object SamplingQueries {
         .filter(expr(s"$pctHash % 1000000") < col("rate_u"))
         .groupBy(col("source"), col("w"), col("src_tok"), col("rate_u"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
-        .orderBy(col("source"))
     }),
 
     // WEIGHTED priority sampling (§2.64) — the Duffield-Lund-Thorup
@@ -134,7 +131,6 @@ object SamplingQueries {
         .filter(col("rn") <= 8)
         .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
           col("prio"))
-        .orderBy(col("o_orderpriority"), col("rn"))
     }),
 
     // Per-language length distribution: exact quartiles of n_chars
@@ -151,7 +147,6 @@ object SamplingQueries {
         .select(col("lang"), col("n"), col("q25"), col("q50"), col("q75"),
           (abs(col("approx_q50") - col("q50")) <= col("q50") * 0.05)
             .as("approx_ok"))
-        .orderBy(col("lang"))
     })
   )
 

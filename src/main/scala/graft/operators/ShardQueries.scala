@@ -104,8 +104,7 @@ object ShardQueries {
     // distributed scan ≡ the single-window semantics end-to-end.
     "pipe_shard" -> ((s, dir) =>
       assignShards(s, dir)
-        .select(col("doc_id"), col("n_tok"), col("shard"))
-        .orderBy(col("doc_id")))
+        .select(col("doc_id"), col("n_tok"), col("shard")))
   )
 
   def oracleSql: Map[String, String] = Map(

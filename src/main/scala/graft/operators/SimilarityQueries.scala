@@ -77,7 +77,6 @@ object SimilarityQueries {
         cosineFromQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
       .filter(col("cos") >= 0.30)
       .select(col("cell"), col("ia"), col("ib"), col("cos"))
-      .orderBy(col("ia"), col("ib"))
     if (!materialize) out0
     else {
       val out = out0.localCheckpoint(true)
@@ -598,7 +597,6 @@ object SimilarityQueries {
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
         col("e.id").as("vec_id"), col("e.score").as("cos"))
-      .orderBy(col("qid"), col("rn"))
   }
 
   /** [[ivfPqServe]] over a raw quantized frame: `corpusCodes` carries
@@ -844,7 +842,6 @@ object SimilarityQueries {
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
         col("e.id").as("vec_id"), col("e.score").as("cos"))
-      .orderBy(col("qid"), col("rn"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -869,7 +866,6 @@ object SimilarityQueries {
         .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
           col("e.id").as("vec_id"), col("e.payload").as("dot"),
           col("e.score").as("cos"))
-        .orderBy(col("qid"), col("rn"))
     }),
 
     // Hard-negative mining (§2.60) — the contrastive-training data op
@@ -907,7 +903,6 @@ object SimilarityQueries {
         .filter(col("pos") >= 1) // rank 1 = presumed unlabeled positive
         .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
           col("e.id").as("vec_id"), col("e.score").as("cos"))
-        .orderBy(col("qid"), col("rn"))
     }),
 
     // IVF: coarse-quantizer cells + bounded probing — the other 100 TB
@@ -949,7 +944,6 @@ object SimilarityQueries {
         .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
         .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
           col("e.id").as("vec_id"), col("e.score").as("cos"))
-        .orderBy(col("qid"), col("rn"))
     }),
 
     "ann_lsh" -> ((s, dir) => {
@@ -965,7 +959,6 @@ object SimilarityQueries {
         .select(col("ia"), col("bucket"),
           col("top").getItem(0).getField("id").as("nn"),
           col("top").getItem(0).getField("score").as("cos"))
-        .orderBy(col("ia"))
     }),
 
     // SEMANTIC dedup, the SemDeDup shape (cluster-then-pairwise): assign
@@ -1057,7 +1050,6 @@ object SimilarityQueries {
         .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
         .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
           col("e.id").as("vec_id"), col("e.score").as("cos"))
-        .orderBy(col("qid"), col("rn"))
     }),
 
     // PQ-ADC two-stage retrieval — the OTHER faiss serving shape (IVFPQ's
@@ -1098,7 +1090,6 @@ object SimilarityQueries {
         .select(col("vec_id"),
           max_cos_native(col("q"), bench).as("max_cos"))
         .withColumn("contaminated", col("max_cos") >= 0.35)
-        .orderBy(col("vec_id"))
     }),
 
     // IVF-PQ — the composed faiss serving index; see [[ivfPq]].
@@ -1192,7 +1183,6 @@ object SimilarityQueries {
         .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
         .select(col("qid"), (col("pos") + 1).cast("long").as("rn"),
           col("e.id").as("vec_id"), col("e.score").as("cos"))
-        .orderBy(col("qid"), col("rn"))
     })
   )
 
@@ -1397,7 +1387,6 @@ object SimilarityQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") > 1 && col("rk") <= k + 1) // skip presumed positive
       .select(col("qid"), col("rk").cast("long").as("rn"), col("vec_id"))
-      .orderBy(col("qid"), col("rn"))
   }
 
   def oracleSql: Map[String, String] = Map(

@@ -53,7 +53,6 @@ object SkewJoin {
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("cents") * col("n") > col("sum_cents"), 1L)
             .otherwise(0L)).as("n_above_avg"))
-        .orderBy(col("event_type"))
     })
   )
 

@@ -81,7 +81,6 @@ object SnapshotDiff {
         .unionByName(base.filter(col("k") % 13 === 0)
           .select((-col("k")).as("k"), col("cents")))
       val out = diff(oldSnap, newSnap, "k", Seq("cents"))
-        .orderBy(col("k"))
         .localCheckpoint(true)
       base.unpersist(blocking = false)
       out

@@ -186,7 +186,6 @@ object SourceQueries {
       ChangeStreams.assembleBatch(back)
         .select(element_at(col("after"), "doc_id").cast("long").as("doc_id"),
           element_at(col("after"), "body").as("body"))
-        .orderBy(col("doc_id"))
     }),
 
     // S4: LogMiner SQL_REDO text parse — redo SQL is SYNTHESIZED from
@@ -235,7 +234,6 @@ object SourceQueries {
         .select(((col("o_orderkey") % 4) + 1).cast("int").as("thread"),
           expr("o_orderkey DIV 4").as("seq"))
       graft.redo.RedoTopology.gapReport(topo, "thread", "seq")
-        .orderBy(col("thread"), col("gap_start"))
     })
   )
 
@@ -291,7 +289,6 @@ object SourceQueries {
         // float64 / µs frames
         col("price_s").cast("decimal(12,2)").cast("double").as("price"),
         col("odate_s").cast("timestamp_ntz").as("odate"), col("prio"))
-      .orderBy(col("okey"))
   }
 
   /** Identical expected emission to t1_txn_asm — by construction the

@@ -172,7 +172,6 @@ object TemporalQueries {
             coalesce(col("nxt") - 1, col("day")))).as("day"))
         .select(col("user_id"), col("day"), col("v").as("value"),
           (col("day") =!= col("obs_day")).as("filled"))
-        .orderBy(col("user_id"), col("day"))
     }),
 
     // Rolling anomaly detection (§2.62) — the streaming-metrics staple:
@@ -214,7 +213,6 @@ object TemporalQueries {
               (col("n") * col("x") - col("sx")) >
               lit(9L) * (col("n") * col("qx") - col("sx") * col("sx")))
             .as("anomaly"))
-        .orderBy(col("event_id"))
     }),
 
     // Robust outlier detection (§2.68) — the Hampel/median-MAD filter,
@@ -247,7 +245,6 @@ object TemporalQueries {
       dev.join(mad, "user_id")
         .select(col("event_id"), col("user_id"),
           (col("d2") * 2 > col("mad2") * 3).as("outlier"))
-        .orderBy(col("event_id"))
     }),
 
     // Per-key trend extraction (§2.71) — the closed-form OLS slope of
@@ -280,7 +277,6 @@ object TemporalQueries {
         .select(col("user_id"), col("n"),
           (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
           (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
-        .orderBy(col("user_id"))
     }),
 
     // As-of join: every event picks up the most recent error event of
@@ -351,7 +347,6 @@ object TemporalQueries {
         .select(col("a_id"), col("b_id"),
           (least(col("e1"), col("e2")) -
             greatest(col("s1"), col("s2"))).as("overlap_us"))
-        .orderBy(col("a_id"), col("b_id"))
     }),
 
     // Sessionization: per-user sessions split on a >3h inactivity gap
@@ -385,7 +380,6 @@ object TemporalQueries {
       act.join(first, "user_id")
         .groupBy(col("cd").as("cohort_day"), (col("d") - col("cd")).as("day_off"))
         .agg(count(lit(1)).as("n_users"))
-        .orderBy(col("cohort_day"), col("day_off"))
     }),
 
     // Ordered funnel analysis (view → click → purchase): the product-
@@ -419,7 +413,6 @@ object TemporalQueries {
           expr("CAST(CASE WHEN f.t3 IS NOT NULL THEN 3" +
             " WHEN f.t2 IS NOT NULL THEN 2" +
             " WHEN f.t1 IS NOT NULL THEN 1 ELSE 0 END AS INT)").as("stage"))
-        .orderBy(col("user_id"))
     }),
 
     // Time-series top-k similarity search (the EDBT'19/ICDE'21 shape in
@@ -460,7 +453,6 @@ object TemporalQueries {
           Window.partitionBy(col("qid")).orderBy(col("dist"), col("user_id"))))
         .filter(col("rn") <= 3)
         .select(col("qid"), col("rn"), col("user_id"), col("dist"))
-        .orderBy(col("qid"), col("rn"))
     })
   )
 

@@ -32,7 +32,6 @@ object TextQueries {
           countDistinct(col("h")).as("n_distinct"))
         .select(col("source"), col("n_bigrams"), col("n_distinct"),
           expr("n_distinct * 1000000 div n_bigrams").as("diversity_u"))
-        .orderBy(col("source"))
     }),
 
     // Token counting, both ways the mandate names: whitespace tokens AND
@@ -50,7 +49,6 @@ object TextQueries {
             lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"))
             .as("n_piece"),
           length(col("text")).as("text_len"))
-        .orderBy(col("doc_id"))
     }),
 
     "text_quality" -> ((s, dir) => {
@@ -58,13 +56,11 @@ object TextQueries {
         .select(col("doc_id"),
           tokenCount(col("text")).as("n_tok"),
           qualityScore(col("text")).as("q"))
-        .orderBy(col("doc_id"))
     }),
 
     "text_lang_id" -> ((s, dir) => {
       documents(s, dir)
         .select(col("doc_id"), langId(tokens(col("text"))).as("pred"))
-        .orderBy(col("doc_id"))
     }),
 
     // Token-less documents are dropped: the oracle's per-token GROUP BY
@@ -79,7 +75,6 @@ object TextQueries {
         .filter(tokenCount(col("text")) > 0)
         .select(col("doc_id"),
           docFingerprint(tokens(col("text"))).as("fp"))
-        .orderBy(col("doc_id"))
     }),
 
     // PII scrubbing: mask emails and long digit runs before a corpus
@@ -100,7 +95,6 @@ object TextQueries {
             num, "<NUM>").as("scrubbed"),
           regexp_count(col("raw"), lit(email)).as("n_emails"),
           regexp_count(col("raw"), lit(num)).as("n_nums"))
-        .orderBy(col("doc_id"))
     }),
 
     // Normalization: lowercase + whitespace collapse + trim — the
@@ -110,7 +104,6 @@ object TextQueries {
         .select(col("doc_id"),
           trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
         .withColumn("norm_len", length(col("norm")))
-        .orderBy(col("doc_id"))
     }),
 
     // Benchmark DECONTAMINATION — the eval-overlap sweep every serious
@@ -149,7 +142,6 @@ object TextQueries {
         .withColumn("top2_frac_u", expr("top2 * 1000000 div n_bi"))
         .withColumn("flagged",
           col("dup_frac_u") > 620000 || col("top2_frac_u") > 80000)
-        .orderBy(col("doc_id"))
     }),
 
     // Line-level GLOBAL exact dedup + document reconstruction — the C4
@@ -184,7 +176,6 @@ object TextQueries {
           expr("concat_ws(' ', transform(array_sort(" +
             "collect_list(struct(line_no, line))), e -> e.line))")
             .as("new_text"))
-        .orderBy(col("doc_id"))
     }),
 
     // Model-based quality filtering — the fastText/CCNet-style linear
@@ -204,7 +195,6 @@ object TextQueries {
         .filter(size(col("tk")) > 0)
         .select(col("doc_id"), classifierScore(col("tk")).as("score"))
         .withColumn("keep", col("score") > 0)
-        .orderBy(col("doc_id"))
     }),
 
     // DSIR-style importance reweighting (Xie et al. 2023, "Data
@@ -245,7 +235,6 @@ object TextQueries {
         .select(col("doc_id"), col("n_gram"),
           size(col("fp")).cast("long").as("n_fp"),
           sum_longs(col("fp")).as("fp_sum"))
-        .orderBy(col("doc_id"))
     }),
 
     // Corpus-wide frequent terms via the Misra–Gries sketch (bounded
@@ -300,7 +289,6 @@ object TextQueries {
       .select(col("doc_id"), size(col("ds")).cast("long").as("n"),
         intersect_count_sorted(col("ds"), lit(bench)).as("n_hit"))
       .withColumn("contaminated", col("n_hit") >= 8)
-      .orderBy(col("doc_id"))
   }
 
   /** DSIR plan shared by the gate (materialize = true: persist/force/
@@ -324,7 +312,6 @@ object TextQueries {
       .agg(sum(col("r")).as("rsum"), count(lit(1)).as("n"))
       .select(col("doc_id"), expr("rsum div n").as("wt_u"),
         (expr("rsum div n") > 500000L).as("keep"))
-      .orderBy(col("doc_id"))
     if (!materialize) scored
     else {
       val out = scored.localCheckpoint(true)

@@ -79,7 +79,6 @@ object TokenizerQueries {
               "CASE WHEN NOT element_at(m, i+1) THEN array() " +
               "WHEN i = 0 OR NOT element_at(m, i) THEN array('<X>', element_at(tk, i+1)) " +
               "ELSE array(element_at(tk, i+1)) END))")).as("target_text"))
-        .orderBy(col("doc_id"))
     }),
 
     // Sliding-window document chunking — the retrieval/embedding prep
@@ -104,7 +103,6 @@ object TokenizerQueries {
           col("c.start").cast("long").as("start"),
           size(col("c.w")).cast("long").as("n_chunk_tok"),
           concat_ws(" ", col("c.w")).as("chunk_text"))
-        .orderBy(col("doc_id"), col("start"))
     })
   )
 
@@ -154,7 +152,6 @@ object TokenizerQueries {
           "transform(filter(sequence(0, size(tk)-1)," +
             " i -> NOT array_contains(cov, i))," +
             " i -> element_at(tk, i+1))")).as("new_text"))
-      .orderBy(col("doc_id"))
     if (!materialize) out
     else {
       val res = out.localCheckpoint(true)
@@ -269,7 +266,6 @@ object TokenizerQueries {
       // output proves the TRAIN stage, not just the packing
       .withColumn("m1", lit(merges(0))).withColumn("m2", lit(merges(1)))
       .withColumn("m3", lit(merges(2)))
-      .orderBy(col("doc_id"))
   }
 
   /** One BPE training iteration. The pair statistic counts OVERLAPPING
@@ -304,7 +300,6 @@ object TokenizerQueries {
           lit(1.toChar.toString)))).as("n_sym1"),
         first(col("best_pair")).as("best_pair"),
         first(col("best_cnt")).as("best_cnt"))
-      .orderBy(col("doc_id"))
     if (!materialize) out
     else {
       val res = out.localCheckpoint(true)

@@ -38,7 +38,6 @@ object ZOrderLayout {
         .groupBy(expr("z div 4096").as("z_block"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
           min(col("z")).as("z_min"), max(col("z")).as("z_max"))
-        .orderBy(col("z_block"))
     })
   )
 
