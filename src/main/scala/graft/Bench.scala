@@ -146,6 +146,19 @@ object Bench {
           s"[bench] warmup curated-base build failed (first timed " +
           s"pipe_incr* wall will include the rebuild): ${e.getMessage}")
       }
+      // GIF codec JIT warmup (r16): the first heavy use of the JDK GIF
+      // writer/reader classes runs at C1/interpreter speed until their
+      // many small methods cross compile thresholds — measured 772
+      // process-CPU s on mm_frames' take-1 vs 24 s in the same process
+      // warm (r16 baseline; ~115 vs ~25 after the kernel rework). The
+      // sf0.001 per-query pre-run encodes only ~50 clips — too few
+      // invocations. 2000 clips here (~1.5 s untimed, single kernel
+      // call path) bring the codec to the steady state a long-lived
+      // session runs at, per the warmup contract above.
+      try if (wantsAny("mm_frames", "mm_scenecut")) {
+        val acc = graft.functions.Multimodal.warmGifCodec(2000)
+        if (acc == Long.MinValue) System.err.println("") // keep acc live
+      } catch { case scala.util.control.NonFatal(_) => () }
       // same lifecycle for retr_rrf's dense-arm index (r12): train once
       // at ingest, every serve loads + probes — the timed gate measures
       // the production query shape, not a per-run re-train
@@ -330,7 +343,7 @@ object Bench {
     // 0.4 s and 30% of its wall (the contention signature — the engine
     // did cpu seconds of work, the wall shows steal/scheduler
     // contention) is a candidate, taken worst-first under an untimed
-    // budget of max(20 s, 15% of the sweep's total) of first-take
+    // budget of max(20 s, 20% of the sweep's total) of first-take
     // wall. A calm box produces few candidates (retakes stay ~the old
     // k=6 cost); a stolen-from box retakes everything the evidence
     // implicates. Both takes ride in bench_telemetry (the retake
@@ -363,7 +376,7 @@ object Bench {
         val worst =
           if (retakeK > 0) excess.take(retakeK).map(_._1).toSet
           else {
-            val budget = math.max(20.0, 0.15 * results0.map(_._2).sum)
+            val budget = math.max(20.0, 0.2 * results0.map(_._2).sum)
             var spent = 0.0
             excess.iterator
               .filter { case (_, w, e) => e >= 0.4 && e >= 0.3 * w }

@@ -521,6 +521,39 @@ object Multimodal {
     out
   }
 
+  /** JIT warm of the GIF encode+decode kernel path (r16): the JDK GIF
+    * writer/reader's many small methods run at C1/interpreter speed
+    * until they cross compile thresholds — the first heavy gate use
+    * measured ~4-30× its steady-state CPU. One driver-thread loop over
+    * `n` clips (encode → frame count → decode every 3rd frame → pixel
+    * read) exercises exactly the gate kernels; callers run it untimed
+    * (Bench warmup). Returns a checksum so the work cannot be
+    * dead-code-eliminated.
+    */
+  def warmGifCodec(n: Int): Long = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val reader = gifReader.get()
+    var acc = 0L
+    var i = 0L
+    while (i < n) {
+      val p = syntheticGif(i)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        reader.setInput(iis)
+        val nf = reader.getNumImages(true)
+        var f = 0
+        while (f < nf) {
+          val px = grayPixels(reader.read(f))
+          acc += px(0) + px(px.length - 1)
+          f += 3
+        }
+      } finally { reader.setInput(null); iis.close() }
+      i += 1
+    }
+    acc
+  }
+
   def sceneSads(df: DataFrame, step: Int = 3): Dataset[SceneSads] = {
     require(step > 0, s"step must be positive, got $step")
     val spark = df.sparkSession
