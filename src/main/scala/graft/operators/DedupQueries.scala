@@ -804,7 +804,8 @@ object DedupQueries {
     * scan-of-cached-blocks job — no separate delta join.
     */
   private[operators] def connectedComponents(vertices: DataFrame,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame, edgesPerTask: Long = 5000000L): DataFrame = {
+    require(edgesPerTask > 0, s"edgesPerTask must be positive: $edgesPerTask")
     val spark = vertices.sparkSession
     import spark.implicits._
     // lineage truncation per round: each round's frame derives from the
@@ -839,7 +840,8 @@ object DedupQueries {
     val p0 = pairs.select(col("ia").cast("long"), col("ib").cast("long"))
       .persist()
     val edgeCount = p0.count()
-    val contractParts = math.max(1L, (edgeCount + 4999999L) / 5000000L).toInt
+    val contractParts =
+      math.max(1L, (edgeCount + edgesPerTask - 1) / edgesPerTask).toInt
     val contracted = p0.repartition(contractParts).as[(Long, Long)]
       .mapPartitions { it =>
         val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -860,20 +862,35 @@ object DedupQueries {
         val ks = parent.keys.toArray
         ks.iterator.map(k => (find(k), k))
       }.toDF("ia", "ib")
+    // SINGLE-PARTITION SHORTCUT (r16): when the whole candidate graph
+    // fits one contraction task, the union-find pass IS a complete
+    // sequential connected-components — links always point to the
+    // smaller id and find() fully compresses, so every emitted pair is
+    // (global component minimum, node) and `init` below is already the
+    // final labeling. The iterative machinery (the undirected edge
+    // frame's persist+count plus one guaranteed-no-op fixpoint round,
+    // ~2 s of sequential job floor at gate scale) is skipped outright;
+    // multi-partition contractions run the loop exactly as before.
+    // CcShortcutSpec pins the two paths label-identical on graphs run
+    // both ways (edgesPerTask forces the multi-partition path).
+    //
     // materialize the edge list ONCE: without the persist every round's
     // join would recompute the entire candidate-generation subtree
     // (shingle → signature → bucket-rep join → union-find). Edges are
     // mapping-sized (≤ active nodes) by construction, not corpus-sized.
     // both edge directions via one explode, NOT a self-union: each union
     // branch would recompute the candidate-generation subtree twice
-    val und = contracted.select(explode(array(
-        struct(col("ia").as("src"), col("ib").as("dst")),
-        struct(col("ib").as("src"), col("ia").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
+    val needLoop = contractParts > 1
+    val undOpt =
+      if (!needLoop) None
+      else Some(contracted.select(explode(array(
+          struct(col("ia").as("src"), col("ib").as("dst")),
+          struct(col("ib").as("src"), col("ia").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .persist())
     if (sys.env.contains("GRAFT_CC_TRACE"))
       println(s"[cc] build t=${System.nanoTime() / 1e9} edges=$edgeCount parts=$contractParts")
-    und.count()
+    undOpt.foreach(_.count())
     if (sys.env.contains("GRAFT_CC_TRACE"))
       println(s"[cc] edges t=${System.nanoTime() / 1e9}")
     // iterate ONLY over edge-incident vertices: a vertex with no edges
@@ -920,9 +937,12 @@ object DedupQueries {
     // frontier only — the frontier shrinks geometrically while the full
     // label table is touched once per round via one left join
     var frontier = mat
-    var changed = 1L
+    // single-partition contraction: labels are final (see the shortcut
+    // note above) — enter the loop only when partitions could disagree
+    var changed = if (needLoop) 1L else 0L
     var iter = 0
     while (changed > 0 && iter < 64) {
+      val und = undOpt.get
       val nbrMin = und.join(frontier, und("dst") === frontier("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
       // propagation: one-hop neighbor min folded into the label table
@@ -961,7 +981,7 @@ object DedupQueries {
       frontier = next.filter(col("chg")).select(col("doc_id"), col("cluster"))
       iter += 1
     }
-    und.unpersist()
+    undOpt.foreach(_.unpersist())
     // `mat` (the final round's blocks) stays materialized for the caller
     // to consume; session-level hygiene (Bench/Verify unpersist sweep)
     // reclaims it after the query's action completes.
