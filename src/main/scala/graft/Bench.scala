@@ -351,6 +351,13 @@ object Bench {
     // worst-k pool; 0 disables.
     val retakeK = sys.env.get("SPARK_GRAFT_BENCH_RETAKE") match {
       case None => -1 // auto: evidence-scaled pool
+      case Some(v) if v.toIntOption.exists(_ < 0) =>
+        // pre-r16, any k <= 0 disabled retakes; keep explicit negatives
+        // meaning "disabled" so an operator's old setting still does
+        // what it did (auto mode is the unset default, not -1)
+        System.err.println(s"[bench] SPARK_GRAFT_BENCH_RETAKE='$v' < 0 — " +
+          "treating as 0 (retakes disabled); unset the var for auto mode")
+        0
       case Some(v) => v.toIntOption.getOrElse {
         // an unparsable value ("off", "false") is someone trying to
         // DISABLE retakes — honor the intent loudly rather than
@@ -430,12 +437,22 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
         .stripSuffix("0").stripSuffix(".")
-    // per-query values as INTEGER DECISECONDS ("ds"): the same
-    // 0.1 s resolution as 1-decimal seconds (run-to-run variance ±20%
-    // dwarfs anything finer) at 1-2 fewer chars per entry — the ~90
-    // chars that let ALL 91 queries fit the driver's 2000-char tail
-    // (r6 recorded "omitted":2 with 1-decimal seconds)
-    def fmtQ(v: Double): String = math.round(v * 10).toString
+    // per-query values as 1-decimal SECONDS under "queries" — the
+    // documented contract shape ({"metric","value","unit","queries","sf"}).
+    // r16 verdict: 16 rounds of BENCH_r*.json carried "parsed": null
+    // because the per-query map rode under "ds" in deciseconds; the
+    // driver's parser accepts only the documented shape. Seconds cost
+    // 1-2 chars more per entry than deciseconds, so ~10 of the fastest
+    // gates move into the aggregate floor bucket (the overflow loop
+    // below) — their full-precision values still ride in
+    // bench_telemetry.json.
+    def fmtQ(v: Double): String = fmt(v)
+    // sf parsed from the data dir basename ("sf0.1" -> 0.1) per the
+    // contract; non-numeric suffixes (scaled fixtures) fall back to 0
+    val sfStr = {
+      val base = new java.io.File(sfDir).getName.stripPrefix("sf")
+      if (base.nonEmpty && base.matches("""\d+(\.\d+)?""")) base else "0"
+    }
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs =
@@ -459,17 +476,13 @@ object Bench {
         Double.box(loadStart), Double.box(osBean.getSystemLoadAverage),
         Long.box(gcMs - gcStart),
         Long.box((cpuTimeNs - cpuStart) / 1000000000L))
-      // "value" stays in seconds (the contract's unit); the per-query
-      // breakdown is keyed "ds" — integer DECISECONDS — because
-      // with 97 queries a 1-decimal-seconds map (or a longer key:
-      // 96 gates measured 1987 of the 1990-char budget under
-      // "queries_ds") overflows the driver's 2000-char tail
-      // (build.sbt also suppresses sbt's trailing [success] line for
-      // the same reason). The former "sf" field is dropped for the
-      // same budget: the driver sets SPARK_GRAFT_SF_DIR itself and
-      // records sf in its own wrapper; full per-query evidence rides
-      // in bench_telemetry.json regardless.
-      s"""{"metric":"total","value":${fmt(total)},"ds":$qs$errs$fl$env}"""
+      // documented one-line shape, contract keys first ("metric",
+      // "value", "unit", "queries", "sf"), extras ("errors", "fl",
+      // "env") after — a JSON parser reading the contract keys ignores
+      // them. build.sbt suppresses sbt's trailing [success] line so
+      // this line ends the 2000-char driver tail.
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":$qs,"sf":$sfStr$errs$fl$env}"""
     }
     // self-limiting breakdown: failed queries are already named in the
     // errors array, so they don't repeat in the timings map; if the

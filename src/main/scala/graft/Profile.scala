@@ -566,6 +566,42 @@ object Profile {
           println(f"$name rows=${evs.length} chunks=${chunks.size} " +
             f"pairs=$n wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
         } finally q.stop()
+      } else if (name == "rrf_parts") {
+        // stage attribution for retr_rrf: sparse arm vs dense arm vs
+        // fused total (each pass repeated so warm cost is visible)
+        (1 to 2).foreach { pass =>
+          val t0 = System.nanoTime()
+          graft.operators.RetrievalQueries.bm25(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          val t1 = System.nanoTime()
+          graft.operators.RetrievalQueries.denseTop10(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          val t2 = System.nanoTime()
+          graft.SparkEntry.queries("retr_rrf")(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          val t3 = System.nanoTime()
+          println(f"rrf_parts pass$pass bm25=${(t1 - t0) / 1e9}%5.2f " +
+            f"dense=${(t2 - t1) / 1e9}%5.2f full=${(t3 - t2) / 1e9}%5.2f")
+        }
+      } else if (name.startsWith("lazy_explain:")) {
+        // dump the LAZY (materialize = false) plan of a gate whose entry
+        // form ends in an eager localCheckpoint — the gate explain would
+        // show only the checkpoint's RDD scan (the r16 plans/NOTES.md
+        // convention: pagerank_explain's reason, generalized)
+        val g = name.split(':')(1)
+        val df = g match {
+          case "text_lm_score" =>
+            graft.operators.RetrievalQueries.lmScore(spark, dir, materialize = false)
+          case "text_bm25" =>
+            graft.operators.RetrievalQueries.bm25(spark, dir, materialize = false)
+          case "pipe_curate" =>
+            graft.operators.PipelineQueries.curate(spark, dir, materialize = false)
+          case "retr_rrf" =>
+            graft.operators.RetrievalQueries.rrf(spark, dir, materialize = false)
+          case other => sys.error(s"no lazy form wired for $other")
+        }
+        df.explain("formatted")
+        spark.sharedState.cacheManager.clearCache()
       } else if (name == "pagerank_explain") {
         // dump the 2-superstep lazy plan: which join strategy does the
         // contrib (ranks ⋈ deg) join get, and does the edge side stay

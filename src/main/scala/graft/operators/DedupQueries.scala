@@ -485,11 +485,16 @@ object DedupQueries {
     // that language's exclusive offset for this partition
     val ranked = parted.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
+      // explicit first-row sentinel: `cur == null` would re-fire on every
+      // row of a null-lang run, resetting the counter each time and
+      // diverging from the windowed formulation this helper must match
+      var started = false
       var cur: String = null
       var run = 0L
       it.map { r =>
         val lang = r.getString(langIdx)
-        if (cur == null || lang != cur) {
+        if (!started || lang != cur) {
+          started = true
           cur = lang
           run = bOff.value.getOrElse((pid, lang), 0L)
         }

@@ -56,9 +56,12 @@ object JdbcGateQueries {
           |  CUSTKEY BIGINT NOT NULL,
           |  PRICE NUMERIC(12,2) NOT NULL)""".stripMargin)
       conn.close()
+      val seedParts = sys.env.get("GRAFT_JDBC_SEEDPARTS").map(_.toInt).getOrElse(32)
+      val seedBatch = sys.env.get("GRAFT_JDBC_BATCH").map(_.toInt).getOrElse(1000)
       orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice").cast("decimal(12,2)").as("price"))
+        .coalesce(seedParts)
         .foreachPartition { (rows: Iterator[Row]) =>
           if (rows.nonEmpty) {
             val c = DriverManager.getConnection(url)
@@ -71,13 +74,15 @@ object JdbcGateQueries {
                 ps.setLong(2, r.getLong(1))
                 ps.setBigDecimal(3, r.getDecimal(2))
                 ps.addBatch(); n += 1
-                if (n % 1000 == 0) ps.executeBatch()
+                if (n % seedBatch == 0) ps.executeBatch()
               }
               ps.executeBatch()
               c.commit()
             } finally { ps.close(); c.close() }
           }
         }
+      if (sys.env.contains("GRAFT_JDBC_TRACE"))
+        System.err.println(s"[s3] seeded t=${System.nanoTime / 1e9}")
       val outDir = Files.createTempDirectory("s3_poll_out").toFile.getAbsolutePath
       val q = s.readStream.format("graft-jdbc-poll")
         .option("url", url)
@@ -102,6 +107,8 @@ object JdbcGateQueries {
         throw new IllegalStateException(
           "s3_jdbc_poll: AvailableNow drain did not finish within 300s")
       }
+      if (sys.env.contains("GRAFT_JDBC_TRACE"))
+        System.err.println(s"[s3] drained t=${System.nanoTime / 1e9}")
       // the stream has drained to parquet; the Derby copy of orders is
       // dead weight from here — release its heap
       dropDerby(url)
@@ -121,12 +128,18 @@ object JdbcGateQueries {
         col("c_custkey").as("ID"),
         col("c_name").as("NAME"),
         col("c_acctbal").cast("decimal(12,2)").cast("string").as("ACCTBAL"))
+      val trace = sys.env.contains("GRAFT_JDBC_TRACE")
+      def tr(l: String): Unit =
+        if (trace) System.err.println(s"[k34] $l t=${System.nanoTime / 1e9}")
       val sink = JdbcUpsertSink(url, table, keyCols = Seq("ID"),
-        dialect = DerbyDialect)
+        dialect = DerbyDialect,
+        batchSize = sys.env.get("GRAFT_JDBC_BATCH").map(_.toInt).getOrElse(1000))
+      tr("start")
       sink.writeBatch(base
         .withColumn("op", lit(graft.cdc.Ops.Insert))
         .withColumn("commitScn", col("ID"))
         .withColumn("scn", col("ID")))
+      tr("base upserted")
       val partial = PartialUpsertSink(url, table, keyCols = Seq("ID"))
       partial.writeBatch(base
         .filter(col("ID") % 3 === 0)
@@ -134,10 +147,12 @@ object JdbcGateQueries {
           map(lit("ACCTBAL"),
             (col("ACCTBAL").cast("decimal(12,2)") + 100)
               .cast("decimal(12,2)").cast("string")).as("vals")))
+      tr("partial updates")
       partial.writeBatch(base
         .filter(col("ID") % 7 === 0)
         .select(col("ID"), lit("d").as("op"),
           map().cast("map<string,string>").as("vals")))
+      tr("deletes")
       // materialize the applied table (eager localCheckpoint truncates
       // the lineage off Derby) so the database — a full customer copy on
       // the heap — can be dropped HERE instead of leaking per invocation.
@@ -150,6 +165,7 @@ object JdbcGateQueries {
         .select(col("ID").cast("long").as("id"), col("NAME").as("name"),
           col("ACCTBAL").cast("double").as("acctbal"))
         .localCheckpoint(true)
+      tr("read back")
       dropDerby(url)
       out
     })

@@ -113,7 +113,7 @@ object MultimodalQueries {
     // runs of consecutive active frames. Decode + frame energies are
     // map-only (one small array per clip crosses out of the kernel);
     // activity, counts and run-starts are codegen array folds — zero
-    // shuffle at any corpus size beyond the deterministic output sort.
+    // shuffle at any corpus size.
     "mm_vad" -> ((s, dir) => {
       Multimodal.wavFrameEnergies(wavTable(s, dir), 32).toDF()
         .select(col("doc_id"), expr("size(fe)").as("n_frames"),

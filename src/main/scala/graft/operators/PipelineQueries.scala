@@ -54,12 +54,45 @@ object PipelineQueries {
     // curated subset + one join — both bounded by the curated set, and
     // the split itself stays the map-side Knuth-hash expression.
     "pipe_full" -> ((s, dir) => {
-      val curated = curate(s, dir, materialize = true)
-        .select(col("doc_id"))
-      val pairs = DedupQueries.minHashStarCandidates(
-        DedupQueries.docShingleHashes(s, dir))
-      val vertices = documents(s, dir).select(col("doc_id"))
-      val clusters = DedupQueries.connectedComponents(vertices, pairs)
+      // the curation chain and the near-dup clustering chain are
+      // INDEPENDENT until the manifest join below — submit them from two
+      // driver threads so the second chain's tasks BACK-FILL the
+      // executor slots the first chain's job-floor tail leaves idle
+      // (guide §2.6: overlap independent jobs). Both chains are
+      // AQE-job-floor-bound at gate scale (ActionAudit r17: 56 jobs ≈
+      // the wall at ~0.15 s/job, CPU 30 s over a 6.8 s wall = 4 of 32
+      // cores busy), so concurrency shortens the critical path without
+      // adding work; at 100 TB the same overlap hides one chain's
+      // shuffle-latency tails inside the other's. Determinism is
+      // untouched: both chains end EAGER (curate's localCheckpoint,
+      // minHashStarCandidates' forced count + the CC loop's
+      // checkpoints), the join runs strictly after both complete, and
+      // job descriptions are thread-local so the UI stays attributable.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      def curateChain() = {
+        s.sparkContext.setJobDescription("pipe_full: curate")
+        curate(s, dir, materialize = true).select(col("doc_id"))
+      }
+      def clusterChain() = {
+        s.sparkContext.setJobDescription("pipe_full: near-dup clustering")
+        val pairs = DedupQueries.minHashStarCandidates(
+          DedupQueries.docShingleHashes(s, dir))
+        val vertices = documents(s, dir).select(col("doc_id"))
+        (DedupQueries.connectedComponents(vertices, pairs), pairs)
+      }
+      // GRAFT_PIPE_SEQ=1 restores the sequential submission (A/B knob;
+      // results are identical either way)
+      val seq = sys.env.get("GRAFT_PIPE_SEQ").exists(Set("1", "true"))
+      val (curated, (clusters, pairs)) =
+        if (seq) { val c = curateChain(); (c, clusterChain()) }
+        else {
+          val cF = Future(curateChain())
+          val kF = Future(clusterChain())
+          (Await.result(cF, Duration.Inf), Await.result(kF, Duration.Inf))
+        }
+      s.sparkContext.setJobDescription("pipe_full: manifest join")
       val surv = curated.join(clusters, "doc_id")
       val lbl = surv.groupBy(col("cluster"))
         .agg(min(col("doc_id")).as("lbl"))
@@ -70,6 +103,7 @@ object PipelineQueries {
         .select(col("doc_id"), col("lbl").as("cluster"), col("split"))
       val res = out.localCheckpoint(true)
       pairs.unpersist(blocking = false)
+      s.sparkContext.setJobDescription(null)
       res
     }),
 
@@ -428,7 +462,7 @@ object PipelineQueries {
     * explain() (an eager localCheckpoint would reduce the audited plan
     * to a cached-RDD scan).
     */
-  private[operators] def curate(s: SparkSession, dir: String,
+  private[graft] def curate(s: SparkSession, dir: String,
       materialize: Boolean): DataFrame = {
       // stages 1–6 + digest: one fused map pass (see stage16); the
       // survivors frame is read by BOTH the shingle pipeline and the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -14,12 +14,15 @@ import graft.functions.TextFunctions._
   *    retrieval scorer (Robertson/Spärck Jones). Used in curation to
   *    pull topic-relevant subsets out of a web corpus and as the
   *    retrieval half of decontamination-by-query. 100 TB shape: the
-  *    postings build is ONE shuffle keyed by (doc, term); term
-  *    statistics (df per term — vocabulary-sized, ≪ corpus) and the
-  *    query set BROADCAST; scoring is a broadcast hash join over the
-  *    postings; the final top-k per query runs through the TopKRewrite
-  *    bounded heap, so the rank shuffle carries ≤ k rows per partition
-  *    per query, never the candidate lists.
+  *    broadcast query-term set filters the exploded token stream
+  *    BEFORE the one (doc, term)-keyed shuffle, so the exchange
+  *    carries only query-term hits (≤ |terms| per document), never the
+  *    corpus's full postings; term statistics (df per term —
+  *    query-bounded) and the query set BROADCAST; scoring is a
+  *    broadcast hash join over the slice; the final top-k per query
+  *    runs through the TopKRewrite bounded heap, so the rank shuffle
+  *    carries ≤ k rows per partition per query, never the candidate
+  *    lists.
   *
   *  - **Bigram-LM negative log-likelihood** (`text_lm_score`): the
   *    CCNet-style "train a small LM on the corpus, score every document,
@@ -28,6 +31,8 @@ import graft.functions.TextFunctions._
   *    (one shuffle each); scoring re-joins counts onto the exploded
   *    bigram stream by key (equi-joins, postings-shaped — never
   *    all-pairs); the per-document reduce is the only other shuffle.
+  *    (Hash-keyed and per-distinct-NLL variants were measured slower
+  *    at sf0.1 AND 10× and reverted — see the lmScore body note.)
   *
   * Cross-engine float determinism (same convention as the vector
   * kernels, `VectorFunctions.scala`): every per-term/per-bigram double
@@ -86,22 +91,26 @@ object RetrievalQueries {
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .filter(size(col("tk")) > 0)
         .persist()
-      // postings: one shuffle keyed by (doc, term); dl rides along (it is
-      // functionally determined by doc_id, so grouping on it adds no keys)
-      val postings = toks
-        .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("t"))
-        .groupBy(col("doc_id"), col("dl"), col("t"))
-        .agg(count(lit(1)).as("tf"))
       // corpus stats: scalar frame, broadcast to every scorer task
       val stats = toks.agg(count(lit(1)).as("n_docs"), avg(size(col("tk"))).as("avgdl"))
       val q = queryTerms.toDF("qid", "t")
-      // the query-term SLICE of the postings — semi-join against the
-      // broadcast term set, then persist: it is query-bounded (≤ |terms|
-      // rows per doc), and persisting it means the corpus-sized
-      // explode+groupBy above runs ONCE for its two consumers (the df
-      // aggregate and the scorer) instead of once each — the same
-      // persist-the-small-frame discipline as minHashStarCandidates
-      val slice = postings.join(broadcast(q.select(col("t")).distinct()), "t")
+      // the query-term SLICE of the postings, with the broadcast term
+      // set applied BEFORE the tf aggregation (r17, guide §2.3/§3.2):
+      // only query-term occurrences reach the (doc, dl, t) exchange —
+      // the former shape aggregated the ENTIRE exploded token stream
+      // into corpus-wide postings and then kept the ~|terms| slice, so
+      // at 100 TB the one corpus-sized shuffle this operator pays now
+      // carries ≤ |query terms| hits per document instead of every
+      // token. Restricting before or after the groupBy commutes (t is a
+      // grouping key), so tf/df/score are bit-identical. Persisted: the
+      // slice feeds BOTH the df aggregate and the scorer — one pass
+      // over the filtered stream instead of one each (the
+      // minHashStarCandidates small-frame discipline).
+      val slice = toks
+        .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("t"))
+        .join(broadcast(q.select(col("t")).distinct()), "t")
+        .groupBy(col("doc_id"), col("dl"), col("t"))
+        .agg(count(lit(1)).as("tf"))
         .persist()
       // df from the slice: postings are unique per (doc, term), so
       // COUNT = document frequency; tiny (≤ |terms| rows), broadcasts
@@ -142,7 +151,23 @@ object RetrievalQueries {
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .persist()
       // unigram count table (vocabulary-sized aggregate); persisted —
-      // it feeds the V scalar and the scorer join
+      // it feeds the V scalar and the scorer join.
+      //
+      // r17 note (verdict item 4, measured and REVERTED): two
+      // reformulations of the count joins were built and paired-A/B'ed
+      // at sf0.1 and the 10× docs fixture — (a) xxhash64 exchange keys
+      // with per-group min/max collision enforcement + per-distinct-
+      // bigram NLL (3.5 s vs 2.7 s at 10×: the min/max string buffers
+      // in every partial aggregate and the double hash evaluation cost
+      // more than the 8-byte keys saved), and (b) string keys with the
+      // NLL computed once per distinct bigram and re-attached through
+      // one join (4.9 s vs 3.6 s at 10×: broadcasting the
+      // bigram-vocabulary NLL table costs more than the second
+      // vocab-table join it removed, and ln-per-occurrence is
+      // nanoseconds). The wide-key premise does not hold here: bigrams
+      // are ~15 bytes, the count tables broadcast at every measured
+      // scale, and the corpus-side exchanges are the doc_id reduce,
+      // not the count joins. Keep this formulation.
       val uni = toks.select(explode(col("tk")).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("c1"))
         .persist()
@@ -199,7 +224,7 @@ object RetrievalQueries {
     * micro-units (1e6 div (60+r)) so the fused ordering is
     * bit-identical cross-engine.
     */
-  private[operators] def rrf(s: SparkSession, dir: String,
+  private[graft] def rrf(s: SparkSession, dir: String,
       materialize: Boolean = true): DataFrame = {
     // sparse arm: BM25 top-10 (≤ 10·|queries| rows, checkpointed).
     // The arms are independent plans and COULD run as two concurrent

@@ -205,17 +205,31 @@ object SourceQueries {
     // SHARE SCNs pairwise (scn = okey/2, ssn = okey%2) to prove
     // same-SCN statements never interleave.
     "s4_csf" -> ((s, dir) => {
+      import s.implicits._
       val stmts = synthesizedRedoSql(s, dir)
         .withColumn("xid", concat(lit("tx"), col("okey") % 97))
         .withColumn("scn", (col("okey") / 2).cast("long"))
         .withColumn("ssn", (col("okey") % 2).cast("int"))
-      val parts = stmts.select(col("xid"), col("scn"), col("ssn"),
-        // greatest(0, …): an empty/null statement would otherwise yield
-        // sequence(0, -1) = [0, -1] (Spark auto-steps down) and feed a
-        // negative seq + duplicate empty chunk; clamp so the helper
-        // stays safe under reuse beyond this synthesized corpus
-        posexplode(expr("transform(sequence(0, greatest(0, CAST(floor((length(sql_redo)-1)/40) AS INT)))," +
-          " i -> substring(sql_redo, i*40+1, 40))")).as(Seq("seq", "part")))
+        .select(col("xid"), col("scn"), col("ssn"), col("sql_redo"))
+        .as[(String, Long, Int, String)]
+      // 40-char chunker as a typed flatMap (r17): the former
+      // posexplode(transform(sequence(...), i -> substring(...)))
+      // expression tree joined the synthesized-SQL concat/when
+      // projection in one giant generated method — s4_csf's cold-JVM
+      // Janino/C2 storm (the r16 verdict's item 5; prewarm masked it
+      // in-bench, this fixes the cause). The flatMap is scalac-compiled
+      // bytecode — nothing to Janino — and emits the IDENTICAL chunk
+      // rows: ceil(L/40) chunks for L ≥ 1 (== floor((L-1)/40)+1, the
+      // old rule), one empty chunk for an empty statement, seq = chunk
+      // index; chunk boundaries cannot affect the reassembled string
+      // (the concat of the chunks IS the statement), so the oracle
+      // checks the same computation.
+      val parts = stmts.flatMap { case (xid, scn, ssn, sql) =>
+        val t = if (sql == null) "" else sql
+        val n = math.max(1, (t.length + 39) / 40)
+        (0 until n).map(i => (xid, scn, ssn, i,
+          t.substring(i * 40, math.min(t.length, i * 40 + 40))))
+      }.toDF("xid", "scn", "ssn", "seq", "part")
       parseRedoTyped(s, CsfReassembly.reassemble(parts)
         .select(col("sql").as("sql_redo")))
     }),

@@ -75,8 +75,11 @@ class FuzzySnmSpec extends AnyFunSuite {
 
   test("dedup_fuzzy gate plan contains no Window and no single-task sort " +
       "of the corpus") {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    assume(new java.io.File(s"$dir/documents.parquet").exists(),
+      s"fixture dir $dir absent — set SPARK_GRAFT_SF_DIR")
     val plan = DedupQueries.queries("dedup_fuzzy")(spark,
-      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      dir).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"the decomposed gate must not plan a Window:\n$plan")
   }

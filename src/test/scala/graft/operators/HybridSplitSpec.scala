@@ -152,6 +152,33 @@ class HybridSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25's pre-aggregation term filter commutes with the tf aggregate") {
+    // r17: bm25 applies the broadcast query-term semi-join BEFORE the
+    // (doc, dl, t) tf aggregation so the exchange carries only
+    // query-term hits. Legitimate because t is a grouping key, so
+    // filtering on it before or after the groupBy is the same algebra —
+    // pinned here on real fixture tokens with an arbitrary term set
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val stream = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("t"))
+    val terms = Seq("spark", "table", "row", "key", "slow").toDF("t")
+    val pre = stream.join(broadcast(terms), "t")
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val post = stream
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(terms), "t")
+      .select(col("doc_id"), col("dl"), col("t"), col("tf"))
+    assert(pre.select(col("doc_id"), col("dl"), col("t"), col("tf"))
+      .collect().toSet === post.collect().toSet)
+    assert(pre.count() > 0, "term set must hit the fixture vocabulary")
+  }
+
   test("adjacent_pairs kernel equals the HOF formulation") {
     import spark.implicits._
     val rnd = new scala.util.Random(47L)

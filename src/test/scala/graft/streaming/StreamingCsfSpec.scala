@@ -47,6 +47,32 @@ class StreamingCsfSpec extends AnyFunSuite {
     }
   }
 
+  test("s4_csf's typed 40-char chunker equals the expression chunker") {
+    // r17: the gate's chunker moved from
+    // posexplode(transform(sequence(0, greatest(0, floor((len-1)/40))),
+    //            i -> substring(sql, i*40+1, 40)))
+    // to a typed flatMap (the expression tree was the gate's cold-JVM
+    // Janino storm). Pin the two chunk-row sets equal on adversarial
+    // lengths: empty, 1 char, exact multiples of 40, ±1 around them.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cases = Seq("", "x", "a" * 39, "b" * 40, "c" * 41, "d" * 80,
+      "e" * 81, "f" * 119, ("word " * 30).trim)
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "sql_redo")
+    val expRows = df.select(col("id"),
+      posexplode(expr("transform(sequence(0, greatest(0, CAST(floor((length(sql_redo)-1)/40) AS INT)))," +
+        " i -> substring(sql_redo, i*40+1, 40))")).as(Seq("seq", "part")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val typedRows = df.as[(Long, String)].flatMap { case (id, sql) =>
+      val t = if (sql == null) "" else sql
+      val n = math.max(1, (t.length + 39) / 40)
+      (0 until n).map(i => (id, i,
+        t.substring(i * 40, math.min(t.length, i * 40 + 40))))
+    }.collect().toSet
+    assert(typedRows === expRows)
+  }
+
   test("statement split across a poll-window boundary reassembles and parses") {
     val url = "jdbc:derby:memory:csfpoll;create=true"
     val conn = DriverManager.getConnection(url)
