@@ -502,10 +502,19 @@ object DedupQueries {
         Row.fromSeq(r.toSeq :+ run)
       }
     }(enc)
-    // eager checkpoint: both band-join sides read the ranked frame, and
-    // the broadcast offsets are only valid against the cached range
-    // partitioning that produced them (the PrefixSum contract)
-    val out = ranked.localCheckpoint(true)
+    // eager MEMORY_AND_DISK persist + one forcing count instead of the
+    // former localCheckpoint(true) (r16 verdict item 6 — storage
+    // discipline): same single materialization, both band-join sides
+    // still read one cached frame and the broadcast offsets stay valid
+    // against the partitioning that produced them (a lost block
+    // recomputes from parted's shuffle files, whose partitioning is
+    // fixed once written — the PrefixSum contract holds), but the
+    // blocks are spillable, CacheManager-tracked (the per-gate cleanup
+    // can release them; localCheckpoint blocks bypass the CacheManager
+    // and pin executor storage until GC) and recoverable on executor
+    // loss instead of failing the job.
+    val out = ranked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     parted.unpersist(blocking = false)
     out
   }
