@@ -566,6 +566,53 @@ object Profile {
           println(f"$name rows=${evs.length} chunks=${chunks.size} " +
             f"pairs=$n wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
         } finally q.stop()
+      } else if (name == "curate_parts") {
+        // stage attribution for pipe_curate: bench shingles vs stage16
+        // force vs exact-dedup vs shingle force vs capped-LSH drops vs
+        // the final anti-join+checkpoint — each boundary forced so its
+        // jobs are isolated (attribution only; the gate itself runs ONE
+        // materializing job over the lazy tree). NOTE: this arm
+        // RESTATES curate's stage bodies (keep-min rule, shingle n = 2,
+        // maxBucket = 8, broadcast anti-join) so it can force each
+        // boundary — keep it in lockstep with PipelineQueries.curate or
+        // its attribution silently profiles a different pipeline
+        import org.apache.spark.sql.functions.{broadcast, col, count, lit, min, size}
+        import graft.functions.TextFunctions.shingleHashes
+        (1 to 2).foreach { pass =>
+          val t0 = System.nanoTime()
+          val bench = graft.operators.PipelineQueries.benchShingles(spark, dir)
+          val t1 = System.nanoTime()
+          val survivors = graft.operators.PipelineQueries
+            .stage16(spark, dir, bench, lit(true)).persist()
+          val n16 = survivors.count()
+          val t2 = System.nanoTime()
+          val keep = survivors.groupBy(col("digest"))
+            .agg(min(col("doc_id")).as("doc_id"))
+          val exact = survivors.join(keep, Seq("digest", "doc_id"))
+          val hashes = exact
+            .select(col("doc_id"), shingleHashes(col("toks"), 2).as("hs"))
+            .persist()
+          val nh = hashes.count()
+          val t3 = System.nanoTime()
+          val drops = graft.operators.DedupQueries.jaccardOnCandidates(
+              hashes.filter(size(col("hs")) > 0), maxBucket = Some(8))
+            .select(col("ib")).distinct().persist()
+          val nd = drops.count()
+          val t4 = System.nanoTime()
+          val out = exact.join(broadcast(drops),
+              exact("doc_id") === drops("ib"), "left_anti")
+            .select(col("doc_id")).localCheckpoint(true)
+          val no = out.count()
+          val t5 = System.nanoTime()
+          drops.unpersist(blocking = false)
+          hashes.unpersist(blocking = false)
+          survivors.unpersist(blocking = false)
+          println(f"curate_parts pass$pass bench=${(t1 - t0) / 1e9}%5.2f " +
+            f"stage16=${(t2 - t1) / 1e9}%5.2f (n=$n16) " +
+            f"exact+sh=${(t3 - t2) / 1e9}%5.2f (n=$nh) " +
+            f"lsh=${(t4 - t3) / 1e9}%5.2f (n=$nd) " +
+            f"anti+ckpt=${(t5 - t4) / 1e9}%5.2f (n=$no)")
+        }
       } else if (name == "rrf_parts") {
         // stage attribution for retr_rrf: sparse arm vs dense arm vs
         // fused total (each pass repeated so warm cost is visible)

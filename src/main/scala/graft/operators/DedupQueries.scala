@@ -931,10 +931,26 @@ object DedupQueries {
     // a reliable checkpoint dir the ids are empty and cleanup is the
     // checkpoint dir's (files live until context stop — unchanged).
     val sc = spark.sparkContext
+    // ids collected by OWNERSHIP — walk the truncated frame's own RDD
+    // lineage for persisted blocks — NOT by diffing the context-global
+    // persistent-RDD registry (the pre-r17 form): sibling driver
+    // threads may persist/checkpoint concurrently (pipe_full overlaps
+    // the curation chain with this loop), and a registry diff would
+    // sweep their unrelated registrations — including unrecoverable
+    // localCheckpoint blocks — into this loop's release set. The walk
+    // is two nodes deep (the truncated frame is an RDD scan over the
+    // checkpointed RDD); a reliable checkpoint yields no persisted RDD,
+    // so its id set stays empty exactly as before.
+    def persistedIdsOf(df: DataFrame): Set[Int] = {
+      def walk(r: org.apache.spark.rdd.RDD[_]): Set[Int] =
+        (if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          Set(r.id)
+        else Set.empty[Int]) ++ r.dependencies.flatMap(d => walk(d.rdd))
+      walk(df.rdd)
+    }
     def truncateTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
       val out = truncate(df)
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+      (out, persistedIdsOf(out))
     }
     def release(ids: Set[Int]): Unit = ids.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))

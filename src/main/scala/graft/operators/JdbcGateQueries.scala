@@ -56,8 +56,13 @@ object JdbcGateQueries {
           |  CUSTKEY BIGINT NOT NULL,
           |  PRICE NUMERIC(12,2) NOT NULL)""".stripMargin)
       conn.close()
-      val seedParts = sys.env.get("GRAFT_JDBC_SEEDPARTS").map(_.toInt).getOrElse(32)
-      val seedBatch = sys.env.get("GRAFT_JDBC_BATCH").map(_.toInt).getOrElse(1000)
+      // sweep knobs (r17 — the fetch/batch sweep found the defaults
+      // optimal; larger batches trip Derby's 5000-row lock escalation):
+      // non-positive or unparsable values fall back to the defaults
+      val seedParts = sys.env.get("GRAFT_JDBC_SEEDPARTS")
+        .flatMap(_.toIntOption).filter(_ > 0).getOrElse(32)
+      val seedBatch = sys.env.get("GRAFT_JDBC_BATCH")
+        .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1000)
       orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice").cast("decimal(12,2)").as("price"))
@@ -133,7 +138,8 @@ object JdbcGateQueries {
         if (trace) System.err.println(s"[k34] $l t=${System.nanoTime / 1e9}")
       val sink = JdbcUpsertSink(url, table, keyCols = Seq("ID"),
         dialect = DerbyDialect,
-        batchSize = sys.env.get("GRAFT_JDBC_BATCH").map(_.toInt).getOrElse(1000))
+        batchSize = sys.env.get("GRAFT_JDBC_BATCH")
+          .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1000))
       tr("start")
       sink.writeBatch(base
         .withColumn("op", lit(graft.cdc.Ops.Insert))

@@ -90,7 +90,20 @@ object PipelineQueries {
         else {
           val cF = Future(curateChain())
           val kF = Future(clusterChain())
-          (Await.result(cF, Duration.Inf), Await.result(kF, Duration.Inf))
+          // await BOTH before surfacing any failure: returning while the
+          // sibling chain still runs would leak its jobs and persists
+          // into the NEXT gate's timed window (and `pairs` would stay
+          // cached with nobody to release it)
+          val cT = scala.util.Try(Await.result(cF, Duration.Inf))
+          val kT = scala.util.Try(Await.result(kF, Duration.Inf))
+          (cT, kT) match {
+            case (scala.util.Success(c), scala.util.Success(k)) => (c, k)
+            case _ =>
+              kT.foreach { case (_, p) => p.unpersist(blocking = false) }
+              val primary = cT.failed.getOrElse(kT.failed.get)
+              kT.failed.foreach(e => if (e ne primary) primary.addSuppressed(e))
+              throw primary
+          }
         }
       s.sparkContext.setJobDescription("pipe_full: manifest join")
       val surv = curated.join(clusters, "doc_id")

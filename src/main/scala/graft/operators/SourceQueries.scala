@@ -219,16 +219,34 @@ object SourceQueries {
       // Janino/C2 storm (the r16 verdict's item 5; prewarm masked it
       // in-bench, this fixes the cause). The flatMap is scalac-compiled
       // bytecode — nothing to Janino — and emits the IDENTICAL chunk
-      // rows: ceil(L/40) chunks for L ≥ 1 (== floor((L-1)/40)+1, the
-      // old rule), one empty chunk for an empty statement, seq = chunk
-      // index; chunk boundaries cannot affect the reassembled string
-      // (the concat of the chunks IS the statement), so the oracle
-      // checks the same computation.
+      // rows: chunks are 40 CODE POINTS each (Spark SQL substring
+      // counts code points, and String.substring counts UTF-16 units —
+      // offsetByCodePoints keeps a surrogate pair from straddling a
+      // chunk boundary, where a lone surrogate would re-encode as '?'
+      // and corrupt the reassembled statement; ASCII-only on this
+      // corpus, enforced equal in StreamingCsfSpec incl. a non-BMP
+      // case), ceil(L/40) chunks for L ≥ 1 (== floor((L-1)/40)+1, the
+      // old rule), one empty chunk for an empty/null statement (the
+      // old expression emitted a null part there; array_join skips
+      // nulls, so both reassemble to ""), seq = chunk index. Chunk
+      // boundaries cannot affect the reassembled string (the concat of
+      // the chunks IS the statement), so the oracle checks the same
+      // computation.
       val parts = stmts.flatMap { case (xid, scn, ssn, sql) =>
         val t = if (sql == null) "" else sql
-        val n = math.max(1, (t.length + 39) / 40)
-        (0 until n).map(i => (xid, scn, ssn, i,
-          t.substring(i * 40, math.min(t.length, i * 40 + 40))))
+        val cps = t.codePointCount(0, t.length)
+        val n = math.max(1L, (cps + 39L) / 40L).toInt
+        val out = new Array[(String, Long, Int, Int, String)](n)
+        var start = 0
+        var i = 0
+        while (i < n) {
+          val end =
+            if (i == n - 1) t.length else t.offsetByCodePoints(start, 40)
+          out(i) = (xid, scn, ssn, i, t.substring(start, end))
+          start = end
+          i += 1
+        }
+        out.toSeq
       }.toDF("xid", "scn", "ssn", "seq", "part")
       parseRedoTyped(s, CsfReassembly.reassemble(parts)
         .select(col("sql").as("sql_redo")))

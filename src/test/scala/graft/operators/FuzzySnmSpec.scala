@@ -75,7 +75,14 @@ class FuzzySnmSpec extends AnyFunSuite {
 
   test("dedup_fuzzy gate plan contains no Window and no single-task sort " +
       "of the corpus") {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    // prefer the pinned fixture so this plan audit always RUNS where
+    // the repo's testdata exists; an exported SPARK_GRAFT_SF_DIR only
+    // substitutes when the pinned path is absent (a checkout without
+    // /root/testdata), and only a checkout with NEITHER skips
+    val pinned = "/root/testdata/sf0.001"
+    val dir =
+      if (new java.io.File(s"$pinned/documents.parquet").exists()) pinned
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", pinned)
     assume(new java.io.File(s"$dir/documents.parquet").exists(),
       s"fixture dir $dir absent — set SPARK_GRAFT_SF_DIR")
     val plan = DedupQueries.queries("dedup_fuzzy")(spark,

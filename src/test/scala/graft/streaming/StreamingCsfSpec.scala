@@ -56,8 +56,14 @@ class StreamingCsfSpec extends AnyFunSuite {
     // lengths: empty, 1 char, exact multiples of 40, ±1 around them.
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // the non-BMP cases pin the code-point semantics: Spark SQL
+    // substring counts code points, so a surrogate pair (🙂 = 2 UTF-16
+    // units) lying across a naive 40-UTF-16-unit boundary must stay
+    // whole in one chunk on both sides
     val cases = Seq("", "x", "a" * 39, "b" * 40, "c" * 41, "d" * 80,
-      "e" * 81, "f" * 119, ("word " * 30).trim)
+      "e" * 81, "f" * 119, ("word " * 30).trim,
+      "g" * 39 + "🙂" + "h" * 10,
+      ("🙂" * 41) + "tail")
     val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "sql_redo")
     val expRows = df.select(col("id"),
@@ -66,9 +72,19 @@ class StreamingCsfSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     val typedRows = df.as[(Long, String)].flatMap { case (id, sql) =>
       val t = if (sql == null) "" else sql
-      val n = math.max(1, (t.length + 39) / 40)
-      (0 until n).map(i => (id, i,
-        t.substring(i * 40, math.min(t.length, i * 40 + 40))))
+      val cps = t.codePointCount(0, t.length)
+      val n = math.max(1L, (cps + 39L) / 40L).toInt
+      val out = new Array[(Long, Int, String)](n)
+      var start = 0
+      var i = 0
+      while (i < n) {
+        val end =
+          if (i == n - 1) t.length else t.offsetByCodePoints(start, 40)
+        out(i) = (id, i, t.substring(start, end))
+        start = end
+        i += 1
+      }
+      out.toSeq
     }.collect().toSet
     assert(typedRows === expRows)
   }
